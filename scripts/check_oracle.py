@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each Verify output
+parquet against its DuckDB oracle SQL on the same sf dir, compare
+row-by-row after sorting columns by name and rows by value.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and int-valued floats
+        if v == int(v) and abs(v) < 1e15:
+            return float(int(v))
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return int(v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got_rel = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            got_cols = [c.lower() for c in got_rel.columns]
+            got = canon(got_rel.fetchall(), got_cols)
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp_rel = con.sql(sql)
+            exp_cols = [c.lower() for c in exp_rel.columns]
+            exp = canon(exp_rel.fetchall(), exp_cols)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+        elif got != exp:
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            for i, (g, e) in enumerate(zip(got, exp)):
+                if g != e:
+                    print(f"  first diff at row {i}:\n    spark: {g}\n    duck : {e}")
+                    break
+            if len(got) != len(exp):
+                only_g = [r for r in got[:2000] if r not in exp[:2000]][:2]
+                only_e = [r for r in exp[:2000] if r not in got[:2000]][:2]
+                print(f"  spark-only sample: {only_g}\n  duck-only sample: {only_e}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    # rows-only queries (no oracle)
+    import glob, os
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        if name not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM read_parquet('{d}*.parquet')").fetchone()[0]
+                print(f"ROWS {name}: {n} rows")
+            except Exception as e:
+                print(f"ROWS {name}: unreadable: {e}")
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,696 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Scaling, TimeSeriesOps => Ts}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `queries` exercises one operator family from SURVEY.md §2
+  * (reference-parity) or the north-star extensions (dedup / similarity /
+  * text / multimodal); `oracleSql` holds the DuckDB-equivalent SQL the
+  * driver hash-compares against at sf0.01.
+  *
+  * Conventions for oracle parity (SURVEY.md §4.3):
+  *  - explicit ORDER BY on every output; explicit source-order columns;
+  *  - every computed double rounded (sums → 2–4 dp, ratios → 6 dp) so
+  *    summation-order differences between engines can't flip the hash;
+  *  - aliases identical on both sides (driver sorts columns by name);
+  *  - integer aggregates cast to BIGINT in DuckDB (its sums widen to
+  *    HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a 2-dp money/value column, emitted as double.
+    * Double sums are order-dependent (±1e-8 at 1e8), and a sum landing on a
+    * rounding boundary then hashes differently per engine; decimal sums are
+    * exact and order-independent, so both engines agree bit-for-bit. */
+  private def dsum(c: Column, outScale: Int): Column =
+    round(sum(c.cast("decimal(18,2)")), outScale).cast("double")
+
+  /** Exact decimal revenue term: price · (1 − discount). */
+  private def drevenue(price: Column, discount: Column): Column =
+    round(sum(price.cast("decimal(18,2)")
+      * (lit(1).cast("decimal(18,4)") - discount.cast("decimal(18,4)"))), 2)
+      .cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    starJoin(spark, "/root/testdata/sf0.001")
+
+  // ——— reference-parity operator queries ———————————————————————————————
+
+  /** A-family headline: TPC-H Q1-shaped aggregate (SURVEY §2.4). */
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star-schema equi-join chain (SURVEY §2.3 tail note): customer ⋈ orders
+    * ⋈ lineitem; dims auto-broadcast under AQE. */
+  private def starJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    val l = T(s, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_mktsegment"), col("order_year"))
+  }
+
+  /** J1 — surrogate key by first appearance (data_utils.py:13-30). */
+  private def j1Surrogate(s: SparkSession, dir: String): DataFrame =
+    Ts.addSurrogateKey(
+        T(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), "c_custkey")
+      .select(col("c_custkey"), col("surrogate_item_id"))
+      .orderBy(col("c_custkey"))
+
+  /** A3 — tumbling daily resample-sum (data_utils.py:76-78). */
+  private def a3Resample(s: SparkSession, dir: String): DataFrame =
+    Ts.resampleSum(
+        T(s, dir, "events").withColumn("value", col("value").cast("decimal(18,2)")),
+        "user_id", "ts", Seq("value"), "day", "day")
+      .select(col("user_id"), col("day").cast("date").as("day"),
+        round(col("value"), 4).cast("double").as("daily_value"))
+      .orderBy(col("user_id"), col("day"))
+
+  /** J2+P6 — calendar reindex with zero fill (data_utils.py:44-84). */
+  private def j2Calendar(s: SparkSession, dir: String): DataFrame = {
+    val daily = Ts.resampleSum(
+      T(s, dir, "events").withColumn("value", col("value").cast("decimal(18,2)")),
+      "user_id", "ts", Seq("value"), "day", "day")
+    Ts.calendarFill(daily, "user_id", "day", Seq("value"))
+      .select(col("user_id"), col("day").cast("date").as("day"),
+        round(col("value"), 4).cast("double").as("daily_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** A7+A8 — mean and population stddev (evaluation.py:96-104;
+    * stddev_pop, NOT sample stddev — SURVEY §4.3 trap 2). */
+  private def a7a8Stats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_pop(col("l_extendedprice")), 4).as("std_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** A9 — mean absolute error against a grouped-mean predictor
+    * (multivariate_metrics.py:224). */
+  private def a9Mae(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val m = o.groupBy(col("o_orderpriority")).agg(avg(col("o_totalprice")).as("pred"))
+    o.join(m, "o_orderpriority")
+      .agg(round(avg(abs(col("o_totalprice") - col("pred"))), 4).as("mae"))
+  }
+
+  /** A12 — per-entity frequency inference as median inter-arrival gap
+    * (univariate_metrics.py:81-95, determinized — SURVEY §2.4 A12). */
+  private def a12Freq(s: SparkSession, dir: String): DataFrame =
+    Ts.inferFrequencySeconds(T(s, dir, "events"), "user_id", "ts")
+      .select(col("user_id"), round(col("median_gap_s"), 1).as("median_gap_s"))
+      .orderBy(col("user_id"))
+
+  /** W1 — per-entity sliding windows, flattened for the oracle
+    * (ydata_adapter.py:267-288). */
+  private def w1Windows(s: SparkSession, dir: String): DataFrame =
+    Ts.slidingWindows(T(s, dir, "events"), "user_id", "event_id", Seq("value"), 3)
+      .select(col("user_id"), col("__pos").as("pos"),
+        element_at(col("window"), 1)("value").as("w0"),
+        element_at(col("window"), 2)("value").as("w1"),
+        element_at(col("window"), 3)("value").as("w2"))
+      .orderBy(col("user_id"), col("pos"))
+
+  /** W4 — x/y split of W1 windows (multivariate_metrics.py:29-36). */
+  private def w4Xy(s: SparkSession, dir: String): DataFrame = {
+    val win = Ts.slidingWindows(
+      T(s, dir, "events"), "user_id", "event_id", Seq("value"), 3)
+    Ts.xySplit(win)
+      .select(col("user_id"), col("__pos").as("pos"),
+        element_at(col("x"), 1)("value").as("x0"),
+        element_at(col("x"), 2)("value").as("x1"),
+        col("y")("value").as("y"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  /** W3 — per-entity drop-last-h (univariate_metrics.py:421-432). */
+  private def w3Slice(s: SparkSession, dir: String): DataFrame =
+    Ts.sliceByTimestep(T(s, dir, "events"), "user_id", "event_id", 2)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** W5 — positional 75/12.5/12.5 split with int truncation
+    * (multivariate_metrics.py:39-82; SURVEY §4.3 trap 4). event_id is the
+    * dense source position, so no global row_number shuffle is needed. */
+  private def w5Split(s: SparkSession, dir: String): DataFrame =
+    Ts.trainValTestSplit(T(s, dir, "events"), "event_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("split"))
+
+  /** W6 — weekend covariate (univariate_metrics.py:121-127; pandas-vs-Spark
+    * weekday numbering, SURVEY §4.3 trap 3). */
+  private def w6Weekend(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(Ts.weekendFlag(col("o_orderdate")).as("is_weekend"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("is_weekend"))
+
+  /** W7 — forecast-horizon index (univariate_metrics.py:390-399). */
+  private def w7Horizon(s: SparkSession, dir: String): DataFrame =
+    Ts.forecastHorizon(T(s, dir, "events"), "user_id", "ts", 3, "day")
+      .select(col("user_id"), col("horizon_ts").cast("date").as("h_day"))
+      .orderBy(col("user_id"), col("h_day"))
+
+  /** P5 — dedup keep-first (univariate_metrics.py:69-71). */
+  private def p5Dedup(s: SparkSession, dir: String): DataFrame =
+    Ts.dedupKeepFirst(T(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** U1 — vertical concat of two slices (data_utils.py:87 et al). */
+  private def u1Union(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    o.filter(year(col("o_orderdate")) === 1995)
+      .unionByName(o.filter(year(col("o_orderdate")) === 1996))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("order_year"))
+  }
+
+  /** U2 — anti-filter by key set (univariate_metrics.py:93-95). */
+  private def u2Anti(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_custkey")).as("min_custkey"),
+        max(col("c_custkey")).as("max_custkey"))
+  }
+
+  /** O2 — per-entity head limit (univariate_metrics.py:516-518). */
+  private def o2Head(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    T(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 5)
+      .select(col("user_id"), col("pos"), col("event_id"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  /** O3+A11 — top-1 by aggregate (evaluation.py:122-123). */
+  private def o3Top1(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(avg(col("l_discount")).as("__avg"))
+      .orderBy(col("__avg").desc, col("l_suppkey"))
+      .limit(1)
+      .select(col("l_suppkey"), round(col("__avg"), 6).as("avg_discount"))
+
+  /** F1–F3 — parse/format/trunc (data_utils.py:45-50,
+    * synthcity_adapter.py:210-212; strftime→JDK pattern translation,
+    * SURVEY §4.3 trap 7). */
+  private def f1Dates(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(col("event_id") % 97 === 0)
+      .select(
+        col("event_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        date_format(col("ts"), "dd/MM/yyyy").as("ds"),
+        date_trunc("month", col("ts")).cast("date").as("month_start"))
+      .orderBy(col("event_id"))
+
+  /** F6/A6 — min-max scaling as column arithmetic
+    * (ydata_adapter.py:64-93; golden tests/test_doppleganger.py:42-57). */
+  private def f6MinMax(s: SparkSession, dir: String): DataFrame =
+    Scaling.scaleWithinGroups(
+        T(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice", "scaled")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round(col("scaled"), 6).as("scaled"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** J3 — positional date-index attach (doppleganger.py:176-179). */
+  private def j3Positional(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    T(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("__rn", row_number().over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("date_add(DATE '2024-06-01', CAST(__rn - 1 AS INT))").as("idx_day"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** W2 — per-entity sequence stats (ordered first/last via min_by/max_by;
+    * sdv_adapter.py:59-66). */
+  private def w2SeqStats(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        dsum(col("value"), 4).as("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** A1/A2 — multi-column distinct (data_utils.py:18). */
+  private def a1Distinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"))
+      .distinct()
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
+  /** A5/A10 — min/max bounds + count (data_utils.py:45-50,86-90). */
+  private def a5Bounds(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .agg(
+        min(date_trunc("day", col("ts"))).cast("date").as("first_day"),
+        max(date_trunc("day", col("ts"))).cast("date").as("last_day"),
+        count(lit(1)).as("n_events"))
+
+  // ——— north-star extension queries ————————————————————————————————————
+
+  /** Exact dedup keep-first on text; kept docs per language. */
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), Seq("text"), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+
+  /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
+  private def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", 3, 0.1)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label. */
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDuplicates(
+        T(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "label", 0.2)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-k (exact ANN baseline). */
+  private def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** MinHash signature head (rows-only check; LSH pair query below). */
+  private def dedupMinhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignatures(
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0), "doc_id", "text")
+      .select(col("doc_id"), col("minhash_0"), col("minhash_1"),
+        col("minhash_2"), col("minhash_3"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash+LSH near-dup candidates (rows-only: engine-specific hashes). */
+  private def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDuplicates(
+        T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.0, numHashes = 32, bands = 16)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash signatures (rows-only: engine-specific xxhash64). */
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** SimHash near-dup pairs at Hamming ≤ 6 (rows-only). */
+  private def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDuplicates(T(s, dir, "documents"), "doc_id", "text", 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** LSH-bucketed approximate top-k (rows-only: bucket recall is
+    * probabilistic by design). */
+  private def simLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        5, dim = 64, numBits = 8, numTables = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Text quality features on a deterministic subset. */
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(
+        T(s, dir, "documents").filter(col("doc_id") % 7 === 0), "text")
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        round(col("stop_ratio"), 6).as("stop_ratio"),
+        round(col("quality_score"), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic language ID → confusion counts vs the labeled lang. */
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  /** Token statistics per language. */
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("total_tokens"),
+        round(avg(col("n")), 4).as("avg_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy(col("lang"))
+
+  /** Rolling-hash document fingerprint (portable md5-based hash). */
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal stub-decode features over text-as-binary payloads. */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Multimodal.mediaFromText(
+      T(s, dir, "documents").filter(col("doc_id") % 9 === 0),
+      "doc_id", "text", "documents")
+    Multimodal.decode(media.as[Multimodal.MediaItem]).toDF()
+      .select(col("media_id"), col("byte_len"), col("first_byte"),
+        col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
+  // ——— registry ————————————————————————————————————————————————————————
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_star_join" -> (starJoin _),
+    "j1_surrogate_key" -> (j1Surrogate _),
+    "a3_resample_sum" -> (a3Resample _),
+    "j2_calendar_fill" -> (j2Calendar _),
+    "a7a8_stats" -> (a7a8Stats _),
+    "a9_mae" -> (a9Mae _),
+    "a12_freq_infer" -> (a12Freq _),
+    "w1_windows" -> (w1Windows _),
+    "w3_slice" -> (w3Slice _),
+    "w4_xy" -> (w4Xy _),
+    "w5_split" -> (w5Split _),
+    "w6_weekend" -> (w6Weekend _),
+    "w7_horizon" -> (w7Horizon _),
+    "p5_dedup_first" -> (p5Dedup _),
+    "u1_union" -> (u1Union _),
+    "u2_anti" -> (u2Anti _),
+    "o2_head" -> (o2Head _),
+    "o3_top1" -> (o3Top1 _),
+    "f1_dates" -> (f1Dates _),
+    "f6_minmax" -> (f6MinMax _),
+    "j3_positional" -> (j3Positional _),
+    "w2_seq_stats" -> (w2SeqStats _),
+    "a1_distinct" -> (a1Distinct _),
+    "a5_bounds" -> (a5Bounds _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgram _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk" -> (simTopK _),
+    "dedup_minhash_sigs" -> (dedupMinhashSigs _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "sim_lsh_topk" -> (simLshTopK _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_features" -> (mmFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_star_join" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS order_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON o_orderkey=l_orderkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "j1_surrogate_key" ->
+      """WITH dim AS (SELECT c_nationkey, c_mktsegment, min(c_custkey) AS fs
+        |  FROM customer GROUP BY 1,2),
+        |d2 AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY fs) - 1 AS INT) AS surrogate_item_id FROM dim)
+        |SELECT c.c_custkey, d2.surrogate_item_id
+        |FROM customer c JOIN d2 USING (c_nationkey, c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+    "a3_resample_sum" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),4) AS DOUBLE) AS daily_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "j2_calendar_fill" ->
+      """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS value
+        |  FROM events GROUP BY 1,2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |grid AS (SELECT u.user_id, c.day
+        |  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN cal c)
+        |SELECT g.user_id, CAST(g.day AS DATE) AS day,
+        | CAST(round(coalesce(d.value, 0), 4) AS DOUBLE) AS daily_value
+        |FROM grid g LEFT JOIN daily d ON g.user_id=d.user_id AND g.day=d.day
+        |ORDER BY 1,2""".stripMargin,
+    "a7a8_stats" ->
+      """SELECT l_returnflag, round(avg(l_extendedprice),4) AS avg_price,
+        | round(stddev_pop(l_extendedprice),4) AS std_price, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_mae" ->
+      """WITH m AS (SELECT o_orderpriority, avg(o_totalprice) AS pred
+        |  FROM orders GROUP BY 1)
+        |SELECT round(avg(abs(o_totalprice - pred)),4) AS mae
+        |FROM orders JOIN m USING (o_orderpriority)""".stripMargin,
+    "a12_freq_infer" ->
+      """WITH s AS (SELECT user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id,
+        |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM s)
+        |SELECT user_id, round(median(gap),1) AS median_gap_s
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w1_windows" ->
+      """WITH o AS (SELECT user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM events),
+        |w AS (SELECT user_id, pos, value AS w0,
+        |  lead(value,1) OVER (PARTITION BY user_id ORDER BY pos) AS w1,
+        |  lead(value,2) OVER (PARTITION BY user_id ORDER BY pos) AS w2 FROM o)
+        |SELECT user_id, pos, w0, w1, w2 FROM w WHERE w2 IS NOT NULL
+        |ORDER BY 1,2""".stripMargin,
+    "w3_slice" ->
+      """WITH r AS (SELECT user_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_rows,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),4) AS DOUBLE) AS sum_value
+        |FROM r WHERE rn > 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w4_xy" ->
+      """WITH o AS (SELECT user_id, value,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
+        |  FROM events),
+        |w AS (SELECT user_id, pos, value AS x0,
+        |  lead(value,1) OVER (PARTITION BY user_id ORDER BY pos) AS x1,
+        |  lead(value,2) OVER (PARTITION BY user_id ORDER BY pos) AS y FROM o)
+        |SELECT user_id, pos, x0, x1, y FROM w WHERE y IS NOT NULL
+        |ORDER BY 1,2""".stripMargin,
+    "w5_split" ->
+      """WITH n AS (SELECT count(*) AS n FROM events),
+        |t AS (SELECT CAST(FLOOR(0.75*n) AS BIGINT) AS t, n FROM n),
+        |b AS (SELECT t, t + CAST(FLOOR((n-t)/2) AS BIGINT) AS v FROM t)
+        |SELECT CASE WHEN event_id < t THEN 'train'
+        |            WHEN event_id < v THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_rows,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),4) AS DOUBLE) AS sum_value
+        |FROM events, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w6_weekend" ->
+      """SELECT CAST(CASE WHEN isodow(o_orderdate) IN (6,7) THEN 1 ELSE 0 END AS DOUBLE)
+        |  AS is_weekend,
+        | count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w7_horizon" ->
+      """WITH m AS (SELECT user_id, max(date_trunc('day', ts)) AS d
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, CAST(unnest(generate_series(d + INTERVAL 1 DAY,
+        |  d + INTERVAL 3 DAY, INTERVAL 1 DAY)) AS DATE) AS h_day
+        |FROM m ORDER BY 1,2""".stripMargin,
+    "p5_dedup_first" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, value FROM r WHERE rn=1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "u1_union" ->
+      """WITH u AS (SELECT * FROM orders WHERE year(o_orderdate)=1995
+        |  UNION ALL SELECT * FROM orders WHERE year(o_orderdate)=1996)
+        |SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n_orders,
+        | CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_price
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u2_anti" ->
+      """SELECT count(*) AS n_customers, min(c_custkey) AS min_custkey,
+        | max(c_custkey) AS max_custkey
+        |FROM customer WHERE NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "o2_head" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS pos
+        |  FROM events WHERE user_id % 10 = 0)
+        |SELECT user_id, pos, event_id FROM r WHERE pos <= 5
+        |ORDER BY user_id, pos""".stripMargin,
+    "o3_top1" ->
+      """SELECT l_suppkey, round(avg(l_discount),6) AS avg_discount
+        |FROM lineitem GROUP BY 1
+        |ORDER BY avg(l_discount) DESC, l_suppkey LIMIT 1""".stripMargin,
+    "f1_dates" ->
+      """SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | strftime(ts, '%d/%m/%Y') AS ds,
+        | CAST(date_trunc('month', ts) AS DATE) AS month_start
+        |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
+    "f6_minmax" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | round((l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
+        |   / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+        |      - min(l_extendedprice) OVER (PARTITION BY l_returnflag)), 6) AS scaled
+        |FROM lineitem ORDER BY 1,2""".stripMargin,
+    "j3_positional" ->
+      """SELECT user_id, event_id, DATE '2024-06-01'
+        | + CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT)
+        |   AS idx_day
+        |FROM events WHERE user_id % 10 = 0 ORDER BY user_id, event_id""".stripMargin,
+    "w2_seq_stats" ->
+      """SELECT user_id, count(*) AS n_obs, arg_min(value, event_id) AS first_value,
+        | arg_max(value, event_id) AS last_value,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),4) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a1_distinct" ->
+      "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1,2",
+    "a5_bounds" ->
+      """SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
+        | CAST(max(date_trunc('day', ts)) AS DATE) AS last_day,
+        | count(*) AS n_events FROM events""".stripMargin,
+    "dedup_exact" ->
+      """WITH k AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_kept
+        |FROM documents d JOIN k ON d.doc_id = k.keep_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |g AS (SELECT DISTINCT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in generate_series(1, len(toks)-2)]) AS gram
+        |  FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM sh JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE shared / (sa.n + sb.n - shared) >= 0.1 ORDER BY 1,2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id % 2 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.2 ORDER BY 1,2""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.emb, c.emb) AS cos
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |    AS INT) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |f AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len([t for t in toks
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS INT) AS n_stop
+        |  FROM d)
+        |SELECT doc_id, n_words, n_stop, round(n_stop / n_words, 6) AS stop_ratio,
+        | round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
+        |   AS quality_score
+        |FROM f ORDER BY 1""".stripMargin,
+    "text_langid" ->
+      """WITH d AS (SELECT lang, string_split_regex(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT lang,
+        |  len([t for t in toks if t in ('der','die','und','nicht')]) AS s_de,
+        |  len([t for t in toks if t in ('the','and','of','data')]) AS s_en,
+        |  len([t for t in toks if t in ('el','la','los','que')]) AS s_es,
+        |  len([t for t in toks if t in ('le','les','des','une')]) AS s_fr,
+        |  len([t for t in toks if t in ('的','是','了','在')]) AS s_zh
+        |  FROM d)
+        |SELECT lang, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+        | count(*) AS n_docs
+        |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_tokens" ->
+      """SELECT lang,
+        | CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
+        | round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
+        | CAST(max(len(string_split_regex(text, '\s+'))) AS INT) AS max_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |h AS (SELECT doc_id,
+        |  [CAST('0x' || substr(md5(t),1,14) AS BIGINT) for t in toks] AS hs FROM d)
+        |SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0
+        |  ELSE list_reduce(hs, (a,b) -> (a*31 + b) % 100000000000000000) END
+        |    AS fingerprint
+        |FROM h ORDER BY 1""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
+        | CAST(ascii(substr(text,1,1)) AS INT) AS first_byte,
+        | CAST(strlen(text) % 640 + 16 AS INT) AS width,
+        | CAST((strlen(text) // 640) % 480 + 16 AS INT) AS height
+        |FROM documents WHERE doc_id % 9 = 0 ORDER BY 1""".stripMargin,
+  )
 }

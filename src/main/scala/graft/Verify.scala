@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pandas-like permissive semantics to mirror the reference (and the
+      // DuckDB oracle's long-wraparound / implicit-cast behavior)
+      .config("spark.sql.ansi.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS); surface as long, converted
+      // back to µs timestamps in sources.Tables.load
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

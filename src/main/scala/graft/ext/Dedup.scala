@@ -1,0 +1,194 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension; SURVEY.md §7.1 module `ext`). Designed scale-first: every
+  * variant is a constant number of shuffles on bounded keys — no pairwise
+  * O(n²) stage ever touches the full corpus, only LSH-bucketed candidates.
+  */
+object Dedup {
+
+  /** Exact dedup, keep-first by `orderCol`: one hash shuffle on the key. */
+  def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
+    graft.ops.TimeSeriesOps.dedupKeepFirst(df, keyCols, orderCol)
+
+  /** Word n-grams of a text column as an array column (distinct shingles).
+    * Built with `transform` over an index sequence — codegen'd, no UDF. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    array_distinct(
+      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signatures: explode distinct shingles, hash with xxhash64,
+    * then k independent permutations h_i(x) = (a_i·x + b_i) mod p taken to
+    * their minimum per document. One shuffle (groupBy doc).
+    *
+    * Returns (idCol, minhash_0 … minhash_{k-1}).
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val shingled = df
+      .select(col(idCol), explode(wordNgrams(col(textCol), shingleLen)).as("__sh"))
+      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(p)))
+    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      // (a·h + b) mod p without 128-bit overflow: h < 2^61, a < 2^61 —
+      // multiply via double would lose precision, so reduce with pmod on
+      // the fly using Spark's long arithmetic (wraps, but wraps identically
+      // everywhere; minimum of a wrapped ring is still a stable signature).
+      min(pmod(col("__h") * lit(a) + lit(b), lit(p))).as(s"minhash_$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: band the signature (bands of
+    * `rowsPerBand`), hash each band, shuffle on (band index, band hash),
+    * emit same-bucket pairs. Candidates are then verified with the exact
+    * signature similarity (fraction of agreeing minhashes ≥ `threshold`).
+    *
+    * Scale: the only shuffles are groupBy(doc) for signatures and
+    * groupBy(band bucket); bucket skew is bounded because identical bands
+    * imply near-identical docs.
+    */
+  def minHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val rowsPerBand = numHashes / bands
+    val sigArr = array((0 until numHashes).map(i => col(s"minhash_$i")): _*)
+    val withBands = sigs
+      .withColumn("__sig", sigArr)
+      .withColumn(
+        "__band",
+        explode(array((0 until bands).map(b =>
+          struct(
+            lit(b).as("band_idx"),
+            xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("band_hash"))): _*)))
+      .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
+    val a = withBands.select(
+      col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val b = withBands.select(
+      col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / lit(numHashes.toDouble)).as("sig_similarity"))
+      .distinct()
+      .filter(col("sig_similarity") >= threshold)
+  }
+
+  /** SimHash: 64-bit signature = sign of the per-bit sum of token hashes.
+    * Computed as 64 conditional-sum aggregates (one shuffle on doc id) —
+    * all codegen'd.
+    */
+  def simHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      outCol: String = "simhash"): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(split(col(textCol), "\\s+")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__b$i"))
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as(outCol))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance`, via the
+    * pigeonhole band trick: split the 64-bit signature into `maxDistance+1`
+    * chunks; any pair within distance must agree exactly on ≥1 chunk, so
+    * candidates come from equi-joins on (chunk index, chunk value) — never a
+    * full cross join. `bit_count` verifies the exact distance.
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    val sigs = simHash(df, idCol, textCol)
+    val banded = sigs.withColumn(
+      "__chunk",
+      explode(array((0 until chunks).map(c =>
+        struct(
+          lit(c).as("chunk_idx"),
+          shiftright(col("simhash"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
+      .select(col(idCol), col("simhash"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
+    * explode distinct shingles, self-equi-join on the shingle, count shared
+    * per pair, |A∪B| = |A|+|B|−shared. Intended for bounded candidate sets
+    * (post-LSH or pre-blocked); the shingle join is the scalable candidate
+    * generator when shingle frequency is capped upstream.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val grams = df.select(
+      col(idCol),
+      explode(wordNgrams(col(textCol), n)).as("__g"))
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = grams.select(col(idCol).as("id_a"), col("__g"))
+    val b = grams.select(col(idCol).as("id_b"), col("__g"))
+    val shared = a.join(b, "__g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sizes.withColumnRenamed("__n", "__na"),
+        shared("id_a") === sizes(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("__n", "__nb").withColumnRenamed(idCol, "__idb"),
+        col("id_b") === col("__idb")).drop("__idb")
+      .withColumn("jaccard",
+        col("__shared").cast("double")
+          / (col("__na") + col("__nb") - col("__shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

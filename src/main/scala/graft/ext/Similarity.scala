@@ -1,0 +1,143 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), north-star extension (SURVEY.md §7.1 module `ext`).
+  *
+  * Two tiers:
+  *  - brute-force cosine top-k — exact baseline; the candidate side is
+  *    shuffled once on the (small) query set, dot products run inside
+  *    codegen'd higher-order functions;
+  *  - LSH-bucketed top-k — scale path: random-hyperplane signatures bucket
+  *    the corpus so each query only scores its bucket (multi-probe via
+  *    several independent tables).
+  */
+object Similarity {
+
+  /** Dot product of two array columns in float64, summed in array order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array column in float64. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Brute-force cosine top-k: every query row against every candidate row.
+    * Norms are precomputed on each side before the join so the O(|Q|·|C|)
+    * stage does one fused multiply-add pass per pair and nothing else.
+    * Use only with a bounded query set; the LSH variant is the corpus-scale
+    * path.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
+    * with seeded Gaussian hyperplanes, packed into a long. Hyperplanes are
+    * generated driver-side (numBits × dim doubles) and inlined as literals —
+    * broadcast-free and deterministic.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numBits, dim)(rnd.nextGaussian())
+    (0 until numBits).map { b =>
+      val proj = (0 until dim).map(i =>
+        element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
+        .reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed approximate top-k: `numTables` independent signatures;
+    * query joins candidates on (table, signature) equality, then exact
+    * cosine re-ranks within the candidate union. Each join is an equi-join
+    * on a bounded key — no cross join at any scale.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      numBits: Int = 12,
+      numTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    def withSigs(df: DataFrame, side: String): DataFrame = {
+      val sigs = (0 until numTables).map(t =>
+        struct(lit(t).as("table_id"),
+          hyperplaneSignature(col(vecCol), dim, numBits, seed + t).as("sig")))
+      df.withColumn("__t", explode(array(sigs: _*)))
+        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+          col("__t.table_id"), col("__t.sig"))
+    }
+    val q = withSigs(queries, "query")
+      .withColumn("__qn", l2Norm(col("__queryv")))
+    val c = withSigs(candidates, "neighbor")
+      .withColumn("__cn", l2Norm(col("__neighborv")))
+    val cand = q.join(c, Seq("table_id", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__queryv"),
+        col("__neighborv"), col("__qn"), col("__cn"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand
+      .withColumn("cosine",
+        cosine(col("__queryv"), col("__neighborv"), col("__qn"), col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
+    * cluster label or LSH bucket): pairs with cosine ≥ `threshold`.
+    * The blocking column bounds the pair blow-up; at corpus scale feed the
+    * output of `hyperplaneSignature` as the block.
+    */
+  def embeddingNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val withNorm = df.select(col(blockCol).as("__blk"), col(idCol), col(vecCol))
+      .withColumn("__n", l2Norm(col(vecCol)))
+    val a = withNorm.select(col("__blk"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = withNorm.select(col("__blk"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, "__blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb"), col("__na"), col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.providers
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TsSchema
+
+/** Provider SPI — the seam the reference calls `TimeSeriesGeneratorAdapter`
+  * (paqarin/adapter.py:33-61), with the provider×method registry replacing
+  * `get_generator_adapter` (paqarin/adapter.py:64-97).
+  *
+  * A fitted model generates sequences in the canonical "one long frame"
+  * shape `(seq_id: long, step: int, <numericCols>…)` (the synthcity output
+  * shape, SURVEY §3.2); "list of frames" is `groupBy(seq_id)` at the API
+  * edge. Heavy DL providers (TimeGAN/DoppleGANger/PAR) plug in behind this
+  * trait as external integrations; the engine ships deterministic
+  * Spark-native providers below.
+  */
+trait GeneratorProvider {
+  def name: String
+  def fit(data: DataFrame, schema: TsSchema): FittedGenerator
+}
+
+trait FittedGenerator {
+  /** Generate `n` sequences of `seqLen` steps. */
+  def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame
+}
+
+object GeneratorProvider {
+  /** Registry, mirroring adapter.py:64-97's provider dispatch. */
+  def forName(provider: String): GeneratorProvider = provider match {
+    case "statistical" => StatisticalProvider
+    case "bootstrap"   => BootstrapProvider
+    case other =>
+      throw new IllegalArgumentException(
+        s"Generation provider $other is not supported") // adapter.py:95-97
+  }
+}
+
+/** Spark-native default: fits per-column mean/std (one aggregate pass) and
+  * generates Gaussian series with Spark's seeded, distributed `randn` —
+  * deterministic at any scale, no driver-side data.
+  */
+object StatisticalProvider extends GeneratorProvider {
+  val name = "statistical"
+
+  def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
+    val aggs = schema.numericCols.flatMap(c =>
+      Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
+    val row = data.agg(aggs.head, aggs.tail: _*).head()
+    val stats = schema.numericCols.zipWithIndex.map { case (c, i) =>
+      c -> ((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    }
+    new FittedGenerator {
+      def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
+        val base = spark.range(n.toLong * seqLen)
+          .select(
+            (col("id") / seqLen).cast("long").as("seq_id"),
+            (col("id") % seqLen).cast("int").as("step"))
+        stats.zipWithIndex.foldLeft(base) { case (d, ((c, (m, s)), i)) =>
+          d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
+        }
+      }
+    }
+  }
+}
+
+/** Bootstrap provider: resamples fitted per-entity windows — the
+  * deterministic stand-in the reference achieves with mocked model layers
+  * (tests/test_ydata_adapter.py:13-45). Windows are sampled by seeded hash,
+  * fully distributed.
+  */
+object BootstrapProvider extends GeneratorProvider {
+  val name = "bootstrap"
+
+  def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
+    val id = schema.itemIdCols.head
+    val fitted = data // lazy plan; window extraction happens at generate
+    new FittedGenerator {
+      def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
+        val win = graft.ops.TimeSeriesOps.slidingWindows(
+          fitted, id, schema.tsCol, schema.numericCols, seqLen)
+        // deterministic pseudo-random pick of n windows: order by xxhash64
+        val picked = win
+          .withColumn("__r", xxhash64(col(id), col("__pos")))
+          .orderBy(col("__r"))
+          .limit(n)
+          .withColumn("seq_id", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("__r"))) - 1)
+        val exploded = picked.select(
+          col("seq_id").cast("long").as("seq_id"),
+          posexplode(col("window")).as(Seq("step", "__v")))
+        schema.numericCols.foldLeft(exploded)((d, c) =>
+          d.withColumn(c, col("__v")(c))).drop("__v")
+      }
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming extension of the batch resample operators
+  * (SURVEY §2.9 — no reference-parity requirement; the batch A3 tumbling
+  * resample maps 1:1 onto streaming `window()` with a watermark).
+  *
+  * All transforms are plan-only (`DataFrame => DataFrame`), so the same
+  * code path works on a batch frame or a `readStream` frame; tests drive
+  * them with a file source + memory sink.
+  */
+object StreamingResample {
+
+  /** A3 streaming twin: per-entity tumbling-window sum with late-data
+    * handling via watermark. */
+  def tumblingSum(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowLen: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), window(col(tsCol), windowLen).as("bucket"))
+      .agg(sum(col(valueCol)).as(valueCol))
+      .select(col(idCol), col("bucket.start").as("bucket_start"), col(valueCol))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingSum(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valueCol: String,
+      windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), window(col(tsCol), windowLen, slide).as("bucket"))
+      .agg(sum(col(valueCol)).as(valueCol))
+      .select(col(idCol), col("bucket.start").as("bucket_start"), col(valueCol))
+
+  /** Session windows: activity bursts separated by ≥ `gap` of silence. */
+  def sessionCount(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(col(idCol), session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(idCol), col("session.start").as("session_start"),
+        col("n_events"))
+}
