@@ -369,8 +369,7 @@ object SparkEntry {
 
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .withColumn("predicted", TextAnalysis.langId(col("text")))
+    TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))

@@ -18,17 +18,27 @@ object Dedup {
   /** Word n-grams of a text column as an array column (distinct shingles).
     * Built with `transform` over an index sequence — codegen'd, no UDF. */
   def wordNgrams(text: Column, n: Int): Column = {
+    // Build grams by zipping n shifted slices of the token array rather
+    // than element_at(split(...), i) inside a transform lambda — Catalyst
+    // does not CSE subexpressions inside lambda bodies, so the lambda form
+    // re-runs the regex split once per gram per shift (observed 40× slower).
     val toks = split(text, "\\s+")
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    val outLen = greatest(size(toks) - (n - 1), lit(0))
+    val slices = (0 until n).map(k => slice(toks, lit(k + 1), outLen))
     array_distinct(
-      when(size(toks) >= n, grams).otherwise(array().cast("array<string>")))
+      slices.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
   }
 
-  /** MinHash signatures: explode distinct shingles, hash with xxhash64,
-    * then k independent permutations h_i(x) = (a_i·x + b_i) mod p taken to
-    * their minimum per document. One shuffle (groupBy doc).
+  /** MinHash signatures: hash each distinct shingle with xxhash64, then k
+    * independent permutations h_i(x) = (a_i·x + b_i) mod p taken to their
+    * minimum per document.
+    *
+    * Computed entirely with array higher-order functions (`transform` +
+    * `array_min`) over the per-row shingle array — zero shuffles, fully
+    * codegen'd, so at 100 TB it is a pure map stage. (a·h + b) uses Spark's
+    * wrapping long multiply — wraps identically everywhere, and the minimum
+    * of a wrapped ring is still a stable signature. Docs with no shingles
+    * get the sentinel `p`.
     *
     * Returns (idCol, minhash_0 … minhash_{k-1}).
     */
@@ -43,17 +53,15 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val coeffs = Seq.fill(numHashes)(
       (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val shingled = df
-      .select(col(idCol), explode(wordNgrams(col(textCol), shingleLen)).as("__sh"))
-      .withColumn("__h", pmod(xxhash64(col("__sh")), lit(p)))
-    val aggs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      // (a·h + b) mod p without 128-bit overflow: h < 2^61, a < 2^61 —
-      // multiply via double would lose precision, so reduce with pmod on
-      // the fly using Spark's long arithmetic (wraps, but wraps identically
-      // everywhere; minimum of a wrapped ring is still a stable signature).
-      min(pmod(col("__h") * lit(a) + lit(b), lit(p))).as(s"minhash_$i")
+    val hashes = transform(wordNgrams(col(textCol), shingleLen),
+      s => pmod(xxhash64(s), lit(p)))
+    val withHashes = df.withColumn("__hs", hashes)
+    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      coalesce(
+        array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(p)))),
+        lit(p)).as(s"minhash_$i")
     }
-    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    withHashes.select(col(idCol) +: sigCols: _*)
   }
 
   /** MinHash + LSH near-dup candidate pairs: band the signature (bands of
@@ -73,31 +81,36 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val spark = df.sparkSession
     val rowsPerBand = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"minhash_$i")): _*)
+    // Materialize signatures once — both the band explode and the verify
+    // join reuse them; without this the shingle hashing would rerun per use.
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+      .select(col(idCol), sigArr.as("__sig"))
+      .persist()
     val withBands = sigs
-      .withColumn("__sig", sigArr)
-      .withColumn(
-        "__band",
+      .select(col(idCol),
         explode(array((0 until bands).map(b =>
           struct(
             lit(b).as("band_idx"),
             xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
-              .as("band_hash"))): _*)))
-      .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
-    val a = withBands.select(
-      col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = withBands.select(
-      col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+              .as("band_hash"))): _*)).as("__band"))
+      .select(col(idCol), col("__band.band_idx"), col("__band.band_hash"))
+    // candidate pairs carry ids only; signatures re-join after the distinct
+    // so the shuffle moves (long, long) rows, not 32-element arrays
+    val cand = withBands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
+      .join(withBands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / lit(numHashes.toDouble)).as("sig_similarity"))
-      .distinct()
       .filter(col("sig_similarity") >= threshold)
   }
 
@@ -170,9 +183,11 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // grams are joined by 64-bit hash, not string: the pair-join shuffle
+    // moves (long, long) rows and the join side becomes broadcast-able
     val grams = df.select(
       col(idCol),
-      explode(wordNgrams(col(textCol), n)).as("__g"))
+      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("__g"))
     val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val a = grams.select(col(idCol).as("id_a"), col("__g"))
     val b = grams.select(col(idCol).as("id_b"), col("__g"))

@@ -83,7 +83,8 @@ object Multimodal {
         posexplode(
           transform(
             sequence(lit(0),
-              greatest((octet_length(col(payloadCol)) / (chunkLen * stride)) - 1, lit(0))),
+              greatest((octet_length(col(payloadCol)) / (chunkLen * stride))
+                .cast("int") - 1, lit(0))),
             i => substring(col(payloadCol), (i * chunkLen * stride + 1).cast("int"), lit(chunkLen))))
           .as(Seq("frame_idx", "frame_bytes")))
 

@@ -60,19 +60,23 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
-    * with seeded Gaussian hyperplanes, packed into a long. Hyperplanes are
-    * generated driver-side (numBits × dim doubles) and inlined as literals —
-    * broadcast-free and deterministic.
+    * with seeded Gaussian hyperplanes, packed into a long.
+    *
+    * The plane matrix is a `typedLit` DATA literal (array<array<double>>),
+    * not an inlined expression tree — the projection runs as two nested
+    * `aggregate`/`zip_with` higher-order functions, so the plan stays a few
+    * KB regardless of dim×numBits (the naive unrolled form built 2048-term
+    * trees and 6 MiB task binaries).
     */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numBits, dim)(rnd.nextGaussian())
-    (0 until numBits).map { b =>
-      val proj = (0 until dim).map(i =>
-        element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
-        .reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
+    val planes: Seq[Seq[Double]] = Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesCol = typedLit(planes)
+    val powers = typedLit((0 until numBits).map(b => 1L << b))
+    val bits = transform(planesCol, p =>
+      when(aggregate(zip_with(vec, p, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(zip_with(bits, powers, (b, w) => b * w), lit(0L), (acc, v) => acc + v)
   }
 
   /** LSH-bucketed approximate top-k: `numTables` independent signatures;

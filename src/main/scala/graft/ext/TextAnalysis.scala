@@ -28,21 +28,26 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     size(filter(tokens(text), t => t.isin(StopWords.map(lit(_)): _*)))
 
-  /** Quality-score features: length, word count, mean word length,
-    * punctuation count, stopword ratio, plus a deterministic composite
-    * `quality_score` in [0,1]. Columns appended to `df`.
+  /** Quality-score features: length, word count, punctuation count,
+    * stopword ratio, plus a deterministic composite `quality_score` in
+    * [0,1]. Columns appended to `df`. The token array is materialized once
+    * per row and every feature reads it — one regex pass, not one per
+    * feature.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars_q", length(t))
-      .withColumn("n_words", tokenCount(t))
-      .withColumn("n_punct", size(filter(split(t, ""), c => c.isin(".", ",", "!", "?", ";"))))
-      .withColumn("n_stop", stopwordCount(t))
+    df.withColumn("__toks", tokens(t))
+      .withColumn("n_chars_q", length(t))
+      .withColumn("n_words", size(col("__toks")))
+      .withColumn("n_punct", regexp_count(t, lit("[.,!?;]")))
+      .withColumn("n_stop",
+        size(filter(col("__toks"), w => w.isin(StopWords.map(lit(_)): _*))))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
       .withColumn(
         "quality_score",
         least(col("n_words"), lit(200)).cast("double") / lit(400.0)
           + col("stop_ratio") / lit(2.0))
+      .drop("__toks")
   }
 
   /** Marker-token language scores: per language, the count of
@@ -57,20 +62,31 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "des", "une"),
     "zh" -> Seq("的", "是", "了", "在"))
 
-  def langScores(text: Column): Seq[(String, Column)] =
+  def langScores(toks: Column): Seq[(String, Column)] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
     }
 
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
-    // argmax with alphabetical tie-break: fold keeps the earlier language
-    // unless a strictly greater score appears.
-    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-         greatest(score, bestScore))
+  /** Appends `outCol` with the predicted language: argmax of the marker
+    * scores, alphabetical tie-break. Tokenizes once, materializes each
+    * score as a column (so codegen evaluates each filter once per row
+    * instead of re-deriving it inside every CASE branch).
+    */
+  def langId(df: DataFrame, textCol: String, outCol: String = "predicted"): DataFrame = {
+    val withScores = langScores(col("__toks")).foldLeft(
+      df.withColumn("__toks", tokens(col(textCol)))) {
+      case (d, (lang, score)) => d.withColumn(s"__s_$lang", score)
+    }
+    val langs = LangMarkers.keys.toSeq.sorted
+    val predicted = langs.tail.foldLeft(
+      (lit(langs.head), col(s"__s_${langs.head}"))) {
+      case ((bestLang, bestScore), lang) =>
+        (when(col(s"__s_$lang") > bestScore, lit(lang)).otherwise(bestLang),
+         greatest(col(s"__s_$lang"), bestScore))
     }._1
+    withScores
+      .withColumn(outCol, predicted)
+      .drop("__toks" +: langs.map(l => s"__s_$l"): _*)
   }
 
   /** Document fingerprint: order-sensitive polynomial rolling hash over the

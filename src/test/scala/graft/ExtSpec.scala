@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ——— Dedup ———
+
+  test("wordNgrams builds distinct word trigrams; short texts get none") {
+    val df = Seq("a b c d", "x y").toDF("t")
+    val got = df.select(Dedup.wordNgrams(col("t"), 3)).as[Seq[String]].collect()
+    assert(got(0).toSet == Set("a b c", "b c d"))
+    assert(got(1).isEmpty)
+  }
+
+  test("exact dedup keeps the first doc per text") {
+    val df = Seq((0L, "same text"), (1L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(df, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+
+  test("minhash: identical docs agree on every hash; near-dups score high") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((0L, base), (1L, base), (2L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(df, "doc_id", "text",
+      threshold = 0.9, numHashes = 32, bands = 8)
+      .select("id_a", "id_b", "sig_similarity")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  test("simhash: identical docs at Hamming 0, distinct texts far apart") {
+    val df = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHash(df, "doc_id", "text")
+      .select("simhash").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    val pairs = Dedup.simHashNearDuplicates(df, "doc_id", "text", 3)
+      .select("hamming").as[Int].collect()
+    assert(pairs.toSeq == Seq(0))
+  }
+
+  test("ngram Jaccard: identical docs score 1.0, disjoint docs are absent") {
+    val df = Seq((0L, "a b c d e"), (1L, "a b c d e"), (2L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((0L, 1L, 1.0)))
+  }
+
+  // ——— Similarity ———
+
+  test("cosine: parallel = 1, orthogonal = 0") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 2)
+      .select("rank", "neighbor_id", "cosine")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(top.map(_._2) == Seq(1L, 2L))
+    assert(math.abs(top(0)._3 - 1.0) < 1e-12)
+    assert(math.abs(top(1)._3 - 0.0) < 1e-12)
+  }
+
+  test("LSH top-k finds the exact duplicate vector") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 50L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = (vecs :+ (99L, vecs.head._2)).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(
+      df.filter(col("vec_id") === 99), df, "vec_id", "embedding",
+      k = 1, dim = 8, numBits = 4, numTables = 4)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.headOption.contains(0L)) // identical vector shares every bucket
+  }
+
+  test("embedding near-duplicates respects the blocking column") {
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    val df = Seq((0L, v, 1), (1L, v, 1), (2L, v, 2)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingNearDuplicates(df, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L))) // 2L is in another block
+  }
+
+  // ——— TextAnalysis ———
+
+  test("token counts and stopwords") {
+    val df = Seq("the cat sat on the mat").toDF("text")
+    val n = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].head()
+    val s = df.select(TextAnalysis.stopwordCount(col("text"))).as[Int].head()
+    assert(n == 6 && s == 2)
+  }
+
+  test("langId picks the marker-scored language with alphabetical tie-break") {
+    val df = Seq((0, "the data and the model of data"), (1, "xyz qrs"))
+      .toDF("id", "text")
+    val got = TextAnalysis.langId(df, "text").orderBy("id")
+      .select("predicted").as[String].collect().toSeq
+    assert(got == Seq("en", "de")) // all-zero scores fall back to first lang
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val got = df.select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(got(0) == got(2))
+    assert(got(0) != got(1))
+    assert(got.forall(v => v >= 0 && v < 100000000000000000L))
+  }
+
+  test("quality features: one tokenization, sane ranges") {
+    val df = Seq((0, "the cat sat")).toDF("id", "text")
+    val row = TextAnalysis.qualityFeatures(df, "text")
+      .select("n_words", "n_stop", "quality_score").head()
+    assert(row.getInt(0) == 3 && row.getInt(1) == 1)
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 1.0)
+  }
+}

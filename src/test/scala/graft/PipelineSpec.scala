@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TsSchema
+import graft.metrics.Metrics
+import graft.pipeline.{EvaluationPipeline, PredictiveScorer}
+import graft.providers.{BootstrapProvider, GeneratorProvider, StatisticalProvider}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sampleData = {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).flatMap(e => (0 until 40).map(t =>
+      (s"item_$e", java.sql.Timestamp.valueOf(f"2024-01-${t / 2 + 1}%02d ${t % 2 * 12}%02d:00:00"),
+        rnd.nextDouble() * 10, rnd.nextDouble())))
+      .toDF("item_id", "ts", "m1", "m2")
+  }
+
+  private val schema = TsSchema(Seq("item_id"), "ts", Seq("m1", "m2"))
+
+  test("A7/A8 metric summary uses population stddev (evaluation.py:100-104)") {
+    var m = Metrics.empty(spark)
+    m = Metrics.record(m, "g", 0, "mae", 1.0)
+    m = Metrics.record(m, "g", 1, "mae", 3.0)
+    val row = Metrics.summary(m).head()
+    assert(row.getAs[Double]("avg_value") == 2.0)
+    assert(row.getAs[Double]("std_value") == 1.0) // ddof=0; sample would be sqrt(2)
+  }
+
+  test("A11 best generator is the argmin of the average metric") {
+    var m = Metrics.empty(spark)
+    m = Metrics.record(m, "worse", 0, "mae", 5.0)
+    m = Metrics.record(m, "better", 0, "mae", 1.0)
+    assert(Metrics.bestGenerator(m, "mae").contains("better"))
+  }
+
+  test("StatisticalProvider generates n x seqLen deterministic rows") {
+    val model = StatisticalProvider.fit(sampleData, schema)
+    val g1 = model.generate(spark, 4, 6)
+    assert(g1.count() == 24)
+    assert(g1.select("seq_id").distinct().count() == 4)
+    val a = g1.orderBy("seq_id", "step").select("m1").as[Double].collect().toSeq
+    val b = model.generate(spark, 4, 6).orderBy("seq_id", "step")
+      .select("m1").as[Double].collect().toSeq
+    assert(a == b) // seeded randn
+  }
+
+  test("BootstrapProvider replays real windows in the long-frame shape") {
+    val model = BootstrapProvider.fit(sampleData, schema)
+    val g = model.generate(spark, 3, 5)
+    assert(g.count() == 15)
+    assert(g.columns.toSet == Set("seq_id", "step", "m1", "m2"))
+  }
+
+  test("EvaluationPipeline scores every generator and picks a best") {
+    val pipeline = new EvaluationPipeline(
+      Map("stat" -> StatisticalProvider, "boot" -> BootstrapProvider),
+      new PredictiveScorer(seqLen = 5), iterations = 2)
+    val result = pipeline.fit(sampleData, schema)
+    assert(result.metrics.count() == 4) // 2 generators x 2 iterations
+    assert(result.bestGenerator.isDefined)
+    assert(result.summary.columns.contains("std_value"))
+  }
+
+  test("provider registry rejects unknown providers (adapter.py:95-97)") {
+    val e = intercept[IllegalArgumentException](GeneratorProvider.forName("nope"))
+    assert(e.getMessage.contains("not supported"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingResample
+
+/** Streaming twins of the batch resample (SURVEY §2.9): drive a parquet
+  * file source through a memory sink and compare with the batch plan. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming tumblingSum matches batch resampleSum on the same data") {
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    val df = Seq(
+      (1L, "2024-01-01 01:00:00", 10.0),
+      (1L, "2024-01-01 02:00:00", 20.0),
+      (2L, "2024-01-02 03:00:00", 30.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val agg = StreamingResample.tumblingSum(stream, "user_id", "ts", "value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, CAST(bucket_start AS STRING) d, value FROM graft_stream_test ORDER BY 1,2")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 00:00:00", 30.0),
+        (2L, "2024-01-02 00:00:00", 30.0)))
+    } finally q.stop()
+  }
+
+  test("session windows group activity bursts") {
+    val dir = Files.createTempDirectory("graft-stream2").toFile
+    dir.deleteOnExit()
+    val df = Seq(
+      (1L, "2024-01-01 01:00:00", 1.0), (1L, "2024-01-01 01:10:00", 1.0),
+      (1L, "2024-01-01 05:00:00", 1.0))
+      .toDF("user_id", "s", "value")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val q = StreamingResample.sessionCount(stream, "user_id", "ts")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_events FROM graft_sessions ORDER BY session_start")
+        .as[Long].collect().toSeq
+      assert(got == Seq(2L, 1L))
+    } finally q.stop()
+  }
+}
