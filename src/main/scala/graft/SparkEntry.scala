@@ -101,6 +101,15 @@ object SparkEntry {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** A4 — resample-asfreq: first observation per entity-day on the global
+    * calendar, zero-filled (data_utils.py:104, univariate_metrics.py:53-109). */
+  private def a4Asfreq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FrameOps.toRegularIndex(
+        T(s, dir, "events"), "user_id", "ts", "event_id", Seq("value"))
+      .select(col("user_id"), col("bucket").cast("date").as("day"),
+        round(col("value"), 4).as("first_value"))
+      .orderBy(col("user_id"), col("day"))
+
   /** A7+A8 — mean and population stddev (evaluation.py:96-104;
     * stddev_pop, NOT sample stddev — SURVEY §4.3 trap 2). */
   private def a7a8Stats(s: SparkSession, dir: String): DataFrame =
@@ -411,6 +420,7 @@ object SparkEntry {
     "j1_surrogate_key" -> (j1Surrogate _),
     "a3_resample_sum" -> (a3Resample _),
     "j2_calendar_fill" -> (j2Calendar _),
+    "a4_asfreq" -> (a4Asfreq _),
     "a7a8_stats" -> (a7a8Stats _),
     "a9_mae" -> (a9Mae _),
     "a12_freq_infer" -> (a12Freq _),
@@ -490,6 +500,17 @@ object SparkEntry {
         |SELECT g.user_id, CAST(g.day AS DATE) AS day,
         | CAST(round(coalesce(d.value, 0), 4) AS DOUBLE) AS daily_value
         |FROM grid g LEFT JOIN daily d ON g.user_id=d.user_id AND g.day=d.day
+        |ORDER BY 1,2""".stripMargin,
+    "a4_asfreq" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |  arg_min(value, event_id) AS value FROM events GROUP BY 1,2),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM f),
+        |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |grid AS (SELECT u.user_id, c.day
+        |  FROM (SELECT DISTINCT user_id FROM f) u CROSS JOIN cal c)
+        |SELECT g.user_id, CAST(g.day AS DATE) AS day,
+        | round(coalesce(f.value, 0), 4) AS first_value
+        |FROM grid g LEFT JOIN f ON g.user_id=f.user_id AND g.day=f.day
         |ORDER BY 1,2""".stripMargin,
     "a7a8_stats" ->
       """SELECT l_returnflag, round(avg(l_extendedprice),4) AS avg_price,

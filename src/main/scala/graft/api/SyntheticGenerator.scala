@@ -1,0 +1,110 @@
+package graft.api
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TsSchema
+import graft.ops.Scaling
+import graft.providers.{FittedGenerator, GeneratorProvider}
+
+/** Public generator facade — the reference's `TimeGanGenerator` /
+  * `DoppleGangerGenerator` / `ParGenerator` construct-fit-generate-save
+  * surface (paqarin/generator.py:65-98, README.md:42-89), provider chosen
+  * by name exactly like `get_generator_adapter` (paqarin/adapter.py:64-97).
+  *
+  * fit: min-max scale the numeric columns (the reference's transformer,
+  * ydata_adapter.py:217-237), then hand the scaled frame to the provider.
+  * generate: provider sequences, inverse-scaled back to data space
+  * (ydata_adapter.py:241-253), in the canonical long shape
+  * `(seq_id, step, numericCols…)`.
+  */
+final class SyntheticGenerator(
+    val provider: String,
+    val schema: TsSchema,
+    val seqLen: Int = 24) {
+
+  private[api] var fitted: Option[FittedGenerator] = None
+  private[api] var scaler: Option[Scaling.MinMaxStats] = None
+
+  def fit(df: DataFrame): this.type = {
+    val stats = Scaling.fit(df, schema.numericCols)
+    scaler = Some(stats)
+    fitted = Some(GeneratorProvider.forName(provider).fit(stats.transform(df), schema))
+    this
+  }
+
+  /** Generate `n` sequences of `seqLen` rows; inverse-scaled. */
+  def generate(spark: SparkSession, n: Int): DataFrame = {
+    val model = fitted.getOrElse(
+      throw new IllegalStateException("generate() before fit()"))
+    scaler.get.inverse(model.generate(spark, n, seqLen))
+  }
+
+  /** Generate with a positional date index attached (J3,
+    * doppleganger.py:176-179): step i of every sequence gets the i-th
+    * date starting at `startDate`. */
+  def generateWithDateIndex(spark: SparkSession, n: Int, startDate: String): DataFrame =
+    generate(spark, n).withColumn(
+      schema.tsCol,
+      expr(s"date_add(DATE '$startDate', CAST(step AS INT))"))
+
+  /** S4/S5 — persist the fitted transformer + provider state as JSON
+    * (scaling stats are 2 doubles per column; statistical-provider state is
+    * mean/std per column). Mirrors evaluation.py:244-255's pickle sink. */
+  def save(path: String): Unit = {
+    val stats = scaler.getOrElse(
+      throw new IllegalStateException("save() before fit()"))
+    val model = fitted.get
+    val providerState = model match {
+      case graft.providers.StatisticalProvider.Model(s) =>
+        s.map { case (c, (m, sd)) => s""""$c":[$m,$sd]""" }.mkString("{", ",", "}")
+      case _ => "null" // non-parametric providers persist via their own data
+    }
+    val scalerJson = schema.numericCols
+      .map(c => s""""$c":[${stats.stats(c)._1},${stats.stats(c)._2}]""")
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"provider":"$provider","seqLen":$seqLen,
+         |"itemIdCols":[${schema.itemIdCols.map("\"" + _ + "\"").mkString(",")}],
+         |"tsCol":"${schema.tsCol}",
+         |"numericCols":[${schema.numericCols.map("\"" + _ + "\"").mkString(",")}],
+         |"scaler":$scalerJson,"providerState":$providerState}""".stripMargin
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "generator.json"), json)
+  }
+}
+
+object SyntheticGenerator {
+
+  def apply(provider: String, schema: TsSchema, seqLen: Int = 24): SyntheticGenerator =
+    new SyntheticGenerator(provider, schema, seqLen)
+
+  /** Reload a saved statistical generator (S4/S5 scan side). */
+  def load(path: String): SyntheticGenerator = {
+    val json = Files.readString(Paths.get(path, "generator.json"))
+    def field(name: String): String = {
+      val m = ("\"" + name + "\":(\\[[^\\]]*\\]|\\{[^}]*\\}|\"[^\"]*\"|[0-9.]+)").r
+      m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"missing $name in $path"))
+    }
+    def strings(arr: String): Seq[String] =
+      "\"([^\"]*)\"".r.findAllMatchIn(arr).map(_.group(1)).toSeq
+    def numPairs(obj: String): Map[String, (Double, Double)] =
+      "\"([^\"]+)\":\\[([-0-9.eE]+),([-0-9.eE]+)\\]".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)).toMap
+    val schema = TsSchema(
+      strings(field("itemIdCols")),
+      field("tsCol").stripPrefix("\"").stripSuffix("\""),
+      strings(field("numericCols")))
+    val gen = new SyntheticGenerator(
+      field("provider").stripPrefix("\"").stripSuffix("\""),
+      schema, field("seqLen").toDouble.toInt)
+    gen.scaler = Some(Scaling.MinMaxStats(numPairs(field("scaler"))))
+    if (field("providerState") != "null")
+      gen.fitted = Some(graft.providers.StatisticalProvider.Model(
+        schema.numericCols.map(c => c -> numPairs(field("providerState"))(c))))
+    gen
+  }
+}

@@ -171,6 +171,50 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair list,
+    * so a dedup pipeline can keep one representative per cluster (the step
+    * after any of the pair generators above).
+    *
+    * Min-label propagation: each id's label is the smallest id reachable;
+    * iterate label-join-min until fixpoint. Converges in O(log diameter)
+    * rounds — near-dup components are tiny, so a handful of hash-join
+    * rounds regardless of corpus size. Returns (id, cluster_id).
+    */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of its own label and its neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster_id")).as("__nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
+        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
     * explode distinct shingles, self-equi-join on the shingle, count shared
     * per pair, |A∪B| = |A|+|B|−shared. Intended for bounded candidate sets

@@ -48,21 +48,26 @@ object Scaling {
     }.toMap)
   }
 
-  /** Distributed variant: scale within groups without collecting stats —
-    * window min/max per `partitionCols`, all in one pass, no driver round
-    * trip. Preferred at scale when scaling is per-entity.
+  /** Distributed variant: scale within groups without a driver round trip.
+    *
+    * Implemented as aggregate + broadcast join, NOT a window over the
+    * group: a window `partitionBy(group)` puts the whole group in one task,
+    * which serializes the job when the group count is small (3 return
+    * flags over 100 TB = 3 tasks). The two-pass agg/join form keeps every
+    * stage fully parallel; the stats side is |groups| rows → broadcast.
     */
   def scaleWithinGroups(
       df: DataFrame,
       partitionCols: Seq[String],
       valueCol: String,
       outCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(partitionCols.map(col): _*)
-    val lo = min(col(valueCol)).over(w)
-    val hi = max(col(valueCol)).over(w)
-    df.withColumn(
-      outCol,
-      when(hi === lo, lit(0.0)).otherwise((col(valueCol) - lo) / (hi - lo)))
+    val stats = df.groupBy(partitionCols.map(col): _*)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.join(broadcast(stats), partitionCols)
+      .withColumn(
+        outCol,
+        when(col("__hi") === col("__lo"), lit(0.0))
+          .otherwise((col(valueCol) - col("__lo")) / (col("__hi") - col("__lo"))))
+      .drop("__lo", "__hi")
   }
 }

@@ -44,24 +44,28 @@ object GeneratorProvider {
 object StatisticalProvider extends GeneratorProvider {
   val name = "statistical"
 
+  /** Parametric fitted state: per-column (mean, population std). Being a
+    * plain case class makes it trivially persistable (S4/S5). */
+  final case class Model(stats: Seq[(String, (Double, Double))])
+      extends FittedGenerator {
+    def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
+      val base = spark.range(n.toLong * seqLen)
+        .select(
+          (col("id") / seqLen).cast("long").as("seq_id"),
+          (col("id") % seqLen).cast("int").as("step"))
+      stats.zipWithIndex.foldLeft(base) { case (d, ((c, (m, s)), i)) =>
+        d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
+      }
+    }
+  }
+
   def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
     val aggs = schema.numericCols.flatMap(c =>
       Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
     val row = data.agg(aggs.head, aggs.tail: _*).head()
-    val stats = schema.numericCols.zipWithIndex.map { case (c, i) =>
+    Model(schema.numericCols.zipWithIndex.map { case (c, i) =>
       c -> ((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-    }
-    new FittedGenerator {
-      def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
-        val base = spark.range(n.toLong * seqLen)
-          .select(
-            (col("id") / seqLen).cast("long").as("seq_id"),
-            (col("id") % seqLen).cast("int").as("step"))
-        stats.zipWithIndex.foldLeft(base) { case (d, ((c, (m, s)), i)) =>
-          d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
-        }
-      }
-    }
+    })
   }
 }
 

@@ -25,4 +25,20 @@ object Tables {
       else d
     }
   }
+
+  /** S1/S2 — CSV scan with header + inferred dtypes (`pd.read_csv`,
+    * reference: examples/dopplenganger_example.py:44). Globs (`part-*.csv`,
+    * the cloud_trainer.py:56-78 wildcard pattern) resolve natively; object
+    * stores (`s3a://`, `gs://`) go through the same Hadoop FS path, so the
+    * reference's manual blob walk (cloud_trainer.py:81-116) is just a URI.
+    */
+  def loadCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S3 — CSV sink (`DataFrame.to_csv`, univariate_metrics.py:198-207). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
 }

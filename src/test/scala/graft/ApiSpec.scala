@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.SyntheticGenerator
+import graft.core.TsSchema
+
+/** README-usage-shaped test of the public facade (reference README.md:42-89):
+  * construct with parameters, fit, generate, save, reload, generate again. */
+class ApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = TsSchema(Seq("item_id"), "ts", Seq("m1", "m2"))
+
+  private def data = {
+    val rnd = new scala.util.Random(5)
+    (0 until 60).map(i =>
+      (s"item_${i % 3}", i.toLong, rnd.nextDouble() * 100, rnd.nextDouble()))
+      .toDF("item_id", "ts", "m1", "m2")
+  }
+
+  test("fit -> generate returns the canonical long frame, inverse-scaled") {
+    val gen = SyntheticGenerator("statistical", schema, seqLen = 6).fit(data)
+    val out = gen.generate(spark, 3)
+    assert(out.count() == 18)
+    assert(out.columns.toSet == Set("seq_id", "step", "m1", "m2"))
+    // inverse scaling puts values back near data range, not [0,1]
+    val m1max = out.agg(org.apache.spark.sql.functions.max("m1")).head().getDouble(0)
+    assert(m1max > 1.5)
+  }
+
+  test("generate before fit raises (generator.py ABC contract)") {
+    val gen = SyntheticGenerator("statistical", schema)
+    intercept[IllegalStateException](gen.generate(spark, 1))
+  }
+
+  test("J3 date-index attach on generated sequences (doppleganger.py:176-179)") {
+    val gen = SyntheticGenerator("statistical", schema, seqLen = 3).fit(data)
+    val out = gen.generateWithDateIndex(spark, 2, "2024-06-01")
+      .select("ts").distinct().orderBy("ts")
+      .as[java.sql.Date].collect().map(_.toString).toSeq
+    assert(out == Seq("2024-06-01", "2024-06-02", "2024-06-03"))
+  }
+
+  test("S4/S5 save -> load round-trips the fitted state deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen").toFile
+    dir.deleteOnExit()
+    val gen = SyntheticGenerator("statistical", schema, seqLen = 4).fit(data)
+    gen.save(dir.getAbsolutePath)
+    val loaded = SyntheticGenerator.load(dir.getAbsolutePath)
+    val a = gen.generate(spark, 2).orderBy("seq_id", "step")
+      .select("m1").as[Double].collect().toSeq
+    val b = loaded.generate(spark, 2).orderBy("seq_id", "step")
+      .select("m1").as[Double].collect().toSeq
+    assert(a == b)
+  }
+
+  test("unknown provider fails like adapter.py:95-97") {
+    val gen = SyntheticGenerator("gan_from_the_future", schema)
+    val e = intercept[IllegalArgumentException](gen.fit(data))
+    assert(e.getMessage.contains("not supported"))
+  }
+}

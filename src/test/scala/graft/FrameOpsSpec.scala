@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TsSchema
+import graft.ext.Dedup
+import graft.ops.FrameOps
+import graft.sources.Tables
+
+class FrameOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("P2 prefix strip mirrors the synthcity rename (F-7, test_synthcity_adapter.py:70-106)") {
+    val df = Seq((1, "a", "B7", 4.5, false))
+      .toDF("seq_id", "seq_time_id", "seq_static_id", "seq_temporal_temp_b", "seq_out_outcome")
+    val out = FrameOps.dropBookkeeping(
+      FrameOps.stripPrefixes(
+        df.drop("seq_id", "seq_out_outcome"),
+        Seq("seq_temporal_", "seq_static_", "seq_")),
+      Seq("missing_col_is_fine"))
+    assert(out.columns.toSeq == Seq("time_id", "id", "temp_b"))
+  }
+
+  test("F4 dateRange inclusivity modes (data_utils.py:51-59)") {
+    def n(inc: String) =
+      FrameOps.dateRange(spark, "2024-01-01", "2024-01-03", inclusive = inc).count()
+    assert(n("both") == 3 && n("left") == 2 && n("right") == 2 && n("neither") == 1)
+    intercept[IllegalArgumentException](n("bogus"))
+  }
+
+  test("A4 toRegularIndex keeps first obs per bucket, zero-fills the grid") {
+    val df = Seq(
+      (1, "2024-01-01 05:00:00", 0L, 10.0),
+      (1, "2024-01-01 09:00:00", 1L, 99.0), // same day, later -> dropped
+      (1, "2024-01-03 05:00:00", 2L, 30.0))
+      .toDF("item", "s", "ord", "v")
+      .withColumn("ts", to_timestamp(col("s")))
+    val got = FrameOps.toRegularIndex(df, "item", "ts", "ord", Seq("v"))
+      .orderBy("bucket").select("v").as[Double].collect().toSeq
+    assert(got == Seq(10.0, 0.0, 30.0))
+  }
+
+  test("S1/S3 CSV round-trip with header and inferred schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile
+    dir.deleteOnExit()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    Tables.writeCsv(df, dir.getAbsolutePath + "/out")
+    val back = Tables.loadCsv(spark, dir.getAbsolutePath + "/out/*.csv")
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType.typeName == "integer"
+      || back.schema("id").dataType.typeName == "long") // inferred numeric
+    assert(back.orderBy("id").select("v").as[Double].collect().toSeq == Seq(1.5, 2.5))
+  }
+
+  test("duplicateClusters: min-label connected components over pair chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+}
