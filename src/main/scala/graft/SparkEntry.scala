@@ -317,15 +317,18 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Embedding-cosine near-dup pairs, blocked by cluster label. */
-  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    Similarity.enableNative(s)
     Similarity.embeddingNearDuplicates(
         T(s, dir, "embeddings").filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", "label", 0.2)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Brute-force cosine top-k (exact ANN baseline). */
   private def simTopK(s: SparkSession, dir: String): DataFrame = {
+    Similarity.enableNative(s)
     val e = T(s, dir, "embeddings")
     Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

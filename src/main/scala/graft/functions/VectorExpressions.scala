@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding math (SURVEY §7.3 option (b):
+  * custom `Expression` where the built-in surface is slow).
+  *
+  * `aggregate(zip_with(...))` higher-order functions evaluate their lambdas
+  * interpreted — each element allocates and bounces through
+  * `InterpretedEvaluator`. These expressions emit a tight primitive loop
+  * via `doGenCode`, reading the float arrays directly from Tungsten
+  * `ArrayData` — no boxing, no lambda dispatch. Accumulation is in array
+  * order in float64, bit-identical to the HOF form (and the DuckDB oracle).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float>; registration-controlled call sites
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float array, same codegen rationale as [[FloatVecDot]]. */
+case class FloatVecNorm(child: Expression)
+    extends UnaryExpression {
+
+  // input must be array<float>; registration-controlled call sites
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}
+
+/** Registers the native functions on a session (idempotent) so they are
+  * usable from `expr("fvec_dot(a, b)")` / SQL — the registration path a
+  * `SparkSessionExtensions` injector would use. */
+object VectorFunctions {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.registerFunction(
+      FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("fvec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "fvec_norm"),
+      (children: Seq[Expression]) => FloatVecNorm(children.head))
+  }
+}

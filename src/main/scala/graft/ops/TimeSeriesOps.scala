@@ -119,6 +119,40 @@ object TimeSeriesOps {
       .filter(size(col(outCol)) === seqLen)
   }
 
+  /** W1 scale path: same output as [[slidingWindows]], but with ONE shuffle
+    * (groupBy entity) instead of a window-function sort, and the slicing
+    * done by array `transform` over the collected per-entity series.
+    *
+    * Tradeoff: holds one entity's full series in memory per row (window
+    * form holds L rows per frame slot). Prefer this when entities are
+    * bounded (sensor/user series) and L is large; prefer [[slidingWindows]]
+    * when single entities can be arbitrarily long. Both are declarative —
+    * Catalyst plans map-side partial aggregation for the collect.
+    */
+  def slidingWindowsCompact(
+      df: DataFrame,
+      idCol: String,
+      orderCol: String,
+      valueCols: Seq[String],
+      seqLen: Int,
+      outCol: String = "window"): DataFrame = {
+    val series = df
+      .groupBy(col(idCol))
+      .agg(sort_array(
+        collect_list(struct((orderCol +: valueCols).map(col): _*))).as("__series"))
+    val values = expr(
+      s"transform(__series, s -> struct(${valueCols.map(c => s"s.$c AS $c").mkString(", ")}))")
+    series
+      .withColumn("__vals", values)
+      .select(
+        col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(size(__vals) - $seqLen, 0)), " +
+            s"i -> slice(__vals, i + 1, $seqLen))"))
+          .as(Seq("__pos", outCol)))
+      .filter(size(col(outCol)) === seqLen)
+  }
+
   /** W4 — feature/label split of a window: first L−1 steps vs last step
     * (reference: paqarin/metrics/multivariate_metrics.py:29-36).
     */

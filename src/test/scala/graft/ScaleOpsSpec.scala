@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Similarity
+import graft.ops.{Skew, TimeSeriesOps}
+
+/** Scale-path variants must agree exactly with their reference forms. */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("slidingWindowsCompact output == slidingWindows output") {
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 4).flatMap(e => (0 until 25).map(t =>
+      (s"e$e", t.toLong, rnd.nextDouble()))).toDF("id", "pos", "v")
+    def flat(got: org.apache.spark.sql.DataFrame) = got
+      .select(col("id"), col("__pos"), expr("transform(window, w -> w.v)").as("w"))
+      .as[(String, Int, Seq[Double])].collect().toSeq.sortBy(r => (r._1, r._2))
+    val a = flat(TimeSeriesOps.slidingWindows(df, "id", "pos", Seq("v"), 7))
+    val b = flat(TimeSeriesOps.slidingWindowsCompact(df, "id", "pos", Seq("v"), 7))
+    assert(a == b && a.size == 4 * (25 - 7 + 1))
+  }
+
+  test("slidingWindowsCompact: entities shorter than L emit nothing") {
+    val df = Seq(("a", 0L, 1.0), ("a", 1L, 2.0)).toDF("id", "pos", "v")
+    assert(TimeSeriesOps.slidingWindowsCompact(df, "id", "pos", Seq("v"), 3).count() == 0)
+  }
+
+  test("saltedSum / saltedCount match the direct aggregation") {
+    val rnd = new scala.util.Random(13)
+    // one hot key (80% of rows) + long tail
+    val df = (0 until 2000).map(i =>
+      (if (i % 5 != 0) "hot" else s"k${i % 17}", rnd.nextInt(100).toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("v"), count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    val sums = Skew.saltedSum(df, Seq("k"), Seq("v"))
+    val counts = Skew.saltedCount(df, Seq("k"))
+    val salted = sums.join(counts, "k")
+      .orderBy("k").as[(String, Double, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedJoinSides join result == plain join result") {
+    val big = (0 until 500).map(i => (if (i % 2 == 0) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("k", "name")
+    val plain = big.join(small, "k").count()
+    val (sb, ss, cols) = Skew.saltedJoinSides(big, small, Seq("k"))
+    assert(sb.join(ss, cols).count() == plain)
+  }
+
+  test("native fvec_dot / fvec_norm match the HOF forms bit-for-bit") {
+    val rnd = new scala.util.Random(21)
+    val df = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // HOF form (native disabled state is global; compute both explicitly)
+    val hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    Similarity.enableNative(spark)
+    val pairs = df.as("x").crossJoin(df.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.embedding").as("a"), col("y.embedding").as("b"))
+    val diff = pairs
+      .select((call_function("fvec_dot", col("a"), col("b")) - hofDot).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0)
+    val normDiff = df.select((call_function("fvec_norm", col("embedding"))
+      - sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(normDiff == 0.0)
+  }
+}
