@@ -299,6 +299,24 @@ object SparkEntry {
         max(date_trunc("day", col("ts"))).cast("date").as("last_day"),
         count(lit(1)).as("n_events"))
 
+  /** JSON property extraction (engine extension; `events.props` carries a
+    * JSON payload). `get_json_object` is codegen'd path extraction. */
+  private def f11Json(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** ROLLUP grouping-set aggregate (engine extension; Catalyst `rollup`). */
+  private def a13Rollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   // ——— north-star extension queries ————————————————————————————————————
 
   /** Exact dedup keep-first on text; kept docs per language. */
@@ -444,6 +462,8 @@ object SparkEntry {
     "w2_seq_stats" -> (w2SeqStats _),
     "a1_distinct" -> (a1Distinct _),
     "a5_bounds" -> (a5Bounds _),
+    "f11_json" -> (f11Json _),
+    "a13_rollup" -> (a13Rollup _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -631,6 +651,19 @@ object SparkEntry {
       """SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
         | CAST(max(date_trunc('day', ts)) AS DATE) AS last_day,
         | count(*) AS n_events FROM events""".stripMargin,
+    "f11_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | count(*) AS n,
+        | CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
     "dedup_exact" ->
       """WITH k AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY 1)
         |SELECT d.lang, count(*) AS n_kept

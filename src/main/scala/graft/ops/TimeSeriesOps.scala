@@ -265,6 +265,34 @@ object TimeSeriesOps {
         sort_array(
           collect_list(struct((orderCol +: valueCols).map(col): _*))).as(outCol))
 
+  /** Composed result of [[normaliseSequences]] with the reference's
+    * metadata (paqarin/utils/data_utils.py:86-90): number of per-entity
+    * sequences and the common regularized length. */
+  final case class NormalisedSequences(df: DataFrame, numSequences: Long, seqLen: Long)
+
+  /** The reference's flagship prep utility `normalise_sequences`
+    * (paqarin/utils/data_utils.py:33-90): assign surrogate keys (J1),
+    * resample each entity to tumbling `unit` sums (A3), align every entity
+    * to the global calendar with zero fill (J2+P6), and report
+    * (sequences, length) metadata. The reference loops per entity and
+    * concatenates (U1); here the union is implicit — everything is one
+    * plan with a single aggregation shuffle plus a broadcast calendar join.
+    */
+  def normaliseSequences(
+      df: DataFrame,
+      idCols: Seq[String],
+      tsCol: String,
+      valueCols: Seq[String],
+      orderCol: String,
+      unit: String = "day"): NormalisedSequences = {
+    val keyed = addSurrogateKey(df, idCols, orderCol)
+    val daily = resampleSum(keyed, "surrogate_item_id", tsCol, valueCols, unit)
+    val filled = calendarFill(daily, "surrogate_item_id", "bucket", valueCols)
+    val seqLen = filled.select(col("bucket")).distinct().count()
+    val n = filled.select(col("surrogate_item_id")).distinct().count()
+    NormalisedSequences(filled, n, seqLen)
+  }
+
   /** A12 (adapted) — frequency inference per entity as the median
     * inter-arrival gap in seconds (reference infers pandas freq strings,
     * paqarin/metrics/univariate_metrics.py:81-95; the modal gap is

@@ -116,6 +116,22 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(10.0, 20.0, 30.0))
   }
 
+  test("normalise_sequences composition: F-2 golden + metadata (data_utils.py:33-90)") {
+    val df = Seq(
+      ("item_1", 10.0, "2018-10-26 12:00:00", 0L),
+      ("item_1", 20.0, "2018-10-26 13:00:00", 1L),
+      ("item_2", 30.0, "2018-10-27 12:00:00", 2L),
+      ("item_2", 40.0, "2018-10-27 13:00:00", 3L))
+      .toDF("item_id", "numeric_column", "ts_str", "src")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+    val res = TimeSeriesOps.normaliseSequences(
+      df, Seq("item_id"), "ts", Seq("numeric_column"), "src")
+    assert(res.numSequences == 2 && res.seqLen == 2)
+    val got = res.df.orderBy("surrogate_item_id", "bucket")
+      .select("numeric_column").as[Double].collect().toSeq
+    assert(got == Seq(30.0, 0.0, 0.0, 70.0))
+  }
+
   test("A12 frequency inference: median gap in seconds") {
     val df = Seq((1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:10"),
       (1, "2024-01-01 00:00:30"))
