@@ -41,4 +41,20 @@ object Tables {
   /** S3 — CSV sink (`DataFrame.to_csv`, univariate_metrics.py:198-207). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed parquet table for co-located joins: both sides bucketed and
+    * sorted on the join key with the same bucket count join with NO
+    * shuffle exchange (verified in SourcesSpec). The 100 TB pattern for
+    * fact-to-fact joins that repeat across a pipeline: pay the
+    * partitioning once at write time, never again. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }
