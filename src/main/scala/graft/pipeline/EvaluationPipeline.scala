@@ -15,8 +15,11 @@ import graft.providers.{FittedGenerator, GeneratorProvider}
 final class EvaluationPipeline(
     generators: Map[String, GeneratorProvider],
     scorer: Scorer,
-    iterations: Int = 3) {
+    iterations: Int = 3,
+    afterFit: (String, FittedGenerator) => Unit = (_, _) => ()) {
 
+  /** `afterFit` mirrors `save_after_fitting` (evaluation.py:244-255): a
+    * persistence hook invoked once per trained generator. */
   def fit(data: DataFrame, schema: TsSchema): EvaluationResult = {
     val spark = data.sparkSession
     var metrics = Metrics.empty(spark)
@@ -24,6 +27,7 @@ final class EvaluationPipeline(
     generators.foreach { case (genName, provider) =>
       val model = provider.fit(data, schema) // §3.1 fit_generator
       fitted(genName) = model
+      afterFit(genName, model)
       (0 until iterations).foreach { it =>
         val score = scorer.score(data, model, schema)
         metrics = Metrics.record(metrics, genName, it, scorer.metricKey, score)

@@ -58,6 +58,20 @@ class ForecastPrepSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // in-memory catalog forgets tables across JVMs but their warehouse
+    // directories persist — clear both before writing
+    Seq("graft_bucket_a", "graft_bucket_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val a = (0L until 200L).map(i => (i, s"a$i")).toDF("k", "va")
     val b = (0L until 200L).map(i => (i, i * 2.0)).toDF("k", "vb")
     Tables.writeBucketed(a, "graft_bucket_a", Seq("k"), 4)
