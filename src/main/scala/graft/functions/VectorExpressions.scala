@@ -95,8 +95,7 @@ case class FloatVecNorm(child: Expression)
 }
 
 /** Registers the native functions on a session (idempotent) so they are
-  * usable from `expr("fvec_dot(a, b)")` / SQL — the registration path a
-  * `SparkSessionExtensions` injector would use. */
+  * usable from `expr("fvec_dot(a, b)")` / SQL. */
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -108,5 +107,27 @@ object VectorFunctions {
       FunctionIdentifier("fvec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "fvec_norm"),
       (children: Seq[Expression]) => FloatVecNorm(children.head))
+  }
+}
+
+/** `SparkSessionExtensions` injector — wire the engine's native functions
+  * at session build time:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("fvec_norm"),
+      new ExpressionInfo(classOf[FloatVecNorm].getName, "fvec_norm"),
+      (children: Seq[Expression]) => FloatVecNorm(children.head)))
   }
 }

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state over streams (SURVEY §2.9 extension surface):
+  * `flatMapGroupsWithState` for semantics the declarative window
+  * aggregates can't express — here, a per-entity running aggregate that
+  * emits a delta row per micro-batch.
+  */
+object StatefulOps {
+
+  final case class Obs(itemId: String, value: Double)
+  final case class RunningState(n: Long, total: Double)
+  final case class RunningOut(itemId: String, n: Long, total: Double, mean: Double)
+
+  implicit private val stateEnc: Encoder[RunningState] = Encoders.product[RunningState]
+  implicit private val outEnc: Encoder[RunningOut] = Encoders.product[RunningOut]
+
+  /** Per-entity running count/sum/mean that survives across micro-batches.
+    * State is two numbers per key — bounded regardless of stream length;
+    * no watermark needed because the state never grows with events.
+    */
+  def runningMean(ds: Dataset[Obs]): Dataset[RunningOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.itemId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Obs], state: GroupState[RunningState]) => {
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { o => n += 1; total += o.value }
+          state.update(RunningState(n, total))
+          if (n == prev.n) Iterator.empty
+          else Iterator.single(RunningOut(key, n, total, total / n))
+        })
+  }
+}
