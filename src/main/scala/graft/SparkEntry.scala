@@ -388,6 +388,14 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF approximate top-k (rows-only: cell recall is probabilistic). */
+  private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        5, numCells = 16, numProbes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Text quality features on a deterministic subset. */
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(
@@ -473,6 +481,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "sim_ivf_topk" -> (simIvfTopK _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),

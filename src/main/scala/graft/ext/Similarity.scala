@@ -135,6 +135,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other scale path next to
+    * [[lshTopK]]: partition the corpus into `numCells` Voronoi cells around
+    * trained centroids; each query scores only the `numProbes` nearest
+    * cells.
+    *
+    * Training is Lloyd's iterations expressed as DataFrame aggregates
+    * (assign = argmin over broadcast centroids; update = per-cell mean);
+    * centroids live driver-side (numCells × dim doubles — KBs) and are
+    * re-broadcast as literals each iteration. Candidate scoring joins on
+    * the cell id — never a full cross join.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      numProbes: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val vecs = candidates.select(col(idCol).as("__id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
+      .persist()
+
+    // seed centroids: deterministic hash-ordered sample
+    var centroids: Array[Seq[Double]] = vecs
+      .withColumn("__r", xxhash64(col("__id")))
+      .orderBy("__r").limit(numCells)
+      .select("__v").as[Seq[Double]].collect()
+
+    def cellOf(v: Column): Column = {
+      // argmin over the broadcast centroid list, squared L2
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, d) => a + d).as("dist"),
+          lit(i).as("cell"))
+      }
+      array_min(array(dists: _*))("cell")
+    }
+
+    (1 to lloydIters).foreach { _ =>
+      val updated = vecs.withColumn("__cell", cellOf(col("__v")))
+        .groupBy("__cell")
+        .agg(collect_list(col("__v")).as("__members"))
+        .select(col("__cell"), expr(
+          """aggregate(__members,
+            |  transform(__members[0], x -> CAST(0.0 AS DOUBLE)),
+            |  (acc, m) -> zip_with(acc, m, (a, b) -> a + b),
+            |  acc -> transform(acc, s -> s / size(__members)))""".stripMargin)
+          .as("__centroid"))
+        .as[(Int, Seq[Double])].collect()
+      updated.foreach { case (cell, c) => centroids(cell) = c }
+    }
+
+    val assigned = vecs.withColumn("__cell", cellOf(col("__v")))
+      .select(col("__id").as("neighbor_id"), col("__cell"),
+        col("__v").as("__cv"))
+      .withColumn("__cn", sqrt(aggregate(col("__cv"), lit(0.0),
+        (a, x) => a + x * x)))
+
+    // queries probe their numProbes nearest cells
+    val probeCells: Column = {
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(col("__qv"), typedLit(c), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, d) => a + d).as("dist"),
+          lit(i).as("cell"))
+      }
+      slice(array_sort(array(dists: _*)), 1, numProbes)("cell")
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__qv"))
+      .withColumn("__qn", sqrt(aggregate(col("__qv"), lit(0.0),
+        (a, x) => a + x * x)))
+      .withColumn("__cell", explode(probeCells))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val out = q.join(assigned, "__cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    vecs.unpersist()
+    out
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster label or LSH bucket): pairs with cosine ≥ `threshold`.
     * The blocking column bounds the pair blow-up; at corpus scale feed the

@@ -52,6 +52,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sb.join(ss, cols).count() == plain)
   }
 
+  test("ivfTopK finds the exact duplicate within its probed cells") {
+    val rnd = new scala.util.Random(17)
+    // 4 well-separated cluster centers + noise
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 120L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = (vecs :+ (999L, vecs.head._2)).toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      df.filter(col("vec_id") === 999), df, "vec_id", "embedding",
+      k = 1, numCells = 8, numProbes = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.headOption.contains(0L)) // identical vector shares its cell
+  }
+
   test("native fvec_dot / fvec_norm match the HOF forms bit-for-bit") {
     val rnd = new scala.util.Random(21)
     val df = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
