@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("entry() survives a driver-default session (ANSI mode on)") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(SparkEntry.entry(spark).count() > 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
+  test("date-partitioned writes prune partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile
+    dir.deleteOnExit()
+    val df = Seq(
+      ("2024-01-01", 1L, 5.0), ("2024-01-02", 2L, 6.0), ("2024-01-03", 3L, 7.0))
+      .toDF("day", "id", "v")
+    df.write.mode("overwrite").partitionBy("day").parquet(dir.getAbsolutePath)
+    val q = spark.read.parquet(dir.getAbsolutePath).filter(col("day") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(q.count() == 1)
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(day"),
+      s"partition filter should prune:\n$plan")
+  }
+
+  test("parquet scans prune columns and push predicates (q1 shape)") {
+    val q = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach parquet:\n$plan")
+    assert(!plan.contains("l_orderkey"), "unused columns must be pruned")
+  }
+}
