@@ -1,0 +1,73 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FrameOps, Scaling, TimeSeriesOps}
+
+/** F1/F2 — strftime ⇄ JDK datetime pattern translation (SURVEY §4.3
+  * trap 7). The reference's user-facing API takes strftime formats
+  * (`date_format="%d/%m/%Y"`, paqarin/utils/data_utils.py:38); Spark wants
+  * JDK patterns. Covers the directives the reference uses plus the common
+  * ones.
+  */
+object DateFormats {
+  private val mapping = Seq(
+    "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
+    "%f" -> "SSSSSS", "%p" -> "a", "%j" -> "DDD", "%z" -> "xx",
+    "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE", "%A" -> "EEEE")
+
+  def strftimeToJdk(fmt: String): String = {
+    // protect literal %% with a sentinel, translate directives, restore
+    val sentinel = "\u0001"
+    val protectedPct = fmt.replace("%%", sentinel)
+    val translated = mapping.foldLeft(protectedPct) { case (s, (k, v)) =>
+      s.replace(k, v)
+    }
+    require(!translated.matches(".*%[A-Za-z].*"),
+      s"unsupported strftime directive in '$fmt'")
+    translated.replace(sentinel, "%")
+  }
+}
+
+/** Thin typed wrapper over a DataFrame + its [[TsSchema]] (SURVEY §7.1
+  * module `core`): the ergonomic API surface the reference exposes through
+  * its generator/transformer classes, delegating to the `ops` functions.
+  * Every method returns a new frame; nothing is materialized.
+  */
+final case class TimeSeriesFrame(df: DataFrame, schema: TsSchema) {
+
+  private def id = schema.itemIdCols.head
+
+  /** Parse a string timestamp column using the schema's (strftime) format. */
+  def parseTimestamps(): TimeSeriesFrame = {
+    val jdk = DateFormats.strftimeToJdk(schema.dateFormat)
+    copy(df = df.withColumn(schema.tsCol, to_timestamp(col(schema.tsCol), jdk)))
+  }
+
+  /** Format the timestamp column back to strings (synthcity round-trip,
+    * synthcity_adapter.py:210-212). */
+  def formatTimestamps(): TimeSeriesFrame = {
+    val jdk = DateFormats.strftimeToJdk(schema.dateFormat)
+    copy(df = df.withColumn(schema.tsCol, date_format(col(schema.tsCol), jdk)))
+  }
+
+  def withSurrogateKey(orderCol: String): TimeSeriesFrame =
+    copy(df = TimeSeriesOps.addSurrogateKey(df, schema.itemIdCols, orderCol))
+
+  def resampleSum(unit: String = "day"): TimeSeriesFrame =
+    copy(df = TimeSeriesOps.resampleSum(df, id, schema.tsCol, schema.numericCols, unit))
+
+  def normalise(orderCol: String): TimeSeriesOps.NormalisedSequences =
+    TimeSeriesOps.normaliseSequences(
+      df, schema.itemIdCols, schema.tsCol, schema.numericCols, orderCol)
+
+  def slidingWindows(seqLen: Int, orderCol: String): DataFrame =
+    TimeSeriesOps.slidingWindows(df, id, orderCol, schema.numericCols, seqLen)
+
+  def fitScaler(): Scaling.MinMaxStats = Scaling.fit(df, schema.numericCols)
+
+  def fillNulls(value: Double = 0.0): TimeSeriesFrame =
+    copy(df = FrameOps.fillNulls(df, schema.numericCols, value))
+}
