@@ -150,6 +150,8 @@ object Dedup {
       maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
+    // the self-join reuses the signature aggregate via ReuseExchange —
+    // no explicit persist (measured slower: it breaks stage pipelining)
     val sigs = simHash(df, idCol, textCol)
     val banded = sigs.withColumn(
       "__chunk",
