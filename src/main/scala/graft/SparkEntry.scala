@@ -317,6 +317,45 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** HLL++ sketch distinct counts (rows-only: sketch estimates are
+    * engine-specific; the spec asserts ≤5% error vs exact). */
+  private def a14Approx(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** INTERSECT / EXCEPT set operations (§2.7 note: free from Catalyst). */
+  private def u3SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    def custkeysOf(yr: Int) =
+      o.filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    val both = custkeysOf(1995).intersect(custkeysOf(1996))
+    val only95 = custkeysOf(1995).except(custkeysOf(1996))
+    both.agg(count(lit(1)).as("n"), min(col("o_custkey")).as("min_k"))
+      .withColumn("op", lit("intersect"))
+      .unionByName(
+        only95.agg(count(lit(1)).as("n"), min(col("o_custkey")).as("min_k"))
+          .withColumn("op", lit("except")))
+      .select(col("op"), col("n"), col("min_k"))
+      .orderBy(col("op"))
+  }
+
+  /** PIVOT — wide conditional aggregation (Catalyst `pivot`). */
+  private def p9Pivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    T(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderpriority", priorities)
+      .agg(round(avg(col("o_totalprice")), 2))
+      .withColumnsRenamed(priorities.zipWithIndex.map { case (p, i) =>
+        p -> s"p${i + 1}_avg_price"
+      }.toMap)
+      .orderBy(col("order_year"))
+  }
+
   // ——— north-star extension queries ————————————————————————————————————
 
   /** Exact dedup keep-first on text; kept docs per language. */
@@ -472,6 +511,9 @@ object SparkEntry {
     "a5_bounds" -> (a5Bounds _),
     "f11_json" -> (f11Json _),
     "a13_rollup" -> (a13Rollup _),
+    "u3_setops" -> (u3SetOps _),
+    "p9_pivot" -> (p9Pivot _),
+    "a14_approx_distinct" -> (a14Approx _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -673,6 +715,28 @@ object SparkEntry {
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "u3_setops" ->
+      """WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995),
+        |c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996),
+        |i AS (SELECT 'intersect' AS op, count(*) AS n, min(o_custkey) AS min_k
+        |  FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)),
+        |e AS (SELECT 'except' AS op, count(*) AS n, min(o_custkey) AS min_k
+        |  FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96))
+        |SELECT op, n, min_k FROM i UNION ALL SELECT op, n, min_k FROM e
+        |ORDER BY op""".stripMargin,
+    "p9_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        | round(avg(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2)
+        |   AS p1_avg_price,
+        | round(avg(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2)
+        |   AS p2_avg_price,
+        | round(avg(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2)
+        |   AS p3_avg_price,
+        | round(avg(CASE WHEN o_orderpriority='4-NOT SPECIFIED' THEN o_totalprice END),2)
+        |   AS p4_avg_price,
+        | round(avg(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2)
+        |   AS p5_avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact" ->
       """WITH k AS (SELECT text, min(doc_id) AS keep_id FROM documents GROUP BY 1)
         |SELECT d.lang, count(*) AS n_kept

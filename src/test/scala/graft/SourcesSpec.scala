@@ -29,6 +29,16 @@ class SourcesSpec extends AnyFunSuite {
       s"partition filter should prune:\n$plan")
   }
 
+  test("HLL++ approx distinct within 5% of exact (a14 sketch query)") {
+    val rows = SparkEntry.queries("a14_approx_distinct")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("parquet scans prune columns and push predicates (q1 shape)") {
     val q = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
