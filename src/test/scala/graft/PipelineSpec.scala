@@ -66,6 +66,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.summary.columns.contains("std_value"))
   }
 
+  test("TSTR RegressionScorer: trains on synthetic, evaluates on real, deterministic") {
+    import graft.pipeline.RegressionScorer
+    val model = StatisticalProvider.fit(sampleData, schema)
+    val scorer = new RegressionScorer(seqLen = 5, numSequences = 16)
+    val a = scorer.score(sampleData, model, schema)
+    val b = scorer.score(sampleData, model, schema)
+    assert(a == b) // normal-equations solver + seeded generator
+    assert(a >= 0.0 && a.isFinite)
+  }
+
   test("provider registry rejects unknown providers (adapter.py:95-97)") {
     val e = intercept[IllegalArgumentException](GeneratorProvider.forName("nope"))
     assert(e.getMessage.contains("not supported"))
