@@ -173,6 +173,37 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** MLlib route for MinHash near-dup candidates: shingles → `HashingTF`
+    * sparse vectors → `MinHashLSH.approxSimilarityJoin`. Functionally
+    * equivalent to [[minHashNearDuplicates]] (which stays the default: its
+    * array-native signatures avoid MLlib's vector materialization); kept as
+    * interop with MLlib pipelines and as a cross-check in the specs.
+    * Returns (id_a, id_b, jaccard_dist).
+    */
+  def minHashNearDuplicatesMLlib(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxJaccardDistance: Double = 0.8,
+      shingleLen: Int = 3,
+      numHashTables: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val shingled = df.select(col(idCol), wordNgrams(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val tf = new HashingTF().setInputCol("__sh").setOutputCol("__tf")
+      .setNumFeatures(1 << 18)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("__tf").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxJaccardDistance, "jaccard_dist")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair list,
     * so a dedup pipeline can keep one representative per cluster (the step
     * after any of the pair generators above).

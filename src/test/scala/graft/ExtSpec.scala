@@ -56,6 +56,29 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("MLlib MinHashLSH route agrees with the native pairs on identical docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((0L, base), (1L, base), (2L, "completely different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashNearDuplicatesMLlib(df, "doc_id", "text", 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L)))
+  }
+
+  test("DataPlots: downsample keeps every k-th point; envelope buckets") {
+    import graft.ops.DataPlots
+    val df = (0 until 100).map(i => ("a", i.toLong, i.toDouble)).toDF("id", "pos", "v")
+    val ds = DataPlots.downsample(df, "id", "pos", 10)
+    assert(ds.count() == 10)
+    assert(DataPlots.headSample(df, "id", "pos", 7).count() == 7)
+    val env = DataPlots.envelope(
+      df.withColumn("ts", expr("timestamp_micros(CAST(pos * 3600e6 AS LONG))")),
+      "id", "ts", "v", "day")
+    assert(env.count() == 5) // 100 hourly points -> 5 days
+    val first = env.orderBy("bucket").select("lo", "mean", "hi").head()
+    assert(first.getDouble(0) == 0.0 && first.getDouble(2) == 23.0)
+  }
+
   // ——— Similarity ———
 
   test("cosine: parallel = 1, orthogonal = 0") {
