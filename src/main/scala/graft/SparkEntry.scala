@@ -393,6 +393,12 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Portable MinHash signatures — oracle-checked value-for-value. */
+  private def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignaturesPortable(
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** MinHash signature head (rows-only check; LSH pair query below). */
   private def dedupMinhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignatures(
@@ -519,6 +525,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk" -> (simTopK _),
     "dedup_minhash_sigs" -> (dedupMinhashSigs _),
+    "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -755,6 +762,26 @@ object SparkEntry {
         |SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
         |FROM sh JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.1 ORDER BY 1,2""".stripMargin,
+    "dedup_minhash_portable" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)])
+        |  ELSE [] END AS grams FROM d),
+        |h AS (SELECT doc_id,
+        |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
+        |    for x in grams] AS hs FROM g)
+        |SELECT doc_id,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS minhash_0,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS minhash_1,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS minhash_2,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS minhash_3
+        |FROM h ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings WHERE vec_id % 2 = 0)

@@ -173,6 +173,35 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Cross-engine-portable MinHash signatures: shingle hash = first 7 hex
+    * digits of md5 (28 bits), permutations mod p = 2^31−1 so products stay
+    * inside signed-64 on engines where overflow errors (DuckDB). Slower
+    * than [[minHashSignatures]] (md5 vs xxhash64) — exists so the
+    * signature math itself can be oracle-checked value-for-value; the
+    * xxhash64 variant remains the production path.
+    */
+  val PortableCoeffs: Seq[(Long, Long)] =
+    Seq((1103515245L, 12345L), (214013L, 2531011L),
+        (69069L, 362437L), (1664525L, 1013904223L))
+  val PortableP = 2147483647L // 2^31 - 1
+
+  def minHashSignaturesPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val hashes = transform(wordNgrams(col(textCol), shingleLen),
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long") % PortableP)
+    val withHashes = df.withColumn("__hs", hashes)
+    val sigCols = PortableCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      coalesce(
+        array_min(transform(col("__hs"),
+          h => (h * lit(a) + lit(b)) % lit(PortableP))),
+        lit(PortableP)).as(s"minhash_$i")
+    }
+    withHashes.select(col(idCol) +: sigCols: _*)
+  }
+
   /** MLlib route for MinHash near-dup candidates: shingles → `HashingTF`
     * sparse vectors → `MinHashLSH.approxSimilarityJoin`. Functionally
     * equivalent to [[minHashNearDuplicates]] (which stays the default: its
