@@ -58,8 +58,10 @@ final class SyntheticGenerator(
       throw new IllegalStateException("save() before fit()"))
     val model = fitted.get
     val providerState = model match {
-      case graft.providers.StatisticalProvider.Model(s) =>
-        s.map { case (c, (m, sd)) => s""""$c":[$m,$sd]""" }.mkString("{", ",", "}")
+      case m: graft.providers.StatisticalProvider.Model =>
+        // categorical frequencies are re-fit on load; numeric state persists
+        m.stats.map { case (c, (mean, sd)) => s""""$c":[$mean,$sd]""" }
+          .mkString("{", ",", "}")
       case _ => "null" // non-parametric providers persist via their own data
     }
     val scalerJson = schema.numericCols

@@ -40,10 +40,21 @@ final case class TimeSeriesFrame(df: DataFrame, schema: TsSchema) {
 
   private def id = schema.itemIdCols.head
 
-  /** Parse a string timestamp column using the schema's (strftime) format. */
-  def parseTimestamps(): TimeSeriesFrame = {
+  /** Parse a string timestamp column using the schema's (strftime) format.
+    * With `strict=true`, a value that fails to parse raises — mirroring the
+    * reference's wrong-date-format error
+    * (tests/test_synthcity_adapter.py:138-141); otherwise failures become
+    * nulls (pandas `errors="coerce"` behavior). */
+  def parseTimestamps(strict: Boolean = false): TimeSeriesFrame = {
     val jdk = DateFormats.strftimeToJdk(schema.dateFormat)
-    copy(df = df.withColumn(schema.tsCol, to_timestamp(col(schema.tsCol), jdk)))
+    val parsed = df.withColumn(schema.tsCol, to_timestamp(col(schema.tsCol), jdk))
+    if (strict) {
+      val bad = parsed.filter(col(schema.tsCol).isNull).count()
+      if (bad > 0) throw new IllegalArgumentException(
+        s"$bad value(s) in '${schema.tsCol}' do not match format " +
+          s"'${schema.dateFormat}' ($jdk)")
+    }
+    copy(df = parsed)
   }
 
   /** Format the timestamp column back to strings (synthcity round-trip,

@@ -1,6 +1,6 @@
 package graft.providers
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TsSchema
@@ -44,17 +44,36 @@ object GeneratorProvider {
 object StatisticalProvider extends GeneratorProvider {
   val name = "statistical"
 
-  /** Parametric fitted state: per-column (mean, population std). Being a
-    * plain case class makes it trivially persistable (S4/S5). */
-  final case class Model(stats: Seq[(String, (Double, Double))])
+  /** Parametric fitted state: per-numeric-column (mean, population std)
+    * plus per-categorical-column value frequencies (the DoppleGANger
+    * measurement/attribute split, doppleganger.py:39-41 — attributes are
+    * per-sequence constants). A plain case class → trivially persistable
+    * (S4/S5). */
+  final case class Model(
+      stats: Seq[(String, (Double, Double))],
+      catFreqs: Seq[(String, Seq[(String, Double)])] = Nil)
       extends FittedGenerator {
     def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
       val base = spark.range(n.toLong * seqLen)
         .select(
           (col("id") / seqLen).cast("long").as("seq_id"),
           (col("id") % seqLen).cast("int").as("step"))
-      stats.zipWithIndex.foldLeft(base) { case (d, ((c, (m, s)), i)) =>
-        d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
+      val withNums = stats.zipWithIndex.foldLeft(base) {
+        case (d, ((c, (m, s)), i)) =>
+          d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
+      }
+      // per-sequence constant attribute, sampled from the fitted CDF by a
+      // deterministic hash of the sequence id
+      catFreqs.zipWithIndex.foldLeft(withNums) { case (d, ((c, freqs), i)) =>
+        val u = (pmod(xxhash64(col("seq_id"), lit(i)), lit(1000000L)))
+          .cast("double") / lit(1000000.0)
+        val cdf = freqs.scanLeft(("", 0.0)) { case ((_, acc), (v, p)) =>
+          (v, acc + p)
+        }.tail
+        val pick = cdf.init.foldRight(lit(cdf.last._1): Column) {
+          case ((v, cum), elseCol) => when(u < cum, lit(v)).otherwise(elseCol)
+        }
+        d.withColumn(c, pick)
       }
     }
   }
@@ -63,9 +82,21 @@ object StatisticalProvider extends GeneratorProvider {
     val aggs = schema.numericCols.flatMap(c =>
       Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
     val row = data.agg(aggs.head, aggs.tail: _*).head()
-    Model(schema.numericCols.zipWithIndex.map { case (c, i) =>
-      c -> ((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
-    })
+    val n = data.count().toDouble
+    val catFreqs = schema.catCols.map { c =>
+      val freqs = data.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col(c))
+        .limit(100)
+        .collect()
+        .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
+          r.getLong(1) / n)).toSeq
+      c -> freqs
+    }
+    Model(
+      schema.numericCols.zipWithIndex.map { case (c, i) =>
+        c -> ((row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+      },
+      catFreqs)
   }
 }
 

@@ -49,6 +49,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(a == b) // seeded randn
   }
 
+  test("StatisticalProvider samples per-sequence categorical attributes from fitted frequencies") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(i =>
+      ("e", i.toLong, rnd.nextDouble(), if (i % 4 == 0) "cat_a" else "cat_b"))
+      .toDF("item_id", "ts", "m1", "attr")
+    val catSchema = TsSchema(Seq("item_id"), "ts", Seq("m1"), Seq("attr"))
+    val g = StatisticalProvider.fit(df, catSchema).generate(spark, 40, 3)
+    assert(g.columns.contains("attr"))
+    // attribute is constant within a sequence
+    assert(g.groupBy("seq_id").agg(countDistinct(col("attr")).as("k"))
+      .filter(col("k") > 1).count() == 0)
+    // both fitted values appear across sequences (75/25 split, 40 draws)
+    val values = g.select("attr").distinct().as[String].collect().toSet
+    assert(values == Set("cat_a", "cat_b"))
+  }
+
+  test("strict timestamp parse raises on format mismatch (test_synthcity_adapter.py:138-141)") {
+    import graft.core.TimeSeriesFrame
+    val bad = Seq(("a", "2024-02-01", 1.0)).toDF("id", "ts", "v") // not dd/MM/yyyy
+    val tsf = TimeSeriesFrame(bad, TsSchema(Seq("id"), "ts", Seq("v")))
+    val e = intercept[IllegalArgumentException](tsf.parseTimestamps(strict = true))
+    assert(e.getMessage.contains("do not match format"))
+    // non-strict coerces to null, pandas-style
+    assert(tsf.parseTimestamps().df.filter(col("ts").isNull).count() == 1)
+  }
+
   test("BootstrapProvider replays real windows in the long-frame shape") {
     val model = BootstrapProvider.fit(sampleData, schema)
     val g = model.generate(spark, 3, 5)
