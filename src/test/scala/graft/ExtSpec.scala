@@ -122,6 +122,21 @@ class ExtSpec extends AnyFunSuite {
     assert(n == 6 && s == 2)
   }
 
+  test("BPE-ish sub-token count splits around non-alphanumeric chars") {
+    val df = Seq("don't stop2night ok").toDF("text")
+    // splits around ' and spaces; digits are alphanumeric so stop2night
+    // stays whole: don | ' | t | ␣ | stop2night | ␣ | ok = 7
+    val n = df.select(TextAnalysis.subTokenCount(col("text"))).as[Int].head()
+    assert(n == 7)
+  }
+
+  test("Metrics.mae joins predictions to labels (A9)") {
+    import graft.metrics.Metrics
+    val preds = Seq((1, 10.0), (2, 20.0)).toDF("k", "p")
+    val labels = Seq((1, 12.0), (2, 16.0)).toDF("k", "y")
+    assert(Metrics.mae(preds, labels, Seq("k"), "p", "y") == 3.0)
+  }
+
   test("langId picks the marker-scored language with alphabetical tie-break") {
     val df = Seq((0, "the data and the model of data"), (1, "xyz qrs"))
       .toDF("id", "text")
