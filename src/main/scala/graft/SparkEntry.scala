@@ -272,6 +272,23 @@ object SparkEntry {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** J4 — as-of join (engine extension; the canonical time-series join
+    * Spark lacks): every view event gets the latest purchase at-or-before
+    * it for the same user. */
+  private def j4Asof(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    graft.ops.AsOfJoin.asOf(
+        views, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** W2 — per-entity sequence stats (ordered first/last via min_by/max_by;
     * sdv_adapter.py:59-66). */
   private def w2SeqStats(s: SparkSession, dir: String): DataFrame =
@@ -512,6 +529,7 @@ object SparkEntry {
     "f1_dates" -> (f1Dates _),
     "f6_minmax" -> (f6MinMax _),
     "j3_positional" -> (j3Positional _),
+    "j4_asof" -> (j4Asof _),
     "w2_seq_stats" -> (w2SeqStats _),
     "a1_distinct" -> (a1Distinct _),
     "a5_bounds" -> (a5Bounds _),
@@ -698,6 +716,14 @@ object SparkEntry {
         | + CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT)
         |   AS idx_day
         |FROM events WHERE user_id % 10 = 0 ORDER BY user_id, event_id""".stripMargin,
+    "j4_asof" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type='view'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |  WHERE event_type='purchase')
+        |SELECT v.event_id, v.user_id, p.purchase_id AS asof_purchase_id,
+        | p.value AS asof_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
     "w2_seq_stats" ->
       """SELECT user_id, count(*) AS n_obs, arg_min(value, event_id) AS first_value,
         | arg_max(value, event_id) AS last_value,

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the canonical time-series operator Spark's
+  * built-in surface lacks (builder-prompt custom-operator case (a):
+  * compose existing ops, no Catalyst extension needed).
+  *
+  * Semantics: for every left row, attach the single right row with the same
+  * key and the greatest `rightTs ≤ leftTs` (ties at equal timestamps match,
+  * like DuckDB/QuestDB/kdb asof). Left rows with no preceding right row get
+  * nulls (left-outer flavor).
+  *
+  * Implementation is the sort-based union trick: tag both inputs, union,
+  * and carry the last non-null right payload forward inside one
+  * `Window.partitionBy(key).orderBy(ts, tag)` pass — ONE shuffle on the
+  * key, no range or theta join, no per-row probing. Scales like any
+  * windowed aggregation; skew on the key is the only hazard (salt the key
+  * upstream if one entity dominates).
+  */
+object AsOfJoin {
+
+  /** @param left     probe side
+    * @param right    reference side (its payload columns are attached)
+    * @param keyCols  equi-join key
+    * @param leftTs   event-time column on `left`
+    * @param rightTs  event-time column on `right`
+    * @param payload  columns of `right` to attach (prefixed `asof_`);
+    *                 null payload values in right rows are treated as
+    *                 "no value" and carried over from the previous row
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__is_left", lit(1))
+    val r = payload.foldLeft(
+      right.select((keyCols :+ rightTs).map(col) ++ payload.map(col): _*)
+        .withColumn("__ts", col(rightTs))
+        .drop(rightTs) // may share a name with a left column
+        .withColumn("__is_left", lit(0))) { (d, c) =>
+      d.withColumnRenamed(c, s"__p_$c")
+    }
+    // align schemas for the union: left gets null payload slots, right gets
+    // null left-only columns
+    val leftCols = l.columns.toSet
+    val rightCols = r.columns.toSet
+    val lAligned = rightCols.diff(leftCols).foldLeft(l)((d, c) =>
+      d.withColumn(c, lit(null).cast(r.schema(c).dataType)))
+    val rAligned = leftCols.diff(rightCols).foldLeft(r)((d, c) =>
+      d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+
+    // right rows sort BEFORE left rows at equal ts, so equal-timestamp
+    // matches are included (asof `>=` semantics)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("__is_left") === 1)
+      .drop((Seq("__ts", "__is_left") ++ payload.map(c => s"__p_$c")): _*)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOf attaches the latest right row at-or-before each left row") {
+    val left = Seq(
+      ("u1", 5L, "q1"), ("u1", 10L, "q2"), ("u1", 20L, "q3"),
+      ("u2", 7L, "q4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      ("u1", 4L, 100.0), ("u1", 10L, 200.0), ("u1", 30L, 300.0),
+      ("u2", 9L, 400.0)) // after u2's only left row
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("tag")
+      .select("tag", "asof_v")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("q1", Some(100.0)), // 4 <= 5
+      ("q2", Some(200.0)), // equal timestamps match (>= semantics)
+      ("q3", Some(200.0)), // 30 is in the future
+      ("q4", None)))       // no preceding right row
+  }
+
+  test("asOf carries multiple payload columns from the same matched row") {
+    val left = Seq(("k", 10L)).toDF("g", "ts")
+    val right = Seq(("k", 3L, 1L, 1.5), ("k", 8L, 2L, 2.5), ("k", 11L, 3L, 3.5))
+      .toDF("g", "ts", "rid", "rv")
+    val row = AsOfJoin.asOf(left, right, Seq("g"), "ts", "ts", Seq("rid", "rv"))
+      .select("asof_rid", "asof_rv").head()
+    assert(row.getLong(0) == 2L && row.getDouble(1) == 2.5)
+  }
+}
