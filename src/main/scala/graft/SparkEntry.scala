@@ -498,7 +498,7 @@ object SparkEntry {
       T(s, dir, "documents").filter(col("doc_id") % 9 === 0),
       "doc_id", "text", "documents")
     Multimodal.decode(media.as[Multimodal.MediaItem]).toDF()
-      .select(col("media_id"), col("byte_len"), col("first_byte"),
+      .select(col("media_id"), col("byte_len"), col("first_cp"),
         col("width"), col("height"))
       .orderBy(col("media_id"))
   }
@@ -870,7 +870,7 @@ object SparkEntry {
         |FROM h ORDER BY 1""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
-        | CAST(ascii(substr(text,1,1)) AS INT) AS first_byte,
+        | CAST(ascii(substr(text,1,1)) AS INT) AS first_cp,
         | CAST(strlen(text) % 640 + 16 AS INT) AS width,
         | CAST((strlen(text) // 640) % 480 + 16 AS INT) AS height
         |FROM documents WHERE doc_id % 9 = 0 ORDER BY 1""".stripMargin,

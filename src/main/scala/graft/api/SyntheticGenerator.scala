@@ -57,13 +57,6 @@ final class SyntheticGenerator(
     val stats = scaler.getOrElse(
       throw new IllegalStateException("save() before fit()"))
     val model = fitted.get
-    val providerState = model match {
-      case m: graft.providers.StatisticalProvider.Model =>
-        // categorical frequencies are re-fit on load; numeric state persists
-        m.stats.map { case (c, (mean, sd)) => s""""$c":[$mean,$sd]""" }
-          .mkString("{", ",", "}")
-      case _ => "null" // non-parametric providers persist via their own data
-    }
     val scalerJson = schema.numericCols
       .map(c => s""""$c":[${stats.stats(c)._1},${stats.stats(c)._2}]""")
       .mkString("{", ",", "}")
@@ -72,9 +65,19 @@ final class SyntheticGenerator(
          |"itemIdCols":[${schema.itemIdCols.map("\"" + _ + "\"").mkString(",")}],
          |"tsCol":"${schema.tsCol}",
          |"numericCols":[${schema.numericCols.map("\"" + _ + "\"").mkString(",")}],
-         |"scaler":$scalerJson,"providerState":$providerState}""".stripMargin
+         |"scaler":$scalerJson}""".stripMargin
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, "generator.json"), json)
+    // parametric provider state (incl. categorical frequencies) is plain
+    // data — serialize the whole Model; non-parametric providers (whose
+    // state is a DataFrame) skip the file and must be re-fit after load
+    model match {
+      case m: graft.providers.StatisticalProvider.Model =>
+        val oos = new java.io.ObjectOutputStream(
+          Files.newOutputStream(Paths.get(path, "model.bin")))
+        try oos.writeObject(m) finally oos.close()
+      case _ => ()
+    }
   }
 }
 
@@ -104,9 +107,13 @@ object SyntheticGenerator {
       field("provider").stripPrefix("\"").stripSuffix("\""),
       schema, field("seqLen").toDouble.toInt)
     gen.scaler = Some(Scaling.MinMaxStats(numPairs(field("scaler"))))
-    if (field("providerState") != "null")
-      gen.fitted = Some(graft.providers.StatisticalProvider.Model(
-        schema.numericCols.map(c => c -> numPairs(field("providerState"))(c))))
+    val modelBin = Paths.get(path, "model.bin")
+    if (Files.exists(modelBin)) {
+      val ois = new java.io.ObjectInputStream(Files.newInputStream(modelBin))
+      try gen.fitted = Some(
+        ois.readObject().asInstanceOf[graft.providers.StatisticalProvider.Model])
+      finally ois.close()
+    }
     gen
   }
 }

@@ -12,22 +12,43 @@ import graft.ops.{FrameOps, Scaling, TimeSeriesOps}
   * ones.
   */
 object DateFormats {
-  private val mapping = Seq(
+  private val mapping = Map(
     "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%I" -> "hh", "%M" -> "mm", "%S" -> "ss",
     "%f" -> "SSSSSS", "%p" -> "a", "%j" -> "DDD", "%z" -> "xx",
     "%b" -> "MMM", "%B" -> "MMMM", "%a" -> "EEE", "%A" -> "EEEE")
 
   def strftimeToJdk(fmt: String): String = {
-    // protect literal %% with a sentinel, translate directives, restore
-    val sentinel = "\u0001"
-    val protectedPct = fmt.replace("%%", sentinel)
-    val translated = mapping.foldLeft(protectedPct) { case (s, (k, v)) =>
-      s.replace(k, v)
+    // tokenize: translate %X directives, single-quote literal runs that
+    // contain letters (JDK reserves all letters as pattern characters —
+    // a bare %% followed by a letter must come out quoted, not live)
+    val out = new StringBuilder
+    val literal = new StringBuilder
+    def flushLiteral(): Unit = {
+      val s = literal.toString
+      if (s.nonEmpty) {
+        if (s.exists(c => c.isLetter || c == '\''))
+          out.append("'" + s.replace("'", "''") + "'")
+        else out.append(s)
+      }
+      literal.clear()
     }
-    require(!translated.matches(".*%[A-Za-z].*"),
-      s"unsupported strftime directive in '$fmt'")
-    translated.replace(sentinel, "%")
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val d = fmt.substring(i, i + 2)
+        if (d == "%%") { literal.append('%'); i += 2 }
+        else mapping.get(d) match {
+          case Some(j) => flushLiteral(); out.append(j); i += 2
+          case None => throw new IllegalArgumentException(
+            s"unsupported strftime directive $d in '$fmt'")
+        }
+      } else if (fmt.charAt(i) == '%') {
+        throw new IllegalArgumentException(s"dangling %% in '$fmt'")
+      } else { literal.append(fmt.charAt(i)); i += 1 }
+    }
+    flushLiteral()
+    out.toString
   }
 }
 

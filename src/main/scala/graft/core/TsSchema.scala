@@ -13,9 +13,11 @@ package graft.core
   * @param numericCols measurement columns (per-timestep values)
   * @param catCols     static categorical attribute columns (per-entity,
   *                    reference: paqarin/generators/doppleganger.py:39-41)
-  * @param dateFormat  JDK datetime pattern for string-typed timestamps;
-  *                    the reference default is strftime "%d/%m/%Y"
-  *                    (paqarin/utils/data_utils.py:38) = "dd/MM/yyyy"
+  * @param dateFormat  strftime pattern for string-typed timestamps (the
+  *                    reference's format convention, default
+  *                    paqarin/utils/data_utils.py:38); translated to the
+  *                    JDK pattern by `core.DateFormats.strftimeToJdk`
+  *                    wherever it is applied
   * @param frequency   tumbling-bucket width for resampling, as a Spark
   *                    interval string ("1 day" ~ pandas freq "D"/"1D")
   */
@@ -24,7 +26,7 @@ final case class TsSchema(
     tsCol: String,
     numericCols: Seq[String],
     catCols: Seq[String] = Nil,
-    dateFormat: String = "dd/MM/yyyy",
+    dateFormat: String = "%d/%m/%Y",
     frequency: String = "1 day") {
   require(itemIdCols.nonEmpty, "at least one item-id column")
   require(numericCols.nonEmpty, "at least one numeric column")

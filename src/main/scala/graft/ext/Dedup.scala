@@ -81,14 +81,14 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val spark = df.sparkSession
     val rowsPerBand = numHashes / bands
     val sigArr = array((0 until numHashes).map(i => col(s"minhash_$i")): _*)
-    // Materialize signatures once — both the band explode and the verify
-    // join reuse them; without this the shingle hashing would rerun per use.
+    // signatures are a pure map stage; recomputing them per consumer is a
+    // scan-bound re-map, while persisting a corpus-scale signature table
+    // would pin storage memory for the session — callers that reuse the
+    // result repeatedly can persist the RETURNED frame themselves
     val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
       .select(col(idCol), sigArr.as("__sig"))
-      .persist()
     val withBands = sigs
       .select(col(idCol),
         explode(array((0 until bands).map(b =>
@@ -269,6 +269,7 @@ object Dedup {
         .persist()
       val changed = updated.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
         .filter(col("cluster_id") =!= col("__old")).limit(1).count()
+      labels.unpersist() // free the previous iteration's cache (no-op on iter 0)
       labels = updated
       converged = changed == 0
       iter += 1

@@ -26,7 +26,7 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       byte_len: Int,
-      first_byte: Int,
+      first_cp: Int,
       checksum: Long,
       width: Int,
       height: Int)
@@ -39,7 +39,11 @@ object Multimodal {
     */
   def stubDecode(item: MediaItem): MediaFeatures = {
     val bytes = item.payload
-    val first = if (bytes.nonEmpty) bytes(0) & 0xff else 0
+    // first Unicode code point of the UTF-8 payload (0 when empty) — a
+    // cross-engine-checkable stand-in for "decoded header field"
+    val first =
+      if (bytes.isEmpty) 0
+      else new String(bytes, java.nio.charset.StandardCharsets.UTF_8).codePointAt(0)
     var cs = 0L
     var i = 0
     while (i < bytes.length) { // batch-friendly tight loop, no boxing
@@ -49,7 +53,7 @@ object Multimodal {
     MediaFeatures(
       media_id = item.media_id,
       byte_len = bytes.length,
-      first_byte = first,
+      first_cp = first,
       checksum = cs,
       width = bytes.length % 640 + 16,
       height = (bytes.length / 640) % 480 + 16)

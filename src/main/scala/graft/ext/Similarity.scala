@@ -20,24 +20,36 @@ object Similarity {
   /** When enabled (via [[enableNative]]), dot/norm compile to the native
     * codegen'd Catalyst expressions in `graft.functions` instead of
     * interpreted higher-order-function lambdas — same float64 array-order
-    * accumulation, bit-identical results, ~no per-element overhead. */
-  @volatile private var nativeEnabled = false
+    * accumulation, bit-identical results, ~no per-element overhead.
+    *
+    * Registration is tracked PER SESSION: the native path is only taken
+    * when the active session at plan-construction time has the functions
+    * registered, so frames built on a second, never-registered session
+    * keep resolving against the HOF fallback instead of failing analysis.
+    */
+  private val nativeSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean])
 
   def enableNative(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)
-    nativeEnabled = true
+    nativeSessions.add(spark)
   }
+
+  private def nativeActive: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(nativeSessions.contains)
 
   /** Dot product of two float-array columns in float64, summed in array
     * order. */
   def dot(a: Column, b: Column): Column =
-    if (nativeEnabled) call_function("fvec_dot", a, b)
+    if (nativeActive) call_function("fvec_dot", a, b)
     else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** L2 norm of a float-array column in float64. */
   def l2Norm(a: Column): Column =
-    if (nativeEnabled) call_function("fvec_norm", a)
+    if (nativeActive) call_function("fvec_norm", a)
     else sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 

@@ -207,6 +207,39 @@ object TimeSeriesOps {
       .drop("__rn_from_end")
   }
 
+  /** Dense global position over (entity, dense per-entity position)
+    * WITHOUT a single-partition global sort: per-entity counts (an
+    * entity-dimension-sized aggregate) are offset by a driver-side
+    * cumulative sum and broadcast-joined back. Equivalent to
+    * `row_number() over (order by entity, pos)` − 1, but every stage stays
+    * parallel — the scale-safe input for positional splits (W5).
+    * `posCol` must be dense 0-based within each entity.
+    */
+  def globalPosition(
+      df: DataFrame,
+      idCol: String,
+      posCol: String,
+      outCol: String = "global_pos"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val counts = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .orderBy(col(idCol)).collect()
+    var acc = 0L
+    val rows = counts.map { r =>
+      val row = Row(r.get(0), acc)
+      acc += r.getLong(1)
+      row
+    }.toSeq
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(df.schema(idCol).copy(nullable = true),
+        StructField("__offset", LongType))))
+    df.join(broadcast(offDf), idCol)
+      .withColumn(outCol, col("__offset") + col(posCol))
+      .drop("__offset")
+  }
+
   /** W5 — positional train/val/test split (reference:
     * paqarin/metrics/multivariate_metrics.py:39-82): first
     * `int(trainFrac*n)` rows train, half the remainder val, rest test —

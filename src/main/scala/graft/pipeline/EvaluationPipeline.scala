@@ -69,15 +69,11 @@ final class PredictiveScorer(seqLen: Int = 8) extends Scorer {
     val stats = Scaling.fit(real, schema.numericCols)
     val scaled = stats.transform(real)
     val win = Ts.slidingWindows(scaled, id, schema.tsCol, schema.numericCols, seqLen)
-    val xy = Ts.xySplit(win)
+    val xy = Ts.globalPosition(Ts.xySplit(win), id, "__pos", "__seq")
     val n = xy.count()
     val t = (0.75 * n).toLong
     val v = t + ((n - t) / 2)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(id), col("__pos"))
-    val test = xy
-      .withColumn("__seq", row_number().over(w) - 1)
-      .filter(col("__seq") >= v)
+    val test = xy.filter(col("__seq") >= v)
     val errs = schema.numericCols.map(c =>
       abs(element_at(col("x"), -1)(c) - col("y")(c)))
     test

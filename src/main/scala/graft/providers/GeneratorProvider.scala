@@ -53,15 +53,28 @@ object StatisticalProvider extends GeneratorProvider {
       stats: Seq[(String, (Double, Double))],
       catFreqs: Seq[(String, Seq[(String, Double)])] = Nil)
       extends FittedGenerator {
+    /** Standard normal as a pure function of (row id, salt): Box–Muller
+      * over two xxhash64-derived uniforms. `randn(seed)` would NOT do —
+      * it seeds per-partition, so its values change with the partition
+      * count (cluster size / parallelism); this is bit-stable anywhere. */
+    private def hashGaussian(id: Column, salt: Int): Column = {
+      val u1 = (pmod(xxhash64(id, lit(2 * salt)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1000000000.0)
+      val u2 = (pmod(xxhash64(id, lit(2 * salt + 1)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1000000000.0)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+
     def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
       val base = spark.range(n.toLong * seqLen)
         .select(
+          col("id").as("__gid"),
           (col("id") / seqLen).cast("long").as("seq_id"),
           (col("id") % seqLen).cast("int").as("step"))
       val withNums = stats.zipWithIndex.foldLeft(base) {
         case (d, ((c, (m, s)), i)) =>
-          d.withColumn(c, lit(m) + lit(s) * randn(42L + i))
-      }
+          d.withColumn(c, lit(m) + lit(s) * hashGaussian(col("__gid"), i))
+      }.drop("__gid")
       // per-sequence constant attribute, sampled from the fitted CDF by a
       // deterministic hash of the sequence id
       catFreqs.zipWithIndex.foldLeft(withNums) { case (d, ((c, freqs), i)) =>

@@ -14,7 +14,7 @@ class MultimodalSpec extends AnyFunSuite {
     val f1 = Multimodal.stubDecode(item)
     val f2 = Multimodal.stubDecode(item)
     assert(f1 == f2)
-    assert(f1.byte_len == 5 && f1.first_byte == 'h'.toInt)
+    assert(f1.byte_len == 5 && f1.first_cp == 'h'.toInt)
     assert(f1.width == 5 % 640 + 16)
   }
 

@@ -14,11 +14,16 @@ class TimeSeriesFrameSpec extends AnyFunSuite {
     assert(DateFormats.strftimeToJdk("%Y-%m-%d %H:%M:%S.%f")
       == "yyyy-MM-dd HH:mm:ss.SSSSSS")
     assert(DateFormats.strftimeToJdk("%Y%%") == "yyyy%")
+    // %%-adjacent letters must come out as QUOTED literals, not live
+    // JDK pattern characters
+    assert(DateFormats.strftimeToJdk("%%Y") == "'%Y'")
+    assert(DateFormats.strftimeToJdk("%Y at %H") == "yyyy' at 'HH")
     intercept[IllegalArgumentException](DateFormats.strftimeToJdk("%Q"))
+    intercept[IllegalArgumentException](DateFormats.strftimeToJdk("abc%"))
   }
 
   test("wrapper: parse with the reference default format, resample, normalise") {
-    val schema = TsSchema(Seq("id"), "ts", Seq("v")) // dateFormat dd/MM/yyyy
+    val schema = TsSchema(Seq("id"), "ts", Seq("v")) // dateFormat %d/%m/%Y
     val tsf = TimeSeriesFrame(
       Seq(("a", "01/02/2024", 1.0, 0L), ("a", "01/02/2024", 2.0, 1L),
         ("b", "03/02/2024", 5.0, 2L))
