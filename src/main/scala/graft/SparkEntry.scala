@@ -301,6 +301,18 @@ object SparkEntry {
         dsum(col("value"), 4).as("sum_value"))
       .orderBy(col("user_id"))
 
+  /** O5 — reverse (ydata un-reversal quirk, ydata_adapter.py:283-288):
+    * per-entity ordered head window and its reversal, as array columns. */
+  private def o5Reverse(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(col("user_id") % 20 === 0)
+      .groupBy(col("user_id"))
+      .agg(slice(
+        expr("transform(sort_array(collect_list(struct(event_id, value))), s -> s.value)"),
+        1, 5).as("first5"))
+      .withColumn("rev5", reverse(col("first5")))
+      .orderBy(col("user_id"))
+
   /** A1/A2 — multi-column distinct (data_utils.py:18). */
   private def a1Distinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer")
@@ -532,6 +544,7 @@ object SparkEntry {
     "j4_asof" -> (j4Asof _),
     "w2_seq_stats" -> (w2SeqStats _),
     "a1_distinct" -> (a1Distinct _),
+    "o5_reverse" -> (o5Reverse _),
     "a5_bounds" -> (a5Bounds _),
     "f11_json" -> (f11Json _),
     "a13_rollup" -> (a13Rollup _),
@@ -731,6 +744,11 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "a1_distinct" ->
       "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1,2",
+    "o5_reverse" ->
+      """SELECT user_id,
+        | (list(value ORDER BY event_id))[1:5] AS first5,
+        | list_reverse((list(value ORDER BY event_id))[1:5]) AS rev5
+        |FROM events WHERE user_id % 20 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     "a5_bounds" ->
       """SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
         | CAST(max(date_trunc('day', ts)) AS DATE) AS last_day,

@@ -41,6 +41,29 @@ object StreamingResample {
       .agg(sum(col(valueCol)).as(valueCol))
       .select(col(idCol), col("bucket.start").as("bucket_start"), col(valueCol))
 
+  /** Stream-stream interval join: pair each left event with right events
+    * for the same key whose timestamp falls within `[left.ts - lookback,
+    * left.ts]` — the streaming cousin of the as-of join (ops.AsOfJoin).
+    * Watermarks on BOTH sides bound the join state; Spark drops state
+    * older than the watermark + interval automatically.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTs: String,
+      rightTs: String,
+      lookback: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol")
+        && col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback")
+        && col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** Session windows: activity bursts separated by ≥ `gap` of silence. */
   def sessionCount(
       df: DataFrame,

@@ -43,6 +43,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the lookback window") {
+    val dirL = Files.createTempDirectory("graft-sj-l").toFile
+    val dirR = Files.createTempDirectory("graft-sj-r").toFile
+    dirL.deleteOnExit(); dirR.deleteOnExit()
+    Seq((1L, "2024-01-01 10:00:00", "view1"), (1L, "2024-01-01 12:00:00", "view2"))
+      .toDF("user_id", "s", "tag")
+      .withColumn("lts", to_timestamp(col("s"))).drop("s")
+      .write.mode("overwrite").parquet(dirL.getAbsolutePath)
+    Seq((1L, "2024-01-01 09:30:00", 5.0), (1L, "2024-01-01 11:00:00", 7.0))
+      .toDF("user_id", "s", "amount")
+      .withColumn("rts", to_timestamp(col("s"))).drop("s")
+      .write.mode("overwrite").parquet(dirR.getAbsolutePath)
+    val schemaL = StructType(Seq(StructField("user_id", LongType),
+      StructField("tag", StringType), StructField("lts", TimestampType)))
+    val schemaR = StructType(Seq(StructField("user_id", LongType),
+      StructField("amount", DoubleType), StructField("rts", TimestampType)))
+    val l = spark.readStream.schema(schemaL).parquet(dirL.getAbsolutePath)
+    val r = spark.readStream.schema(schemaR).parquet(dirR.getAbsolutePath)
+    val q = StreamingResample.intervalJoin(l, r, "user_id", "lts", "rts")
+      .select(col("tag"), col("amount"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sj").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT tag, amount FROM graft_sj ORDER BY tag, amount")
+        .as[(String, Double)].collect().toSeq
+      // view1@10:00 pairs with 09:30 (within 1h); view2@12:00 pairs with 11:00
+      assert(got == Seq(("view1", 5.0), ("view2", 7.0)))
+    } finally q.stop()
+  }
+
   test("session windows group activity bursts") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     dir.deleteOnExit()
