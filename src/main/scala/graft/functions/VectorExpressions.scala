@@ -129,5 +129,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("fvec_norm"),
       new ExpressionInfo(classOf[FloatVecNorm].getName, "fvec_norm"),
       (children: Seq[Expression]) => FloatVecNorm(children.head)))
+    // auto-accelerate the declarative HOF dot-product idiom
+    ext.injectOptimizerRule(_ => VectorizeDotProducts)
   }
 }

@@ -80,6 +80,31 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.headOption.contains(0L)) // identical vector shares its cell
   }
 
+  test("VectorizeDotProducts rewrites the HOF dot idiom to FloatVecDot") {
+    import graft.functions.VectorizeDotProducts
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val hofDot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+    val q = pairs.select(hofDot.as("d"))
+    val expected = q.agg(sum("d")).head().getDouble(0)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ VectorizeDotProducts
+    try {
+      val q2 = pairs.select(hofDot.as("d"))
+      val plan = q2.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("floatvecdot"),
+        s"rule should fire on the HOF idiom:\n$plan")
+      assert(q2.agg(sum("d")).head().getDouble(0) == expected) // bit-identical
+    } finally spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == VectorizeDotProducts)
+  }
+
   test("native fvec_dot / fvec_norm match the HOF forms bit-for-bit") {
     val rnd = new scala.util.Random(21)
     val df = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
