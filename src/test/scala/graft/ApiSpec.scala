@@ -56,6 +56,24 @@ class ApiSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("S4/S5 save -> load keeps categorical attribute generation intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gen-cat").toFile
+    dir.deleteOnExit()
+    val catSchema = TsSchema(Seq("item_id"), "ts", Seq("m1"), Seq("attr"))
+    val catData = (0 until 80).map(i =>
+      (s"item_${i % 2}", i.toLong, i * 1.0, if (i % 3 == 0) "x" else "y"))
+      .toDF("item_id", "ts", "m1", "attr")
+    val gen = SyntheticGenerator("statistical", catSchema, seqLen = 4).fit(catData)
+    gen.save(dir.getAbsolutePath)
+    val loaded = SyntheticGenerator.load(dir.getAbsolutePath)
+    val out = loaded.generate(spark, 5)
+    assert(out.columns.contains("attr")) // catFreqs survived persistence
+    val a = gen.generate(spark, 5).orderBy("seq_id", "step")
+      .select("attr").as[String].collect().toSeq
+    val b = out.orderBy("seq_id", "step").select("attr").as[String].collect().toSeq
+    assert(a == b)
+  }
+
   test("unknown provider fails like adapter.py:95-97") {
     val gen = SyntheticGenerator("gan_from_the_future", schema)
     val e = intercept[IllegalArgumentException](gen.fit(data))

@@ -29,6 +29,14 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("q4", None)))       // no preceding right row
   }
 
+  test("asOf with no matching key yields nulls, not dropped rows") {
+    val left = Seq(("solo", 1L)).toDF("k", "ts")
+    val right = Seq(("other", 1L, 9.9)).toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+    assert(got.count() == 1)
+    assert(got.select("asof_v").head().isNullAt(0))
+  }
+
   test("asOf carries multiple payload columns from the same matched row") {
     val left = Seq(("k", 10L)).toDF("g", "ts")
     val right = Seq(("k", 3L, 1L, 1.5), ("k", 8L, 2L, 2.5), ("k", 11L, 3L, 3.5))

@@ -40,6 +40,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(TimeSeriesOps.slidingWindowsCompact(df, "id", "pos", Seq("v"), 3).count() == 0)
   }
 
+  test("globalPosition equals the single-partition row_number numbering") {
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 5).flatMap(e => (0 until 3 + rnd.nextInt(9)).map(t =>
+      (s"e$e", t.toLong))).toDF("id", "pos")
+    val viaWindow = df.withColumn("g",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("id"), col("pos"))) - 1)
+      .orderBy("id", "pos").select("g").as[Long].collect().toSeq
+    val viaOffsets = TimeSeriesOps.globalPosition(df, "id", "pos")
+      .orderBy("id", "pos").select("global_pos").as[Long].collect().toSeq
+    assert(viaOffsets == viaWindow)
+  }
+
   test("saltedSum / saltedCount match the direct aggregation") {
     val rnd = new scala.util.Random(13)
     // one hot key (80% of rows) + long tail
