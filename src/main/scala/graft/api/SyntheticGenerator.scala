@@ -65,6 +65,7 @@ final class SyntheticGenerator(
          |"itemIdCols":[${schema.itemIdCols.map("\"" + _ + "\"").mkString(",")}],
          |"tsCol":"${schema.tsCol}",
          |"numericCols":[${schema.numericCols.map("\"" + _ + "\"").mkString(",")}],
+         |"catCols":[${schema.catCols.map("\"" + _ + "\"").mkString(",")}],
          |"scaler":$scalerJson}""".stripMargin
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, "generator.json"), json)
@@ -102,11 +103,16 @@ object SyntheticGenerator {
     val schema = TsSchema(
       strings(field("itemIdCols")),
       field("tsCol").stripPrefix("\"").stripSuffix("\""),
-      strings(field("numericCols")))
+      strings(field("numericCols")),
+      // tolerate checkpoints written before catCols was persisted
+      if (json.contains("\"catCols\":")) strings(field("catCols")) else Nil)
     val gen = new SyntheticGenerator(
       field("provider").stripPrefix("\"").stripSuffix("\""),
       schema, field("seqLen").toDouble.toInt)
     gen.scaler = Some(Scaling.MinMaxStats(numPairs(field("scaler"))))
+    if (json.contains("\"providerState\":"))
+      throw new IllegalArgumentException(
+        s"$path was written by a pre-model.bin format; re-save the generator")
     val modelBin = Paths.get(path, "model.bin")
     if (Files.exists(modelBin)) {
       val ois = new java.io.ObjectInputStream(Files.newInputStream(modelBin))

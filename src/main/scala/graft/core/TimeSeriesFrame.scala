@@ -44,7 +44,7 @@ object DateFormats {
             s"unsupported strftime directive $d in '$fmt'")
         }
       } else if (fmt.charAt(i) == '%') {
-        throw new IllegalArgumentException(s"dangling %% in '$fmt'")
+        throw new IllegalArgumentException("dangling % in '" + fmt + "'")
       } else { literal.append(fmt.charAt(i)); i += 1 }
     }
     flushLiteral()
@@ -70,7 +70,10 @@ final case class TimeSeriesFrame(df: DataFrame, schema: TsSchema) {
     val jdk = DateFormats.strftimeToJdk(schema.dateFormat)
     val parsed = df.withColumn(schema.tsCol, to_timestamp(col(schema.tsCol), jdk))
     if (strict) {
-      val bad = parsed.filter(col(schema.tsCol).isNull).count()
+      // only NON-null sources that fail to parse count as errors —
+      // pre-existing nulls pass through, like pandas NaT
+      val bad = df.filter(col(schema.tsCol).isNotNull
+        && to_timestamp(col(schema.tsCol), jdk).isNull).count()
       if (bad > 0) throw new IllegalArgumentException(
         s"$bad value(s) in '${schema.tsCol}' do not match format " +
           s"'${schema.dateFormat}' ($jdk)")

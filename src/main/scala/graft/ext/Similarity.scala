@@ -28,9 +28,10 @@ object Similarity {
     * keep resolving against the HOF fallback instead of failing analysis.
     */
   private val nativeSessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.SparkSession, java.lang.Boolean])
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[ // weak keys: stopped sessions can be GC'd
+          org.apache.spark.sql.SparkSession, java.lang.Boolean]))
 
   def enableNative(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)

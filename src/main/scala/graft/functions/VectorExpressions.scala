@@ -20,16 +20,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; registration-controlled call sites
+  // inputs must be array<float>; registration-controlled call sites.
+  // NULL semantics deliberately mirror the HOF aggregate/zip_with idiom so
+  // VectorizeDotProducts is a bit-exact rewrite: unequal lengths (zip_with
+  // pads with nulls) or any null element make the whole result NULL.
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) {
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -39,15 +44,18 @@ case class FloatVecDot(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -60,14 +68,17 @@ case class FloatVecDot(left: Expression, right: Expression)
 case class FloatVecNorm(child: Expression)
     extends UnaryExpression {
 
-  // input must be array<float>; registration-controlled call sites
+  // input must be array<float>; null elements make the result NULL,
+  // matching the HOF aggregate form
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
       val v = x.getFloat(i).toDouble
       s += v * v
       i += 1
@@ -83,10 +94,11 @@ case class FloatVecNorm(child: Expression)
       s"""
          |double $s = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) { ${ev.value} = java.lang.Math.sqrt($s); }
        """.stripMargin
     })
 

@@ -64,11 +64,17 @@ object AsOfJoin {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    // carry ONE struct, not per-column lasts: a right row with a null
+    // payload field must still win as a whole (per-column ignoreNulls
+    // would stitch fields from different right rows together)
+    val rowStruct = when(col("__is_left") === 0,
+      struct(payload.map(c => col(s"__p_$c").as(c)): _*))
+    val carried = unioned
+      .withColumn("__match", last(rowStruct, ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (d, c) =>
+        d.withColumn(s"asof_$c", col("__match")(c))
+      }
       .filter(col("__is_left") === 1)
-      .drop((Seq("__ts", "__is_left") ++ payload.map(c => s"__p_$c")): _*)
+      .drop((Seq("__ts", "__is_left", "__match") ++ payload.map(c => s"__p_$c")): _*)
   }
 }

@@ -235,9 +235,12 @@ object TimeSeriesOps {
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(df.schema(idCol).copy(nullable = true),
         StructField("__offset", LongType))))
-    df.join(broadcast(offDf), idCol)
+    // null-safe equality: entities with a null id keep their offset row
+    // (a plain using-column join would silently drop them)
+    df.join(broadcast(offDf.withColumnRenamed(idCol, "__gpk")),
+        df(idCol) <=> col("__gpk"))
       .withColumn(outCol, col("__offset") + col(posCol))
-      .drop("__offset")
+      .drop("__gpk", "__offset")
   }
 
   /** W5 — positional train/val/test split (reference:

@@ -92,10 +92,13 @@ object StatisticalProvider extends GeneratorProvider {
   }
 
   def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
+    // one aggregate pass: per-column mean/std plus the row count the
+    // categorical frequencies normalize by (no separate count() scan)
     val aggs = schema.numericCols.flatMap(c =>
-      Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c")))
+      Seq(avg(col(c)).as(s"mean_$c"), stddev_pop(col(c)).as(s"std_$c"))) :+
+      count(lit(1)).as("__n")
     val row = data.agg(aggs.head, aggs.tail: _*).head()
-    val n = data.count().toDouble
+    val n = row.getLong(row.length - 1).toDouble
     val catFreqs = schema.catCols.map { c =>
       val freqs = data.groupBy(col(c)).agg(count(lit(1)).as("__n"))
         .orderBy(col("__n").desc, col(c))

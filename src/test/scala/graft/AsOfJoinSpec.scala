@@ -37,6 +37,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.select("asof_v").head().isNullAt(0))
   }
 
+  test("asOf carries the matched row ATOMICALLY when a payload field is null") {
+    val left = Seq(("k", 10L)).toDF("g", "ts")
+    val right = Seq(("k", 1L, Some(1L), Some(1.5)), ("k", 2L, Some(2L), None))
+      .toDF("g", "ts", "rid", "rv")
+    // latest row (ts=2) has rv=null; per-column carry would stitch
+    // rid=2 with rv=1.5 from the OLDER row — must be (2, null)
+    val row = AsOfJoin.asOf(left, right, Seq("g"), "ts", "ts", Seq("rid", "rv"))
+      .select("asof_rid", "asof_rv").head()
+    assert(row.getLong(0) == 2L && row.isNullAt(1))
+  }
+
   test("asOf carries multiple payload columns from the same matched row") {
     val left = Seq(("k", 10L)).toDF("g", "ts")
     val right = Seq(("k", 3L, 1L, 1.5), ("k", 8L, 2L, 2.5), ("k", 11L, 3L, 3.5))

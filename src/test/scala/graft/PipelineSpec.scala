@@ -73,6 +73,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("do not match format"))
     // non-strict coerces to null, pandas-style
     assert(tsf.parseTimestamps().df.filter(col("ts").isNull).count() == 1)
+    // pre-existing nulls are NOT parse failures (pandas NaT passthrough)
+    val withNull = Seq(("a", Some("01/02/2024"), 1.0), ("a", None, 2.0))
+      .toDF("id", "ts", "v")
+    val parsed = TimeSeriesFrame(withNull, TsSchema(Seq("id"), "ts", Seq("v")))
+      .parseTimestamps(strict = true)
+    assert(parsed.df.filter(col("ts").isNull).count() == 1)
   }
 
   test("BootstrapProvider replays real windows in the long-frame shape") {

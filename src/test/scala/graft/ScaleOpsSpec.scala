@@ -118,6 +118,23 @@ class ScaleOpsSpec extends AnyFunSuite {
       spark.experimental.extraOptimizations.filterNot(_ == VectorizeDotProducts)
   }
 
+  test("fvec_dot matches HOF null semantics: unequal lengths and null elements -> NULL") {
+    Similarity.enableNative(spark)
+    val df = Seq(
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f))),               // unequal
+      (Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))),         // null elem
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f))))   // clean
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      call_function("fvec_dot", col("a"), col("b")).as("native"), hof.as("h"))
+      .collect()
+    rows.foreach { r => assert(r.isNullAt(0) == r.isNullAt(1)) }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == rows(2).getDouble(1))
+  }
+
   test("native fvec_dot / fvec_norm match the HOF forms bit-for-bit") {
     val rnd = new scala.util.Random(21)
     val df = (0L until 50L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
