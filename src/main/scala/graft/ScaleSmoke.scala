@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x scale smoke: replicate sf0.1 inputs in-plan (shifted keys) and run
+  * the heaviest operators, timing each — an empirical check that the
+  * partition strategies hold under a scale-up, not just at test size.
+  * Run: `runMain graft.ScaleSmoke`
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    // 10x replication with shifted entity/doc ids (1M events, 50k docs)
+    val bigEvents = (0 until 10).map(k =>
+      events.withColumn("user_id", col("user_id") + lit(k * 10000L))
+        .withColumn("event_id", col("event_id") + lit(k * 1000000L)))
+      .reduce(_ unionByName _)
+    val bigDocs = (0 until 10).map(k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * 100000L)))
+      .reduce(_ unionByName _)
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
+    }
+    timed("w1 windows 1M rows") {
+      graft.ops.TimeSeriesOps.slidingWindows(
+        bigEvents, "user_id", "event_id", Seq("value"), 8).count()
+    }
+    timed("w1 explode variant 1M") {
+      graft.ops.TimeSeriesOps.slidingWindowsExplode(
+        bigEvents, "user_id", "event_id", Seq("value"), 8).count()
+    }
+    timed("asof join 1M views/purch") {
+      val v = bigEvents.filter(col("event_type") === "view")
+      val p = bigEvents.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOfJoin.asOf(v, p, Seq("user_id"), "ts", "ts", Seq("value")).count()
+    }
+    timed("minhash LSH 50k docs") {
+      graft.ext.Dedup.minHashNearDuplicates(
+        bigDocs, "doc_id", "text", threshold = 0.5).count()
+    }
+    timed("resample+calendar 1M") {
+      val daily = graft.ops.TimeSeriesOps.resampleSum(
+        bigEvents, "user_id", "ts", Seq("value"), "day")
+      graft.ops.TimeSeriesOps.calendarFill(
+        daily, "user_id", "bucket", Seq("value")).count()
+    }
+    spark.stop()
+  }
+}
