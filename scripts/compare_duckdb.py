@@ -33,7 +33,10 @@ def main():
         d = time.time() - t0
         s = spark_times.get(name, float("nan"))
         tot_d += d
-        tot_s += max(s, 0)
+        if s != s or s < 0:  # NaN (missing from bench) or -1.0 (bench failure)
+            print(f"{name:26s} duck={d:7.3f}s  spark=   n/a  (no spark timing)")
+            continue
+        tot_s += s
         rows.append((name, d, s, s / d if d > 0 else float("inf")))
     for name, d, s, r in sorted(rows, key=lambda x: -x[3]):
         print(f"{name:26s} duck={d:7.3f}s  spark={s:7.3f}s  ratio={r:6.1f}")

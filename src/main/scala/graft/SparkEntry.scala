@@ -302,7 +302,10 @@ object SparkEntry {
       .orderBy(col("user_id"))
 
   /** O5 — reverse (ydata un-reversal quirk, ydata_adapter.py:283-288):
-    * per-entity ordered head window and its reversal, as array columns. */
+    * per-entity ordered head window and its reversal. Computed as array
+    * columns (`reverse` over the ordered collect) then posexploded to
+    * scalar rows so the driver's column-sorting oracle compare — which
+    * cannot hash array cells — sees only hashable values. */
   private def o5Reverse(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .filter(col("user_id") % 20 === 0)
@@ -311,7 +314,13 @@ object SparkEntry {
         expr("transform(sort_array(collect_list(struct(event_id, value))), s -> s.value)"),
         1, 5).as("first5"))
       .withColumn("rev5", reverse(col("first5")))
-      .orderBy(col("user_id"))
+      .select(col("user_id"), posexplode(arrays_zip(col("first5"), col("rev5"))))
+      .select(
+        col("user_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        col("col.first5").as("fwd_value"),
+        col("col.rev5").as("rev_value"))
+      .orderBy(col("user_id"), col("pos"))
 
   /** A1/A2 — multi-column distinct (data_utils.py:18). */
   private def a1Distinct(s: SparkSession, dir: String): DataFrame =
@@ -720,9 +729,14 @@ object SparkEntry {
         |FROM events WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin,
     "f6_minmax" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
-        | round((l_extendedprice - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
-        |   / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
-        |      - min(l_extendedprice) OVER (PARTITION BY l_returnflag)), 6) AS scaled
+        | CASE WHEN max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+        |        = min(l_extendedprice) OVER (PARTITION BY l_returnflag)
+        |   THEN 0.0
+        |   ELSE round((l_extendedprice
+        |       - min(l_extendedprice) OVER (PARTITION BY l_returnflag))
+        |     / (max(l_extendedprice) OVER (PARTITION BY l_returnflag)
+        |        - min(l_extendedprice) OVER (PARTITION BY l_returnflag)), 6)
+        | END AS scaled
         |FROM lineitem ORDER BY 1,2""".stripMargin,
     "j3_positional" ->
       """SELECT user_id, event_id, DATE '2024-06-01'
@@ -745,10 +759,14 @@ object SparkEntry {
     "a1_distinct" ->
       "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY 1,2",
     "o5_reverse" ->
-      """SELECT user_id,
-        | (list(value ORDER BY event_id))[1:5] AS first5,
-        | list_reverse((list(value ORDER BY event_id))[1:5]) AS rev5
-        |FROM events WHERE user_id % 20 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT user_id, (list(value ORDER BY event_id))[1:5] AS first5
+        |  FROM events WHERE user_id % 20 = 0 GROUP BY 1)
+        |SELECT user_id,
+        | unnest(range(1, len(first5) + 1)) AS pos,
+        | unnest(first5) AS fwd_value,
+        | unnest(list_reverse(first5)) AS rev_value
+        |FROM g ORDER BY 1, 2""".stripMargin,
     "a5_bounds" ->
       """SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS first_day,
         | CAST(max(date_trunc('day', ts)) AS DATE) AS last_day,

@@ -28,8 +28,10 @@ object AsOfJoin {
     * @param leftTs   event-time column on `left`
     * @param rightTs  event-time column on `right`
     * @param payload  columns of `right` to attach (prefixed `asof_`);
-    *                 null payload values in right rows are treated as
-    *                 "no value" and carried over from the previous row
+    *                 the matched right row is carried atomically as a whole:
+    *                 the latest right row wins even when some of its payload
+    *                 fields are null, and those nulls are preserved (never
+    *                 back-filled from an earlier right row)
     */
   def asOf(
       left: DataFrame,

@@ -44,6 +44,10 @@ object Scaling {
           max(col(c)).cast("double").as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     MinMaxStats(cols.zipWithIndex.map { case (c, i) =>
+      // an entirely-null column aggregates to SQL NULL — fail loudly
+      // instead of silently fitting a (0.0, 0.0) scaler
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"Scaling.fit: column '$c' has no non-null values")
       c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }.toMap)
   }
