@@ -462,6 +462,18 @@ object SparkEntry {
     Dedup.simHashNearDuplicates(T(s, dir, "documents"), "doc_id", "text", 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Portable 32-bit SimHash signatures — oracle-checked value-for-value. */
+  private def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPortable(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Portable banded SimHash pairs at Hamming ≤ 3; the DuckDB oracle is a
+    * naive pairwise join, so a hash match proves the pigeonhole banding
+    * drops no pairs. */
+  private def dedupSimhashPairsPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** LSH-bucketed approximate top-k (rows-only: bucket recall is
     * probabilistic by design). */
   private def simLshTopK(s: SparkSession, dir: String): DataFrame = {
@@ -569,6 +581,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_simhash_portable" -> (dedupSimhashPortable _),
+    "dedup_simhash_pairs_portable" -> (dedupSimhashPairsPortable _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "text_quality" -> (textQuality _),
@@ -578,7 +592,37 @@ object SparkEntry {
     "mm_features" -> (mmFeatures _),
   )
 
+  /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
+    * sums over md5-hashed tokens, mirroring [[graft.ext.Dedup.simHashPortable]]
+    * bit-for-bit (same empty-token filter, same >0 tie rule). */
+  private val simhashPortableCte: String = {
+    val bitSums = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val sig = (0 until 32)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+       |  FROM t WHERE len(tok) > 0),
+       |b AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
+       |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM b)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash_portable" ->
+      s"""$simhashPortableCte
+         |SELECT doc_id, simhash32 FROM s ORDER BY 1""".stripMargin,
+    "dedup_simhash_pairs_portable" ->
+      s"""$simhashPortableCte
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         | CAST(bit_count(xor(a.simhash32, c.simhash32)) AS INT) AS hamming
+         |FROM s a JOIN s c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash32, c.simhash32)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,

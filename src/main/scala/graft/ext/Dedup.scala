@@ -202,6 +202,69 @@ object Dedup {
     withHashes.select(col(idCol) +: sigCols: _*)
   }
 
+  /** Cross-engine-portable SimHash: 32-bit signature where the token hash
+    * is the first 8 hex digits of md5 — computable bit-for-bit in any
+    * engine with md5 (the xxhash64 64-bit [[simHash]] stays the production
+    * path). Same plan shape: explode tokens, 32 conditional-sum aggregates
+    * in ONE shuffle on the doc id, then assemble the sign bits. Empty
+    * tokens (leading/trailing whitespace artifacts) are filtered on both
+    * engines; ties (bit sum == 0) resolve to 0.
+    */
+  def simHashPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      outCol: String = "simhash32"): DataFrame = {
+    val toks = df.select(
+      col(idCol),
+      explode(split(col(textCol), "\\s+")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .withColumn("__h", conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 32).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__b$i"))
+    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32)
+      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col(idCol), sig.as(outCol))
+  }
+
+  /** Portable-signature near-dup pairs at Hamming distance ≤ `maxDistance`
+    * over the 32-bit [[simHashPortable]] signature, via the same pigeonhole
+    * banding as [[simHashNearDuplicates]] (`maxDistance+1` chunks; a pair
+    * within distance must agree on ≥1 chunk). The banded equi-join is the
+    * scale path; the oracle cross-checks it value-for-value against a naive
+    * pairwise SQL join, proving the banding loses no pairs.
+    */
+  def simHashNearDuplicatesPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 32 / chunks
+    val sigs = simHashPortable(df, idCol, textCol)
+    val banded = sigs.withColumn(
+      "__chunk",
+      explode(array((0 until chunks).map(c =>
+        struct(
+          lit(c).as("chunk_idx"),
+          shiftright(col("simhash32"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
+      .select(col(idCol), col("simhash32"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
+    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_a"), col("simhash32").as("sig_a"))
+    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("id_b"), col("simhash32").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** MLlib route for MinHash near-dup candidates: shingles → `HashingTF`
     * sparse vectors → `MinHashLSH.approxSimilarityJoin`. Functionally
     * equivalent to [[minHashNearDuplicates]] (which stays the default: its

@@ -48,6 +48,32 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(0))
   }
 
+  test("portable simhash: identical docs collide; banding equals naive pairs") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "totally unrelated words appear here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHashPortable(df, "doc_id", "text")
+      .orderBy("doc_id").select("simhash32").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs.forall(s => s >= 0L && s <= 0xFFFFFFFFL))
+    // banded pairs == naive pairwise filter over the signatures
+    val banded = Dedup.simHashNearDuplicatesPortable(df, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val s2 = Dedup.simHashPortable(df, "doc_id", "text")
+    val naive = s2.toDF("id_a", "sig_a")
+      .crossJoin(s2.toDF("id_b", "sig_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == naive)
+    assert(banded.contains((0L, 1L, 0)))
+  }
+
   test("ngram Jaccard: identical docs score 1.0, disjoint docs are absent") {
     val df = Seq((0L, "a b c d e"), (1L, "a b c d e"), (2L, "v w x y z"))
       .toDF("doc_id", "text")
