@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Scaling, TimeSeriesOps => Ts}
+import graft.ops.{Sampling, Scaling, TimeSeriesOps => Ts}
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -524,6 +525,183 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ——— round-2 breadth: ordered/statistical aggregates, non-equi joins,
+  // sessionization, rank windows, deterministic sampling ————————————————
+
+  /** A15 — exact interpolated percentiles per group (`percentile`, the
+    * sort-based exact aggregate; `approx_percentile` is the sketch path at
+    * 100 TB — both one shuffle on the group key). */
+  private def a15Quantiles(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.50D)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("med_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** A16 — bivariate statistics (corr / covariance / sample stddev), all
+    * single-pass codegen'd aggregates. */
+  private def a16Corr(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_samp_qp"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** A17 — CUBE grouping sets with grouping_id (ROLLUP twin of a13). */
+  private def a17Cube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        dsum(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** A18 — order-sensitive string aggregation (listagg/string_agg
+    * equivalent): collect_list of (order, value) structs sorted in-array,
+    * so the concatenation order is explicit and engine-independent rather
+    * than partition-order-dependent. */
+  private def a18StringAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ",").as("type_seq"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"))
+
+  /** J5 — non-equi band (range) join: facts stream against a broadcast
+    * band table (BroadcastNestedLoopJoin — correct plan when the build side
+    * is tiny); empty bands are restored by a second 10-row dim-side join,
+    * never an outer join that would force broadcasting the fact side. */
+  private def j5BandJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(0, 10).select(
+      col("id").as("band_idx"),
+      (lit(900.0) + col("id") * lit(2.0)).as("lo"),
+      (lit(900.0) + (col("id") + 1) * lit(2.0)).as("hi"))
+    val agged = T(s, dir, "part")
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band_idx"))
+      .agg(count(col("p_partkey")).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+    bands.join(agged, Seq("band_idx"), "left")
+      .select(col("band_idx"), col("lo"), col("hi"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"), col("avg_price"))
+      .orderBy(col("band_idx"))
+  }
+
+  /** J6 — TPC-H Q5-shaped 5-way star join (region→nation→customer→orders→
+    * lineitem): every dimension side auto-broadcasts, the fact table never
+    * shuffles for the joins. */
+  private def j6Q5Region(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .join(T(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(T(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+      .join(T(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** W8 — sessionization (gap-and-island) + per-session / per-user rollup.
+    * One shuffle for the session numbering, one for the rollup. */
+  private def w8Session(s: SparkSession, dir: String): DataFrame = {
+    val sess = Ts.sessionize(
+      T(s, dir, "events"), Seq("user_id"), "ts", 43200L, Seq("event_id"))
+    val per = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(date_trunc("second", max(col("ts"))))
+          - unix_timestamp(date_trunc("second", min(col("ts"))))).as("span_s"))
+    per.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_events"),
+        max(col("span_s")).as("max_span_s"),
+        round(avg(col("n_events")), 4).as("avg_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W9 — rank-family window functions (ntile / percent_rank / cume_dist /
+    * lag / lead with defaults); both windows share one partitioning, so the
+    * whole query is a single shuffle on user_id. */
+  private def w9Ranks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+    T(s, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .select(
+        col("user_id"), col("event_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(wv), 6).as("pct_rank"),
+        round(cume_dist().over(wv), 6).as("cume"),
+        round(lag(col("value"), 1, -1.0).over(w), 2).as("prev_value"),
+        round(lead(col("value"), 2, -1.0).over(w), 2).as("next2_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** O6 — top-k per group with rank ties (deterministic via event_id
+    * tie-break). rank ≤ k over a window, not a per-group sort-limit. */
+  private def o6TopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    T(s, dir, "events")
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), col("rnk"), col("event_id"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("rnk"), col("event_id"))
+  }
+
+  /** P10 — deterministic hash-gated sample (portable md5 variant so the
+    * sampled set is oracle-checkable; xxhash64 is the production gate). */
+  private def p10Sample(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSamplePortable(T(s, dir, "events"), col("event_id"), 5)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  /** F13 — array higher-order functions over the embedding column:
+    * left-fold sum of squares, filtered count, max. All codegen'd
+    * (`aggregate`/`filter`/`array_max`), no UDF. */
+  private def f13ListHof(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(
+        col("vec_id"),
+        round(
+          aggregate(
+            transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x),
+          6).as("sum_sq"),
+        size(filter(col("embedding"), x => x.cast("double") > 0)).as("n_pos"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_v"))
+      .orderBy(col("vec_id"))
+
+  /** U4 — semi-join (EXISTS): customers with ≥1 finished order, counted per
+    * segment. left_semi never widens rows — the fact side is filter-only. */
+  private def u4Semi(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -590,6 +768,18 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_features" -> (mmFeatures _),
+    "a15_quantiles" -> (a15Quantiles _),
+    "a16_corr" -> (a16Corr _),
+    "a17_cube" -> (a17Cube _),
+    "a18_string_agg" -> (a18StringAgg _),
+    "j5_band_join" -> (j5BandJoin _),
+    "j6_q5_region" -> (j6Q5Region _),
+    "w8_session" -> (w8Session _),
+    "w9_ranks" -> (w9Ranks _),
+    "o6_topk_group" -> (o6TopkGroup _),
+    "p10_sample" -> (p10Sample _),
+    "f13_list_hof" -> (f13ListHof _),
+    "u4_semi" -> (u4Semi _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -613,6 +803,121 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "a15_quantiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(median(l_quantity), 4) AS med_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a16_corr" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a17_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 3, 1, 2""".stripMargin,
+    "a18_string_agg" ->
+      """SELECT user_id,
+        | string_agg(event_type, ',' ORDER BY event_id) AS type_seq,
+        | count(*) AS n
+        |FROM events WHERE user_id % 5 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_band_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_idx,
+        |   CAST(900.0 + i * 2.0 AS DOUBLE) AS lo,
+        |   CAST(900.0 + (i+1) * 2.0 AS DOUBLE) AS hi
+        |  FROM generate_series(0, 9) AS t(i))
+        |SELECT band_idx, lo, hi, count(p_partkey) AS n_parts,
+        | round(avg(p_retailprice), 4) AS avg_price
+        |FROM bands LEFT JOIN part ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "j6_q5_region" ->
+      """SELECT r_name, n_name,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,4)))),2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM region
+        | JOIN nation ON n_regionkey = r_regionkey
+        | JOIN customer ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w8_session" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR epoch(date_trunc('second', ts))
+        |        - epoch(date_trunc('second', lag(ts) OVER w)) > 43200
+        |   THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |   epoch(date_trunc('second', max(ts)))
+        |     - epoch(date_trunc('second', min(ts))) AS span_s
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(max(n_events) AS BIGINT) AS max_events,
+        | CAST(max(span_s) AS BIGINT) AS max_span_s,
+        | round(avg(n_events), 4) AS avg_events
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w9_ranks" ->
+      """SELECT user_id, event_id,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | round(percent_rank() OVER
+        |   (PARTITION BY user_id ORDER BY value, event_id), 6) AS pct_rank,
+        | round(cume_dist() OVER
+        |   (PARTITION BY user_id ORDER BY value, event_id), 6) AS cume,
+        | round(lag(value, 1, -1.0) OVER w, 2) AS prev_value,
+        | round(lead(value, 2, -1.0) OVER w, 2) AS next2_value
+        |FROM events WHERE user_id % 5 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY 1, 2""".stripMargin,
+    "o6_topk_group" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id, event_id, value,
+        |   rank() OVER (PARTITION BY event_type
+        |     ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, user_id, value
+        |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3""".stripMargin,
+    "p10_sample" ->
+      """SELECT event_type,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  % 100 < 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f13_list_hof" ->
+      """SELECT vec_id,
+        | round(list_reduce(
+        |   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+        |   (a, b) -> a + b), 6) AS sum_sq,
+        | CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT)
+        |   AS n_pos,
+        | round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_v
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY 1""".stripMargin,
+    "u4_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash_portable" ->
       s"""$simhashPortableCte
          |SELECT doc_id, simhash32 FROM s ORDER BY 1""".stripMargin,

@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `TABLESAMPLE` / `df.sample` are seed-dependent AND partition-dependent —
+  * the same seed yields different rows after a repartition, which makes
+  * pipeline reruns non-reproducible at scale. Hash-gating on a stable key
+  * (`hash(key) mod granularity < rate`) is partition-independent,
+  * cluster-size-independent, and joins consistently across tables sampled
+  * on the same key (the standard trick for coherent multi-table samples).
+  * It is a pure map-side filter: no shuffle, pushes through scans as a
+  * deterministic predicate.
+  */
+object Sampling {
+
+  /** Production path: xxhash64-gated sample keeping ~`percent`% of rows. */
+  def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
+    df.filter(pmod(xxhash64(keyCol), lit(100)) < percent)
+
+  /** Cross-engine-portable variant: first 8 md5 hex digits as the gate hash
+    * (same idiom as [[graft.ext.Dedup.simHashPortable]]) so the sampled set
+    * is reproducible in any engine with md5 — and hence oracle-checkable.
+    * Slower than [[hashSample]]; use for cross-engine reconciliation. */
+  def hashSamplePortable(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
+    df.filter(
+      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100 < percent)
+}

@@ -376,4 +376,37 @@ object TimeSeriesOps {
       .groupBy(col(idCol))
       .agg(expr("percentile(__gap, 0.5)").as(outCol))
   }
+
+  /** Sessionization: assign a per-entity session id that increments whenever
+    * the gap to the previous event exceeds `gapSeconds` (the batch twin of
+    * Structured Streaming's session windows in
+    * [[graft.streaming.StreamingResample]]).
+    *
+    * Classic gap-and-island: flag session starts with `lag`, then a running
+    * sum of the flags numbers the sessions — both windows share ONE
+    * partitioning (entity key), so this is a single shuffle regardless of
+    * data size; per-entity ordering is the only per-task state. Ties are
+    * broken by `orderCols` for cross-engine determinism.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      orderCols: Seq[String] = Nil,
+      outCol: String = "session_id"): DataFrame = {
+    val order = (col(tsCol) +: orderCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prev.isNull ||
+        unix_timestamp(date_trunc("second", col(tsCol)))
+          - unix_timestamp(date_trunc("second", prev)) > gapSeconds,
+      1).otherwise(0)
+    df.withColumn("__is_new", isNew)
+      .withColumn(outCol,
+        sum(col("__is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__is_new")
+  }
 }

@@ -12,6 +12,27 @@ class FrameOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("hash sampling is partition-independent and key-stable") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)                    // same rows regardless of layout
+    assert(a.size > 100 && a.size < 300) // ~10% of 2000
+    // widening the gate keeps the narrower sample (nested samples)
+    val wide = Sampling.hashSample(df, col("id"), 20)
+      .select("id").as[Long].collect().toSet
+    assert(a.subsetOf(wide))
+    // portable variant: same properties, engine-portable hash
+    val p = Sampling.hashSamplePortable(df, col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    val p2 = Sampling.hashSamplePortable(df.repartition(7), col("id"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(p == p2 && p.size > 100 && p.size < 300)
+  }
+
   test("P2 prefix strip mirrors the synthcity rename (F-7, test_synthcity_adapter.py:70-106)") {
     val df = Seq((1, "a", "B7", 4.5, false))
       .toDF("seq_id", "seq_time_id", "seq_static_id", "seq_temporal_temp_b", "seq_out_outcome")

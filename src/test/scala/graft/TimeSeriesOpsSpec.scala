@@ -132,6 +132,28 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(30.0, 0.0, 0.0, 70.0))
   }
 
+  test("sessionize numbers gap-separated islands per entity") {
+    val df = Seq(
+      (1, "2024-01-01 00:00:00", 0L), // session 1
+      (1, "2024-01-01 00:10:00", 1L), // gap 600 <= 3600 -> session 1
+      (1, "2024-01-01 02:00:00", 2L), // gap 6600 > 3600 -> session 2
+      (1, "2024-01-01 02:30:00", 3L), // session 2
+      (2, "2024-01-01 00:00:00", 4L)) // other entity -> its own session 1
+      .toDF("uid", "s", "eid").withColumn("ts", to_timestamp(col("s")))
+    val got = TimeSeriesOps.sessionize(df, Seq("uid"), "ts", 3600L, Seq("eid"))
+      .orderBy("uid", "eid")
+      .select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("sessionize: a gap of exactly gapSeconds stays in-session") {
+    val df = Seq((1, "2024-01-01 00:00:00", 0L), (1, "2024-01-01 01:00:00", 1L))
+      .toDF("uid", "s", "eid").withColumn("ts", to_timestamp(col("s")))
+    val got = TimeSeriesOps.sessionize(df, Seq("uid"), "ts", 3600L, Seq("eid"))
+      .select("session_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 1L)) // strict > comparison, like interval > in SQL
+  }
+
   test("A12 frequency inference: median gap in seconds") {
     val df = Seq((1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:10"),
       (1, "2024-01-01 00:00:30"))
