@@ -29,40 +29,59 @@ object Dedup {
       slices.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
   }
 
-  /** MinHash signatures: hash each distinct shingle with xxhash64, then k
-    * independent permutations h_i(x) = (a_i·x + b_i) mod p taken to their
-    * minimum per document.
+  /** 2^61 − 1 (Mersenne prime): the permutation modulus for MinHash. */
+  val MinHashP = 2305843009213693951L
+
+  private def minHashCoeffs(numHashes: Int, seed: Long): (Seq[Long], Seq[Long]) = {
+    val p = MinHashP
+    val rnd = new scala.util.Random(seed)
+    val coeffs = Seq.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    (coeffs.map(_._1), coeffs.map(_._2))
+  }
+
+  /** MinHash signature ARRAY: hash each distinct shingle with xxhash64,
+    * then k independent permutations h_i(x) = (a_i·x + b_i) mod p taken to
+    * their minimum per document — zero shuffles, a pure map stage at any
+    * scale. The k×|shingles| multiply-mod inner loop runs in the native
+    * codegen kernel [[graft.functions.MinHashSigs]]; the equivalent
+    * `transform`+`array_min` higher-order form evaluates its lambdas
+    * interpreted and measured ~10× slower at sf0.1. Docs with no shingles
+    * (or null text) get the sentinel `p` in every slot.
     *
-    * Computed entirely with array higher-order functions (`transform` +
-    * `array_min`) over the per-row shingle array — zero shuffles, fully
-    * codegen'd, so at 100 TB it is a pure map stage. (a·h + b) uses Spark's
-    * wrapping long multiply — wraps identically everywhere, and the minimum
-    * of a wrapped ring is still a stable signature. Docs with no shingles
-    * get the sentinel `p`.
-    *
-    * Returns (idCol, minhash_0 … minhash_{k-1}).
+    * Returns (idCol, outCol: array<long> of length k).
     */
+  def minHashSignatureArray(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      seed: Long = 42L,
+      outCol: String = "__sig"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val p = MinHashP
+    val (as, bs) = minHashCoeffs(numHashes, seed)
+    val hashes = transform(wordNgrams(col(textCol), shingleLen), s => xxhash64(s))
+    val sig = GraftColumnBridge.column(
+      graft.functions.MinHashSigs(GraftColumnBridge.expression(hashes), as, bs, p))
+    df.select(col(idCol),
+      coalesce(sig, array((0 until numHashes).map(_ => lit(p)): _*)).as(outCol))
+  }
+
+  /** MinHash signatures as k columns (minhash_0 … minhash_{k-1}) — the
+    * column-per-hash view over [[minHashSignatureArray]]. */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       numHashes: Int = 32,
-      seed: Long = 42L): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    val rnd = new scala.util.Random(seed)
-    val coeffs = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val hashes = transform(wordNgrams(col(textCol), shingleLen),
-      s => pmod(xxhash64(s), lit(p)))
-    val withHashes = df.withColumn("__hs", hashes)
-    val sigCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      coalesce(
-        array_min(transform(col("__hs"), h => pmod(h * lit(a) + lit(b), lit(p)))),
-        lit(p)).as(s"minhash_$i")
-    }
-    withHashes.select(col(idCol) +: sigCols: _*)
-  }
+      seed: Long = 42L): DataFrame =
+    minHashSignatureArray(df, idCol, textCol, shingleLen, numHashes, seed)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"minhash_$i")): _*)
 
   /** MinHash + LSH near-dup candidate pairs: band the signature (bands of
     * `rowsPerBand`), hash each band, shuffle on (band index, band hash),
@@ -82,32 +101,37 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigArr = array((0 until numHashes).map(i => col(s"minhash_$i")): _*)
-    // signatures are a pure map stage; recomputing them per consumer is a
-    // scan-bound re-map, while persisting a corpus-scale signature table
-    // would pin storage memory for the session — callers that reuse the
-    // result repeatedly can persist the RETURNED frame themselves
-    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-      .select(col(idCol), sigArr.as("__sig"))
+    // the signature array rides along through the banding explode and the
+    // bucket join, so the expensive shingle+hash map stage runs ONCE — an
+    // ids-only join would re-join signatures back twice, recomputing the
+    // map stage 3×. Cost: the bucket-join shuffle moves `bands` copies of
+    // the k-long signature per doc (k·8·bands bytes ≈ 4 KB at k=32/
+    // bands=16) instead of (long, long) rows — band buckets are
+    // near-duplicate groups, so the replication is bounded and the saved
+    // scans dominate at any scale.
+    val sigs = minHashSignatureArray(df, idCol, textCol, shingleLen, numHashes)
     val withBands = sigs
-      .select(col(idCol),
+      .select(col(idCol), col("__sig"),
         explode(array((0 until bands).map(b =>
           struct(
             lit(b).as("band_idx"),
             xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
               .as("band_hash"))): _*)).as("__band"))
-      .select(col(idCol), col("__band.band_idx"), col("__band.band_hash"))
-    // candidate pairs carry ids only; signatures re-join after the distinct
-    // so the shuffle moves (long, long) rows, not 32-element arrays
-    val cand = withBands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-      .join(withBands.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b")),
-        Seq("band_idx", "band_hash"))
+      .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
+    // SHUFFLE_HASH: Catalyst's size estimate under the explode is a few MB
+    // (it sees the parquet bytes, not the exploded arrays), so it would
+    // broadcast the banded corpus — a driver collect that is pointless at
+    // sf0.1 and fatal at scale. A shuffle hash join partitions on the
+    // bucket key, and the two sides are the same subtree, so ReuseExchange
+    // computes the map stage once.
+    val a = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val b = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col(idCol).as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(sigs.select(col(idCol).as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // collapse multi-band matches before the similarity math
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           b => b)).cast("double") / lit(numHashes.toDouble)).as("sig_similarity"))
@@ -115,26 +139,23 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature = sign of the per-bit sum of token hashes.
-    * Computed as 64 conditional-sum aggregates (one shuffle on doc id) —
-    * all codegen'd.
+    * A zero-shuffle per-row map: token hashes via `transform`+`xxhash64`,
+    * folded by the native codegen kernel [[graft.functions.SimHashBits]].
+    * (The first-cut explode + 64-conditional-sum aggregate shuffled the
+    * whole token stream on doc id; as a map stage, signatures are
+    * embarrassingly parallel at any corpus size.) Null-text docs are
+    * dropped, matching the aggregate form where they produced no rows.
     */
   def simHash(
       df: DataFrame,
       idCol: String,
       textCol: String,
       outCol: String = "simhash"): DataFrame = {
-    val toks = df.select(
-      col(idCol),
-      explode(split(col(textCol), "\\s+")).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"__b$i"))
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as(outCol))
+    import org.apache.spark.sql.GraftColumnBridge
+    val hashes = transform(split(col(textCol), "\\s+"), t => xxhash64(t))
+    val sig = GraftColumnBridge.column(
+      graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 64))
+    df.filter(col(textCol).isNotNull).select(col(idCol), sig.as(outCol))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance`, via the
@@ -161,9 +182,14 @@ object Dedup {
           shiftright(col("simhash"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
       .select(col(idCol), col("simhash"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
-    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+    // shuffle-hash: the size estimate under the explode is tiny, so Spark
+    // would broadcast one side — losing ReuseExchange and re-running the
+    // 64-sum signature aggregate twice (and a broadcast of the banded
+    // corpus is fatal at scale). With both sides as the same shuffle, the
+    // aggregate runs once.
+    val a = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+    val b = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -215,19 +241,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       outCol: String = "simhash32"): DataFrame = {
-    val toks = df.select(
-      col(idCol),
-      explode(split(col(textCol), "\\s+")).as("__t"))
-      .filter(length(col("__t")) > 0)
-      .withColumn("__h", conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map(i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"__b$i"))
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 32)
-      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col(idCol), sig.as(outCol))
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val hashes = transform(toks,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val sig = GraftColumnBridge.column(
+      graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 32))
+    // docs with no non-empty tokens are dropped, matching the GROUP-BY-drop
+    // semantics of the DuckDB oracle (unnest + WHERE len>0 + GROUP BY)
+    df.filter(col(textCol).isNotNull && size(toks) > 0)
+      .select(col(idCol), sig.as(outCol))
   }
 
   /** Portable-signature near-dup pairs at Hamming distance ≤ `maxDistance`
@@ -253,9 +276,10 @@ object Dedup {
           shiftright(col("simhash32"), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
       .select(col(idCol), col("simhash32"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
-    val a = banded.select(col("chunk_idx"), col("chunk_val"),
+    // same shuffle-hash rationale as [[simHashNearDuplicates]]
+    val a = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash32").as("sig_a"))
-    val b = banded.select(col("chunk_idx"), col("chunk_val"),
+    val b = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_b"), col("simhash32").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))

@@ -156,4 +156,55 @@ class ScaleOpsSpec extends AnyFunSuite {
       .agg(max(abs(col("d")))).head().getDouble(0)
     assert(normDiff == 0.0)
   }
+
+  test("native MinHashSigs kernel == HOF transform/array_min reference") {
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(7)
+    val texts = (0L until 40L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(40))(s"w${rnd.nextInt(30)}").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    val p = Dedup.MinHashP
+    // reference form: the original interpreted pipeline, coefficients from
+    // the same seeded stream as the production path
+    val cRnd = new scala.util.Random(42L)
+    val coeffs = Seq.fill(32)(
+      (math.abs(cRnd.nextLong()) % (p - 1) + 1, math.abs(cRnd.nextLong()) % p))
+    val hs = transform(Dedup.wordNgrams(col("text"), 3),
+      s => pmod(xxhash64(s), lit(p)))
+    val refCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      coalesce(
+        array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(p)))),
+        lit(p)).as(s"ref_$i")
+    }
+    val ref = df.select(col("doc_id") +: refCols: _*)
+    val got = Dedup.minHashSignatures(df, "doc_id", "text")
+    val joined = got.join(ref, "doc_id")
+    val mismatches = joined.filter(
+      (0 until 32).map(i => col(s"minhash_$i") =!= col(s"ref_$i")).reduce(_ || _))
+    assert(mismatches.count() == 0)
+  }
+
+  test("native SimHashBits kernel == explode/conditional-sum reference") {
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(11)
+    val texts = (0L until 40L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(60))(s"tok${rnd.nextInt(50)}").mkString(" ")))
+    val df = texts.toDF("doc_id", "text")
+    // reference: the original aggregate form
+    val toks = df.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__b$i"))
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val refSig = (0 until 64)
+      .map(i => when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val ref = agg.select(col("doc_id"), refSig.as("ref_sig"))
+    val got = Dedup.simHash(df, "doc_id", "text")
+    val bad = got.join(ref, "doc_id").filter(col("simhash") =!= col("ref_sig"))
+    assert(bad.count() == 0)
+    assert(got.count() == 40)
+  }
 }
