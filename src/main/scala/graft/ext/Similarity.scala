@@ -17,42 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** When enabled (via [[enableNative]]), dot/norm compile to the native
-    * codegen'd Catalyst expressions in `graft.functions` instead of
-    * interpreted higher-order-function lambdas — same float64 array-order
-    * accumulation, bit-identical results, ~no per-element overhead.
-    *
-    * Registration is tracked PER SESSION: the native path is only taken
-    * when the active session at plan-construction time has the functions
-    * registered, so frames built on a second, never-registered session
-    * keep resolving against the HOF fallback instead of failing analysis.
-    */
-  private val nativeSessions =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[ // weak keys: stopped sessions can be GC'd
-          org.apache.spark.sql.SparkSession, java.lang.Boolean]))
-
-  def enableNative(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Registers `fvec_dot`/`fvec_norm` for SQL-string callers. The DSL
+    * paths below do NOT require it: they construct the native expression
+    * nodes directly via the bridge. */
+  def enableNative(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.VectorFunctions.register(spark)
-    nativeSessions.add(spark)
-  }
 
-  private def nativeActive: Boolean =
-    org.apache.spark.sql.SparkSession.getActiveSession.exists(nativeSessions.contains)
+  import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression}
 
   /** Dot product of two float-array columns in float64, summed in array
-    * order. */
+    * order — always the native codegen'd kernel ([[graft.functions
+    * .FloatVecDot]]); bit-identical to the interpreted
+    * `aggregate(zip_with(...))` HOF form (proven in ScaleOpsSpec) with
+    * ~no per-element overhead. */
   def dot(a: Column, b: Column): Column =
-    if (nativeActive) call_function("fvec_dot", a, b)
-    else aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    exprCol(graft.functions.FloatVecDot(expression(a), expression(b)))
 
-  /** L2 norm of a float-array column in float64. */
+  /** L2 norm of a float-array column in float64 — native kernel. */
   def l2Norm(a: Column): Column =
-    if (nativeActive) call_function("fvec_norm", a)
-    else sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    exprCol(graft.functions.FloatVecNorm(expression(a)))
 
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
@@ -153,11 +136,17 @@ object Similarity {
     * trained centroids; each query scores only the `numProbes` nearest
     * cells.
     *
-    * Training is Lloyd's iterations expressed as DataFrame aggregates
-    * (assign = argmin over broadcast centroids; update = per-cell mean);
-    * centroids live driver-side (numCells × dim doubles — KBs) and are
-    * re-broadcast as literals each iteration. Candidate scoring joins on
-    * the cell id — never a full cross join.
+    * Training is Lloyd's iterations expressed as DataFrame aggregates;
+    * centroids live driver-side (numCells × dim floats — KBs) and are
+    * re-broadcast as literals each iteration. All per-element math runs in
+    * the native [[dot]]/[[l2Norm]] kernels: the assignment argmin uses
+    * dist² ∝ |c|² − 2·v·c (the |v|² term is constant per row), so each
+    * centroid distance is ONE fused dot product instead of an interpreted
+    * `zip_with` difference-square fold. The centroid update is dim
+    * per-dimension `avg(element_at(...))` aggregates — a single shuffle of
+    * partial means that distributes at any corpus size, never a
+    * `collect_list` of whole vectors into one task. Candidate scoring
+    * joins on the cell id — never a full cross join.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -171,70 +160,64 @@ object Similarity {
     val spark = candidates.sparkSession
     import spark.implicits._
 
-    val vecs = candidates.select(col(idCol).as("__id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
+    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
 
     // seed centroids: deterministic hash-ordered sample
-    var centroids: Array[Seq[Double]] = vecs
+    var centroids: Array[Seq[Float]] = vecs
       .withColumn("__r", xxhash64(col("__id")))
       .orderBy("__r").limit(numCells)
-      .select("__v").as[Seq[Double]].collect()
+      .select("__v").as[Seq[Float]].collect()
 
     def cellOf(v: Column): Column = {
-      // argmin over the broadcast centroid list, squared L2
+      // argmin over the broadcast centroid list: |c|² − 2·v·c
       val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x.toDouble).sum
         struct(
-          aggregate(zip_with(v, typedLit(c), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, d) => a + d).as("dist"),
+          (lit(c2) - lit(2.0) * dot(v, typedLit(c))).as("dist"),
           lit(i).as("cell"))
       }
       array_min(array(dists: _*))("cell")
     }
 
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
     (1 to lloydIters).foreach { _ =>
+      val dimAvgs = (0 until dim).map(i =>
+        avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
       val updated = vecs.withColumn("__cell", cellOf(col("__v")))
-        .groupBy("__cell")
-        .agg(collect_list(col("__v")).as("__members"))
-        .select(col("__cell"), expr(
-          """aggregate(__members,
-            |  transform(__members[0], x -> CAST(0.0 AS DOUBLE)),
-            |  (acc, m) -> zip_with(acc, m, (a, b) -> a + b),
-            |  acc -> transform(acc, s -> s / size(__members)))""".stripMargin)
-          .as("__centroid"))
-        .as[(Int, Seq[Double])].collect()
-      updated.foreach { case (cell, c) => centroids(cell) = c }
+        .groupBy(col("__cell"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+      updated.foreach { row =>
+        centroids(row.getInt(0)) =
+          (0 until dim).map(i => row.getDouble(i + 1).toFloat)
+      }
     }
 
     val assigned = vecs.withColumn("__cell", cellOf(col("__v")))
       .select(col("__id").as("neighbor_id"), col("__cell"),
         col("__v").as("__cv"))
-      .withColumn("__cn", sqrt(aggregate(col("__cv"), lit(0.0),
-        (a, x) => a + x * x)))
+      .withColumn("__cn", l2Norm(col("__cv")))
 
     // queries probe their numProbes nearest cells
     val probeCells: Column = {
       val dists = centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(x => x.toDouble * x.toDouble).sum
         struct(
-          aggregate(zip_with(col("__qv"), typedLit(c), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, d) => a + d).as("dist"),
+          (lit(c2) - lit(2.0) * dot(col("__qv"), typedLit(c))).as("dist"),
           lit(i).as("cell"))
       }
       slice(array_sort(array(dists: _*)), 1, numProbes)("cell")
     }
-    val q = queries.select(col(idCol).as("query_id"),
-      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__qv"))
-      .withColumn("__qn", sqrt(aggregate(col("__qv"), lit(0.0),
-        (a, x) => a + x * x)))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
       .withColumn("__cell", explode(probeCells))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     val out = q.join(assigned, "__cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("__qv"), col("__cv"), (x, y) => x * y),
-          lit(0.0), (a, v) => a + v) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
