@@ -50,6 +50,31 @@ final class SyntheticGenerator(
       schema.tsCol,
       expr(s"date_add(DATE '$startDate', CAST(step AS INT))"))
 
+  /** PAR-style context generation (reference: sdv_adapter.py:38-68 and
+    * generate() at sdv_adapter.py:122-131): one sequence per context row,
+    * with the context columns — the reference's `context_columns`, i.e.
+    * per-sequence constants such as item ids or static covariates —
+    * attached to every step of the matching generated sequence.
+    *
+    * Context rows are numbered deterministically by sorting on all context
+    * columns (the reference relies on the context frame's row order, which
+    * has no distributed equivalent). The attach is a broadcast join: the
+    * context is by construction #sequences rows — dim-sized relative to
+    * the generated steps. Context column names must not collide with the
+    * generated schema (`seq_id`, `step`, the numeric columns).
+    */
+  def generateWithContext(spark: SparkSession, context: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = context.count()
+    require(n <= 1000000L,
+      s"context has $n rows; one sequence is generated per row — cap is 1e6")
+    val ordered = context.withColumn(
+      "seq_id",
+      (row_number().over(
+        Window.orderBy(context.columns.map(col): _*)) - 1).cast("long"))
+    generate(spark, n.toInt).join(broadcast(ordered), "seq_id")
+  }
+
   /** S4/S5 — persist the fitted transformer + provider state as JSON
     * (scaling stats are 2 doubles per column; statistical-provider state is
     * mean/std per column). Mirrors evaluation.py:244-255's pickle sink. */

@@ -64,6 +64,22 @@ object StreamingResample {
         && col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Streaming exact dedup — the streaming twin of `ext.Dedup.exact` /
+    * P5 `dedupKeepFirst`: keeps the first arrival per key and drops
+    * duplicates that arrive within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes it, so state is bounded by (keys seen per horizon),
+    * not by the full stream history — the only viable shape for an
+    * unbounded training-data ingest pipeline.
+    */
+  def dedupStream(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session windows: activity bursts separated by ≥ `gap` of silence. */
   def sessionCount(
       df: DataFrame,

@@ -43,6 +43,24 @@ class ApiSpec extends AnyFunSuite {
     assert(out == Seq("2024-06-01", "2024-06-02", "2024-06-03"))
   }
 
+  test("PAR-style context generation attaches context rows per sequence") {
+    val gen = SyntheticGenerator("statistical", schema, seqLen = 4).fit(data)
+    val ctx = Seq(("item_0", "DE"), ("item_1", "FR"), ("item_2", "US"))
+      .toDF("ctx_item", "country")
+    val out = gen.generateWithContext(spark, ctx)
+    assert(out.count() == 12) // 3 sequences x 4 steps
+    // each sequence carries exactly one context row, constant across steps
+    val perSeq = out.groupBy("seq_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("ctx_item", "country")
+        .as("n"))
+      .select("n").as[Long].collect().toSeq
+    assert(perSeq == Seq(1L, 1L, 1L))
+    // deterministic numbering: sorted context order -> seq_id order
+    val m = out.select("seq_id", "ctx_item").distinct()
+      .orderBy("seq_id").as[(Long, String)].collect().toSeq
+    assert(m == Seq((0L, "item_0"), (1L, "item_1"), (2L, "item_2")))
+  }
+
   test("S4/S5 save -> load round-trips the fitted state deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gen").toFile
     dir.deleteOnExit()

@@ -74,6 +74,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-stream").toFile
+    dir.deleteOnExit()
+    val df = Seq(
+      ("doc-a", "2024-01-01 01:00:00", "first"),
+      ("doc-a", "2024-01-01 01:05:00", "dup"),
+      ("doc-b", "2024-01-01 01:10:00", "first"),
+      ("doc-a", "2024-01-01 01:20:00", "dup2"))
+      .toDF("doc_key", "s", "tag")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_key", StringType), StructField("tag", StringType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val q = StreamingResample.dedupStream(stream, Seq("doc_key"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_key, count(*) FROM graft_dedup GROUP BY 1 ORDER BY 1")
+        .as[(String, Long)].collect().toSeq
+      assert(got == Seq(("doc-a", 1L), ("doc-b", 1L)))
+    } finally q.stop()
+  }
+
   test("session windows group activity bursts") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     dir.deleteOnExit()
