@@ -463,6 +463,12 @@ object SparkEntry {
     Dedup.simHashNearDuplicates(T(s, dir, "documents"), "doc_id", "text", 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Portable banded MinHash pairs — the naive-pairwise DuckDB oracle
+    * proves banding + threshold end-to-end (see Dedup scaladoc). */
+  private def dedupMinhashPairsPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Portable 32-bit SimHash signatures — oracle-checked value-for-value. */
   private def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPortable(T(s, dir, "documents"), "doc_id", "text")
@@ -702,6 +708,57 @@ object SparkEntry {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** F14 — calendar arithmetic family (add_months with end-of-month clamp,
+    * last_day, quarter/dayofyear extracts, datediff). */
+  private def f14DateFuncs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(
+        col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate"))
+          .as("days_to_cutoff"))
+      .orderBy(col("o_orderkey"))
+
+  /** F15 — conditional / null-handling scalar family (count_if, greatest,
+    * least, coalesce∘nullif) under a grouped aggregate. */
+  private def f15Conditional(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("value") > 100).as("n_big"),
+        round(avg(greatest(col("value"), lit(50.0))), 4).as("avg_hi"),
+        round(avg(least(col("value"), lit(50.0))), 4).as("avg_lo"),
+        round(avg(coalesce(nullif(col("value"), lit(0.0)), lit(1.0))), 4)
+          .as("avg_nz"))
+      .orderBy(col("event_type"))
+
+  /** A20 — fixed-width histogram by floor arithmetic (width_bucket shape):
+    * bucketing is a pure map expression, so the aggregate is one shuffle on
+    * a 7-value key at any scale. */
+  private def a20Histogram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(least(floor(col("value") / 50.0), lit(6.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy(col("bucket"))
+
+  /** O7 — keyset-style pagination page 2 (rows 11–20 of a global ordering).
+    * The global row_number window is single-partition by nature — a
+    * driver-edge operation like O2/O3, never applied to fact-scale data. */
+  private def o7Page(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("value").desc, col("event_id"))
+    T(s, dir, "events")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn").between(11, 20))
+      .select(col("rn"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("rn"))
+  }
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -761,6 +818,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_simhash_pairs_portable" -> (dedupSimhashPairsPortable _),
+    "dedup_minhash_pairs_portable" -> (dedupMinhashPairsPortable _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "text_quality" -> (textQuality _),
@@ -780,6 +838,10 @@ object SparkEntry {
     "p10_sample" -> (p10Sample _),
     "f13_list_hof" -> (f13ListHof _),
     "u4_semi" -> (u4Semi _),
+    "f14_datefuncs" -> (f14DateFuncs _),
+    "f15_conditional" -> (f15Conditional _),
+    "a20_histogram" -> (a20Histogram _),
+    "o7_page" -> (o7Page _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -918,6 +980,33 @@ object SparkEntry {
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderstatus = 'F')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "f14_datefuncs" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(year(o_orderdate) AS INT) AS yr,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS INT)
+        |   AS days_to_cutoff
+        |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY 1""".stripMargin,
+    "f15_conditional" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+        | round(avg(greatest(value, 50.0)), 4) AS avg_hi,
+        | round(avg(least(value, 50.0)), 4) AS avg_lo,
+        | round(avg(coalesce(nullif(value, 0.0), 1.0)), 4) AS avg_nz
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a20_histogram" ->
+      """SELECT CAST(least(floor(value / 50.0), 6) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o7_page" ->
+      """WITH r AS (SELECT event_id, user_id, value,
+        |   row_number() OVER (ORDER BY value DESC, event_id) AS rn FROM events)
+        |SELECT CAST(rn AS BIGINT) AS rn, event_id, user_id, value
+        |FROM r WHERE rn BETWEEN 11 AND 20 ORDER BY 1""".stripMargin,
     "dedup_simhash_portable" ->
       s"""$simhashPortableCte
          |SELECT doc_id, simhash32 FROM s ORDER BY 1""".stripMargin,
@@ -1173,6 +1262,34 @@ object SparkEntry {
         |SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
         |FROM sh JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.1 ORDER BY 1,2""".stripMargin,
+    "dedup_minhash_pairs_portable" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)])
+        |  ELSE [] END AS grams FROM d),
+        |h AS (SELECT doc_id,
+        |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
+        |    for x in grams] AS hs FROM g),
+        |s AS (SELECT doc_id,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS m0,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS m1,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS m2,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS m3
+        | FROM h)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0, 6) AS sig_similarity
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
+        |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_portable" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE doc_id % 4 = 0),

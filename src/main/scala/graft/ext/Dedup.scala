@@ -228,6 +228,49 @@ object Dedup {
     withHashes.select(col(idCol) +: sigCols: _*)
   }
 
+  /** Portable-signature MinHash near-dup pairs over the 4
+    * [[minHashSignaturesPortable]] hashes: bands of 2, candidate pairs
+    * from the banded equi-join (same plan shape as the production
+    * [[minHashNearDuplicates]]), similarity = agreeing-hash fraction.
+    * The DuckDB oracle re-derives the same pairs with a naive pairwise
+    * join whose band agreement is spelled out as explicit conjunctions —
+    * a hash match therefore proves the banded candidate generation and
+    * threshold filter end-to-end, value-for-value.
+    */
+  def minHashNearDuplicatesPortable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3): DataFrame = {
+    val k = PortableCoeffs.length
+    val bands = 2
+    val rowsPerBand = k / bands
+    val sigArr = array((0 until k).map(i => col(s"minhash_$i")): _*)
+    val sigs = minHashSignaturesPortable(df, idCol, textCol, shingleLen)
+      .select(col(idCol), sigArr.as("__sig"))
+    val withBands = sigs
+      .select(col(idCol), col("__sig"),
+        explode(array((0 until bands).map(b =>
+          struct(
+            lit(b).as("band_idx"),
+            xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+              .as("band_hash"))): _*)).as("__band"))
+      .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
+    val a = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val b = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+      col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / lit(k.toDouble), 6).as("sig_similarity"))
+      .filter(col("sig_similarity") >= threshold)
+  }
+
   /** Cross-engine-portable SimHash: 32-bit signature where the token hash
     * is the first 8 hex digits of md5 — computable bit-for-bit in any
     * engine with md5 (the xxhash64 64-bit [[simHash]] stays the production
