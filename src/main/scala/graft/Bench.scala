@@ -18,17 +18,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state timing: one untimed warmup run (JIT, codegen cache,
-    // parquet footers), then the timed run
+    // parquet footers), then the median of 3 timed runs — single runs at
+    // this scale are dominated by scheduler jitter (±30% observed)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+        // failures are reported as -1, never as a plausible timing
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // failures are reported as -1, never as a plausible timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val median =
+        if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
