@@ -61,6 +61,18 @@ object ScaleSmoke {
       graft.ops.TimeSeriesOps.calendarFill(
         daily, "user_id", "bucket", Seq("value")).count()
     }
+    timed("simhash pairs 50k docs") {
+      graft.ext.Dedup.simHashNearDuplicates(bigDocs, "doc_id", "text", 3).count()
+    }
+    timed("sessionize 1M events") {
+      graft.ops.TimeSeriesOps.sessionize(
+          bigEvents, Seq("user_id"), "ts", 43200L, Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id")).count().count()
+    }
+    timed("hash sample 1M events") {
+      graft.ops.Sampling.hashSample(bigEvents, col("event_id"), 5)
+        .groupBy(col("event_type")).count().count()
+    }
     spark.stop()
   }
 }
