@@ -98,7 +98,8 @@ final class SyntheticGenerator(
     // data — serialize the whole Model; non-parametric providers (whose
     // state is a DataFrame) skip the file and must be re-fit after load
     model match {
-      case m: graft.providers.StatisticalProvider.Model =>
+      case m @ (_: graft.providers.StatisticalProvider.Model |
+                _: graft.providers.ArProvider.Model) =>
         val oos = new java.io.ObjectOutputStream(
           Files.newOutputStream(Paths.get(path, "model.bin")))
         try oos.writeObject(m) finally oos.close()
@@ -142,7 +143,7 @@ object SyntheticGenerator {
     if (Files.exists(modelBin)) {
       val ois = new java.io.ObjectInputStream(Files.newInputStream(modelBin))
       try gen.fitted = Some(
-        ois.readObject().asInstanceOf[graft.providers.StatisticalProvider.Model])
+        ois.readObject().asInstanceOf[graft.providers.FittedGenerator])
       finally ois.close()
     }
     gen

@@ -31,6 +31,7 @@ object GeneratorProvider {
   def forName(provider: String): GeneratorProvider = provider match {
     case "statistical" => StatisticalProvider
     case "bootstrap"   => BootstrapProvider
+    case "ar"          => ArProvider
     case other =>
       throw new IllegalArgumentException(
         s"Generation provider $other is not supported") // adapter.py:95-97
@@ -145,5 +146,91 @@ object BootstrapProvider extends GeneratorProvider {
           d.withColumn(c, col("__v")(c))).drop("__v")
       }
     }
+  }
+}
+
+/** AR(1) provider: the parametric time-series model family next to the
+  * i.i.d. [[StatisticalProvider]] — the closest Spark-native analogue of
+  * the reference's sequence-model providers (TimeGAN/PAR learn temporal
+  * dependence; AR(1) captures the first-order version deterministically).
+  *
+  * fit: per numeric column, ONE windowed-lag pass + ONE aggregate pass
+  * computing (mean, population std, lag-1 autocorrelation φ) within
+  * entities (the lag window partitions by the item id, so sequence
+  * boundaries never leak into each other's lag).
+  *
+  * generate: stationary AR(1) recursion
+  * `x_0 = μ + σ·ε_0`, `x_t = μ + φ·(x_{t−1} − μ) + σ·√(1−φ²)·ε_t`
+  * with the same hash-derived Gaussian noise as StatisticalProvider —
+  * a pure function of (seq_id, step, column), so output is bit-stable at
+  * any parallelism. The recursion runs as an array scan per sequence
+  * (`aggregate` over the per-sequence ε array); generation size is
+  * API-bounded (n sequences), never corpus-scale, so the interpreted
+  * scan is irrelevant to the 100 TB story.
+  */
+object ArProvider extends GeneratorProvider {
+  val name = "ar"
+
+  /** (column → (mean, population std, φ)); plain case class → persistable
+    * via the generator's model.bin sink. */
+  final case class Model(stats: Seq[(String, (Double, Double, Double))])
+      extends FittedGenerator {
+
+    private def gaussian(seqId: Column, step: Column, salt: Int): Column = {
+      val u1 = (pmod(xxhash64(seqId, step, lit(2 * salt)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1000000000.0)
+      val u2 = (pmod(xxhash64(seqId, step, lit(2 * salt + 1)), lit(1000000000L))
+        .cast("double") + lit(0.5)) / lit(1000000000.0)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+
+    def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
+      val base = spark.range(n).select(
+        col("id").as("seq_id"),
+        sequence(lit(0), lit(seqLen - 1)).as("__steps"))
+      val arrCols = stats.zipWithIndex.map { case ((c, (m, s, phi)), ci) =>
+        val innov = s * math.sqrt(math.max(0.0, 1.0 - phi * phi))
+        val eps = transform(col("__steps"),
+          i => gaussian(col("seq_id"), i, ci))
+        // stationary start, then scan the recursion over steps 2..seqLen
+        val first = lit(m) + lit(s) * element_at(eps, 1)
+        val scan = aggregate(
+          slice(eps, 2, seqLen - 1),
+          struct(array(first).as("arr"), first.as("prev")),
+          (acc, e) => {
+            val next =
+              lit(m) + lit(phi) * (acc.getField("prev") - lit(m)) + lit(innov) * e
+            struct(concat(acc.getField("arr"), array(next)).as("arr"),
+              next.as("prev"))
+          },
+          acc => acc.getField("arr"))
+        (if (seqLen == 1) array(first) else scan).as(s"__arr_$c")
+      }
+      val zipped = base.select(col("seq_id") +: arrCols: _*)
+        .select(col("seq_id"),
+          posexplode(arrays_zip(stats.map { case (c, _) => col(s"__arr_$c") }: _*)))
+      stats.foldLeft(
+        zipped.select(col("seq_id"), col("pos").cast("int").as("step"), col("col")))(
+        (d, cs) => d.withColumn(cs._1, col("col").getField(s"__arr_${cs._1}")))
+        .drop("col")
+    }
+  }
+
+  def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(schema.itemIdCols.map(col): _*)
+      .orderBy(col(schema.tsCol))
+    val lagged = schema.numericCols.foldLeft(data)((d, c) =>
+      d.withColumn(s"__lag_$c", lag(col(c), 1).over(w)))
+    val aggs = schema.numericCols.flatMap(c => Seq(
+      avg(col(c)).as(s"m_$c"),
+      stddev_pop(col(c)).as(s"s_$c"),
+      corr(col(c), col(s"__lag_$c")).as(s"p_$c")))
+    val row = lagged.agg(aggs.head, aggs.tail: _*).head()
+    Model(schema.numericCols.zipWithIndex.map { case (c, i) =>
+      val phi = if (row.isNullAt(3 * i + 2)) 0.0 else row.getDouble(3 * i + 2)
+      c -> ((row.getDouble(3 * i), row.getDouble(3 * i + 1), phi))
+    })
   }
 }
