@@ -759,6 +759,20 @@ object SparkEntry {
       .orderBy(col("rn"))
   }
 
+  /** F16 — regex scalar family (extract / extract_all count / global
+    * replace). Patterns stay within the class/alternation subset where
+    * Java regex (Spark) and RE2 (DuckDB) agree. */
+  private def f16Regex(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(col("doc_id") % 40 === 0)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        size(regexp_extract_all(col("text"), lit("scan|merge"), lit(0)))
+          .as("n_keywords"),
+        regexp_replace(lower(col("text")), "[^a-z ]+", "").as("cleaned"))
+      .orderBy(col("doc_id"))
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -842,6 +856,7 @@ object SparkEntry {
     "f15_conditional" -> (f15Conditional _),
     "a20_histogram" -> (a20Histogram _),
     "o7_page" -> (o7Page _),
+    "f16_regex" -> (f16Regex _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1007,6 +1022,12 @@ object SparkEntry {
         |   row_number() OVER (ORDER BY value DESC, event_id) AS rn FROM events)
         |SELECT CAST(rn AS BIGINT) AS rn, event_id, user_id, value
         |FROM r WHERE rn BETWEEN 11 AND 20 ORDER BY 1""".stripMargin,
+    "f16_regex" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        | CAST(len(regexp_extract_all(text, 'scan|merge')) AS INT) AS n_keywords,
+        | regexp_replace(lower(text), '[^a-z ]+', '', 'g') AS cleaned
+        |FROM documents WHERE doc_id % 40 = 0 ORDER BY 1""".stripMargin,
     "dedup_simhash_portable" ->
       s"""$simhashPortableCte
          |SELECT doc_id, simhash32 FROM s ORDER BY 1""".stripMargin,

@@ -42,6 +42,20 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** S1/S3 — JSON-lines scan/sink: the interchange format for
+    * training-data pipelines (one document per line). Schema may be
+    * supplied to skip the inference pass — at corpus scale an explicit
+    * schema avoids a full extra read. Globs and object-store URIs resolve
+    * exactly as in [[loadCsv]]. */
+  def loadJson(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(sc => spark.read.schema(sc).json(path))
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Bucketed parquet table for co-located joins: both sides bucketed and
     * sorted on the join key with the same bucket count join with NO
     * shuffle exchange (verified in SourcesSpec). The 100 TB pattern for

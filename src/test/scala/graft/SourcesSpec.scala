@@ -15,6 +15,21 @@ class SourcesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("JSON-lines sink -> scan round-trips, with and without schema") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val df = Seq((0L, "alpha", 1.5), (1L, "beta", -2.25))
+      .toDF("doc_id", "text", "score")
+    Tables.writeJson(df, dir)
+    val inferred = Tables.loadJson(spark, dir)
+      .select("doc_id", "text", "score").orderBy("doc_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(inferred == Seq((0L, "alpha", 1.5), (1L, "beta", -2.25)))
+    val explicit = Tables.loadJson(spark, dir, Some(df.schema))
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    assert(explicit == inferred)
+  }
+
   test("date-partitioned writes prune partitions at scan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile
     dir.deleteOnExit()
