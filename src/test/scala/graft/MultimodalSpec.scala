@@ -34,4 +34,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.count() == 2) // 16 bytes / (4*2) = 2 pseudo-frames
     assert(frames.columns.toSet == Set("id", "frame_idx", "frame_bytes"))
   }
+
+  test("sniffFormat classifies payloads by magic bytes") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
+    val wav = "RIFF1234WAVE".getBytes("UTF-8")
+    val txt = "hello".getBytes("UTF-8")
+    val df = Seq((0L, png), (1L, jpeg), (2L, wav), (3L, txt))
+      .toDF("id", "payload")
+    val got = df.select(col("id"), Multimodal.sniffFormat(col("payload")).as("fmt"))
+      .orderBy("id").select("fmt").as[String].collect().toSeq
+    assert(got == Seq(
+      "image/png", "image/jpeg", "audio/wav", "application/octet-stream"))
+  }
+
+  test("resizeBatch groups items into kernel batches of the requested size") {
+    val docs = (0L until 10L).map(i => (i, s"payload_$i")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "test")
+      .as[Multimodal.MediaItem].repartition(1)
+    val out = Multimodal.resizeBatch(media, 224, 224, batchSize = 4)
+      .collect().sortBy(_.media_id)
+    assert(out.length == 10)
+    assert(out.forall(r => r.width == 224 && r.height == 224))
+    // one partition of 10 -> batches of 4, 4, 2
+    assert(out.map(_.batch_size).sorted.toSeq == Seq(2, 2, 4, 4, 4, 4, 4, 4, 4, 4))
+  }
+
+  test("stubEmbed: identical payloads collide, embeddings are unit-norm") {
+    val docs = Seq((0L, "same text"), (1L, "same text"), (2L, "different"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "test")
+      .as[Multimodal.MediaItem]
+    val em = Multimodal.stubEmbed(media, dim = 8).collect().sortBy(_.media_id)
+    assert(em(0).embedding == em(1).embedding)
+    assert(em(0).embedding != em(2).embedding)
+    val norm = math.sqrt(em(0).embedding.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4)
+    // composes with ANN dedup unchanged
+    val pairs = graft.ext.Similarity.embeddingNearDuplicates(
+      Multimodal.stubEmbed(media, 8).toDF()
+        .withColumn("blk", org.apache.spark.sql.functions.lit(1)),
+      "media_id", "embedding", "blk", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 1L)))
+  }
 }
