@@ -32,10 +32,11 @@ def main():
         con.sql(sql).fetchall()
         d = time.time() - t0
         s = spark_times.get(name, float("nan"))
-        tot_d += d
         if s != s or s < 0:  # NaN (missing from bench) or -1.0 (bench failure)
             print(f"{name:26s} duck={d:7.3f}s  spark=   n/a  (no spark timing)")
             continue
+        # totals cover only the queries timed on BOTH engines
+        tot_d += d
         tot_s += s
         rows.append((name, d, s, s / d if d > 0 else float("inf")))
     for name, d, s, r in sorted(rows, key=lambda x: -x[3]):

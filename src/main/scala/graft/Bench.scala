@@ -20,7 +20,7 @@ object Bench {
     // steady-state timing: one untimed warmup run (JIT, codegen cache,
     // parquet footers), then the median of 3 timed runs — single runs at
     // this scale are dominated by scheduler jitter (±30% observed)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val times = (1 to reps).map { _ =>
@@ -34,7 +34,12 @@ object Bench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val median =
-        if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2)
+        if (times.contains(-1.0)) -1.0
+        else {
+          val s = times.sorted
+          // true median: average the middle two when reps is even
+          if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+        }
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

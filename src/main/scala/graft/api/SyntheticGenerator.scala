@@ -65,6 +65,11 @@ final class SyntheticGenerator(
     */
   def generateWithContext(spark: SparkSession, context: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val generatedCols = "seq_id" +: "step" +: schema.numericCols
+    val collisions = context.columns.intersect(generatedCols)
+    require(collisions.isEmpty,
+      s"context columns ${collisions.mkString(", ")} collide with the " +
+        "generated schema (seq_id, step, numeric columns) — rename them")
     val n = context.count()
     require(n <= 1000000L,
       s"context has $n rows; one sequence is generated per row — cap is 1e6")

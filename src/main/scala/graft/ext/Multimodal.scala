@@ -100,10 +100,15 @@ object Multimodal {
     */
   def sniffFormat(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val p8 = hex(substring(payload, 1, 8))
+    // RIFF is a container: the subtype tag at bytes 9-12 distinguishes
+    // WAVE audio from WEBP images and AVI video
+    val riffTag = hex(substring(payload, 9, 4))
     when(p8.startsWith("89504E47"), "image/png")
       .when(p8.startsWith("FFD8FF"), "image/jpeg")
       .when(p8.startsWith("474946383"), "image/gif")
-      .when(p8.startsWith("52494646"), "audio/wav") // RIFF container
+      .when(p8.startsWith("52494646") && riffTag === "57415645", "audio/wav")
+      .when(p8.startsWith("52494646") && riffTag === "57454250", "image/webp")
+      .when(p8.startsWith("52494646") && riffTag === "41564920", "video/avi")
       .when(p8.startsWith("1A45DFA3"), "video/webm") // EBML/Matroska
       .when(p8.startsWith("25504446"), "application/pdf")
       .otherwise("application/octet-stream")

@@ -1,9 +1,21 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+private[functions] object LongArrayCheck {
+  /** These kernels read Tungsten long slots directly; reject non-long
+    * array children at analysis time instead of producing garbage. */
+  def check(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires an array<bigint> input, got ${other.simpleString}")
+    }
+}
 
 /** Native k-permutation MinHash kernel (SURVEY §7.3 option (b)).
   *
@@ -36,6 +48,8 @@ case class MinHashSigs(
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    LongArrayCheck.check("MinHashSigs", child)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -112,6 +126,8 @@ case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    LongArrayCheck.check("SimHashBits", child)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -2,10 +2,30 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Shared input validation: the float kernels read Tungsten float slots
+  * directly, so a non-float array child must be rejected at analysis time —
+  * silently reading 4 bytes of a double slot would produce garbage. */
+private[functions] object FloatArrayCheck {
+  def check(name: String, children: Seq[Expression]): TypeCheckResult = {
+    val bad = children.find {
+      case c => c.dataType match {
+        case ArrayType(FloatType, _) => false
+        case _ => true
+      }
+    }
+    bad match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> inputs, got ${c.dataType.simpleString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+}
 
 /** Native Catalyst expressions for embedding math (SURVEY §7.3 option (b):
   * custom `Expression` where the built-in surface is slow).
@@ -20,12 +40,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // inputs must be array<float>; registration-controlled call sites.
   // NULL semantics deliberately mirror the HOF aggregate/zip_with idiom so
   // VectorizeDotProducts is a bit-exact rewrite: unequal lengths (zip_with
   // pads with nulls) or any null element make the whole result NULL.
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck.check("fvec_dot", Seq(left, right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -68,10 +89,11 @@ case class FloatVecDot(left: Expression, right: Expression)
 case class FloatVecNorm(child: Expression)
     extends UnaryExpression {
 
-  // input must be array<float>; null elements make the result NULL,
-  // matching the HOF aggregate form
+  // null elements make the result NULL, matching the HOF aggregate form
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck.check("fvec_norm", Seq(child))
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

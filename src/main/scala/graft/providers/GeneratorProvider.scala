@@ -229,6 +229,10 @@ object ArProvider extends GeneratorProvider {
       corr(col(c), col(s"__lag_$c")).as(s"p_$c")))
     val row = lagged.agg(aggs.head, aggs.tail: _*).head()
     Model(schema.numericCols.zipWithIndex.map { case (c, i) =>
+      // an entirely-null column aggregates to SQL NULL — fail loudly,
+      // like Scaling.fit, instead of throwing a bare NPE from getDouble
+      require(!row.isNullAt(3 * i) && !row.isNullAt(3 * i + 1),
+        s"ArProvider.fit: column '$c' has no non-null values")
       val phi = if (row.isNullAt(3 * i + 2)) 0.0 else row.getDouble(3 * i + 2)
       c -> ((row.getDouble(3 * i), row.getDouble(3 * i + 1), phi))
     })

@@ -39,13 +39,15 @@ class MultimodalSpec extends AnyFunSuite {
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)
     val wav = "RIFF1234WAVE".getBytes("UTF-8")
+    val webp = "RIFF1234WEBP".getBytes("UTF-8")
     val txt = "hello".getBytes("UTF-8")
-    val df = Seq((0L, png), (1L, jpeg), (2L, wav), (3L, txt))
+    val df = Seq((0L, png), (1L, jpeg), (2L, wav), (3L, txt), (4L, webp))
       .toDF("id", "payload")
     val got = df.select(col("id"), Multimodal.sniffFormat(col("payload")).as("fmt"))
       .orderBy("id").select("fmt").as[String].collect().toSeq
     assert(got == Seq(
-      "image/png", "image/jpeg", "audio/wav", "application/octet-stream"))
+      "image/png", "image/jpeg", "audio/wav", "application/octet-stream",
+      "image/webp"))
   }
 
   test("resizeBatch groups items into kernel batches of the requested size") {

@@ -157,6 +157,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(normDiff == 0.0)
   }
 
+  test("native kernels reject mistyped array inputs at analysis time") {
+    // double arrays would silently read garbage float slots — must fail
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.l2Norm(col("a"))).collect()
+    }
+  }
+
   test("native MinHashSigs kernel == HOF transform/array_min reference") {
     import graft.ext.Dedup
     val rnd = new scala.util.Random(7)
