@@ -1,0 +1,91 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ops.Sampling
+
+/** End-to-end LLM training-data curation pipeline over the `documents` +
+  * `embeddings` tables — the north-star composition: every stage is one of
+  * the engine's first-class operators, chained exactly the way a corpus
+  * prep job would run them at 100 TB.
+  *
+  *  1. language ID + quality scoring (map-only)
+  *  2. exact dedup (one hash shuffle on the text key)
+  *  3. MinHash-LSH near-dup clustering, keep one representative per
+  *     cluster (banded candidate join, never O(n²))
+  *  4. embedding-cosine near-dup sweep over the survivors' vectors
+  *  5. deterministic hash sample for the eval split (map-only filter)
+  *  6. token accounting for the final corpus
+  *
+  * Run: `runMain graft.examples.DataPipeline [sfDir]`.
+  * The same composition is asserted end-to-end in ExamplesSpec.
+  */
+object DataPipeline {
+
+  /** The pipeline as a pure DataFrame transform (testable without a main).
+    * Returns (curated corpus, eval split, per-language token stats). */
+  def curate(
+      docs: DataFrame,
+      embeddings: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // 1. language ID + quality gates — pure map stages, no shuffle
+    val scored = TextAnalysis.qualityFeatures(
+      TextAnalysis.langId(docs, "text", "predicted_lang"), "text")
+    val gated = scored.filter(
+      col("n_words") >= 5 && col("stop_ratio") <= 0.9 && col("quality_score") > 0.2)
+
+    // 2. exact dedup: keep the earliest doc per identical text
+    val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+
+    // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of
+    //    each cluster (duplicateClusters labels every clustered doc)
+    val pairs = Dedup.minHashNearDuplicates(
+      exact, "doc_id", "text", threshold = 0.7)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
+
+    // 4. embedding near-dup sweep: drop the higher id of any surviving
+    //    pair with cosine >= 0.995 (blocking on the stored label keeps the
+    //    pair join bounded; at corpus scale the block is an LSH bucket)
+    val vecs = embeddings.join(
+      nearDeduped.select(col("doc_id").as("vec_id")), "vec_id")
+    val vecLosers = Similarity.embeddingNearDuplicates(
+        vecs, "vec_id", "embedding", "label", 0.995)
+      .select(col("id_b").as("doc_id")).distinct()
+    val curated = nearDeduped.join(vecLosers, Seq("doc_id"), "left_anti")
+
+    // 5. deterministic 10% eval split — partition-independent, so the
+    //    split is reproducible on any cluster layout
+    val eval = Sampling.hashSample(curated, col("doc_id"), 10)
+
+    // 6. token accounting per language on the final corpus
+    val tokens = curated
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+    (curated, eval, tokens)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val (curated, eval, tokens) = curate(docs, emb)
+    val nIn = docs.count(); val nOut = curated.count(); val nEval = eval.count()
+    println(s"curated $nIn -> $nOut docs (eval split: $nEval)")
+    tokens.orderBy("lang").show(truncate = false)
+    spark.stop()
+  }
+}

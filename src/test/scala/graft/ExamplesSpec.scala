@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.examples.DataPipeline
+
+/** End-to-end run of the composed curation pipeline on the sf0.001 tables —
+  * asserts the stages actually interlock (every stage feeds the next) and
+  * that each gate removes what it should. */
+class ExamplesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("DataPipeline.curate runs end-to-end and every gate bites") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (curated, eval, tokens) = DataPipeline.curate(docs, emb)
+    val nIn = docs.count()
+    val nOut = curated.count()
+    val nEval = eval.count()
+    assert(nOut > 0 && nOut < nIn)         // dedup/quality gates removed docs
+    assert(nEval > 0 && nEval < nOut)      // sample is a strict subset
+    assert(nEval.toDouble / nOut > 0.03 && nEval.toDouble / nOut < 0.25) // ~10%
+    // eval rows all come from the curated corpus
+    assert(eval.join(curated, Seq("doc_id"), "left_anti").count() == 0)
+    // token stats cover every surviving language, with positive counts
+    val t = tokens.collect()
+    assert(t.nonEmpty && t.forall(_.getLong(2) > 0))
+    assert(t.map(_.getLong(1)).sum == nOut)
+    // deterministic: a second run yields the identical corpus
+    val (curated2, _, _) = DataPipeline.curate(docs, emb)
+    assert(curated.select("doc_id").except(curated2.select("doc_id")).count() == 0)
+    assert(curated2.select("doc_id").except(curated.select("doc_id")).count() == 0)
+  }
+}
