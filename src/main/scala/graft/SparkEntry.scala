@@ -773,6 +773,24 @@ object SparkEntry {
         regexp_replace(lower(col("text")), "[^a-z ]+", "").as("cleaned"))
       .orderBy(col("doc_id"))
 
+  /** F17 — array set operations (intersect / distinct / filter), emitted
+    * as sorted scalar joins so the driver compare sees hashable cells. */
+  private def f17ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), "\\s+")
+    T(s, dir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select(
+        col("doc_id"),
+        array_join(
+          array_sort(array_intersect(words, array(lit("scan"), lit("merge"), lit("hash")))),
+          ",").as("kw_hits"),
+        size(array_distinct(words)).as("n_distinct_words"),
+        array_join(
+          array_sort(filter(array_distinct(words), w => w.startsWith("s"))),
+          ",").as("s_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -857,6 +875,7 @@ object SparkEntry {
     "a20_histogram" -> (a20Histogram _),
     "o7_page" -> (o7Page _),
     "f16_regex" -> (f16Regex _),
+    "f17_array_setops" -> (f17ArraySetOps _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1028,6 +1047,17 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, 'scan|merge')) AS INT) AS n_keywords,
         | regexp_replace(lower(text), '[^a-z ]+', '', 'g') AS cleaned
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY 1""".stripMargin,
+    "f17_array_setops" ->
+      """SELECT doc_id,
+        | array_to_string(list_sort(list_intersect(
+        |   string_split_regex(text, '\s+'), ['scan', 'merge', 'hash'])), ',')
+        |   AS kw_hits,
+        | CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT)
+        |   AS n_distinct_words,
+        | array_to_string(list_sort(list_filter(
+        |   list_distinct(string_split_regex(text, '\s+')), w -> w LIKE 's%')), ',')
+        |   AS s_words
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY 1""".stripMargin,
     "dedup_simhash_portable" ->
       s"""$simhashPortableCte
          |SELECT doc_id, simhash32 FROM s ORDER BY 1""".stripMargin,

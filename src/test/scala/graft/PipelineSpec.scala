@@ -90,10 +90,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("EvaluationPipeline scores every generator and picks a best") {
     val pipeline = new EvaluationPipeline(
-      Map("stat" -> StatisticalProvider, "boot" -> BootstrapProvider),
+      Map("stat" -> StatisticalProvider, "boot" -> BootstrapProvider,
+        "ar" -> graft.providers.ArProvider),
       new PredictiveScorer(seqLen = 5), iterations = 2)
     val result = pipeline.fit(sampleData, schema)
-    assert(result.metrics.count() == 4) // 2 generators x 2 iterations
+    assert(result.metrics.count() == 6) // 3 generators x 2 iterations
     assert(result.bestGenerator.isDefined)
     assert(result.summary.columns.contains("std_value"))
   }
