@@ -76,7 +76,7 @@ final class SyntheticGenerator(
     val ordered = context.withColumn(
       "seq_id",
       (row_number().over(
-        Window.orderBy(context.columns.map(col): _*)) - 1).cast("long"))
+        Window.orderBy(context.columns.toIndexedSeq.map(col): _*)) - 1).cast("long"))
     generate(spark, n.toInt).join(broadcast(ordered), "seq_id")
   }
 

@@ -177,7 +177,7 @@ object Similarity {
           (lit(c2) - lit(2.0) * dot(v, typedLit(c))).as("dist"),
           lit(i).as("cell"))
       }
-      array_min(array(dists: _*))("cell")
+      array_min(array(dists.toIndexedSeq: _*))("cell")
     }
 
     val dim = centroids.headOption.map(_.length).getOrElse(0)
@@ -207,7 +207,7 @@ object Similarity {
           (lit(c2) - lit(2.0) * dot(col("__qv"), typedLit(c))).as("dist"),
           lit(i).as("cell"))
       }
-      slice(array_sort(array(dists: _*)), 1, numProbes)("cell")
+      slice(array_sort(array(dists.toIndexedSeq: _*)), 1, numProbes)("cell")
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", l2Norm(col("__qv")))

@@ -58,7 +58,7 @@ object AsOfJoin {
       d.withColumn(c, lit(null).cast(r.schema(c).dataType)))
     val rAligned = leftCols.diff(rightCols).foldLeft(r)((d, c) =>
       d.withColumn(c, lit(null).cast(l.schema(c).dataType)))
-    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
 
     // right rows sort BEFORE left rows at equal ts, so equal-timestamp
     // matches are included (asof `>=` semantics)
