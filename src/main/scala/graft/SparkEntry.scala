@@ -791,6 +791,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** O8 — top-k per group through the CUSTOM operator stack
+    * (`plans.TopKPerGroup`: LogicalPlan + Strategy + bounded-heap
+    * SparkPlan — no per-group sort anywhere). The DuckDB oracle is the
+    * window row_number form, so the hash match proves the custom operator
+    * end-to-end against the declarative semantics. */
+  private def o8TopkNative(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.perGroup(
+        T(s, dir, "events"), Seq("event_type"),
+        Seq(col("value").desc, col("event_id")), 3)
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_type"), col("event_id"))
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -876,6 +888,7 @@ object SparkEntry {
     "o7_page" -> (o7Page _),
     "f16_regex" -> (f16Regex _),
     "f17_array_setops" -> (f17ArraySetOps _),
+    "o8_topk_native" -> (o8TopkNative _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -982,6 +995,14 @@ object SparkEntry {
         |FROM events WHERE user_id % 5 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY 1, 2""".stripMargin,
+    "o8_topk_native" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, event_id, user_id, value
+        |FROM r WHERE rn <= 3 ORDER BY 1, 2""".stripMargin,
     "o6_topk_group" ->
       """WITH r AS (
         |  SELECT event_type, user_id, event_id, value,

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+import org.apache.spark.sql.functions.col
+
+import graft.plans.{TopKPerGroup, TopKStrategy}
+
+/** Public face of the custom top-k-per-group operator
+  * ([[graft.plans.TopKPerGroup]]): keeps the k best rows per group under
+  * `orderBy` with a bounded heap per group on both sides of one shuffle —
+  * the scale replacement for `row_number().over(...) <= k`, which must
+  * fully sort every group. Output row set equals the window form whenever
+  * the ordering is total (add a tie-break column to make it so).
+  */
+object TopK {
+
+  /** Registers the planner strategy once per session (idempotent). */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+
+  /** @param orderBy sort columns, e.g. `Seq(col("value").desc, col("id"))`;
+    *                plain columns sort ascending */
+  def perGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    enable(spark)
+    val order = orderBy.map(c => GraftColumnBridge.eagerExpression(spark, c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, Ascending)
+    })
+    GraftColumnBridge.ofRows(
+      spark,
+      TopKPerGroup(
+        groupCols.map(n => GraftColumnBridge.eagerExpression(spark, col(n))),
+        order, k, df.queryExecution.logical))
+  }
+}

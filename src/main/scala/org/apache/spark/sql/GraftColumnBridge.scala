@@ -11,4 +11,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column to its catalyst Expression with the
+    * session's converter. Unlike [[expression]], the result contains no
+    * lazy `ColumnNodeExpression` wrappers — required when the expression
+    * is stored in a custom plan node field, where only standard analyzer
+    * paths would unwrap it (a surviving wrapper is not serializable). */
+  def eagerExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Build a DataFrame over a custom logical plan node (the (c)-ladder
+    * entry point: `Dataset.ofRows` is `private[sql]`). */
+  def ofRows(
+      spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

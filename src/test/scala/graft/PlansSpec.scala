@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TopK
+
+/** Custom LogicalPlan/Strategy/SparkPlan operator (TopKPerGroup). */
+class PlansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sample = {
+    val rnd = new scala.util.Random(17)
+    (0 until 5000).map(i =>
+      (s"g${rnd.nextInt(20)}", i.toLong, rnd.nextDouble() * 1000))
+      .toDF("grp", "id", "score")
+  }
+
+  test("TopKPerGroup row set == window row_number filter (total ordering)") {
+    val df = sample
+    val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 3)
+      .select("grp", "id", "score").as[(String, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.size == 60) // 20 groups x 3
+  }
+
+  test("TopKPerGroup handles k larger than the group size") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0))
+      .toDF("grp", "id", "score")
+    val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 10)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got.size == 3) // everything survives
+  }
+
+  test("TopKPerGroup plans partial and final heaps around one exchange") {
+    val df = sample
+    val plan = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 3)
+      .queryExecution.executedPlan.toString
+    // a partial (pre-shuffle, flag true) and a final (flag false) phase
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size == 2)
+    assert(plan.contains(", true") && plan.contains(", false"))
+    assert(plan.contains("Exchange hashpartitioning"))
+    // never a full Sort of the input
+    assert(!plan.contains("Sort ["))
+  }
+
+  test("TopKPerGroup survives repartitioned input (partial phase merges)") {
+    val df = sample.repartition(13)
+    val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 5)
+      .select("grp").groupBy("grp").count()
+      .select("count").as[Long].collect().toSeq
+    assert(got.forall(_ == 5))
+  }
+}
