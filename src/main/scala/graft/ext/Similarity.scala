@@ -40,6 +40,23 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** Shared top-k tail for the three search paths: the custom bounded-heap
+    * operator ([[graft.ops.TopK]]) keeps the k best scored candidates per
+    * query WITHOUT sorting the full scored set (the window form sorts
+    * every group — the dominant cost once |Q|·|candidates| grows), then a
+    * window over the ≤ k survivors assigns the rank cheaply. Output is
+    * identical to the pure-window form: the ordering is total
+    * (cosine desc, neighbor_id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.ops.TopK.perGroup(
+      scored, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id")), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Brute-force cosine top-k: every query row against every candidate row.
     * Norms are precomputed on each side before the join so the O(|Q|·|C|)
     * stage does one fused multiply-add pass per pair and nothing else.
@@ -61,12 +78,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
@@ -121,14 +133,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("__queryv"),
         col("__neighborv"), col("__qn"), col("__cn"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand
-      .withColumn("cosine",
-        cosine(col("__queryv"), col("__neighborv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(
+      cand.withColumn("cosine",
+        cosine(col("__queryv"), col("__neighborv"), col("__qn"), col("__cn"))),
+      k)
   }
 
   /** IVF (inverted-file) approximate top-k — the other scale path next to
@@ -213,14 +221,12 @@ object Similarity {
       .withColumn("__qn", l2Norm(col("__qv")))
       .withColumn("__cell", explode(probeCells))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    val out = q.join(assigned, "__cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    val out = rankTopK(
+      q.join(assigned, "__cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine",
+          cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn"))),
+      k)
     vecs.unpersist()
     out
   }
