@@ -73,6 +73,17 @@ object ScaleSmoke {
       graft.ops.Sampling.hashSample(bigEvents, col("event_id"), 5)
         .groupBy(col("event_type")).count().count()
     }
+    timed("heap top-5/group 1M events") {
+      graft.ops.TopK.perGroup(bigEvents, Seq("event_type"),
+        Seq(col("value").desc, col("event_id")), 5).count()
+    }
+    timed("window top-5/group 1M (ref)") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      bigEvents.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).count()
+    }
     spark.stop()
   }
 }

@@ -1070,13 +1070,13 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 40 = 0 ORDER BY 1""".stripMargin,
     "f17_array_setops" ->
       """SELECT doc_id,
-        | array_to_string(list_sort(list_intersect(
-        |   string_split_regex(text, '\s+'), ['scan', 'merge', 'hash'])), ',')
+        | coalesce(array_to_string(list_sort(list_intersect(
+        |   string_split_regex(text, '\s+'), ['scan', 'merge', 'hash'])), ','), '')
         |   AS kw_hits,
         | CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS INT)
         |   AS n_distinct_words,
-        | array_to_string(list_sort(list_filter(
-        |   list_distinct(string_split_regex(text, '\s+')), w -> w LIKE 's%')), ',')
+        | coalesce(array_to_string(list_sort(list_filter(
+        |   list_distinct(string_split_regex(text, '\s+')), w -> w LIKE 's%')), ','), '')
         |   AS s_words
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY 1""".stripMargin,
     "dedup_simhash_portable" ->
