@@ -803,6 +803,23 @@ object SparkEntry {
       .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** A21 — explicit GROUPING SETS (the general form behind a13 ROLLUP /
+    * a17 CUBE), via `spark.sql` over a temp view: one Expand + one
+    * partial→final aggregate pair regardless of set count. */
+  private def a21GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_disc
+        |FROM __gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY 3, 1, 2""".stripMargin)
+  }
+
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -889,6 +906,7 @@ object SparkEntry {
     "f16_regex" -> (f16Regex _),
     "f17_array_setops" -> (f17ArraySetOps _),
     "o8_topk_native" -> (o8TopkNative _),
+    "a21_grouping_sets" -> (a21GroupingSets _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -995,6 +1013,16 @@ object SparkEntry {
         |FROM events WHERE user_id % 5 = 0
         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         |ORDER BY 1, 2""".stripMargin,
+    "a21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE)
+        |   AS sum_qty,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_disc
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY 3, 1, 2""".stripMargin,
     "o8_topk_native" ->
       """WITH r AS (
         |  SELECT event_type, user_id, event_id, value,
