@@ -803,6 +803,42 @@ object SparkEntry {
       .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** J7 — FORWARD as-of join (pandas merge_asof direction="forward"):
+    * earliest purchase at-or-after each view. Same one-shuffle plan as j4,
+    * iterated in descending time order; DuckDB oracle is native ASOF with
+    * the `<=` comparator. */
+  private def j7AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    graft.ops.AsOfJoin.asOfForward(
+        views, purchases, Seq("user_id"), "ts", "ts", Seq("purchase_id", "value"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J8 — as-of join with a tolerance bound (pandas merge_asof
+    * tolerance=1 day): matches older than the bound are nulled. The bound
+    * is a post-carry filter — the plan is identical to j4. */
+  private def j8AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "events")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    graft.ops.AsOfJoin.asOfTolerance(
+        views, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_id", "value"), 86400L)
+      .select(col("event_id"), col("user_id"),
+        col("asof_purchase_id"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** A21 — explicit GROUPING SETS (the general form behind a13 ROLLUP /
     * a17 CUBE), via `spark.sql` over a temp view: one Expand + one
     * partial→final aggregate pair regardless of set count. */
@@ -907,6 +943,8 @@ object SparkEntry {
     "f17_array_setops" -> (f17ArraySetOps _),
     "o8_topk_native" -> (o8TopkNative _),
     "a21_grouping_sets" -> (a21GroupingSets _),
+    "j7_asof_forward" -> (j7AsofForward _),
+    "j8_asof_tolerance" -> (j8AsofTolerance _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1289,6 +1327,27 @@ object SparkEntry {
         | p.value AS asof_value
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY v.event_id""".stripMargin,
+    "j7_asof_forward" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type='view'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |  WHERE event_type='purchase')
+        |SELECT v.event_id, v.user_id, p.purchase_id AS asof_purchase_id,
+        | p.value AS asof_value
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+    "j8_asof_tolerance" ->
+      """WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type='view'),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id, value FROM events
+        |  WHERE event_type='purchase'),
+        |j AS (SELECT v.event_id, v.user_id, v.ts AS vts, p.ts AS pts,
+        |   p.purchase_id, p.value
+        |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts)
+        |SELECT event_id, user_id,
+        | CASE WHEN epoch(vts) - epoch(pts) <= 86400 THEN purchase_id END
+        |   AS asof_purchase_id,
+        | CASE WHEN epoch(vts) - epoch(pts) <= 86400 THEN value END
+        |   AS asof_value
+        |FROM j ORDER BY event_id""".stripMargin,
     "w2_seq_stats" ->
       """SELECT user_id, count(*) AS n_obs, arg_min(value, event_id) AS first_value,
         | arg_max(value, event_id) AS last_value,

@@ -39,7 +39,47 @@ object AsOfJoin {
       keyCols: Seq[String],
       leftTs: String,
       rightTs: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String]): DataFrame =
+    asOfDirectional(left, right, keyCols, leftTs, rightTs, payload,
+      forward = false, toleranceSeconds = None)
+
+  /** Forward as-of: attach the EARLIEST right row with `rightTs ≥ leftTs`
+    * (pandas `merge_asof(direction="forward")`). Same single-shuffle union
+    * trick, iterated in descending time order. */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String]): DataFrame =
+    asOfDirectional(left, right, keyCols, leftTs, rightTs, payload,
+      forward = true, toleranceSeconds = None)
+
+  /** Backward as-of with a match-window bound: a match older than
+    * `toleranceSeconds` is nulled out (pandas `merge_asof(tolerance=...)`).
+    * The tolerance is a post-carry filter, so the plan is unchanged — one
+    * shuffle, no range join. */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSeconds: Long): DataFrame =
+    asOfDirectional(left, right, keyCols, leftTs, rightTs, payload,
+      forward = false, toleranceSeconds = Some(toleranceSeconds))
+
+  private def asOfDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      forward: Boolean,
+      toleranceSeconds: Option[Long]): DataFrame = {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
@@ -61,19 +101,34 @@ object AsOfJoin {
     val unioned = lAligned.unionByName(rAligned.select(lAligned.columns.toIndexedSeq.map(col): _*))
 
     // right rows sort BEFORE left rows at equal ts, so equal-timestamp
-    // matches are included (asof `>=` semantics)
+    // matches are included (`>=` backward / `<=` forward semantics);
+    // forward just iterates in descending time order — same single shuffle
+    val order =
+      if (forward) Seq(col("__ts").desc, col("__is_left"))
+      else Seq(col("__ts").asc, col("__is_left"))
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__is_left"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // carry ONE struct, not per-column lasts: a right row with a null
     // payload field must still win as a whole (per-column ignoreNulls
-    // would stitch fields from different right rows together)
+    // would stitch fields from different right rows together). The
+    // matched timestamp rides along for the tolerance bound.
     val rowStruct = when(col("__is_left") === 0,
-      struct(payload.map(c => col(s"__p_$c").as(c)): _*))
+      struct((payload.map(c => col(s"__p_$c").as(c)) :+
+        col("__ts").as("__mts")): _*))
     val carried = unioned
       .withColumn("__match", last(rowStruct, ignoreNulls = true).over(w))
-    payload.foldLeft(carried) { (d, c) =>
+    val bounded = toleranceSeconds match {
+      case Some(tol) =>
+        // null out matches outside the window; comparison in seconds via
+        // double cast (works for timestamp and numeric time columns)
+        carried.withColumn("__match",
+          when(col("__ts").cast("double")
+            - col("__match")("__mts").cast("double") <= tol, col("__match")))
+      case None => carried
+    }
+    payload.foldLeft(bounded) { (d, c) =>
         d.withColumn(s"asof_$c", col("__match")(c))
       }
       .filter(col("__is_left") === 1)

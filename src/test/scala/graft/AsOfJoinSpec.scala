@@ -29,6 +29,42 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("q4", None)))       // no preceding right row
   }
 
+  test("asOfForward attaches the earliest right row at-or-after each left row") {
+    val left = Seq(
+      ("u1", 5L, "q1"), ("u1", 10L, "q2"), ("u1", 40L, "q3"),
+      ("u2", 7L, "q4"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      ("u1", 4L, 100.0), ("u1", 10L, 200.0), ("u1", 30L, 300.0),
+      ("u2", 3L, 400.0)) // before u2's only left row
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asOfForward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("tag")
+      .select("tag", "asof_v")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("q1", Some(200.0)), // next at-or-after 5 is ts=10
+      ("q2", Some(200.0)), // equal timestamps match (<= semantics)
+      ("q3", None),        // nothing after 40
+      ("q4", None)))       // u2's right row is in the past
+  }
+
+  test("asOfTolerance nulls matches older than the bound, keeps the rest") {
+    val left = Seq(("u1", 100L, "near"), ("u1", 500L, "far"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(("u1", 90L, 1.5)).toDF("k", "ts", "v")
+    val got = AsOfJoin.asOfTolerance(
+        left.withColumn("ts", expr("timestamp_seconds(ts)")),
+        right.withColumn("ts", expr("timestamp_seconds(ts)")),
+        Seq("k"), "ts", "ts", Seq("v"), toleranceSeconds = 60L)
+      .orderBy("tag")
+      .select("tag", "asof_v")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("far", None),        // 500-90 = 410s > 60s tolerance
+      ("near", Some(1.5)))) // 100-90 = 10s within tolerance
+  }
+
   test("asOf with no matching key yields nulls, not dropped rows") {
     val left = Seq(("solo", 1L)).toDF("k", "ts")
     val right = Seq(("other", 1L, 9.9)).toDF("k", "ts", "v")
