@@ -839,6 +839,17 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** P11 — stratified deterministic sample: per-event-type keep rates via
+    * the portable hash gate (purchase 50%, error 2%, rest 10%); a pure
+    * map-side filter, no join, no shuffle. */
+  private def p11Stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        T(s, dir, "events"), col("event_id"), col("event_type"),
+        Seq("purchase" -> 50, "error" -> 2), 10, portable = true)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** A21 — explicit GROUPING SETS (the general form behind a13 ROLLUP /
     * a17 CUBE), via `spark.sql` over a temp view: one Expand + one
     * partial→final aggregate pair regardless of set count. */
@@ -945,6 +956,7 @@ object SparkEntry {
     "a21_grouping_sets" -> (a21GroupingSets _),
     "j7_asof_forward" -> (j7AsofForward _),
     "j8_asof_tolerance" -> (j8AsofTolerance _),
+    "p11_stratified" -> (p11Stratified _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1077,6 +1089,15 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, user_id, value
         |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3""".stripMargin,
+    "p11_stratified" ->
+      """SELECT event_type,
+        | count(*) AS n,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |  % 100 < CASE event_type WHEN 'purchase' THEN 50
+        |                          WHEN 'error' THEN 2 ELSE 10 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p10_sample" ->
       """SELECT event_type,
         | count(*) AS n,

@@ -25,7 +25,30 @@ object Sampling {
     * is reproducible in any engine with md5 — and hence oracle-checkable.
     * Slower than [[hashSample]]; use for cross-engine reconciliation. */
   def hashSamplePortable(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
-    df.filter(
-      conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long")
-        % 100 < percent)
+    df.filter(portableGate(keyCol) < percent)
+
+  private def portableGate(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
+
+  /** Stratified sample: a different keep-percentage per stratum value
+    * (e.g. downsample boilerplate-heavy sources harder than rare ones).
+    * Still a pure map-side filter — the rate table compiles into a CASE
+    * chain, so there is no join and no shuffle; the same key hashes to
+    * the same gate in every stratum, keeping cross-strata samples
+    * coherent. Production gate = xxhash64; `portable = true` uses the
+    * md5 gate for cross-engine reconciliation. */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      rates: Seq[(String, Int)],
+      defaultPercent: Int,
+      portable: Boolean = false): DataFrame = {
+    val gate =
+      if (portable) portableGate(keyCol) else pmod(xxhash64(keyCol), lit(100))
+    val pct = rates.foldRight(lit(defaultPercent): Column) {
+      case ((v, p), rest) => when(strataCol === v, p).otherwise(rest)
+    }
+    df.filter(gate < pct)
+  }
 }

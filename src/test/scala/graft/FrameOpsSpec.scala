@@ -33,6 +33,30 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(p == p2 && p.size > 100 && p.size < 300)
   }
 
+  test("stratified sampling applies per-stratum rates off one shared gate") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 3000)
+      .withColumn("stratum",
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+          .otherwise("c"))
+    val out = Sampling.stratifiedSample(
+        df, col("id"), col("stratum"), Seq("a" -> 50, "b" -> 0), 10)
+      .groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.getOrElse("b", 0L) == 0L)              // rate 0 drops all
+    assert(out("a") > 350 && out("a") < 650)          // ~50% of 1000
+    assert(out("c") > 40 && out("c") < 200)           // ~10% of 1000
+    // strata rates don't change WHICH keys pass at a given percentile:
+    // an 'a' row kept at 10 percent is also kept at 50
+    val narrow = Sampling.stratifiedSample(
+        df, col("id"), col("stratum"), Seq("a" -> 10), 0)
+      .select("id").as[Long].collect().toSet
+    val wide = Sampling.stratifiedSample(
+        df, col("id"), col("stratum"), Seq("a" -> 50), 0)
+      .select("id").as[Long].collect().toSet
+    assert(narrow.subsetOf(wide))
+  }
+
   test("P2 prefix strip mirrors the synthcity rename (F-7, test_synthcity_adapter.py:70-106)") {
     val df = Seq((1, "a", "B7", 4.5, false))
       .toDF("seq_id", "seq_time_id", "seq_static_id", "seq_temporal_temp_b", "seq_out_outcome")

@@ -50,6 +50,22 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["))
   }
 
+  test("TopKPerGroup matches the window form with null groups and null sort values") {
+    val df = Seq(
+      (Some("a"), 1L, Some(5.0)), (Some("a"), 2L, None),
+      (Some("a"), 3L, Some(9.0)), (Some("a"), 4L, Some(1.0)),
+      (None, 5L, Some(7.0)), (None, 6L, Some(2.0)), (None, 7L, None))
+      .toDF("grp", "id", "score")
+    val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 2)
+      .as[(Option[String], Long, Option[Double])].collect().toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .as[(Option[String], Long, Option[Double])].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._1.isEmpty)) // the null group is a real group
+  }
+
   test("TopKPerGroup survives repartitioned input (partial phase merges)") {
     val df = sample.repartition(13)
     val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 5)
