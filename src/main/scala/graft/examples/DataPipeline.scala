@@ -11,13 +11,16 @@ import graft.ops.Sampling
   * the engine's first-class operators, chained exactly the way a corpus
   * prep job would run them at 100 TB.
   *
-  *  1. language ID + quality scoring (map-only)
+  *  1. language ID + quality scoring (map-only); the predicted language
+  *     routes every later per-language decision — at corpus scale there
+  *     is no ground-truth `lang` label
   *  2. exact dedup (one hash shuffle on the text key)
   *  3. MinHash-LSH near-dup clustering, keep one representative per
   *     cluster (banded candidate join, never O(n²))
   *  4. embedding-cosine near-dup sweep over the survivors' vectors
   *  5. deterministic hash sample for the eval split (map-only filter)
-  *  6. token accounting for the final corpus
+  *  6. token accounting for the final corpus, keyed by the PREDICTED
+  *     language from stage 1
   *
   * Run: `runMain graft.examples.DataPipeline [sfDir]`.
   * The same composition is asserted end-to-end in ExamplesSpec.
@@ -61,10 +64,11 @@ object DataPipeline {
     //    split is reproducible on any cluster layout
     val eval = Sampling.hashSample(curated, col("doc_id"), 10)
 
-    // 6. token accounting per language on the final corpus
+    // 6. token accounting on the final corpus, keyed by the stage-1
+    //    predicted language (the ground-truth label doesn't exist at scale)
     val tokens = curated
-      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
-      .groupBy(col("lang"))
+      .select(col("predicted_lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
     (curated, eval, tokens)
   }

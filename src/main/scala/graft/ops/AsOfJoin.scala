@@ -83,8 +83,12 @@ object AsOfJoin {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_left", lit(1))
+    // a right row without a timestamp can never legitimately match —
+    // unfiltered it would sort to one end of the window and act as a
+    // spurious fallback match (pandas/DuckDB asof both ignore null keys)
     val r = payload.foldLeft(
-      right.select((keyCols :+ rightTs).map(col) ++ payload.map(col): _*)
+      right.filter(col(rightTs).isNotNull)
+        .select((keyCols :+ rightTs).map(col) ++ payload.map(col): _*)
         .withColumn("__ts", col(rightTs))
         .drop(rightTs) // may share a name with a left column
         .withColumn("__is_left", lit(0))) { (d, c) =>
@@ -118,14 +122,23 @@ object AsOfJoin {
       struct((payload.map(c => col(s"__p_$c").as(c)) :+
         col("__ts").as("__mts")): _*))
     val carried = unioned
-      .withColumn("__match", last(rowStruct, ignoreNulls = true).over(w))
+      // a left row without a timestamp has no as-of position — null match
+      // (the window would otherwise hand it whatever sorted before it)
+      .withColumn("__match",
+        when(col("__ts").isNotNull,
+          last(rowStruct, ignoreNulls = true).over(w)))
     val bounded = toleranceSeconds match {
       case Some(tol) =>
         // null out matches outside the window; comparison in seconds via
-        // double cast (works for timestamp and numeric time columns)
-        carried.withColumn("__match",
-          when(col("__ts").cast("double")
-            - col("__match")("__mts").cast("double") <= tol, col("__match")))
+        // double cast (works for timestamp and numeric time columns).
+        // Direction-dependent operand order keeps the diff non-negative
+        // for legitimate matches in BOTH directions.
+        val diff =
+          if (forward)
+            col("__match")("__mts").cast("double") - col("__ts").cast("double")
+          else
+            col("__ts").cast("double") - col("__match")("__mts").cast("double")
+        carried.withColumn("__match", when(diff <= tol, col("__match")))
       case None => carried
     }
     payload.foldLeft(bounded) { (d, c) =>

@@ -18,7 +18,10 @@ object Sampling {
 
   /** Production path: xxhash64-gated sample keeping ~`percent`% of rows. */
   def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
-    df.filter(pmod(xxhash64(keyCol), lit(100)) < percent)
+    df.filter(productionGate(keyCol) < percent)
+
+  private def productionGate(keyCol: Column): Column =
+    pmod(xxhash64(keyCol), lit(100))
 
   /** Cross-engine-portable variant: first 8 md5 hex digits as the gate hash
     * (same idiom as [[graft.ext.Dedup.simHashPortable]]) so the sampled set
@@ -44,8 +47,7 @@ object Sampling {
       rates: Seq[(String, Int)],
       defaultPercent: Int,
       portable: Boolean = false): DataFrame = {
-    val gate =
-      if (portable) portableGate(keyCol) else pmod(xxhash64(keyCol), lit(100))
+    val gate = if (portable) portableGate(keyCol) else productionGate(keyCol)
     val pct = rates.foldRight(lit(defaultPercent): Column) {
       case ((v, p), rest) => when(strataCol === v, p).otherwise(rest)
     }

@@ -28,6 +28,9 @@ object TopK {
       groupCols: Seq[String],
       orderBy: Seq[Column],
       k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "TopK.perGroup needs at least one group column; for a global top-k " +
+        "use orderBy(...).limit(k), which Spark already plans as TakeOrdered")
     val spark = df.sparkSession
     enable(spark)
     val order = orderBy.map(c => GraftColumnBridge.eagerExpression(spark, c) match {

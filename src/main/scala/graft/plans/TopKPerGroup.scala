@@ -48,8 +48,19 @@ case class TopKPerGroup(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, planLater(child), partial = true)
-      TopKPerGroupExec(g, o, k, partial, partial = false) :: Nil
+      // normalize FP group keys (-0.0 → 0.0, canonical NaN) the way the
+      // optimizer does for Aggregate/Window keys — it does not know this
+      // node, and raw UnsafeRow byte-equality would otherwise split
+      // -0.0/0.0 into distinct groups (group keys are scalars here; a
+      // nested-FP struct key would additionally need recursive handling)
+      val ng = g.map(e => e.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.GraftColumnBridge.normalizeFloats(e)
+        case _ => e
+      })
+      val partial = TopKPerGroupExec(ng, o, k, planLater(child), partial = true)
+      TopKPerGroupExec(ng, o, k, partial, partial = false) :: Nil
     case _ => Nil
   }
 }

@@ -20,6 +20,12 @@ object GraftColumnBridge {
   def eagerExpression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** The optimizer's FP canonicalization (-0.0 → 0.0, canonical NaN) for
+    * group keys of custom plan nodes — `NormalizeFloatingNumbers.normalize`
+    * is `private[sql]`. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** Build a DataFrame over a custom logical plan node (the (c)-ladder
     * entry point: `Dataset.ofRows` is `private[sql]`). */
   def ofRows(

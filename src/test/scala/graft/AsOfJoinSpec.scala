@@ -65,6 +65,23 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("near", Some(1.5)))) // 100-90 = 10s within tolerance
   }
 
+  test("null timestamps never match: null-ts right ignored, null-ts left unmatched") {
+    val left = Seq(("u1", Some(10L), "has-ts"), ("u1", None, "no-ts"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(("u1", Some(5L), 1.0), ("u1", None, 99.0))
+      .toDF("k", "ts", "v")
+    val got = AsOfJoin.asOf(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("tag").select("tag", "asof_v")
+      .as[(String, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("has-ts", Some(1.0)), // matches the real ts=5 row, never the null-ts one
+      ("no-ts", None)))      // a left row without a position matches nothing
+    val fwd = AsOfJoin.asOfForward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .orderBy("tag").select("asof_v")
+      .as[Option[Double]].collect().toSeq
+    assert(fwd == Seq(None, None)) // ts=5 is in the past; null rows excluded
+  }
+
   test("asOf with no matching key yields nulls, not dropped rows") {
     val left = Seq(("solo", 1L)).toDF("k", "ts")
     val right = Seq(("other", 1L, 9.9)).toDF("k", "ts", "v")

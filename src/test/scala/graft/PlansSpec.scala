@@ -66,6 +66,21 @@ class PlansSpec extends AnyFunSuite {
     assert(got.exists(_._1.isEmpty)) // the null group is a real group
   }
 
+  test("TopKPerGroup normalizes -0.0/0.0 group keys like the window form") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("gkey", "id")
+    val got = TopK.perGroup(df, Seq("gkey"), Seq(col("id")), 1)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L)) // 0.0 and -0.0 are ONE group; id=1 wins it
+  }
+
+  test("TopKPerGroup rejects an empty group list with a clear message") {
+    val df = Seq((1L, 2.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(df, Seq(), Seq(col("v")), 1)
+    }
+    assert(e.getMessage.contains("orderBy(...).limit(k)"))
+  }
+
   test("TopKPerGroup survives repartitioned input (partial phase merges)") {
     val df = sample.repartition(13)
     val got = TopK.perGroup(df, Seq("grp"), Seq(col("score").desc, col("id")), 5)
