@@ -839,6 +839,41 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** W10 — RANGE window frame: trailing-1-day moving average keyed by the
+    * VALUE of the time column, not row count (gap-aware moving stats). */
+  private def w10RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .withColumn("s", unix_timestamp(date_trunc("second", col("ts"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rangeBetween(-86400, 0)
+    // moving SUM (exact decimal) + count, not a divided average: the
+    // 2-dp-sum ÷ small-count quotient terminates right on rounding-tie
+    // boundaries where Spark (HALF_UP on the shortest decimal string) and
+    // DuckDB (binary-value rounding) disagree — 34.76125 case at sf0.01
+    base.select(
+        col("user_id"), col("event_id"),
+        round(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+          .cast("double").as("sum_1d"),
+        count(lit(1)).over(w).as("n_1d"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** W11 — value-position window functions (first / last / nth over the
+    * full-partition frame). */
+  private def w11ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir, "events")
+      .filter(col("user_id") % 5 === 0)
+      .select(
+        col("user_id"), col("event_id"),
+        round(first(col("value")).over(wOrd), 2).as("first_v"),
+        round(last(col("value")).over(wFull), 2).as("last_v"),
+        round(nth_value(col("value"), 3).over(wFull), 2).as("third_v"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** P11 — stratified deterministic sample: per-event-type keep rates via
     * the portable hash gate (purchase 50%, error 2%, rest 10%); a pure
     * map-side filter, no join, no shuffle. */
@@ -957,6 +992,8 @@ object SparkEntry {
     "j7_asof_forward" -> (j7AsofForward _),
     "j8_asof_tolerance" -> (j8AsofTolerance _),
     "p11_stratified" -> (p11Stratified _),
+    "w10_range_frame" -> (w10RangeFrame _),
+    "w11_value_windows" -> (w11ValueWindows _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1089,6 +1126,31 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, user_id, value
         |FROM r WHERE rnk <= 3 ORDER BY 1, 2, 3""".stripMargin,
+    "w10_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  epoch(date_trunc('second', ts)) AS s FROM events WHERE user_id % 5 = 0)
+        |SELECT user_id, event_id,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER
+        |     (PARTITION BY user_id ORDER BY s
+        |      RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |   AS sum_1d,
+        | CAST(count(*) OVER (PARTITION BY user_id ORDER BY s
+        |   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1d
+        |FROM e ORDER BY 1, 2""".stripMargin,
+    "w11_value_windows" ->
+      """SELECT user_id, event_id,
+        | round(first_value(value) OVER w, 2) AS first_v,
+        | round(last_value(value) OVER
+        |   (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |   AS last_v,
+        | round(nth_value(value, 3) OVER
+        |   (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        |   AS third_v
+        |FROM events WHERE user_id % 5 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY 1, 2""".stripMargin,
     "p11_stratified" ->
       """SELECT event_type,
         | count(*) AS n,
