@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues}
 
 /** Custom keyed state over streams (SURVEY §2.9 extension surface):
   * `flatMapGroupsWithState` for semantics the declarative window
@@ -35,5 +35,48 @@ object StatefulOps {
           if (n == prev.n) Iterator.empty
           else Iterator.single(RunningOut(key, n, total, total / n))
         })
+  }
+
+  /** The same running aggregate on Spark 4's `transformWithState` API —
+    * the successor to `flatMapGroupsWithState`: typed `ValueState` handles
+    * instead of a single state object, explicit TimeMode, and RocksDB
+    * state-store backing (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...RocksDBStateStoreProvider`; transformWithState requires it).
+    * State remains two numbers per key — bounded for an unbounded stream.
+    */
+  class RunningMeanProcessor
+      extends StatefulProcessor[String, Obs, RunningOut] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[RunningState] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningState](
+        "running", Encoders.product[RunningState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[RunningOut] = {
+      val prev = Option(state.get()).getOrElse(RunningState(0L, 0.0))
+      var n = prev.n
+      var total = prev.total
+      rows.foreach { o => n += 1; total += o.value }
+      state.update(RunningState(n, total))
+      if (n == prev.n) Iterator.empty
+      else Iterator.single(RunningOut(key, n, total, total / n))
+    }
+  }
+
+  def runningMeanTws(ds: Dataset[Obs]): Dataset[RunningOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.itemId)
+      .transformWithState(
+        new RunningMeanProcessor,
+        TimeMode.None(),
+        OutputMode.Append())
   }
 }

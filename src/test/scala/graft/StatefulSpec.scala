@@ -33,6 +33,38 @@ class StatefulSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running mean matches the fMGWS form (RocksDB store)") {
+    val dir = Files.createTempDirectory("graft-tws").toFile
+    dir.deleteOnExit()
+    Seq(("a", 2.0), ("a", 4.0), ("b", 10.0))
+      .toDF("itemId", "value")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("itemId", StringType), StructField("value", DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+        .as[StatefulOps.Obs]
+      val q = StatefulOps.runningMeanTws(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("graft_running_tws").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.sql(
+          "SELECT itemId, n, total, mean FROM graft_running_tws ORDER BY itemId")
+          .as[(String, Long, Double, Double)].collect().toSeq
+        assert(got == Seq(("a", 2L, 6.0, 3.0), ("b", 1L, 10.0, 10.0)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("GraftExtensions injects native functions at session build time") {
     // the shared session wasn't built with the extension; apply it manually
     // through the registry path and confirm SQL-level resolution
