@@ -165,5 +165,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => FloatVecNorm(children.head)))
     // auto-accelerate the declarative HOF dot-product idiom
     ext.injectOptimizerRule(_ => VectorizeDotProducts)
+    // plan the custom bounded-heap top-k operator (graft.plans.TopKPerGroup)
+    // on extension-built sessions; ops.TopK.enable covers ad-hoc sessions
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
