@@ -89,7 +89,7 @@ object DataPipeline {
     val (curated, eval, tokens) = curate(docs, emb)
     val nIn = docs.count(); val nOut = curated.count(); val nEval = eval.count()
     println(s"curated $nIn -> $nOut docs (eval split: $nEval)")
-    tokens.orderBy("lang").show(truncate = false)
+    tokens.orderBy("predicted_lang").show(truncate = false)
     spark.stop()
   }
 }

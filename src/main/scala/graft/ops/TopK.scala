@@ -15,11 +15,17 @@ import graft.plans.{TopKPerGroup, TopKStrategy}
   */
 object TopK {
 
-  /** Registers the planner strategy once per session (idempotent). */
-  def enable(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+  /** Registers the planner strategy once per session (idempotent — also
+    * detects the copy GraftExtensions injects at session build time, so
+    * extension-built sessions don't consult the strategy twice). */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val present =
+      spark.experimental.extraStrategies.contains(TopKStrategy) ||
+        spark.sessionState.planner.strategies.contains(TopKStrategy)
+    if (!present)
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+  }
 
   /** @param orderBy sort columns, e.g. `Seq(col("value").desc, col("id"))`;
     *                plain columns sort ascending */

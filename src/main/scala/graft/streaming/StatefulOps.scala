@@ -17,6 +17,22 @@ object StatefulOps {
   implicit private val stateEnc: Encoder[RunningState] = Encoders.product[RunningState]
   implicit private val outEnc: Encoder[RunningOut] = Encoders.product[RunningOut]
 
+  /** One step of the running aggregate — the shared semantics of BOTH
+    * state APIs below (fold the batch, emit a delta row only when the
+    * count moved). */
+  private def step(
+      key: String,
+      prev: RunningState,
+      rows: Iterator[Obs]): (RunningState, Iterator[RunningOut]) = {
+    var n = prev.n
+    var total = prev.total
+    rows.foreach { o => n += 1; total += o.value }
+    val out =
+      if (n == prev.n) Iterator.empty
+      else Iterator.single(RunningOut(key, n, total, total / n))
+    (RunningState(n, total), out)
+  }
+
   /** Per-entity running count/sum/mean that survives across micro-batches.
     * State is two numbers per key — bounded regardless of stream length;
     * no watermark needed because the state never grows with events.
@@ -27,13 +43,10 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[Obs], state: GroupState[RunningState]) => {
-          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { o => n += 1; total += o.value }
-          state.update(RunningState(n, total))
-          if (n == prev.n) Iterator.empty
-          else Iterator.single(RunningOut(key, n, total, total / n))
+          val (next, out) = step(
+            key, state.getOption.getOrElse(RunningState(0L, 0.0)), rows)
+          state.update(next)
+          out
         })
   }
 
@@ -61,13 +74,10 @@ object StatefulOps {
         key: String,
         rows: Iterator[Obs],
         timerValues: TimerValues): Iterator[RunningOut] = {
-      val prev = Option(state.get()).getOrElse(RunningState(0L, 0.0))
-      var n = prev.n
-      var total = prev.total
-      rows.foreach { o => n += 1; total += o.value }
-      state.update(RunningState(n, total))
-      if (n == prev.n) Iterator.empty
-      else Iterator.single(RunningOut(key, n, total, total / n))
+      val (next, out) = step(
+        key, Option(state.get()).getOrElse(RunningState(0L, 0.0)), rows)
+      state.update(next)
+      out
     }
   }
 
