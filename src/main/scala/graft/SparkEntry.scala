@@ -218,14 +218,17 @@ object SparkEntry {
         max(col("c_custkey")).as("max_custkey"))
   }
 
-  /** O2 — per-entity head limit (univariate_metrics.py:516-518). */
+  /** O2 — per-entity head limit (univariate_metrics.py:516-518). The k
+    * earliest rows per entity come from the bounded-heap operator (no full
+    * per-entity sort); positions are then numbered with a window over the
+    * ≤ k survivors only. */
   private def o2Head(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("event_id"))
-    T(s, dir, "events")
-      .filter(col("user_id") % 10 === 0)
+    graft.ops.TopK.perGroup(
+        T(s, dir, "events").filter(col("user_id") % 10 === 0),
+        Seq("user_id"), Seq(col("event_id")), 5)
       .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= 5)
       .select(col("user_id"), col("pos"), col("event_id"))
       .orderBy(col("user_id"), col("pos"))
   }
