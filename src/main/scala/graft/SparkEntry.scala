@@ -466,6 +466,21 @@ object SparkEntry {
     Dedup.simHashNearDuplicates(T(s, dir, "documents"), "doc_id", "text", 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Cross-corpus overlap via Bloom prescreen + exact verify: which
+    * odd-half documents open with a 3-word prefix already seen in the
+    * even half (shared-boilerplate detection). The oracle is a plain
+    * EXISTS semi-join — a hash match proves the Bloom path changes
+    * nothing (no false negatives; false positives verified away). */
+  private def dedupBloomCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pfx = array_join(slice(split(col("text"), "\\s+"), 1, 3), " ")
+    Dedup.bloomPrescreenOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", pfx)
+      .orderBy(col("doc_id"))
+  }
+
   /** Portable banded MinHash pairs — the naive-pairwise DuckDB oracle
     * proves banding + threshold end-to-end (see Dedup scaladoc). */
   private def dedupMinhashPairsPortable(s: SparkSession, dir: String): DataFrame =
@@ -997,6 +1012,7 @@ object SparkEntry {
     "p11_stratified" -> (p11Stratified _),
     "w10_range_frame" -> (w10RangeFrame _),
     "w11_value_windows" -> (w11ValueWindows _),
+    "dedup_bloom_cross" -> (dedupBloomCross _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1507,6 +1523,14 @@ object SparkEntry {
         |SELECT id_a, id_b, round(shared / (sa.n + sb.n - shared), 6) AS jaccard
         |FROM sh JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
         |WHERE shared / (sa.n + sb.n - shared) >= 0.1 ORDER BY 1,2""".stripMargin,
+    "dedup_bloom_cross" ->
+      """WITH k AS (SELECT doc_id,
+        |  array_to_string(string_split_regex(text, '\s+')[1:3], ' ') AS pfx
+        |  FROM documents)
+        |SELECT b.doc_id, b.pfx AS matched_key
+        |FROM k b WHERE b.doc_id % 2 = 1 AND EXISTS
+        | (SELECT 1 FROM k a WHERE a.doc_id % 2 = 0 AND a.pfx = b.pfx)
+        |ORDER BY 1""".stripMargin,
     "dedup_minhash_pairs_portable" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

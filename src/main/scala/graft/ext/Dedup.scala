@@ -408,6 +408,50 @@ object Dedup {
     labels
   }
 
+  /** Cross-corpus overlap via Bloom-filter prescreen + exact verify — the
+    * standard shape for "which of corpus B's documents already appear in
+    * corpus A" at 100 TB: corpus A folds into ONE Bloom filter
+    * (`bloom_filter_agg`, a few MB regardless of corpus size), the filter
+    * broadcasts, and corpus B is screened map-side (`might_contain`) so
+    * only probable hits reach the exact semi-join. The verify join makes
+    * the result EXACT — Bloom false positives are filtered, and a Bloom
+    * filter has no false negatives — so the output is deterministic and
+    * oracle-checkable even though the filter bits are engine-specific.
+    *
+    * Returns corpus-B rows whose `key` exists in corpus A:
+    * (idCol, matched_key).
+    */
+  def bloomPrescreenOverlap(
+      corpusA: DataFrame,
+      corpusB: DataFrame,
+      idCol: String,
+      key: Column): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val a = corpusA.select(key.as("__k"))
+    // fold corpus A into one Bloom filter (the same aggregate Spark's own
+    // runtime-filter injection uses; it has no public SQL registration).
+    // The binary lands driver-side exactly like a runtime filter's scalar
+    // subquery — a few MB regardless of corpus size — and re-enters the
+    // plan as a foldable literal, which might_contain requires.
+    val bloomBytes = a
+      .select(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          GraftColumnBridge.expression(xxhash64(col("__k"))))
+          .toAggregateExpression()).as("__bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = GraftColumnBridge.column(
+      BloomFilterMightContain(
+        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftColumnBridge.expression(xxhash64(col("__k")))))
+    val pre = corpusB.select(col(idCol), key.as("__k")).filter(mightContain)
+    pre.join(
+        a.distinct().withColumnRenamed("__k", "__ka"),
+        col("__k") === col("__ka"), "left_semi")
+      .select(col(idCol), col("__k").as("matched_key"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
     * explode distinct shingles, self-equi-join on the shingle, count shared
     * per pair, |A∪B| = |A|+|B|−shared. Intended for bounded candidate sets

@@ -48,6 +48,19 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(0))
   }
 
+  test("bloom prescreen overlap == exact semi-join (no false negatives; FPs verified away)") {
+    val a = Seq((0L, "shared one"), (1L, "only in a"), (2L, "shared two"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "shared one"), (11L, "only in b"),
+      (12L, "shared two"), (13L, "shared one"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomPrescreenOverlap(a, b, "doc_id", col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (10L, "shared one"), (12L, "shared two"), (13L, "shared one")))
+  }
+
   test("portable simhash: identical docs collide; banding equals naive pairs") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon"),
