@@ -45,7 +45,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the result as a file: the driver's log tail truncates long
+    // lines, which made BENCH_r02.json unparseable mid-JSON
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

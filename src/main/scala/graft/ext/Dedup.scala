@@ -83,14 +83,50 @@ object Dedup {
         (0 until numHashes).map(i =>
           element_at(col("__sig"), i + 1).as(s"minhash_$i")): _*)
 
+  /** Cap LSH bucket membership before a pair self-join: count rows per
+    * bucket (one aggregation over the SAME exchange the pair join uses, so
+    * the banded map stage still runs once), drop every bucket whose
+    * membership exceeds `cap`, and log the drop count via [[DropMetrics]].
+    *
+    * Why this must exist at 100 TB: a boilerplate-heavy corpus puts 10⁶
+    * near-identical docs into one (band, hash) bucket → 10¹² intra-bucket
+    * pairs in a single task. Near-identical is not identical, so an exact
+    * dedup upstream does NOT bound this. An over-cap bucket is by
+    * construction a mass-duplicate group; the right handling is to route its
+    * members to exact/cluster dedup, not to enumerate its pairs — so the cap
+    * SKIPS the bucket (deterministically, whole-bucket) rather than sampling.
+    *
+    * Both join inputs are hinted `shuffle_hash`: the count side's size
+    * estimate under the explode is a few KB, so Catalyst would otherwise
+    * broadcast it — collecting one row per distinct bucket (≈ docs × bands
+    * at scale) onto the driver.
+    */
+  private def capBuckets(
+      banded: DataFrame, keys: Seq[String], cap: Int, tag: String): DataFrame = {
+    require(cap > 0, s"maxBucketSize must be positive, got $cap")
+    val counts = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+    val stats = banded.hint("shuffle_hash")
+      .join(counts.hint("shuffle_hash"), keys)
+    DropMetrics.observe(stats, tag, Seq(
+        sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("__bucket_n")).as("max_bucket_size"),
+        lit(cap.toLong).as("cap")))
+      .filter(col("__bucket_n") <= cap)
+      .drop("__bucket_n")
+  }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature (bands of
     * `rowsPerBand`), hash each band, shuffle on (band index, band hash),
     * emit same-bucket pairs. Candidates are then verified with the exact
     * signature similarity (fraction of agreeing minhashes ≥ `threshold`).
     *
     * Scale: the only shuffles are groupBy(doc) for signatures and
-    * groupBy(band bucket); bucket skew is bounded because identical bands
-    * imply near-identical docs.
+    * groupBy(band bucket); buckets over `maxBucketSize` members are skipped
+    * with a logged drop count (see [[capBuckets]]) — mass-duplicate groups
+    * belong to exact/cluster dedup, and an uncapped bucket self-join is
+    * quadratic in the bucket.
     */
   def minHashNearDuplicates(
       df: DataFrame,
@@ -99,7 +135,8 @@ object Dedup {
       threshold: Double = 0.7,
       shingleLen: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketSize: Int = 10000): DataFrame = {
     val rowsPerBand = numHashes / bands
     // the signature array rides along through the banding explode and the
     // bucket join, so the expensive shingle+hash map stage runs ONCE — an
@@ -124,9 +161,11 @@ object Dedup {
     // sf0.1 and fatal at scale. A shuffle hash join partitions on the
     // bucket key, and the two sides are the same subtree, so ReuseExchange
     // computes the map stage once.
-    val a = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+    val capped = capBuckets(withBands, Seq("band_idx", "band_hash"),
+      maxBucketSize, "minhash_lsh")
+    val a = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+    val b = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -168,7 +207,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 64 / chunks
     // the self-join reuses the signature aggregate via ReuseExchange —
@@ -187,9 +227,11 @@ object Dedup {
     // 64-sum signature aggregate twice (and a broadcast of the banded
     // corpus is fatal at scale). With both sides as the same shuffle, the
     // aggregate runs once.
-    val a = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
+    val capped = capBuckets(banded, Seq("chunk_idx", "chunk_val"),
+      maxBucketSize, "simhash_lsh")
+    val a = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
+    val b = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -242,7 +284,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double = 0.5,
-      shingleLen: Int = 3): DataFrame = {
+      shingleLen: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val k = PortableCoeffs.length
     val bands = 2
     val rowsPerBand = k / bands
@@ -257,9 +300,11 @@ object Dedup {
             xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
               .as("band_hash"))): _*)).as("__band"))
       .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
-    val a = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+    val capped = capBuckets(withBands, Seq("band_idx", "band_hash"),
+      maxBucketSize, "minhash_lsh_portable")
+    val a = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = withBands.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
+    val b = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
       col(idCol).as("id_b"), col("__sig").as("sig_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
@@ -307,7 +352,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val chunks = maxDistance + 1
     val bitsPer = 32 / chunks
     val sigs = simHashPortable(df, idCol, textCol)
@@ -320,9 +366,11 @@ object Dedup {
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
       .select(col(idCol), col("simhash32"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
     // same shuffle-hash rationale as [[simHashNearDuplicates]]
-    val a = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
+    val capped = capBuckets(banded, Seq("chunk_idx", "chunk_val"),
+      maxBucketSize, "simhash_lsh_portable")
+    val a = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash32").as("sig_a"))
-    val b = banded.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
+    val b = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
       col(idCol).as("id_b"), col("simhash32").as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
@@ -453,25 +501,44 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
-    * explode distinct shingles, self-equi-join on the shingle, count shared
-    * per pair, |A∪B| = |A|+|B|−shared. Intended for bounded candidate sets
-    * (post-LSH or pre-blocked); the shingle join is the scalable candidate
-    * generator when shingle frequency is capped upstream.
+    * explode distinct shingles, drop stop-shingles (document frequency over
+    * `maxDocFreq` — the standard cap that keeps the self-join sub-quadratic:
+    * a shingle in every doc of a 10⁹-doc corpus would otherwise emit 10¹⁸
+    * candidate rows), self-equi-join on the shingle, count shared per pair,
+    * |A∪B| = |A|+|B|−shared. Jaccard is computed over the capped shingle
+    * space on BOTH sides of the ratio (sizes count kept shingles only), so
+    * the result is self-consistent; drops are logged via [[DropMetrics]].
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxDocFreq: Int = 1000): DataFrame = {
+    require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
     // grams are joined by 64-bit hash, not string: the pair-join shuffle
     // moves (long, long) rows and the join side becomes broadcast-able
     val grams = df.select(
       col(idCol),
       explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("__g"))
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = grams.select(col(idCol).as("id_a"), col("__g"))
-    val b = grams.select(col(idCol).as("id_b"), col("__g"))
+    // stop-shingle drop: count docs per gram over the same exchange the
+    // pair join uses; shuffle_hash on the count side — its size estimate
+    // under the explode is tiny, and a broadcast would collect one row per
+    // distinct shingle (≈ corpus token count) onto the driver
+    val freqs = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val kept = DropMetrics.observe(
+        grams.hint("shuffle_hash").join(freqs.hint("shuffle_hash"), "__g"),
+        "ngram_stop_shingles", Seq(
+          sum(when(col("__df") > maxDocFreq, lit(1L)).otherwise(lit(0L)))
+            .as("dropped_rows"),
+          max(col("__df")).as("max_doc_freq"),
+          lit(maxDocFreq.toLong).as("cap")))
+      .filter(col("__df") <= maxDocFreq)
+      .drop("__df")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = kept.select(col(idCol).as("id_a"), col("__g"))
+    val b = kept.select(col(idCol).as("id_b"), col("__g"))
     val shared = a.join(b, "__g")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

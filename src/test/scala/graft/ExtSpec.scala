@@ -95,6 +95,46 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1L, 1.0)))
   }
 
+  test("bucket cap: 1000 identical docs complete with bounded pair output") {
+    // pathological mass-duplicate fixture: every doc lands in the SAME
+    // (band, hash) bucket for every band — uncapped, the pair join would
+    // emit 1000·999/2 ≈ 5·10⁵ rows (and 10¹² at a 10⁶-doc boilerplate
+    // corpus); the cap must skip the over-cap bucket entirely
+    val boiler = (0L until 1000L).map(i => (i, "same boilerplate text repeated " +
+      "across the whole corpus forever and ever amen"))
+    val df = (boiler :+ ((2000L, "one genuinely different document body here")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashNearDuplicates(df, "doc_id", "text",
+      threshold = 0.0, maxBucketSize = 100)
+    assert(capped.count() == 0) // the only bucket is over cap -> skipped
+    // under-cap corpora are untouched: same fixture, cap above membership
+    val uncapped = Dedup.minHashNearDuplicates(
+      df.filter(col("doc_id") < 10), "doc_id", "text",
+      threshold = 0.9, maxBucketSize = 100)
+    assert(uncapped.count() == 10L * 9L / 2)
+    // simhash path: same skip semantics
+    val sh = Dedup.simHashNearDuplicates(df, "doc_id", "text",
+      maxDistance = 3, maxBucketSize = 100)
+    assert(sh.count() == 0)
+  }
+
+  test("ngram doc-frequency cap drops stop-shingles, keeps rare ones") {
+    // "x y z" appears in every doc (doc freq 4 > cap 3) and must not
+    // generate candidates; the rare tail grams still pair docs 0/1
+    val df = Seq(
+      (0L, "x y z rare tail one"), (1L, "x y z rare tail one"),
+      (2L, "x y z totally other words"), (3L, "x y z unrelated body text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5, maxDocFreq = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    // docs 0 and 1 share ALL their kept grams -> jaccard 1.0 over the
+    // capped shingle space; no other pair shares a kept gram
+    assert(got.toSeq == Seq((0L, 1L, 1.0)))
+    // cap above every doc freq -> unchanged vs the uncapped baseline
+    val base = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.01, maxDocFreq = 1000)
+    assert(base.filter(col("id_a") === 0 && col("id_b") === 1).count() == 1)
+  }
+
   test("MLlib MinHashLSH route agrees with the native pairs on identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((0L, base), (1L, base), (2L, "completely different words here now"))
