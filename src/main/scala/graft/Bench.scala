@@ -14,6 +14,9 @@ object Bench {
       // measures the fixed-latency floor without adaptive stage barriers
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // 78 queries × ~5 codegen fragments overflow the default 100-entry
+      // compile cache across the run (static conf, must be set pre-session)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -23,6 +26,11 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // drain warmup garbage OUTSIDE the timed region: 77 other queries'
+      // allocation pressure otherwise lands GC pauses inside someone
+      // else's timing (observed ~2× inflation on heavy queries in-bench
+      // vs isolated)
+      System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {

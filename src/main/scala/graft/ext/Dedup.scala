@@ -475,23 +475,24 @@ object Dedup {
       idCol: String,
       key: Column): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val a = corpusA.select(key.as("__k"))
     // fold corpus A into one Bloom filter (the same aggregate Spark's own
     // runtime-filter injection uses; it has no public SQL registration).
-    // The binary lands driver-side exactly like a runtime filter's scalar
-    // subquery — a few MB regardless of corpus size — and re-enters the
-    // plan as a foldable literal, which might_contain requires.
-    val bloomBytes = a
+    // The aggregate enters the probe side as a SCALAR SUBQUERY — exactly the
+    // shape InjectRuntimeFilter produces — so the whole prescreen is ONE
+    // query execution: the subquery job runs when the query runs, not
+    // eagerly at operator-construction time, and the filter binary still
+    // lands driver-side as a few MB regardless of corpus size.
+    val bloomAgg = a
       .select(GraftColumnBridge.column(
         new BloomFilterAggregate(
           GraftColumnBridge.expression(xxhash64(col("__k"))))
           .toAggregateExpression()).as("__bf"))
-      .head().getAs[Array[Byte]](0)
     val mightContain = GraftColumnBridge.column(
       BloomFilterMightContain(
-        Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ScalarSubquery(bloomAgg.queryExecution.analyzed),
         GraftColumnBridge.expression(xxhash64(col("__k")))))
     val pre = corpusB.select(col(idCol), key.as("__k")).filter(mightContain)
     pre.join(

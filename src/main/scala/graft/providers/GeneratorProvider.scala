@@ -27,15 +27,26 @@ trait FittedGenerator {
 }
 
 object GeneratorProvider {
+  /** Externally registered providers (out-of-process adapters and other
+    * plug-ins) — looked up before the builtins, so a registration can
+    * shadow a builtin name, and `register` makes the SPI demonstrably
+    * pluggable without any DL library in this JVM. */
+  private val external =
+    new java.util.concurrent.ConcurrentHashMap[String, GeneratorProvider]()
+
+  def register(provider: GeneratorProvider): Unit =
+    external.put(provider.name, provider)
+
   /** Registry, mirroring adapter.py:64-97's provider dispatch. */
-  def forName(provider: String): GeneratorProvider = provider match {
-    case "statistical" => StatisticalProvider
-    case "bootstrap"   => BootstrapProvider
-    case "ar"          => ArProvider
-    case other =>
-      throw new IllegalArgumentException(
-        s"Generation provider $other is not supported") // adapter.py:95-97
-  }
+  def forName(provider: String): GeneratorProvider =
+    Option(external.get(provider)).getOrElse(provider match {
+      case "statistical" => StatisticalProvider
+      case "bootstrap"   => BootstrapProvider
+      case "ar"          => ArProvider
+      case other =>
+        throw new IllegalArgumentException(
+          s"Generation provider $other is not supported") // adapter.py:95-97
+    })
 }
 
 /** Spark-native default: fits per-column mean/std (one aggregate pass) and

@@ -1,0 +1,142 @@
+package graft.providers
+
+import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.TimeUnit
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods._
+
+import graft.core.TsSchema
+
+/** Out-of-process generator adapter — the engine-side seam for the real DL
+  * providers the reference wraps (TimeGAN via ydata_adapter.py:291-358,
+  * DoppleGANger via synthcity_adapter.py:109-155, PAR via
+  * sdv_adapter.py:94-119). Those libraries are Python/TensorFlow/Torch and
+  * cannot live in the Spark JVM; this provider shells a worker process and
+  * speaks a one-line-JSON protocol over stdin/stdout, so ANY runtime that
+  * can read a line and print a line can serve models.
+  *
+  * Protocol (one request line in, one response line out, per invocation):
+  * {{{
+  *   -> {"op":"fit","schema":{"itemIdCols":[...],"tsCol":"ts",
+  *        "numericCols":[...],"catCols":[...]},"data":[{row json},...]}
+  *   <- {"ok":true,"model":<opaque json — echoed back verbatim>}
+  *   -> {"op":"generate","model":<blob>,"n":2,"seqLen":3,
+  *        "columns":["v1","v2"]}
+  *   <- {"ok":true,"rows":[{"seq_id":0,"step":0,"v1":1.5,...},...]}
+  *   <- {"ok":false,"error":"message"}        // either op, failure path
+  * }}}
+  *
+  * Scale posture: fit() collects the training frame to the driver — a
+  * DELIBERATE driver boundary, same as the reference adapters' conversion
+  * to an in-memory pandas frame before handing to the model library
+  * (ydata_adapter.py:291-313). DL trainers consume a bounded training
+  * sample, never the 100 TB corpus; downsample with `ops.Sampling` first.
+  * The worker is stateless across calls (the fitted model travels inside
+  * the messages), so a crash is isolated to one call and the provider
+  * itself holds no process handle between calls.
+  *
+  * @param command argv of the worker, e.g. `Seq("python3", "worker.py")`
+  *                (tests use a JVM mock worker)
+  */
+final class ProcessProvider(
+    command: Seq[String],
+    override val name: String = "process",
+    timeoutSec: Long = 300) extends GeneratorProvider {
+  require(command.nonEmpty, "worker command must be non-empty")
+
+  def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
+    val schemaJson: JValue =
+      ("itemIdCols" -> schema.itemIdCols) ~ ("tsCol" -> schema.tsCol) ~
+      ("numericCols" -> schema.numericCols) ~ ("catCols" -> schema.catCols)
+    // driver boundary by design (see scaladoc); toJSON keeps types textual
+    // and engine-neutral for the worker
+    val rows: Seq[JValue] = data.toJSON.collect().toSeq.map(parse(_))
+    val resp = call(
+      ("op" -> "fit") ~ ("schema" -> schemaJson) ~ ("data" -> rows))
+    val model = resp \ "model" match {
+      case JNothing => fail("fit response has no 'model' field")
+      case m => m
+    }
+    new ProcessFitted(model)
+  }
+
+  /** Fitted handle: the worker's opaque model blob, echoed back on every
+    * generate call. Exposed for the model store (S4/S5) — the blob IS the
+    * persistable state. */
+  final class ProcessFitted(val modelJson: JValue) extends FittedGenerator {
+    def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
+      val resp = call(
+        ("op" -> "generate") ~ ("model" -> modelJson) ~ ("n" -> n) ~
+        ("seqLen" -> seqLen))
+      val rows = resp \ "rows" match {
+        case JArray(rs) => rs
+        case _ => fail("generate response has no 'rows' array")
+      }
+      import spark.implicits._
+      // one JSON line per row -> canonical long-frame column order
+      val df = spark.read.json(
+        spark.createDataset(rows.map(r => compact(render(r)))))
+      val dataCols = df.columns.filterNot(Set("seq_id", "step")).sorted
+      df.select((Seq("seq_id", "step") ++ dataCols).map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalStateException(s"ProcessProvider($name): $msg")
+
+  /** One request/response round-trip with a fresh worker process. */
+  private def call(req: JValue): JValue = {
+    val pb = new ProcessBuilder(command: _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    try {
+      val out = new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)
+      out.write(compact(render(req)))
+      out.write("\n")
+      out.flush()
+      out.close()
+      val reader = new BufferedReader(
+        new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
+      val line = reader.readLine()
+      if (!proc.waitFor(timeoutSec, TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        fail(s"worker timed out after ${timeoutSec}s")
+      }
+      if (line == null) {
+        val err = readAll(proc)
+        fail(s"worker produced no output (exit ${proc.exitValue()}): $err")
+      }
+      val resp = parse(line)
+      resp \ "ok" match {
+        case JBool(true) => resp
+        case JBool(false) =>
+          // worker-reported failure — surfaced with the worker's message,
+          // mirroring the reference registry's error path (adapter.py:95-97)
+          val msg = resp \ "error" match {
+            case JString(e) => e
+            case _ => "unknown worker error"
+          }
+          fail(s"worker error: $msg")
+        case _ => fail(s"malformed worker response: $line")
+      }
+    } finally {
+      proc.destroyForcibly()
+      ()
+    }
+  }
+
+  private def readAll(proc: Process): String = {
+    val buf = new ArrayBuffer[String]()
+    val r = new BufferedReader(
+      new InputStreamReader(proc.getErrorStream, StandardCharsets.UTF_8))
+    var l = r.readLine()
+    while (l != null && buf.size < 20) { buf += l; l = r.readLine() }
+    buf.mkString(" | ")
+  }
+}

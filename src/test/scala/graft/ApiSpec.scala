@@ -145,4 +145,38 @@ class ApiSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](gen.fit(data))
     assert(e.getMessage.contains("not supported"))
   }
+
+  // ——— out-of-process adapter seam (ProcessProvider) ———
+
+  private def mockWorkerCmd(extra: String*): Seq[String] = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    Seq(java, "-cp", System.getProperty("java.class.path"),
+      "graft.MockWorker") ++ extra
+  }
+
+  test("ProcessProvider round-trips fit/generate through a worker process") {
+    import graft.providers.{GeneratorProvider, ProcessProvider}
+    val p = new ProcessProvider(mockWorkerCmd(), name = "mock_gan")
+    GeneratorProvider.register(p)
+    // registry resolves the external provider (adapter.py:64-97 parity)
+    val viaRegistry = GeneratorProvider.forName("mock_gan")
+    val fitted = viaRegistry.fit(data, schema)
+    val out = fitted.generate(spark, 2, 3)
+      .orderBy("seq_id", "step").collect()
+    assert(out.length == 6)
+    assert(out.head.schema.fieldNames.toSeq == Seq("seq_id", "step", "m1", "m2"))
+    // worker model = column means; generate = mean + step/4, bit-stable
+    val m1 = data.agg(org.apache.spark.sql.functions.avg("m1")).head().getDouble(0)
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = for (s <- 0L to 1L; t <- 0L to 2L) yield (s, t, m1 + t * 0.25)
+    assert(got.zip(want).forall { case ((s1, t1, v1), (s2, t2, v2)) =>
+      s1 == s2 && t1 == t2 && math.abs(v1 - v2) < 1e-9 })
+  }
+
+  test("ProcessProvider surfaces the worker's error (registry error path)") {
+    import graft.providers.ProcessProvider
+    val p = new ProcessProvider(mockWorkerCmd("fail"), name = "mock_fail")
+    val e = intercept[IllegalStateException](p.fit(data, schema))
+    assert(e.getMessage.contains("boom"))
+  }
 }

@@ -61,4 +61,33 @@ class SourcesSpec extends AnyFunSuite {
       s"shipdate predicate must reach parquet:\n$plan")
     assert(!plan.contains("l_orderkey"), "unused columns must be pruned")
   }
+
+  test("S6: blob-store layout round-trips through explicit file: URIs") {
+    // the cloud_trainer.py:56-78 layout: a bucket prefix holding
+    // training-<n> CSV objects, consumed back through ONE wildcard URI.
+    // `file:` exercises the same Hadoop FileSystem resolution path an
+    // object store (`gs://`, `s3a://`) goes through — scheme parsing,
+    // FS-based globbing, multi-file scan — with no store in the sandbox.
+    import graft.sources.Tables
+    val bucket = java.nio.file.Files.createTempDirectory("graft-bucket")
+    val prefix = s"file:${bucket.toAbsolutePath}"
+    val splits = (0 until 3).map(i =>
+      (0 until 20).map(j => (i * 20 + j, s"item_${i * 20 + j}", j * 1.5))
+        .toDF("id", "item_id", "value"))
+    splits.zipWithIndex.foreach { case (df, i) =>
+      Tables.writeCsv(df, s"$prefix/training-$i.csv")
+    }
+    // each object is a directory of part files (Spark's sink layout);
+    // the wildcard resolves all of them in one scan
+    val back = Tables.loadCsv(spark, s"$prefix/training-*.csv")
+    assert(back.count() == 60)
+    assert(back.columns.toSeq == Seq("id", "item_id", "value"))
+    assert(back.agg(org.apache.spark.sql.functions.countDistinct($"id"))
+      .head().getLong(0) == 60)
+    // JSON interchange through the same scheme + glob
+    Tables.writeJson(splits(0), s"$prefix/docs-0.json")
+    Tables.writeJson(splits(1), s"$prefix/docs-1.json")
+    val js = Tables.loadJson(spark, s"$prefix/docs-*.json")
+    assert(js.count() == 40)
+  }
 }
