@@ -849,6 +849,17 @@ object SparkEntry {
       .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
       .orderBy(col("event_type"), col("event_id"))
 
+  /** O9 — rank-EMITTING native top-k per group: the custom operator assigns
+    * row_number semantics during its final heap drain, so the plan has no
+    * Window node and no per-group sort (plans/TopKPerGroup.scala). Oracle
+    * re-derives the ranks with the window form. */
+  private def o9TopkRanked(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.perGroupRanked(
+        T(s, dir, "events"), Seq("user_id"),
+        Seq(col("value").desc, col("event_id")), 3)
+      .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("rank"))
+
   /** J7 — FORWARD as-of join (pandas merge_asof direction="forward"):
     * earliest purchase at-or-after each view. Same one-shuffle plan as j4,
     * iterated in descending time order; DuckDB oracle is native ASOF with
@@ -1034,6 +1045,7 @@ object SparkEntry {
     "f16_regex" -> (f16Regex _),
     "f17_array_setops" -> (f17ArraySetOps _),
     "o8_topk_native" -> (o8TopkNative _),
+    "o9_topk_ranked" -> (o9TopkRanked _),
     "a21_grouping_sets" -> (a21GroupingSets _),
     "j7_asof_forward" -> (j7AsofForward _),
     "j8_asof_tolerance" -> (j8AsofTolerance _),
@@ -1165,6 +1177,14 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, event_id, user_id, value
         |FROM r WHERE rn <= 3 ORDER BY 1, 2""".stripMargin,
+    "o9_topk_ranked" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |   CAST(row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value DESC, event_id) AS INT) AS rank
+        |  FROM events)
+        |SELECT user_id, rank, event_id, value
+        |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
     "o6_topk_group" ->
       """WITH r AS (
         |  SELECT event_type, user_id, event_id, value,

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -41,21 +40,16 @@ object Similarity {
     dot(a, b) / (normA * normB)
 
   /** Shared top-k tail for the three search paths: the custom bounded-heap
-    * operator ([[graft.ops.TopK]]) keeps the k best scored candidates per
-    * query WITHOUT sorting the full scored set (the window form sorts
-    * every group — the dominant cost once |Q|·|candidates| grows), then a
-    * window over the ≤ k survivors assigns the rank cheaply. Output is
-    * identical to the pure-window form: the ordering is total
-    * (cosine desc, neighbor_id). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val top = graft.ops.TopK.perGroup(
-      scored, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id")), k)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    top
-      .withColumn("rank", row_number().over(w))
+    * operator ([[graft.ops.TopK.perGroupRanked]]) keeps the k best scored
+    * candidates per query WITHOUT sorting the full scored set (the window
+    * form sorts every group — the dominant cost once |Q|·|candidates|
+    * grows) and emits the rank from the final heap drain — no Window node
+    * anywhere in the plan. Output is identical to the pure-window form:
+    * the ordering is total (cosine desc, neighbor_id). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-  }
 
   /** Brute-force cosine top-k: every query row against every candidate row.
     * Norms are precomputed on each side before the join so the O(|Q|·|C|)

@@ -33,7 +33,30 @@ object TopK {
       df: DataFrame,
       groupCols: Seq[String],
       orderBy: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    build(df, groupCols, orderBy, k, rankCol = None)
+
+  /** [[perGroup]] that also EMITS each row's rank (1 = best) as `rankCol`,
+    * assigned during the final heap drain — the `row_number().over(...)`
+    * equivalent with no Window node and no per-group sort in the plan.
+    * Ranks are deterministic when the ordering is total (tie-break). */
+  def perGroupRanked(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists in the input")
+    build(df, groupCols, orderBy, k, rankCol = Some(rankCol))
+  }
+
+  private def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int,
+      rankCol: Option[String]): DataFrame = {
     require(groupCols.nonEmpty,
       "TopK.perGroup needs at least one group column; for a global top-k " +
         "use orderBy(...).limit(k), which Spark already plans as TakeOrdered")
@@ -43,10 +66,13 @@ object TopK {
       case s: SortOrder => s
       case e => SortOrder(e, Ascending)
     })
+    val rankAttr = rankCol.map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.IntegerType, nullable = false)())
     GraftColumnBridge.ofRows(
       spark,
       TopKPerGroup(
         groupCols.map(n => GraftColumnBridge.eagerExpression(spark, col(n))),
-        order, k, df.queryExecution.logical))
+        order, k, df.queryExecution.logical, rankAttr))
   }
 }

@@ -35,9 +35,18 @@ case class TopKPerGroup(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
-  override def output: Seq[Attribute] = child.output
+  // the rank attribute (when requested) is CARRIED in the node, not minted
+  // in `output` — logical plans are copied freely during analysis, and a
+  // fresh exprId per copy would orphan parent references (same reason
+  // Generate stores generatorOutput)
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // declare the minted attribute as produced HERE, or CheckAnalysis counts
+  // it as an input the child fails to supply (MISSING_ATTRIBUTES)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
 }
@@ -47,7 +56,7 @@ case class TopKPerGroup(
   * `spark.experimental.extraStrategies` (see [[graft.ops.TopK]]). */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) =>
+    case TopKPerGroup(g, o, k, child, rankAttr) =>
       // normalize FP group keys (-0.0 → 0.0, canonical NaN) the way the
       // optimizer does for Aggregate/Window keys — it does not know this
       // node, and raw UnsafeRow byte-equality would otherwise split
@@ -59,8 +68,10 @@ object TopKStrategy extends SparkStrategy {
           org.apache.spark.sql.GraftColumnBridge.normalizeFloats(e)
         case _ => e
       })
+      // the partial phase cannot rank (a row's final rank is unknowable
+      // before the merge), so only the final phase appends the column
       val partial = TopKPerGroupExec(ng, o, k, planLater(child), partial = true)
-      TopKPerGroupExec(ng, o, k, partial, partial = false) :: Nil
+      TopKPerGroupExec(ng, o, k, partial, partial = false, rankAttr) :: Nil
     case _ => Nil
   }
 }
@@ -70,9 +81,13 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    rankAttr: Option[Attribute] = None) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
@@ -85,6 +100,7 @@ case class TopKPerGroupExec(
     val orderE = order
     val childOutput = child.output
     val limit = k
+    val rank = if (partial) None else rankAttr
     child.execute().mapPartitions({ it =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       // codegen'd total-order comparator over the sort expressions
@@ -112,7 +128,28 @@ case class TopKPerGroupExec(
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+      rank match {
+        case None =>
+          heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+        case Some(attr) =>
+          // rank-emitting final phase: drain each heap worst-first into an
+          // array filled backwards (best = rank 1) and append the rank —
+          // no Window node, no sort beyond the k-element heap drain
+          val proj = UnsafeProjection.create(
+            childOutput :+ attr, childOutput :+ attr)
+          val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+          val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+          heaps.values().asScala.iterator.flatMap { heap =>
+            val n = heap.size()
+            val arr = new Array[InternalRow](n)
+            var i = n - 1
+            while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+            arr.iterator.zipWithIndex.map { case (r, idx) =>
+              rankRow.update(0, idx + 1)
+              proj(joined(r, rankRow))
+            }
+          }
+      }
     }, preservesPartitioning = true)
   }
 

@@ -88,4 +88,38 @@ class PlansSpec extends AnyFunSuite {
       .select("count").as[Long].collect().toSeq
     assert(got.forall(_ == 5))
   }
+
+  test("perGroupRanked == window row_number, with NO Window node in the plan") {
+    val df = sample
+    val ranked = TopK.perGroupRanked(
+      df, Seq("grp"), Seq(col("score").desc, col("id")), 3)
+    val got = ranked.select("grp", "rank", "id", "score")
+      .as[(String, Int, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("grp", "rank", "id", "score")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got == want) // ranks themselves match, not just the row set
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank must come from the heap drain:\n$plan")
+    assert(plan.contains("TopKPerGroup"))
+  }
+
+  test("perGroupRanked ranks survive a repartitioned partial merge") {
+    val df = sample.repartition(13)
+    val got = TopK.perGroupRanked(
+        df, Seq("grp"), Seq(col("score").desc, col("id")), 4)
+      .groupBy("grp").agg(collect_set(col("rank")).as("ranks"))
+      .select("ranks").as[Seq[Int]].collect()
+    assert(got.forall(_.sorted == Seq(1, 2, 3, 4)))
+  }
+
+  test("perGroupRanked refuses a colliding rank column name") {
+    val df = Seq(("a", 1L)).toDF("grp", "rank")
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroupRanked(df, Seq("grp"), Seq(col("rank")), 1)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
 }
