@@ -64,6 +64,60 @@ object StreamingResample {
         && col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Streaming AS-OF join — the streaming twin of
+    * `ops.AsOfJoin.asOfTolerance` (backward, bounded): attach to each left
+    * event the LATEST right row for the same key with
+    * `leftTs - tolerance ≤ rightTs ≤ leftTs`. An UNBOUNDED backward as-of
+    * cannot stream — right-side state could never be evicted — so the
+    * streaming form requires the tolerance; with the same tolerance the
+    * batch operator produces the identical result (proven in StreamingSpec).
+    *
+    * Two chained stateful stages, both watermark-bounded:
+    *  1. stream-stream LEFT OUTER interval join (so matchless left events
+    *     still emit, with null payload — as-of is a left join);
+    *  2. per-left-event aggregation keeping the latest candidate:
+    *     `max_by(payload struct, rightTs)` — max_by skips the outer join's
+    *     null right rows, and the group finalizes (emits) once the
+    *     watermark passes the left timestamp.
+    *
+    * Payload columns come back prefixed `asof_`, like the batch operator.
+    * `leftIdCol` must uniquely identify a left event (the aggregation
+    * grain).
+    */
+  def asOfStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftIdCol: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    // null-ts right rows can never legitimately match (same rule as the
+    // batch operator)
+    val r = right.filter(col(rightTs).isNotNull)
+      .withWatermark(rightTs, watermark).alias("r")
+    val joined = l.join(
+      r,
+      col(s"l.$keyCol") === col(s"r.$keyCol")
+        && col(s"r.$rightTs") <= col(s"l.$leftTs")
+        && col(s"r.$rightTs") >= col(s"l.$leftTs")
+          - expr(s"INTERVAL $toleranceSeconds SECOND"),
+      "left_outer")
+    val matchStruct = max_by(
+      when(col(s"r.$rightTs").isNotNull,
+        struct(payload.map(c => col(s"r.$c").as(c)): _*)),
+      col(s"r.$rightTs"))
+    payload.foldLeft(
+      joined
+        .groupBy(col(s"l.$leftIdCol"), col(s"l.$keyCol"), col(s"l.$leftTs"))
+        .agg(matchStruct.as("__match"))) { (d, c) =>
+      d.withColumn(s"asof_$c", col("__match")(c))
+    }.drop("__match")
+  }
+
   /** Streaming exact dedup — the streaming twin of `ext.Dedup.exact` /
     * P5 `dedupKeepFirst`: keeps the first arrival per key and drops
     * duplicates that arrive within the watermark horizon.

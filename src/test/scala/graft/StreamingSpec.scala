@@ -74,6 +74,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join matches batch asOfTolerance on the same fixture") {
+    val dirL = Files.createTempDirectory("graft-asof-l").toFile
+    val dirR = Files.createTempDirectory("graft-asof-r").toFile
+    dirL.deleteOnExit(); dirR.deleteOnExit()
+    // sentinel rows (id 99) push the watermark far past every real event so
+    // append-mode groups finalize; they are excluded from the comparison
+    val leftRows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), // matches 09:30 quote (30 min old)
+      (2L, 1L, "2024-01-01 12:00:00"), // matches 11:00 (10:00 is older but loses)
+      (3L, 2L, "2024-01-01 10:30:00"), // user 2: only quote is AFTER -> null
+      (4L, 3L, "2024-01-01 09:00:00"), // user 3: match exactly at leftTs
+      (5L, 1L, "2024-01-01 23:00:00"), // match at 11:00 is beyond tolerance -> null
+      (99L, 9L, "2024-01-03 00:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("lts", to_timestamp(col("s"))).drop("s")
+    val rightRows = Seq(
+      (1L, "2024-01-01 09:30:00", 5.0),
+      (1L, "2024-01-01 11:00:00", 7.0),
+      (2L, "2024-01-01 11:30:00", 9.0),
+      (3L, "2024-01-01 09:00:00", 4.0),
+      (9L, "2024-01-03 00:00:00", 0.0))
+      .toDF("user_id", "s", "amount")
+      .withColumn("rts", to_timestamp(col("s"))).drop("s")
+    leftRows.write.mode("overwrite").parquet(dirL.getAbsolutePath)
+    rightRows.write.mode("overwrite").parquet(dirR.getAbsolutePath)
+    val tol = 4L * 3600 // 4 hours
+
+    val schemaL = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("lts", TimestampType)))
+    val schemaR = StructType(Seq(StructField("user_id", LongType),
+      StructField("amount", DoubleType), StructField("rts", TimestampType)))
+    val l = spark.readStream.schema(schemaL).parquet(dirL.getAbsolutePath)
+    val r = spark.readStream.schema(schemaR).parquet(dirR.getAbsolutePath)
+    val q = StreamingResample.asOfStream(
+        l, r, "user_id", "event_id", "lts", "rts", Seq("amount"),
+        toleranceSeconds = tol, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_asof_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT event_id, asof_amount FROM graft_asof_stream WHERE event_id < 99 ORDER BY 1")
+        .as[(Long, Option[Double])].collect().toSeq
+      // batch twin on the identical fixture — the equality the scaladoc claims
+      val batch = graft.ops.AsOfJoin.asOfTolerance(
+          leftRows.filter($"event_id" < 99), rightRows,
+          Seq("user_id"), "lts", "rts", Seq("amount"), tol)
+        .select($"event_id", $"asof_amount")
+        .as[(Long, Option[Double])].collect().toSeq.sortBy(_._1)
+      assert(batch == Seq((1L, Some(5.0)), (2L, Some(7.0)), (3L, None),
+        (4L, Some(4.0)), (5L, None)))
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-stream").toFile
     dir.deleteOnExit()
