@@ -6,7 +6,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -24,7 +25,12 @@ object Bench {
     // parquet footers), then the median of 3 timed runs — single runs at
     // this scale are dominated by scheduler jitter (±30% observed)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // focused A/B runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 benches a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (n, _) => s.contains(n) })
+    val results = selected.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       // drain warmup garbage OUTSIDE the timed region: 77 other queries'
       // allocation pressure otherwise lands GC pauses inside someone

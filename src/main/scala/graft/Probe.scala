@@ -78,6 +78,59 @@ object Probe {
       SparkEntry.queries("a5_bounds")(spark, sfDir).count())
     t("f13_list_hof via SparkEntry")(
       SparkEntry.queries("f13_list_hof")(spark, sfDir).count())
+
+    t("spark.read.parquet(events) relation") {
+      spark.read.parquet(s"$sfDir/events.parquet"); ()
+    }
+    locally {
+      val df = SparkEntry.queries("j6_q5_region")(spark, sfDir)
+      df.queryExecution.executedPlan
+      val t0 = System.nanoTime()
+      val qe = SparkEntry.queries("j6_q5_region")(spark, sfDir).queryExecution
+      val ta = System.nanoTime(); qe.analyzed
+      val tb = System.nanoTime(); qe.optimizedPlan
+      val tc = System.nanoTime(); qe.executedPlan
+      val td = System.nanoTime()
+      println(f"j6 construct=${(ta-t0)/1e6}%.1f analyze=${(tb-ta)/1e6}%.1f " +
+        f"optimize=${(tc-tb)/1e6}%.1f physical=${(td-tc)/1e6}%.1f ms")
+    }
+
+    // planning cost alone (construct + analyze + optimize + physical):
+    for (q <- Seq("a5_bounds", "w6_weekend", "dedup_ngram_jaccard",
+        "dedup_minhash_pairs_portable", "j6_q5_region", "dedup_bloom_cross")) {
+      SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"plan-only $q%-30s median=${times.sorted.apply(2)}%7.1f ms")
+    }
+
+    // stage anatomy of one tiny query: where do the ms go?
+    import org.apache.spark.scheduler._
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val lst = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        events.add(f"job${j.jobId} start t=${j.time}")
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        events.add(f"job${j.jobId} end   t=${j.time}")
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val run = i.completionTime.get - i.submissionTime.get
+        events.add(f"  stage${i.stageId} tasks=${i.numTasks} wall=${run}ms")
+      }
+    }
+    spark.sparkContext.addSparkListener(lst)
+    val q = SparkEntry.queries("w6_weekend")(spark, sfDir)
+    q.count()
+    events.clear()
+    val t0 = System.nanoTime()
+    q.count()
+    val wall = (System.nanoTime() - t0) / 1e6
+    Thread.sleep(500)
+    println(f"w6_weekend wall=${wall}%.1f ms")
+    events.forEach(e => println("  " + e))
     spark.stop()
   }
 }

@@ -538,16 +538,23 @@ object Dedup {
       .filter(col("__df") <= maxDocFreq)
       .drop("__df")
     val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = kept.select(col(idCol).as("id_a"), col("__g"))
-    val b = kept.select(col(idCol).as("id_b"), col("__g"))
+    // shuffle_hash on BOTH pair-join sides: the cap filter shrinks the
+    // size estimate under the already-misestimated explode, so Catalyst
+    // would otherwise BROADCAST the whole kept gram set — fatal at corpus
+    // scale (and it also forfeits exchange reuse of the shared map stage)
+    val a = kept.hint("shuffle_hash").select(col(idCol).as("id_a"), col("__g"))
+    val b = kept.hint("shuffle_hash").select(col(idCol).as("id_b"), col("__g"))
     val shared = a.join(b, "__g")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__shared"))
+    // sizes is one row per DOC — bounded, but still corpus-sized at 10⁹
+    // docs; a shuffle join on the id keeps the plan broadcast-free
     shared
-      .join(sizes.withColumnRenamed("__n", "__na"),
+      .join(sizes.withColumnRenamed("__n", "__na").hint("shuffle_hash"),
         shared("id_a") === sizes(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("__n", "__nb").withColumnRenamed(idCol, "__idb"),
+      .join(sizes.withColumnRenamed("__n", "__nb").withColumnRenamed(idCol, "__idb")
+          .hint("shuffle_hash"),
         col("id_b") === col("__idb")).drop("__idb")
       .withColumn("jaccard",
         col("__shared").cast("double")

@@ -24,9 +24,14 @@ object TextAnalysis {
 
   private val StopWords = Seq("the", "a", "an", "of", "and", "to", "in", "is")
 
-  /** Stopword count over whitespace tokens (tiny fixed English list). */
+  /** Stopword count over whitespace tokens (tiny fixed English list).
+    * Native one-pass kernel — the `size(filter(...isin...))` HOF form runs
+    * its lambda interpreted per token (see [[graft.functions.CountInSet]]). */
   def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(StopWords.map(lit(_)): _*)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CountInSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens(text)),
+        StopWords))
 
   /** Quality-score features: length, word count, punctuation count,
     * stopword ratio, plus a deterministic composite `quality_score` in
@@ -64,7 +69,11 @@ object TextAnalysis {
 
   def langScores(toks: Column): Seq[(String, Column)] =
     LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+      // native kernel: one codegen'd pass per language instead of an
+      // interpreted HOF lambda per token ([[graft.functions.CountInSet]])
+      lang -> org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.CountInSet(
+          org.apache.spark.sql.GraftColumnBridge.expression(toks), markers))
     }
 
   /** Appends `outCol` with the predicted language: argmax of the marker
