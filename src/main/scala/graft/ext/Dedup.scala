@@ -16,17 +16,14 @@ object Dedup {
     graft.ops.TimeSeriesOps.dedupKeepFirst(df, keyCols, orderCol)
 
   /** Word n-grams of a text column as an array column (distinct shingles).
-    * Built with `transform` over an index sequence — codegen'd, no UDF. */
+    * Native one-pass kernel ([[graft.functions.WordNgrams]]): the previous
+    * zip_with/slice/concat_ws tree evaluated its lambdas interpreted per
+    * token (HOFs never reach codegen); the kernel tokenizes, joins, and
+    * dedups in one eval call with identical output. */
   def wordNgrams(text: Column, n: Int): Column = {
-    // Build grams by zipping n shifted slices of the token array rather
-    // than element_at(split(...), i) inside a transform lambda — Catalyst
-    // does not CSE subexpressions inside lambda bodies, so the lambda form
-    // re-runs the regex split once per gram per shift (observed 40× slower).
-    val toks = split(text, "\\s+")
-    val outLen = greatest(size(toks) - (n - 1), lit(0))
-    val slices = (0 until n).map(k => slice(toks, lit(k + 1), outLen))
-    array_distinct(
-      slices.reduce((a, b) => zip_with(a, b, (x, y) => concat_ws(" ", x, y))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.functions.WordNgrams(GraftColumnBridge.expression(text), n))
   }
 
   /** 2^61 − 1 (Mersenne prime): the permutation modulus for MinHash. */
@@ -62,7 +59,8 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge
     val p = MinHashP
     val (as, bs) = minHashCoeffs(numHashes, seed)
-    val hashes = transform(wordNgrams(col(textCol), shingleLen), s => xxhash64(s))
+    val hashes = GraftColumnBridge.column(graft.functions.XxHash64Array(
+      GraftColumnBridge.expression(wordNgrams(col(textCol), shingleLen))))
     val sig = GraftColumnBridge.column(
       graft.functions.MinHashSigs(GraftColumnBridge.expression(hashes), as, bs, p))
     df.select(col(idCol),
@@ -191,7 +189,8 @@ object Dedup {
       textCol: String,
       outCol: String = "simhash"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    val hashes = transform(split(col(textCol), "\\s+"), t => xxhash64(t))
+    val hashes = GraftColumnBridge.column(graft.functions.XxHash64Array(
+      GraftColumnBridge.expression(split(col(textCol), "\\s+"))))
     val sig = GraftColumnBridge.column(
       graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 64))
     df.filter(col(textCol).isNotNull).select(col(idCol), sig.as(outCol))
@@ -258,16 +257,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleLen: Int = 3): DataFrame = {
-    val hashes = transform(wordNgrams(col(textCol), shingleLen),
-      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long") % PortableP)
-    val withHashes = df.withColumn("__hs", hashes)
-    val sigCols = PortableCoeffs.zipWithIndex.map { case ((a, b), i) =>
-      coalesce(
-        array_min(transform(col("__hs"),
-          h => (h * lit(a) + lit(b)) % lit(PortableP))),
-        lit(PortableP)).as(s"minhash_$i")
-    }
-    withHashes.select(col(idCol) +: sigCols: _*)
+    import org.apache.spark.sql.GraftColumnBridge
+    // native kernels end-to-end: md5-prefix shingle hashes (first 7 hex
+    // digits < 2^28 < p, so the lambda form's `% p` was a no-op) feed the
+    // same MinHashSigs min-permutation kernel the production path uses —
+    // bit-identical to the interpreted transform/array_min tree, and the
+    // DuckDB oracle recomputes the identical values
+    val hashes = GraftColumnBridge.column(graft.functions.Md5Prefix(
+      GraftColumnBridge.expression(wordNgrams(col(textCol), shingleLen)), 7))
+    val sig = GraftColumnBridge.column(graft.functions.MinHashSigs(
+      GraftColumnBridge.expression(hashes),
+      PortableCoeffs.map(_._1), PortableCoeffs.map(_._2), PortableP))
+    val k = PortableCoeffs.length
+    val withSig = df.select(col(idCol),
+      coalesce(sig, array((0 until k).map(_ => lit(PortableP)): _*)).as("__sig"))
+    withSig.select(col(idCol) +:
+      (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"minhash_$i")): _*)
   }
 
   /** Portable-signature MinHash near-dup pairs over the 4
@@ -330,14 +335,16 @@ object Dedup {
       textCol: String,
       outCol: String = "simhash32"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val hashes = transform(toks,
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    // native kernel: md5-prefix token hashes with the empty-token skip
+    // fused in (the filter HOF ran interpreted per token)
+    val hashes = GraftColumnBridge.column(graft.functions.Md5Prefix(
+      GraftColumnBridge.expression(split(col(textCol), "\\s+")), 8,
+      skipEmpty = true))
     val sig = GraftColumnBridge.column(
       graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 32))
     // docs with no non-empty tokens are dropped, matching the GROUP-BY-drop
     // semantics of the DuckDB oracle (unnest + WHERE len>0 + GROUP BY)
-    df.filter(col(textCol).isNotNull && size(toks) > 0)
+    df.filter(col(textCol).isNotNull && size(hashes) > 0)
       .select(col(idCol), sig.as(outCol))
   }
 
@@ -520,9 +527,11 @@ object Dedup {
     require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
     // grams are joined by 64-bit hash, not string: the pair-join shuffle
     // moves (long, long) rows and the join side becomes broadcast-able
+    import org.apache.spark.sql.GraftColumnBridge
     val grams = df.select(
       col(idCol),
-      explode(transform(wordNgrams(col(textCol), n), g => xxhash64(g))).as("__g"))
+      explode(GraftColumnBridge.column(graft.functions.XxHash64Array(
+        GraftColumnBridge.expression(wordNgrams(col(textCol), n))))).as("__g"))
     // stop-shingle drop: count docs per gram over the same exchange the
     // pair join uses; shuffle_hash on the count side — its size estimate
     // under the explode is tiny, and a broadcast would collect one row per

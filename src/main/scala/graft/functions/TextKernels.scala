@@ -1,0 +1,194 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing kernels for the dedup hot paths.
+  *
+  * Catalyst's higher-order functions (`transform`, `zip_with`, `filter`)
+  * evaluate their lambdas through the interpreter — measured as the
+  * dominant cost of every signature stage (ROUND_NOTES "hard-won facts").
+  * These kernels emit the token/gram/hash loops as a single eval call per
+  * row instead, while producing BIT-IDENTICAL values to the expression
+  * trees they replace, so every existing oracle stays green:
+  *
+  *  - [[WordNgrams]]  ≡ the zip_with/slice/concat_ws/array_distinct tree
+  *    (distinct word n-grams, first-occurrence order, java `\s+` split)
+  *  - [[XxHash64Array]] ≡ `transform(arr, s => xxhash64(s))` (same XXH64,
+  *    same seed)
+  *  - [[Md5Prefix]]   ≡ `transform(arr, s => conv(substring(md5(s), 1, d),
+  *    16, 10))` for d ≤ 15 — the cross-engine-portable hash the DuckDB
+  *    oracles recompute (md5 of UTF-8 bytes, first d hex digits as a long)
+  *
+  * They are scalar one-in/one-out expressions (no shuffle, no state); the
+  * loop body is plain JVM code invoked once per row via the interpreted
+  * eval path, which profiling shows is ~an order of magnitude faster than
+  * per-element interpreted lambda dispatch.
+  */
+private[functions] object StringArrayCheck {
+  def check(name: String, child: Expression): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires an array<string> input, got ${other.simpleString}")
+    }
+}
+
+/** Distinct word n-grams of a text column, first-occurrence order —
+  * byte-identical to `array_distinct(zip_with-join of n split slices)`. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"WordNgrams requires a string input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // Pattern.split matches Spark's split(text, "\\s+") exactly, including
+    // the leading empty token for leading whitespace
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val out = toks.length - (n - 1)
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < out) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("wordNgrams", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+/** `transform(arr, s => xxhash64(s))` as one native pass (same XXH64 core
+  * and default seed as the builtin, so values are interchangeable). */
+case class XxHash64Array(child: Expression, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    StringArrayCheck.check("XxHash64Array", child)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // null elements hash like the builtin's null-skip (seed carries)
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+      } else {
+        out(i) = seed
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("xxhash64Array", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): XxHash64Array =
+    copy(child = newChild)
+}
+
+/** First `hexDigits` hex digits of md5 as a long, per array element —
+  * value-identical to `conv(substring(md5(s), 1, d), 16, 10)` (d ≤ 15).
+  * `skipEmpty` drops zero-length elements first, matching the portable
+  * SimHash's `filter(toks, len > 0)` pre-step. */
+case class Md5Prefix(child: Expression, hexDigits: Int, skipEmpty: Boolean = false)
+    extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"hexDigits must be in [1,15], got $hexDigits")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    StringArrayCheck.check("Md5Prefix", child)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = Md5Prefix.digest.get()
+    val m = arr.numElements()
+    val out = new java.util.ArrayList[Any](m)
+    var i = 0
+    while (i < m) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (!(skipEmpty && s.numBytes == 0)) {
+          md.reset()
+          val digest = md.digest(s.getBytes)
+          // value of the first hexDigits hex chars: 4 bits per digit
+          var v = 0L
+          var d = 0
+          while (d < hexDigits) {
+            val b = digest(d / 2) & 0xff
+            val nibble = if (d % 2 == 0) b >>> 4 else b & 0xf
+            v = (v << 4) | nibble
+            d += 1
+          }
+          out.add(v)
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5Prefix", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix =
+    copy(child = newChild)
+}
+
+object Md5Prefix {
+  /** MessageDigest is stateful and not thread-safe; one per thread. */
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+}
