@@ -511,7 +511,8 @@ object SparkEntry {
     Dedup.bloomPrescreenOverlap(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", pfx)
+        "doc_id", pfx,
+        expectedItems = 1 << 16) // sized to the corpus (docs ≤ 50k at sf1)
       .orderBy(col("doc_id"))
   }
 

@@ -476,11 +476,19 @@ object Dedup {
     * Returns corpus-B rows whose `key` exists in corpus A:
     * (idCol, matched_key).
     */
+  /** @param expectedItems sizing estimate for the Bloom filter (distinct
+    *                      keys in corpus A). The default 1M-item filter is
+    *                      an ~1.2 MB bitmap that every partial-aggregate
+    *                      task allocates and merges — size it to the corpus:
+    *                      at 10⁹ keys pass 10⁹ (≈1.2 GB driver-side, still
+    *                      the standard trade at that scale), at 10⁴ keys
+    *                      the bitmap is KBs and the build is free. */
   def bloomPrescreenOverlap(
       corpusA: DataFrame,
       corpusB: DataFrame,
       idCol: String,
-      key: Column): DataFrame = {
+      key: Column,
+      expectedItems: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -495,7 +503,7 @@ object Dedup {
     val bloomAgg = a
       .select(GraftColumnBridge.column(
         new BloomFilterAggregate(
-          GraftColumnBridge.expression(xxhash64(col("__k"))))
+          GraftColumnBridge.expression(xxhash64(col("__k"))), expectedItems)
           .toAggregateExpression()).as("__bf"))
     val mightContain = GraftColumnBridge.column(
       BloomFilterMightContain(

@@ -301,15 +301,24 @@ object TimeSeriesOps {
     * paqarin/metrics/univariate_metrics.py:69-71). pandas keeps the first
     * physical row; Spark's dropDuplicates keeps an arbitrary one, so the
     * order is pinned explicitly via `orderCol` (SURVEY.md §4.3 trap 5).
+    *
+    * Planned as `min_by(whole row, orderCol)` per key, NOT a row_number
+    * window: the aggregate combines map-side (each input partition reduces
+    * to one candidate row per key before the exchange) and never sorts,
+    * while the window form shuffles and fully sorts every group — at
+    * corpus scale that is the difference between moving (keys) and moving
+    * (all rows). The winning row is carried atomically as a struct, so
+    * ties on orderCol resolve to ONE physical row, never stitched fields.
     */
   def dedupKeepFirst(
       df: DataFrame,
       keyCols: Seq[String],
       orderCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val others = df.columns.filterNot(keyCols.contains)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(struct(others.map(col): _*), col(orderCol)).as("__row"))
+      .select(keyCols.map(col) ++ others.map(c => col(s"__row.$c")): _*)
+      .select(df.columns.map(col): _*) // original column order
   }
 
   /** W2 — per-entity sequence extraction: one row per entity with the
