@@ -432,6 +432,32 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Sequence packing — blocked token-budget bin assignment per shard
+    * (ext/Packing.scala): one window per shard, no global sort; the oracle
+    * re-derives bins with the identical exclusive-cumsum arithmetic. */
+  private def packBins(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents").select(
+      col("doc_id"),
+      (col("doc_id") % 8).as("shard"),
+      graft.ext.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.ext.Packing.packSummary(toks, col("shard"), "doc_id", "n_tokens", 512L)
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  /** Paragraph-level exact dedup across the corpus. The synthetic
+    * two-paragraph docs (doc k = text(k) ⧺ \n ⧺ text(k+5)) make every
+    * second paragraph a cross-document repeat, so the first-occurrence
+    * rule and empty-doc reassembly are both exercised and oracle-checked
+    * value-for-value. */
+  private def dedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val b = docs.select((col("doc_id") - 5).as("__id2"), col("text").as("__text_b"))
+    val synth = docs.join(b, col("doc_id") === col("__id2"))
+      .select(col("doc_id"), concat_ws("\n", col("text"), col("__text_b")).as("text"))
+    Dedup.dropRepeatedParagraphs(synth, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -1101,6 +1127,8 @@ object SparkEntry {
     "w10_range_frame" -> (w10RangeFrame _),
     "w11_value_windows" -> (w11ValueWindows _),
     "dedup_bloom_cross" -> (dedupBloomCross _),
+    "pack_bins" -> (packBins _),
+    "dedup_paragraphs" -> (dedupParagraphs _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1629,6 +1657,32 @@ object SparkEntry {
         |FROM k b WHERE b.doc_id % 2 = 1 AND EXISTS
         | (SELECT 1 FROM k a WHERE a.doc_id % 2 = 0 AND a.pfx = b.pfx)
         |ORDER BY 1""".stripMargin,
+    "pack_bins" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS cum_before FROM t),
+        |b AS (SELECT shard, CAST(floor(cum_before / 512) AS BIGINT) AS bin,
+        |  n_tokens FROM c)
+        |SELECT shard, bin, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |synth AS (SELECT a.doc_id, a.text || chr(10) || b.text AS text
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 5),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS para,
+        |  unnest(generate_series(0, len(string_split(text, chr(10))) - 1)) AS pos
+        |  FROM synth),
+        |k AS (SELECT doc_id, pos, para FROM p
+        |  QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1),
+        |r AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |  FROM k GROUP BY doc_id)
+        |SELECT s.doc_id, COALESCE(r.text, '') AS text
+        |FROM synth s LEFT JOIN r USING (doc_id) ORDER BY 1""".stripMargin,
     "dedup_minhash_pairs_portable" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

@@ -516,6 +516,49 @@ object Dedup {
       .select(col(idCol), col("__k").as("matched_key"))
   }
 
+  /** Paragraph-level exact dedup ACROSS the corpus — the curation step
+    * between document-level exact dedup and near-dup pair mining:
+    * boilerplate paragraphs (headers, licenses, navigation) repeat across
+    * otherwise-distinct documents, and repetition in training data is
+    * what paragraph dedup exists to remove.
+    *
+    * Plan: split on `sep`, posexplode to (id, pos, para); the FIRST
+    * occurrence of each distinct paragraph — minimal (id, pos), carried
+    * atomically via `min_by` — survives; documents reassemble by sorting
+    * surviving (pos, para) pairs and re-joining with `sep`. Documents that
+    * lose every paragraph still emit (empty text). Shuffles: one groupBy
+    * on the paragraph fingerprint (xxhash64 — paragraph TEXT never
+    * shuffles for the dedup itself, same rationale as fingerprint
+    * document dedup), one groupBy on the doc id for reassembly.
+    *
+    * Returns (idCol, textCol) with `textCol` rewritten.
+    */
+  def dropRepeatedParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+    val kept = paras
+      .groupBy(xxhash64(col("__para")).as("__fp"))
+      .agg(min_by(
+        struct(col(idCol), col("__pos"), col("__para")),
+        struct(col(idCol), col("__pos"))).as("__first"))
+      .select(col(s"__first.$idCol").as(idCol),
+        col("__first.__pos").as("__pos"), col("__first.__para").as("__para"))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")),
+        sep).as("__text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
     * explode distinct shingles, drop stop-shingles (document frequency over
     * `maxDocFreq` — the standard cap that keeps the self-join sub-quadratic:

@@ -135,6 +135,40 @@ class ExtSpec extends AnyFunSuite {
     assert(base.filter(col("id_a") === 0 && col("id_b") === 1).count() == 1)
   }
 
+  test("paragraph dedup keeps first occurrence, reassembles, empties losers") {
+    val df = Seq(
+      (1L, "alpha beta\nshared boiler\ngamma"),
+      (2L, "shared boiler\ndelta"),   // loses the boilerplate para
+      (3L, "shared boiler"))          // loses its ONLY para -> empty
+      .toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedParagraphs(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta\nshared boiler\ngamma"),
+      (2L, "delta"),
+      (3L, "")))
+  }
+
+  test("blocked packing: bins respect the budget arithmetic per shard") {
+    import graft.ext.Packing
+    val df = Seq(
+      (0L, 0L, 300L), (2L, 0L, 300L), (4L, 0L, 300L), // shard 0
+      (1L, 1L, 600L), (3L, 1L, 100L))                 // shard 1: long doc
+      .toDF("doc_id", "shard", "n_tokens")
+    val got = Packing.packBlocked(df, col("shard"), "doc_id", "n_tokens", 512L)
+      .select("doc_id", "bin", "cum_before")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // shard 0: cum 0,300,600 -> bins 0,0,1 ; shard 1: cum 0,600 -> bins 0,1
+    assert(got == Seq((0L, 0L, 0L), (1L, 0L, 0L), (2L, 0L, 300L),
+      (3L, 1L, 600L), (4L, 1L, 600L)))
+    val sum = Packing.packSummary(df, col("shard"), "doc_id", "n_tokens", 512L)
+      .orderBy("shard", "bin")
+      .select("shard", "bin", "n_docs", "sum_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sum == Seq((0L, 0L, 2L, 600L), (0L, 1L, 1L, 300L),
+      (1L, 0L, 1L, 600L), (1L, 1L, 1L, 100L)))
+  }
+
   test("MLlib MinHashLSH route agrees with the native pairs on identical docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val df = Seq((0L, base), (1L, base), (2L, "completely different words here now"))
