@@ -166,6 +166,28 @@ object Multimodal {
     }
   }
 
+  /** Arrow-batch codec seam — the columnar twin of the row-batched
+    * [[decode]]/[[resizeBatch]] plumbing (the machinery PySpark's
+    * `mapInArrow` uses, reached through
+    * [[org.apache.spark.sql.GraftArrowBridge]]): the media table leaves
+    * Spark as serialized Arrow IPC record batches, an external worker
+    * (pyarrow / native codec — absent in this container, so the seam is
+    * the identity by default) transforms batch-by-batch, and the result
+    * re-enters as a DataFrame with zero per-row serialization on either
+    * side. `batchTransform` receives and returns Arrow IPC bytes;
+    * `outSchema` declares the worker's output schema (defaults to the
+    * input schema for in-place feature rewrites).
+    */
+  def transformViaArrow(
+      df: DataFrame,
+      batchTransform: Array[Byte] => Array[Byte] = identity,
+      outSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import org.apache.spark.sql.GraftArrowBridge
+    val out = GraftArrowBridge.toBatchRdd(df).map(batchTransform)
+    GraftArrowBridge.fromBatchRdd(df.sparkSession, out,
+      outSchema.getOrElse(df.schema))
+  }
+
   /** Build a media table from any table with a string column, for tests and
     * the oracle query: payload = UTF-8 bytes of the text. */
   def mediaFromText(

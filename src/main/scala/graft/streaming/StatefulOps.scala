@@ -89,4 +89,74 @@ object StatefulOps {
         TimeMode.None(),
         OutputMode.Append())
   }
+
+  final case class SessionClose(itemId: String, n: Long, total: Double)
+
+  /** Idle-session close detection — the transformWithState TIMER exercise
+    * the declarative `session_window` cannot express: emit the session row
+    * the moment a key goes quiet for `gapMs` of PROCESSING time (a
+    * watermark-based session only closes when later EVENTS arrive; a timer
+    * fires on the clock, events or not).
+    *
+    * Per batch of events for a key: fold the running aggregate, DELETE the
+    * previously armed timer, arm a new one `gapMs` ahead, remember its
+    * deadline. When a timer fires (no newer events re-armed it), emit the
+    * closed session and clear all state. State per key = two numbers, one
+    * deadline, one pending timer — bounded; the aggregate state also
+    * carries a defense-in-depth TTL (an hour) so an abandoned key can
+    * never leak state even if its timer were lost.
+    */
+  class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[String, Obs, SessionClose] {
+    @transient private var agg:
+      org.apache.spark.sql.streaming.ValueState[RunningState] = _
+    @transient private var deadline:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = org.apache.spark.sql.streaming.TTLConfig(
+        java.time.Duration.ofHours(1))
+      agg = getHandle.getValueState[RunningState](
+        "sess_agg", Encoders.product[RunningState], ttl)
+      deadline = getHandle.getValueState[Long](
+        "sess_deadline", Encoders.scalaLong, ttl)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[Obs],
+        timerValues: TimerValues): Iterator[SessionClose] = {
+      var n = 0L
+      var total = 0.0
+      Option(agg.get()).foreach { p => n = p.n; total = p.total }
+      rows.foreach { o => n += 1; total += o.value }
+      if (deadline.exists()) getHandle.deleteTimer(deadline.get())
+      val d = timerValues.getCurrentProcessingTimeInMs() + gapMs
+      getHandle.registerTimer(d)
+      deadline.update(d)
+      agg.update(RunningState(n, total))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionClose] = {
+      val out = Option(agg.get())
+        .map(s => SessionClose(key, s.n, s.total)).iterator
+      agg.clear()
+      deadline.clear()
+      out
+    }
+  }
+
+  def sessionClose(ds: Dataset[Obs], gapMs: Long): Dataset[SessionClose] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.itemId)
+      .transformWithState(
+        new SessionCloseProcessor(gapMs),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

@@ -65,6 +65,67 @@ class StatefulSpec extends AnyFunSuite {
     }
   }
 
+  test("timers close idle sessions; re-armed keys stay open (TTL'd state)") {
+    val dir = Files.createTempDirectory("graft-timer").toFile
+    dir.deleteOnExit()
+    val schema = StructType(Seq(
+      StructField("itemId", StringType), StructField("value", DoubleType)))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft-timer-ckpt").toFile
+      val outDir = Files.createTempDirectory("graft-timer-out").toFile
+      ckpt.deleteOnExit(); outDir.deleteOnExit()
+      // AvailableNow runs over a shared checkpoint: a continuously
+      // triggering processing-time-timer query never goes idle, so
+      // processAllAvailable would wait forever — each run drains what's
+      // there (firing any already-expired timers) and terminates. The sink
+      // is parquet (memory sinks cannot recover from a checkpoint).
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+          .as[StatefulOps.Obs]
+        val q = StatefulOps.sessionClose(stream, gapMs = 700L)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .option("path", outDir.getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").start()
+        try q.awaitTermination(60000L) finally q.stop()
+      }
+      // run 1: two events for "a" -> arms a's timer (a cold first run can
+      // outlast the gap and fire it in-run — either way "a" closes once,
+      // so the assertion below is timing-independent)
+      Seq(("a", 2.0), ("a", 3.0)).toDF("itemId", "value")
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      runOnce()
+      // quiet past the gap; run 2 (new data for "b") fires a's expired
+      // timer if still pending, while b's freshly armed session stays open
+      // (the warm run finishes well inside the gap)
+      Thread.sleep(1500L)
+      Seq(("b", 10.0)).toDF("itemId", "value")
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      runOnce()
+      val outSchema = StructType(Seq(
+        StructField("itemId", StringType), StructField("n", LongType),
+        StructField("total", DoubleType)))
+      val got = spark.read.schema(outSchema).parquet(outDir.getAbsolutePath)
+        .orderBy("itemId")
+        .as[(String, Long, Double)].collect().toSeq
+      // timing-independent guarantees (a slow run can outlast the gap and
+      // close "b" too, so b's openness is not asserted): the idle key "a"
+      // closed EXACTLY once — the timer fired, the state cleared (no
+      // duplicate emission across two runs), and the aggregate is intact
+      assert(got.filter(_._1 == "a") == Seq(("a", 2L, 5.0)))
+      assert(got.groupBy(_._1).forall(_._2.size == 1))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("GraftExtensions injects native functions at session build time") {
     // the shared session wasn't built with the extension; apply it manually
     // through the registry path and confirm SQL-level resolution
