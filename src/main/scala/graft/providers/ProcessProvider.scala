@@ -4,8 +4,6 @@ import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.TimeUnit
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
 import org.json4s.JsonDSL._
@@ -93,7 +91,11 @@ final class ProcessProvider(
   /** One request/response round-trip with a fresh worker process. */
   private def call(req: JValue): JValue = {
     val pb = new ProcessBuilder(command: _*)
-    pb.redirectErrorStream(false)
+    // stderr goes to a file, not a pipe: a worker logging heavily to an
+    // undrained stderr pipe would block mid-write and deadlock the call
+    val errFile = java.io.File.createTempFile("graft-worker-err", ".log")
+    errFile.deleteOnExit()
+    pb.redirectError(errFile)
     val proc = pb.start()
     try {
       val out = new OutputStreamWriter(proc.getOutputStream, StandardCharsets.UTF_8)
@@ -109,7 +111,7 @@ final class ProcessProvider(
         fail(s"worker timed out after ${timeoutSec}s")
       }
       if (line == null) {
-        val err = readAll(proc)
+        val err = readErr(errFile)
         fail(s"worker produced no output (exit ${proc.exitValue()}): $err")
       }
       val resp = parse(line)
@@ -127,16 +129,15 @@ final class ProcessProvider(
       }
     } finally {
       proc.destroyForcibly()
+      errFile.delete()
       ()
     }
   }
 
-  private def readAll(proc: Process): String = {
-    val buf = new ArrayBuffer[String]()
-    val r = new BufferedReader(
-      new InputStreamReader(proc.getErrorStream, StandardCharsets.UTF_8))
-    var l = r.readLine()
-    while (l != null && buf.size < 20) { buf += l; l = r.readLine() }
-    buf.mkString(" | ")
-  }
+  private def readErr(f: java.io.File): String =
+    try {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      import scala.jdk.CollectionConverters._
+      lines.asScala.take(20).mkString(" | ")
+    } catch { case _: Throwable => "" }
 }
