@@ -34,6 +34,9 @@ object Bench {
     // focused A/B runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 benches a subset
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query '$n' in " +
+        "SPARK_GRAFT_BENCH_ONLY (typo would silently bench nothing)")))
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (n, _) => s.contains(n) })
     val results = selected.map { case (name, fn) =>

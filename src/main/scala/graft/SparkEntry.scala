@@ -1020,29 +1020,19 @@ object SparkEntry {
 
   // ——— registry ————————————————————————————————————————————————————————
 
-  /** Built-query memo, keyed weakly by session: a DataFrame is an immutable
-    * plan, so re-requesting the same query re-uses it — construction +
-    * analysis + optimization run once per session instead of once per
-    * repetition (the dedup queries optimize 130-240 ms of expression tree;
-    * DuckDB amortizes the same way via its prepared plans). Execution is
-    * NOT cached — every run re-executes, AQE replanning included. */
-  private val queryCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+  /** Built-query memo per session (bounded LRU, see
+    * [[graft.internal.PlanMemo]]): a DataFrame is an immutable plan, so
+    * re-requesting the same query re-uses it — construction + analysis +
+    * optimization run once per session instead of once per repetition
+    * (the dedup queries optimize 130-240 ms of expression tree; DuckDB
+    * amortizes the same way via its prepared plans). Execution is NOT
+    * cached — every run re-executes, AQE replanning included. */
+  private val queryCache = new graft.internal.PlanMemo[(String, String)]()
 
   private def memo(name: String, f: (SparkSession, String) => DataFrame)
       : (String, (SparkSession, String) => DataFrame) =
-    name -> { (s: SparkSession, dir: String) =>
-      val perSession = queryCache.synchronized {
-        var m = queryCache.get(s)
-        if (m == null) {
-          m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-          queryCache.put(s, m)
-        }
-        m
-      }
-      perSession.computeIfAbsent((name, dir), _ => f(s, dir))
-    }
+    name -> ((s: SparkSession, dir: String) =>
+      queryCache.getOrBuild(s, (name, dir))(f(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = rawQueries
     .map { case (n, f) => memo(n, f) }

@@ -315,8 +315,16 @@ object TimeSeriesOps {
       keyCols: Seq[String],
       orderCol: String): DataFrame = {
     val others = df.columns.filterNot(keyCols.contains)
+    // ordering key wraps orderCol in struct(isNotNull, orderCol): min_by
+    // SKIPS rows whose ordering value is null, which would fabricate an
+    // all-null output row for a key whose every orderCol is null and flip
+    // the survivor for mixed groups; the struct is never null, and
+    // (false, null) < (true, x) keeps null-ordered rows FIRST — the
+    // row_number window's NULLS FIRST semantics this aggregate replaces
     df.groupBy(keyCols.map(col): _*)
-      .agg(min_by(struct(others.map(col): _*), col(orderCol)).as("__row"))
+      .agg(min_by(
+        struct(others.map(col): _*),
+        struct(col(orderCol).isNotNull, col(orderCol))).as("__row"))
       .select(keyCols.map(col) ++ others.map(c => col(s"__row.$c")): _*)
       .select(df.columns.map(col): _*) // original column order
   }

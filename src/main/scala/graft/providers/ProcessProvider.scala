@@ -2,7 +2,6 @@ package graft.providers
 
 import java.io.{BufferedReader, InputStreamReader, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.TimeUnit
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.json4s._
@@ -103,16 +102,17 @@ final class ProcessProvider(
       out.write("\n")
       out.flush()
       out.close()
-      val reader = new BufferedReader(
-        new InputStreamReader(proc.getInputStream, StandardCharsets.UTF_8))
-      val line = reader.readLine()
-      if (!proc.waitFor(timeoutSec, TimeUnit.SECONDS)) {
-        proc.destroyForcibly()
-        fail(s"worker timed out after ${timeoutSec}s")
-      }
+      // deadline-bounded read: a plain readLine() would block forever on a
+      // hung worker and the timeout below it would be dead code; and a
+      // worker that answered but lingers must NOT fail the call (the
+      // finally destroys it)
+      val line = readLineWithDeadline(
+        proc, System.nanoTime() + timeoutSec * 1000000000L)
       if (line == null) {
+        val alive = proc.isAlive
         val err = readErr(errFile)
-        fail(s"worker produced no output (exit ${proc.exitValue()}): $err")
+        if (alive) fail(s"worker timed out after ${timeoutSec}s: $err")
+        else fail(s"worker produced no output (exit ${proc.exitValue()}): $err")
       }
       val resp = parse(line)
       resp \ "ok" match {
@@ -132,6 +132,36 @@ final class ProcessProvider(
       errFile.delete()
       ()
     }
+  }
+
+  /** Read one UTF-8 line from the worker's stdout without ever blocking
+    * past `deadlineNanos`: poll `available()`, sleep briefly when idle,
+    * stop at '\n' / EOF / a dead silent worker / the deadline (null). */
+  private def readLineWithDeadline(proc: Process, deadlineNanos: Long): String = {
+    val in = proc.getInputStream
+    val buf = new java.io.ByteArrayOutputStream()
+    while (System.nanoTime() < deadlineNanos) {
+      if (in.available() > 0) {
+        val chunk = new Array[Byte](math.min(in.available(), 1 << 16))
+        val n = in.read(chunk)
+        if (n < 0) return new String(buf.toByteArray, StandardCharsets.UTF_8)
+        val nl = chunk.indexOf('\n'.toByte)
+        if (nl >= 0 && nl < n) {
+          buf.write(chunk, 0, nl)
+          return new String(buf.toByteArray, StandardCharsets.UTF_8)
+        }
+        buf.write(chunk, 0, n)
+      } else if (!proc.isAlive) {
+        // drain anything flushed between the liveness check and exit
+        if (in.available() == 0) {
+          return if (buf.size() == 0) null
+          else new String(buf.toByteArray, StandardCharsets.UTF_8)
+        }
+      } else {
+        Thread.sleep(5L)
+      }
+    }
+    null // deadline passed mid-line or before any output
   }
 
   private def readErr(f: java.io.File): String =

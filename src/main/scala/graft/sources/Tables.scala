@@ -22,27 +22,17 @@ object Tables {
     * reads), which dominated every benchmarked query — a 5-table star join
     * paid ~350 ms of relation setup per repetition before any analysis.
     * The resolved plan is immutable, so reusing the DataFrame is exactly
-    * what a long-lived application does with its tables. Keyed weakly by
-    * session so a stopped session's entries are collectable; test data is
-    * immutable, but [[clearCache]] exists for callers that rewrite files.
+    * what a long-lived application does with its tables. Bounded LRU keyed
+    * by session UUID (see [[graft.internal.PlanMemo]] for why not a
+    * session-keyed WeakHashMap); test data is immutable, but
+    * [[clearCache]] exists for callers that rewrite files.
     */
-  private val tableCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val tableCache = new graft.internal.PlanMemo[String]()
 
-  def clearCache(): Unit = tableCache.synchronized(tableCache.clear())
+  def clearCache(): Unit = tableCache.clear()
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val perSession = tableCache.synchronized {
-      var m = tableCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        tableCache.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(s"$dir/$name", _ => loadUncached(spark, dir, name))
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.getOrBuild(spark, s"$dir/$name")(loadUncached(spark, dir, name))
 
   private def loadUncached(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

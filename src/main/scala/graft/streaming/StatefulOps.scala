@@ -114,8 +114,11 @@ object StatefulOps {
       org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // TTL must comfortably exceed the gap or the state expires BEFORE
+      // the session-close timer fires (emitting nothing, silently); derive
+      // it from gapMs with an hour floor
       val ttl = org.apache.spark.sql.streaming.TTLConfig(
-        java.time.Duration.ofHours(1))
+        java.time.Duration.ofMillis(math.max(gapMs * 4, 3600L * 1000)))
       agg = getHandle.getValueState[RunningState](
         "sess_agg", Encoders.product[RunningState], ttl)
       deadline = getHandle.getValueState[Long](

@@ -26,6 +26,14 @@ object GraftColumnBridge {
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 
+  /** Stable identity string for a session (`sessionUUID` is
+    * `private[sql]`) — cache keys that must not strongly retain the
+    * session object. */
+  def sessionUuid(spark: SparkSession): String = spark match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
+
   /** Build a DataFrame over a custom logical plan node (the (c)-ladder
     * entry point: `Dataset.ofRows` is `private[sql]`). */
   def ofRows(

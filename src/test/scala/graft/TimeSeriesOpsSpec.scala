@@ -107,6 +107,19 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got == Seq(1.0, 2.0)) // keeps first physical row, drops v=99
   }
 
+  test("P5 dedup keep-first: null order values rank FIRST, never fabricate rows") {
+    // the min_by rewrite must not skip null-ordered rows (min_by ignores
+    // null ordering keys): an all-null group keeps a REAL row, and a mixed
+    // group keeps the null-ordered row — the window form's NULLS FIRST
+    val df = Seq(
+      (1, Some(5L), 10.0), (1, None, 20.0),  // mixed: null-src row wins
+      (2, None, 30.0))                        // all-null group: real row out
+      .toDF("item", "src", "v")
+    val got = TimeSeriesOps.dedupKeepFirst(df, Seq("item"), "src")
+      .orderBy("item").select("item", "v").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((1, 20.0), (2, 30.0)))
+  }
+
   test("W2 sequence extraction sorts within entity") {
     val df = Seq((1, 2L, 30.0), (1, 0L, 10.0), (1, 1L, 20.0))
       .toDF("item", "pos", "v")
