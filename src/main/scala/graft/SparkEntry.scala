@@ -852,6 +852,31 @@ object SparkEntry {
       .orderBy(col("rn"))
   }
 
+  /** O10 — KEYSET pagination: resume after the last key of the previous
+    * page instead of numbering every row (o7's global row_number is a
+    * driver-edge operation by design — a single-partition window over the
+    * whole corpus; the keyset form is a pushed-down filter + TakeOrdered,
+    * the only pagination that survives 100 TB). Page anchored at the same
+    * position as o7's rows 11-20, so the two queries cross-check. */
+  private def o10Keyset(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    // the anchor (value, event_id) of row 10 arrives as a one-row
+    // broadcastable frame, the page is a composite-key range filter
+    val anchor = ev
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(10)
+      .orderBy(col("value").asc, col("event_id").desc)
+      .limit(1)
+      .select(col("value").as("__av"), col("event_id").as("__ae"))
+    ev.crossJoin(broadcast(anchor))
+      .filter(col("value") < col("__av") ||
+        (col("value") === col("__av") && col("event_id") > col("__ae")))
+      .orderBy(col("value").desc, col("event_id"))
+      .limit(10)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** F16 — regex scalar family (extract / extract_all count / global
     * replace). Patterns stay within the class/alternation subset where
     * Java regex (Spark) and RE2 (DuckDB) agree. */
@@ -1119,6 +1144,7 @@ object SparkEntry {
     "dedup_bloom_cross" -> (dedupBloomCross _),
     "pack_bins" -> (packBins _),
     "dedup_paragraphs" -> (dedupParagraphs _),
+    "o10_keyset" -> (o10Keyset _),
   )
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -1647,6 +1673,13 @@ object SparkEntry {
         |FROM k b WHERE b.doc_id % 2 = 1 AND EXISTS
         | (SELECT 1 FROM k a WHERE a.doc_id % 2 = 0 AND a.pfx = b.pfx)
         |ORDER BY 1""".stripMargin,
+    "o10_keyset" ->
+      """WITH a AS (SELECT value AS av, event_id AS ae FROM events
+        |  ORDER BY value DESC, event_id LIMIT 10),
+        |anchor AS (SELECT av, ae FROM a ORDER BY av ASC, ae DESC LIMIT 1)
+        |SELECT event_id, user_id, value FROM events, anchor
+        |WHERE value < av OR (value = av AND event_id > ae)
+        |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
     "pack_bins" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
