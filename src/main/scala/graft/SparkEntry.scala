@@ -458,6 +458,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate clustering — connected components (min-label propagation)
+    * over the portable MinHash pair list. The iterative hash-join rounds
+    * run once at plan build (a real pipeline computes labels once and
+    * reuses them); the oracle re-derives the same components with a
+    * recursive-CTE reachability closure over the identical pair set, so
+    * the iterative operator is value-checked end-to-end. */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text"))
+      .orderBy(col("id"))
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -1145,7 +1156,41 @@ object SparkEntry {
     "pack_bins" -> (packBins _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
+    "dedup_clusters" -> (dedupClusters _),
   )
+
+  /** Shared CTEs for the portable-minhash oracles: signature math and
+    * banded pair generation mirroring
+    * [[graft.ext.Dedup.minHashNearDuplicatesPortable]] value-for-value,
+    * ending in a `portable_pairs(id_a, id_b, sig_similarity)` CTE — used
+    * by both the pairs oracle and the recursive-closure clusters oracle. */
+  private val portablePairsCtes: String =
+    """d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+      |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |      for i in generate_series(1, len(toks)-2)])
+      |  ELSE [] END AS grams FROM d),
+      |h AS (SELECT doc_id,
+      |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
+      |    for x in grams] AS hs FROM g),
+      |s AS (SELECT doc_id,
+      | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+      |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS m0,
+      | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+      |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS m1,
+      | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+      |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS m2,
+      | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+      |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS m3
+      | FROM h),
+      |portable_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | round(((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+      |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0, 6) AS sig_similarity
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
+      |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+      |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5)""".stripMargin
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
     * sums over md5-hashed tokens, mirroring [[graft.ext.Dedup.simHashPortable]]
@@ -1707,33 +1752,19 @@ object SparkEntry {
         |SELECT s.doc_id, COALESCE(r.text, '') AS text
         |FROM synth s LEFT JOIN r USING (doc_id) ORDER BY 1""".stripMargin,
     "dedup_minhash_pairs_portable" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |      for i in generate_series(1, len(toks)-2)])
-        |  ELSE [] END AS grams FROM d),
-        |h AS (SELECT doc_id,
-        |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
-        |    for x in grams] AS hs FROM g),
-        |s AS (SELECT doc_id,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS m0,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS m1,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS m2,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS m3
-        | FROM h)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | round(((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
-        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0, 6) AS sig_similarity
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
-        |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
-        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5
+      s"""WITH $portablePairsCtes
+        |SELECT id_a, id_b, sig_similarity FROM portable_pairs
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $portablePairsCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
+        |  UNION SELECT id_b, id_a FROM portable_pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+        |ORDER BY 1""".stripMargin,
     "dedup_minhash_portable" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE doc_id % 4 = 0),
