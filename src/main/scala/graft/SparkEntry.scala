@@ -466,7 +466,9 @@ object SparkEntry {
     * the iterative operator is value-checked end-to-end. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(
-        Dedup.minHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text"))
+        Dedup.minHashNearDuplicatesPortable(
+          T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          "doc_id", "text"))
       .orderBy(col("id"))
 
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
@@ -1065,9 +1067,17 @@ object SparkEntry {
     * cached — every run re-executes, AQE replanning included. */
   private val queryCache = new graft.internal.PlanMemo[(String, String)]()
 
+  /** Queries whose CONSTRUCTION performs eager distributed work (iterative
+    * label propagation runs jobs at build time). Memoizing them would hide
+    * that work from every benchmark repetition while the DuckDB oracle
+    * pays it per run — so they rebuild per call, keeping the comparison
+    * honest. */
+  private val nonMemoizable = Set("dedup_clusters")
+
   private def memo(name: String, f: (SparkSession, String) => DataFrame)
       : (String, (SparkSession, String) => DataFrame) =
-    name -> ((s: SparkSession, dir: String) =>
+    if (nonMemoizable(name)) name -> f
+    else name -> ((s: SparkSession, dir: String) =>
       queryCache.getOrBuild(s, (name, dir))(f(s, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = rawQueries
@@ -1164,9 +1174,9 @@ object SparkEntry {
     * [[graft.ext.Dedup.minHashNearDuplicatesPortable]] value-for-value,
     * ending in a `portable_pairs(id_a, id_b, sig_similarity)` CTE — used
     * by both the pairs oracle and the recursive-closure clusters oracle. */
-  private val portablePairsCtes: String =
-    """d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-      |  FROM documents),
+  private def portablePairsCtes(where: String = ""): String =
+    s"""d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+      |  FROM documents $where),
       |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
       |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
       |      for i in generate_series(1, len(toks)-2)])
@@ -1752,11 +1762,11 @@ object SparkEntry {
         |SELECT s.doc_id, COALESCE(r.text, '') AS text
         |FROM synth s LEFT JOIN r USING (doc_id) ORDER BY 1""".stripMargin,
     "dedup_minhash_pairs_portable" ->
-      s"""WITH $portablePairsCtes
+      s"""WITH ${portablePairsCtes()}
         |SELECT id_a, id_b, sig_similarity FROM portable_pairs
         |ORDER BY 1, 2""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $portablePairsCtes,
+      s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
         |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
         |  UNION SELECT id_b, id_a FROM portable_pairs),
         |reach(id, r) AS (
