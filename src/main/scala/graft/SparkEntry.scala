@@ -1776,25 +1776,13 @@ object SparkEntry {
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY 1""".stripMargin,
     "dedup_minhash_portable" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
-        |  FROM documents WHERE doc_id % 4 = 0),
-        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
-        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |      for i in generate_series(1, len(toks)-2)])
-        |  ELSE [] END AS grams FROM d),
-        |h AS (SELECT doc_id,
-        |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
-        |    for x in grams] AS hs FROM g)
-        |SELECT doc_id,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS minhash_0,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS minhash_1,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS minhash_2,
-        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
-        |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS minhash_3
-        |FROM h ORDER BY doc_id""".stripMargin,
+      // the shared CTE chain's unused portable_pairs tail is never
+      // evaluated; the signature math lives in ONE place for all three
+      // portable-minhash oracles
+      s"""WITH ${portablePairsCtes("WHERE doc_id % 4 = 0")}
+        |SELECT doc_id, m0 AS minhash_0, m1 AS minhash_1,
+        | m2 AS minhash_2, m3 AS minhash_3
+        |FROM s ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |  FROM embeddings WHERE vec_id % 2 = 0)

@@ -423,15 +423,23 @@ object Dedup {
     * after any of the pair generators above).
     *
     * Min-label propagation: each id's label is the smallest id reachable;
-    * iterate label-join-min until fixpoint. Converges in O(log diameter)
-    * rounds — near-dup components are tiny, so a handful of hash-join
-    * rounds regardless of corpus size. Returns (id, cluster_id).
+    * iterate label-join-min until fixpoint. The min label travels one hop
+    * per round, so rounds = the min node's eccentricity in its component —
+    * near-dup components are tiny (a boilerplate clique converges in 1),
+    * so a handful of hash-join rounds regardless of corpus size. If
+    * `maxIter` rounds pass without a fixpoint a WARN is logged — labels
+    * are then correct only within `maxIter` hops of each component's min.
+    *
+    * The returned labels stay persisted (downstream keep-one-per-cluster
+    * joins reread them); ownership passes to the caller — unpersist when
+    * done, or let the ContextCleaner reclaim the blocks after the
+    * DataFrame is garbage-collected. Returns (id, cluster_id).
     */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -439,10 +447,16 @@ object Dedup {
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("cluster_id", col("id"))
+    var cached: DataFrame = null // the persisted frame behind `labels`
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of its own label and its neighbors' labels
+      // each node adopts the min of its own label and its neighbors'
+      // labels; the change flag rides in the SAME plan so ONE full-scan
+      // aggregate both materializes the cache completely and counts the
+      // changes exactly (a limit(1) probe would stop at the first diff,
+      // leaving the cache partial and cascading recompute through every
+      // earlier iteration's lineage)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
@@ -450,15 +464,26 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("__new"),
+          (coalesce(col("__nmin"), col("cluster_id")) < col("cluster_id"))
+            .as("__changed"))
         .persist()
-      val changed = updated.join(labels.withColumnRenamed("cluster_id", "__old"), "id")
-        .filter(col("cluster_id") =!= col("__old")).limit(1).count()
-      labels.unpersist() // free the previous iteration's cache (no-op on iter 0)
-      labels = updated
+      val changed = updated
+        .agg(sum(when(col("__changed"), lit(1L)).otherwise(lit(0L))))
+        .head().getLong(0)
+      // free the previous iteration's cache (unpersist must target the
+      // PERSISTED frame — `labels` is a projection of it)
+      if (cached != null) cached.unpersist()
+      cached = updated
+      labels = updated.select(col("id"), col("__new").as("cluster_id"))
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters stopped after $maxIter rounds WITHOUT converging: " +
+          "labels are correct only within that many hops of each component's " +
+          "minimum; raise maxIter for long near-dup chains")
     edges.unpersist()
     labels
   }
