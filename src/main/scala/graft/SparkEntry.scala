@@ -471,6 +471,18 @@ object SparkEntry {
           "doc_id", "text"))
       .orderBy(col("id"))
 
+  /** Benchmark decontamination sweep: corpus (doc_id%10=0) scored against
+    * an eval set (doc_id%10=1); the benchmark gram set broadcasts (eval
+    * suites are small by construction), the corpus never shuffles. */
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 === 1),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -1167,6 +1179,7 @@ object SparkEntry {
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
+    "text_contamination" -> (textContamination _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -1728,6 +1741,26 @@ object SparkEntry {
         |FROM k b WHERE b.doc_id % 2 = 1 AND EXISTS
         | (SELECT 1 FROM k a WHERE a.doc_id % 2 = 0 AND a.pfx = b.pfx)
         |ORDER BY 1""".stripMargin,
+    "text_contamination" ->
+      """WITH c AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cg AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)] ELSE [] END) AS gram
+        |  FROM c),
+        |b AS (SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |bg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3 THEN
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)] ELSE [] END) AS gram
+        |  FROM b)
+        |SELECT cg.doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_contaminated,
+        | round(CAST(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 6) AS contamination
+        |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "o10_keyset" ->
       """WITH a AS (SELECT value AS av, event_id AS ae FROM events
         |  ORDER BY value DESC, event_id LIMIT 10),

@@ -584,6 +584,42 @@ object Dedup {
       .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol))
   }
 
+  /** Benchmark DECONTAMINATION score — the fraction of each corpus
+    * document's distinct n-grams that appear anywhere in a benchmark/eval
+    * set (the standard training-data contamination check: docs above a
+    * threshold are quarantined before training so eval questions don't
+    * leak into the corpus).
+    *
+    * Shape: corpus grams explode to (id, gram-hash); the benchmark
+    * collapses to its DISTINCT gram-hash set and BROADCASTS — eval sets
+    * are small by construction (KBs–MBs of text even for large suites),
+    * so the corpus side never shuffles: one map-side left join + one
+    * groupBy(id) count. Returns (idCol, n_grams, n_contaminated,
+    * contamination ∈ [0,1]); docs too short to have any n-gram emit no
+    * row (nothing can leak from them).
+    */
+  def contaminationScore(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def gramHashes(df: DataFrame, cols: Column*) = df.select(
+      cols :+ explode(GraftColumnBridge.column(graft.functions.XxHash64Array(
+        GraftColumnBridge.expression(wordNgrams(col(textCol), n))))).as("__g"): _*)
+    val bench = gramHashes(benchmark).select(col("__g")).distinct()
+      .withColumn("__hit", lit(1))
+    gramHashes(corpus, col(idCol))
+      .join(broadcast(bench), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_grams"), 6).as("contamination"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
     * explode distinct shingles, drop stop-shingles (document frequency over
     * `maxDocFreq` — the standard cap that keeps the self-join sub-quadratic:

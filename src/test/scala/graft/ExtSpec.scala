@@ -149,6 +149,20 @@ class ExtSpec extends AnyFunSuite {
       (3L, "")))
   }
 
+  test("contamination score: leaked grams counted, clean docs score 0") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),   // "beta gamma delta" leaks
+      (1L, "totally clean words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 0: grams {a b g, b g d}; "beta gamma delta" is in the benchmark
+    assert(got == Seq((0L, 2L, 1L, 0.5), (1L, 2L, 0L, 0.0)))
+  }
+
   test("blocked packing: bins respect the budget arithmetic per shard") {
     import graft.ext.Packing
     val df = Seq(
