@@ -440,39 +440,69 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): the iteration's inputs must be CUT
+    // from their upstream lineage, not just cached — the pair-generation
+    // tree under `pairs` is hundreds of expression nodes, and with plain
+    // persist every round's new plan embeds it (twice: edges appears on
+    // both sides of the message join), so Catalyst re-analyzes a tree that
+    // grows with the iteration count. Checkpointed frames plan as a flat
+    // scan of materialized blocks: per-round planning cost is constant.
+    // (local checkpoint = blocks are not fault-tolerant; a cluster-scale
+    // caller running hour-long jobs should prefer reliable checkpointing
+    // via spark.sparkContext.setCheckpointDir + .checkpoint().)
+    // no distinct on the symmetrized edges: pair generators emit unique
+    // (a<b) pairs, so the two directions cannot collide, and duplicate
+    // edges would only repeat messages min() ignores anyway (callers with
+    // heavily-duplicated pair lists should pre-distinct to save per-round
+    // shuffle bandwidth, not for correctness)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .persist()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("cluster_id", col("id"))
-    var cached: DataFrame = null // the persisted frame behind `labels`
+      .localCheckpoint()
+    // seeded init: label₀ = min(self, direct neighbors). The naive init
+    // (label₀ = self) needs a groupBy-shaped exchange for the id-distinct
+    // anyway, so folding the first propagation hop into it is a whole
+    // join round saved for free
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster_id"))
+    var cached: DataFrame = null // the checkpointed frame behind `labels`
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of its own label and its neighbors'
-      // labels; the change flag rides in the SAME plan so ONE full-scan
-      // aggregate both materializes the cache completely and counts the
-      // changes exactly (a limit(1) probe would stop at the first diff,
-      // leaving the cache partial and cascading recompute through every
-      // earlier iteration's lineage)
-      val neighborMin = edges
+      // message-passing round in ONE join + ONE aggregate: every node's
+      // current label is a message to itself (tagged __self so the old
+      // label is recoverable inside the aggregate), every edge forwards
+      // the neighbor's label, and min over the merged messages is the new
+      // label. Compared with the neighborMin-then-left-join formulation
+      // this is one exchange fewer per round — at corpus scale the label
+      // frame is 10⁹ rows, so a saved shuffle per round is a saved
+      // corpus-sized shuffle per round. The change flag rides in the SAME
+      // plan so ONE full-scan aggregate both materializes the cache
+      // completely and counts the changes exactly (a limit(1) probe would
+      // stop at the first diff, leaving the cache partial and cascading
+      // recompute through every earlier iteration's lineage)
+      val msgs = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster_id")).as("__nmin"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__nmin"), col("cluster_id")))
-            .as("__new"),
-          (coalesce(col("__nmin"), col("cluster_id")) < col("cluster_id"))
-            .as("__changed"))
-        .persist()
+        .select(col("src").as("id"), col("cluster_id"), lit(false).as("__self"))
+      // eager localCheckpoint materializes the round (that job IS the
+      // round's full scan — nothing downstream recomputes it), and the
+      // change count is then a near-free follow-up aggregate over the
+      // materialized blocks
+      val updated = labels
+        .select(col("id"), col("cluster_id"), lit(true).as("__self"))
+        .unionByName(msgs)
+        .groupBy(col("id"))
+        .agg(
+          min(col("cluster_id")).as("__new"),
+          min(when(col("__self"), col("cluster_id"))).as("__old"))
+        .withColumn("__changed", col("__new") < col("__old"))
+        .localCheckpoint()
       val changed = updated
         .agg(sum(when(col("__changed"), lit(1L)).otherwise(lit(0L))))
         .head().getLong(0)
-      // free the previous iteration's cache (unpersist must target the
-      // PERSISTED frame — `labels` is a projection of it)
+      // free the previous round's checkpoint blocks (unpersist must
+      // target the CHECKPOINTED frame — `labels` is a projection of it)
       if (cached != null) cached.unpersist()
       cached = updated
       labels = updated.select(col("id"), col("__new").as("cluster_id"))
@@ -507,17 +537,38 @@ object Dedup {
     *                      task allocates and merges — size it to the corpus:
     *                      at 10⁹ keys pass 10⁹ (≈1.2 GB driver-side, still
     *                      the standard trade at that scale), at 10⁴ keys
-    *                      the bitmap is KBs and the build is free. */
+    *                      the bitmap is KBs and the build is free.
+    * @param fallbackMaxBytes planner-style small-side fallback: when corpus
+    *                      A's Catalyst size estimate (driver-side, no job)
+    *                      is at or under this many bytes, the Bloom
+    *                      prescreen buys nothing — its build is a separate
+    *                      scalar-subquery job and the verify join's hash
+    *                      table is small anyway — so the operator degrades
+    *                      to the plain semi-join it would otherwise verify
+    *                      with. Output is identical either way (the Bloom
+    *                      path is exact); only the plan changes. Set to 0
+    *                      to force the Bloom path, Long.MaxValue to force
+    *                      the fallback. Default 64 MB ≈ the scale where a
+    *                      corpus-A hash table stops fitting comfortably in
+    *                      one executor's build side. */
   def bloomPrescreenOverlap(
       corpusA: DataFrame,
       corpusB: DataFrame,
       idCol: String,
       key: Column,
-      expectedItems: Long = 1000000L): DataFrame = {
+      expectedItems: Long = 1000000L,
+      fallbackMaxBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val a = corpusA.select(key.as("__k"))
+    val aSmall = // estimate only — never triggers a job
+      corpusA.queryExecution.optimizedPlan.stats.sizeInBytes <= fallbackMaxBytes
+    if (aSmall)
+      return corpusB.select(col(idCol), key.as("__k"))
+        .join(a.distinct().withColumnRenamed("__k", "__ka"),
+          col("__k") === col("__ka"), "left_semi")
+        .select(col(idCol), col("__k").as("matched_key"))
     // fold corpus A into one Bloom filter (the same aggregate Spark's own
     // runtime-filter injection uses; it has no public SQL registration).
     // The aggregate enters the probe side as a SCALAR SUBQUERY — exactly the
@@ -670,13 +721,22 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__shared"))
     // sizes is one row per DOC — bounded, but still corpus-sized at 10⁹
-    // docs; a shuffle join on the id keeps the plan broadcast-free
+    // docs; a shuffle join on the id keeps the plan broadcast-free. ONE
+    // fused join-back serves both pair sides: each pair row splits into
+    // its two (pair, id) roles, joins sizes once, and regroups — one
+    // exchange of 2×pairs instead of two sequential shuffle joins of
+    // pairs against differently-keyed copies of sizes (which defeat
+    // exchange reuse because the rename projections de-canonicalize)
     shared
-      .join(sizes.withColumnRenamed("__n", "__na").hint("shuffle_hash"),
-        shared("id_a") === sizes(idCol)).drop(idCol)
-      .join(sizes.withColumnRenamed("__n", "__nb").withColumnRenamed(idCol, "__idb")
-          .hint("shuffle_hash"),
-        col("id_b") === col("__idb")).drop("__idb")
+      .select(col("id_a"), col("id_b"), col("__shared"),
+        explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .hint("shuffle_hash")
+      .join(sizes.withColumnRenamed(idCol, "__id").hint("shuffle_hash"), "__id")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        min(col("__shared")).as("__shared"),
+        min(when(col("__id") === col("id_a"), col("__n"))).as("__na"),
+        min(when(col("__id") === col("id_b"), col("__n"))).as("__nb"))
       .withColumn("jaccard",
         col("__shared").cast("double")
           / (col("__na") + col("__nb") - col("__shared")))

@@ -189,6 +189,51 @@ case class Md5Prefix(child: Expression, hexDigits: Int, skipEmpty: Boolean = fal
 
 object Md5Prefix {
   /** MessageDigest is stateful and not thread-safe; one per thread. */
-  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+  private[functions] val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** Scalar twin of [[Md5Prefix]]: first `hexDigits` hex digits of md5 of a
+  * single string as a long — value-identical to
+  * `conv(substring(md5(s), 1, d), 16, 10)` (d ≤ 15). This is the portable
+  * sampling gate's hash ([[graft.ops.Sampling]]): the expression-tree form
+  * materializes the 32-char hex string and re-parses a substring of it per
+  * row; the kernel reads the digit value straight off the digest bytes. */
+case class Md5PrefixLong(child: Expression, hexDigits: Int)
+    extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"hexDigits must be in [1,15], got $hexDigits")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"Md5PrefixLong requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = Md5Prefix.digest.get()
+    md.reset()
+    val digest = md.digest(input.asInstanceOf[UTF8String].getBytes)
+    var v = 0L
+    var d = 0
+    while (d < hexDigits) {
+      val b = digest(d / 2) & 0xff
+      val nibble = if (d % 2 == 0) b >>> 4 else b & 0xf
+      v = (v << 4) | nibble
+      d += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("md5PrefixLong", this, getClass.getName)
+      s"${ev.value} = (Long) $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
+    copy(child = newChild)
 }

@@ -30,8 +30,15 @@ object Sampling {
   def hashSamplePortable(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
     df.filter(portableGate(keyCol) < percent)
 
-  private def portableGate(keyCol: Column): Column =
-    conv(substring(md5(keyCol.cast("string")), 1, 8), 16, 10).cast("long") % 100
+  private def portableGate(keyCol: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    // native kernel ≡ conv(substring(md5(s), 1, 8), 16, 10) — same md5
+    // bytes, digit value read off the digest instead of materializing and
+    // re-parsing the 32-char hex string per row (bit-identical, and the
+    // DuckDB oracles keep recomputing the expression form)
+    GraftColumnBridge.column(graft.functions.Md5PrefixLong(
+      GraftColumnBridge.expression(keyCol.cast("string")), 8)) % 100
+  }
 
   /** Stratified sample: a different keep-percentage per stratum value
     * (e.g. downsample boilerplate-heavy sources harder than rare ones).
