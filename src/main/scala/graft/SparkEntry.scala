@@ -40,6 +40,31 @@ object SparkEntry {
       * (lit(1).cast("decimal(18,4)") - discount.cast("decimal(18,4)"))), 2)
       .cast("double")
 
+  // ——— scaled-long money arithmetic ———
+  // For columns KNOWN to carry ≤2 decimal digits (TPC-H money and integral
+  // quantities), the decimal(18,2) cast path above is exact but slow: every
+  // row pays a double→BigDecimal conversion and the aggregate buffer does
+  // Decimal adds (measured 219→125 ms on a full lineitem pass). The same
+  // real number falls out of integer math: cents = round(x·100) as long —
+  // identical to the decimal cast for ≤2-dp inputs because x·100 is within
+  // ~1e-6 of an integer (never near a .5 tie) — and the sum rides a LONG
+  // product with a decimal(30,0) buffer (overflow-safe at any scale; the
+  // one decimal division happens once per GROUP, not per row). Value
+  // equality with the decimal form is pinned by the oracle gate at all
+  // three SFs. NOT valid for arbitrary-precision doubles (events.value
+  // stays on [[dsum]]).
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Sum of a 2-dp money column, emitted as double — [[dsum]] semantics. */
+  private def moneySum(c: Column, outScale: Int): Column =
+    round(sum(cents(c).cast("decimal(30,0)")) / 100, outScale).cast("double")
+
+  /** Revenue Σ price·(1−discount) for 2-dp money — [[drevenue]] semantics.
+    * Per-row work is one long multiply: cents · (10000 − discount·10⁴). */
+  private def moneyRevenue(price: Column, discount: Column): Column =
+    round(sum((cents(price) * (lit(10000L) - round(discount * 10000).cast("long")))
+      .cast("decimal(30,0)")) / 1000000, 2).cast("double")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     starJoin(spark, "/root/testdata/sf0.001")
@@ -52,9 +77,9 @@ object SparkEntry {
       .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity"), 2).as("sum_qty"),
-        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        moneySum(col("l_quantity"), 2).as("sum_qty"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneyRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -76,15 +101,22 @@ object SparkEntry {
     val o = T(s, dir, "orders")
     val perOrder = T(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-        * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+      // scaled-long revenue partial (see moneyRevenue): cents·(10⁴−disc·10⁴)
+      // summed as LONG — bounded per order (≤7 items · ~1e11), exact
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
         .as("__rev"))
     c.join(o, c("c_custkey") === o("o_custkey"))
+      // fact⋈fact at order grain: shuffle-hash, not broadcast — measured
+      // LOCALLY too: collecting + building a 150k-row broadcast relation in
+      // one thread loses to a 4-partition shuffle join (0.65 s vs 0.40 s),
+      // and at scale the partials are fact-sized anyway
       .join(perOrder.hint("shuffle_hash"),
         o("o_orderkey") === perOrder("l_orderkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
       .agg(
-        round(sum(col("__rev")), 2).cast("double").as("revenue"),
+        round(sum(col("__rev").cast("decimal(30,0)")) / 1000000, 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("c_mktsegment"), col("order_year"))
   }
@@ -152,6 +184,13 @@ object SparkEntry {
       .select(col("user_id"), round(col("median_gap_s"), 1).as("median_gap_s"))
       .orderBy(col("user_id"))
 
+  /** A12 (modal option) — pandas-`infer_freq`-shaped frequency: mode of
+    * inter-arrival gaps, ties to the smallest gap
+    * (univariate_metrics.py:81-95). */
+  private def a12FreqModal(s: SparkSession, dir: String): DataFrame =
+    Ts.inferFrequencyModalSeconds(T(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("user_id"))
+
   /** W1 — per-entity sliding windows, flattened for the oracle
     * (ydata_adapter.py:267-288). */
   private def w1Windows(s: SparkSession, dir: String): DataFrame =
@@ -196,7 +235,7 @@ object SparkEntry {
     T(s, dir, "orders")
       .groupBy(Ts.weekendFlag(col("o_orderdate")).as("is_weekend"))
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice"), 2).as("sum_price"))
+        moneySum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy(col("is_weekend"))
 
   /** W7 — forecast-horizon index (univariate_metrics.py:390-399). */
@@ -218,7 +257,7 @@ object SparkEntry {
       .unionByName(o.filter(year(col("o_orderdate")) === 1996))
       .groupBy(year(col("o_orderdate")).as("order_year"))
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice"), 2).as("sum_price"))
+        moneySum(col("o_totalprice"), 2).as("sum_price"))
       .orderBy(col("order_year"))
   }
 
@@ -370,7 +409,7 @@ object SparkEntry {
   private def a13Rollup(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_quantity"), 2).as("sum_qty"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** HLL++ sketch distinct counts (rows-only: sketch estimates are
@@ -594,6 +633,55 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Portable LSH top-k — the oracle-checkable twin of [[simLshTopK]]
+    * (same pattern that made MinHash/SimHash banding value-checkable): the
+    * hyperplanes are deterministic seeded literals
+    * ([[graft.ext.Similarity.hyperplaneSignature]]), so the DuckDB oracle
+    * re-derives the SAME planes as SQL literals
+    * ([[lshPortableOracle]]), recomputes every signature, the candidate
+    * equi-join, the cosine re-rank, and the rank tail — a green hash proves
+    * candidate generation end-to-end value-for-value. One table keeps the
+    * embedded literal matrix 8×64. */
+  private def simLshPortable(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        5, dim = 64, numBits = 8, numTables = 1, seed = 42L)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DuckDB twin of [[simLshPortable]]: the SAME seeded Gaussian draws
+    * (one `scala.util.Random(42)`, bits outer × dims inner — byte-for-byte
+    * the order [[graft.ext.Similarity.hyperplaneSignature]] consumes them)
+    * embedded as literal double arrays. Doubles round-trip exactly through
+    * toString, so both engines threshold the same planes. */
+  private lazy val lshPortableOracle: String = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+    val values = planes.zipWithIndex
+      .map { case (p, b) => s"($b, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH planes AS (SELECT * FROM (VALUES $values) v(bit, p)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sig AS (SELECT e.vec_id,
+       |  CAST(sum(CASE WHEN list_dot_product(e.emb, planes.p) > 0
+       |    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN planes GROUP BY 1),
+       |cand AS (SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+       |  FROM sig qs JOIN sig cs USING (sig)
+       |  WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |  list_cosine_similarity(qe.emb, ce.emb) AS cos
+       |  FROM cand JOIN e qe ON qe.vec_id = query_id
+       |  JOIN e ce ON ce.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+  }
+
   /** IVF approximate top-k (rows-only: cell recall is probabilistic). */
   private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
@@ -669,7 +757,7 @@ object SparkEntry {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping_id().cast("long").as("gid"),
-        dsum(col("l_quantity"), 2).as("sum_qty"),
+        moneySum(col("l_quantity"), 2).as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
@@ -721,16 +809,17 @@ object SparkEntry {
     * so lineitem pre-aggregates to order grain FIRST (map-side partial agg
     * over the scan, one shuffle of ~orders-many short rows instead of
     * ~4× more wide lineitem rows), and the order-grain partials join and
-    * re-aggregate. Decimal sums re-sum exactly (same scale, precision 38),
-    * so the result is bit-identical to the unaggregated plan. */
+    * re-aggregate. The partials are exact scaled-long integers (see
+    * moneyRevenue), so the re-sum is bit-identical to the unaggregated
+    * plan. */
   private def j6Q5Region(s: SparkSession, dir: String): DataFrame = {
-    // revenue partial per order: same decimal math as drevenue, unrounded —
-    // rounding happens once, after the final re-sum
+    // scaled-long revenue partial per order (see moneyRevenue), unrounded —
+    // the one decimal division + rounding happens after the final re-sum
     val perOrder = T(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(
-        sum(col("l_extendedprice").cast("decimal(18,2)")
-          * (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        sum(round(col("l_extendedprice") * 100).cast("long")
+          * (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
           .as("__rev"),
         count(lit(1)).as("__n"))
     // the composite needs its own hint: hints on leaves don't propagate to
@@ -744,11 +833,14 @@ object SparkEntry {
       .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
       // order-grain ⋈ order-grain: shuffle-hash beats sort-merge here — the
       // downstream agg needs only the key partitioning, sorts buy nothing
+      // (and beats broadcast even locally: building a 150k-row broadcast
+      // relation in one thread loses to a 4-partition shuffle join)
       .join(perOrder.hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        round(sum(col("__rev")), 2).cast("double").as("revenue"),
+        round(sum(col("__rev").cast("decimal(30,0)")) / 1000000, 2)
+          .cast("double").as("revenue"),
         sum(col("__n")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
   }
@@ -1124,6 +1216,7 @@ object SparkEntry {
     "a7a8_stats" -> (a7a8Stats _),
     "a9_mae" -> (a9Mae _),
     "a12_freq_infer" -> (a12Freq _),
+    "a12_freq_modal" -> (a12FreqModal _),
     "w1_windows" -> (w1Windows _),
     "w3_slice" -> (w3Slice _),
     "w4_xy" -> (w4Xy _),
@@ -1161,6 +1254,7 @@ object SparkEntry {
     "dedup_simhash_pairs_portable" -> (dedupSimhashPairsPortable _),
     "dedup_minhash_pairs_portable" -> (dedupMinhashPairsPortable _),
     "sim_lsh_topk" -> (simLshTopK _),
+    "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -1554,6 +1648,17 @@ object SparkEntry {
         |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM s)
         |SELECT user_id, round(median(gap),1) AS median_gap_s
         |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a12_freq_modal" ->
+      """WITH s AS (SELECT user_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id,
+        |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM s),
+        |c AS (SELECT user_id, gap, count(*) AS cnt FROM g
+        |  WHERE gap IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, gap AS modal_gap_s FROM c
+        |QUALIFY row_number()
+        |  OVER (PARTITION BY user_id ORDER BY cnt DESC, gap ASC) = 1
+        |ORDER BY 1""".stripMargin,
     "w1_windows" ->
       """WITH o AS (SELECT user_id, value,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos
@@ -1853,6 +1958,7 @@ object SparkEntry {
         |    AS INT) AS rank FROM s)
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
+    "sim_lsh_portable" -> lshPortableOracle,
     "text_quality" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE doc_id % 7 = 0),

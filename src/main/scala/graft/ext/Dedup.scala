@@ -99,7 +99,7 @@ object Dedup {
     * broadcast it — collecting one row per distinct bucket (≈ docs × bands
     * at scale) onto the driver.
     */
-  private def capBuckets(
+  private[ext] def capBuckets(
       banded: DataFrame, keys: Seq[String], cap: Int, tag: String): DataFrame = {
     require(cap > 0, s"maxBucketSize must be positive, got $cap")
     val counts = banded.groupBy(keys.map(col): _*)

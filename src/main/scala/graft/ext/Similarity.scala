@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -78,21 +79,26 @@ object Similarity {
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with seeded Gaussian hyperplanes, packed into a long.
     *
-    * The plane matrix is a `typedLit` DATA literal (array<array<double>>),
-    * not an inlined expression tree — the projection runs as two nested
-    * `aggregate`/`zip_with` higher-order functions, so the plan stays a few
-    * KB regardless of dim×numBits (the naive unrolled form built 2048-term
-    * trees and 6 MiB task binaries).
-    */
+    * Each plane is a `typedLit` DATA literal (array<double>) fed to the
+    * native [[graft.functions.FloatDoubleVecDot]] kernel — one codegen'd
+    * primitive loop per plane, `numBits` expression nodes total, so the
+    * plan stays KB-sized (the fully unrolled multiply-add form built
+    * 2048-term trees and 6 MiB task binaries, and the earlier nested
+    * `aggregate`/`zip_with` HOF form evaluated every element through the
+    * interpreter — the whole cost of the signature stage). Null/length
+    * semantics and float64 array-order accumulation are bit-identical to
+    * both earlier forms: null or length-mismatched vectors yield dot NULL,
+    * `when(NULL > 0)` takes the otherwise-branch, so every bit is 0 and
+    * the signature is 0 — and a DuckDB oracle embedding the same plane
+    * literals re-derives identical signs. */
   def hyperplaneSignature(vec: Column, dim: Int, numBits: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
-    val planesCol = typedLit(planes)
-    val powers = typedLit((0 until numBits).map(b => 1L << b))
-    val bits = transform(planesCol, p =>
-      when(aggregate(zip_with(vec, p, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(zip_with(bits, powers, (b, w) => b * w), lit(0L), (acc, v) => acc + v)
+    planes.zipWithIndex.map { case (p, b) =>
+      when(exprCol(graft.functions.FloatDoubleVecDot(
+        expression(vec), expression(typedLit(p)))) > 0, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** LSH-bucketed approximate top-k: `numTables` independent signatures;
@@ -229,20 +235,51 @@ object Similarity {
     * cluster label or LSH bucket): pairs with cosine ≥ `threshold`.
     * The blocking column bounds the pair blow-up; at corpus scale feed the
     * output of `hyperplaneSignature` as the block.
+    *
+    * The within-block self-join is quadratic in the block, so blocks over
+    * `maxBlockSize` members are SKIPPED whole (same machinery and rationale
+    * as the LSH bucket caps, [[Dedup.capBuckets]]): a degenerate block — a
+    * default/zero embedding shared by millions of rows, a catch-all LSH
+    * bucket — would otherwise recreate exactly the pair flood the blocking
+    * exists to prevent. Drops are logged via [[DropMetrics]]; an over-cap
+    * block is a mass-near-duplicate group whose members belong in
+    * exact/cluster dedup, not in pair enumeration.
     */
   def embeddingNearDuplicates(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
-      threshold: Double): DataFrame = {
-    val withNorm = df.select(col(blockCol).as("__blk"), col(idCol), col(vecCol))
+      threshold: Double,
+      maxBlockSize: Int = 10000): DataFrame = {
+    require(maxBlockSize > 0, s"maxBlockSize must be positive, got $maxBlockSize")
+    val keyed = df.select(col(blockCol).as("__blk"), col(idCol), col(vecCol))
+    // the cap rides the SAME clustering the pair join needs: a count()
+    // window partitioned by the block key shuffles the corpus on __blk
+    // exactly once — the very exchange the self-join would perform — then
+    // over-cap blocks are filtered before any pairing. No second corpus
+    // shuffle, no separate count job; a degenerate 10⁶-row block costs the
+    // window a single count, not 10¹² pairs. Drop totals ride the plan
+    // via observe (zero extra jobs).
+    val wBlk = Window.partitionBy(col("__blk"))
+    val counted = DropMetrics.observe(
+      keyed.withColumn("__block_n", count(lit(1)).over(wBlk)),
+      "embedding_block", Seq(
+        sum(when(col("__block_n") > maxBlockSize, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("__block_n")).as("max_block_size"),
+        lit(maxBlockSize.toLong).as("cap")))
+    val withNorm = counted
+      .filter(col("__block_n") <= maxBlockSize)
+      .drop("__block_n")
       .withColumn("__n", l2Norm(col(vecCol)))
     val a = withNorm.select(col("__blk"), col(idCol).as("id_a"),
       col(vecCol).as("__va"), col("__n").as("__na"))
     val b = withNorm.select(col("__blk"), col(idCol).as("id_b"),
       col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, "__blk")
+    // shuffle_hash: under the cap's filter Catalyst's size estimate
+    // collapses and it would otherwise broadcast a corpus-sized side
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "__blk")
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosine(col("__va"), col("__vb"), col("__na"), col("__nb")))
       .filter(col("cosine") >= threshold)

@@ -85,6 +85,63 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of a float array with a DOUBLE array (the hyperplane-LSH
+  * projection shape: float embeddings against literal Gaussian planes,
+  * which must stay double so oracle SQL re-derives identical signs).
+  * Same null/length semantics and float64 array-order accumulation as
+  * [[FloatVecDot]] and the HOF `aggregate(zip_with(x.cast(double) * y))`
+  * form it replaces. */
+case class FloatDoubleVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"fvec_dot_d requires (array<float>, array<double>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  // NOT an inlined loop like FloatVecDot's: the LSH signature evaluates
+  // numBits×numTables of these per row (32 in the stock config), and 32
+  // inlined 64-iteration loops push the generated method past HotSpot's
+  // huge-method bytecode limit — the JIT then refuses to compile it and
+  // the WHOLE stage runs as interpreted bytecode (measured 2.7× slowdown
+  // on the broadcast build). One virtual call per dot keeps the generated
+  // method tiny while the loop runs in this class's JIT-compiled eval.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("fvecDotD", this, getClass.getName)
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.nullSafeEval($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of a float array, same codegen rationale as [[FloatVecDot]]. */
 case class FloatVecNorm(child: Expression)
     extends UnaryExpression {

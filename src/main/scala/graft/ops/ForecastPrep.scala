@@ -38,19 +38,43 @@ object ForecastPrep {
       .withColumn("is_weekend", TimeSeriesOps.weekendFlag(col("timestamp")))
   }
 
-  /** A12+U2 — drop items whose frequency cannot be inferred (fewer than
-    * `minObs` distinct timestamps; reference:
+  /** A12+U2 — drop items whose frequency cannot be inferred (reference:
     * univariate_metrics.py:81-95,111-119 drops `inferred_freq is None`
-    * items via an anti-filter). */
+    * items via an anti-filter).
+    *
+    * Two strictness levels:
+    *  - default: an item needs at least `minObs` distinct timestamps — the
+    *    loose proxy, enough for the median/modal gap estimators.
+    *  - `requireRegular = true`: pandas-parity. `infer_freq` returns a
+    *    frequency only for a series whose gaps all conform to one pattern
+    *    (and needs ≥ 3 points); so an item is dropped unless it has ≥
+    *    max(minObs, 3) distinct timestamps AND exactly one distinct
+    *    inter-arrival gap. An irregular series is dropped here even though
+    *    the median/modal estimators would happily report a number for it —
+    *    the divergence the A12 spec pins down. */
   def dropItemsWithoutFrequency(
       df: DataFrame,
       itemCol: String,
       tsCol: String,
-      minObs: Int = 2): DataFrame = {
-    val bad = df.groupBy(col(itemCol))
-      .agg(countDistinct(col(tsCol)).as("__n"))
-      .filter(col("__n") < minObs)
-      .select(col(itemCol))
+      minObs: Int = 2,
+      requireRegular: Boolean = false): DataFrame = {
+    val bad =
+      if (!requireRegular)
+        df.groupBy(col(itemCol))
+          .agg(countDistinct(col(tsCol)).as("__n"))
+          .filter(col("__n") < minObs)
+          .select(col(itemCol))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(itemCol)).orderBy(col(tsCol))
+        df.withColumn("__s", unix_timestamp(date_trunc("second", col(tsCol))))
+          .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w))
+          .groupBy(col(itemCol))
+          .agg(countDistinct(col(tsCol)).as("__n"),
+            countDistinct(col("__gap")).as("__g"))
+          .filter(col("__n") < math.max(minObs, 3) || col("__g") > 1)
+          .select(col(itemCol))
+      }
     df.join(broadcast(bad), Seq(itemCol), "left_anti")
   }
 

@@ -208,11 +208,16 @@ object TimeSeriesOps {
   }
 
   /** Dense global position over (entity, dense per-entity position)
-    * WITHOUT a single-partition global sort: per-entity counts (an
-    * entity-dimension-sized aggregate) are offset by a driver-side
-    * cumulative sum and broadcast-joined back. Equivalent to
-    * `row_number() over (order by entity, pos)` − 1, but every stage stays
-    * parallel — the scale-safe input for positional splits (W5).
+    * WITHOUT a single-partition global sort and WITHOUT materializing the
+    * entity dimension on the driver: a distributed prefix sum. Per-entity
+    * counts are RANGE-partitioned by entity id — partition i holds ids
+    * strictly before partition i+1's — so the exact global running sum is
+    * a per-partition window (parallel) plus a cross-partition offset
+    * derived from the per-PARTITION totals. Only those totals ever reach
+    * the driver: P rows for P shuffle partitions, regardless of whether
+    * the corpus has 10³ or 10⁹ entities (the previous formulation
+    * collected one row per entity — a driver OOM at 10⁹). Equivalent to
+    * `row_number() over (order by entity, pos)` − 1.
     * `posCol` must be dense 0-based within each entity.
     */
   def globalPosition(
@@ -220,25 +225,44 @@ object TimeSeriesOps {
       idCol: String,
       posCol: String,
       outCol: String = "global_pos"): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val counts = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .orderBy(col(idCol)).collect()
-    var acc = 0L
-    val rows = counts.map { r =>
-      val row = Row(r.get(0), acc)
-      acc += r.getLong(1)
-      row
-    }.toSeq
     val spark = df.sparkSession
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(df.schema(idCol).copy(nullable = true),
-        StructField("__offset", LongType))))
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val counts = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // localCheckpoint is MANDATORY, not an optimization: RangePartitioner
+    // draws its boundary sample with a seed derived from the RDD id, so two
+    // separate executions of the same repartitionByRange land DIFFERENT
+    // boundaries — the totals job below and the final query would disagree
+    // on __pid and the offsets would be garbage. Materializing the ranged
+    // entity-count frame once (distributed blocks, entity-dim sized — the
+    // same rows the shuffle already moved) makes both reads see one
+    // partitioning. Blocks are freed by the ContextCleaner with the frame.
+    val ranged = counts.repartitionByRange(nPart, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // per-partition totals: the ONLY driver materialization, bounded by
+    // the partition count
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val partOffset: Map[Int, Long] = totals.map { r =>
+      val e = r.getInt(0) -> acc
+      acc += r.getLong(1)
+      e
+    }.toMap
+    // running sum WITHIN each range partition (parallel window — the
+    // partition key bounds every group) + the tiny pid→offset literal
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged
+      .withColumn("__local", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__offset",
+        col("__local") +
+          coalesce(element_at(typedLit(partOffset), col("__pid")), lit(0L)))
+      .select(col(idCol).as("__gpk"), col("__offset"))
     // null-safe equality: entities with a null id keep their offset row
-    // (a plain using-column join would silently drop them)
-    df.join(broadcast(offDf.withColumnRenamed(idCol, "__gpk")),
-        df(idCol) <=> col("__gpk"))
+    // (a plain using-column join would silently drop them). No broadcast
+    // hint: the offsets side is entity-dimension-sized.
+    df.join(offsets, df(idCol) <=> col("__gpk"))
       .withColumn(outCol, col("__offset") + col(posCol))
       .drop("__gpk", "__offset")
   }
@@ -392,6 +416,34 @@ object TimeSeriesOps {
       .filter(col("__gap").isNotNull)
       .groupBy(col(idCol))
       .agg(expr("percentile(__gap, 0.5)").as(outCol))
+  }
+
+  /** A12 (modal option) — frequency inference as the MODE of inter-arrival
+    * gaps, the semantics the reference actually leans on: pandas
+    * `infer_freq`/`inferred_freq` (univariate_metrics.py:81-95) derives the
+    * frequency from the dominant gap pattern, where [[inferFrequencySeconds]]
+    * reports the median. The two agree on any regular series and diverge on
+    * irregular ones (e.g. gaps 1,1,7,9,11 → mode 1, median 7) — which
+    * changes what a frequency-based filter drops. Tie-break is
+    * deterministic: most frequent gap first, smallest gap on equal counts
+    * (Spark's own `mode()` leaves ties engine-defined, so the struct-max
+    * spells the order out).
+    */
+  def inferFrequencyModalSeconds(
+      df: DataFrame,
+      idCol: String,
+      tsCol: String,
+      outCol: String = "modal_gap_s"): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
+    df.withColumn("__s", unix_timestamp(date_trunc("second", col(tsCol))))
+      .withColumn("__gap", col("__s") - lag(col("__s"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(idCol), col("__gap"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      // lexicographic struct max = (highest count, then smallest gap)
+      .agg(max(struct(col("__cnt"), (-col("__gap")).as("__ng"))).as("__m"))
+      .select(col(idCol), (-col("__m")("__ng")).as(outCol))
   }
 
   /** Sessionization: assign a per-entity session id that increments whenever

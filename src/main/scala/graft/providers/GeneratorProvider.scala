@@ -34,8 +34,24 @@ object GeneratorProvider {
   private val external =
     new java.util.concurrent.ConcurrentHashMap[String, GeneratorProvider]()
 
-  def register(provider: GeneratorProvider): Unit =
-    external.put(provider.name, provider)
+  private val builtinNames = Set("statistical", "bootstrap", "ar")
+
+  /** Register (or re-register) an external provider. Shadowing a builtin
+    * or replacing an earlier registration is allowed — it is how a user
+    * swaps in a better implementation process-wide — but it is loud:
+    * an accidental name collision silently rerouting every caller is a
+    * debugging trap, so both cases log a WARN naming the replacement. */
+  def register(provider: GeneratorProvider): Unit = {
+    val prev = external.put(provider.name, provider)
+    if (builtinNames(provider.name))
+      log.warn(s"register('${provider.name}') SHADOWS the builtin provider " +
+        "of that name process-wide; forName will now resolve the external one")
+    else if (prev != null && (prev ne provider))
+      log.warn(s"register('${provider.name}') replaced a previously " +
+        "registered external provider")
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Registry, mirroring adapter.py:64-97's provider dispatch. */
   def forName(provider: String): GeneratorProvider =

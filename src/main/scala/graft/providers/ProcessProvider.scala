@@ -29,33 +29,56 @@ import graft.core.TsSchema
   *   <- {"ok":false,"error":"message"}        // either op, failure path
   * }}}
   *
-  * Scale posture: fit() collects the training frame to the driver — a
-  * DELIBERATE driver boundary, same as the reference adapters' conversion
-  * to an in-memory pandas frame before handing to the model library
-  * (ydata_adapter.py:291-313). DL trainers consume a bounded training
-  * sample, never the 100 TB corpus; downsample with `ops.Sampling` first.
+  * Data plane (`arrowDataPlane`):
+  *  - `false` (default): fit() collects the training frame to the driver
+  *    as JSON rows inlined in the request — a DELIBERATE driver boundary,
+  *    same as the reference adapters' conversion to an in-memory pandas
+  *    frame before handing to the model library (ydata_adapter.py:291-313).
+  *    Right for the small sampled fit sets DL trainers actually consume.
+  *  - `true`: the EXECUTORS write the fit input as self-contained Arrow
+  *    IPC stream files ([[org.apache.spark.sql.GraftArrowBridge.toIpcFiles]])
+  *    and only the file PATHS travel through the driver and the control
+  *    channel (`"data_format":"arrow-ipc-files"`). No full-input driver
+  *    collect anywhere in the plan — this is the data plane that survives
+  *    fit sets too big to inline. Locally the files land in a temp dir; on
+  *    a cluster `arrowDir` must be a shared filesystem visible to both
+  *    executors and the worker host.
   * The worker is stateless across calls (the fitted model travels inside
   * the messages), so a crash is isolated to one call and the provider
   * itself holds no process handle between calls.
   *
   * @param command argv of the worker, e.g. `Seq("python3", "worker.py")`
-  *                (tests use a JVM mock worker)
+  *                (tests use a JVM mock worker and scripts/worker.py)
   */
 final class ProcessProvider(
     command: Seq[String],
     override val name: String = "process",
-    timeoutSec: Long = 300) extends GeneratorProvider {
+    timeoutSec: Long = 300,
+    arrowDataPlane: Boolean = false,
+    arrowDir: Option[String] = None) extends GeneratorProvider {
   require(command.nonEmpty, "worker command must be non-empty")
 
   def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
     val schemaJson: JValue =
       ("itemIdCols" -> schema.itemIdCols) ~ ("tsCol" -> schema.tsCol) ~
       ("numericCols" -> schema.numericCols) ~ ("catCols" -> schema.catCols)
-    // driver boundary by design (see scaladoc); toJSON keeps types textual
-    // and engine-neutral for the worker
-    val rows: Seq[JValue] = data.toJSON.collect().toSeq.map(parse(_))
-    val resp = call(
-      ("op" -> "fit") ~ ("schema" -> schemaJson) ~ ("data" -> rows))
+    val req: JValue =
+      if (arrowDataPlane) {
+        import org.apache.spark.sql.GraftArrowBridge
+        val dir = arrowDir.getOrElse(
+          java.nio.file.Files.createTempDirectory("graft-fit-arrow").toString)
+        // rows leave executors as columnar IPC files; the driver only ever
+        // holds their paths
+        val files = GraftArrowBridge.toIpcFiles(data, dir)
+        ("op" -> "fit") ~ ("schema" -> schemaJson) ~
+          ("data_format" -> "arrow-ipc-files") ~ ("data_files" -> files)
+      } else {
+        // driver boundary by design (see scaladoc); toJSON keeps types
+        // textual and engine-neutral for the worker
+        val rows: Seq[JValue] = data.toJSON.collect().toSeq.map(parse(_))
+        ("op" -> "fit") ~ ("schema" -> schemaJson) ~ ("data" -> rows)
+      }
+    val resp = call(req)
     val model = resp \ "model" match {
       case JNothing => fail("fit response has no 'model' field")
       case m => m

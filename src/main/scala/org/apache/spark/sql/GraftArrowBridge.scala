@@ -20,6 +20,43 @@ object GraftArrowBridge {
   def toBatchRdd(df: DataFrame): RDD[Array[Byte]] =
     df.asInstanceOf[classic.Dataset[Row]].toArrowBatchRdd
 
+  /** Write the DataFrame as SELF-CONTAINED Arrow IPC stream files (schema
+    * preamble + one record batch each) under `dir`, one file per emitted
+    * batch, written BY THE EXECUTORS — the driver sees only the returned
+    * file paths, never the rows. This is the data plane for out-of-process
+    * model fitting ([[graft.providers.ProcessProvider]]): the worker
+    * `pyarrow.ipc.open_stream`s each file directly. In local mode `dir` is
+    * a local temp dir; on a cluster it must be a shared filesystem / object
+    * store mount visible to both executors and the worker host.
+    *
+    * @param maxRecordsPerBatch rows per IPC file (bounds worker-side batch
+    *                           memory, same knob as Arrow's collect path) */
+  def toIpcFiles(
+      df: DataFrame,
+      dir: String,
+      maxRecordsPerBatch: Long = 10000L): Seq[String] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = ds.schema
+    val timeZone = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    ds.queryExecution.toRdd.mapPartitionsWithIndex { (part, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val chunks = ArrowConverters.toBatchWithSchemaIterator(
+          rows, schema, maxRecordsPerBatch,
+          Long.MaxValue, // size cap unused: the record cap is the contract
+          timeZone,
+          true,  // errorOnDuplicatedFieldNames
+          false) // largeVarTypes
+        chunks.zipWithIndex.map { case (bytes, i) =>
+          val f = new java.io.File(dir, f"part-$part%05d-$i%05d.arrow")
+          val out = new java.io.FileOutputStream(f)
+          try out.write(bytes) finally out.close()
+          f.getAbsolutePath
+        }
+      }
+    }.collect().toSeq.sorted
+  }
+
   /** Parse serialized Arrow record batches back into a DataFrame of
     * `schema` (the inverse of [[toBatchRdd]] for an unchanged schema, or
     * the re-entry point for a worker that emitted a new schema). */

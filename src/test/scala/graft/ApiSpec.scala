@@ -179,4 +179,63 @@ class ApiSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](p.fit(data, schema))
     assert(e.getMessage.contains("boom"))
   }
+
+  // ——— real cross-language worker (scripts/worker.py) ———
+
+  private def pythonWorker(extra: String*): Option[Seq[String]] = {
+    val script = new java.io.File("scripts/worker.py")
+    val havePython = try {
+      val p = new ProcessBuilder("python3", "--version").start()
+      p.waitFor() == 0
+    } catch { case _: Throwable => false }
+    if (script.isFile && havePython)
+      Some(Seq("python3", script.getAbsolutePath) ++ extra)
+    else None
+  }
+
+  test("ProcessProvider drives the real Python worker end-to-end") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    val p = new ProcessProvider(pythonWorker().get, name = "py_gauss")
+    val fitted = p.fit(data, schema)
+    val out = fitted.generate(spark, 2, 3).orderBy("seq_id", "step").collect()
+    assert(out.length == 6)
+    assert(out.head.schema.fieldNames.toSeq == Seq("seq_id", "step", "m1", "m2"))
+    // the seed travels in the model blob, so a SECOND generate — a fresh
+    // python process with no shared state — is bit-identical
+    val again = fitted.generate(spark, 2, 3).orderBy("seq_id", "step").collect()
+    assert(out.toSeq == again.toSeq)
+    // distribution sanity: the worker fit a Gaussian on m1 ∈ [0,100);
+    // 6 samples stay within mean ± 5σ
+    val m1 = data.agg(org.apache.spark.sql.functions.avg("m1")).head().getDouble(0)
+    val sd = data.agg(org.apache.spark.sql.functions.stddev_pop("m1")).head().getDouble(0)
+    assert(out.forall(r => math.abs(r.getDouble(2) - m1) < 5 * sd))
+  }
+
+  test("Arrow data plane: executors write IPC files, worker fits from them") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    val havePyarrow = try {
+      new ProcessBuilder("python3", "-c", "import pyarrow").start().waitFor() == 0
+    } catch { case _: Throwable => false }
+    assume(havePyarrow, "pyarrow not importable")
+    val inline = new ProcessProvider(pythonWorker().get, name = "py_inline")
+    val arrow = new ProcessProvider(pythonWorker().get, name = "py_arrow",
+      arrowDataPlane = true)
+    // same fit input through both planes -> identical model -> identical
+    // generated rows (the seed travels in the blob)
+    val a = arrow.fit(data, schema).generate(spark, 2, 3)
+      .orderBy("seq_id", "step").collect().toSeq
+    val b = inline.fit(data, schema).generate(spark, 2, 3)
+      .orderBy("seq_id", "step").collect().toSeq
+    assert(a == b)
+  }
+
+  test("Python worker error path surfaces through the provider") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    val p = new ProcessProvider(pythonWorker("fail").get, name = "py_fail")
+    val e = intercept[IllegalStateException](p.fit(data, schema))
+    assert(e.getMessage.contains("boom"))
+  }
 }

@@ -240,6 +240,21 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Seq((0L, 1L))) // 2L is in another block
   }
 
+  test("embedding near-duplicates: one hot block is skipped whole, not exploded") {
+    // degenerate blocking: 1000 rows share a default/zero-embedding block
+    // (uncapped, the within-block self-join would emit ~5·10⁵ pairs here
+    // and 10¹² at corpus scale); the cap must skip the block entirely
+    // while leaving the healthy block's pairs intact
+    val v = Seq(1.0f, 0.0f)
+    val hot = (0L until 1000L).map(i => (i, v, 0))
+    val df = (hot ++ Seq((2000L, v, 7), (2001L, v, 7)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingNearDuplicates(
+        df, "vec_id", "embedding", "label", 0.99, maxBlockSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2000L, 2001L)))
+  }
+
   // ——— TextAnalysis ———
 
   test("token counts and stopwords") {

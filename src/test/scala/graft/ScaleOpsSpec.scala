@@ -53,6 +53,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaOffsets == viaWindow)
   }
 
+  test("globalPosition at 1e5 entities: distributed prefix sum, no entity-sized local scan") {
+    val n = 100000
+    val df = spark.range(n.toLong * 2)
+      .select((col("id") / 2).cast("long").as("id"), (col("id") % 2).as("pos"))
+    val out = TimeSeriesOps.globalPosition(df, "id", "pos")
+    // the numbering is exactly id*2 + pos for this dense fixture
+    val bad = out.filter(col("global_pos") =!= col("id") * 2 + col("pos")).count()
+    assert(bad == 0)
+    assert(out.count() == n.toLong * 2)
+    // no driver materialization of the entity dimension: every local scan
+    // in the plan is bounded by the partition count, not the entity count
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val localScans = out.queryExecution.executedPlan.collect {
+      case l: LocalTableScanExec => l.rows.size
+    }
+    assert(localScans.forall(_ <= 64),
+      s"entity-sized LocalTableScan in plan: $localScans")
+  }
+
   test("saltedSum / saltedCount match the direct aggregation") {
     val rnd = new scala.util.Random(13)
     // one hot key (80% of rows) + long tail

@@ -175,4 +175,45 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       .select("median_gap_s").as[Double].head()
     assert(got == 15.0) // gaps 10, 20 -> interpolated median 15
   }
+
+  test("A12 modal vs median gap diverge on an irregular series") {
+    // gaps 1,1,7,9,11 -> mode 1 (count 2), median 7: the two estimators
+    // disagree exactly where pandas infer_freq would return None
+    val secs = Seq(0, 1, 2, 9, 18, 29)
+    val df = secs.map(t => (1, f"2024-01-01 00:00:$t%02d"))
+      .toDF("item", "s").withColumn("ts", to_timestamp(col("s")))
+    val modal = TimeSeriesOps.inferFrequencyModalSeconds(df, "item", "ts")
+      .select("modal_gap_s").as[Long].head()
+    val median = TimeSeriesOps.inferFrequencySeconds(df, "item", "ts")
+      .select("median_gap_s").as[Double].head()
+    assert(modal == 1L && median == 7.0)
+    // modal tie-break is the SMALLEST gap: gaps 5,5,9,9 -> 5
+    val tied = Seq(0, 5, 10, 19, 28).map(t => (1, f"2024-01-01 00:00:$t%02d"))
+      .toDF("item", "s").withColumn("ts", to_timestamp(col("s")))
+    assert(TimeSeriesOps.inferFrequencyModalSeconds(tied, "item", "ts")
+      .select("modal_gap_s").as[Long].head() == 5L)
+    // on a perfectly regular series the two agree
+    val regular = Seq(0, 10, 20, 30).map(t => (1, f"2024-01-01 00:00:$t%02d"))
+      .toDF("item", "s").withColumn("ts", to_timestamp(col("s")))
+    assert(TimeSeriesOps.inferFrequencyModalSeconds(regular, "item", "ts")
+      .select("modal_gap_s").as[Long].head() == 10L)
+  }
+
+  test("dropItemsWithoutFrequency requireRegular drops irregular items (pandas parity)") {
+    import graft.ops.ForecastPrep
+    val rows =
+      Seq(0, 10, 20, 30).map(t => ("regular", f"2024-01-01 00:00:$t%02d")) ++
+        Seq(0, 1, 9, 28).map(t => ("irregular", f"2024-01-01 00:00:$t%02d")) ++
+        Seq(0, 10).map(t => ("short", f"2024-01-01 00:00:$t%02d"))
+    val df = rows.toDF("item", "s").withColumn("ts", to_timestamp(col("s")))
+    // loose mode keeps anything with >= 2 distinct timestamps
+    val loose = ForecastPrep.dropItemsWithoutFrequency(df, "item", "ts")
+      .select("item").distinct().as[String].collect().toSet
+    assert(loose == Set("regular", "irregular", "short"))
+    // pandas parity: only the uniform-gap series with >= 3 points survives
+    val strict = ForecastPrep
+      .dropItemsWithoutFrequency(df, "item", "ts", requireRegular = true)
+      .select("item").distinct().as[String].collect().toSet
+    assert(strict == Set("regular"))
+  }
 }
