@@ -62,9 +62,26 @@ object Bench {
     // SPARK_GRAFT_BENCH_MODE=cold makes the old per-rep-full-count() the
     // headline instead (reps then include re-analysis + re-optimization).
     val coldHeadline = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("cold")
+    // eager-construction queries (duplicateClusters) return a frame backed
+    // by checkpoint blocks the CALLER owns; without cleanup, 1+reps runs
+    // accumulate persisted label RDDs reclaimed only by GC (advisor
+    // finding). Reclaim any persistent RDD a rep created, outside the
+    // timed region.
+    def reclaimingRdds[A](name: String)(body: => A): A =
+      if (!SparkEntry.eagerConstruction(name)) body
+      else {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val r = body
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before(id)) rdd.unpersist(blocking = false)
+        }
+        r
+      }
     val results = selected.map { case (name, fn) =>
       val tCold0 = System.nanoTime()
-      val coldOk = try { fn(spark, sfDir).count(); true } catch {
+      val coldOk = try { reclaimingRdds(name) { fn(spark, sfDir).count() }; true }
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed cold: ${e.getMessage}")
           false
@@ -91,7 +108,7 @@ object Bench {
         val ok = try {
           planned match {
             case Some(p) => p.clone().execute().count()
-            case None => fn(spark, sfDir).count()
+            case None => reclaimingRdds(name) { fn(spark, sfDir).count() }
           }
           true
         } catch {

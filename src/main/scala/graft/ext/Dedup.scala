@@ -15,6 +15,21 @@ object Dedup {
   def exact(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame =
     graft.ops.TimeSeriesOps.dedupKeepFirst(df, keyCols, orderCol)
 
+  /** Second-hash salt for [[fingerprint128]] (golden-ratio constant; any
+    * fixed value distinct from xxhash64's built-in seed works — prepending
+    * it to the argument list yields a hash independent of the unsalted one). */
+  val FingerprintSeed2 = 0x9E3779B97F4A7C15L
+
+  /** 128-bit content fingerprint: a struct of two independent xxhash64
+    * values (the second salted with [[FingerprintSeed2]]). A single 64-bit
+    * fingerprint has ~3·10⁻² collision odds across 10⁹ documents (birthday
+    * bound) — a collision silently MERGES two distinct documents, which at
+    * the 100 TB design point is a correctness bug, not noise; two
+    * independent 64-bit hashes push the odds to ~10⁻²¹. Still a pure map:
+    * document text never shuffles when grouping on the fingerprint. */
+  def fingerprint128(c: Column): Column =
+    struct(xxhash64(c).as("f1"), xxhash64(lit(FingerprintSeed2), c).as("f2"))
+
   /** Word n-grams of a text column as an array column (distinct shingles).
     * Native one-pass kernel ([[graft.functions.WordNgrams]]): the previous
     * zip_with/slice/concat_ws tree evaluated its lambdas interpreted per
@@ -603,9 +618,14 @@ object Dedup {
     * atomically via `min_by` — survives; documents reassemble by sorting
     * surviving (pos, para) pairs and re-joining with `sep`. Documents that
     * lose every paragraph still emit (empty text). Shuffles: one groupBy
-    * on the paragraph fingerprint (xxhash64 — paragraph TEXT never
-    * shuffles for the dedup itself, same rationale as fingerprint
-    * document dedup), one groupBy on the doc id for reassembly.
+    * on the paragraph fingerprint (paragraph TEXT never shuffles for the
+    * dedup itself, same rationale as fingerprint document dedup), one
+    * groupBy on the doc id for reassembly.
+    *
+    * `wideFingerprint` (default true) keys on the 128-bit
+    * [[fingerprint128]]; at 10⁹⁺ paragraphs a single 64-bit key collides
+    * with probability ~3·10⁻² and silently drops a distinct paragraph.
+    * Output is identical whenever no collision exists.
     *
     * Returns (idCol, textCol) with `textCol` rewritten.
     */
@@ -613,12 +633,15 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n",
+      wideFingerprint: Boolean = true): DataFrame = {
+    val fp = if (wideFingerprint) fingerprint128(col("__para"))
+             else xxhash64(col("__para"))
     val paras = df
       .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__para")))
     val kept = paras
-      .groupBy(xxhash64(col("__para")).as("__fp"))
+      .groupBy(fp.as("__fp"))
       .agg(min_by(
         struct(col(idCol), col("__pos"), col("__para")),
         struct(col(idCol), col("__pos"))).as("__first"))

@@ -156,6 +156,13 @@ object Similarity {
     * `collect_list` of whole vectors into one task. Candidate scoring
     * joins on the cell id — never a full cross join.
     */
+  /** @param seedIds when set, centroids initialize from these candidate
+    *                 ids' vectors IN THE GIVEN ORDER (cell i = ids(i)) and
+    *                 `numCells` is ignored. This makes the whole operator —
+    *                 seeding, Lloyd's updates, assignment, probing, re-rank
+    *                 — recomputable by an external engine from the same
+    *                 parquet (the portable-oracle pattern; the default
+    *                 xxhash64-ordered sample is engine-specific). */
   def ivfTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -164,18 +171,28 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       numProbes: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
 
     val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
 
-    // seed centroids: deterministic hash-ordered sample
-    var centroids: Array[Seq[Float]] = vecs
-      .withColumn("__r", xxhash64(col("__id")))
-      .orderBy("__r").limit(numCells)
-      .select("__v").as[Seq[Float]].collect()
+    // seed centroids: explicit ids (portable) or deterministic hash-ordered
+    // sample (default)
+    var centroids: Array[Seq[Float]] = seedIds match {
+      case Some(ids) =>
+        val byId = vecs.filter(col("__id").isin(ids: _*))
+          .as[(Long, Seq[Float])].collect().toMap
+        ids.map(id => byId.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"seed id $id not present in candidates"))).toArray
+      case None => vecs
+        .withColumn("__r", xxhash64(col("__id")))
+        .orderBy("__r").limit(numCells)
+        .select("__v").as[Seq[Float]].collect()
+    }
 
     def cellOf(v: Column): Column = {
       // argmin over the broadcast centroid list: |c|² − 2·v·c

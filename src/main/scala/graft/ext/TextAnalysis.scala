@@ -114,4 +114,58 @@ object TextAnalysis {
         pmod(
           acc * lit(31L) + conv(substring(md5(t), 1, 14), 16, 10).cast("long"),
           lit(100000000000000000L)))
+
+  /** Within-document n-gram repetition signals — the published repetition
+    * filters for training corpora (Gopher/MassiveText rules; see Rae et
+    * al. 2021 §A1.1): `dup_gram_fraction` = share of n-gram OCCURRENCES
+    * beyond each gram's first (docs that loop boilerplate score high),
+    * `top_gram_fraction` = share claimed by the single most frequent
+    * n-gram. All four counters come from ONE native kernel eval per row
+    * ([[graft.functions.NgramRepetitionStats]]) — a pure map stage with
+    * zero shuffles at any corpus size; the exploded groupBy(doc, gram)
+    * form this replaces shuffles the corpus's entire gram stream.
+    * Fractions are NULL for docs with fewer than n tokens.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val st = GraftColumnBridge.column(graft.functions.NgramRepetitionStats(
+      GraftColumnBridge.expression(col(textCol)), n))
+    df.withColumn("__st", st).select(
+      col(idCol),
+      col("__st.n_tokens").as("n_tokens"),
+      col("__st.n_grams").as("n_grams"),
+      col("__st.n_distinct").as("n_distinct"),
+      col("__st.top_count").as("top_count"),
+      when(col("__st.n_grams") > 0,
+        round((col("__st.n_grams") - col("__st.n_distinct")).cast("double")
+          / col("__st.n_grams"), 6)).as("dup_gram_fraction"),
+      when(col("__st.n_grams") > 0,
+        round(col("__st.top_count").cast("double")
+          / col("__st.n_grams"), 6)).as("top_gram_fraction"))
+  }
+
+  /** Corpus vocabulary: the k most frequent whitespace tokens with ranks —
+    * the canonical corpus-scale wordcount (vocabulary building, frequency
+    * cutoffs for tokenizer training). One explode + one partial-agg'd
+    * groupBy(token) shuffle; the top-k tail is the bounded-heap operator
+    * ([[graft.ops.TopK.perGroupRanked]] over a constant group), so the
+    * final stage exchanges one k-row heap per partition — never a sort of
+    * the vocabulary. Ties rank lexicographically for determinism.
+    * Returns (rank, token, n).
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.TopK.perGroupRanked(
+        counts.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("n").desc, col("token")), k)
+      .select(col("rank"), col("token"), col("n"))
+  }
 }

@@ -193,6 +193,74 @@ object Md5Prefix {
     () => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** One-pass within-document n-gram repetition statistics — the signals
+  * behind the published repetition filters for training corpora (Gopher /
+  * MassiveText rules: duplicate-n-gram fraction, top-n-gram fraction).
+  * Tokenizes with the same java `\s+` split as [[WordNgrams]] (limit −1:
+  * leading-whitespace empty token kept), counts every n-gram WITH
+  * multiplicity in a local hash map, and returns
+  * `struct(n_tokens, n_grams, n_distinct, top_count)` — all ints. The
+  * whole computation is one scalar eval per row: zero shuffles at any
+  * corpus size, and the exploded-grams `groupBy(doc, gram)` tree it
+  * replaces shuffles ~|tokens| rows per document instead.
+  * Documents with fewer than n tokens report (n_tokens, 0, 0, 0).
+  */
+case class NgramRepetitionStats(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_count", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"NgramRepetitionStats requires a string input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val out = toks.length - (n - 1)
+    if (out <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](toks.length, 0, 0, 0))
+    val counts = new java.util.HashMap[String, Int](out * 2)
+    val sb = new java.lang.StringBuilder()
+    var top = 0
+    var i = 0
+    while (i < out) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, out, counts.size(), top))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("ngramRepetitionStats", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NgramRepetitionStats =
+    copy(child = newChild)
+}
+
 /** Scalar twin of [[Md5Prefix]]: first `hexDigits` hex digits of md5 of a
   * single string as a long — value-identical to
   * `conv(substring(md5(s), 1, d), 16, 10)` (d ≤ 15). This is the portable

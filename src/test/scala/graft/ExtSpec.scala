@@ -302,4 +302,37 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getInt(0) == 3 && row.getInt(1) == 1)
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 1.0)
   }
+
+  test("repetitionStats: kernel counts match a hand-computed gram multiset") {
+    val df = Seq(
+      (0L, "a b a b a b"),   // bigrams: [a b, b a, a b, b a, a b] → top 'a b'×3
+      (1L, "x y z"),          // all distinct
+      (2L, "w"),              // fewer than n tokens
+      (3L, "q q q q")         // 'q q'×3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text", 2)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_grams", "n_distinct", "top_count",
+        "dup_gram_fraction", "top_gram_fraction")
+      .collect()
+    assert(got(0).toSeq == Seq(6, 5, 2, 3, 0.6, 0.6))
+    assert(got(1).toSeq == Seq(3, 2, 2, 1, 0.0, 0.5))
+    assert(got(2).toSeq == Seq(1, 0, 0, 0, null, null))
+    assert(got(3).toSeq == Seq(4, 3, 1, 3, round6(2.0 / 3), 1.0))
+    // null text propagates a null struct, not a crash
+    val withNull = Seq((0L, Option("a b")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val n = TextAnalysis.repetitionStats(withNull, "doc_id", "text", 2)
+      .orderBy("doc_id").select("n_grams").collect()
+    assert(n(0).getInt(0) == 1 && n(1).isNullAt(0))
+  }
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("topTokens ranks corpus tokens by frequency, ties lexicographic") {
+    val df = Seq("b a", "b c", "b a c", "d").toDF("text")
+    val got = TextAnalysis.topTokens(df, "text", 3)
+      .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+    assert(got == Seq((1, "b", 3L), (2, "a", 2L), (3, "c", 2L)))
+  }
 }

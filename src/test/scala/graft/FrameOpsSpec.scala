@@ -105,4 +105,45 @@ class FrameOpsSpec extends AnyFunSuite {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
+
+  test("duplicateClusters: 30-node path — diameter past maxIter degrades " +
+      "within-hop-correct, converges with maxIter raised") {
+    // a path graph 1—2—…—30: the min label (1) is 29 hops from node 30,
+    // past the default 20-round budget. The documented contract: labels
+    // are correct within maxIter hops of each component's minimum (a WARN
+    // is logged), and a raised maxIter converges exactly.
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val partial = Dedup.duplicateClusters(pairs) // default maxIter = 20
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(partial.map(_._1) == (1L to 30L))
+    // seeded init already pulls one hop, so ≥ the first 21 nodes reach 1
+    assert(partial.take(21).forall(_._2 == 1L))
+    // far tail has NOT converged yet — proves the WARN path really ran
+    assert(partial.last._2 != 1L)
+    val full = Dedup.duplicateClusters(pairs, maxIter = 40)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(full == (1L to 30L).map(i => (i, 1L)))
+  }
+
+  test("fingerprint128: equal text ⇒ equal struct, distinct halves independent") {
+    val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "ALPHA"))
+      .toDF("id", "t")
+      .select(col("id"), Dedup.fingerprint128(col("t")).as("fp"))
+    val rows = df.select(col("id"), col("fp.f1"), col("fp.f2"))
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3) // same text
+    assert(rows(0)._2 != rows(2)._2 || rows(0)._3 != rows(2)._3) // differs
+    assert(rows(0)._2 != rows(3)._2 || rows(0)._3 != rows(3)._3) // case-sensitive
+    // the two halves are independent hashes, not copies of one value
+    assert(rows.forall(r => r._2 != r._3))
+    // wide vs narrow paragraph dedup agree on a collision-free corpus
+    val docs = Seq((1L, "a\nb\nc"), (2L, "b\nd"), (3L, "e\na")).toDF("id", "text")
+    val wide = Dedup.dropRepeatedParagraphs(docs, "id", "text")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val narrow = Dedup.dropRepeatedParagraphs(docs, "id", "text",
+        wideFingerprint = false)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(wide == narrow)
+    assert(wide == Seq((1L, "a\nb\nc"), (2L, "d"), (3L, "e")))
+  }
 }
