@@ -100,14 +100,21 @@ final class SyntheticGenerator(
     Files.createDirectories(Paths.get(path))
     Files.writeString(Paths.get(path, "generator.json"), json)
     // parametric provider state (incl. categorical frequencies) is plain
-    // data — serialize the whole Model; non-parametric providers (whose
-    // state is a DataFrame) skip the file and must be re-fit after load
+    // data — serialize the whole Model; out-of-process models persist the
+    // worker's opaque blob as model.json (the blob IS the state; the
+    // matching provider's `rehydrate` re-wraps it on load); non-parametric
+    // providers (whose state is a DataFrame) skip the file and must be
+    // re-fit after load
     model match {
       case m @ (_: graft.providers.StatisticalProvider.Model |
                 _: graft.providers.ArProvider.Model) =>
         val oos = new java.io.ObjectOutputStream(
           Files.newOutputStream(Paths.get(path, "model.bin")))
         try oos.writeObject(m) finally oos.close()
+      case pf: graft.providers.ProcessProvider#ProcessFitted =>
+        Files.writeString(Paths.get(path, "model.json"),
+          org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(pf.modelJson)))
       case _ => ()
     }
   }
@@ -145,11 +152,20 @@ object SyntheticGenerator {
       throw new IllegalArgumentException(
         s"$path was written by a pre-model.bin format; re-save the generator")
     val modelBin = Paths.get(path, "model.bin")
+    val modelJson = Paths.get(path, "model.json")
     if (Files.exists(modelBin)) {
       val ois = new java.io.ObjectInputStream(Files.newInputStream(modelBin))
       try gen.fitted = Some(
         ois.readObject().asInstanceOf[graft.providers.FittedGenerator])
       finally ois.close()
+    } else if (Files.exists(modelJson)) {
+      // out-of-process blob: the matching provider must already be
+      // registered (the worker command is deliberately not persisted)
+      val provider = GeneratorProvider.forName(gen.provider)
+      gen.fitted = Some(provider.rehydrate(Files.readString(modelJson))
+        .getOrElse(throw new IllegalArgumentException(
+          s"provider '${gen.provider}' cannot rehydrate $modelJson — " +
+            "register the matching out-of-process provider before load()")))
     }
     gen
   }

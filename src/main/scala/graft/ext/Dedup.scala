@@ -579,9 +579,13 @@ object Dedup {
     val a = corpusA.select(key.as("__k"))
     val aSmall = // estimate only — never triggers a job
       corpusA.queryExecution.optimizedPlan.stats.sizeInBytes <= fallbackMaxBytes
+    // no pre-distinct on the build side (either path): a LEFT SEMI hash
+    // join keeps one entry per key in its build table anyway, so the
+    // distinct was a whole extra exchange+aggregate for nothing — locally
+    // and at corpus scale alike
     if (aSmall)
       return corpusB.select(col(idCol), key.as("__k"))
-        .join(a.distinct().withColumnRenamed("__k", "__ka"),
+        .join(a.withColumnRenamed("__k", "__ka"),
           col("__k") === col("__ka"), "left_semi")
         .select(col(idCol), col("__k").as("matched_key"))
     // fold corpus A into one Bloom filter (the same aggregate Spark's own
@@ -602,7 +606,7 @@ object Dedup {
         GraftColumnBridge.expression(xxhash64(col("__k")))))
     val pre = corpusB.select(col(idCol), key.as("__k")).filter(mightContain)
     pre.join(
-        a.distinct().withColumnRenamed("__k", "__ka"),
+        a.withColumnRenamed("__k", "__ka"),
         col("__k") === col("__ka"), "left_semi")
       .select(col(idCol), col("__k").as("matched_key"))
   }

@@ -194,16 +194,13 @@ object Similarity {
         .select("__v").as[Seq[Float]].collect()
     }
 
-    def cellOf(v: Column): Column = {
-      // argmin over the broadcast centroid list: |c|² − 2·v·c
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x.toDouble * x.toDouble).sum
-        struct(
-          (lit(c2) - lit(2.0) * dot(v, typedLit(c))).as("dist"),
-          lit(i).as("cell"))
-      }
-      array_min(array(dists.toIndexedSeq: _*))("cell")
-    }
+    // argmin over the broadcast centroid list: |c|² − 2·v·c, as ONE native
+    // kernel node ([[graft.functions.NearestCentroids]] — bit-identical to
+    // the array_min-over-structs form; the centroid matrix rides as a
+    // reference object instead of numCells×dim literals in the plan)
+    def cellOf(v: Column): Column =
+      element_at(exprCol(graft.functions.NearestCentroids(
+        expression(v), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)), 1)
 
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     (1 to lloydIters).foreach { _ =>
@@ -224,16 +221,11 @@ object Similarity {
         col("__v").as("__cv"))
       .withColumn("__cn", l2Norm(col("__cv")))
 
-    // queries probe their numProbes nearest cells
-    val probeCells: Column = {
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        val c2 = c.map(x => x.toDouble * x.toDouble).sum
-        struct(
-          (lit(c2) - lit(2.0) * dot(col("__qv"), typedLit(c))).as("dist"),
-          lit(i).as("cell"))
-      }
-      slice(array_sort(array(dists.toIndexedSeq: _*)), 1, numProbes)("cell")
-    }
+    // queries probe their numProbes nearest cells (same kernel, take = P)
+    val probeCells: Column =
+      exprCol(graft.functions.NearestCentroids(
+        expression(col("__qv")), centroids.toIndexedSeq.map(_.toIndexedSeq),
+        math.min(numProbes, centroids.length)))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__qn", l2Norm(col("__qv")))
       .withColumn("__cell", explode(probeCells))

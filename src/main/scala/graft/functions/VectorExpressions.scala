@@ -185,6 +185,98 @@ case class FloatVecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** The `take` nearest centroid ids of a float vector, by squared-distance
+  * argmin — the IVF assignment/probe step ([[graft.ext.Similarity.ivfTopK]])
+  * as ONE expression node.
+  *
+  * Bit-identical to the composed form it replaces
+  * (`array_min`/`array_sort` over `numCells` structs of
+  * `lit(c2) − 2.0·FloatVecDot(v, typedLit(c))`):
+  * `dist_i = c2_i − 2.0·Σ v[j]·c_i[j]` with per-element float→double
+  * widening, array-order accumulation, `c2_i` pre-summed from the float
+  * centroid exactly as the literal was, and ties broken by smaller cell
+  * id. The composed form carried numCells×dim literal doubles through
+  * TWO plan subtrees — Catalyst re-analyzed ~100 KB of expression tree on
+  * every (non-memoizable — Lloyd training runs at construction) benchmark
+  * repetition, and the struct array allocated per row; here the centroid
+  * matrix rides along as ONE reference object and each row is a tight
+  * primitive loop. Null vector / null element / dimension mismatch → NULL
+  * (clean-embedding pipelines never hit it; mirrors the dot kernels).
+  *
+  * Returns `array<int>` of cell ids, nearest first.
+  */
+case class NearestCentroids(child: Expression, centroids: Seq[Seq[Float]], take: Int)
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(take >= 1 && take <= centroids.length,
+    s"take must be in [1, ${centroids.length}], got $take")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    FloatArrayCheck.check("nearest_centroids", Seq(child))
+
+  @transient private lazy val cents: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+  // |c|² summed left-to-right from the float values — the same arithmetic
+  // the plan-build Scala `c.map(x => x.toDouble * x.toDouble).sum` did
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(c => c.map(x => x.toDouble * x.toDouble).sum).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = cents(0).length
+    if (v.numElements() != dim) return null
+    val dists = new Array[Double](cents.length)
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        if (v.isNullAt(j)) return null
+        s += v.getFloat(j).toDouble * c(j).toDouble
+        j += 1
+      }
+      dists(ci) = c2(ci) - 2.0 * s
+      ci += 1
+    }
+    // partial selection sort over (dist, cell): nearest `take` cells,
+    // ties to the smaller cell id — array_sort/array_min struct order
+    val out = new Array[Any](take)
+    val used = new Array[Boolean](cents.length)
+    var k = 0
+    while (k < take) {
+      var best = -1
+      var i = 0
+      while (i < cents.length) {
+        if (!used(i) && (best < 0 || dists(i) < dists(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(k) = best
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nearestCentroids", this, getClass.getName)
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.nullSafeEval($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
 /** Registers the native functions on a session (idempotent) so they are
   * usable from `expr("fvec_dot(a, b)")` / SQL. */
 object VectorFunctions {

@@ -19,6 +19,12 @@ import graft.core.TsSchema
 trait GeneratorProvider {
   def name: String
   def fit(data: DataFrame, schema: TsSchema): FittedGenerator
+
+  /** Rebuild a [[FittedGenerator]] from a persisted opaque model blob (the
+    * S4/S5 model-store scan side for providers whose fitted state is a
+    * serialized blob rather than a JVM object — [[ProcessProvider]]'s
+    * worker models). Default: this provider has no blob format. */
+  def rehydrate(modelBlob: String): Option[FittedGenerator] = None
 }
 
 trait FittedGenerator {

@@ -58,6 +58,14 @@ final class ProcessProvider(
     arrowDir: Option[String] = None) extends GeneratorProvider {
   require(command.nonEmpty, "worker command must be non-empty")
 
+  /** S4/S5 scan side: the persisted blob is the worker's opaque model JSON
+    * ([[ProcessFitted.modelJson]]) verbatim — parse and re-wrap. The worker
+    * command is NOT persisted (executing a command read from a model
+    * directory would be an injection hazard); the caller re-registers the
+    * provider and the blob plugs back in. */
+  override def rehydrate(modelBlob: String): Option[FittedGenerator] =
+    Some(new ProcessFitted(parse(modelBlob)))
+
   def fit(data: DataFrame, schema: TsSchema): FittedGenerator = {
     val schemaJson: JValue =
       ("itemIdCols" -> schema.itemIdCols) ~ ("tsCol" -> schema.tsCol) ~

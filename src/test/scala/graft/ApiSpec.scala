@@ -173,6 +173,32 @@ class ApiSpec extends AnyFunSuite {
       s1 == s2 && t1 == t2 && math.abs(v1 - v2) < 1e-9 })
   }
 
+  test("S4/S5: process-fitted model blob round-trips through save/load") {
+    import graft.providers.{GeneratorProvider, ProcessProvider}
+    val p = new ProcessProvider(mockWorkerCmd(), name = "mock_store")
+    GeneratorProvider.register(p)
+    val gen = SyntheticGenerator("mock_store", schema, seqLen = 3).fit(data)
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    gen.save(dir)
+    // the worker's opaque blob landed as model.json (not java-serialized)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "model.json")))
+    val back = SyntheticGenerator.load(dir)
+    val a = gen.generate(spark, 2).orderBy("seq_id", "step").collect().toSeq
+    val b = back.generate(spark, 2).orderBy("seq_id", "step").collect().toSeq
+    assert(a == b)
+    // without the provider registered, load fails loudly instead of
+    // resurrecting a half-usable generator
+    GeneratorProvider.register(
+      new graft.providers.GeneratorProvider {
+        val name = "mock_store"
+        def fit(d: org.apache.spark.sql.DataFrame, s: TsSchema) =
+          throw new UnsupportedOperationException
+      })
+    val e = intercept[IllegalArgumentException](SyntheticGenerator.load(dir))
+    assert(e.getMessage.contains("rehydrate"))
+    GeneratorProvider.register(p) // restore for any later test
+  }
+
   test("ProcessProvider surfaces the worker's error (registry error path)") {
     import graft.providers.ProcessProvider
     val p = new ProcessProvider(mockWorkerCmd("fail"), name = "mock_fail")
