@@ -700,12 +700,14 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for candidate pairs sharing ≥1 shingle:
     * explode distinct shingles, drop stop-shingles (document frequency over
-    * `maxDocFreq` — the standard cap that keeps the self-join sub-quadratic:
-    * a shingle in every doc of a 10⁹-doc corpus would otherwise emit 10¹⁸
-    * candidate rows), self-equi-join on the shingle, count shared per pair,
-    * |A∪B| = |A|+|B|−shared. Jaccard is computed over the capped shingle
-    * space on BOTH sides of the ratio (sizes count kept shingles only), so
-    * the result is self-consistent; drops are logged via [[DropMetrics]].
+    * `maxDocFreq` — the standard cap that keeps pair generation
+    * sub-quadratic: a shingle in every doc of a 10⁹-doc corpus would
+    * otherwise emit 10¹⁸ candidate rows), enumerate each surviving
+    * shingle's doc pairs from its (bounded) posting list, count shared per
+    * pair, |A∪B| = |A|+|B|−shared. Jaccard is computed over the capped
+    * shingle space on BOTH sides of the ratio (sizes count kept shingles
+    * only), so the result is self-consistent; drops are logged via
+    * [[DropMetrics]].
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -736,34 +738,40 @@ object Dedup {
           lit(maxDocFreq.toLong).as("cap")))
       .filter(col("__df") <= maxDocFreq)
       .drop("__df")
-    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    // shuffle_hash on BOTH pair-join sides: the cap filter shrinks the
-    // size estimate under the already-misestimated explode, so Catalyst
-    // would otherwise BROADCAST the whole kept gram set — fatal at corpus
-    // scale (and it also forfeits exchange reuse of the shared map stage)
-    val a = kept.hint("shuffle_hash").select(col(idCol).as("id_a"), col("__g"))
-    val b = kept.hint("shuffle_hash").select(col(idCol).as("id_b"), col("__g"))
-    val shared = a.join(b, "__g")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("__shared"))
-    // sizes is one row per DOC — bounded, but still corpus-sized at 10⁹
-    // docs; a shuffle join on the id keeps the plan broadcast-free. ONE
-    // fused join-back serves both pair sides: each pair row splits into
-    // its two (pair, id) roles, joins sizes once, and regroups — one
-    // exchange of 2×pairs instead of two sequential shuffle joins of
-    // pairs against differently-keyed copies of sizes (which defeat
-    // exchange reuse because the rename projections de-canonicalize)
-    shared
-      .select(col("id_a"), col("id_b"), col("__shared"),
-        explode(array(col("id_a"), col("id_b"))).as("__id"))
-      .hint("shuffle_hash")
-      .join(sizes.withColumnRenamed(idCol, "__id").hint("shuffle_hash"), "__id")
-      .groupBy(col("id_a"), col("id_b"))
+    // From here the plan is a straight LINE over the kept gram stream —
+    // one corpus pass, no diamonds. Earlier formulations branched `kept`
+    // into a sizes aggregate plus a pair self-join and joined them back;
+    // each branch RECOMPUTED the scan→shingle→hash→freq-join tree because
+    // exchange reuse does not bridge the diamond (measured: the whole
+    // gram pipeline executed 2-3×). Instead:
+    //  1. each doc's kept-shingle count rides along every gram row via a
+    //     count window on the id — one exchange, no second source scan;
+    //  2. pair generation needs NO self-join: each gram group collects
+    //     its (id, n) structs — memory-safe BY CONSTRUCTION, the
+    //     stop-shingle filter bounds every list at maxDocFreq (never
+    //     collect the unfiltered stream) — and the value-ordered pairs
+    //     explode positionally from the sorted list (ids are distinct
+    //     within a gram — wordNgrams dedups per doc — so position order
+    //     IS value order). Row-identical to the self-equi-join +
+    //     id_a<id_b filter, minus its two corpus-sized exchanges;
+    //  3. both sizes travel INSIDE the pair rows, so Jaccard needs no
+    //     join-back — just min() over values constant within the group.
+    val sized = kept.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val lists = sized
+      .groupBy(col("__g"))
+      .agg(sort_array(
+        collect_list(struct(col(idCol).as("__id"), col("__n")))).as("__ids"))
+    lists
+      .select(posexplode(col("__ids")).as(Seq("__px", "__a")), col("__ids"))
+      .select(col("__a"),
+        explode(slice(col("__ids"), col("__px") + lit(2), size(col("__ids"))))
+          .as("__b"))
+      .groupBy(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"))
       .agg(
-        min(col("__shared")).as("__shared"),
-        min(when(col("__id") === col("id_a"), col("__n"))).as("__na"),
-        min(when(col("__id") === col("id_b"), col("__n"))).as("__nb"))
+        count(lit(1)).as("__shared"),
+        min(col("__a.__n")).as("__na"),
+        min(col("__b.__n")).as("__nb"))
       .withColumn("jaccard",
         col("__shared").cast("double")
           / (col("__na") + col("__nb") - col("__shared")))
