@@ -657,7 +657,13 @@ object SparkEntry {
     * the order [[graft.ext.Similarity.hyperplaneSignature]] consumes them)
     * embedded as literal double arrays. Doubles round-trip exactly through
     * toString, so both engines threshold the same planes. */
-  private lazy val lshPortableOracle: String = {
+  /** Shared CTE prefix for the LSH oracles: the SAME seeded Gaussian draws
+    * (one `scala.util.Random(42)`, bits outer × dims inner — byte-for-byte
+    * the order [[graft.ext.Similarity.hyperplaneSignature]] consumes them)
+    * embedded as literal double arrays, and every vector's 8-bit packed
+    * signature. Doubles round-trip exactly through toString, so both
+    * engines threshold the same planes. */
+  private lazy val lshSigCtes: String = {
     val rnd = new scala.util.Random(42L)
     val planes = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
     val values = planes.zipWithIndex
@@ -668,7 +674,11 @@ object SparkEntry {
        |sig AS (SELECT e.vec_id,
        |  CAST(sum(CASE WHEN list_dot_product(e.emb, planes.p) > 0
        |    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN planes GROUP BY 1),
+       |  FROM e CROSS JOIN planes GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val lshPortableOracle: String =
+    s"""$lshSigCtes,
        |cand AS (SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
        |  FROM sig qs JOIN sig cs USING (sig)
        |  WHERE qs.vec_id < 10 AND cs.vec_id <> qs.vec_id),
@@ -681,7 +691,35 @@ object SparkEntry {
        |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+
+  /** LSH-signature-blocked embedding near-dup — the composition
+    * [[graft.ext.Similarity.embeddingNearDuplicates]]'s scaladoc
+    * recommends at corpus scale ("feed hyperplaneSignature as the
+    * block"), proven value-for-value: blocking is a pure map (no
+    * training, no collect — the query memoizes like any other), the
+    * within-bucket self-join is capped, and the oracle re-derives the
+    * same seeded planes, signatures, in-bucket pairs, and cosine
+    * threshold. */
+  private def dedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    Similarity.enableNative(s)
+    val e = T(s, dir, "embeddings")
+    Similarity.embeddingNearDuplicates(
+        e.withColumn("__sig",
+          Similarity.hyperplaneSignature(col("embedding"), 64, 8, 42L)),
+        "vec_id", "embedding", "__sig", 0.2)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
   }
+
+  private lazy val embeddingLshOracle: String =
+    s"""$lshSigCtes
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(ae.emb, be.emb), 6) AS cosine
+       |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |JOIN e ae ON ae.vec_id = a.vec_id
+       |JOIN e be ON be.vec_id = b.vec_id
+       |WHERE list_cosine_similarity(ae.emb, be.emb) >= 0.2
+       |ORDER BY 1, 2""".stripMargin
 
   /** IVF approximate top-k (rows-only: cell recall is probabilistic). */
   private def simIvfTopK(s: SparkSession, dir: String): DataFrame = {
@@ -770,6 +808,29 @@ object SparkEntry {
         round(col("stop_ratio"), 6).as("stop_ratio"),
         round(col("quality_score"), 6).as("quality_score"))
       .orderBy(col("doc_id"))
+
+  /** Corpus pruning by score percentile — the standard "drop the bottom
+    * quartile by quality" curation step: the threshold is ONE aggregated
+    * row broadcast back over the corpus (scan → tiny agg → map-side
+    * filter; the corpus never shuffles to be filtered). The exact
+    * `percentile` here is the portable twin of the `approx_percentile`
+    * sketch a 100 TB run would use (same shape, sketch-vs-sort agg — see
+    * a15). Threshold comparisons are safe unrounded: both engines derive
+    * the scores from identical IEEE ops on identical ints, and the
+    * interpolated threshold either equals a shared score value exactly or
+    * falls strictly between two of them. */
+  private def textQualityPrune(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val thr = scored.agg(
+      expr("percentile(quality_score, 0.25D)").as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("__thr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality_score")), 6).as("min_score"))
+      .orderBy(col("lang"))
+  }
 
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -1345,12 +1406,14 @@ object SparkEntry {
     "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_ivf_portable" -> (simIvfPortable _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
     "text_vocab" -> (textVocab _),
+    "text_quality_prune" -> (textQualityPrune _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -2051,6 +2114,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
     "sim_lsh_portable" -> lshPortableOracle,
     "sim_ivf_portable" -> ivfPortableOracle,
+    "dedup_embedding_lsh" -> embeddingLshOracle,
     "text_quality" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE doc_id % 7 = 0),
@@ -2112,6 +2176,19 @@ object SparkEntry {
         |  round(st.top_count / CAST(st.n_grams AS DOUBLE), 6)
         |    AS top_gram_fraction
         |FROM d LEFT JOIN st USING (doc_id) ORDER BY 1""".stripMargin,
+    "text_quality_prune" ->
+      """WITH d AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, lang,
+        |  least(len(toks), 200) / 400.0
+        |    + (len([t for t in toks
+        |        if t in ('the','a','an','of','and','to','in','is')])
+        |       / len(toks)) / 2.0 AS q
+        |  FROM d),
+        |t AS (SELECT quantile_cont(q, 0.25) AS thr FROM f)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(min(q), 6) AS min_score
+        |FROM f, t WHERE q >= thr GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       """SELECT CAST(r AS INT) AS rank, token, n FROM (
         |  SELECT token, count(*) AS n,
