@@ -112,6 +112,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.headOption.contains(0L)) // identical vector shares its cell
   }
 
+  test("NearestCentroids kernel == composed array_min/array_sort argmin, bit-for-bit") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression}
+    val rnd = new scala.util.Random(23)
+    val centroids = IndexedSeq.fill(7)(IndexedSeq.fill(12)(rnd.nextGaussian().toFloat))
+    val df = (0L until 300L)
+      .map(i => (i, Seq.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    // the composed reference form the kernel replaced (Similarity.ivfTopK
+    // pre-kernel): struct(dist, cell) argmin / sorted-prefix
+    def composedDists = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct(
+        (lit(c2) - lit(2.0) * exprCol(graft.functions.FloatVecDot(
+          expression(col("v")), expression(typedLit(c))))).as("dist"),
+        lit(i).as("cell"))
+    }
+    val composed = df.select(
+      col("id"),
+      array_min(array(composedDists: _*))("cell").as("c1"),
+      slice(array_sort(array(composedDists: _*)), 1, 3)("cell").as("c3"))
+    val kernel = df.select(
+      col("id"),
+      element_at(exprCol(graft.functions.NearestCentroids(
+        expression(col("v")), centroids, 1)), 1).as("c1"),
+      exprCol(graft.functions.NearestCentroids(
+        expression(col("v")), centroids, 3)).as("c3"))
+    val a = composed.orderBy("id").as[(Long, Int, Seq[Int])].collect().toSeq
+    val b = kernel.orderBy("id").as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(a == b)
+    // dimension mismatch -> NULL, not garbage
+    val bad = Seq((0L, Seq(1.0f, 2.0f))).toDF("id", "v")
+      .select(exprCol(graft.functions.NearestCentroids(
+        expression(col("v")), centroids, 1)).as("c"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("VectorizeDotProducts rewrites the HOF dot idiom to FloatVecDot") {
     import graft.functions.VectorizeDotProducts
     val rnd = new scala.util.Random(23)
