@@ -116,26 +116,36 @@ object Similarity {
       numBits: Int = 12,
       numTables: Int = 4,
       seed: Long = 42L): DataFrame = {
-    def withSigs(df: DataFrame, side: String): DataFrame = {
+    // candidate generation runs on (id, table, sig) rows ONLY — embeddings
+    // never enter the signature explode, the bucket join, or the pair
+    // distinct. The earlier form carried the vector through all three, so
+    // every corpus vector crossed the bucket exchange numTables times and
+    // the multi-table dedup shuffled full vectors; here the exchanges move
+    // ~24-byte rows and the vectors ship exactly once, in the final
+    // score join-backs.
+    def sigsOf(df: DataFrame, side: String): DataFrame = {
       val sigs = (0 until numTables).map(t =>
         struct(lit(t).as("table_id"),
           hyperplaneSignature(col(vecCol), dim, numBits, seed + t).as("sig")))
-      df.withColumn("__t", explode(array(sigs: _*)))
-        .select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
-          col("__t.table_id"), col("__t.sig"))
+      df.select(col(idCol).as(s"${side}_id"), explode(array(sigs: _*)).as("__t"))
+        .select(col(s"${side}_id"), col("__t.table_id"), col("__t.sig"))
     }
-    val q = withSigs(queries, "query")
-      .withColumn("__qn", l2Norm(col("__queryv")))
-    val c = withSigs(candidates, "neighbor")
-      .withColumn("__cn", l2Norm(col("__neighborv")))
-    val cand = q.join(c, Seq("table_id", "sig"))
+    val cand = sigsOf(queries, "query")
+      .join(sigsOf(candidates, "neighbor"), Seq("table_id", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__queryv"),
-        col("__neighborv"), col("__qn"), col("__cn"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn"))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+    // the query set is bounded by contract (same as bruteForceTopK), so
+    // its vectors broadcast; candidate vectors ship once, in the one
+    // shuffle join-back on neighbor_id
     rankTopK(
-      cand.withColumn("cosine",
-        cosine(col("__queryv"), col("__neighborv"), col("__qn"), col("__cn"))),
+      cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+        .withColumn("cosine",
+          cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn"))),
       k)
   }
 
