@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the scale-critical properties PLANS.md claims, asserted
+  * over EVERY declared query's physical plan so a refactor cannot silently
+  * regress them. Construction-only (plans are built at sf0.001, nothing
+  * executes except the eager-construction queries' training jobs).
+  */
+class PlanContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+
+  test("no query plans a cartesian product; broadcast nested loops only " +
+      "where a bounded side is documented") {
+    // brute-force ANN broadcasts the BOUNDED query set into a nested-loop
+    // scoring pass — that is the documented plan, not an accident; the
+    // percentile prune broadcasts a ONE-ROW threshold; the band join its
+    // 10-row literal band table; keyset pagination its ONE-ROW anchor
+    // j2/a4's broadcast side is the sequence()-generated calendar grid —
+    // bounded by the DATE SPAN, not the corpus
+    val boundedLoop = Set("sim_topk", "text_quality_prune", "j5_band_join",
+      "o10_keyset", "j2_calendar_fill", "a4_asfreq")
+    plans.foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+      if (!boundedLoop(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin (unbounded side?):\n$p")
+    }
+  }
+
+  test("ANN similarity tails rank via the bounded-heap operator, never a Window") {
+    // o6_topk_group is deliberately the declarative rank().over(window)
+    // BASELINE that o8/o9 twin natively — it is exempt here and belongs
+    // to the window family below
+    Seq("sim_topk", "sim_lsh_topk", "sim_lsh_portable", "sim_ivf_topk",
+        "sim_ivf_portable", "o8_topk_native", "o9_topk_ranked")
+      .foreach { name =>
+        assert(plans(name).contains("TopKPerGroup"),
+          s"$name lost its TopKPerGroup operator")
+        assert(!plans(name).contains("Window"),
+          s"$name plans a Window node:\n${plans(name)}")
+      }
+  }
+
+  test("the one global-window query stays quarantined to o7_page") {
+    // o7_page is the documented naive driver-edge form that o10_keyset
+    // replaces at scale; no OTHER non-window-family query may grow a
+    // single-partition global window
+    val windowFamily = Set("o7_page", "w8_session", "w9_ranks",
+      "w10_range_frame", "w11_value_windows", "w1_windows", "w4_xy",
+      "w2_seq_stats", "w3_slice", "w5_split", "w7_horizon", "j3_positional",
+      "j1_surrogate_key", "pack_bins", "a12_freq_infer", "a12_freq_modal",
+      "j4_asof", "j7_asof_forward", "j8_asof_tolerance", "p5_dedup_first",
+      "o2_head", "o5_reverse", "o6_topk_group", "o10_keyset",
+      "dedup_paragraphs", "dedup_ngram_jaccard", "dedup_embedding",
+      "dedup_embedding_lsh", "w6_weekend")
+    plans.foreach { case (name, p) =>
+      if (!windowFamily(name))
+        assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
+    }
+  }
+
+  test("star joins broadcast their dimension sides") {
+    Seq("q3_star_join", "j6_q5_region").foreach { name =>
+      assert(plans(name).contains("BroadcastHashJoin"),
+        s"$name lost its dimension broadcast:\n${plans(name)}")
+    }
+  }
+
+  test("document-text dedup shuffles fingerprints, not text: banded joins stay shuffle-hash") {
+    Seq("dedup_minhash_pairs_portable", "dedup_simhash_pairs_portable")
+      .foreach { name =>
+        assert(plans(name).contains("ShuffledHashJoin"),
+          s"$name banded pair join is no longer shuffle-hash (broadcast " +
+            s"of a corpus-sized side?):\n${plans(name)}")
+      }
+  }
+
+  test("scans prune columns: q1 reads only the aggregated lineitem columns") {
+    val p = plans("q1_agg")
+    val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(s => !s.contains("l_comment") && !s.contains("l_partkey")),
+      s"q1_agg reads more than it aggregates: $read")
+  }
+}
