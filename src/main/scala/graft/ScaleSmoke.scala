@@ -84,6 +84,21 @@ object ScaleSmoke {
       bigEvents.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5).count()
     }
+    timed("repetition stats 50k docs") {
+      graft.ext.TextAnalysis.repetitionStats(bigDocs, "doc_id", "text", 2).count()
+    }
+    timed("vocab top-50 50k docs") {
+      graft.ext.TextAnalysis.topTokens(bigDocs, "text", 50).count()
+    }
+    timed("ngram jaccard 50k docs") {
+      // replicas are true near-dups: pair volume grows quadratically
+      // within duplicate clusters (~251k pairs), which is the honest
+      // worst-ish case for the posting-list pair enumeration
+      graft.ext.Dedup.ngramJaccardPairs(bigDocs, "doc_id", "text", 3, 0.1).count()
+    }
+    timed("paragraph dedup 50k docs") {
+      graft.ext.Dedup.dropRepeatedParagraphs(bigDocs, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }
