@@ -130,16 +130,51 @@ object Dedup {
       .drop("__bucket_n")
   }
 
+  /** Same-bucket signature pairs from a capped banded stream, WITHOUT a
+    * self-join: `capped` leaves [[capBuckets]]'s stats join already
+    * partitioned by the bucket key, so collecting each bucket's (id, sig)
+    * posting list is a zero-exchange aggregate — memory-safe BY
+    * CONSTRUCTION, the cap bounds every list (never collect an uncapped
+    * bucket stream) — and the value-ordered pairs explode positionally
+    * from the sorted list (ids are unique within a bucket, so position
+    * order IS id order). Signature agreement is counted per banded pair by
+    * the native [[graft.functions.LongArrayMatchCount]] kernel BEFORE the
+    * cross-band dedup, so the dedup exchange moves (long, long, int) rows
+    * — the earlier self-join form shipped both full k-long signatures
+    * through the pair distinct (~20× the bytes at k=32) and evaluated the
+    * zip_with agreement lambda interpreted per element.
+    * Returns (id_a, id_b, __mc: agreeing-position count).
+    */
+  private def bandedSigPairs(capped: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val lists = capped
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(
+        collect_list(struct(col(idCol).as("__id"), col("__sig")))).as("__members"))
+    lists
+      .select(posexplode(col("__members")).as(Seq("__px", "__a")), col("__members"))
+      .select(col("__a"),
+        explode(slice(col("__members"), col("__px") + lit(2),
+          size(col("__members")))).as("__b"))
+      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        GraftColumnBridge.column(graft.functions.LongArrayMatchCount(
+          GraftColumnBridge.expression(col("__a.__sig")),
+          GraftColumnBridge.expression(col("__b.__sig")))).as("__mc"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__mc")).as("__mc"))
+  }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature (bands of
     * `rowsPerBand`), hash each band, shuffle on (band index, band hash),
     * emit same-bucket pairs. Candidates are then verified with the exact
     * signature similarity (fraction of agreeing minhashes ≥ `threshold`).
     *
-    * Scale: the only shuffles are groupBy(doc) for signatures and
-    * groupBy(band bucket); buckets over `maxBucketSize` members are skipped
-    * with a logged drop count (see [[capBuckets]]) — mass-duplicate groups
-    * belong to exact/cluster dedup, and an uncapped bucket self-join is
-    * quadratic in the bucket.
+    * Scale: the only shuffles are groupBy(doc) for signatures, the
+    * groupBy(band bucket), and the thin (id, id, count) cross-band dedup
+    * (see [[bandedSigPairs]]); buckets over `maxBucketSize` members are
+    * skipped with a logged drop count (see [[capBuckets]]) — mass-duplicate
+    * groups belong to exact/cluster dedup, and uncapped bucket pair
+    * enumeration is quadratic in the bucket.
     */
   def minHashNearDuplicates(
       df: DataFrame,
@@ -176,17 +211,10 @@ object Dedup {
     // computes the map stage once.
     val capped = capBuckets(withBands, Seq("band_idx", "band_hash"),
       maxBucketSize, "minhash_lsh")
-    val a = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // collapse multi-band matches before the similarity math
+    bandedSigPairs(capped, idCol)
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / lit(numHashes.toDouble)).as("sig_similarity"))
+        (col("__mc").cast("double") / lit(numHashes.toDouble))
+          .as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
   }
 
@@ -322,17 +350,10 @@ object Dedup {
       .select(col(idCol), col("__sig"), col("__band.band_idx"), col("__band.band_hash"))
     val capped = capBuckets(withBands, Seq("band_idx", "band_hash"),
       maxBucketSize, "minhash_lsh_portable")
-    val a = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val b = capped.hint("shuffle_hash").select(col("band_idx"), col("band_hash"),
-      col(idCol).as("id_b"), col("__sig").as("sig_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
+    bandedSigPairs(capped, idCol)
       .select(col("id_a"), col("id_b"),
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / lit(k.toDouble), 6).as("sig_similarity"))
+        round(col("__mc").cast("double") / lit(k.toDouble), 6)
+          .as("sig_similarity"))
       .filter(col("sig_similarity") >= threshold)
   }
 

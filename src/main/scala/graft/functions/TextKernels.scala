@@ -193,6 +193,59 @@ object Md5Prefix {
     () => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** Count of positions where two long arrays agree — the MinHash
+  * signature-agreement step as one native node, value-identical to
+  * `size(filter(zip_with(a, b, (x, y) => x === y), m => m))` for
+  * equal-length non-null arrays (the only shape signatures take); the
+  * HOF form evaluates both lambdas interpreted per element and allocates
+  * two intermediate arrays per pair. NULL on length mismatch (zip_with
+  * padding territory — unreachable for fixed-k signatures, null is the
+  * conservative answer). */
+case class LongArrayMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"LongArrayMatchCount requires (array<long>, array<long>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("longArrayMatchCount", this, getClass.getName)
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = $ref.nullSafeEval($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Integer) $r).intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayMatchCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass within-document n-gram repetition statistics — the signals
   * behind the published repetition filters for training corpora (Gopher /
   * MassiveText rules: duplicate-n-gram fraction, top-n-gram fraction).

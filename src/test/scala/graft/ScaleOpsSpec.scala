@@ -148,6 +148,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(bad.head().isNullAt(0))
   }
 
+  test("LongArrayMatchCount kernel == zip_with/filter/size HOF form") {
+    import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression}
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 200).map { _ =>
+      val a = Seq.fill(32)(rnd.nextInt(4).toLong)
+      val b = Seq.fill(32)(rnd.nextInt(4).toLong)
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val hof = df.select(
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), m => m)).as("c"))
+      .as[Int].collect().toSeq
+    val kernel = df.select(
+      exprCol(graft.functions.LongArrayMatchCount(
+        expression(col("a")), expression(col("b")))).as("c"))
+      .as[Int].collect().toSeq
+    assert(hof == kernel)
+    // length mismatch -> NULL
+    val bad = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(exprCol(graft.functions.LongArrayMatchCount(
+        expression(col("a")), expression(col("b")))).as("c"))
+    assert(bad.head().isNullAt(0))
+  }
+
   test("VectorizeDotProducts rewrites the HOF dot idiom to FloatVecDot") {
     import graft.functions.VectorizeDotProducts
     val rnd = new scala.util.Random(23)
