@@ -93,7 +93,14 @@ object Bench {
       // construction performs eager distributed work (iterative label
       // propagation) are exempt — their reps call the query fn itself, so
       // every repetition re-pays the iteration like the DuckDB oracle does.
-      val planned = if (coldOk && !coldHeadline &&
+      // clone-based warm reps are AQE-OFF only: an AdaptiveSparkPlan's
+      // clone keeps references to its already-MATERIALIZED query stages,
+      // so cloned reps would reuse map outputs and skip every exchange —
+      // measured 17.3 s → 5.3 s of fake speedup. Under AQE each rep
+      // rebuilds the query instead (construction included; the honest
+      // posture for adaptive plans).
+      val aqeOn = sys.env.get("SPARK_GRAFT_AQE").contains("true")
+      val planned = if (coldOk && !coldHeadline && !aqeOn &&
           !SparkEntry.eagerConstruction(name)) {
         try Some(fn(spark, sfDir).groupBy().count().queryExecution.executedPlan)
         catch { case _: Throwable => None }

@@ -511,6 +511,23 @@ object SparkEntry {
           "doc_id", "text"))
       .orderBy(col("id"))
 
+  /** End-to-end near-dup dedup — the step the whole pair/cluster family
+    * exists for: mine near-dup pairs, cluster them, keep ONE representative
+    * per cluster (the min id — which IS the cluster label), drop the other
+    * members via a corpus anti-join, count survivors per language.
+    * Singletons (docs in no pair) survive untouched. The oracle replays
+    * pairs + recursive-CTE closure + the same anti-join. */
+  private def dedupEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashNearDuplicatesPortable(docs, "doc_id", "text"))
+    val drops = clusters.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Benchmark decontamination sweep: corpus (doc_id%10=0) scored against
     * an eval set (doc_id%10=1); the benchmark gram set broadcasts (eval
     * suites are small by construction), the corpus never shuffles. */
@@ -1338,7 +1355,7 @@ object SparkEntry {
     * repetition while the DuckDB oracle pays it per run — so they rebuild
     * per call, keeping the comparison honest. */
   private val nonMemoizable =
-    Set("dedup_clusters", "sim_ivf_topk", "sim_ivf_portable")
+    Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk", "sim_ivf_portable")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1446,6 +1463,7 @@ object SparkEntry {
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_end_to_end" -> (dedupEndToEnd _),
     "text_contamination" -> (textContamination _),
   )
 
@@ -2086,6 +2104,20 @@ object SparkEntry {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
         |ORDER BY 1""".stripMargin,
+    "dedup_end_to_end" ->
+      s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
+        |  UNION SELECT id_b, id_a FROM portable_pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |drops AS (SELECT id FROM labels WHERE cluster_id <> id)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents
+        |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id FROM drops)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_minhash_portable" ->
       // the shared CTE chain's unused portable_pairs tail is never
       // evaluated; the signature math lives in ONE place for all three
