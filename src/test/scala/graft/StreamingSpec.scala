@@ -179,4 +179,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq(2L, 1L))
     } finally q.stop()
   }
+
+  test("text-curation kernels run unchanged on a stream, matching batch") {
+    // the text filters (repetition stats, quality features, fingerprints)
+    // are map-only kernel expressions — stateless, watermark-free, valid
+    // in any streaming plan. A streaming curation gate is therefore the
+    // SAME code as the batch one; this pins that contract.
+    val dir = Files.createTempDirectory("graft-stream-text").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "spam spam spam spam"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a b b a a b b"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val curated = graft.ext.TextAnalysis
+      .repetitionStats(stream, "doc_id", "text", 2)
+      .filter(col("dup_gram_fraction") < 0.4) // the Gopher-style gate
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_text").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id FROM graft_stream_text ORDER BY 1")
+        .as[Long].collect().toSeq
+      // doc 0 (dup fraction 2/3) and doc 2 (3/7) are gated out at 0.4
+      val batch = graft.ext.TextAnalysis
+        .repetitionStats(docs, "doc_id", "text", 2)
+        .filter(col("dup_gram_fraction") < 0.4)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got == batch)
+      assert(got == Seq(1L))
+    } finally q.stop()
+  }
 }
