@@ -826,28 +826,25 @@ object SparkEntry {
         round(col("quality_score"), 6).as("quality_score"))
       .orderBy(col("doc_id"))
 
-  /** Corpus pruning by score percentile — the standard "drop the bottom
-    * quartile by quality" curation step: the threshold is ONE aggregated
-    * row broadcast back over the corpus (scan → tiny agg → map-side
-    * filter; the corpus never shuffles to be filtered). The exact
-    * `percentile` here is the portable twin of the `approx_percentile`
-    * sketch a 100 TB run would use (same shape, sketch-vs-sort agg — see
-    * a15). Threshold comparisons are safe unrounded: both engines derive
-    * the scores from identical IEEE ops on identical ints, and the
-    * interpolated threshold either equals a shared score value exactly or
-    * falls strictly between two of them. */
-  private def textQualityPrune(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
-      .select(col("doc_id"), col("lang"), col("quality_score"))
-    val thr = scored.agg(
-      expr("percentile(quality_score, 0.25D)").as("__thr"))
-    scored.crossJoin(broadcast(thr))
-      .filter(col("quality_score") >= col("__thr"))
+  /** Corpus pruning by score percentile — "drop the bottom quartile by
+    * quality" via [[TextAnalysis.pruneBottomQuantile]]: the corpus is
+    * scored ONCE into a narrow (doc_id, lang, score) frame; the threshold
+    * is a scalar subquery over that same materialized frame, so the
+    * tokenizing kernel pass never runs twice (it is the dominant cost —
+    * at 100 TB a second pass doubles the scan+score work). Threshold
+    * comparisons are safe unrounded: both engines derive the scores from
+    * identical IEEE ops on identical ints, and the interpolated threshold
+    * either equals a shared score value exactly or falls strictly between
+    * two of them. Non-memoizable: the checkpointed score frame must be
+    * rebuilt per bench rep or reps measure re-reads while DuckDB
+    * re-scores. */
+  private def textQualityPrune(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pruneBottomQuantile(
+        T(s, dir, "documents"), "text", 0.25, Seq("doc_id", "lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
-  }
 
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -1351,11 +1348,18 @@ object SparkEntry {
 
   /** Queries whose CONSTRUCTION performs eager distributed work (iterative
     * label propagation, Lloyd centroid training — both run jobs at build
-    * time). Memoizing them would hide that work from every benchmark
-    * repetition while the DuckDB oracle pays it per run — so they rebuild
-    * per call, keeping the comparison honest. */
+    * time), plus queries whose plan MATERIALIZES intermediate state that a
+    * cloned-plan repetition would re-read instead of re-computing
+    * (text_quality_prune's lazily-checkpointed score frame: construction
+    * is job-free, but a memoized plan's second execution would scan the
+    * already-persisted narrow frame while the DuckDB oracle re-scores the
+    * text per run). Memoizing either kind would hide real per-run work
+    * from every benchmark repetition — so they rebuild per call, keeping
+    * the comparison honest, and the bench reclaims any RDDs a rep
+    * persists. */
   private val nonMemoizable =
-    Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk", "sim_ivf_portable")
+    Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
+      "sim_ivf_portable", "text_quality_prune")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call

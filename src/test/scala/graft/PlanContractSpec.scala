@@ -20,11 +20,12 @@ class PlanContractSpec extends AnyFunSuite {
       "where a bounded side is documented") {
     // brute-force ANN broadcasts the BOUNDED query set into a nested-loop
     // scoring pass — that is the documented plan, not an accident; the
-    // percentile prune broadcasts a ONE-ROW threshold; the band join its
-    // 10-row literal band table; keyset pagination its ONE-ROW anchor
-    // j2/a4's broadcast side is the sequence()-generated calendar grid —
-    // bounded by the DATE SPAN, not the corpus
-    val boundedLoop = Set("sim_topk", "text_quality_prune", "j5_band_join",
+    // band join broadcasts its 10-row literal band table; keyset
+    // pagination its ONE-ROW anchor; j2/a4's broadcast side is the
+    // sequence()-generated calendar grid — bounded by the DATE SPAN, not
+    // the corpus (text_quality_prune's former one-row threshold join is
+    // now a scalar subquery — no join at all)
+    val boundedLoop = Set("sim_topk", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
@@ -81,6 +82,22 @@ class PlanContractSpec extends AnyFunSuite {
           s"$name banded pair join is no longer shuffle-hash (broadcast " +
             s"of a corpus-sized side?):\n${plans(name)}")
       }
+  }
+
+  test("text_quality_prune scores the corpus exactly once") {
+    // Both the percentile threshold (a scalar subquery) and the filter
+    // consume the SAME lazily-checkpointed narrow score frame: the final
+    // plan scans a materialized RDD and contains NO scoring expression —
+    // the tokenizing kernel pass lives once, inside the checkpointed
+    // lineage. A regression to the old two-consumer shape would re-surface
+    // regexp_count (the punctuation counter) in this plan.
+    val p = plans("text_quality_prune")
+    assert(p.contains("Scan ExistingRDD"),
+      s"text_quality_prune no longer reads a materialized score frame:\n$p")
+    assert(!p.contains("regexp_count"),
+      s"text_quality_prune re-scores the corpus in its final plan:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"text_quality_prune grew a threshold join back:\n$p")
   }
 
   test("scans prune columns: q1 reads only the aggregated lineitem columns") {
