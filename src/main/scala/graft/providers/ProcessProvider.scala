@@ -29,34 +29,60 @@ import graft.core.TsSchema
   *   <- {"ok":false,"error":"message"}        // either op, failure path
   * }}}
   *
-  * Data plane (`arrowDataPlane`):
-  *  - `false` (default): fit() collects the training frame to the driver
-  *    as JSON rows inlined in the request — a DELIBERATE driver boundary,
-  *    same as the reference adapters' conversion to an in-memory pandas
-  *    frame before handing to the model library (ydata_adapter.py:291-313).
-  *    Right for the small sampled fit sets DL trainers actually consume.
-  *  - `true`: the EXECUTORS write the fit input as self-contained Arrow
-  *    IPC stream files ([[org.apache.spark.sql.GraftArrowBridge.toIpcFiles]])
-  *    and only the file PATHS travel through the driver and the control
-  *    channel (`"data_format":"arrow-ipc-files"`). No full-input driver
-  *    collect anywhere in the plan — this is the data plane that survives
-  *    fit sets too big to inline. Locally the files land in a temp dir; on
-  *    a cluster `arrowDir` must be a shared filesystem visible to both
+  * Data plane (`dataPlane`):
+  *  - [[ProcessProvider.InlineJson]]: fit() collects the training frame to
+  *    the driver as JSON rows inlined in the request — a DELIBERATE driver
+  *    boundary, same as the reference adapters' conversion to an in-memory
+  *    pandas frame before handing to the model library
+  *    (ydata_adapter.py:291-313). Right for small sampled fit sets only.
+  *  - [[ProcessProvider.Arrow]]: the EXECUTORS write the fit input as
+  *    self-contained Arrow IPC stream files
+  *    ([[org.apache.spark.sql.GraftArrowBridge.toIpcFiles]]) and only the
+  *    file PATHS travel through the driver and the control channel
+  *    (`"data_format":"arrow-ipc-files"`). No full-input driver collect
+  *    anywhere in the plan — this is the data plane that survives fit sets
+  *    too big to inline. Locally the files land in a temp dir; on a
+  *    cluster `arrowDir` must be a shared filesystem visible to both
   *    executors and the worker host.
+  *  - [[ProcessProvider.Auto]] (DEFAULT): planner-style choice from the
+  *    optimizer's size estimate, never a job (the same pattern as the
+  *    Bloom prescreen's small-side fallback in
+  *    [[graft.ext.Dedup.bloomPrescreenOverlap]]): inputs estimated at or
+  *    under `autoArrowMinBytes` inline as JSON (cheap, zero file-system
+  *    coordination), anything larger ships through Arrow. A user who never
+  *    reads this scaladoc gets the scale-safe plane by default instead of
+  *    an accidental full-input driver collect.
   * The worker is stateless across calls (the fitted model travels inside
   * the messages), so a crash is isolated to one call and the provider
   * itself holds no process handle between calls.
   *
   * @param command argv of the worker, e.g. `Seq("python3", "worker.py")`
   *                (tests use a JVM mock worker and scripts/worker.py)
+  * @param autoArrowMinBytes [[ProcessProvider.Auto]] threshold on the
+  *                optimizer's size estimate for the fit input; above it the
+  *                Arrow plane is selected. Default 1 MB — inline JSON
+  *                expands rows ~3-5x as text, so this caps the driver's
+  *                request line at a few MB.
   */
 final class ProcessProvider(
     command: Seq[String],
     override val name: String = "process",
     timeoutSec: Long = 300,
-    arrowDataPlane: Boolean = false,
-    arrowDir: Option[String] = None) extends GeneratorProvider {
+    dataPlane: ProcessProvider.DataPlane = ProcessProvider.Auto,
+    arrowDir: Option[String] = None,
+    autoArrowMinBytes: Long = 1L << 20) extends GeneratorProvider {
   require(command.nonEmpty, "worker command must be non-empty")
+
+  /** The plane [[fit]] will use for this input — planner-style estimate
+    * only, never a job. Exposed within graft so specs can pin the auto
+    * decision. */
+  private[graft] def useArrowFor(data: DataFrame): Boolean =
+    dataPlane match {
+      case ProcessProvider.Arrow => true
+      case ProcessProvider.InlineJson => false
+      case ProcessProvider.Auto =>
+        data.queryExecution.optimizedPlan.stats.sizeInBytes > autoArrowMinBytes
+    }
 
   /** S4/S5 scan side: the persisted blob is the worker's opaque model JSON
     * ([[ProcessFitted.modelJson]]) verbatim — parse and re-wrap. The worker
@@ -71,7 +97,7 @@ final class ProcessProvider(
       ("itemIdCols" -> schema.itemIdCols) ~ ("tsCol" -> schema.tsCol) ~
       ("numericCols" -> schema.numericCols) ~ ("catCols" -> schema.catCols)
     val req: JValue =
-      if (arrowDataPlane) {
+      if (useArrowFor(data)) {
         import org.apache.spark.sql.GraftArrowBridge
         val dir = arrowDir.getOrElse(
           java.nio.file.Files.createTempDirectory("graft-fit-arrow").toString)
@@ -201,4 +227,17 @@ final class ProcessProvider(
       import scala.jdk.CollectionConverters._
       lines.asScala.take(20).mkString(" | ")
     } catch { case _: Throwable => "" }
+}
+
+object ProcessProvider {
+  /** Fit-input data plane — see the class scaladoc for the semantics of
+    * each mode. */
+  sealed trait DataPlane
+  /** Planner-style selection: inline JSON at or under the size-estimate
+    * threshold, Arrow IPC files above it. The default. */
+  case object Auto extends DataPlane
+  /** Always ship fit input as executor-written Arrow IPC files. */
+  case object Arrow extends DataPlane
+  /** Always inline fit rows as JSON in the request (driver collect). */
+  case object InlineJson extends DataPlane
 }

@@ -245,9 +245,10 @@ class ApiSpec extends AnyFunSuite {
       new ProcessBuilder("python3", "-c", "import pyarrow").start().waitFor() == 0
     } catch { case _: Throwable => false }
     assume(havePyarrow, "pyarrow not importable")
-    val inline = new ProcessProvider(pythonWorker().get, name = "py_inline")
+    val inline = new ProcessProvider(pythonWorker().get, name = "py_inline",
+      dataPlane = ProcessProvider.InlineJson)
     val arrow = new ProcessProvider(pythonWorker().get, name = "py_arrow",
-      arrowDataPlane = true)
+      dataPlane = ProcessProvider.Arrow)
     // same fit input through both planes -> identical model -> identical
     // generated rows (the seed travels in the blob)
     val a = arrow.fit(data, schema).generate(spark, 2, 3)
@@ -255,6 +256,43 @@ class ApiSpec extends AnyFunSuite {
     val b = inline.fit(data, schema).generate(spark, 2, 3)
       .orderBy("seq_id", "step").collect().toSeq
     assert(a == b)
+  }
+
+  test("Auto data plane: JSON for tiny fits, Arrow above the size estimate") {
+    import graft.providers.ProcessProvider
+    // decision is planner-style (optimizer size estimate), never a job
+    val p = new ProcessProvider(mockWorkerCmd(), name = "mock_auto")
+    assert(!p.useArrowFor(data),
+      "a tiny fit frame should inline as JSON under Auto")
+    val big = spark.range(200000L)
+      .select(org.apache.spark.sql.functions.col("id").as("item"),
+        (org.apache.spark.sql.functions.col("id") * 0.5).as("m1"),
+        (org.apache.spark.sql.functions.col("id") * 0.25).as("m2"))
+    assert(p.useArrowFor(big),
+      "a multi-MB fit frame must select the Arrow plane under Auto")
+  }
+
+  test("Auto data plane drives the Python worker through Arrow by default") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    val havePyarrow = try {
+      new ProcessBuilder("python3", "-c", "import pyarrow").start().waitFor() == 0
+    } catch { case _: Throwable => false }
+    assume(havePyarrow, "pyarrow not importable")
+    // default-constructed provider: no plane opt-in anywhere
+    val p = new ProcessProvider(pythonWorker().get, name = "py_auto")
+    // big enough that Auto must pick Arrow — i.e. NO full-input driver
+    // collect happens in this fit
+    val big = spark.range(0L, 60000L)
+      .select((org.apache.spark.sql.functions.col("id") % 100).as("item"),
+        org.apache.spark.sql.functions.col("id").as("ts"),
+        (org.apache.spark.sql.functions.col("id") % 1000 * 0.1).as("m1"),
+        (org.apache.spark.sql.functions.col("id") % 77 * 1.0).as("m2"))
+    assert(p.useArrowFor(big), "fit input sized to force the Arrow plane")
+    val out = p.fit(big, schema).generate(spark, 2, 3)
+      .orderBy("seq_id", "step").collect()
+    assert(out.length == 6)
+    assert(out.head.schema.fieldNames.toSeq == Seq("seq_id", "step", "m1", "m2"))
   }
 
   test("Python worker error path surfaces through the provider") {
