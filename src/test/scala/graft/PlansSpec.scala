@@ -50,6 +50,44 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["))
   }
 
+  test("TopKPerGroup fuses into WholeStageCodegen on both sides of the exchange") {
+    // '*(n) TopKPerGroup' in the tree string = the phase is inside a
+    // codegen span: the child pipeline feeds the heaps without the
+    // iterator bridge, the hottest path of every ANN tail. Partial fuses
+    // with the scan pipeline (stage 1), final with the post-shuffle
+    // pipeline (stage 2).
+    val df = TopK.perGroup(sample, Seq("grp"), Seq(col("score").desc, col("id")), 3)
+    df.collect() // under AQE the codegen collapse happens per materialized stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) TopKPerGroup".r.findAllIn(plan).size == 2,
+      s"a TopKPerGroup phase fell out of whole-stage codegen:\n$plan")
+  }
+
+  test("TopKPerGroup codegen and iterator paths are row-identical (fallback off)") {
+    // with spark.sql.codegen.fallback=false a generated-code defect FAILS
+    // instead of silently reverting to doExecute — so this equality is
+    // between the real codegen path and the forced iterator path
+    val conf = spark.conf
+    val oldWhole = conf.get("spark.sql.codegen.wholeStage")
+    val oldFallback = conf.get("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      conf.set("spark.sql.codegen.wholeStage", "true")
+      val gen = TopK.perGroupRanked(sample, Seq("grp"),
+        Seq(col("score").desc, col("id")), 5, "rank")
+        .as[(String, Long, Double, Int)].collect().toSet
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val iter = TopK.perGroupRanked(sample, Seq("grp"),
+        Seq(col("score").desc, col("id")), 5, "rank")
+        .as[(String, Long, Double, Int)].collect().toSet
+      assert(gen == iter)
+      assert(gen.size == 100) // 20 groups x 5, ranks included
+    } finally {
+      conf.set("spark.sql.codegen.wholeStage", oldWhole)
+      conf.set("spark.sql.codegen.fallback", oldFallback)
+    }
+  }
+
   test("TopKPerGroup matches the window form with null groups and null sort values") {
     val df = Seq(
       (Some("a"), 1L, Some(5.0)), (Some("a"), 2L, None),
