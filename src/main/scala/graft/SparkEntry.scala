@@ -422,6 +422,19 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact-distinct portable twin of [[a14Approx]]: identical grouping,
+    * the exact `count(distinct)` only — pins the query shape with a DuckDB
+    * oracle the way every other no-oracle row is twinned (the HLL
+    * estimates themselves are engine-specific by nature and stay
+    * rows-only in a14; its spec asserts ≤5% sketch error vs this exact
+    * count). Same plan family at scale: distinct-count expands to a
+    * two-phase partial/final aggregate on the group key. */
+  private def a14DistinctExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** INTERSECT / EXCEPT set operations (§2.7 note: free from Catalyst). */
   private def u3SetOps(s: SparkSession, dir: String): DataFrame = {
     val o = T(s, dir, "orders")
@@ -1411,6 +1424,7 @@ object SparkEntry {
     "u3_setops" -> (u3SetOps _),
     "p9_pivot" -> (p9Pivot _),
     "a14_approx_distinct" -> (a14Approx _),
+    "a14_distinct_exact" -> (a14DistinctExact _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1991,6 +2005,10 @@ object SparkEntry {
         | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "a14_distinct_exact" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "u3_setops" ->
       """WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1995),
         |c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate)=1996),
