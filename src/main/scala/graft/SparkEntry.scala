@@ -859,6 +859,36 @@ object SparkEntry {
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
 
+  /** PII-redaction gate over the corpus: the synthetic documents carry no
+    * PII, so the query SEEDS deterministic patterns derived from doc_id
+    * (email, phone, national id, IPv4) into each text — identically in the
+    * DuckDB oracle — then runs [[graft.ext.Redaction.redact]] and audits
+    * the result per language: rule-match counts, redacted length sum, and
+    * min/max md5 of the redacted text (the md5 pair pins the rewritten
+    * CONTENT, not just counts). The gate itself is map-only chained
+    * regexp kernels — no shuffle touches the corpus; only the tiny
+    * per-lang audit aggregate exchanges. */
+  private def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val pid = lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")
+    val seeded = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-202-555-"),
+        pid, lit(" ref 123-45-"), pid, lit(" from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")).as("text"))
+    ext.Redaction.redact(seeded, "text")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_phone")).as("phones"),
+        sum(col("n_id")).as("ids"),
+        sum(col("n_ipv4")).as("ips"),
+        sum(length(col("redacted"))).as("redacted_chars"),
+        min(md5(col("redacted").cast("binary"))).as("min_md5"),
+        max(md5(col("redacted").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang"))
+  }
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1449,6 +1479,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
+    "text_redact" -> (textRedact _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -2243,6 +2274,37 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
         |  round(min(q), 6) AS min_score
         |FROM f, t WHERE q >= thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_redact" ->
+      """WITH seeded AS (SELECT doc_id, lang,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-202-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' ref 123-45-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+        |  FROM documents),
+        |red AS (SELECT lang,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+\d{1,2}-\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\+\d{1,2}-\d{3}-\d{3}-\d{4}')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_id,
+        |  len(regexp_extract_all(text,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+        |  FROM seeded)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_email) AS BIGINT) AS emails,
+        |  CAST(sum(n_phone) AS BIGINT) AS phones,
+        |  CAST(sum(n_id) AS BIGINT) AS ids,
+        |  CAST(sum(n_ipv4) AS BIGINT) AS ips,
+        |  CAST(sum(length(redacted)) AS BIGINT) AS redacted_chars,
+        |  min(md5(redacted)) AS min_md5,
+        |  max(md5(redacted)) AS max_md5
+        |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_vocab" ->
       """SELECT CAST(r AS INT) AS rank, token, n FROM (
         |  SELECT token, count(*) AS n,
