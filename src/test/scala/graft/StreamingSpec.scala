@@ -180,6 +180,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming contamination gate == batch contaminationScore on a shared fixture") {
+    // the gate folds the benchmark gram set into a map-only kernel, so the
+    // streaming plan needs no aggregation state and no watermark — and its
+    // output must be VALUE-IDENTICAL to the batch explode+broadcast-join
+    // operator, rounding included
+    val dir = Files.createTempDirectory("graft-stream-contam").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs today"),
+      (2L, "the quick brown fox naps now"), // partial benchmark overlap
+      (3L, "unrelated words entirely here no overlap at all"),
+      (4L, "too short")) // < n words: no gram, must emit NO row
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps"),
+      (101L, "five dozen liquor jugs"))
+      .toDF("bench_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val batch = graft.ext.Dedup
+      .contaminationScore(docs, benchmark, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // sanity: the fixture exercises full, partial, and zero contamination,
+    // and the too-short doc is absent
+    assert(batch.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(batch(3)._3 == 0L && batch(0)._3 > 0L)
+
+    // same fixture through the gate on a BATCH frame first (shape parity)
+    val gateBatch = graft.streaming.ContaminationGate(
+        docs, benchmark, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(gateBatch == batch)
+
+    // and through a real stream: parquet source -> append memory sink
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val gated = graft.streaming.ContaminationGate(
+      stream, benchmark, "doc_id", "text", n = 3)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_contam").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, n_grams, n_contaminated, contamination " +
+          "FROM graft_stream_contam ORDER BY 1")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("text-curation kernels run unchanged on a stream, matching batch") {
     // the text filters (repetition stats, quality features, fingerprints)
     // are map-only kernel expressions — stateless, watermark-free, valid
