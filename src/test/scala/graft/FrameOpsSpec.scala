@@ -125,6 +125,64 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(full == (1L to 30L).map(i => (i, 1L)))
   }
 
+  test("duplicateClusters(star) == min-label on pair chains") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, algorithm = "star")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("duplicateClusters(star): 30-node path converges INSIDE the default " +
+      "budget where min-label cannot") {
+    // the exact fixture that exposes min-label's O(diameter) bound: the
+    // min label needs 29 hops, past the default 20 rounds. Star
+    // contraction halves long chains every alternation (O(log²) rounds),
+    // so the same default budget converges EXACTLY — this is the mega-
+    // cluster/long-chain posture the opt-in exists for.
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, algorithm = "star")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 30L).map(i => (i, 1L)))
+  }
+
+  test("duplicateClusters(star) == min-label on randomized graphs") {
+    val rnd = new scala.util.Random(91)
+    (0 until 3).foreach { trial =>
+      val n = 120
+      val edges = (0 until 150).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = Dedup.duplicateClusters(pairs, algorithm = "star")
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val minl = Dedup.duplicateClusters(pairs, maxIter = 200)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(star == minl, s"trial $trial diverged")
+    }
+  }
+
+  test("star == min-label on the dedup_clusters query's real pair set") {
+    // the exact pair list the oracle-checked dedup_clusters query
+    // clusters (portable MinHash pairs over the sf0.001 corpus subset)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") % 4 === 0)
+    val pairs = Dedup.minHashNearDuplicatesPortable(docs, "doc_id", "text")
+    val star = Dedup.duplicateClusters(pairs, algorithm = "star")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val minl = Dedup.duplicateClusters(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(star == minl)
+    assert(star.nonEmpty)
+  }
+
+  test("duplicateClusters rejects an unknown algorithm") {
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.duplicateClusters(pairs, algorithm = "labelprop"))
+    assert(e.getMessage.contains("minlabel"))
+  }
+
   test("fingerprint128: equal text ⇒ equal struct, distinct halves independent") {
     val df = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta"), (4L, "ALPHA"))
       .toDF("id", "t")
