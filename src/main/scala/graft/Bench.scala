@@ -65,28 +65,35 @@ object Bench {
     // eager-construction queries (duplicateClusters) return a frame backed
     // by checkpoint blocks the CALLER owns; without cleanup, 1+reps runs
     // accumulate persisted label RDDs reclaimed only by GC (advisor
-    // finding). Reclaim any persistent RDD a rep created, outside the
-    // timed region.
-    def reclaimingRdds[A](name: String)(body: => A): A =
-      if (!SparkEntry.eagerConstruction(name)) body
+    // finding). The body runs INSIDE the caller's timing window, so only
+    // TRACK the new persistent RDDs here — the caller unpersists them via
+    // the returned thunk AFTER capturing the time (advisor round-4: the
+    // old in-scope unpersist ran inside both nanoTime windows).
+    def trackingRdds[A](name: String)(body: => A): (A, () => Unit) =
+      if (!SparkEntry.eagerConstruction(name)) (body, () => ())
       else {
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
         val r = body
-        sc.getPersistentRDDs.foreach { case (id, rdd) =>
-          if (!before(id)) rdd.unpersist(blocking = false)
-        }
-        r
+        val fresh = sc.getPersistentRDDs.collect {
+          case (id, rdd) if !before(id) => rdd
+        }.toSeq
+        (r, () => fresh.foreach(_.unpersist(blocking = false)))
       }
     val results = selected.map { case (name, fn) =>
       val tCold0 = System.nanoTime()
-      val coldOk = try { reclaimingRdds(name) { fn(spark, sfDir).count() }; true }
-      catch {
+      var coldReclaim: () => Unit = () => ()
+      val coldOk = try {
+        val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
+        coldReclaim = rec
+        true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed cold: ${e.getMessage}")
           false
       }
       val cold = if (coldOk) (System.nanoTime() - tCold0) / 1e9 else -1.0
+      coldReclaim() // outside the timed window
       // the once-planned count plan the warm reps clone-and-execute (count
       // mirrors the old methodology: EliminateSorts drops final orderBys
       // in both postures, so cold and warm stay comparable). Queries whose
@@ -99,7 +106,12 @@ object Bench {
       // measured 17.3 s → 5.3 s of fake speedup. Under AQE each rep
       // rebuilds the query instead (construction included; the honest
       // posture for adaptive plans).
-      val aqeOn = sys.env.get("SPARK_GRAFT_AQE").contains("true")
+      // read the SESSION's parsed conf, not the raw env var: Spark's
+      // boolean conf parse is case-insensitive, so SPARK_GRAFT_AQE=TRUE
+      // enables AQE — a case-sensitive env recheck would then wrongly take
+      // the clone-based warm path whose materialized-stage reuse fakes
+      // speedups under AQE (advisor round-4)
+      val aqeOn = spark.conf.get("spark.sql.adaptive.enabled").toBoolean
       val planned = if (coldOk && !coldHeadline && !aqeOn &&
           !SparkEntry.eagerConstruction(name)) {
         try Some(fn(spark, sfDir).groupBy().count().queryExecution.executedPlan)
@@ -112,10 +124,13 @@ object Bench {
       System.gc()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
+        var reclaim: () => Unit = () => ()
         val ok = try {
           planned match {
             case Some(p) => p.clone().execute().count()
-            case None => reclaimingRdds(name) { fn(spark, sfDir).count() }
+            case None =>
+              val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
+              reclaim = rec
           }
           true
         } catch {
@@ -124,7 +139,9 @@ object Bench {
             false
         }
         // failures are reported as -1, never as a plausible timing
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        reclaim() // outside the timed window
+        t
       }
       val median =
         if (times.contains(-1.0)) -1.0

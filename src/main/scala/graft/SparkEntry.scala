@@ -518,10 +518,16 @@ object SparkEntry {
     * recursive-CTE reachability closure over the identical pair set, so
     * the iterative operator is value-checked end-to-end. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    // generous explicit maxIter (advisor round-4): the oracle computes the
+    // FULL recursive-CTE closure, so query/oracle agreement must hold by
+    // construction, not by the data never growing a >20-hop component at
+    // some pinned SF. Converged rounds exit early — the budget costs
+    // nothing on the observed ≤3-round pair sets.
     Dedup.duplicateClusters(
         Dedup.minHashNearDuplicatesPortable(
           T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
-          "doc_id", "text"))
+          "doc_id", "text"),
+        maxIter = 200)
       .orderBy(col("id"))
 
   /** End-to-end near-dup dedup — the step the whole pair/cluster family
@@ -532,8 +538,11 @@ object SparkEntry {
     * pairs + recursive-CTE closure + the same anti-join. */
   private def dedupEndToEnd(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+    // explicit generous maxIter — same by-construction oracle-agreement
+    // rationale as dedupClusters above
     val clusters = Dedup.duplicateClusters(
-      Dedup.minHashNearDuplicatesPortable(docs, "doc_id", "text"))
+      Dedup.minHashNearDuplicatesPortable(docs, "doc_id", "text"),
+      maxIter = 200)
     val drops = clusters.filter(col("id") =!= col("cluster_id")).select(col("id"))
     docs.join(drops, docs("doc_id") === drops("id"), "left_anti")
       .groupBy(col("lang"))

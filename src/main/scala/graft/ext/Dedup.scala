@@ -26,7 +26,17 @@ object Dedup {
     * bound) — a collision silently MERGES two distinct documents, which at
     * the 100 TB design point is a correctness bug, not noise; two
     * independent 64-bit hashes push the odds to ~10⁻²¹. Still a pure map:
-    * document text never shuffles when grouping on the fingerprint. */
+    * document text never shuffles when grouping on the fingerprint.
+    *
+    * NON-ADVERSARIAL assumption (advisor round-4): the collision bounds
+    * hold in the random-oracle model, and the two halves are chained
+    * xxhash64 evaluations (the second merely salted), not cryptographic
+    * hashes — a hostile author CAN craft colliding documents and get a
+    * distinct document silently dropped as a "duplicate". For corpora
+    * where contributors are untrusted and dropping a targeted document is
+    * a meaningful attack, key the dedup on a cryptographic digest instead
+    * (e.g. `sha2(col, 256)` truncated to 128 bits: same struct shape,
+    * same shuffle posture, ~2-3x the hash cost). */
   def fingerprint128(c: Column): Column =
     struct(xxhash64(c).as("f1"), xxhash64(lit(FingerprintSeed2), c).as("f2"))
 

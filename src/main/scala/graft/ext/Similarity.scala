@@ -214,6 +214,18 @@ object Similarity {
 
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     (1 to lloydIters).foreach { _ =>
+      // DETERMINISM CAVEAT (advisor round-4): the distributed avg's double
+      // accumulation order depends on partial-aggregate merge order, so
+      // the update is reproducible only up to ulps across runs/engines.
+      // The float cast below absorbs that variance in practice — every
+      // observed run and the sim_ivf_portable oracle (which recomputes
+      // this update in DuckDB) are value-exact at 3 SFs — but it is NOT a
+      // guarantee: a mean landing within an ulp of a float-rounding
+      // boundary, or a resulting near-tie in a cell assignment, could
+      // flip a cell and surface as a one-off oracle flake. If that flake
+      // is ever observed, the fix is a deterministic per-cell tree sum
+      // (sort by id, fixed-shape reduction) on BOTH engines — diagnosis
+      // first lands here.
       val dimAvgs = (0 until dim).map(i =>
         avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
       val updated = vecs.withColumn("__cell", cellOf(col("__v")))
