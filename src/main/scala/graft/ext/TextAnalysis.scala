@@ -102,6 +102,60 @@ object TextAnalysis {
       ScalarSubquery(thr.queryExecution.analyzed)))
   }
 
+  /** [[pruneBottomQuantile]] that returns the SURVIVING ROWS with all
+    * original columns — the text included — plus `quality_score`. Two
+    * deliberate scale strategies for carrying the heavy columns through:
+    *
+    *  - `"rescore"` (default): the threshold comes from one narrow
+    *    scoring pass (a scalar subquery, as in [[pruneBottomQuantile]]);
+    *    a SECOND map-only pass then re-scores the corpus and filters in
+    *    place. The text is scanned twice but NEVER shuffles — at 100 TB,
+    *    re-running a per-row kernel is usually far cheaper than a
+    *    corpus-wide exchange. (Distinct from the round-4 defect in the
+    *    metadata-only query, where the second scoring pass bought
+    *    nothing: here it is the price of keeping the text shuffle-free,
+    *    paid knowingly.)
+    *  - `"join"`: score ONCE into a narrow (id, score) checkpoint,
+    *    filter it, and join the survivors back to the corpus by `idCol`
+    *    — one scoring pass total, but both sides exchange on the id.
+    *    Right when scoring dominates the scan (expensive kernels,
+    *    short rows) or the corpus is already bucketed by `idCol` (the
+    *    corpus-side exchange is then free).
+    *
+    * Identical row sets either way (spec'd). `idCol` must be unique per
+    * row (the join strategy attaches the score by it).
+    */
+  def pruneBottomQuantileKeep(
+      df: DataFrame, textCol: String, quantile: Double, idCol: String,
+      strategy: String = "rescore"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    def thresholdOver(scored: DataFrame): Column = GraftColumnBridge.column(
+      ScalarSubquery(scored
+        .agg(expr(s"percentile(quality_score, ${quantile}D)").as("__thr"))
+        .queryExecution.analyzed))
+    strategy match {
+      case "rescore" =>
+        val narrow = qualityFeatures(df, textCol).select(col("quality_score"))
+        val helper = Seq("n_chars_q", "n_words", "n_punct", "n_stop", "stop_ratio")
+        qualityFeatures(df, textCol)
+          .filter(col("quality_score") >= thresholdOver(narrow))
+          .drop(helper: _*)
+      case "join" =>
+        val scored = qualityFeatures(df, textCol)
+          .select(col(idCol), col("quality_score"))
+          .localCheckpoint(eager = false)
+        val survivors = scored
+          .filter(col("quality_score") >= thresholdOver(scored))
+        df.join(survivors, Seq(idCol))
+          // same column order as the rescore strategy (join moves the
+          // using-column first)
+          .select(df.columns.map(col) :+ col("quality_score"): _*)
+      case other => throw new IllegalArgumentException(
+        s"pruneBottomQuantileKeep strategy must be 'rescore' or 'join', got '$other'")
+    }
+  }
+
   /** Marker-token language scores: per language, the count of
     * high-frequency marker tokens present. `langId` picks the argmax with a
     * deterministic alphabetical tie-break (n-gram-free heuristic language

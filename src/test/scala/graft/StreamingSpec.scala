@@ -233,6 +233,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("PII redaction runs unchanged on a stream, matching batch") {
+    // Redaction is chained map-only regex expressions — stateless and
+    // watermark-free, so the SAME gate code serves batch curation and a
+    // streaming ingest path; this pins that contract like the other
+    // text-curation kernels below
+    val dir = Files.createTempDirectory("graft-stream-redact").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (1L, "write jane@corp.example.org or call +1-202-555-0142"),
+      (2L, "ssn 123-45-6789 from host 10.0.0.7"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batch = graft.ext.Redaction.redact(docs, "text")
+      .select("doc_id", "redacted", "n_email", "n_phone", "n_id", "n_ipv4")
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int, Int)].collect().toSeq
+    assert(batch(0)._2 == "write <EMAIL> or call <PHONE>")
+    assert(batch(1)._2 == "ssn <ID> from host <IP>")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val gated = graft.ext.Redaction.redact(stream, "text")
+      .select("doc_id", "redacted", "n_email", "n_phone", "n_id", "n_ipv4")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_redact").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_stream_redact ORDER BY 1")
+        .as[(Long, String, Int, Int, Int, Int)].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("text-curation kernels run unchanged on a stream, matching batch") {
     // the text filters (repetition stats, quality features, fingerprints)
     // are map-only kernel expressions — stateless, watermark-free, valid
