@@ -3,8 +3,9 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Redaction, Similarity, TextAnalysis}
 import graft.ops.Sampling
+import graft.streaming.ContaminationGate
 
 /** End-to-end LLM training-data curation pipeline over the `documents` +
   * `embeddings` tables — the north-star composition: every stage is one of
@@ -18,8 +19,13 @@ import graft.ops.Sampling
   *  3. MinHash-LSH near-dup clustering, keep one representative per
   *     cluster (banded candidate join, never O(n²))
   *  4. embedding-cosine near-dup sweep over the survivors' vectors
-  *  5. deterministic hash sample for the eval split (map-only filter)
-  *  6. token accounting for the final corpus, keyed by the PREDICTED
+  *  5. benchmark decontamination (optional): the eval suite's gram set
+  *     folds into a map-only kernel constant — docs that leak benchmark
+  *     content are quarantined; the corpus never shuffles
+  *  6. PII redaction (map-only): placeholders replace raw emails/phones/
+  *     ids/IPs BEFORE the corpus is written anywhere
+  *  7. deterministic hash sample for the eval split (map-only filter)
+  *  8. token accounting for the final corpus, keyed by the PREDICTED
   *     language from stage 1
   *
   * Run: `runMain graft.examples.DataPipeline [sfDir]`.
@@ -28,10 +34,13 @@ import graft.ops.Sampling
 object DataPipeline {
 
   /** The pipeline as a pure DataFrame transform (testable without a main).
-    * Returns (curated corpus, eval split, per-language token stats). */
+    * Returns (curated corpus, eval split, per-language token stats).
+    * @param benchmark eval-suite documents to decontaminate against
+    *                  (None skips stage 5) */
   def curate(
       docs: DataFrame,
-      embeddings: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      embeddings: DataFrame,
+      benchmark: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     // 1. language ID + quality gates — pure map stages, no shuffle
     val scored = TextAnalysis.qualityFeatures(
       TextAnalysis.langId(docs, "text", "predicted_lang"), "text")
@@ -58,13 +67,30 @@ object DataPipeline {
     val vecLosers = Similarity.embeddingNearDuplicates(
         vecs, "vec_id", "embedding", "label", 0.995)
       .select(col("id_b").as("doc_id")).distinct()
-    val curated = nearDeduped.join(vecLosers, Seq("doc_id"), "left_anti")
+    val swept = nearDeduped.join(vecLosers, Seq("doc_id"), "left_anti")
 
-    // 5. deterministic 10% eval split — partition-independent, so the
+    // 5. benchmark decontamination: a doc leaking >= half its grams from
+    //    the eval suite is quarantined. Map-only (CountInLongSet kernel);
+    //    exact benchmark members score 1.0 and are dropped with their
+    //    near-copies
+    val decontaminated = benchmark match {
+      case Some(bench) => ContaminationGate.withScore(swept, bench, "text")
+        .filter(col("contamination") < 0.5)
+        .drop("n_grams", "n_contaminated", "contamination")
+      case None => swept
+    }
+
+    // 6. PII redaction: typed placeholders replace raw PII in the corpus
+    //    text itself (audit counts are available via counts = true if a
+    //    curation dashboard needs them)
+    val curated = Redaction.redact(decontaminated, "text", counts = false)
+      .drop("text").withColumnRenamed("redacted", "text")
+
+    // 7. deterministic 10% eval split — partition-independent, so the
     //    split is reproducible on any cluster layout
     val eval = Sampling.hashSample(curated, col("doc_id"), 10)
 
-    // 6. token accounting on the final corpus, keyed by the stage-1
+    // 8. token accounting on the final corpus, keyed by the stage-1
     //    predicted language (the ground-truth label doesn't exist at scale)
     val tokens = curated
       .select(col("predicted_lang"), TextAnalysis.tokenCount(col("text")).as("n"))
@@ -86,7 +112,10 @@ object DataPipeline {
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
     val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
-    val (curated, eval, tokens) = curate(docs, emb)
+    // stand-in eval suite: a fixed corpus slice, so the decontamination
+    // stage demonstrably quarantines its members and near-copies
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val (curated, eval, tokens) = curate(docs, emb, Some(bench))
     val nIn = docs.count(); val nOut = curated.count(); val nEval = eval.count()
     println(s"curated $nIn -> $nOut docs (eval split: $nEval)")
     tokens.orderBy("predicted_lang").show(truncate = false)

@@ -29,12 +29,16 @@ import graft.ext.Dedup
   */
 object ContaminationGate {
 
-  /** Builds the gate against `benchmark` and applies it to `docs` (batch
-    * or streaming). `docs` must carry `idCol` and `textCol`. */
-  def apply(
+  /** Appends `n_grams` / `n_contaminated` / `contamination` to `docs`
+    * (ALL original columns kept) — the composable form for pipelines that
+    * gate in place, e.g.
+    * `withScore(corpus, bench, "text").filter(col("contamination") < 0.5)`.
+    * Documents with no n-gram score `contamination = 0.0` here (nothing
+    * can leak from them, and a gate must keep them); [[apply]] instead
+    * omits them entirely, matching the batch operator's contract. */
+  def withScore(
       docs: DataFrame,
       benchmark: DataFrame,
-      idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
@@ -46,17 +50,34 @@ object ContaminationGate {
     val benchHashes: Array[Long] = benchmark
       .select(explode(gramHashes(col(textCol))).as("__g"))
       .distinct().collect().map(_.getLong(0))
-    val contaminated: Column =
+    def contaminated(gs: Column): Column =
       if (benchHashes.isEmpty) lit(0L) // nothing can leak into an empty set
       else GraftColumnBridge.column(graft.functions.CountInLongSet(
-        GraftColumnBridge.expression(col("__gs")), benchHashes)).cast("long")
+        GraftColumnBridge.expression(gs), benchHashes)).cast("long")
     docs
-      .select(col(idCol), gramHashes(col(textCol)).as("__gs"))
-      .filter(size(col("__gs")) > 0)
-      .select(col(idCol),
-        size(col("__gs")).cast("long").as("n_grams"),
-        contaminated.as("n_contaminated"))
+      .withColumn("__gs", gramHashes(col(textCol)))
+      .withColumn("n_grams", size(col("__gs")).cast("long"))
+      .withColumn("n_contaminated", contaminated(col("__gs")))
       .withColumn("contamination",
-        round(col("n_contaminated") / col("n_grams"), 6))
+        when(col("n_grams") > 0,
+          round(col("n_contaminated") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+      .drop("__gs")
   }
+
+  /** Builds the gate against `benchmark` and applies it to `docs` (batch
+    * or streaming), returning the narrow score frame
+    * (idCol, n_grams, n_contaminated, contamination) — value-identical
+    * to [[graft.ext.Dedup.contaminationScore]]: documents too short to
+    * have any n-gram emit no row. */
+  def apply(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame =
+    withScore(docs.select(col(idCol), col(textCol)), benchmark, textCol, n)
+      .filter(col("n_grams") > 0)
+      .select(col(idCol), col("n_grams"), col("n_contaminated"),
+        col("contamination"))
 }

@@ -31,4 +31,24 @@ class ExamplesSpec extends AnyFunSuite {
     assert(curated.select("doc_id").except(curated2.select("doc_id")).count() == 0)
     assert(curated2.select("doc_id").except(curated.select("doc_id")).count() == 0)
   }
+
+  test("decontamination quarantines benchmark members; redaction scrubs PII") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // seed a per-doc email into every text so the redaction stage has
+    // real work on this corpus
+    val docs = raw.withColumn("text",
+      concat(col("text"), lit(" reach user"), col("doc_id"), lit("@example.com")))
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+    val (curated, _, _) = DataPipeline.curate(docs, emb, Some(bench))
+    // every exact benchmark member leaked 100% of its grams -> quarantined
+    assert(curated.filter(col("doc_id") % 41 === 0).count() == 0)
+    // no raw PII survives in the corpus text; placeholders do
+    assert(curated.filter(col("text").contains("@example.com")).count() == 0)
+    assert(curated.filter(col("text").contains("<EMAIL>")).count() > 0)
+    // the gates still left a usable corpus behind
+    assert(curated.count() > 0)
+  }
 }
