@@ -99,6 +99,34 @@ object ScaleSmoke {
     timed("paragraph dedup 50k docs") {
       graft.ext.Dedup.dropRepeatedParagraphs(bigDocs, "doc_id", "text").count()
     }
+    timed("quality prune 50k docs") {
+      // one-pass shape: score once into the checkpointed narrow frame,
+      // threshold subquery, filter — the count forces the whole chain
+      graft.ext.TextAnalysis.pruneBottomQuantile(
+        bigDocs, "text", 0.25, Seq("doc_id", "lang")).count()
+    }
+    timed("PII redaction 50k docs") {
+      // aggregate OVER the redacted text: a bare count would let column
+      // pruning drop the regex work entirely
+      graft.ext.Redaction.redact(bigDocs, "text")
+        .agg(sum(length(col("redacted"))).cast("long").as("c"))
+        .head().getLong(0)
+    }
+    timed("contamination gate 50k docs") {
+      // ~500-doc stand-in benchmark; sum over the kernel column so the
+      // membership probe is not pruned away
+      graft.streaming.ContaminationGate(
+          bigDocs, bigDocs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
+        .agg(coalesce(sum(col("n_contaminated")), lit(0L)).as("c"))
+        .head().getLong(0)
+    }
+    timed("star clusters 100x100 chains") {
+      // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
+      // the star contraction exists for (min-label would need 99 rounds)
+      val chain = spark.range(10000L).filter(col("id") % 100 =!= 99)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.ext.Dedup.duplicateClusters(chain, algorithm = "star").count()
+    }
     spark.stop()
   }
 }
