@@ -868,6 +868,20 @@ object SparkEntry {
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
 
+  /** Token-budget mixture sampling ("data mixing"): keep, per language,
+    * the md5-priority-ordered prefix of documents whose running token sum
+    * fits half the language's token total. The bucketed plan
+    * ([[TextAnalysis.mixtureByTokenBudget]]) never sorts a whole group:
+    * bucket sums classify buckets against the budget and only the one
+    * straddling bucket per group pays an exact window. The oracle replays
+    * the equivalent global cumulative window. Non-memoizable: the
+    * checkpointed narrow frame must be rebuilt per bench rep. */
+  private def textMixture(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureByTokenBudget(
+        T(s, dir, "documents"), "doc_id", "lang", "text",
+        budgetFraction = 0.5, seed = "42", numBuckets = 64)
+      .orderBy(col("doc_id"))
+
   /** PII-redaction gate over the corpus: the synthetic documents carry no
     * PII, so the query SEEDS deterministic patterns derived from doc_id
     * (email, phone, national id, IPv4) into each text — identically in the
@@ -1411,7 +1425,7 @@ object SparkEntry {
     * persists. */
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
-      "sim_ivf_portable", "text_quality_prune")
+      "sim_ivf_portable", "text_quality_prune", "text_mixture")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1489,6 +1503,7 @@ object SparkEntry {
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
     "text_redact" -> (textRedact _),
+    "text_mixture" -> (textMixture _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -2314,6 +2329,19 @@ object SparkEntry {
         |  min(md5(redacted)) AS min_md5,
         |  max(md5(redacted)) AS max_md5
         |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_mixture" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  len(string_split_regex(text, '\s+')) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri
+        |  FROM documents),
+        |budg AS (SELECT lang, CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget
+        |  FROM toks GROUP BY lang),
+        |cum AS (SELECT t.doc_id, t.lang, t.n_tok, b.budget,
+        |  sum(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.pri, t.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks t JOIN budg b USING (lang))
+        |SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok FROM cum
+        |WHERE c <= budget ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT CAST(r AS INT) AS rank, token, n FROM (
         |  SELECT token, count(*) AS n,

@@ -156,6 +156,107 @@ object TextAnalysis {
     }
   }
 
+  /** Token-budget mixture sampling ("data mixing"): per group (language,
+    * domain, source), keep the deterministic hash-priority-ordered prefix
+    * of documents whose cumulative token count fits the group's budget —
+    * the standard way a training run samples each corpus slice to a target
+    * token share. Semantics: order each group by
+    * `(md5(id:seed), id)` and keep every doc whose running token sum is
+    * `<= budget`; deterministic, seed-switchable, and portable (md5 hex
+    * order is engine-independent).
+    *
+    * The naive plan is a cumulative-sum window partitioned by `groupCol`
+    * alone — a single window partition holding ALL of a dominant group
+    * (English at 100 TB), which no executor can sort. Here the window
+    * never sees the full group:
+    *
+    *  1. one narrow scan computes (id, group, n_tok, priority, bucket)
+    *     where `bucket` is a monotone function of the priority's leading
+    *     20 bits — lazily `localCheckpoint`ed, ids and counts only, the
+    *     text never shuffles and is tokenized exactly once;
+    *  2. per-(group, bucket) token sums aggregate map-side into at most
+    *     `numBuckets` rows per group; a bucket-level running sum over that
+    *     TINY frame classifies each bucket: fully inside the budget,
+    *     straddling it, or past it;
+    *  3. fully-inside buckets keep all docs via a broadcast join — no
+    *     sort, no shuffle of the corpus; only the ONE straddling bucket
+    *     per group (≈ group/`numBuckets` docs) pays an exact within-bucket
+    *     cumulative window, offset by the preceding buckets' total.
+    *
+    * Identical row set to the naive window (spec'd, including
+    * `numBuckets = 1`, which degenerates to the naive form). Size
+    * `numBuckets` so group/`numBuckets` fits one executor's sort memory;
+    * the 20-bit prefix supports up to ~1M buckets.
+    *
+    * Returns the surviving (id, group, n_tok) rows. Budgets are
+    * `floor(budgetFraction × the group's total tokens)` — derived from
+    * the same checkpointed narrow frame, no second text scan.
+    */
+  def mixtureByTokenBudget(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      budgetFraction: Double, seed: String = "42",
+      numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets >= 1 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val pri = md5(concat(col(idCol).cast("string"), lit(":" + seed))
+      .cast("binary"))
+    // leading 5 hex chars = 20 bits; (v * numBuckets) / 2^20 is a monotone
+    // map, so bucket order agrees with full-priority lexicographic order
+    // (exact in double: v * numBuckets < 2^40 << 2^53)
+    val narrow = df
+      .select(col(idCol), col(groupCol),
+        tokenCount(col(textCol)).as("n_tok"), pri.as("__pri"))
+      .withColumn("__bucket",
+        floor(conv(substring(col("__pri"), 1, 5), 16, 10).cast("long")
+          * numBuckets / pow(lit(2), lit(20))).cast("int"))
+      .localCheckpoint(eager = false) // materialized by the first consumer
+    mixtureCore(narrow, idCol, groupCol, budgetFraction)
+  }
+
+  /** [[mixtureByTokenBudget]] selection core over the narrow scored frame.
+    * The narrow frame is read exactly twice: once into the bucket
+    * aggregate, once for the final document join. */
+  private def mixtureCore(
+      narrow: DataFrame, idCol: String, groupCol: String,
+      budgetFraction: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketAgg = narrow
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(sum(col("n_tok")).as("__bsum"))
+    // ≤ numBuckets rows per group: both bucket-level windows are trivially
+    // small no matter the corpus size, share one exchange, and yield the
+    // budget WITHOUT a separate per-group aggregate — the group total is
+    // the full-frame window sum over the same rows
+    val wb = Window.partitionBy(groupCol).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val status = bucketAgg
+      .withColumn("__cum", sum(col("__bsum")).over(wb))
+      .withColumn("__budget",
+        floor(sum(col("__bsum")).over(wt) * budgetFraction).cast("long"))
+      .withColumn("__offset", col("__cum") - col("__bsum"))
+      // keeps every fully-inside bucket plus the one straddling bucket;
+      // buckets wholly past the budget never rejoin the corpus (every doc
+      // has n_tok >= 1, so cumsum > offset >= budget there)
+      .filter(col("__offset") < col("__budget"))
+      .withColumn("__full", col("__cum") <= col("__budget"))
+      .select(col(groupCol), col("__bucket"), col("__full"),
+        col("__offset"), col("__budget"))
+    val joined = narrow.join(broadcast(status), Seq(groupCol, "__bucket"))
+    val outCols = narrow.columns.filterNot(_.startsWith("__")).map(col).toSeq
+    val full = joined.filter(col("__full"))
+    // exact refinement: only straddling-bucket docs (≈ group/numBuckets)
+    // pay a sort; their global running sum = bucket offset + local cumsum
+    val wd = Window.partitionBy(groupCol, "__bucket")
+      .orderBy(col("__pri"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val partial = joined.filter(!col("__full"))
+      .withColumn("__dcum", sum(col("n_tok")).over(wd) + col("__offset"))
+      .filter(col("__dcum") <= col("__budget"))
+    full.select(outCols: _*).unionByName(partial.select(outCols: _*))
+  }
+
   /** Marker-token language scores: per language, the count of
     * high-frequency marker tokens present. `langId` picks the argmax with a
     * deterministic alphabetical tie-break (n-gram-free heuristic language

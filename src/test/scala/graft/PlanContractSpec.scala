@@ -61,7 +61,12 @@ class PlanContractSpec extends AnyFunSuite {
       "j4_asof", "j7_asof_forward", "j8_asof_tolerance", "p5_dedup_first",
       "o2_head", "o5_reverse", "o6_topk_group", "o10_keyset",
       "dedup_paragraphs", "dedup_ngram_jaccard", "dedup_embedding",
-      "dedup_embedding_lsh", "w6_weekend")
+      "dedup_embedding_lsh", "w6_weekend",
+      // text_mixture's two windows are both bounded by construction —
+      // bucket-level over the per-(group,bucket) aggregate (≤ numBuckets
+      // rows per group), doc-level over only the one straddling bucket —
+      // and MixtureSpec pins both shapes against regression
+      "text_mixture")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
