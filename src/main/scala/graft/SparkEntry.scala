@@ -1372,6 +1372,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** P12 — deterministic shard assignment ([[Sampling.shardByHash]]):
+    * the "global reshuffle, then write N balanced training files" step.
+    * One hash exchange + per-shard sort; the oracle replays the md5
+    * priority and per-shard row_number globally. */
+  private def p12ShardAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardByHash(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", 8)
+      .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
   /** A21 — explicit GROUPING SETS (the general form behind a13 ROLLUP /
     * a17 CUBE), via `spark.sql` over a temp view: one Expand + one
     * partial→final aggregate pair regardless of set count. */
@@ -1529,6 +1540,7 @@ object SparkEntry {
     "j7_asof_forward" -> (j7AsofForward _),
     "j8_asof_tolerance" -> (j8AsofTolerance _),
     "p11_stratified" -> (p11Stratified _),
+    "p12_shard_assign" -> (p12ShardAssign _),
     "w10_range_frame" -> (w10RangeFrame _),
     "w11_value_windows" -> (w11ValueWindows _),
     "dedup_bloom_cross" -> (dedupBloomCross _),
@@ -1745,6 +1757,16 @@ object SparkEntry {
         |  % 100 < CASE event_type WHEN 'purchase' THEN 50
         |                          WHEN 'error' THEN 2 ELSE 10 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p12_shard_assign" ->
+      """WITH a AS (SELECT doc_id, lang,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),
+        |s AS (SELECT doc_id, lang, pri,
+        |  CAST(CAST('0x' || substr(pri, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+        |  FROM a)
+        |SELECT doc_id, lang, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY pri, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "p10_sample" ->
       """SELECT event_type,
         | count(*) AS n,

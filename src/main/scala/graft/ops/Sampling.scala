@@ -40,6 +40,42 @@ object Sampling {
       GraftColumnBridge.expression(keyCol.cast("string")), 8)) % 100
   }
 
+  /** Deterministic corpus reshuffle into `nShards` balanced shards — the
+    * "global shuffle then write N training files" step of a training-data
+    * pipeline, reproducible across reruns and cluster sizes. Each row gets
+    * `shard` (uniform over md5 of `id:seed` — partition-independent,
+    * rerun-stable) and `pos`, its 1-based position in the shard's
+    * deterministic hash order.
+    *
+    * Plan shape IS the write layout: one hash exchange on `shard` plus a
+    * per-shard sort (the `row_number` window) — no global sort, no driver
+    * involvement, and the sorted shard partitions stream straight into a
+    * file writer. Per-shard data is corpus/`nShards` by uniformity: pick
+    * `nShards` so one shard fits an executor's sort memory — the same
+    * number you'd pick for output file size anyway (~1 GB shards at
+    * 100 TB means ~100k shards). A different `seed` yields an independent
+    * reshuffle (epoch reordering without rewriting the corpus).
+    */
+  def shardByHash(
+      df: DataFrame, idCol: String, nShards: Int,
+      seed: String = "42"): DataFrame = {
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    // md5 hex of id:seed — portable priority (same trick as the mixture
+    // sampler): shard from the leading 32 bits, within-shard order from
+    // the full digest with the id as tie-break
+    val withPri = df.withColumn("__pri",
+      md5(concat(col(idCol).cast("string"), lit(":" + seed)).cast("binary")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__pri"), col(idCol))
+    withPri
+      .withColumn("shard",
+        pmod(conv(substring(col("__pri"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__pri")
+  }
+
   /** Stratified sample: a different keep-percentage per stratum value
     * (e.g. downsample boilerplate-heavy sources harder than rare ones).
     * Still a pure map-side filter — the rate table compiles into a CASE

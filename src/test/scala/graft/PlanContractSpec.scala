@@ -66,7 +66,11 @@ class PlanContractSpec extends AnyFunSuite {
       // bucket-level over the per-(group,bucket) aggregate (≤ numBuckets
       // rows per group), doc-level over only the one straddling bucket —
       // and MixtureSpec pins both shapes against regression
-      "text_mixture")
+      "text_mixture",
+      // p12's window partitions by the uniform hash shard — corpus/nShards
+      // per partition by construction, and the per-shard sort IS the
+      // operator's contract (the write layout); ShardingSpec pins balance
+      "p12_shard_assign")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+/** Deterministic shard assignment (Sampling.shardByHash): position/order
+  * correctness against an independently recomputed priority, balance,
+  * partition-independence, and seed behavior. */
+class ShardingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "lang")
+
+  private def assigned = Sampling.shardByHash(docs, "doc_id", 8)
+    .select("doc_id", "shard", "pos")
+
+  test("per-shard positions are a 1..n dense sequence in hash order") {
+    val rows = assigned.as[(Long, Int, Long)].collect()
+    // recompute the priority independently and check pos == rank by
+    // (md5(id:42), id) within each shard
+    val pri = docs.select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary"))
+          .as("pri"))
+      .as[(Long, String)].collect().toMap
+    rows.groupBy(_._2).foreach { case (shard, members) =>
+      val byPos = members.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (1L to members.length).toSeq,
+        s"shard $shard positions are not dense 1..n")
+      val expectedOrder = members.map(_._1).sortBy(id => (pri(id), id)).toSeq
+      assert(byPos.map(_._1).toSeq == expectedOrder,
+        s"shard $shard positions disagree with hash order")
+    }
+  }
+
+  test("shards are balanced and cover all rows exactly once") {
+    val sizes = assigned.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.keySet == (0 until 8).toSet, s"missing shards: $sizes")
+    assert(sizes.values.sum == docs.count())
+    val (mx, mn) = (sizes.values.max, sizes.values.min)
+    assert(mx <= 2 * mn, s"shards badly unbalanced: $sizes")
+    assert(assigned.select("doc_id").distinct().count() == docs.count())
+  }
+
+  test("partition-independent and rerun-stable; a different seed reshuffles") {
+    val base = assigned.as[(Long, Int, Long)].collect().toSet
+    val repartitioned = Sampling.shardByHash(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(base == repartitioned,
+      "shard assignment changed under a different input partitioning")
+    val reseeded = Sampling.shardByHash(docs, "doc_id", 8, seed = "43")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    assert(base != reseeded,
+      "different seeds produced an identical reshuffle (astronomically unlikely)")
+  }
+
+  test("plan: one hash exchange on the shard, no global sort") {
+    val df = assigned
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"shard window lost its hash exchange:\n$plan")
+    // the only range exchange allowed is none — a global sort would mean
+    // the reshuffle stopped being per-shard
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"unexpected global sort in shard assignment:\n$plan")
+  }
+}
