@@ -32,11 +32,25 @@ object ScaleSmoke {
       docs.withColumn("doc_id", col("doc_id") + lit(k * 100000L)))
       .reduce(_ unionByName _)
 
-    def timed(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
-    }
+    // SPARK_GRAFT_SMOKE_ONLY=substr[,substr...] runs matching blocks only
+    val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+    def timed(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.toLowerCase.contains))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
+        // release the block's RDD blocks (checkpoint frames pass block
+        // ownership to the caller — that's us), then force a GC so the
+        // ContextCleaner reclaims dead shuffle state NOW: on a 48g driver
+        // heap GC almost never fires on its own, shuffle metadata from
+        // the heavy blocks piles up, and the iterative late blocks
+        // measured 4-10x slow (spark.cleaner.periodicGC defaults to
+        // 30 min for exactly this; between-block GC is its smoke analog)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
     timed("w1 windows 1M rows") {
       graft.ops.TimeSeriesOps.slidingWindows(
         bigEvents, "user_id", "event_id", Seq("value"), 8).count()
@@ -119,6 +133,18 @@ object ScaleSmoke {
           bigDocs, bigDocs.filter(col("doc_id") % 97 === 0), "doc_id", "text")
         .agg(coalesce(sum(col("n_contaminated")), lit(0L)).as("c"))
         .head().getLong(0)
+    }
+    timed("mixture sample 50k docs") {
+      // 4096 buckets over 50k docs: most buckets hold ≤ a few docs, so
+      // the straddling-bucket window is near-degenerate — the shape the
+      // operator has at real corpus sizes
+      graft.ext.TextAnalysis.mixtureByTokenBudget(
+        bigDocs, "doc_id", "lang", "text", 0.5).count()
+    }
+    timed("shard assign 50k docs") {
+      // agg over pos so the per-shard sort is not pruned away
+      graft.ops.Sampling.shardByHash(bigDocs, "doc_id", 64)
+        .agg(sum(col("pos")).cast("long").as("c")).head().getLong(0)
     }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape

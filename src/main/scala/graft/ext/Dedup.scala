@@ -660,6 +660,9 @@ object Dedup {
         s"duplicateClusters(star) stopped after $maxIter rounds WITHOUT " +
           "reaching the star fixpoint: labels below are each node's current " +
           "min neighbor, which may not yet be the component minimum")
+    else
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"duplicateClusters(star) converged in $iter rounds")
     // at the fixpoint every edge is (node, center): a node's label is its
     // (unique) center; centers label themselves. groupBy-min also covers
     // the unconverged-WARN case with the best label seen so far.

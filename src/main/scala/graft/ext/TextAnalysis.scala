@@ -195,7 +195,45 @@ object TextAnalysis {
   def mixtureByTokenBudget(
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       budgetFraction: Double, seed: String = "42",
-      numBuckets: Int = 4096): DataFrame = {
+      numBuckets: Int = 4096): DataFrame =
+    mixtureSelect(
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      idCol, groupCol,
+      // the group total is the full-frame window sum over the same tiny
+      // bucket rows — the budget costs no separate per-group aggregate
+      cum => {
+        import org.apache.spark.sql.expressions.Window
+        val wt = Window.partitionBy(groupCol)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cum.withColumn("__budget",
+          floor(sum(col("__bsum")).over(wt) * budgetFraction).cast("long"))
+      })
+
+  /** [[mixtureByTokenBudget]] with EXPLICIT absolute per-group token
+    * budgets (a mixing recipe: "30 B tokens of code, 5 B of forum text")
+    * instead of a uniform fraction. `budgets` must hold one row per group
+    * (`groupCol`, `budgetCol`); groups absent from it are dropped
+    * entirely. The budgets side is per-group rows — it broadcasts onto
+    * the bucket aggregate; everything else is identical to the
+    * fraction form.
+    */
+  def mixtureByTokenBudget(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      budgets: DataFrame, budgetCol: String, seed: String,
+      numBuckets: Int): DataFrame =
+    mixtureSelect(
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      idCol, groupCol,
+      cum => cum.join(
+        broadcast(budgets.select(
+          col(groupCol), col(budgetCol).cast("long").as("__budget"))),
+        Seq(groupCol)))
+
+  /** The once-computed, once-materialized (id, group, n_tok, priority,
+    * bucket) frame behind both [[mixtureByTokenBudget]] forms. */
+  private def narrowMixtureFrame(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      seed: String, numBuckets: Int): DataFrame = {
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
     val pri = md5(concat(col(idCol).cast("string"), lit(":" + seed))
@@ -203,38 +241,31 @@ object TextAnalysis {
     // leading 5 hex chars = 20 bits; (v * numBuckets) / 2^20 is a monotone
     // map, so bucket order agrees with full-priority lexicographic order
     // (exact in double: v * numBuckets < 2^40 << 2^53)
-    val narrow = df
-      .select(col(idCol), col(groupCol),
+    df.select(col(idCol), col(groupCol),
         tokenCount(col(textCol)).as("n_tok"), pri.as("__pri"))
       .withColumn("__bucket",
         floor(conv(substring(col("__pri"), 1, 5), 16, 10).cast("long")
           * numBuckets / pow(lit(2), lit(20))).cast("int"))
       .localCheckpoint(eager = false) // materialized by the first consumer
-    mixtureCore(narrow, idCol, groupCol, budgetFraction)
   }
 
-  /** [[mixtureByTokenBudget]] selection core over the narrow scored frame.
-    * The narrow frame is read exactly twice: once into the bucket
-    * aggregate, once for the final document join. */
-  private def mixtureCore(
+  /** Mixture selection over the narrow scored frame. `attachBudget` adds
+    * `__budget` (long) to the per-bucket running-sum frame. The narrow
+    * frame is read exactly twice: once into the bucket aggregate, once
+    * for the final document join. */
+  private def mixtureSelect(
       narrow: DataFrame, idCol: String, groupCol: String,
-      budgetFraction: Double): DataFrame = {
+      attachBudget: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketAgg = narrow
       .groupBy(col(groupCol), col("__bucket"))
       .agg(sum(col("n_tok")).as("__bsum"))
-    // ≤ numBuckets rows per group: both bucket-level windows are trivially
-    // small no matter the corpus size, share one exchange, and yield the
-    // budget WITHOUT a separate per-group aggregate — the group total is
-    // the full-frame window sum over the same rows
+    // ≤ numBuckets rows per group: the bucket-level window is trivially
+    // small no matter the corpus size
     val wb = Window.partitionBy(groupCol).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy(groupCol)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val status = bucketAgg
-      .withColumn("__cum", sum(col("__bsum")).over(wb))
-      .withColumn("__budget",
-        floor(sum(col("__bsum")).over(wt) * budgetFraction).cast("long"))
+    val status = attachBudget(
+        bucketAgg.withColumn("__cum", sum(col("__bsum")).over(wb)))
       .withColumn("__offset", col("__cum") - col("__bsum"))
       // keeps every fully-inside bucket plus the one straddling bucket;
       // buckets wholly past the budget never rejoin the corpus (every doc

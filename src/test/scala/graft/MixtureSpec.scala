@@ -69,6 +69,23 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit per-group budgets: equal to the fraction form when fed " +
+      "the same numbers; absent groups are dropped") {
+    val budgets = docs
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      .groupBy("lang").agg(floor(sum("n_tok") * 0.5).cast("long").as("budget"))
+    val viaBudgets = rows(TextAnalysis.mixtureByTokenBudget(
+      docs, "doc_id", "lang", "text", budgets, "budget", "42", 64))
+    val viaFraction = rows(TextAnalysis.mixtureByTokenBudget(
+      docs, "doc_id", "lang", "text", 0.5, "42", 64))
+    assert(viaBudgets == viaFraction)
+    val partial = rows(TextAnalysis.mixtureByTokenBudget(
+      docs, "doc_id", "lang", "text",
+      budgets.filter(col("lang") =!= "en"), "budget", "42", 64))
+    assert(partial == viaFraction.filterNot(_._2 == "en"))
+    assert(partial.size < viaFraction.size)
+  }
+
   test("deterministic per seed; a different seed reshuffles the selection") {
     def ids(seed: String) = TextAnalysis.mixtureByTokenBudget(
         docs, "doc_id", "lang", "text", 0.5, seed, 64)
