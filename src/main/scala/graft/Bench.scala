@@ -28,6 +28,11 @@ object Bench {
       // 78 queries × ~5 codegen fragments overflow the default 100-entry
       // compile cache across the run (static conf, must be set pre-session)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // big driver heaps GC so rarely that the ContextCleaner cannot
+      // reclaim dead shuffle metadata (it acts on RDD-object collection);
+      // force the cleaner's periodic GC often enough for a multi-minute
+      // harness run — see ROUND_NOTES "long-session JVM killers"
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

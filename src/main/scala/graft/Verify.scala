@@ -18,6 +18,7 @@ object Verify {
       // back to µs timestamps in sources.Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
