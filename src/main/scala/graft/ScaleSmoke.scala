@@ -35,21 +35,26 @@ object ScaleSmoke {
 
     // SPARK_GRAFT_SMOKE_ONLY=substr[,substr...] runs matching blocks only
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
-      .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty/blank filter would match every block
     def timed(name: String)(f: => Long): Unit =
       if (only.forall(_.exists(name.toLowerCase.contains))) {
+        // scoped cleanup (Bench's trackingRdds pattern): release only the
+        // RDD blocks THIS block creates (checkpoint frames pass block
+        // ownership to the caller — that's us), so a future shared
+        // bigDocs.cache() would survive; then force a GC so the
+        // ContextCleaner reclaims dead shuffle state NOW — on a 48g
+        // driver heap GC almost never fires on its own, shuffle metadata
+        // piles up, and the iterative late blocks measured 4-10x slow
+        // (spark.cleaner.periodicGC defaults to 30 min for exactly this;
+        // between-block GC is its smoke analog)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val n = f
         println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
-        // release the block's RDD blocks (checkpoint frames pass block
-        // ownership to the caller — that's us), then force a GC so the
-        // ContextCleaner reclaims dead shuffle state NOW: on a 48g driver
-        // heap GC almost never fires on its own, shuffle metadata from
-        // the heavy blocks piles up, and the iterative late blocks
-        // measured 4-10x slow (spark.cleaner.periodicGC defaults to
-        // 30 min for exactly this; between-block GC is its smoke analog)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!before.contains(id)) rdd.unpersist(blocking = false) }
         System.gc()
       }
     timed("w1 windows 1M rows") {

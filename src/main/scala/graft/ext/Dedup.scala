@@ -661,8 +661,11 @@ object Dedup {
           "reaching the star fixpoint: labels below are each node's current " +
           "min neighbor, which may not yet be the component minimum")
     else
+      // iter counts the confirming fixpoint pass too: the contraction
+      // itself took iter-1 rounds
       org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"duplicateClusters(star) converged in $iter rounds")
+        s"duplicateClusters(star) fixpoint after ${iter - 1} contraction " +
+          s"rounds (+1 confirmation pass)")
     // at the fixpoint every edge is (node, center): a node's label is its
     // (unique) center; centers label themselves. groupBy-min also covers
     // the unconverged-WARN case with the best label seen so far.

@@ -195,10 +195,10 @@ object TextAnalysis {
   def mixtureByTokenBudget(
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       budgetFraction: Double, seed: String = "42",
-      numBuckets: Int = 4096): DataFrame =
+      numBuckets: Int = 4096, broadcastStatus: Boolean = true): DataFrame =
     mixtureSelect(
       narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
-      idCol, groupCol,
+      idCol, groupCol, broadcastStatus,
       // the group total is the full-frame window sum over the same tiny
       // bucket rows — the budget costs no separate per-group aggregate
       cum => {
@@ -220,14 +220,17 @@ object TextAnalysis {
   def mixtureByTokenBudget(
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       budgets: DataFrame, budgetCol: String, seed: String,
-      numBuckets: Int): DataFrame =
+      numBuckets: Int, broadcastStatus: Boolean): DataFrame =
     mixtureSelect(
       narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
-      idCol, groupCol,
-      cum => cum.join(
-        broadcast(budgets.select(
-          col(groupCol), col(budgetCol).cast("long").as("__budget"))),
-        Seq(groupCol)))
+      idCol, groupCol, broadcastStatus,
+      cum => {
+        // one row per group: broadcast under the same bounded-cardinality
+        // assumption as the status join, shuffle when the caller opts out
+        val b = budgets.select(
+          col(groupCol), col(budgetCol).cast("long").as("__budget"))
+        cum.join(if (broadcastStatus) broadcast(b) else b, Seq(groupCol))
+      })
 
   /** The once-computed, once-materialized (id, group, n_tok, priority,
     * bucket) frame behind both [[mixtureByTokenBudget]] forms. */
@@ -236,25 +239,32 @@ object TextAnalysis {
       seed: String, numBuckets: Int): DataFrame = {
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
-    val pri = md5(concat(col(idCol).cast("string"), lit(":" + seed))
-      .cast("binary"))
+    val pri = graft.ops.Sampling.hashPriority(col(idCol), seed)
     // leading 5 hex chars = 20 bits; (v * numBuckets) / 2^20 is a monotone
     // map, so bucket order agrees with full-priority lexicographic order
     // (exact in double: v * numBuckets < 2^40 << 2^53)
     df.select(col(idCol), col(groupCol),
         tokenCount(col(textCol)).as("n_tok"), pri.as("__pri"))
       .withColumn("__bucket",
-        floor(conv(substring(col("__pri"), 1, 5), 16, 10).cast("long")
+        floor(graft.ops.Sampling.priorityPrefix(col("__pri"), 5)
           * numBuckets / pow(lit(2), lit(20))).cast("int"))
       .localCheckpoint(eager = false) // materialized by the first consumer
   }
 
   /** Mixture selection over the narrow scored frame. `attachBudget` adds
     * `__budget` (long) to the per-bucket running-sum frame. The narrow
-    * frame is read exactly twice: once into the bucket aggregate, once
-    * for the final document join. */
+    * frame's materialized blocks are scanned three times — once into the
+    * bucket aggregate and once per kept-branch (full / straddling) of the
+    * status join; the TEXT is still tokenized exactly once, upstream of
+    * the checkpoint. `broadcastStatus` controls the status-join strategy:
+    * status holds ≤ `numBuckets` rows PER GROUP, so with bounded group
+    * cardinality (languages, sources) the broadcast keeps the narrow
+    * frame from shuffling — but with huge cardinality (per-domain mixing,
+    * millions of groups) status itself is corpus-shaped: pass `false` to
+    * shuffle-join on (group, bucket) instead of broadcasting. */
   private def mixtureSelect(
       narrow: DataFrame, idCol: String, groupCol: String,
+      broadcastStatus: Boolean,
       attachBudget: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucketAgg = narrow
@@ -274,7 +284,8 @@ object TextAnalysis {
       .withColumn("__full", col("__cum") <= col("__budget"))
       .select(col(groupCol), col("__bucket"), col("__full"),
         col("__offset"), col("__budget"))
-    val joined = narrow.join(broadcast(status), Seq(groupCol, "__bucket"))
+    val statusSide = if (broadcastStatus) broadcast(status) else status
+    val joined = narrow.join(statusSide, Seq(groupCol, "__bucket"))
     val outCols = narrow.columns.filterNot(_.startsWith("__")).map(col).toSeq
     val full = joined.filter(col("__full"))
     // exact refinement: only straddling-bucket docs (≈ group/numBuckets)

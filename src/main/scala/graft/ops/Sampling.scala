@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Deterministic cross-engine-portable ordering priority for a row key:
+    * md5 over `id:seed`. The SINGLE definition behind both the shard
+    * assigner ([[shardByHash]]) and the mixture sampler
+    * ([[graft.ext.TextAnalysis.mixtureByTokenBudget]]) — specs and DuckDB
+    * oracles deliberately re-derive the formula independently, but the two
+    * operators must never drift from each other. */
+  def hashPriority(idCol: Column, seed: String): Column =
+    md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"))
+
+  /** Numeric value of the priority's first `hexDigits` hex chars (4 bits
+    * each) — shard/bucket derivation; monotone in the priority. */
+  def priorityPrefix(pri: Column, hexDigits: Int): Column =
+    conv(substring(pri, 1, hexDigits), 16, 10).cast("long")
+
   /** Production path: xxhash64-gated sample keeping ~`percent`% of rows. */
   def hashSample(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
     df.filter(productionGate(keyCol) < percent)
@@ -61,17 +75,14 @@ object Sampling {
       seed: String = "42"): DataFrame = {
     require(nShards >= 1, s"nShards must be positive, got $nShards")
     import org.apache.spark.sql.expressions.Window
-    // md5 hex of id:seed — portable priority (same trick as the mixture
-    // sampler): shard from the leading 32 bits, within-shard order from
-    // the full digest with the id as tie-break
-    val withPri = df.withColumn("__pri",
-      md5(concat(col(idCol).cast("string"), lit(":" + seed)).cast("binary")))
+    // portable priority ([[hashPriority]]): shard from the leading 32
+    // bits, within-shard order from the full digest, id as tie-break
+    val withPri = df.withColumn("__pri", hashPriority(col(idCol), seed))
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("__pri"), col(idCol))
     withPri
       .withColumn("shard",
-        pmod(conv(substring(col("__pri"), 1, 8), 16, 10).cast("long"),
-          lit(nShards.toLong)).cast("int"))
+        pmod(priorityPrefix(col("__pri"), 8), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__pri")
   }

@@ -75,15 +75,27 @@ class MixtureSpec extends AnyFunSuite {
       .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
       .groupBy("lang").agg(floor(sum("n_tok") * 0.5).cast("long").as("budget"))
     val viaBudgets = rows(TextAnalysis.mixtureByTokenBudget(
-      docs, "doc_id", "lang", "text", budgets, "budget", "42", 64))
+      docs, "doc_id", "lang", "text", budgets, "budget", "42", 64,
+      broadcastStatus = true))
     val viaFraction = rows(TextAnalysis.mixtureByTokenBudget(
       docs, "doc_id", "lang", "text", 0.5, "42", 64))
     assert(viaBudgets == viaFraction)
     val partial = rows(TextAnalysis.mixtureByTokenBudget(
       docs, "doc_id", "lang", "text",
-      budgets.filter(col("lang") =!= "en"), "budget", "42", 64))
+      budgets.filter(col("lang") =!= "en"), "budget", "42", 64,
+      broadcastStatus = true))
     assert(partial == viaFraction.filterNot(_._2 == "en"))
     assert(partial.size < viaFraction.size)
+  }
+
+  test("broadcastStatus=false (huge-group-cardinality posture) selects " +
+      "identical rows via the shuffle join") {
+    val viaBroadcast = rows(TextAnalysis.mixtureByTokenBudget(
+      docs, "doc_id", "lang", "text", 0.5, "42", 64))
+    val viaShuffle = rows(TextAnalysis.mixtureByTokenBudget(
+      docs, "doc_id", "lang", "text", 0.5, "42", 64,
+      broadcastStatus = false))
+    assert(viaShuffle == viaBroadcast)
   }
 
   test("deterministic per seed; a different seed reshuffles the selection") {
