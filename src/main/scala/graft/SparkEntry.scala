@@ -407,9 +407,16 @@ object SparkEntry {
 
   /** ROLLUP grouping-set aggregate (engine extension; Catalyst `rollup`). */
   private def a13Rollup(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), moneySum(col("l_quantity"), 2).as("sum_qty"))
+    // two-phase ([[ops.Reagg]]): the native rollup's Expand would triple
+    // the corpus through the aggregate; here the corpus aggregates ONCE at
+    // the finest grain and the Expand runs over the tiny result (exact:
+    // integer-cent partials re-sum losslessly)
+    ops.Reagg.rollup(
+        T(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        partials = Seq(count(lit(1)).as("__n"),
+          sum(cents(col("l_quantity")).cast("decimal(30,0)")).as("__cents")),
+        finals = Seq(sum(col("__n")).as("n_rows"),
+          round(sum(col("__cents")) / 100, 2).cast("double").as("sum_qty")))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
   /** HLL++ sketch distinct counts (rows-only: sketch estimates are
@@ -981,12 +988,17 @@ object SparkEntry {
 
   /** A17 — CUBE grouping sets with grouping_id (ROLLUP twin of a13). */
   private def a17Cube(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        moneySum(col("l_quantity"), 2).as("sum_qty"),
-        count(lit(1)).as("n"))
+    // two-phase ([[ops.Reagg]]): Expand over the finest-grain aggregate,
+    // not over the corpus (x4 under native cube); grouping_id() in the
+    // phase-2 aggregate matches the native operator's
+    ops.Reagg.cube(
+        T(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        partials = Seq(count(lit(1)).as("__n"),
+          sum(cents(col("l_quantity")).cast("decimal(30,0)")).as("__cents")),
+        finals = Seq(
+          grouping_id().cast("long").as("gid"),
+          round(sum(col("__cents")) / 100, 2).cast("double").as("sum_qty"),
+          sum(col("__n")).as("n")))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** A18 — order-sensitive string aggregation (listagg/string_agg
@@ -1386,19 +1398,24 @@ object SparkEntry {
   /** A21 — explicit GROUPING SETS (the general form behind a13 ROLLUP /
     * a17 CUBE), via `spark.sql` over a temp view: one Expand + one
     * partial→final aggregate pair regardless of set count. */
-  private def a21GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    T(s, dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
-    s.sql(
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-        | CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE)
-        |   AS sum_qty,
-        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_disc
-        |FROM __gs_lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        |ORDER BY 3, 1, 2""".stripMargin)
-  }
+  private def a21GroupingSets(s: SparkSession, dir: String): DataFrame =
+    // two-phase ([[ops.Reagg]]): the explicit-sets general form — decimal
+    // partial sums and the CASE counter re-sum exactly in phase 2
+    ops.Reagg.groupingSets(
+        T(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        sets = Seq(Seq("l_returnflag", "l_linestatus"),
+          Seq("l_returnflag"), Nil),
+        partials = Seq(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__qty"),
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0).cast("long"))
+            .as("__disc")),
+        finals = Seq(
+          grouping_id().cast("long").as("gid"),
+          round(sum(col("__qty")), 2).cast("double").as("sum_qty"),
+          sum(col("__disc")).as("n_disc")))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n_disc"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
   /** Multimodal stub-decode features over text-as-binary payloads. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
