@@ -875,6 +875,23 @@ object SparkEntry {
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
 
+  /** Unigram LM quality scoring (CCNet-style perplexity signal): fit an
+    * add-1 unigram model on the corpus (top-32 vocabulary so the OOV path
+    * carries real mass), then score every document with ONE kernel eval
+    * per row ([[TextAnalysis.scoreUnigram]]) — no explode, no join, no
+    * shuffle. avg_lp rounds to 4dp: the only cross-engine-unspecified op
+    * is ln (libm ulp differences), absorbed by the rounding. Fit runs
+    * jobs at construction → non-memoizable. */
+  private def textLmQuality(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = TextAnalysis.fitUnigramModel(
+      docs, "text", vocabSize = 32, alpha = 1.0)
+    TextAnalysis.scoreUnigram(docs, "text", model)
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        round(col("avg_lp"), 4).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget mixture sampling ("data mixing"): keep, per language,
     * the md5-priority-ordered prefix of documents whose running token sum
     * fits half the language's token total. The bucketed plan
@@ -1453,7 +1470,8 @@ object SparkEntry {
     * persists. */
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
-      "sim_ivf_portable", "text_quality_prune", "text_mixture")
+      "sim_ivf_portable", "text_quality_prune", "text_mixture",
+      "text_lm_quality")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1532,6 +1550,7 @@ object SparkEntry {
     "text_quality_prune" -> (textQualityPrune _),
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
+    "text_lm_quality" -> (textLmQuality _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -2381,6 +2400,27 @@ object SparkEntry {
         |  FROM toks t JOIN budg b USING (lang))
         |SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok FROM cum
         |WHERE c <= budget ORDER BY doc_id""".stripMargin,
+    "text_lm_quality" ->
+      """WITH tk AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+        |voc AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY t
+        |  ORDER BY count(*) DESC, t LIMIT 32),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |sc AS (SELECT tk.doc_id,
+        |    count(*) AS n_tok,
+        |    sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    sum(ln((coalesce(voc.c, 0) + 1.0) / (tot.total + vn.v + 1.0)))
+        |      AS sum_lp
+        |  FROM tk LEFT JOIN voc ON tk.t = voc.t, tot, vn
+        |  GROUP BY tk.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sc.n_tok, 0) AS INT) AS n_tok,
+        |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
+        |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
       """SELECT CAST(r AS INT) AS rank, token, n FROM (
         |  SELECT token, count(*) AS n,

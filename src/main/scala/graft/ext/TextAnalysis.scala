@@ -392,6 +392,67 @@ object TextAnalysis {
           / col("__st.n_grams"), 6)).as("top_gram_fraction"))
   }
 
+  /** Fitted add-α unigram language model: token → log-probability for the
+    * `vocabSize` most frequent corpus tokens, plus the shared
+    * out-of-vocabulary log-probability. `vocabSize` is the REQUESTED size;
+    * `logProbs.size` is the actual one (smaller on tiny corpora) and is
+    * what the smoothing denominator uses. */
+  final case class UnigramModel(
+      logProbs: Seq[(String, Double)],
+      oovLogProb: Double,
+      totalTokens: Long,
+      alpha: Double)
+
+  /** Fit an add-α unigram model on a corpus — the model half of
+    * CCNet-style perplexity filtering (Wenzek et al. 2020; the reference
+    * pipeline scores corpus slices with a small LM and prunes by
+    * perplexity bucket). p(t) = (count(t) + α) / (total + α·(V+1)) for
+    * the V most frequent tokens (count desc, token asc tie-break — the
+    * [[topTokens]] cutoff), OOV mass α / (total + α·(V+1)). Two bounded
+    * corpus passes at fit time (vocabulary top-k via the bounded-heap
+    * tail, total-token count); the model itself is V entries — KBs —
+    * collected driver-side like the IVF centroids and shipped back as an
+    * expression reference object. */
+  def fitUnigramModel(
+      df: DataFrame, textCol: String, vocabSize: Int = 200,
+      alpha: Double = 1.0): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val top = topTokens(df, textCol, vocabSize)
+      .select(col("token"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = df
+      .select(size(filter(tokens(col(textCol)), t => length(t) > 0))
+        .cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val denom = total + alpha * (top.length + 1)
+    UnigramModel(
+      top.map { case (t, c) => (t, math.log((c + alpha) / denom)) }.toSeq,
+      math.log(alpha / denom), total, alpha)
+  }
+
+  /** Score every document under a fitted [[UnigramModel]]: appends
+    * `sum_lp` (total token log-probability, OOV included), `n_tok`
+    * (non-empty tokens), `n_oov`, and `avg_lp` = sum_lp/n_tok (null for
+    * token-less docs) — the mean log-probability whose negation is the
+    * log-perplexity curation signal. One
+    * [[graft.functions.UnigramLogProbStats]] kernel eval per row: no
+    * explode, no join, no shuffle at any corpus size. */
+  def scoreUnigram(
+      df: DataFrame, textCol: String, model: UnigramModel): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val st = GraftColumnBridge.column(graft.functions.UnigramLogProbStats(
+      GraftColumnBridge.expression(col(textCol)),
+      model.logProbs, model.oovLogProb))
+    df.withColumn("__lm", st)
+      .withColumn("sum_lp", col("__lm.sum_lp"))
+      .withColumn("n_tok", col("__lm.n_tok"))
+      .withColumn("n_oov", col("__lm.n_oov"))
+      .withColumn("avg_lp",
+        when(col("n_tok") > 0, col("sum_lp") / col("n_tok")))
+      .drop("__lm")
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with ranks —
     * the canonical corpus-scale wordcount (vocabulary building, frequency
     * cutoffs for tokenizer training). One explode + one partial-agg'd

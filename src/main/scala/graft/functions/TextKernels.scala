@@ -358,3 +358,71 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
   override protected def withNewChildInternal(newChild: Expression): Md5PrefixLong =
     copy(child = newChild)
 }
+
+/** Per-document unigram language-model statistics — the scoring half of
+  * CCNet-style perplexity filtering (Wenzek et al. 2020): given a fitted
+  * add-α unigram model (token → log-probability, plus the OOV
+  * log-probability), emit `(sum_lp, n_tok, n_oov)` where `sum_lp` totals
+  * every non-empty whitespace token's log-probability (OOV tokens
+  * contribute `oovLogProb`). ONE kernel eval per row, model broadcast as
+  * a reference object: the corpus never shuffles and never explodes —
+  * the unnest+join+re-agg form this replaces shuffles the entire token
+  * stream. Empty tokens (leading-whitespace artifacts) are skipped.
+  * Callers derive the mean log-probability (≈ negative log-perplexity)
+  * as `sum_lp / n_tok`.
+  */
+case class UnigramLogProbStats(
+    child: Expression,
+    vocab: Seq[(String, Double)],
+    oovLogProb: Double)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum_lp", DoubleType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("n_oov", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"UnigramLogProbStats requires a string input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](vocab.size * 2)
+    vocab.foreach { case (t, lp) => m.put(t, lp) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    var sum = 0.0
+    var nTok = 0
+    var nOov = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        nTok += 1
+        val lp = table.get(t)
+        if (lp == null) { nOov += 1; sum += oovLogProb }
+        else sum += lp.doubleValue()
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sum, nTok, nOov))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("unigramLogProbStats", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramLogProbStats =
+    copy(child = newChild)
+}
