@@ -875,6 +875,21 @@ object SparkEntry {
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
 
+  /** P13 — per-source document cap (domain-cap curation: bound any one
+    * source's share of the corpus). Deterministic hash-priority order
+    * ([[ops.Sampling.hashPriority]]), capped via the bounded-heap
+    * [[ops.TopK.perGroupRanked]] operator — O(groups·k) state, no Window,
+    * no per-group sort; the oracle replays the row_number window. */
+  private def p13SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("__pri", ops.Sampling.hashPriority(col("doc_id"), "42"))
+    ops.TopK.perGroupRanked(docs, Seq("source"),
+        Seq(col("__pri"), col("doc_id")), 15)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram LM quality scoring (CCNet-style perplexity signal): fit an
     * add-1 unigram model on the corpus (top-32 vocabulary so the OOV path
     * carries real mass), then score every document with ONE kernel eval
@@ -1577,6 +1592,7 @@ object SparkEntry {
     "j8_asof_tolerance" -> (j8AsofTolerance _),
     "p11_stratified" -> (p11Stratified _),
     "p12_shard_assign" -> (p12ShardAssign _),
+    "p13_source_cap" -> (p13SourceCap _),
     "w10_range_frame" -> (w10RangeFrame _),
     "w11_value_windows" -> (w11ValueWindows _),
     "dedup_bloom_cross" -> (dedupBloomCross _),
@@ -1793,6 +1809,15 @@ object SparkEntry {
         |  % 100 < CASE event_type WHEN 'purchase' THEN 50
         |                          WHEN 'error' THEN 2 ELSE 10 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p13_source_cap" ->
+      """WITH a AS (SELECT doc_id, source,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),
+        |r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri, doc_id)
+        |    AS INT) AS rank
+        |  FROM a)
+        |SELECT doc_id, source, rank FROM r
+        |WHERE rank <= 15 ORDER BY doc_id""".stripMargin,
     "p12_shard_assign" ->
       """WITH a AS (SELECT doc_id, lang,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),
