@@ -152,6 +152,14 @@ object ScaleSmoke {
       graft.ops.Sampling.shardByHash(bigDocs, "doc_id", 64)
         .agg(sum(col("pos")).cast("long").as("c")).head().getLong(0)
     }
+    timed("unigram LM fit+score 50k") {
+      // fit (two bounded passes) + kernel scoring pass; sum over the
+      // score column so the kernel work is not pruned away
+      val m = graft.ext.TextAnalysis.fitUnigramModel(
+        bigDocs, "text", vocabSize = 64)
+      graft.ext.TextAnalysis.scoreUnigram(bigDocs, "text", m)
+        .agg(sum(col("sum_lp")).cast("long").as("c")).head().getLong(0)
+    }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
       // the star contraction exists for (min-label would need 99 rounds)
