@@ -28,6 +28,10 @@ import graft.streaming.ContaminationGate
   *  8. token accounting for the final corpus, keyed by the PREDICTED
   *     language from stage 1
   *
+  * [[prepareTraining]] continues with stages 9-11 (unigram-LM pruning,
+  * token-budget mixture sampling, shard assignment) — clean corpus to
+  * write-ready training shards.
+  *
   * Run: `runMain graft.examples.DataPipeline [sfDir]`.
   * The same composition is asserted end-to-end in ExamplesSpec.
   */
@@ -99,6 +103,42 @@ object DataPipeline {
     (curated, eval, tokens)
   }
 
+  /** The training-set preparation that follows curation — the stages a
+    * corpus job runs between "clean corpus" and "files on disk":
+    *
+    *  9. unigram-LM quality pruning (CCNet-style): fit an add-1 model on
+    *     the curated corpus itself, score every doc in one kernel pass,
+    *     and drop the worst decile by mean log-probability (threshold is
+    *     a scalar subquery — one plan, no driver round-trip)
+    *  10. token-budget mixture sampling: each predicted language keeps
+    *      its hash-priority document prefix up to `mixFraction` of its
+    *      token mass (data mixing; survivors semi-join back, so the text
+    *      column rides through untouched)
+    *  11. deterministic shard assignment: the reshuffle-and-write layout
+    *      (shard + within-shard position), reseedable per epoch
+    *
+    * Returns the training frame: curated columns + shard + pos. */
+  def prepareTraining(
+      curated: DataFrame,
+      mixFraction: Double = 0.8,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    val model = TextAnalysis.fitUnigramModel(curated, "text", vocabSize = 64)
+    val scored = TextAnalysis.scoreUnigram(curated, "text", model)
+    val thr = scored.agg(
+      expr("percentile(avg_lp, 0.1D)").as("__thr"))
+    val pruned = scored
+      .filter(col("avg_lp") >= GraftColumnBridge.column(
+        ScalarSubquery(thr.queryExecution.analyzed)))
+      .drop("sum_lp", "n_tok", "n_oov", "avg_lp")
+    val keep = TextAnalysis.mixtureByTokenBudget(
+      pruned, "doc_id", "predicted_lang", "text", mixFraction)
+    val mixed = pruned.join(
+      keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    Sampling.shardByHash(mixed, "doc_id", nShards)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -119,6 +159,9 @@ object DataPipeline {
     val nIn = docs.count(); val nOut = curated.count(); val nEval = eval.count()
     println(s"curated $nIn -> $nOut docs (eval split: $nEval)")
     tokens.orderBy("predicted_lang").show(truncate = false)
+    val training = prepareTraining(curated)
+    println(s"training set: ${training.count()} docs in " +
+      s"${training.select(col("shard")).distinct().count()} shards")
     spark.stop()
   }
 }

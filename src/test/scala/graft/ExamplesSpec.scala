@@ -32,6 +32,34 @@ class ExamplesSpec extends AnyFunSuite {
     assert(curated2.select("doc_id").except(curated.select("doc_id")).count() == 0)
   }
 
+  test("prepareTraining: LM prune, mixture, and shards interlock") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val (curated, _, _) = DataPipeline.curate(docs, emb)
+    val training = DataPipeline.prepareTraining(curated)
+    val nCur = curated.count(); val nTrain = training.count()
+    // LM decile prune + 80% token budget both bite, but most docs survive
+    assert(nTrain > 0 && nTrain < nCur)
+    assert(nTrain.toDouble / nCur > 0.4)
+    // training rows are curated rows, with shard/pos attached
+    assert(training.join(curated, Seq("doc_id"), "left_anti").count() == 0)
+    assert(training.columns.contains("shard") && training.columns.contains("pos"))
+    // every shard is used; positions are dense 1..n per shard
+    val shards = training.groupBy("shard").agg(
+        count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .as[(Int, Long, Long)].collect()
+    assert(shards.length == 8)
+    shards.foreach { case (_, n, mx) => assert(n == mx) }
+    // (per-group budget safety itself is proven exhaustively in
+    // MixtureSpec — here we only assert the stage is wired in)
+    // deterministic end-to-end
+    val training2 = DataPipeline.prepareTraining(curated)
+    assert(training.select("doc_id", "shard", "pos")
+      .except(training2.select("doc_id", "shard", "pos")).count() == 0)
+  }
+
   test("decontamination quarantines benchmark members; redaction scrubs PII") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
