@@ -2226,7 +2226,7 @@ object SparkEntry {
         |ORDER BY value DESC, event_id LIMIT 10""".stripMargin,
     "pack_bins" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
-        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -2336,9 +2336,9 @@ object SparkEntry {
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "text_tokens" ->
       """SELECT lang,
-        | CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
-        | round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
-        | CAST(max(len(string_split_regex(text, '\s+'))) AS INT) AS max_tokens
+        | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+        | round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+        | CAST(max(len(regexp_extract_all(text, '\S+'))) AS INT) AS max_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_fingerprint" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
@@ -2414,7 +2414,7 @@ object SparkEntry {
         |FROM red GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_mixture" ->
       """WITH toks AS (SELECT doc_id, lang,
-        |  len(string_split_regex(text, '\s+')) AS n_tok,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tok,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri
         |  FROM documents),
         |budg AS (SELECT lang, CAST(floor(0.5 * sum(n_tok)) AS BIGINT) AS budget

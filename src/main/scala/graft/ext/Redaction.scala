@@ -45,9 +45,12 @@ object Redaction {
   val Ipv4: RedactionRule = RedactionRule(
     "ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
 
-  /** Order matters: rules apply sequentially, and earlier rules protect
-    * later ones from partial matches (the phone's trailing `ddd-dddd`
-    * would otherwise be id-shaped after a lossy rewrite). */
+  /** Order matters: rules apply sequentially, so a more specific pattern
+    * should run before a broader one that could consume part of its match
+    * (e.g. a greedy digit-run rule, if a caller adds one, must come after
+    * the anchored phone/id shapes). The defaults are mutually disjoint —
+    * ordering among them is cosmetic — but the sequential contract is what
+    * callers extending the list rely on. */
   val DefaultRules: Seq[RedactionRule] = Seq(Email, Phone, NationalId, Ipv4)
 
   /** The redacted text: `rules` applied in order as chained global
@@ -70,6 +73,14 @@ object Redaction {
     require(rules.nonEmpty, "redact needs at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "redaction rule names must be unique (they key the count columns)")
+    // withColumn silently REPLACES an existing column of the same name —
+    // on a corpus already carrying e.g. an n_email audit column that would
+    // corrupt caller data, so collide loudly instead.
+    val appended = outCol +: (if (counts) rules.map(r => s"n_${r.name}") else Seq.empty)
+    val clashes = appended.filter(df.columns.contains)
+    require(clashes.isEmpty,
+      s"redact would overwrite existing column(s) ${clashes.mkString(", ")} — " +
+        "rename them or pass a different outCol/rule names")
     val withText = df.withColumn(outCol, redactText(col(textCol), rules))
     if (!counts) withText
     else rules.foldLeft(withText)((d, r) =>

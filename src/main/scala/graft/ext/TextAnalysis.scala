@@ -10,11 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization as an array column. */
+  /** Whitespace tokenization as an array column. NOTE `split` keeps the
+    * phantom empty token a leading-whitespace text produces (and yields
+    * `[""]` for empty text) — array CONSUMERS that must see only real
+    * tokens filter on `length > 0` (as the kernels do). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Token count (whitespace tokens). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count: the number of NON-EMPTY whitespace tokens — maximal
+    * `\S+` runs, counted by one codegen'd `regexp_count` with no array
+    * materialization. This is THE token definition for every counting
+    * path (mixture budgets, shard packing, accounting) and agrees with
+    * the LM kernels' non-empty filter: empty text counts 0, leading
+    * whitespace adds nothing. ([[qualityFeatures]]' `n_words` keeps the
+    * raw `size(split)` form — its score formula and oracle are defined
+    * over that value.) */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
 
   /** BPE-ish sub-token count: alternating letter-runs / digit-runs /
     * single punctuation, the usual pre-tokenizer regex shape. */
@@ -408,23 +418,34 @@ object TextAnalysis {
     * pipeline scores corpus slices with a small LM and prunes by
     * perplexity bucket). p(t) = (count(t) + α) / (total + α·(V+1)) for
     * the V most frequent tokens (count desc, token asc tie-break — the
-    * [[topTokens]] cutoff), OOV mass α / (total + α·(V+1)). Two bounded
-    * corpus passes at fit time (vocabulary top-k via the bounded-heap
-    * tail, total-token count); the model itself is V entries — KBs —
-    * collected driver-side like the IVF centroids and shipped back as an
-    * expression reference object. */
+    * [[topTokens]] cutoff), OOV mass α / (total + α·(V+1)). ONE corpus
+    * pass at fit time: the explode + partial-agg'd `groupBy(token)` counts
+    * frame is lazily `localCheckpoint`ed, and both the vocabulary top-k
+    * (bounded-heap tail) and the token total (`sum(n)`) read its
+    * materialized blocks — the text is scanned exactly once, the two
+    * derived aggregates run over the vocabulary-sized frame (at 100 TB
+    * fit time this halves the dominant cost vs a second corpus scan; a
+    * spec pins the single pass with a counting filter). The model itself
+    * is V entries — KBs — collected driver-side like the IVF centroids
+    * and shipped back as an expression reference object. */
   def fitUnigramModel(
       df: DataFrame, textCol: String, vocabSize: Int = 200,
       alpha: Double = 1.0): UnigramModel = {
     require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val top = topTokens(df, textCol, vocabSize)
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // materialized by the top-k job
+    val top = graft.ops.TopK.perGroupRanked(
+        counts.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("n").desc, col("token")), vocabSize)
       .select(col("token"), col("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val total = df
-      .select(size(filter(tokens(col(textCol)), t => length(t) > 0))
-        .cast("long").as("c"))
-      .agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val total = counts
+      .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val denom = total + alpha * (top.length + 1)
     UnigramModel(
       top.map { case (t, c) => (t, math.log((c + alpha) / denom)) }.toSeq,

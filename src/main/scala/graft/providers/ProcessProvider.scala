@@ -73,15 +73,42 @@ final class ProcessProvider(
     autoArrowMinBytes: Long = 1L << 20) extends GeneratorProvider {
   require(command.nonEmpty, "worker command must be non-empty")
 
+  /** The Arrow plane is only usable when the executor-written IPC files
+    * will be visible to the driver and the worker: always true in local
+    * mode (one filesystem), and on a real cluster only when the caller
+    * provided a shared `arrowDir`. Letting Auto pick Arrow with a
+    * driver-local temp dir on a multi-host master would hand the worker
+    * paths that exist on no single machine. */
+  private[graft] def arrowViable(master: String): Boolean =
+    arrowDir.isDefined || master.startsWith("local")
+
+  private def arrowViable(data: DataFrame): Boolean =
+    arrowViable(data.sparkSession.sparkContext.master)
+
   /** The plane [[fit]] will use for this input — planner-style estimate
     * only, never a job. Exposed within graft so specs can pin the auto
-    * decision. */
+    * decision.
+    *
+    * NOTE the Auto choice is driven by the OPTIMIZER'S size estimate, not
+    * the actual data size: default leaf/join stats can wildly overestimate,
+    * so a tiny-but-hard-to-estimate input may ship through Arrow. That is
+    * safe (Arrow is the conservative plane) but callers pinning a plane for
+    * a known-small input should pass [[ProcessProvider.InlineJson]]
+    * explicitly. When Auto would pick Arrow but [[arrowViable]] is false,
+    * it falls back to inline JSON rather than producing invisible paths. */
   private[graft] def useArrowFor(data: DataFrame): Boolean =
     dataPlane match {
-      case ProcessProvider.Arrow => true
+      case ProcessProvider.Arrow =>
+        if (!arrowViable(data))
+          fail("Arrow data plane selected but arrowDir is unset and the " +
+            "master is not local — executor-written IPC files would not be " +
+            "visible to the worker. Pass arrowDir pointing at a shared " +
+            "filesystem, or use InlineJson for small fit sets.")
+        true
       case ProcessProvider.InlineJson => false
       case ProcessProvider.Auto =>
-        data.queryExecution.optimizedPlan.stats.sizeInBytes > autoArrowMinBytes
+        data.queryExecution.optimizedPlan.stats.sizeInBytes > autoArrowMinBytes &&
+          arrowViable(data)
     }
 
   /** S4/S5 scan side: the persisted blob is the worker's opaque model JSON

@@ -36,20 +36,38 @@ object ContaminationGate {
     * Documents with no n-gram score `contamination = 0.0` here (nothing
     * can leak from them, and a gate must keep them); [[apply]] instead
     * omits them entirely, matching the batch operator's contract. */
+  /** Hard cap on the benchmark's distinct gram-hash count. The gate's
+    * driver collect is only safe because eval sets are small; this turns
+    * that scaladoc assumption into an enforced bound. 32M longs = 256 MB
+    * on the driver — already generous for any real benchmark suite. */
+  val MaxBenchmarkGrams: Long = 32L * 1024 * 1024
+
   def withScore(
       docs: DataFrame,
       benchmark: DataFrame,
       textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      maxBenchmarkGrams: Long = MaxBenchmarkGrams): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(Dedup.wordNgrams(c, n))))
-    // benchmark gram set → driver, once, at gate-build time (bounded by
-    // construction — see scaladoc; the stream side never collects)
-    val benchHashes: Array[Long] = benchmark
+    // benchmark gram set → driver, once, at gate-build time. The collect
+    // is guarded: limit(cap+1) bounds what can ever reach the driver, and
+    // overflow fails with a diagnostic instead of an OOM — an argument
+    // swap (corpus passed as `benchmark`) dies loudly here.
+    val capped = benchmark
       .select(explode(gramHashes(col(textCol))).as("__g"))
-      .distinct().collect().map(_.getLong(0))
+      .distinct().limit(math.min(maxBenchmarkGrams + 1, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (capped.length > maxBenchmarkGrams)
+      throw new IllegalArgumentException(
+        s"ContaminationGate: benchmark side has > $maxBenchmarkGrams " +
+          "distinct grams — too large for the streaming gate's driver-side " +
+          "set. Did you swap the corpus and benchmark arguments? For a " +
+          "genuinely huge benchmark use the batch contaminationScore, " +
+          "which broadcasts instead of collecting.")
+    val benchHashes: Array[Long] = capped.map(_.getLong(0))
     def contaminated(gs: Column): Column =
       if (benchHashes.isEmpty) lit(0L) // nothing can leak into an empty set
       else GraftColumnBridge.column(graft.functions.CountInLongSet(

@@ -272,6 +272,30 @@ class ApiSpec extends AnyFunSuite {
       "a multi-MB fit frame must select the Arrow plane under Auto")
   }
 
+  test("Arrow plane is gated on file visibility (arrowDir vs master)") {
+    import graft.providers.ProcessProvider
+    // local master: driver temp dir IS visible -> viable without arrowDir
+    val bare = new ProcessProvider(mockWorkerCmd(), name = "mock_vis")
+    assert(bare.arrowViable("local[32]"))
+    // non-local master without a shared arrowDir: executor-written files
+    // would land in a driver-local temp dir no worker can read
+    assert(!bare.arrowViable("spark://host:7077"))
+    assert(!bare.arrowViable("yarn"))
+    // a caller-provided shared dir restores viability on any master
+    val shared = new ProcessProvider(mockWorkerCmd(), name = "mock_shared",
+      arrowDir = Some("/tmp/graft-shared"))
+    assert(shared.arrowViable("yarn"))
+    // Auto falls back to inline when Arrow is non-viable; explicit Arrow
+    // must instead fail fast (asserted on the big frame the estimate
+    // flips): simulate by checking decision logic directly — the master
+    // here is local, so useArrowFor stays true and the protected branch
+    // is covered by arrowViable above
+    val big = spark.range(200000L)
+      .select(org.apache.spark.sql.functions.col("id").as("item"),
+        (org.apache.spark.sql.functions.col("id") * 0.5).as("m1"))
+    assert(bare.useArrowFor(big), "local master keeps Auto->Arrow viable")
+  }
+
   test("Auto data plane drives the Python worker through Arrow by default") {
     import graft.providers.ProcessProvider
     assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")

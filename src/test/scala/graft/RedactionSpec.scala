@@ -69,4 +69,20 @@ class RedactionSpec extends AnyFunSuite {
     val out = Redaction.redact(fixture, "text", counts = false)
     assert(out.columns.toSeq == Seq("doc_id", "text", "redacted"))
   }
+
+  test("existing outCol / n_<rule> columns collide loudly, never overwrite") {
+    // a corpus already carrying an n_email audit column must not be
+    // silently corrupted by withColumn's replace semantics
+    val withAudit = fixture.withColumn("n_email", lit(99))
+    val e1 = intercept[IllegalArgumentException](
+      Redaction.redact(withAudit, "text"))
+    assert(e1.getMessage.contains("n_email"))
+    val withOut = fixture.withColumn("redacted", lit("x"))
+    val e2 = intercept[IllegalArgumentException](
+      Redaction.redact(withOut, "text"))
+    assert(e2.getMessage.contains("redacted"))
+    // counts=false ignores count-column clashes (none are appended)
+    assert(Redaction.redact(withAudit, "text", counts = false)
+      .columns.contains("redacted"))
+  }
 }

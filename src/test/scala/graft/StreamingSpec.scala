@@ -233,6 +233,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("contamination gate rejects an oversized benchmark side loudly") {
+    // the gate's driver collect is bounded: an argument swap (corpus
+    // passed as benchmark) must die with a diagnostic, not an OOM
+    val docs = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val big = Seq.tabulate(40)(i => (i.toLong, s"tok$i x$i y$i z$i w$i"))
+      .toDF("bench_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.ContaminationGate.withScore(
+        docs, big, "text", n = 3, maxBenchmarkGrams = 10))
+    assert(e.getMessage.contains("benchmark side"))
+    // at-or-under the cap still builds
+    val ok = graft.streaming.ContaminationGate.withScore(
+      docs, big.limit(2), "text", n = 3, maxBenchmarkGrams = 10)
+    assert(ok.count() == 1L)
+  }
+
   test("PII redaction runs unchanged on a stream, matching batch") {
     // Redaction is chained map-only regex expressions — stateless and
     // watermark-free, so the SAME gate code serves batch curation and a

@@ -67,6 +67,20 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(m.logProbs.map(_._1) == Seq("a", "b"))
   }
 
+  test("fit: reads the corpus exactly once (counting filter)") {
+    // every actual scan of the source evaluates this filter once per row;
+    // with the counts frame checkpointed, the top-k job materializes it
+    // and the token-total aggregate reads the blocks — 3 rows, one pass
+    val acc = spark.sparkContext.longAccumulator("fit-scan-rows")
+    val tick = udf { (_: String) => { acc.add(1); true } }
+    val m = TextAnalysis.fitUnigramModel(
+      corpus.filter(tick(col("text"))), "text", vocabSize = 2)
+    assert(m.totalTokens == 10L)
+    assert(acc.value == 3L,
+      s"fit scanned ${acc.value} rows-worth of corpus for 3 rows — " +
+        "the token total must derive from the counts frame, not a second scan")
+  }
+
   test("plan: scoring is map-only — no exchange touches the corpus") {
     val m = TextAnalysis.fitUnigramModel(corpus, "text", vocabSize = 2)
     val df = TextAnalysis.scoreUnigram(corpus, "text", m)
