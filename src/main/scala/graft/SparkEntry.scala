@@ -951,6 +951,64 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic URL seeding shared by the url_* queries: the documents
+    * table carries no URL column, so one is derived from doc_id — exactly
+    * as [[textRedact]] seeds PII, identically in the DuckDB oracles. The
+    * variants cover what a real crawl throws at the extractor:
+    * scheme-relative (`//…`, %11), userinfo (%13), cdn/www subdomains
+    * (%4), a multi-label public suffix (`.co.uk`, %5) and an explicit
+    * port (%9) — so [[graft.ext.UrlOps.HostPattern]] and the
+    * registered-domain labeling both earn their oracle. */
+  private def seedUrls(df: DataFrame): DataFrame =
+    df.withColumn("url", concat(
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(""))
+        .when(pmod(col("doc_id"), lit(2)) === 0, lit("https:"))
+        .otherwise(lit("http:")),
+      lit("//"),
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(lit("u"), col("doc_id").cast("string"), lit(":pw@")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("cdn."))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit("www."))
+        .otherwise(lit("")),
+      lit("site"), pmod(col("doc_id"), lit(17)).cast("string"),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(".co.uk"))
+        .otherwise(lit(".com")),
+      when(pmod(col("doc_id"), lit(9)) === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string")))
+
+  /** Per-registered-domain corpus stats: docs, distinct hosts, tokens.
+    * Extraction is map-only; only (domain, host, n) rows reach the one
+    * domain-keyed exchange — the text never shuffles. */
+  private def urlDomainStats(s: SparkSession, dir: String): DataFrame =
+    ext.UrlOps.domainStats(seedUrls(T(s, dir, "documents")), "url", "text")
+      .orderBy(col("domain"))
+
+  /** Domain blocklist via the table form: broadcast LEFT ANTI on the
+    * registered domain (the corpus side never shuffles for the filter);
+    * survivors are counted per language. */
+  private def urlBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocklist = Seq("site3.com", "site7.co.uk", "site11.com", "site5.co.uk")
+      .toDF("domain")
+    ext.UrlOps.dropBlockedDomains(
+        seedUrls(T(s, dir, "documents")), "url", blocklist, "domain")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** Per-host document cap (k=5) in deterministic hash-priority order —
+    * the "no single site dominates" rule on the host grain, via the
+    * bounded-heap TopK operator (no Window, no per-host sort); the oracle
+    * replays the row_number window. */
+  private def urlHostCap(s: SparkSession, dir: String): DataFrame =
+    ext.UrlOps.capPerHost(
+        seedUrls(T(s, dir, "documents")).select(col("doc_id"), col("url")),
+        "url", "doc_id", k = 5)
+      .select(col("doc_id"), col("host"), col("rank"))
+      .orderBy(col("doc_id"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1602,6 +1660,9 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_end_to_end" -> (dedupEndToEnd _),
     "text_contamination" -> (textContamination _),
+    "url_domain_stats" -> (urlDomainStats _),
+    "url_blocklist" -> (urlBlocklist _),
+    "url_host_cap" -> (urlHostCap _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -1609,6 +1670,44 @@ object SparkEntry {
     * [[graft.ext.Dedup.minHashNearDuplicatesPortable]] value-for-value,
     * ending in a `portable_pairs(id_a, id_b, sig_similarity)` CTE — used
     * by both the pairs oracle and the recursive-closure clusters oracle. */
+  /** Shared CTEs for the url_* oracles: seeded URL (mirrors [[seedUrls]]
+    * term-for-term), host extraction (the same
+    * [[graft.ext.UrlOps.HostPattern]] regex — RE2/Java common subset) and
+    * registered-domain labeling (last 2 labels, 3 over the multi-label
+    * suffix list), ending in an `r` CTE with (doc_id, lang, text, url,
+    * host, domain). */
+  private def urlSeedCtes: String =
+    """u AS (SELECT doc_id, lang, text,
+      |  (CASE WHEN doc_id % 11 = 0 THEN ''
+      |        WHEN doc_id % 2 = 0 THEN 'https:' ELSE 'http:' END) ||
+      |  '//' ||
+      |  (CASE WHEN doc_id % 13 = 0
+      |        THEN 'u' || CAST(doc_id AS VARCHAR) || ':pw@' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN 'cdn.'
+      |        WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END) ||
+      |  'site' || CAST(doc_id % 17 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) ||
+      |  (CASE WHEN doc_id % 9 = 0 THEN ':8443' ELSE '' END) ||
+      |  '/p/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |h AS (SELECT *, nullif(lower(regexp_extract(url,
+      |  '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]+)', 1)), '')
+      |  AS host FROM u),
+      |r AS (SELECT *, CASE
+      |    WHEN host IS NULL THEN NULL
+      |    WHEN len(string_split(host, '.')) >= 3
+      |      AND array_to_string(list_slice(string_split(host, '.'),
+      |        len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+      |      IN ('co.uk','ac.uk','gov.uk','org.uk','com.au','net.au','co.jp',
+      |          'co.in','com.br','com.cn','co.kr','com.mx')
+      |      THEN array_to_string(list_slice(string_split(host, '.'),
+      |        len(string_split(host, '.')) - 2, len(string_split(host, '.'))), '.')
+      |    WHEN len(string_split(host, '.')) >= 2
+      |      THEN array_to_string(list_slice(string_split(host, '.'),
+      |        len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+      |    ELSE host END AS domain
+      |  FROM h)""".stripMargin
+
   private def portablePairsCtes(where: String = ""): String =
     s"""d AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
       |  FROM documents $where),
@@ -1809,6 +1908,27 @@ object SparkEntry {
         |  % 100 < CASE event_type WHEN 'purchase' THEN 50
         |                          WHEN 'error' THEN 2 ELSE 10 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "url_domain_stats" ->
+      s"""WITH $urlSeedCtes
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "url_blocklist" ->
+      s"""WITH $urlSeedCtes
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM r
+        |WHERE domain NOT IN
+        |  ('site3.com', 'site7.co.uk', 'site11.com', 'site5.co.uk')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "url_host_cap" ->
+      s"""WITH $urlSeedCtes,
+        |p AS (SELECT doc_id, host,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM r),
+        |rk AS (SELECT doc_id, host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY pri, doc_id)
+        |    AS INT) AS rank FROM p)
+        |SELECT doc_id, host, rank FROM rk
+        |WHERE rank <= 5 ORDER BY doc_id""".stripMargin,
     "p13_source_cap" ->
       """WITH a AS (SELECT doc_id, source,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),

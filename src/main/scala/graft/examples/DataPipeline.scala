@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Redaction, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Redaction, Similarity, TextAnalysis, UrlOps}
 import graft.ops.Sampling
 import graft.streaming.ContaminationGate
 
@@ -15,6 +15,10 @@ import graft.streaming.ContaminationGate
   *  1. language ID + quality scoring (map-only); the predicted language
   *     routes every later per-language decision — at corpus scale there
   *     is no ground-truth `lang` label
+  *  1.5. URL/domain curation (optional, web corpora): domain blocklist
+  *     (map-side scan predicate) and per-host document cap (bounded-heap
+  *     TopK) — the cheap source-level drops run before any
+  *     content-pairing stage sees the rows
   *  2. exact dedup (one hash shuffle on the text key)
   *  3. MinHash-LSH near-dup clustering, keep one representative per
   *     cluster (banded candidate join, never O(n²))
@@ -40,19 +44,38 @@ object DataPipeline {
   /** The pipeline as a pure DataFrame transform (testable without a main).
     * Returns (curated corpus, eval split, per-language token stats).
     * @param benchmark eval-suite documents to decontaminate against
-    *                  (None skips stage 5) */
+    *                  (None skips stage 5)
+    * @param blockedDomains registered domains to drop (stage 1.5; requires
+    *                  a `url` column on `docs`; Nil skips)
+    * @param maxDocsPerHost cap any one host's document share (stage 1.5;
+    *                  requires `url`; 0 skips) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
-      benchmark: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
+      benchmark: Option[DataFrame] = None,
+      blockedDomains: Seq[String] = Nil,
+      maxDocsPerHost: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     // 1. language ID + quality gates — pure map stages, no shuffle
     val scored = TextAnalysis.qualityFeatures(
       TextAnalysis.langId(docs, "text", "predicted_lang"), "text")
     val gated = scored.filter(
       col("n_words") >= 5 && col("stop_ratio") <= 0.9 && col("quality_score") > 0.2)
 
+    // 1.5. URL/domain curation (web corpora only): the domain blocklist
+    //      stays a map-side scan predicate; the host cap is the
+    //      bounded-heap TopK — the cheap source-level drops run BEFORE
+    //      any content-pairing stage sees the rows
+    val urlGated0 =
+      if (blockedDomains.nonEmpty) UrlOps.dropBlockedDomains(gated, "url", blockedDomains)
+      else gated
+    val urlGated =
+      if (maxDocsPerHost > 0)
+        UrlOps.capPerHost(urlGated0, "url", "doc_id", maxDocsPerHost)
+          .drop("host", "rank")
+      else urlGated0
+
     // 2. exact dedup: keep the earliest doc per identical text
-    val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+    val exact = Dedup.exact(urlGated, Seq("text"), "doc_id")
 
     // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of
     //    each cluster (duplicateClusters labels every clustered doc)

@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level curation operators — the stage every web-scale
+  * training pipeline runs between quality gating and dedup (north-star
+  * extension; the reference has no web-corpus analogue): host extraction,
+  * registered-domain rollups, domain blocklist filtering, and per-host
+  * document caps.
+  *
+  * Scale posture: extraction is MAP-ONLY — one RE2/Java-portable
+  * `regexp_extract` plus array slicing, no UDF, no shuffle; the corpus
+  * streams through the scan once. The only exchanging operators are the
+  * per-domain aggregate (one partial-agg'd shuffle on the domain — domain
+  * cardinality is millions, not corpus-sized, so the reduce side is tiny)
+  * and the host cap (the bounded-heap [[graft.ops.TopK]] operator:
+  * O(hosts·k) state, no per-host sort). Blocklists are KBs–MBs: the
+  * column form compiles into the scan as an `isin` predicate (zero
+  * shuffle, pushes down), the frame form broadcast-anti-joins.
+  *
+  * Registered-domain note: real pipelines resolve the public-suffix list
+  * (PSL) — a data file of >9k suffix rules. The engine keeps the RULE
+  * MECHANISM (multi-label public suffixes take one extra label) and ships
+  * a small default list of common two-label suffixes; production callers
+  * pass the full PSL-derived set via `multiLabelSuffixes` — same plan, a
+  * longer `isin` literal (still a broadcast-free scan predicate at any
+  * list size that fits a task binary).
+  */
+object UrlOps {
+
+  /** Host part of a URL: scheme-optional (`https://…`, `//cdn.…`), strips
+    * userinfo, port, path/query/fragment; lowercased. One portable
+    * regex — RE2/Java common subset (no lookaround, no backreferences) so
+    * the same pattern string runs in Spark, the DuckDB oracle and
+    * RE2-based auditors. Non-URL text yields NULL. */
+  val HostPattern: String =
+    "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]+)"
+
+  def host(url: Column): Column =
+    nullif(lower(regexp_extract(url, HostPattern, 1)), lit(""))
+
+  /** Two-label public suffixes the default [[registeredDomain]] treats as
+    * one TLD unit (so `a.example.co.uk` rolls up to `example.co.uk`, not
+    * `co.uk`). Deliberately small — see the PSL note in the object doc. */
+  val DefaultMultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "co.jp",
+    "co.in", "com.br", "com.cn", "co.kr", "com.mx")
+
+  /** Registered domain (site owner granularity) of a host: the last two
+    * labels, or three when the trailing two are a multi-label public
+    * suffix. Hosts with a single label (`localhost`) pass through; NULL
+    * host stays NULL. Pure array slicing over one split — map-only. */
+  def registeredDomain(
+      hostCol: Column,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): Column = {
+    val parts = split(hostCol, "\\.")
+    val last2 = concat_ws(".", slice(parts, -2, 2))
+    val last3 = concat_ws(".", slice(parts, -3, 3))
+    when(hostCol.isNull, lit(null))
+      .when(size(parts) >= 3 && last2.isin(multiLabelSuffixes: _*), last3)
+      .when(size(parts) >= 2, last2)
+      .otherwise(hostCol)
+  }
+
+  /** Appends `host` and `domain` columns derived from `urlCol` — the
+    * map-only extraction stage the other operators build on. */
+  def withUrlParts(
+      df: DataFrame, urlCol: String,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+    require(!df.columns.contains("host") && !df.columns.contains("domain"),
+      "withUrlParts appends 'host' and 'domain' — input already has one")
+    df.withColumn("host", host(col(urlCol)))
+      .withColumn("domain", registeredDomain(col("host"), multiLabelSuffixes))
+  }
+
+  /** Per-registered-domain corpus stats: document count, distinct-host
+    * count, token total (non-empty whitespace tokens — the engine's ONE
+    * token definition, [[TextAnalysis.tokenCount]]). One shuffle on the
+    * domain; token counting happens map-side BEFORE the exchange, so only
+    * (domain, host, n) rows move — the text never shuffles. Returns
+    * (domain, n_docs, n_hosts, n_tokens). */
+  def domainStats(
+      df: DataFrame, urlCol: String, textCol: String,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame =
+    withUrlParts(df, urlCol, multiLabelSuffixes)
+      .select(col("domain"), col("host"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        sum(col("__n")).as("n_tokens"))
+
+  /** Drops every document whose registered domain is in `blocked` — the
+    * blocklist as a COLUMN PREDICATE: compiles to `NOT domain IN (…)`
+    * inside the scan stage, zero shuffle, pushes down with the other
+    * filters. The right form for the common case (a literal list that
+    * fits the task binary). Keeps all original columns. */
+  def dropBlockedDomains(
+      df: DataFrame, urlCol: String, blocked: Seq[String],
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to drop")
+    val dom = registeredDomain(host(col(urlCol)), multiLabelSuffixes)
+    // null domain (unparseable URL) is NOT blocked: isin(null) is null,
+    // and a blocklist must only drop what it names
+    df.filter(!coalesce(dom.isin(blocked: _*), lit(false)))
+  }
+
+  /** [[dropBlockedDomains]] for a blocklist that lives in a table (the
+    * curated-denylist-service shape): broadcast LEFT ANTI join on the
+    * registered domain — the corpus side never shuffles; the blocklist
+    * (KBs–MBs by nature) ships to every task. `blocklist` must expose
+    * `domainCol` with registered-domain values. */
+  def dropBlockedDomains(
+      df: DataFrame, urlCol: String,
+      blocklist: DataFrame, domainCol: String): DataFrame = {
+    require(!df.columns.contains("__graft_dom"),
+      "input already has the internal __graft_dom column")
+    val withDom = df.withColumn("__graft_dom", registeredDomain(host(col(urlCol))))
+    withDom.join(
+        broadcast(blocklist.select(col(domainCol).as("__graft_dom")).distinct()),
+        Seq("__graft_dom"), "left_anti")
+      .drop("__graft_dom")
+  }
+
+  /** Caps any one HOST's share of the corpus at `k` documents, chosen in
+    * deterministic hash-priority order ([[graft.ops.Sampling.hashPriority]]
+    * — seed-switchable, partition-independent, portable): the "no single
+    * site dominates the corpus" rule. The cap is the bounded-heap
+    * [[graft.ops.TopK.perGroupRanked]] operator — O(hosts·k) state around
+    * one exchange, no Window, no per-host sort. Returns the surviving rows
+    * with `host` and `rank` (1 = best) appended. */
+  def capPerHost(
+      df: DataFrame, urlCol: String, idCol: String, k: Int,
+      seed: String = "42",
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+    require(!df.columns.contains("host") && !df.columns.contains("rank"),
+      "capPerHost appends 'host' and 'rank' — input already has one")
+    val keyed = df
+      .withColumn("host", host(col(urlCol)))
+      .withColumn("__pri", graft.ops.Sampling.hashPriority(col(idCol), seed))
+    graft.ops.TopK.perGroupRanked(
+        keyed, Seq("host"), Seq(col("__pri"), col(idCol)), k)
+      .drop("__pri")
+  }
+}

@@ -60,6 +60,37 @@ class ExamplesSpec extends AnyFunSuite {
       .except(training2.select("doc_id", "shard", "pos")).count() == 0)
   }
 
+  test("URL stage: blocklist and host cap bite between quality gate and dedup") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // seed the url column the way a web corpus carries one: a handful of
+    // domains, one of them boilerplate-heavy
+    val docs = raw.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, lit("spam.example.com"))
+        .otherwise(concat(lit("h"), (col("doc_id") % 11).cast("string"),
+          lit(".example.org"))),
+      lit("/d/"), col("doc_id").cast("string")))
+    val (base, _, _) = DataPipeline.curate(docs, emb)
+    val (blocked, _, _) = DataPipeline.curate(docs, emb,
+      blockedDomains = Seq("example.com"))
+    // every spam.example.com doc is gone, and nothing else was touched
+    assert(blocked.filter(col("url").contains("spam.example.com")).count() == 0)
+    assert(base.filter(col("url").contains("spam.example.com")).count() > 0)
+    assert(blocked.count() < base.count())
+    // (no subset assertion: dropping a duplicate-group's keeper correctly
+    // promotes a different representative in the dedup stages downstream)
+    // the host cap bounds every host's surviving share
+    val (capped, _, _) = DataPipeline.curate(docs, emb, maxDocsPerHost = 3)
+    val worst = capped
+      .groupBy(graft.ext.UrlOps.host(col("url"))).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(worst <= 3L)
+    assert(capped.columns.sorted.sameElements(base.columns.sorted),
+      "the cap stage must not leak host/rank columns downstream")
+  }
+
   test("decontamination quarantines benchmark members; redaction scrubs PII") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

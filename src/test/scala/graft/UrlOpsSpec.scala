@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.UrlOps
+
+/** URL/domain curation family (ext/UrlOps.scala): host extraction over the
+  * crawl-shaped URL variants, registered-domain labeling incl. multi-label
+  * public suffixes, blocklist semantics (predicate + anti-join forms), the
+  * per-host cap, and the plan contracts — extraction must be map-only, the
+  * table blocklist must broadcast, the cap must not plan a Window. */
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def urls = Seq(
+    (1L, "https://www.example.com/path?q=1"),
+    (2L, "http://sub.a.example.co.uk:8080/x"),
+    (3L, "//cdn.example.com/asset.js"),             // scheme-relative
+    (4L, "https://user:pw@secret.example.com/in"),  // userinfo
+    (5L, "ftp://files.example.org/pub"),            // other scheme
+    (6L, "https://localhost/dev"),                  // single label
+    (7L, "HTTPS://UPPER.EXAMPLE.COM/Y"),            // case
+    (8L, "not a url at all"),                       // unparseable
+    (9L, "https://10.1.2.3:443/ip")                 // IP host
+  ).toDF("doc_id", "url")
+
+  test("host: scheme-optional, strips userinfo/port/path, lowercases") {
+    val got = urls.select(col("doc_id"), UrlOps.host(col("url")).as("h"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("www.example.com"))
+    assert(got(2L).contains("sub.a.example.co.uk"))
+    assert(got(3L).contains("cdn.example.com"))
+    assert(got(4L).contains("secret.example.com"))
+    assert(got(5L).contains("files.example.org"))
+    assert(got(6L).contains("localhost"))
+    assert(got(7L).contains("upper.example.com"))
+    assert(got(8L).isEmpty, "non-URL text must yield NULL, not a bogus host")
+    assert(got(9L).contains("10.1.2.3"))
+  }
+
+  test("registeredDomain: 2 labels, 3 over multi-label suffixes, passthrough") {
+    val got = urls
+      .select(col("doc_id"),
+        UrlOps.registeredDomain(UrlOps.host(col("url"))).as("d"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("example.com"))
+    assert(got(2L).contains("example.co.uk"), "co.uk takes one extra label")
+    assert(got(3L).contains("example.com"))
+    assert(got(6L).contains("localhost"), "single-label host passes through")
+    assert(got(8L).isEmpty)
+    // a bare public suffix has no registrable part — last-2 passthrough
+    val bare = Seq((0L, "https://co.uk/")).toDF("doc_id", "url")
+      .select(UrlOps.registeredDomain(UrlOps.host(col("url"))).as("d"))
+      .as[String].head()
+    assert(bare == "co.uk")
+  }
+
+  test("dropBlockedDomains (list form): scan predicate, nulls survive") {
+    val kept = UrlOps.dropBlockedDomains(urls, "url", Seq("example.com"))
+      .select("doc_id").as[Long].collect().sorted
+    // 1,3,4,7 are example.com (www/cdn/secret/upper hosts) -> dropped;
+    // the unparseable doc 8 (null domain) must SURVIVE a blocklist
+    assert(kept.toSeq == Seq(2L, 5L, 6L, 8L, 9L))
+    val plan = UrlOps.dropBlockedDomains(urls, "url", Seq("example.com"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the list blocklist must be a pure scan predicate:\n$plan")
+  }
+
+  test("dropBlockedDomains (table form): broadcast anti-join, same rows") {
+    val bl = Seq("example.com").toDF("domain")
+    val out = UrlOps.dropBlockedDomains(urls, "url", bl, "domain")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 5L, 6L, 8L, 9L))
+    assert(out.columns.toSeq == urls.columns.toSeq,
+      "anti-join form must return the input schema unchanged")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"table blocklist must broadcast-anti-join, corpus side unshuffled:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against a KB blocklist:\n$plan")
+  }
+
+  test("domainStats aggregates docs/hosts/tokens per registered domain") {
+    val docs = urls.withColumn("text",
+      when(col("doc_id") <= 4, lit("a b c")).otherwise(lit("  x ")))
+    val got = UrlOps.domainStats(docs, "url", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // example.com: docs 1,3,4,7 over hosts www/cdn/secret/upper
+    assert(got("example.com") == ((4L, 4L, 10L)))
+    assert(got("example.co.uk") == ((1L, 1L, 3L)))
+    // token definition is the standardized non-empty count: "  x " = 1
+    assert(got("localhost") == ((1L, 1L, 1L)))
+    assert(got.contains(null.asInstanceOf[String]) == false ||
+      got(null.asInstanceOf[String])._1 == 1L) // unparseable rolls to null
+  }
+
+  test("capPerHost keeps k per host in deterministic priority order") {
+    // 12 docs on one host, 1 on another
+    val many = (1L to 12L).map(i => (i, "https://big.example.com/" + i)) :+
+      (100L, "https://small.example.org/")
+    val df = many.toDF("doc_id", "url")
+    val out = UrlOps.capPerHost(df, "url", "doc_id", k = 3)
+    val byHost = out.select("host", "doc_id", "rank")
+      .as[(String, Long, Int)].collect().groupBy(_._1)
+    assert(byHost("big.example.com").length == 3)
+    assert(byHost("small.example.org").map(_._2).toSeq == Seq(100L))
+    // rank order replays the md5 priority (portable: same as the oracle)
+    val expect = (1L to 12L).sortBy(i =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i)).take(3)
+    assert(byHost("big.example.com").sortBy(_._3).map(_._2).toSeq == expect)
+    // determinism across reruns and seeds switch the selection
+    val out2 = UrlOps.capPerHost(df, "url", "doc_id", k = 3, seed = "43")
+    assert(out2.count() == 4L)
+  }
+
+  test("plan: extraction is map-only; cap plans TopK, not Window") {
+    val parts = UrlOps.withUrlParts(urls, "url")
+    parts.collect()
+    val extractPlan = parts.queryExecution.executedPlan.toString
+    assert(!extractPlan.contains("Exchange"),
+      s"host/domain extraction must never shuffle the corpus:\n$extractPlan")
+    val cap = UrlOps.capPerHost(urls, "url", "doc_id", k = 2)
+    cap.collect()
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert(capPlan.contains("TopKPerGroup") && !capPlan.contains("Window"),
+      s"the host cap must use the bounded-heap operator:\n$capPlan")
+  }
+
+  test("withUrlParts / capPerHost refuse colliding column names") {
+    val hasHost = urls.withColumn("host", lit("x"))
+    assert(intercept[IllegalArgumentException](
+      UrlOps.withUrlParts(hasHost, "url")).getMessage.contains("host"))
+    assert(intercept[IllegalArgumentException](
+      UrlOps.capPerHost(hasHost, "url", "doc_id", 1)).getMessage.contains("host"))
+  }
+}
