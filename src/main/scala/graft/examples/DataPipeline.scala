@@ -162,6 +162,22 @@ object DataPipeline {
     Sampling.shardByHash(mixed, "doc_id", nShards)
   }
 
+  /** [[prepareTraining]] carried through to REAL FILES: the assigned
+    * frame streams into `outDir` as one pos-ordered file per `shard=N`
+    * directory ([[Sampling.writeAssignedShards]] — no exchange beyond
+    * the assignment's own). This is the pipeline's terminal state: a
+    * training job points its reader at `outDir` and consumes shards in
+    * file order. Returns the assigned frame for accounting. */
+  def prepareTrainingToFiles(
+      curated: DataFrame,
+      outDir: String,
+      mixFraction: Double = 0.8,
+      nShards: Int = 8): DataFrame = {
+    val training = prepareTraining(curated, mixFraction, nShards)
+    Sampling.writeAssignedShards(training, outDir)
+    training
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()

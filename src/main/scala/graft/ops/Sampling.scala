@@ -87,6 +87,36 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Materializes a [[shardByHash]]-assigned frame as the training-file
+    * layout the plan was shaped for: one `shard=N` directory per shard,
+    * ONE file per shard, rows in `pos` order inside it. The frame arrives
+    * hash-partitioned on `shard` (the window's exchange), so the write
+    * adds NO new exchange — only a local `sortWithinPartitions` (the
+    * window's (shard, priority) task order already implies (shard, pos);
+    * the explicit sort pins it against spill/codegen reordering and
+    * satisfies the dynamic-partition writer's ordering requirement
+    * without a planner-inserted sort). A shard lives wholly in one task,
+    * so each directory gets exactly one file — the ~1 GB training-shard
+    * files a 100 TB run wants, with `nShards` as the size knob. */
+  def writeAssignedShards(
+      sharded: DataFrame, outDir: String, format: String = "parquet"): Unit = {
+    require(sharded.columns.contains("shard") && sharded.columns.contains("pos"),
+      "writeAssignedShards expects a shardByHash output (shard + pos columns)")
+    sharded
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").format(format).save(outDir)
+  }
+
+  /** [[shardByHash]] + [[writeAssignedShards]] in one call; returns the
+    * assigned frame for downstream accounting. */
+  def writeShards(
+      df: DataFrame, idCol: String, nShards: Int, outDir: String,
+      seed: String = "42", format: String = "parquet"): DataFrame = {
+    val sharded = shardByHash(df, idCol, nShards, seed)
+    writeAssignedShards(sharded, outDir, format)
+    sharded
+  }
+
   /** Stratified sample: a different keep-percentage per stratum value
     * (e.g. downsample boilerplate-heavy sources harder than rare ones).
     * Still a pure map-side filter — the rate table compiles into a CASE

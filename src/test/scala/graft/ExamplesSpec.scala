@@ -58,6 +58,13 @@ class ExamplesSpec extends AnyFunSuite {
     val training2 = DataPipeline.prepareTraining(curated)
     assert(training.select("doc_id", "shard", "pos")
       .except(training2.select("doc_id", "shard", "pos")).count() == 0)
+    // ...and through to real files: the terminal write round-trips
+    val dir = java.nio.file.Files.createTempDirectory("graft-train").toFile
+    dir.deleteOnExit()
+    val written = DataPipeline.prepareTrainingToFiles(curated, dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == written.count())
+    assert(back.select("doc_id").except(training.select("doc_id")).count() == 0)
   }
 
   test("URL stage: blocklist and host cap bite between quality gate and dedup") {

@@ -59,6 +59,48 @@ class ShardingSpec extends AnyFunSuite {
       "different seeds produced an identical reshuffle (astronomically unlikely)")
   }
 
+  test("writeShards round-trip: one file per shard, pos-ordered, complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toFile
+    dir.deleteOnExit()
+    val out = dir.getAbsolutePath
+    val sharded = Sampling.writeShards(docs, "doc_id", 8, out)
+    val expect = sharded.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet
+
+    // layout: a shard=N directory per shard, exactly ONE data file each —
+    // the plan's one-task-per-shard claim made observable on disk
+    val shardDirs = dir.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.map(_.getName).sorted.toSeq ==
+      (0 until 8).map(i => s"shard=$i"))
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files")
+    }
+
+    // completeness: the re-read equals the assigned frame value-for-value
+    val back = spark.read.parquet(out)
+    assert(back.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect().toSet == expect)
+
+    // within-file order IS pos order: read each shard's single file alone
+    // (one file, one partition -> collect preserves parquet row order)
+    (0 until 8).foreach { s =>
+      val pos = spark.read.parquet(s"$out/shard=$s")
+        .select("pos").as[Long].collect().toSeq
+      assert(pos == pos.sorted && pos == (1L to pos.length).toSeq,
+        s"shard $s file rows not in dense pos order")
+    }
+
+    // the write adds no exchange beyond the assignment's own: the sort
+    // before the writer is WITHIN partitions (no rangepartitioning)
+    val plan = sharded.sortWithinPartitions(col("shard"), col("pos"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"writer path must not global-sort:\n$plan")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"writer path must reuse the single shard exchange:\n$plan")
+  }
+
   test("plan: one hash exchange on the shard, no global sort") {
     val df = assigned
     df.collect()
