@@ -287,10 +287,14 @@ object TextAnalysis {
     val status = attachBudget(
         bucketAgg.withColumn("__cum", sum(col("__bsum")).over(wb)))
       .withColumn("__offset", col("__cum") - col("__bsum"))
-      // keeps every fully-inside bucket plus the one straddling bucket;
-      // buckets wholly past the budget never rejoin the corpus (every doc
-      // has n_tok >= 1, so cumsum > offset >= budget there)
-      .filter(col("__offset") < col("__budget"))
+      // keeps every fully-inside bucket plus any straddling bucket;
+      // buckets wholly past the budget never rejoin the corpus. The bound
+      // must be INCLUSIVE: a zero-token doc's inclusive cumsum equals the
+      // running offset where it sits, so with offset == budget the bucket
+      // can still contribute zero-cost docs that satisfy the naive
+      // `cumsum <= budget` semantics (strict `<` diverged on that edge —
+      // found by the differential fuzzer at budgetFraction = 0)
+      .filter(col("__offset") <= col("__budget"))
       .withColumn("__full", col("__cum") <= col("__budget"))
       .select(col(groupCol), col("__bucket"), col("__full"),
         col("__offset"), col("__budget"))

@@ -1,0 +1,322 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextAnalysis
+import graft.ops.{AsOfJoin, Sampling, TimeSeriesOps, TopK}
+
+/** Differential fuzzing: seeded ScalaCheck generators build small random
+  * frames and random parameterizations of the closed-form operators, and
+  * every case replays against an INDEPENDENT plain-Scala model of the
+  * documented semantics (the fixed-fixture oracles pin known shapes; this
+  * hunts the unknown ones — boundary ties, empty groups, zero budgets,
+  * degenerate ranges). 100 seeded cases per operator, deterministic via
+  * an explicit initial seed, so a failure replays exactly.
+  *
+  * The models deliberately re-derive everything from scratch (md5
+  * priorities, percentile interpolation, as-of scans) rather than calling
+  * any graft code. Where engine floating-point could diverge by ulps
+  * (percentile interpolation), set-equality on the KEPT ROWS is the
+  * robust comparison — thresholds fall strictly between the discrete
+  * score values or exactly on one, in both engines (same argument as the
+  * text_quality_prune oracle).
+  */
+class DifferentialFuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Cases = 100
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def check(name: String)(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(Cases)
+        .withMaxDiscardRatio(1.0f)
+        .withWorkers(1)
+        .withInitialSeed(Seed(0xC0FFEEL)),
+      prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  // ——— TopK.perGroupRanked vs sort-and-take ———
+
+  test(s"fuzz: TopK.perGroupRanked == model ($Cases cases)") {
+    val gen = for {
+      nGroups <- Gen.choose(1, 5)
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGroups - 1)
+        v <- Gen.choose(-5, 5)
+      } yield (g, v))
+      k <- Gen.choose(1, 8)
+    } yield (rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }, k)
+    check("topk")(Prop.forAllNoShrink(gen) { case (rows, k) =>
+      val model = rows.groupBy(_._1).flatMap { case (_, members) =>
+        members.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case ((g, v, id), i) => (g, v, id, i + 1) }
+      }.toSet
+      val got = TopK.perGroupRanked(
+          rows.toDF("g", "v", "id"), Seq("g"),
+          Seq(col("v").desc, col("id")), k)
+        .select(col("g"), col("v"), col("id"), col("rank"))
+        .as[(Int, Int, Long, Int)].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— as-of joins (backward / forward / tolerance) vs linear scan ———
+
+  private val asofGen = for {
+    nKeys <- Gen.choose(1, 3)
+    nl <- Gen.choose(0, 30)
+    left <- Gen.listOfN(nl, for {
+      k <- Gen.choose(0, nKeys - 1)
+      t <- Gen.choose(0L, 100L)
+    } yield (k, t))
+    nr <- Gen.choose(0, 30)
+    rightRaw <- Gen.listOfN(nr, for {
+      k <- Gen.choose(0, nKeys - 1)
+      t <- Gen.choose(0L, 100L)
+      v <- Gen.choose(-1000, 1000)
+    } yield (k, t, v))
+  } yield (
+    left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+    // (key, ts) must be unique on the right: equal-ts right rows tie in
+    // the window order, making the matched PAYLOAD genuinely unspecified
+    rightRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toList)
+
+  private def runAsof(
+      mode: String, tol: Long,
+      left: List[(Int, Long, Long)], right: List[(Int, Long, Int)]) = {
+    val l = left.toDF("k", "lt", "lid").withColumn("lts", col("lt").cast("timestamp"))
+    val r = right.toDF("k", "rt", "rv").withColumn("rts", col("rt").cast("timestamp"))
+    val joined = mode match {
+      case "backward" => AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", Seq("rv"))
+      case "forward" => AsOfJoin.asOfForward(l, r, Seq("k"), "lts", "rts", Seq("rv"))
+      case "tolerance" =>
+        AsOfJoin.asOfTolerance(l, r, Seq("k"), "lts", "rts", Seq("rv"), tol)
+    }
+    joined.select(col("lid"), col("asof_rv"))
+      .as[(Long, Option[Int])].collect().toSet
+  }
+
+  private def asofModel(
+      mode: String, tol: Long,
+      left: List[(Int, Long, Long)], right: List[(Int, Long, Int)]) =
+    left.map { case (k, t, lid) =>
+      val cands = mode match {
+        case "forward" => right.filter(r => r._1 == k && r._2 >= t)
+        case _ => right.filter(r => r._1 == k && r._2 <= t)
+      }
+      val best =
+        if (mode == "forward") cands.sortBy(_._2).headOption
+        else cands.sortBy(_._2).lastOption
+      val bounded = best.filter(b =>
+        mode != "tolerance" || (t - b._2) <= tol)
+      (lid, bounded.map(_._3))
+    }.toSet
+
+  Seq("backward", "forward", "tolerance").foreach { mode =>
+    test(s"fuzz: as-of $mode == linear-scan model ($Cases cases)") {
+      val gen = for {
+        lr <- asofGen
+        tol <- Gen.choose(0L, 30L)
+      } yield (lr._1, lr._2, tol)
+      check(s"asof-$mode")(Prop.forAllNoShrink(gen) { case (l, r, tol) =>
+        runAsof(mode, tol, l, r) == asofModel(mode, tol, l, r)
+      })
+    }
+  }
+
+  // ——— token-budget mixture vs naive cumulative model ———
+
+  test(s"fuzz: mixtureByTokenBudget == naive prefix model ($Cases cases)") {
+    val gen = for {
+      nGroups <- Gen.choose(1, 3)
+      n <- Gen.choose(0, 40)
+      docs <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, nGroups - 1)
+        w <- Gen.choose(0, 12) // 0 words: the zero-token boundary
+      } yield (g, w))
+      frac <- Gen.oneOf(0.0, 0.3, 0.5, 0.8, 1.0)
+      buckets <- Gen.oneOf(1, 2, 3, 7, 64)
+      seed <- Gen.oneOf("42", "7")
+    } yield (docs.zipWithIndex.map { case ((g, w), i) =>
+      (i.toLong, s"l$g", Seq.fill(w)("w").mkString(" ")) }, frac, buckets, seed)
+    check("mixture")(Prop.forAllNoShrink(gen) { case (docs, frac, buckets, seed) =>
+      val model = docs.groupBy(_._2).flatMap { case (_, members) =>
+        val toks = members.map { case (id, g, text) =>
+          (id, g, text.split("\\s+").count(_.nonEmpty)) }
+        val budget = math.floor(toks.map(_._3.toLong).sum * frac).toLong
+        var cum = 0L
+        toks.sortBy { case (id, _, _) => (md5hex(s"$id:$seed"), id) }
+          .flatMap { case (id, g, n) =>
+            cum += n
+            if (cum <= budget) Some((id, g, n)) else None
+          }
+      }.toSet
+      val got = TextAnalysis.mixtureByTokenBudget(
+          docs.toDF("doc_id", "lang", "text"), "doc_id", "lang", "text",
+          budgetFraction = frac, seed = seed, numBuckets = buckets)
+        .as[(Long, String, Int)].collect()
+        .map { case (id, g, n) => (id, g, n) }.toSet
+      got == model
+    })
+  }
+
+  // ——— shard assignment vs recomputed md5 order ———
+
+  test(s"fuzz: shardByHash == md5 model ($Cases cases)") {
+    val gen = for {
+      n <- Gen.choose(0, 50)
+      nShards <- Gen.choose(1, 10)
+      seed <- Gen.oneOf("42", "9")
+    } yield ((0L until n.toLong).toList, nShards, seed)
+    check("shard")(Prop.forAllNoShrink(gen) { case (ids, nShards, seed) =>
+      val model = ids.map { id =>
+        val pri = md5hex(s"$id:$seed")
+        (id, pri, (java.lang.Long.parseLong(pri.take(8), 16) % nShards).toInt)
+      }.groupBy(_._3).flatMap { case (shard, members) =>
+        members.sortBy(m => (m._2, m._1)).zipWithIndex
+          .map { case ((id, _, s), i) => (id, s, (i + 1).toLong) }
+      }.toSet
+      val got = Sampling.shardByHash(ids.toDF("doc_id"), "doc_id", nShards, seed)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Int, Long)].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— bottom-quantile pruning vs percentile model ———
+
+  test(s"fuzz: pruneBottomQuantile == percentile model ($Cases cases)") {
+    val pool = Seq("the", "a", "of", "scan", "merge", "hash", "row", "x")
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      docs <- Gen.listOfN(n, for {
+        w <- Gen.choose(0, 10)
+        words <- Gen.listOfN(w, Gen.oneOf(pool))
+      } yield words.mkString(" "))
+      q <- Gen.oneOf(0.0, 0.25, 0.5, 0.75)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, q)
+    val stop = Set("the", "a", "an", "of", "and", "to", "in", "is")
+    check("prune")(Prop.forAllNoShrink(gen) { case (docs, q) =>
+      val scores = docs.map { case (id, text) =>
+        // qualityFeatures' documented formula over the RAW split count
+        // ("" splits to [""]: n_words = 1) — the model re-derives it
+        val toks = text.split("\\s+").toSeq
+        val nWords = toks.length
+        val nStop = toks.count(stop)
+        val score = math.min(nWords, 200).toDouble / 400.0 +
+          (nStop.toDouble / nWords) / 2.0
+        (id, score)
+      }
+      // Spark exact-percentile interpolation over the sorted scores
+      val sorted = scores.map(_._2).sorted
+      val pos = q * (sorted.length - 1)
+      val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+      val thr =
+        if (lo == hi) sorted(lo)
+        else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+      val model = scores.filter(_._2 >= thr).map(_._1).toSet
+      val got = TextAnalysis.pruneBottomQuantile(
+          docs.toDF("doc_id", "text"), "text", q, Seq("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— resample-sum vs day-floor model ———
+
+  test(s"fuzz: resampleSum == day-floor model ($Cases cases)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0, 3)
+        t <- Gen.choose(0L, 3L * 86400 - 1) // three UTC days
+        v <- Gen.choose(-50, 50)
+      } yield (s"e$id", t, v.toDouble))
+    } yield rows
+    check("resample")(Prop.forAllNoShrink(gen) { rows =>
+      val model = rows.groupBy(r => (r._1, r._2 / 86400 * 86400))
+        .map { case ((id, day), members) =>
+          (id, day, members.map(_._3).sum) }.toSet
+      val got = TimeSeriesOps.resampleSum(
+          rows.toDF("id", "t", "v")
+            .withColumn("ts", col("t").cast("timestamp")),
+          "id", "ts", Seq("v"))
+        .select(col("id"), col("bucket").cast("long"), col("v"))
+        .as[(String, Long, Double)].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— dedup keep-first vs min-by model (null order keys included) ———
+
+  test(s"fuzz: dedupKeepFirst == min-by model ($Cases cases)") {
+    val gen = for {
+      n <- Gen.choose(0, 50)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, 5)
+        v <- Gen.choose(-100, 100)
+      } yield (k, v))
+    } yield {
+      // unique order values per key (ties make the survivor unspecified);
+      // one NULL order row per even key exercises the NULLS FIRST path
+      val ordered = rows.zipWithIndex.map { case ((k, v), i) =>
+        (k, Some(i.toLong), v) }
+      val withNulls = ordered.map {
+        case (k, Some(o), v) if k % 2 == 0 && o == ordered
+          .filter(_._1 == k).flatMap(_._2).min => (k, None: Option[Long], v)
+        case r => r
+      }
+      withNulls
+    }
+    check("dedup-first")(Prop.forAllNoShrink(gen) { rows =>
+      val model = rows.groupBy(_._1).map { case (_, members) =>
+        members.minBy { case (_, ord, _) =>
+          (ord.isDefined, ord.getOrElse(Long.MinValue)) }
+      }.toSet
+      val got = TimeSeriesOps.dedupKeepFirst(
+          rows.toDF("k", "ord", "v"), Seq("k"), "ord")
+        .as[(Int, Option[Long], Int)].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— stratified portable sampling vs md5-gate model ———
+
+  test(s"fuzz: stratifiedSample(portable) == md5-gate model ($Cases cases)") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 10000L))
+      strata <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      ra <- Gen.choose(0, 100)
+      rb <- Gen.choose(0, 100)
+      dflt <- Gen.choose(0, 100)
+    } yield (keys.zip(strata).zipWithIndex.map { case ((k, s), i) =>
+      (i.toLong, k, s) }, ra, rb, dflt)
+    check("stratified")(Prop.forAllNoShrink(gen) { case (rows, ra, rb, dflt) =>
+      def pct(s: String) = s match {
+        case "a" => ra; case "b" => rb; case _ => dflt }
+      val model = rows.filter { case (_, k, s) =>
+        java.lang.Long.parseLong(md5hex(k.toString).take(8), 16) % 100 < pct(s)
+      }.map(_._1).toSet
+      val got = Sampling.stratifiedSample(
+          rows.toDF("row_id", "key", "stratum"),
+          col("key"), col("stratum"),
+          Seq("a" -> ra, "b" -> rb), dflt, portable = true)
+        .select("row_id").as[Long].collect().toSet
+      got == model
+    })
+  }
+}
