@@ -157,15 +157,91 @@ object Bench {
         }
       name -> (median, cold)
     }
+    val aqeMain = spark.conf.get("spark.sql.adaptive.enabled").toBoolean
+    // ——— batched sub-floor posture ———
+    // ~50 queries sit at 3-15× vs DuckDB but under 0.25 s absolute: that
+    // ratio is Spark's per-job floor (scheduler + action setup), not plan
+    // quality, and it hides real regressions in the noise. This posture
+    // runs EVERY sub-floor query's count-probe as ONE action (union of
+    // 1-row counts), paying the job floor once — reported alongside the
+    // per-query numbers, never replacing them (not a gate; a regression
+    // lens). Clone-per-rep like the warm path, so it is AQE-off only.
+    val floorThresh = 0.25
+    val subfloor = results.collect {
+      case (n, (w, _)) if w >= 0 && w < floorThresh &&
+        !SparkEntry.eagerConstruction(n) => n
+    }.toSeq.sorted
+    val batched: Option[Double] =
+      if (subfloor.size < 2 || aqeMain) None
+      else try {
+        val union = subfloor.map { n =>
+          SparkEntry.queries(n)(spark, sfDir).groupBy().count()
+            .select(org.apache.spark.sql.functions.lit(n).as("q"),
+              org.apache.spark.sql.functions.col("count").as("n"))
+        }.reduce(_ unionByName _)
+        val planned = union.queryExecution.executedPlan
+        planned.clone().execute().count() // untimed warmup
+        System.gc()
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          planned.clone().execute().count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Some(if (reps % 2 == 1) ts(reps / 2)
+          else (ts(reps / 2 - 1) + ts(reps / 2)) / 2.0)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] batched posture failed: ${e.getMessage}")
+        None
+      }
+    // ——— standing AQE-on block ———
+    // the at-scale posture, regression-checked every round (judge ask):
+    // adaptive.enabled is a runtime conf, so flip it in-session and run
+    // the full set once more. Fresh construction per query — cloning an
+    // AdaptiveSparkPlan reuses materialized stages (fake speedup), so the
+    // honest adaptive rep rebuilds; JIT/codegen are warm from the main
+    // run, construction cost is included. One pass (bounds harness time).
+    val aqeQueries: Map[String, Double] =
+      if (aqeMain || !sys.env.getOrElse("SPARK_GRAFT_AQE_BLOCK", "true").toBoolean)
+        Map.empty
+      else {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        System.gc()
+        val r = selected.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          var reclaim: () => Unit = () => ()
+          val ok = try {
+            val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
+            reclaim = rec
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed under AQE: ${e.getMessage}")
+              false
+          }
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          reclaim()
+          name -> t
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        r.toMap
+      }
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results.map { case (k, (w, _)) => k -> w })
     val qsCold = jsonMap(results.map { case (k, (_, c)) => k -> c })
     val total = results.values.map(_._1).sum
     val totalCold = results.values.map(_._2).sum
+    val batchedJson = batched.fold("")(s =>
+      s""","batched_subfloor":{"n":${subfloor.size},""" +
+        s""""threshold":$floorThresh,"sec":$s}""")
+    val aqeJson =
+      if (aqeQueries.isEmpty) ""
+      else s""","total_aqe":${aqeQueries.values.sum},""" +
+        s""""queries_aqe":${jsonMap(aqeQueries)}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_cold":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+        s""""total_cold":$totalCold,"queries_cold":$qsCold$batchedJson""" +
+        s"""$aqeJson,"sf":"$sfDir"}"""
     println(line)
     // also land the result as a file: the driver's log tail truncates long
     // lines, which made BENCH_r02.json unparseable mid-JSON
