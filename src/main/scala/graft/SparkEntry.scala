@@ -111,7 +111,7 @@ object SparkEntry {
       // LOCALLY too: collecting + building a 150k-row broadcast relation in
       // one thread loses to a 4-partition shuffle join (0.65 s vs 0.40 s),
       // and at scale the partials are fact-sized anyway
-      .join(perOrder.hint("shuffle_hash"),
+      .join(perOrder,
         o("o_orderkey") === perOrder("l_orderkey"))
       .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("order_year"))
       .agg(
@@ -1161,11 +1161,14 @@ object SparkEntry {
         .join(broadcast(T(s, dir, "customer")), col("c_nationkey") === col("n_nationkey")))
     dims
       .join(T(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
-      // order-grain ⋈ order-grain: shuffle-hash beats sort-merge here — the
-      // downstream agg needs only the key partitioning, sorts buy nothing
-      // (and beats broadcast even locally: building a 150k-row broadcast
-      // relation in one thread loses to a 4-partition shuffle join)
-      .join(perOrder.hint("shuffle_hash"),
+      // order-grain ⋈ order-grain: no join hint. A shuffle_hash hint was
+      // carried through round 5 on an early local win, but a 3-pair
+      // interleaved A/B (sf0.1, 5-rep medians, both AQE postures) shows
+      // the difference is inside host noise — hint 0.72/0.76 s vs
+      // no-hint 0.67/0.80 s (AQE off/on). Sort-merge is the robust
+      // default at scale for two corpus-grain sides (no build-side
+      // memory cliff) and AQE may still re-plan it adaptively.
+      .join(perOrder,
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
