@@ -1009,6 +1009,65 @@ object SparkEntry {
       .select(col("doc_id"), col("host"), col("rank"))
       .orderBy(col("doc_id"))
 
+  /** Unicode + whitespace normalization gate: the synthetic text is
+    * ASCII, so the query SEEDS a decomposed combining-acute sequence and
+    * doubled spaces into every document — identically in the DuckDB
+    * oracle — then audits [[TextAnalysis.normalizeText]] (NFC kernel →
+    * lower → collapse runs → trim) per language with length sums and a
+    * min/max md5 pair pinning the rewritten content. Map-only; only the
+    * tiny per-lang audit aggregate exchanges. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"), lit(" Café  du  Monde ")).as("text"))
+    seeded
+      .withColumn("norm", TextAnalysis.normalizeText(col("text")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("norm"))).as("norm_chars"),
+        min(md5(col("norm").cast("binary"))).as("min_md5"),
+        max(md5(col("norm").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang"))
+  }
+
+  /** Context-window chunking: 64-token windows at stride 48 (overlapping,
+    * the LM-training shape). Map-only — the explode amplifies rows inside
+    * the scan; the oracle replays the slice grid with a lateral
+    * generate_series. md5 of each chunk pins content and token order. */
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkByTokens(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", chunkSize = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** CCNet-style boilerplate-line removal: the query SEEDS template
+    * chrome (share button, cookie banner, per-language footer) plus one
+    * unique per-document line into every text — identically in the
+    * oracle — then strips lines whose document frequency reaches
+    * minDf=20 via [[TextAnalysis.removeBoilerplateLines]]. The chrome
+    * lines blow past the threshold at every SF; the `ref <doc_id>` line
+    * (df=1) and the document's own prose survive. The fit exchange
+    * carries only line-hash counts; the rewrite is one map-only kernel
+    * eval per row. Audited per language with removed/kept char sums and
+    * the md5 pair over the cleaned text. */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        lit("\nShare this article\nCookie notice: we use cookies\nfooter-"),
+        col("lang"), lit("\nref "), col("doc_id").cast("string")).as("text"))
+    ext.TextAnalysis.removeBoilerplateLines(seeded, "text", minDf = 20L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("clean"))).as("clean_chars"),
+        sum(length(col("text")) - length(col("clean"))).as("removed_chars"),
+        min(md5(col("clean").cast("binary"))).as("min_md5"),
+        max(md5(col("clean").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang"))
+  }
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1547,7 +1606,7 @@ object SparkEntry {
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
-      "text_lm_quality")
+      "text_lm_quality", "text_boilerplate")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1666,6 +1725,9 @@ object SparkEntry {
     "url_domain_stats" -> (urlDomainStats _),
     "url_blocklist" -> (urlBlocklist _),
     "url_host_cap" -> (urlHostCap _),
+    "text_normalize" -> (textNormalize _),
+    "text_chunks" -> (textChunks _),
+    "text_boilerplate" -> (textBoilerplate _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -1932,6 +1994,59 @@ object SparkEntry {
         |    AS INT) AS rank FROM p)
         |SELECT doc_id, host, rank FROM rk
         |WHERE rank <= 5 ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH seeded AS (SELECT doc_id, lang,
+        |  text || ' Cafe' || chr(769) || '  du  Monde ' AS text
+        |  FROM documents),
+        |n AS (SELECT lang,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm
+        |  FROM seeded)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
+        |  min(md5(norm)) AS min_md5,
+        |  max(md5(norm)) AS max_md5
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |    AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, u.i AS chunk_id,
+        |    list_slice(toks, u.i * 48 + 1, u.i * 48 + 64) AS chunk
+        |  FROM t, LATERAL unnest(generate_series(0,
+        |    CAST(floor((len(toks) - 1) / 48.0) AS BIGINT))) AS u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(chunk) AS INT) AS n_tok,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH seeded AS (SELECT doc_id, lang,
+        |  text || chr(10) || 'Share this article'
+        |    || chr(10) || 'Cookie notice: we use cookies'
+        |    || chr(10) || 'footer-' || lang
+        |    || chr(10) || 'ref ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |lines AS (SELECT DISTINCT doc_id, line FROM (
+        |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |  FROM seeded)),
+        |freq AS (SELECT coalesce(list(
+        |    CAST('0x' || substr(md5(line), 1, 15) AS BIGINT)), []) AS fl
+        |  FROM (SELECT line FROM lines WHERE line <> ''
+        |        GROUP BY line HAVING count(*) >= 20)),
+        |cleaned AS (SELECT doc_id, lang, text,
+        |    array_to_string(list_filter(string_split(text, chr(10)),
+        |      x -> x = '' OR NOT list_contains(fl,
+        |        CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))), chr(10))
+        |      AS clean
+        |  FROM seeded, freq)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+        |  CAST(sum(length(text) - length(clean)) AS BIGINT) AS removed_chars,
+        |  min(md5(clean)) AS min_md5,
+        |  max(md5(clean)) AS max_md5
+        |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
     "p13_source_cap" ->
       """WITH a AS (SELECT doc_id, source,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),

@@ -498,4 +498,129 @@ object TextAnalysis {
         Seq(col("n").desc, col("token")), k)
       .select(col("rank"), col("token"), col("n"))
   }
+
+  // ——— unicode normalization ———
+
+  /** Unicode-normalize a string column via the native kernel
+    * ([[graft.functions.NfcNormalize]]) — Spark has no built-in
+    * normalizer. NFC by default; value-identical to DuckDB's
+    * `nfc_normalize` (both implement UAX #15). Map-only. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), form))
+
+  /** Canonical curation-pipeline text normalization: NFC → lowercase →
+    * collapse every whitespace run to one space → trim. Run it BEFORE any
+    * hashing/dedup stage: visually-identical strings with different
+    * combining-character encodings or spacing otherwise hash apart and
+    * defeat exact dedup. Map-only, zero shuffle; portable DuckDB twin is
+    * `trim(regexp_replace(lower(nfc_normalize(x)), '\s+', ' ', 'g'))`. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(unicodeNormalize(text)), "\\s+", " "))
+
+  // ——— fixed-token chunking ———
+
+  /** Context-window chunking: splits each document's NON-EMPTY whitespace
+    * tokens (the unified [[tokenCount]] definition) into windows of
+    * `chunkSize` tokens starting at offsets 0, stride, 2·stride, … while
+    * the offset is inside the document — `stride < chunkSize` gives the
+    * overlapping windows LM training prep uses, `stride == chunkSize`
+    * non-overlapping packing input. The trailing chunk may be short; a
+    * document with zero tokens yields no chunks. `chunk_text` re-joins
+    * tokens with single spaces (whitespace-normalized by construction).
+    *
+    * Output: every input column except `textCol`, plus `chunk_id` (0-based
+    * window index), `n_tok`, `chunk_text`. The plan is MAP-ONLY — the
+    * explode amplifies rows inside the scan stage, nothing shuffles; at
+    * 100 TB the output is written or piped straight into
+    * [[graft.ext.Packing]] / shard assignment without a corpus exchange.
+    */
+  def chunkByTokens(
+      df: DataFrame, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    Seq("chunk_id", "n_tok", "chunk_text").foreach(c =>
+      require(!df.columns.contains(c) || c == textCol,
+        s"chunkByTokens would overwrite existing column '$c'"))
+    val keep = df.columns.filterNot(_ == textCol).map(col).toSeq
+    df
+      .withColumn("__toks", filter(tokens(col(textCol)), t => length(t) > 0))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(keep ++ Seq(col("__toks"),
+        explode(sequence(lit(0),
+          floor((col("__n") - 1) / lit(stride)).cast("int"))).as("chunk_id")): _*)
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+      .withColumn("n_tok", size(col("__chunk")))
+      .withColumn("chunk_text", concat_ws(" ", col("__chunk")))
+      .drop("__toks", "__chunk")
+  }
+
+  // ——— boilerplate line removal (CCNet-style) ———
+
+  /** Hard cap on the frequent-line probe table: 4M hashes = 32 MB of
+    * longs on the driver and per executor — far beyond any real
+    * boilerplate set (template chrome is by definition few distinct
+    * lines), small enough to never hurt. */
+  val MaxBoilerplateLines: Int = 4 * 1024 * 1024
+
+  /** md5-prefix-15 hashes of every non-empty line appearing in at least
+    * `minDf` documents. The fit pass is one aggregation whose exchange
+    * carries ONLY (hash) partial counts: lines are hashed and
+    * per-document deduplicated inside the scan ([[graft.functions
+    * .Md5Prefix]] + `array_distinct`, both map-side), so document text
+    * never shuffles — the 100 TB posture of every dedup fit in this
+    * module. The collect is guarded exactly like the streaming
+    * contamination gate's: `limit(cap+1)` bounds what can reach the
+    * driver, overflow dies with a diagnostic instead of an OOM. */
+  def frequentLineHashes(
+      df: DataFrame, textCol: String, minDf: Long,
+      maxFrequentLines: Int = MaxBoilerplateLines): Array[Long] = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lineHashes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.Md5Prefix(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          split(col(textCol), "\n")),
+        15, skipEmpty = true))
+    val capped = df
+      .select(explode(array_distinct(lineHashes)).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"))
+      .limit(maxFrequentLines + 1)
+      .collect()
+    if (capped.length > maxFrequentLines)
+      throw new IllegalArgumentException(
+        s"frequentLineHashes: more than $maxFrequentLines lines exceed " +
+          s"minDf=$minDf — that is not a boilerplate set, it is the corpus. " +
+          "Raise minDf (or the cap) so only template chrome qualifies.")
+    capped.map(_.getLong(0))
+  }
+
+  /** Boilerplate-line removal (CCNet-style template-chrome stripping,
+    * Wenzek et al. 2020): appends `outCol` with the document text minus
+    * every non-empty line that appears in at least `minDf` documents
+    * corpus-wide (cookie banners, share buttons, nav footers). Empty
+    * lines always survive — they are structure, not content. Two passes
+    * over the corpus: the [[frequentLineHashes]] fit (hash-only
+    * exchange), then a MAP-ONLY rewrite through one
+    * [[graft.functions.RemoveLinesInLongSet]] kernel eval per row with
+    * the probe table shipped as a reference object — no join, no
+    * explode, the text never shuffles. Runs unchanged on a stream (the
+    * rewrite side is stateless; fit on the static corpus first). */
+  def removeBoilerplateLines(
+      df: DataFrame, textCol: String, minDf: Long,
+      outCol: String = "clean",
+      maxFrequentLines: Int = MaxBoilerplateLines): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"removeBoilerplateLines would overwrite existing column '$outCol'")
+    val hashes = frequentLineHashes(df, textCol, minDf, maxFrequentLines)
+    df.withColumn(outCol, org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.RemoveLinesInLongSet(
+        org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
+        hashes, 15)))
+  }
 }

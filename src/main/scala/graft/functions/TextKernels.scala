@@ -426,3 +426,128 @@ case class UnigramLogProbStats(
   override protected def withNewChildInternal(newChild: Expression): UnigramLogProbStats =
     copy(child = newChild)
 }
+
+/** Unicode normalization (NFC/NFKC/NFD/NFKD) of a string — Spark has no
+  * built-in normalizer, and the HOF-free curation chain needs one before
+  * any hashing/dedup stage (visually-identical strings with different
+  * combining-character encodings otherwise hash apart). Wraps
+  * `java.text.Normalizer` with an `isNormalized` fast path: already-NFC
+  * text (all-ASCII in particular) pays one scan and zero allocation.
+  * Value-identical to DuckDB's `nfc_normalize` for the NFC form (both
+  * implement UAX #15).
+  */
+case class NfcNormalize(child: Expression, form: String = "NFC")
+    extends UnaryExpression {
+  require(Seq("NFC", "NFKC", "NFD", "NFKD").contains(form),
+    s"form must be one of NFC/NFKC/NFD/NFKD, got $form")
+
+  @transient private lazy val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"NfcNormalize requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, nf)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, nf))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("nfcNormalize", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** Boilerplate-line removal: drops every line (exact `\n` segments) whose
+  * md5-prefix hash is a member of a constant sorted set, preserving all
+  * other lines (empty lines always survive — they are structure, not
+  * content, and are never candidates in the fit pass either). The set is
+  * the corpus-frequent-lines table collected by
+  * [[graft.ext.TextAnalysis.removeBoilerplateLines]] (CCNet-style: a line
+  * appearing in >= minDf documents is template chrome, not prose). ONE
+  * kernel eval per row — split, binary-search each line, rejoin — so the
+  * rewrite stage is map-only: the corpus text never shuffles, and the
+  * probe table ships once per executor as a reference object exactly like
+  * [[CountInLongSet]]. An EMPTY set is legal and returns the input
+  * unchanged (no frequent lines found at the chosen threshold).
+  */
+case class RemoveLinesInLongSet(
+    child: Expression, hashes: Array[Long], hexDigits: Int)
+    extends UnaryExpression {
+  require(hexDigits >= 1 && hexDigits <= 15,
+    s"hexDigits must be in [1,15], got $hexDigits")
+
+  private lazy val sorted: Array[Long] = {
+    val a = hashes.clone()
+    java.util.Arrays.sort(a)
+    var n = 0
+    var i = 0
+    while (i < a.length) {
+      if (n == 0 || a(n - 1) != a(i)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(a, n)
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"RemoveLinesInLongSet requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    if (sorted.isEmpty) return input
+    val s = input.asInstanceOf[UTF8String].toString
+    val lines = s.split("\n", -1)
+    val md = Md5Prefix.digest.get()
+    val kept = new java.lang.StringBuilder(s.length)
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val drop = line.nonEmpty && {
+        md.reset()
+        val digest = md.digest(line.getBytes("UTF-8"))
+        var v = 0L
+        var d = 0
+        while (d < hexDigits) {
+          val b = digest(d / 2) & 0xff
+          v = (v << 4) | (if (d % 2 == 0) b >>> 4 else b & 0xf)
+          d += 1
+        }
+        java.util.Arrays.binarySearch(sorted, v) >= 0
+      }
+      if (!drop) {
+        if (!first) kept.append('\n')
+        kept.append(line)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(kept.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("removeLinesInLongSet", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RemoveLinesInLongSet =
+    copy(child = newChild)
+}
