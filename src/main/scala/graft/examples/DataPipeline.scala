@@ -48,16 +48,33 @@ object DataPipeline {
     * @param blockedDomains registered domains to drop (stage 1.5; requires
     *                  a `url` column on `docs`; Nil skips)
     * @param maxDocsPerHost cap any one host's document share (stage 1.5;
-    *                  requires `url`; 0 skips) */
+    *                  requires `url`; 0 skips)
+    * @param boilerplateMinDf strip lines appearing in >= this many docs
+    *                  (stage 0, CCNet-style template chrome; 0 skips) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
       benchmark: Option[DataFrame] = None,
       blockedDomains: Seq[String] = Nil,
-      maxDocsPerHost: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+      maxDocsPerHost: Int = 0,
+      boilerplateMinDf: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+    // 0. structural cleanup BEFORE anything hashes or scores the text:
+    //    boilerplate-line removal needs the raw line structure (it runs
+    //    first), then NFC canonicalization so visually-identical byte
+    //    sequences dedup together downstream. NFC only — lower-casing /
+    //    whitespace collapse (normalizeText) destroys training signal,
+    //    so the destructive form stays out of the corpus path
+    val deboiled =
+      if (boilerplateMinDf > 0)
+        TextAnalysis.removeBoilerplateLines(docs, "text", boilerplateMinDf)
+          .drop("text").withColumnRenamed("clean", "text")
+      else docs
+    val canonical = deboiled.withColumn(
+      "text", TextAnalysis.unicodeNormalize(col("text")))
+
     // 1. language ID + quality gates — pure map stages, no shuffle
     val scored = TextAnalysis.qualityFeatures(
-      TextAnalysis.langId(docs, "text", "predicted_lang"), "text")
+      TextAnalysis.langId(canonical, "text", "predicted_lang"), "text")
     val gated = scored.filter(
       col("n_words") >= 5 && col("stop_ratio") <= 0.9 && col("quality_score") > 0.2)
 
@@ -137,14 +154,21 @@ object DataPipeline {
     *      its hash-priority document prefix up to `mixFraction` of its
     *      token mass (data mixing; survivors semi-join back, so the text
     *      column rides through untouched)
+    *  10.5. context-window chunking (optional): surviving documents split
+    *      into `chunkSize`-token windows at `chunkStride` — the grain a
+    *      sequence trainer actually consumes; sharding then keys on the
+    *      (doc, chunk) pair so one document's windows spread across shards
     *  11. deterministic shard assignment: the reshuffle-and-write layout
     *      (shard + within-shard position), reseedable per epoch
     *
-    * Returns the training frame: curated columns + shard + pos. */
+    * Returns the training frame: curated columns + shard + pos (chunk
+    * grain when `chunkSize` > 0). */
   def prepareTraining(
       curated: DataFrame,
       mixFraction: Double = 0.8,
-      nShards: Int = 8): DataFrame = {
+      nShards: Int = 8,
+      chunkSize: Int = 0,
+      chunkStride: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
     val model = TextAnalysis.fitUnigramModel(curated, "text", vocabSize = 64)
@@ -159,7 +183,15 @@ object DataPipeline {
       pruned, "doc_id", "predicted_lang", "text", mixFraction)
     val mixed = pruned.join(
       keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    Sampling.shardByHash(mixed, "doc_id", nShards)
+    if (chunkSize <= 0) Sampling.shardByHash(mixed, "doc_id", nShards)
+    else {
+      val stride = if (chunkStride > 0) chunkStride else chunkSize
+      val chunked = TextAnalysis.chunkByTokens(mixed, "text", chunkSize, stride)
+        .withColumnRenamed("chunk_text", "text")
+        .withColumn("chunk_key",
+          concat(col("doc_id").cast("string"), lit(":"), col("chunk_id")))
+      Sampling.shardByHash(chunked, "chunk_key", nShards).drop("chunk_key")
+    }
   }
 
   /** [[prepareTraining]] carried through to REAL FILES: the assigned

@@ -67,6 +67,36 @@ class ExamplesSpec extends AnyFunSuite {
     assert(back.select("doc_id").except(training.select("doc_id")).count() == 0)
   }
 
+  test("stage 0: boilerplate chrome stripped and NFC canonicalized " +
+      "before any hashing stage; chunk-grain training when chunkSize set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs0 = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // seed template chrome into every doc, plus a DECOMPOSED e-acute
+    // (e + U+0301) on a line made unique per doc — a frequent line would
+    // be stripped as chrome before NFC could be observed
+    val docs = docs0.withColumn("text",
+      concat(col("text"), lit("\nAll rights reserved\ncafe\u0301 no "),
+        col("doc_id").cast("string")))
+    val (curated, _, _) = DataPipeline.curate(docs, emb, boilerplateMinDf = 10L)
+    val texts = curated.select("text").as[String].collect()
+    // the chrome line (df = corpus size) is gone from every survivor
+    assert(texts.forall(!_.contains("All rights reserved")))
+    // the decomposed combining sequence arrives COMPOSED (NFC), not lost
+    assert(texts.forall(t => !t.contains("e\u0301") && t.contains("caf\u00e9")))
+    // chunk-grain training: every row is a window of <= 32 tokens and
+    // sharding keys on the (doc, chunk) pair — one doc spans shards
+    val training = DataPipeline.prepareTraining(
+      curated, chunkSize = 32, chunkStride = 24, nShards = 4)
+    assert(training.columns.contains("chunk_id"))
+    val bad = training.filter(col("n_tok") > 32 || col("n_tok") < 1).count()
+    assert(bad == 0)
+    assert(training.count() >
+      training.select("doc_id").distinct().count()) // docs split into windows
+    assert(training.select("shard").distinct().count() == 4)
+  }
+
   test("URL stage: blocklist and host cap bite between quality gate and dedup") {
     import org.apache.spark.sql.functions._
     val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
