@@ -293,6 +293,65 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  // ——— context-window chunking vs offset-grid model ———
+
+  test(s"fuzz: chunkByTokens == offset-grid model ($Cases cases)") {
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(n, for {
+        w <- Gen.choose(0, 20)
+        words <- Gen.listOfN(w, Gen.oneOf("aa", "b", "ccc"))
+        pad <- Gen.oneOf("", " ", "  ") // leading-whitespace artifacts
+      } yield pad + words.mkString(" "))
+      size <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, 8)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, size, stride)
+    check("chunk")(Prop.forAllNoShrink(gen) { case (docs, size, stride) =>
+      val model = docs.flatMap { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        (0 until toks.length by stride).zipWithIndex.map { case (off, ci) =>
+          val c = toks.slice(off, off + size)
+          (id, ci, c.length, c.mkString(" "))
+        }
+      }.toSet
+      val got = TextAnalysis.chunkByTokens(
+          docs.toDF("doc_id", "text"), "text", size, stride)
+        .select("doc_id", "chunk_id", "n_tok", "chunk_text")
+        .as[(Long, Int, Int, String)].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— boilerplate removal vs line-df model ———
+
+  test(s"fuzz: removeBoilerplateLines == line-df model ($Cases cases)") {
+    val linePool = Seq("cookie banner", "share", "", "body text",
+      "footer", "x", "yy")
+    val gen = for {
+      n <- Gen.choose(0, 10)
+      docs <- Gen.listOfN(n, for {
+        m <- Gen.choose(0, 6)
+        lines <- Gen.listOfN(m, Gen.oneOf(linePool))
+      } yield lines.mkString("\n"))
+      minDf <- Gen.choose(2, 4)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, minDf)
+    check("boilerplate")(Prop.forAllNoShrink(gen) { case (docs, minDf) =>
+      val df = docs.map { case (_, text) =>
+        text.split("\n", -1).filter(_.nonEmpty).distinct
+      }.flatten.groupBy(identity).view.mapValues(_.length).toMap
+      val model = docs.map { case (id, text) =>
+        (id, text.split("\n", -1)
+          .filter(l => l.isEmpty || df.getOrElse(l, 0) < minDf)
+          .mkString("\n"))
+      }.toSet
+      val got = TextAnalysis.removeBoilerplateLines(
+          docs.toDF("doc_id", "text"), "text", minDf.toLong)
+        .select("doc_id", "clean")
+        .as[(Long, String)].collect().toSet
+      got == model
+    })
+  }
+
   // ——— stratified portable sampling vs md5-gate model ———
 
   test(s"fuzz: stratifiedSample(portable) == md5-gate model ($Cases cases)") {
