@@ -318,4 +318,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq(1L))
     } finally q.stop()
   }
+
+  test("normalize, boilerplate rewrite, and chunking run unchanged on a " +
+      "stream, matching batch") {
+    // the round-6 curation stages are map-only too: NFC normalization and
+    // the boilerplate REWRITE (its frequent-line fit runs on the static
+    // corpus; the resulting kernel constant is stream-safe), and chunking
+    // (a stateless explode). Same code, batch or stream.
+    val dir = Files.createTempDirectory("graft-stream-cur").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "café one two three four\nCOOKIE BANNER"),
+      (1L, "five six seven\nCOOKIE BANNER"),
+      (2L, "eight nine\nCOOKIE BANNER\nten eleven twelve"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    // fit on the static corpus, rewrite on the stream
+    val chrome = graft.ext.TextAnalysis.frequentLineHashes(docs, "text", 3L)
+    def rewrite(df: org.apache.spark.sql.DataFrame) = {
+      val cleaned = df.withColumn("text",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.RemoveLinesInLongSet(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("text")),
+            chrome, 15)))
+        .withColumn("text",
+          graft.ext.TextAnalysis.unicodeNormalize(col("text")))
+      graft.ext.TextAnalysis.chunkByTokens(cleaned, "text", 4, 4)
+    }
+    val q = rewrite(stream).writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_cur").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, chunk_id, n_tok, chunk_text FROM graft_stream_cur" +
+          " ORDER BY 1, 2")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      val batch = rewrite(docs)
+        .select("doc_id", "chunk_id", "n_tok", "chunk_text")
+        .orderBy("doc_id", "chunk_id")
+        .as[(Long, Int, Int, String)].collect().toSeq
+      assert(got == batch)
+      // the banner line is gone and the acute arrived composed
+      assert(got.forall(!_._4.contains("COOKIE")))
+      assert(got.exists(_._4.contains("café")))
+    } finally q.stop()
+  }
 }
