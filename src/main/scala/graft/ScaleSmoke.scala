@@ -160,6 +160,45 @@ object ScaleSmoke {
       graft.ext.TextAnalysis.scoreUnigram(bigDocs, "text", m)
         .agg(sum(col("sum_lp")).cast("long").as("c")).head().getLong(0)
     }
+    // 500k docs with derived URLs: ~1k registered domains x cdn/www/bare
+    // host variants — the cardinality shape of a crawl slice
+    val bigUrls = bigDocs.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 4 === 0, lit("cdn."))
+        .when(col("doc_id") % 4 === 1, lit("www."))
+        .otherwise(lit("")),
+      lit("site"), pmod(col("doc_id"), lit(997)).cast("string"),
+      when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
+      lit("/p/"), col("doc_id").cast("string")))
+    timed("url domain stats 500k") {
+      // agg over n_tokens so the map-side token counting is not pruned
+      graft.ext.UrlOps.domainStats(bigUrls, "url", "text")
+        .agg(sum(col("n_tokens")).cast("long").as("c")).head().getLong(0)
+    }
+    timed("url host cap 500k") {
+      graft.ext.UrlOps.capPerHost(
+        bigUrls.select(col("doc_id"), col("url")), "url", "doc_id", 5).count()
+    }
+    timed("normalize+chunk 500k docs") {
+      // NFC kernel + 64/48 overlapping windows; agg over chunk text so
+      // neither the kernel nor the slice is pruned away
+      graft.ext.TextAnalysis.chunkByTokens(
+          bigDocs.select(col("doc_id"),
+            graft.ext.TextAnalysis.normalizeText(col("text")).as("text")),
+          "text", chunkSize = 64, stride = 48)
+        .agg(sum(length(col("chunk_text"))).cast("long").as("c"))
+        .head().getLong(0)
+    }
+    timed("boilerplate strip 500k docs") {
+      // seeded chrome (df >> minDf) + per-doc unique line (df=1): the fit
+      // exchange carries line-hash counts only; rewrite is one kernel eval
+      val seeded = bigDocs.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nShare this article\nCookie notice: we use cookies\nref "),
+          col("doc_id").cast("string")).as("text"))
+      graft.ext.TextAnalysis.removeBoilerplateLines(seeded, "text", 20L)
+        .agg(sum(length(col("clean"))).cast("long").as("c")).head().getLong(0)
+    }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
       // the star contraction exists for (min-label would need 99 rounds)

@@ -7,7 +7,7 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.TextAnalysis
+import graft.ext.{TextAnalysis, UrlOps}
 import graft.ops.{AsOfJoin, Sampling, TimeSeriesOps, TopK}
 
 /** Differential fuzzing: seeded ScalaCheck generators build small random
@@ -375,6 +375,54 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           col("key"), col("stratum"),
           Seq("a" -> ra, "b" -> rb), dflt, portable = true)
         .select("row_id").as[Long].collect().toSet
+      got == model
+    })
+  }
+
+  // ——— URL host/registered-domain extraction vs regex model ———
+
+  test(s"fuzz: UrlOps host/registeredDomain == regex model ($Cases cases)") {
+    // composes what a crawl throws at the extractor — schemeless //,
+    // uppercase schemes/hosts, userinfo, trailing dots, bare single
+    // labels, bracketed IPv6, missing //, empty host before a port —
+    // the model applies the SAME documented pattern + label rules
+    // independently (java.util.regex + plain splits)
+    val pat = java.util.regex.Pattern.compile(UrlOps.HostPattern)
+    def modelHost(url: String): String = {
+      val m = pat.matcher(url)
+      if (m.find) { val h = m.group(1).toLowerCase; if (h.isEmpty) null else h }
+      else null
+    }
+    def modelDomain(host: String): String =
+      if (host == null) null
+      else {
+        val parts = host.split("\\.", -1) // Spark split keeps trailing empties
+        val last2 = parts.takeRight(2).mkString(".")
+        if (parts.length >= 3 &&
+            UrlOps.DefaultMultiLabelSuffixes.contains(last2))
+          parts.takeRight(3).mkString(".")
+        else if (parts.length >= 2) last2
+        else host
+      }
+    val gen = for {
+      n <- Gen.choose(0, 25)
+      urls <- Gen.listOfN(n, for {
+        scheme <- Gen.oneOf("", "http:", "HTTPS:", "ftp+x.y:", "http")
+        slashes <- Gen.oneOf("//", "/", "")
+        user <- Gen.oneOf("", "u@", "u:pw@")
+        hostPart <- Gen.oneOf("Site1.com", "a.b.co.uk", "localhost",
+          "x.Y.z.com", "example.com.", "co.uk", "[::1]", "sub.gov.uk", "")
+        port <- Gen.oneOf("", ":8443", ":x")
+        path <- Gen.oneOf("", "/", "/p?q=1#f", "?q", "#f")
+      } yield scheme + slashes + user + hostPart + port + path)
+    } yield urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    check("url")(Prop.forAllNoShrink(gen) { rows =>
+      val model = rows.map { case (id, u) =>
+        val h = modelHost(u); (id, h, modelDomain(h))
+      }.toSet
+      val got = UrlOps.withUrlParts(rows.toDF("row_id", "url"), "url")
+        .select("row_id", "host", "domain")
+        .as[(Long, String, String)].collect().toSet
       got == model
     })
   }

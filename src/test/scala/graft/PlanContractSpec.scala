@@ -109,6 +109,69 @@ class PlanContractSpec extends AnyFunSuite {
       s"text_quality_prune grew a threshold join back:\n$p")
   }
 
+  test("URL curation: blocklist anti-join broadcasts; host cap uses the bounded heap") {
+    val bl = plans("url_blocklist")
+    assert(bl.contains("BroadcastHashJoin") && bl.contains("LeftAnti"),
+      s"url_blocklist lost its broadcast anti-join:\n$bl")
+    // the corpus (streamed) side must reach the join without shuffling:
+    // everything between the join node and its BroadcastExchange build
+    // side is the streamed subtree
+    val streamed = bl.substring(
+      bl.indexOf("BroadcastHashJoin"), bl.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"url_blocklist shuffles the corpus side before the anti-join:\n$bl")
+    val cap = plans("url_host_cap")
+    assert(cap.contains("TopKPerGroup"),
+      s"url_host_cap lost its bounded-heap operator:\n$cap")
+    assert(!cap.contains("Window"),
+      s"url_host_cap plans a Window node:\n$cap")
+  }
+
+  test("curation stages are map-only: their exchanges carry only aggregate/ordering rows") {
+    // non-broadcast exchanges in the final plan; BroadcastExchange is a
+    // build-side ship, not a corpus shuffle
+    def shuffles(p: String): Int =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)"
+        .r.findAllIn(p).length
+    // text_chunks: the explode amplifies rows INSIDE the scan stage — the
+    // only exchange is Verify's output ordering
+    val ch = plans("text_chunks")
+    assert(ch.contains("Generate explode"),
+      s"text_chunks lost its in-scan explode:\n$ch")
+    assert(shuffles(ch) == 1,
+      s"text_chunks grew a corpus exchange (expected ordering only):\n$ch")
+    // text_normalize: ONE NFC kernel pass feeding a partial-agg'd lang
+    // exchange + the ordering exchange — a second kernel occurrence would
+    // mean the normalization is recomputed on both sides of a shuffle
+    val nm = plans("text_normalize")
+    assert("nfcnormalize".r.findAllIn(nm).length == 1,
+      s"text_normalize evaluates the NFC kernel more than once:\n$nm")
+    assert(shuffles(nm) == 2,
+      s"text_normalize exchange count changed (lang agg + ordering):\n$nm")
+    // text_boilerplate FINAL plan: the fit ran eagerly at construction;
+    // the rewrite is one kernel eval with the probe table as a reference
+    // object — no join back, no second rewrite
+    val bp = plans("text_boilerplate")
+    assert("removelinesinlongset".r.findAllIn(bp).length == 1,
+      s"text_boilerplate rewrite is no longer a single kernel eval:\n$bp")
+    assert(!bp.toLowerCase.contains("join"),
+      s"text_boilerplate grew a probe join back (reference-object ship " +
+        s"regressed):\n$bp")
+    assert(shuffles(bp) == 2,
+      s"text_boilerplate exchange count changed (lang agg + ordering):\n$bp")
+    // url_domain_stats: count(distinct host) plans the standard two-level
+    // aggregate — (domain,host) partial, domain final, ordering; token
+    // counts are computed map-side so no exchange ever carries text
+    val ds = plans("url_domain_stats")
+    assert(!ds.toLowerCase.contains("join"),
+      s"url_domain_stats grew a join:\n$ds")
+    assert(ds.contains("partial_count"),
+      s"url_domain_stats lost its map-side partial aggregation:\n$ds")
+    assert(shuffles(ds) == 3,
+      s"url_domain_stats exchange count changed (distinct-expand pair + " +
+        s"ordering):\n$ds")
+  }
+
   test("scans prune columns: q1 reads only the aggregated lineitem columns") {
     val p = plans("q1_agg")
     val read = "ReadSchema: ([^\\n]*)".r.findFirstMatchIn(p).map(_.group(1))
