@@ -366,4 +366,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.exists(_._4.contains("café")))
     } finally q.stop()
   }
+
+  test("URL extraction and domain blocklist run unchanged on a stream, " +
+      "matching batch") {
+    // the URL curation stage's streamable half: host/registered-domain
+    // extraction is a map and the column-form blocklist is a scan
+    // predicate — both stateless, so the SAME calls run on readStream.
+    // capPerHost is the stage's batch-only half by design: a global
+    // per-host top-k needs the whole corpus (or an explicit watermarked
+    // window), exactly like the other fit-style operators.
+    val dir = Files.createTempDirectory("graft-stream-url").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "https://cdn.siteA.com/p/0"),
+      (1L, "//u:pw@siteB.co.uk:8443/p/1"),
+      (2L, "not a url at all"),
+      (3L, "http://blocked.com/x"),
+      (4L, "https://keep.blocked.com.evil.com/y"))
+      .toDF("doc_id", "url")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("url", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.UrlOps.withUrlParts(
+        graft.ext.UrlOps.dropBlockedDomains(df, "url", Seq("blocked.com")),
+        "url")
+    val q = stage(stream).writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_url").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, host, domain FROM graft_stream_url ORDER BY 1")
+        .as[(Long, String, String)].collect().toSeq
+      val batch = stage(docs).select("doc_id", "host", "domain")
+        .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      assert(got == batch)
+      // blocked.com dropped; the lookalike registered under evil.com,
+      // the unparseable row (null domain), and the rest survive
+      assert(got.map(_._1) == Seq(0L, 1L, 2L, 4L))
+      assert(got.map(_._3) == Seq("sitea.com", "siteb.co.uk", null, "evil.com"))
+    } finally q.stop()
+  }
 }
