@@ -1068,6 +1068,128 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Gopher rule gate ([[TextAnalysis.gopherQuality]]): the synthetic
+    * word-soup has none of the pathologies the published rules target, so
+    * the query SEEDS them deterministically — symbol runs (%7), bullet
+    * lines (%11), ellipsis-terminated lines (%13) and numeric tokens
+    * (%17) — identically in the DuckDB oracle, then emits the per-doc
+    * features and every rule flag for a third of the corpus. Every
+    * feature is one codegen'd regexp pass; the whole query is map-only
+    * until the final sort. */
+  private def textGopher(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" ### ... ###"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\n- point one\n- point two\n• third point"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\nto be continued...\nmore soon…")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0,
+          lit(" 111 2222 33 444 5555 666 77")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.gopherQuality(seeded, "text",
+        TextAnalysis.GopherThresholds(
+          minWords = 30, maxWords = 100000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          maxSymbolRatio = 0.05, maxBulletFrac = 0.5,
+          maxEllipsisFrac = 0.3, minAlphaFrac = 0.9, minStopHits = 2))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        col("n_lines"),
+        round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+        round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
+        round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+        col("n_stop"), col("pass_words"), col("pass_word_len"),
+        col("pass_symbol"), col("pass_bullet"), col("pass_ellipsis"),
+        col("pass_alpha"), col("pass_stop"), col("gopher_pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style cleaning gate ([[TextAnalysis.c4Clean]]): seeds a terminal
+    * period on the base line plus, per doc_id residue, a well-formed
+    * sentence line, a too-short line (%5), an unpunctuated line (%7), a
+    * "lorem ipsum" mention (%11 — drops the doc) and a curly-brace code
+    * line (%13 — drops the doc), identically in the oracle. Audited per
+    * language with kept-line counts, char sums and the md5 pair pinning
+    * the cleaned content. Map-only: one line-array filter + scan
+    * predicates; only the tiny audit aggregate exchanges. */
+  private def textC4(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"), lit("."),
+        lit("\nA well formed sentence with plenty of words appears here."),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("\ntiny line."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\nthis line lacks terminal punctuation entirely and is long"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit("\nAs the saying goes lorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.c4Clean(seeded, "text", minLineWords = 5, minLines = 2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines_kept")).as("lines_kept"),
+        sum(length(col("clean"))).as("clean_chars"),
+        min(md5(col("clean").cast("binary"))).as("min_md5"),
+        max(md5(col("clean").cast("binary"))).as("max_md5"))
+      .orderBy(col("lang"))
+  }
+
+  /** Temperature-weighted mixture (α = 0.5): per-language budgets
+    * ∝ √(token total), normalized to half the corpus — the multilingual
+    * rebalance that upweights low-resource languages. Same bucketed
+    * no-full-group-window plan as text_mixture; the oracle replays the
+    * α-weighted budget arithmetic (integerized weights, so no float
+    * summation-order can flip a floor) and the global cumulative window.
+    * Non-memoizable: the checkpointed narrow frame must be rebuilt per
+    * bench rep. */
+  private def textMixtureTemp(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.mixtureByTemperature(
+        T(s, dir, "documents"), "doc_id", "lang", "text",
+        alpha = 0.5, budgetFraction = 0.5, seed = "42", numBuckets = 64)
+      .orderBy(col("doc_id"))
+
+  /** Domain-level quality gate ([[UrlOps.dropLowQualityDomains]]): score
+    * every doc (map-only), average per registered domain (narrow
+    * domain-keyed exchange), drop the below-threshold domains via a
+    * broadcast anti-join — the text itself never shuffles. Survivors
+    * audited per language. */
+  private def urlDomainGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(
+      seedUrls(T(s, dir, "documents")), "text")
+    ext.UrlOps.dropLowQualityDomains(
+        scored, "url", "quality_score", minMeanScore = 0.165)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"))
+      .orderBy(col("lang"))
+  }
+
+  /** n-gram overlap-coefficient near-dup pairs
+    * ([[Dedup.ngramOverlapPairs]]): catches the short-doc-contained-in-
+    * long-doc quotes Jaccard misses — shared/min(|A|,|B|) with both
+    * directional containments alongside. Same sub-quadratic posting-list
+    * plan as dedup_ngram_jaccard; the oracle replays the exploded
+    * formulation. */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramOverlapPairs(
+        T(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", 3, 0.15)
+      .select(col("id_a"), col("id_b"),
+        round(col("overlap"), 6).as("overlap"),
+        round(col("containment_a"), 6).as("containment_a"),
+        round(col("containment_b"), 6).as("containment_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1606,7 +1728,7 @@ object SparkEntry {
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
-      "text_lm_quality", "text_boilerplate")
+      "text_mixture_temp", "text_lm_quality", "text_boilerplate")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1728,6 +1850,11 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "text_chunks" -> (textChunks _),
     "text_boilerplate" -> (textBoilerplate _),
+    "text_gopher" -> (textGopher _),
+    "text_c4" -> (textC4 _),
+    "text_mixture_temp" -> (textMixtureTemp _),
+    "url_domain_gate" -> (urlDomainGate _),
+    "dedup_containment" -> (dedupContainment _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -2047,6 +2174,141 @@ object SparkEntry {
         |  min(md5(clean)) AS min_md5,
         |  max(md5(clean)) AS max_md5
         |FROM cleaned GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_gopher" ->
+      """WITH seeded AS (SELECT doc_id, lang, text ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' ### ... ###' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '- point one'
+        |     || chr(10) || '- point two' || chr(10) || '• third point'
+        |     ELSE '' END) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'to be continued...'
+        |     || chr(10) || 'more soon…' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 17 = 0 THEN ' 111 2222 33 444 5555 666 77'
+        |     ELSE '' END) AS text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+        |  length(regexp_replace(text, '\s+', '', 'g')) AS n_nonws,
+        |  len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym,
+        |  CAST(len(regexp_extract_all(text, '(?m)^[ \t]*\S')) AS INT)
+        |    AS n_lines,
+        |  len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS n_bullet,
+        |  len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS n_ell,
+        |  len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+        |  CAST(len([t for t in string_split_regex(text, '\s+')
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS INT)
+        |    AS n_stop
+        |  FROM seeded)
+        |SELECT doc_id, n_words,
+        |  round(n_nonws / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+        |  round(n_sym / CAST(n_words AS DOUBLE), 6) AS symbol_ratio,
+        |  n_lines,
+        |  round(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+        |  round(n_ell / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+        |  round(n_alpha / CAST(n_words AS DOUBLE), 6) AS alpha_word_frac,
+        |  n_stop,
+        |  (n_words >= 30 AND n_words <= 100000) AS pass_words,
+        |  (n_nonws / CAST(n_words AS DOUBLE) >= 3.0
+        |    AND n_nonws / CAST(n_words AS DOUBLE) <= 10.0) AS pass_word_len,
+        |  (n_sym / CAST(n_words AS DOUBLE) <= 0.05) AS pass_symbol,
+        |  (n_bullet / CAST(n_lines AS DOUBLE) <= 0.5) AS pass_bullet,
+        |  (n_ell / CAST(n_lines AS DOUBLE) <= 0.3) AS pass_ellipsis,
+        |  (n_alpha / CAST(n_words AS DOUBLE) >= 0.9) AS pass_alpha,
+        |  (n_stop >= 2) AS pass_stop,
+        |  ((n_words >= 30 AND n_words <= 100000)
+        |    AND (n_nonws / CAST(n_words AS DOUBLE) >= 3.0
+        |      AND n_nonws / CAST(n_words AS DOUBLE) <= 10.0)
+        |    AND (n_sym / CAST(n_words AS DOUBLE) <= 0.05)
+        |    AND (n_bullet / CAST(n_lines AS DOUBLE) <= 0.5)
+        |    AND (n_ell / CAST(n_lines AS DOUBLE) <= 0.3)
+        |    AND (n_alpha / CAST(n_words AS DOUBLE) >= 0.9)
+        |    AND (n_stop >= 2)) AS gopher_pass
+        |FROM f ORDER BY 1""".stripMargin,
+    "text_c4" ->
+      """WITH seeded AS (SELECT doc_id, lang, text || '.' || chr(10)
+        |  || 'A well formed sentence with plenty of words appears here.' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'tiny line.'
+        |     ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN chr(10)
+        |     || 'this line lacks terminal punctuation entirely and is long'
+        |     ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN chr(10)
+        |     || 'As the saying goes lorem ipsum dolor sit amet.'
+        |     ELSE '' END) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10)
+        |     || 'function f() { return 1; }' ELSE '' END) AS text
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang,
+        |  list_filter(string_split(text, chr(10)),
+        |    l -> len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND regexp_matches(trim(l), '[.!?"]$')) AS kept
+        |  FROM seeded
+        |  WHERE NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')),
+        |c AS (SELECT doc_id, lang, len(kept) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean
+        |  FROM k WHERE len(kept) >= 2)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+        |  CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+        |  min(md5(clean)) AS min_md5,
+        |  max(md5(clean)) AS max_md5
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_mixture_temp" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri
+        |  FROM documents),
+        |tot AS (SELECT lang, CAST(sum(n_tok) AS BIGINT) AS gt
+        |  FROM toks GROUP BY lang),
+        |w AS (SELECT lang, gt,
+        |  CAST(floor(sqrt(CAST(gt AS DOUBLE))) AS BIGINT) AS wi FROM tot),
+        |sc AS (SELECT CAST(sum(gt) AS DOUBLE) AS t,
+        |  CAST(sum(wi) AS DOUBLE) AS den FROM w),
+        |budg AS (SELECT lang,
+        |  CAST(floor(0.5 * sc.t * CAST(wi AS DOUBLE) / sc.den) AS BIGINT)
+        |    AS budget
+        |  FROM w, sc),
+        |cum AS (SELECT t.doc_id, t.lang, t.n_tok, b.budget,
+        |  sum(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.pri, t.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toks t JOIN budg b USING (lang))
+        |SELECT doc_id, lang, CAST(n_tok AS INT) AS n_tok FROM cum
+        |WHERE c <= budget ORDER BY doc_id""".stripMargin,
+    "url_domain_gate" ->
+      s"""WITH $urlSeedCtes,
+        |q AS (SELECT r.lang, r.domain,
+        |  CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_words,
+        |  least(len(string_split_regex(text, '\\s+')), 200) / 400.0
+        |    + (len([t for t in string_split_regex(text, '\\s+')
+        |        if t in ('the','a','an','of','and','to','in','is')])
+        |       / len(string_split_regex(text, '\\s+'))) / 2.0 AS q
+        |  FROM r),
+        |bad AS (SELECT domain FROM q WHERE domain IS NOT NULL
+        |  GROUP BY domain HAVING avg(q) < 0.165),
+        |s AS (SELECT * FROM q WHERE domain IS NULL
+        |  OR domain NOT IN (SELECT domain FROM bad))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS sum_words
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |g0 AS (SELECT DISTINCT doc_id,
+        |  unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in generate_series(1, len(toks)-2)]) AS gram
+        |  FROM d WHERE len(toks) >= 3),
+        |g AS (SELECT doc_id, gram FROM g0
+        |  QUALIFY count(*) OVER (PARTITION BY gram) <= 1000),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM g a JOIN g b USING (gram) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1,2)
+        |SELECT id_a, id_b,
+        |  round(shared / least(sa.n, sb.n), 6) AS overlap,
+        |  round(shared / sa.n, 6) AS containment_a,
+        |  round(shared / sb.n, 6) AS containment_b
+        |FROM sh JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |WHERE shared / least(sa.n, sb.n) >= 0.15 ORDER BY 1,2""".stripMargin,
     "p13_source_cap" ->
       """WITH a AS (SELECT doc_id, source,
         |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM documents),

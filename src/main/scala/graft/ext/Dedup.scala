@@ -862,7 +862,50 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, maxDocFreq)
+      .withColumn("jaccard",
+        col("__shared").cast("double")
+          / (col("__na") + col("__nb") - col("__shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Exact n-gram OVERLAP COEFFICIENT for candidate pairs:
+    * `shared / min(|A|, |B|)` over the capped shingle space — equals the
+    * larger of the two directional containments `shared/|A|`,
+    * `shared/|B|`, so it catches quote/subset near-dups that Jaccard
+    * misses (a short doc fully contained in a long one has low Jaccard
+    * but overlap 1.0). Same sub-quadratic posting-list plan as
+    * [[ngramJaccardPairs]] — one corpus pass, stop-shingle cap,
+    * drop-logged. Returns (id_a, id_b, overlap, containment_a,
+    * containment_b) with the directional scores alongside.
+    */
+  def ngramOverlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame =
+    ngramPairCounts(df, idCol, textCol, n, maxDocFreq)
+      .withColumn("overlap",
+        col("__shared").cast("double") / least(col("__na"), col("__nb")))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        (col("__shared").cast("double") / col("__na")).as("containment_a"),
+        (col("__shared").cast("double") / col("__nb")).as("containment_b"))
+
+  /** Shared pair-generation core of [[ngramJaccardPairs]] /
+    * [[ngramOverlapPairs]]: returns one row per candidate pair
+    * (id_a < id_b, ≥1 shared kept shingle) with `__shared`, `__na`,
+    * `__nb` — the shared-shingle count and both docs' kept-shingle
+    * sizes. */
+  private def ngramPairCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDocFreq: Int): DataFrame = {
     require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
     // grams are joined by 64-bit hash, not string: the pair-join shuffle
     // moves (long, long) rows and the join side becomes broadcast-able
@@ -919,10 +962,5 @@ object Dedup {
         count(lit(1)).as("__shared"),
         min(col("__a.__n")).as("__na"),
         min(col("__b.__n")).as("__nb"))
-      .withColumn("jaccard",
-        col("__shared").cast("double")
-          / (col("__na") + col("__nb") - col("__shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

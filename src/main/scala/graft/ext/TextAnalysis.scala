@@ -313,6 +313,193 @@ object TextAnalysis {
     full.select(outCols: _*).unionByName(partial.select(outCols: _*))
   }
 
+  // ——— Gopher-style rule filters (Rae et al. 2021 §A1.1) ———
+
+  /** Document-level quality signals behind the published Gopher /
+    * MassiveText rule filters (word-count bounds, mean word length,
+    * symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    * word fraction, stopword presence). Every feature is ONE codegen'd
+    * `regexp_count` / `length` pass — no token-array materialization, no
+    * HOF lambdas, no shuffle at any corpus size; line-grain counters use
+    * `(?m)` anchors (RE2/Java common subset) so lines are counted without
+    * splitting. Ratio features are NULL for word-less (resp. line-less)
+    * documents.
+    *
+    * Appended columns: `n_words`, `mean_word_len`, `symbol_ratio`,
+    * `n_lines`, `bullet_line_frac`, `ellipsis_line_frac`,
+    * `alpha_word_frac`, `n_stop`.
+    */
+  def gopherFeatures(df: DataFrame, textCol: String): DataFrame = {
+    Seq("n_words", "mean_word_len", "symbol_ratio", "n_lines",
+      "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac", "n_stop")
+      .foreach(c => require(!df.columns.contains(c),
+        s"gopherFeatures would overwrite existing column '$c'"))
+    val t = col(textCol)
+    df.withColumn("n_words", tokenCount(t))
+      // total non-whitespace chars / word count — one rewrite, no explode
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0,
+          length(regexp_replace(t, "\\s+", "")).cast("double")
+            / col("n_words")))
+      // Gopher's symbol set: hash marks and ellipses (ASCII + U+2026)
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          regexp_count(t, lit("#|\\.\\.\\.|…")).cast("double")
+            / col("n_words")))
+      // non-empty lines, counted in place via multiline anchors
+      .withColumn("n_lines", regexp_count(t, lit("(?m)^[ \\t]*\\S")))
+      .withColumn("bullet_line_frac",
+        when(col("n_lines") > 0,
+          regexp_count(t, lit("(?m)^[ \\t]*[-*•]")).cast("double")
+            / col("n_lines")))
+      .withColumn("ellipsis_line_frac",
+        when(col("n_lines") > 0,
+          regexp_count(t, lit("(?m)(\\.\\.\\.|…)[ \\t]*$")).cast("double")
+            / col("n_lines")))
+      // tokens containing at least one ASCII letter: \S*[A-Za-z]\S*
+      // matches each qualifying token exactly once in both Java and RE2
+      // (matches cannot span whitespace)
+      .withColumn("alpha_word_frac",
+        when(col("n_words") > 0,
+          regexp_count(t, lit("\\S*[A-Za-z]\\S*")).cast("double")
+            / col("n_words")))
+      .withColumn("n_stop", stopwordCount(t))
+  }
+
+  /** Tunable bounds for [[gopherQuality]]; defaults are the published
+    * Gopher rules (50–100k words, mean word length 3–10, ≤10% symbols,
+    * ≤90% bullet lines, ≤30% ellipsis lines, ≥80% alphabetic words, ≥2
+    * stopword hits). */
+  final case class GopherThresholds(
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2)
+
+  /** Gopher rule gate: [[gopherFeatures]] plus one boolean per rule
+    * (`pass_words`, `pass_word_len`, `pass_symbol`, `pass_bullet`,
+    * `pass_ellipsis`, `pass_alpha`, `pass_stop`) and the conjunction
+    * `gopher_pass`. NULL features (word-less docs) fail their rule —
+    * a document with no words is exactly what the filter exists to drop.
+    * Still map-only: the flags are plain comparisons over the feature
+    * columns.
+    */
+  def gopherQuality(
+      df: DataFrame, textCol: String,
+      th: GopherThresholds = GopherThresholds()): DataFrame = {
+    def p(c: Column): Column = coalesce(c, lit(false))
+    gopherFeatures(df, textCol)
+      .withColumn("pass_words",
+        p(col("n_words") >= th.minWords && col("n_words") <= th.maxWords))
+      .withColumn("pass_word_len",
+        p(col("mean_word_len") >= th.minMeanWordLen
+          && col("mean_word_len") <= th.maxMeanWordLen))
+      .withColumn("pass_symbol", p(col("symbol_ratio") <= th.maxSymbolRatio))
+      .withColumn("pass_bullet",
+        p(col("bullet_line_frac") <= th.maxBulletFrac))
+      .withColumn("pass_ellipsis",
+        p(col("ellipsis_line_frac") <= th.maxEllipsisFrac))
+      .withColumn("pass_alpha", p(col("alpha_word_frac") >= th.minAlphaFrac))
+      .withColumn("pass_stop", p(col("n_stop") >= th.minStopHits))
+      .withColumn("gopher_pass",
+        col("pass_words") && col("pass_word_len") && col("pass_symbol")
+          && col("pass_bullet") && col("pass_ellipsis")
+          && col("pass_alpha") && col("pass_stop"))
+  }
+
+  // ——— C4-style line/document filters (Raffel et al. 2020 §2.2) ———
+
+  /** C4-style cleaning: keep only lines that end in terminal punctuation
+    * (`.` `!` `?` `"`) after trimming AND carry at least `minLineWords`
+    * words; DROP the whole document if it mentions "lorem ipsum"
+    * (case-insensitive), contains a curly brace (code markers), or
+    * retains fewer than `minLines` lines. Appends `outCol` with the
+    * kept lines re-joined by newline plus `n_lines_kept`. (The published
+    * pipeline's remaining rules — bad-word lists, policy-page drops —
+    * are blocklist applications of the same shape.)
+    *
+    * Plan: MAP-ONLY — one line-array filter plus scan-level predicates;
+    * nothing shuffles at any corpus size. The per-line predicate runs as
+    * an interpreted HOF lambda (lines per document are few — unlike the
+    * per-token paths, this is not worth a native kernel).
+    */
+  def c4Clean(
+      df: DataFrame, textCol: String,
+      minLineWords: Int = 5, minLines: Int = 3,
+      outCol: String = "clean"): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    require(minLines >= 1, s"minLines must be >= 1, got $minLines")
+    Seq(outCol, "n_lines_kept").foreach(c =>
+      require(!df.columns.contains(c),
+        s"c4Clean would overwrite existing column '$c'"))
+    val kept = filter(split(col(textCol), "\n"), l => {
+      val lt = trim(l)
+      (size(split(lt, "\\s+")) >= minLineWords) && lt.rlike("[.!?\"]$")
+    })
+    df.withColumn("__kept", kept)
+      .filter(!lower(col(textCol)).contains("lorem ipsum"))
+      .filter(!col(textCol).contains("{"))
+      .filter(size(col("__kept")) >= minLines)
+      .withColumn(outCol, concat_ws("\n", col("__kept")))
+      .withColumn("n_lines_kept", size(col("__kept")))
+      .drop("__kept")
+  }
+
+  /** Temperature-weighted mixture sampling (the multilingual-training
+    * α-rebalance, Conneau & Lample 2019): per-group token budgets
+    * proportional to `total_g^α` (α < 1 flattens the distribution toward
+    * low-resource groups), normalized so the budgets sum to
+    * `budgetFraction ×` the corpus token total, then the same
+    * deterministic hash-priority prefix selection as
+    * [[mixtureByTokenBudget]] — bucketed, no full-group window, the text
+    * tokenized exactly once.
+    *
+    * Determinism note: with `integerWeights` (the default) the per-group
+    * weight is `floor(total_g^α)` as a LONG, so the normalization sums
+    * integers — exact in any order, reproducible across engines. The raw
+    * double weights would make the denominator depend on float summation
+    * order (engine- and partition-order-dependent ulps) and a budget's
+    * `floor` could flip on a boundary. α = 0.5 additionally uses `sqrt`,
+    * which IEEE 754 requires to be correctly rounded (unlike `pow`).
+    * Budgets CAP at available data for upsampled groups (the prefix just
+    * keeps the whole group — emitting repeat epochs is a writer concern,
+    * not a selection concern).
+    */
+  def mixtureByTemperature(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      alpha: Double, budgetFraction: Double, seed: String = "42",
+      numBuckets: Int = 4096, broadcastStatus: Boolean = true,
+      integerWeights: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFraction >= 0 && budgetFraction <= 1,
+      s"budgetFraction must be in [0, 1], got $budgetFraction")
+    mixtureSelect(
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      idCol, groupCol, broadcastStatus,
+      cum => {
+        // group totals, weights and the normalizer all derive from the
+        // (group, bucket) sums — tiny frames re-read from the narrow
+        // checkpoint's materialized blocks, never a second text scan
+        val totals = cum.groupBy(col(groupCol))
+          .agg(sum(col("__bsum")).as("__gt"))
+        val rawW =
+          if (alpha == 0.5) sqrt(col("__gt").cast("double"))
+          else pow(col("__gt").cast("double"), alpha)
+        val weighted = totals.withColumn("__w",
+          if (integerWeights) floor(rawW).cast("long").cast("double")
+          else rawW)
+        val scalars = weighted.agg(
+          sum(col("__gt")).cast("double").as("__tot"),
+          sum(col("__w")).as("__den"))
+        val budgets = weighted.crossJoin(broadcast(scalars))
+          .select(col(groupCol),
+            floor(lit(budgetFraction) * col("__tot") * col("__w")
+              / col("__den")).cast("long").as("__budget"))
+        cum.join(broadcast(budgets), Seq(groupCol))
+      })
+  }
+
   /** Marker-token language scores: per language, the count of
     * high-frequency marker tokens present. `langId` picks the argmax with a
     * deterministic alphabetical tie-break (n-gram-free heuristic language

@@ -143,4 +143,47 @@ object UrlOps {
         keyed, Seq("host"), Seq(col("__pri"), col(idCol)), k)
       .drop("__pri")
   }
+
+  /** DOMAIN-LEVEL quality gate: drop every document whose registered
+    * domain's MEAN of `scoreCol` falls below `minMeanScore` — the
+    * "spammy sites are spammy everywhere" curation rule (document-level
+    * scores are noisy; the domain mean is the robust signal web-scale
+    * pipelines act on). Documents with an unparseable URL (NULL domain)
+    * are kept: the gate only drops what it can attribute.
+    *
+    * Plan: two passes over the corpus, neither shuffling the text —
+    *  1. the stats pass prunes to (domain, score) before its one
+    *     domain-keyed partial-agg'd exchange (domain cardinality is
+    *     millions, not corpus-sized);
+    *  2. the gate pass is a broadcast LEFT ANTI join against the BAD
+    *     domain set (below-threshold domains are the pathological
+    *     minority — blocklist-shaped; pass `broadcastBad = false` to
+    *     shuffle-join if a harsh threshold makes the bad set
+    *     corpus-shaped).
+    *
+    * Threshold comparisons tolerate cross-engine float-summation-order
+    * ulps by the usual margin argument: a domain mean sits within 1e-15
+    * of the threshold only adversarially.
+    */
+  def dropLowQualityDomains(
+      df: DataFrame, urlCol: String, scoreCol: String,
+      minMeanScore: Double,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes,
+      broadcastBad: Boolean = true): DataFrame = {
+    require(!df.columns.contains("__graft_dom"),
+      "input already has the internal __graft_dom column")
+    val withDom = df.withColumn("__graft_dom",
+      registeredDomain(host(col(urlCol)), multiLabelSuffixes))
+    val bad = withDom
+      .filter(col("__graft_dom").isNotNull)
+      .select(col("__graft_dom"), col(scoreCol))
+      .groupBy(col("__graft_dom"))
+      .agg(avg(col(scoreCol)).as("__mean"))
+      .filter(col("__mean") < minMeanScore)
+      .select(col("__graft_dom"))
+    withDom.join(
+        if (broadcastBad) broadcast(bad) else bad,
+        Seq("__graft_dom"), "left_anti")
+      .drop("__graft_dom")
+  }
 }
