@@ -203,10 +203,10 @@ object Bench {
     val aqeQueries: Map[String, Double] =
       if (aqeMain || !sys.env.getOrElse("SPARK_GRAFT_AQE_BLOCK", "true").toBoolean)
         Map.empty
-      else {
+      else try {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         System.gc()
-        val r = selected.map { case (name, fn) =>
+        selected.map { case (name, fn) =>
           val t0 = System.nanoTime()
           var reclaim: () => Unit = () => ()
           val ok = try {
@@ -221,9 +221,12 @@ object Bench {
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           reclaim()
           name -> t
-        }
+        }.toMap
+      } finally {
+        // unconditional restore: a throw outside the per-query catch
+        // (trackingRdds setup, reclaim) must not leave AQE flipped on for
+        // later harness work in this session
         spark.conf.set("spark.sql.adaptive.enabled", "false")
-        r.toMap
       }
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -1001,10 +1001,17 @@ object SparkEntry {
   /** Per-host document cap (k=5) in deterministic hash-priority order —
     * the "no single site dominates" rule on the host grain, via the
     * bounded-heap TopK operator (no Window, no per-host sort); the oracle
-    * replays the row_number window. */
+    * replays the row_number window. Every 19th document's URL is
+    * overwritten with non-URL text to exercise the null-host path: those
+    * rows must survive uncapped with host/rank NULL (the cap only acts on
+    * what it can attribute). */
   private def urlHostCap(s: SparkSession, dir: String): DataFrame =
     ext.UrlOps.capPerHost(
-        seedUrls(T(s, dir, "documents")).select(col("doc_id"), col("url")),
+        seedUrls(T(s, dir, "documents"))
+          .withColumn("url",
+            when(pmod(col("doc_id"), lit(19)) === 0, lit("not a url"))
+              .otherwise(col("url")))
+          .select(col("doc_id"), col("url")),
         "url", "doc_id", k = 5)
       .select(col("doc_id"), col("host"), col("rank"))
       .orderBy(col("doc_id"))
@@ -2114,13 +2121,19 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "url_host_cap" ->
       s"""WITH $urlSeedCtes,
+        |b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 19 = 0 THEN NULL ELSE host END AS host FROM r),
         |p AS (SELECT doc_id, host,
-        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM r),
+        |  md5(CAST(doc_id AS VARCHAR) || ':42') AS pri FROM b
+        |  WHERE host IS NOT NULL),
         |rk AS (SELECT doc_id, host,
         |  CAST(row_number() OVER (PARTITION BY host ORDER BY pri, doc_id)
         |    AS INT) AS rank FROM p)
-        |SELECT doc_id, host, rank FROM rk
-        |WHERE rank <= 5 ORDER BY doc_id""".stripMargin,
+        |SELECT doc_id, host, rank FROM rk WHERE rank <= 5
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) AS host, CAST(NULL AS INT) AS rank
+        |FROM b WHERE host IS NULL
+        |ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH seeded AS (SELECT doc_id, lang,
         |  text || ' Cafe' || chr(769) || '  du  Monde ' AS text

@@ -81,7 +81,9 @@ object DataPipeline {
     // 1.5. URL/domain curation (web corpora only): the domain blocklist
     //      stays a map-side scan predicate; the host cap is the
     //      bounded-heap TopK — the cheap source-level drops run BEFORE
-    //      any content-pairing stage sees the rows
+    //      any content-pairing stage sees the rows. Both halves only drop
+    //      what they can attribute: docs with no parseable URL pass
+    //      through the blocklist AND the cap untouched
     val urlGated0 =
       if (blockedDomains.nonEmpty) UrlOps.dropBlockedDomains(gated, "url", blockedDomains)
       else gated
@@ -204,8 +206,11 @@ object DataPipeline {
       curated: DataFrame,
       outDir: String,
       mixFraction: Double = 0.8,
-      nShards: Int = 8): DataFrame = {
-    val training = prepareTraining(curated, mixFraction, nShards)
+      nShards: Int = 8,
+      chunkSize: Int = 0,
+      chunkStride: Int = 0): DataFrame = {
+    val training =
+      prepareTraining(curated, mixFraction, nShards, chunkSize, chunkStride)
     Sampling.writeAssignedShards(training, outDir)
     training
   }

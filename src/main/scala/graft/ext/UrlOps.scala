@@ -129,19 +129,29 @@ object UrlOps {
     * site dominates the corpus" rule. The cap is the bounded-heap
     * [[graft.ops.TopK.perGroupRanked]] operator — O(hosts·k) state around
     * one exchange, no Window, no per-host sort. Returns the surviving rows
-    * with `host` and `rank` (1 = best) appended. */
+    * with `host` and `rank` (1 = best) appended.
+    *
+    * Documents whose URL yields no host (unparseable / missing) are KEPT,
+    * with `host` and `rank` NULL — the cap, like [[dropBlockedDomains]]
+    * and [[dropLowQualityDomains]], only acts on what it can attribute.
+    * Null-host rows bypass the TopK entirely (a scan-level filter, no
+    * extra shuffle) and union back below it, so they never pool into one
+    * artificial capped group. */
   def capPerHost(
       df: DataFrame, urlCol: String, idCol: String, k: Int,
       seed: String = "42",
       multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
     require(!df.columns.contains("host") && !df.columns.contains("rank"),
       "capPerHost appends 'host' and 'rank' — input already has one")
-    val keyed = df
-      .withColumn("host", host(col(urlCol)))
-      .withColumn("__pri", graft.ops.Sampling.hashPriority(col(idCol), seed))
-    graft.ops.TopK.perGroupRanked(
-        keyed, Seq("host"), Seq(col("__pri"), col(idCol)), k)
+    val keyed = df.withColumn("host", host(col(urlCol)))
+    val capped = graft.ops.TopK.perGroupRanked(
+        keyed.filter(col("host").isNotNull)
+          .withColumn("__pri", graft.ops.Sampling.hashPriority(col(idCol), seed)),
+        Seq("host"), Seq(col("__pri"), col(idCol)), k)
       .drop("__pri")
+    capped.unionByName(
+      keyed.filter(col("host").isNull)
+        .withColumn("rank", lit(null).cast("int")))
   }
 
   /** DOMAIN-LEVEL quality gate: drop every document whose registered

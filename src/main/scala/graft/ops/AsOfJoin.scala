@@ -131,13 +131,22 @@ object AsOfJoin {
       case Some(tol) =>
         // null out matches outside the window; comparison in seconds via
         // double cast (works for timestamp and numeric time columns).
-        // Direction-dependent operand order keeps the diff non-negative
-        // for legitimate matches in BOTH directions.
+        // TIMESTAMP_NTZ refuses a direct double cast, so timestamps hop
+        // through an explicit LTZ cast first — monotone and
+        // difference-exact (the session-TZ shift cancels), a no-op for
+        // LTZ, and parquet written with isAdjustedToUTC=false arrives
+        // as NTZ, so the hop is load-bearing, not defensive.
+        val tsType = unioned.schema("__ts").dataType
+        val toSecs: Column => Column = tsType match {
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            c => c.cast("timestamp_ltz").cast("double")
+          case _ => c => c.cast("double")
+        }
         val diff =
           if (forward)
-            col("__match")("__mts").cast("double") - col("__ts").cast("double")
+            toSecs(col("__match")("__mts")) - toSecs(col("__ts"))
           else
-            col("__ts").cast("double") - col("__match")("__mts").cast("double")
+            toSecs(col("__ts")) - toSecs(col("__match")("__mts"))
         carried.withColumn("__match", when(diff <= tol, col("__match")))
       case None => carried
     }

@@ -48,6 +48,11 @@ object ContaminationGate {
       textCol: String,
       n: Int = 3,
       maxBenchmarkGrams: Long = MaxBenchmarkGrams): DataFrame = {
+    // the guarded collect below limits to cap+1 rows through an Int-typed
+    // limit(); a cap at/above Int.MaxValue would overflow (negative limit)
+    // or silently clamp so the overflow diagnostic could never fire
+    require(maxBenchmarkGrams > 0 && maxBenchmarkGrams < Int.MaxValue,
+      s"maxBenchmarkGrams must be in (0, Int.MaxValue): $maxBenchmarkGrams")
     import org.apache.spark.sql.GraftColumnBridge
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
@@ -58,7 +63,7 @@ object ContaminationGate {
     // swap (corpus passed as `benchmark`) dies loudly here.
     val capped = benchmark
       .select(explode(gramHashes(col(textCol))).as("__g"))
-      .distinct().limit(math.min(maxBenchmarkGrams + 1, Int.MaxValue.toLong).toInt)
+      .distinct().limit((maxBenchmarkGrams + 1).toInt)
       .collect()
     if (capped.length > maxBenchmarkGrams)
       throw new IllegalArgumentException(

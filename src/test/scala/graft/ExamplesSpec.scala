@@ -95,6 +95,15 @@ class ExamplesSpec extends AnyFunSuite {
     assert(training.count() >
       training.select("doc_id").distinct().count()) // docs split into windows
     assert(training.select("shard").distinct().count() == 4)
+    // the terminal writer accepts the same chunk grain (params thread
+    // through to prepareTraining, not silently ignored)
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunks").toFile
+    dir.deleteOnExit()
+    val written = DataPipeline.prepareTrainingToFiles(
+      curated, dir.getAbsolutePath, nShards = 4, chunkSize = 32, chunkStride = 24)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.columns.contains("chunk_id"))
+    assert(back.count() == written.count() && written.count() == training.count())
   }
 
   test("URL stage: blocklist and host cap bite between quality gate and dedup") {

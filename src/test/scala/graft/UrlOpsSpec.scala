@@ -120,6 +120,22 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out2.count() == 4L)
   }
 
+  test("capPerHost keeps null-host docs uncapped with rank NULL") {
+    // 5 unparseable URLs + 4 docs on one host, k=2: every null-host doc
+    // must survive (the cap only acts on what it can attribute — same
+    // contract as dropBlockedDomains / dropLowQualityDomains), never
+    // pooled into one capped NULL group
+    val rows = (1L to 5L).map(i => (i, s"no url here $i")) ++
+      (10L to 13L).map(i => (i, "https://one.example.com/" + i))
+    val out = UrlOps.capPerHost(rows.toDF("doc_id", "url"), "url", "doc_id", 2)
+      .select("doc_id", "host", "rank")
+      .as[(Long, Option[String], Option[Int])].collect()
+    val (nulls, hosted) = out.partition(_._2.isEmpty)
+    assert(nulls.map(_._1).sorted.toSeq == (1L to 5L))
+    assert(nulls.forall(_._3.isEmpty))
+    assert(hosted.length == 2 && hosted.forall(_._2.contains("one.example.com")))
+  }
+
   test("plan: extraction is map-only; cap plans TopK, not Window") {
     val parts = UrlOps.withUrlParts(urls, "url")
     parts.collect()
