@@ -136,7 +136,12 @@ object UrlOps {
     * and [[dropLowQualityDomains]], only acts on what it can attribute.
     * Null-host rows bypass the TopK entirely (a scan-level filter, no
     * extra shuffle) and union back below it, so they never pool into one
-    * artificial capped group. */
+    * artificial capped group. Cost note: the two branches each read the
+    * input, so an uncached file-backed corpus is SCANNED TWICE (both
+    * scans are parquet-pushdown-friendly and the null-host branch is
+    * typically a sliver, but at web scale callers who already pay to
+    * materialize the keyed frame should `persist` it first — or drop
+    * unparseable-URL rows upstream, which collapses this to one scan). */
   def capPerHost(
       df: DataFrame, urlCol: String, idCol: String, k: Int,
       seed: String = "42",

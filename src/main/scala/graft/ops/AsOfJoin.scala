@@ -129,25 +129,31 @@ object AsOfJoin {
           last(rowStruct, ignoreNulls = true).over(w)))
     val bounded = toleranceSeconds match {
       case Some(tol) =>
-        // null out matches outside the window; comparison in seconds via
-        // double cast (works for timestamp and numeric time columns).
-        // TIMESTAMP_NTZ refuses a direct double cast, so timestamps hop
-        // through an explicit LTZ cast first — monotone and
-        // difference-exact (the session-TZ shift cancels), a no-op for
-        // LTZ, and parquet written with isAdjustedToUTC=false arrives
-        // as NTZ, so the hop is load-bearing, not defensive.
+        // null out matches outside the window. Timestamp columns (LTZ and
+        // NTZ) diff via timestamp_diff in the column's OWN domain: for NTZ
+        // the subtraction never consults the session timezone — the
+        // previous NTZ→LTZ→double hop was only difference-exact under
+        // fixed-offset session zones; with a DST-observing zone two NTZ
+        // operands straddling a transition picked up different offsets,
+        // skewing the diff by the shift (and the fall-back overlap made
+        // the mapping non-monotone). Microsecond unit + µs-scaled bound
+        // preserves the old double-seconds semantics for fractional
+        // timestamps exactly (no whole-second truncation). Numeric time
+        // columns keep the double-seconds cast.
         val tsType = unioned.schema("__ts").dataType
-        val toSecs: Column => Column = tsType match {
-          case _: org.apache.spark.sql.types.TimestampNTZType =>
-            c => c.cast("timestamp_ltz").cast("double")
-          case _ => c => c.cast("double")
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val (earlier, later) =
+          if (forward) (col("__ts"), col("__match")("__mts"))
+          else (col("__match")("__mts"), col("__ts"))
+        val inWindow = tsType match {
+          case _: TimestampNTZType | _: TimestampType =>
+            val tolUs =
+              if (tol > Long.MaxValue / 1000000L) Long.MaxValue
+              else tol * 1000000L
+            timestamp_diff("MICROSECOND", earlier, later) <= tolUs
+          case _ => later.cast("double") - earlier.cast("double") <= tol
         }
-        val diff =
-          if (forward)
-            toSecs(col("__match")("__mts")) - toSecs(col("__ts"))
-          else
-            toSecs(col("__ts")) - toSecs(col("__match")("__mts"))
-        carried.withColumn("__match", when(diff <= tol, col("__match")))
+        carried.withColumn("__match", when(inWindow, col("__match")))
       case None => carried
     }
     payload.foldLeft(bounded) { (d, c) =>

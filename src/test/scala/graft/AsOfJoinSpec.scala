@@ -65,6 +65,38 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("near", Some(1.5)))) // 100-90 = 10s within tolerance
   }
 
+  test("asOfTolerance on TIMESTAMP_NTZ diffs in the NTZ domain (DST-safe)") {
+    // Regression (advisor round-7): the old NTZ→LTZ→double hop was only
+    // difference-exact under fixed-offset session zones. With a
+    // DST-observing zone, two NTZ operands straddling a transition picked
+    // up different offsets: the 2h wall-clock gaps below measured 3600 s
+    // (spring-forward) / 10800 s (fall-back) instead of 7200 s.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val left = Seq(
+        ("u1", "2024-03-10 03:30:00", "spring"),
+        ("u2", "2024-11-03 02:30:00", "fall"))
+        .toDF("k", "s", "tag")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+      val right = Seq(
+        ("u1", "2024-03-10 01:30:00", 1.0),
+        ("u2", "2024-11-03 00:30:00", 2.0))
+        .toDF("k", "s", "v")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+      def run(tol: Long): Seq[(String, Option[Double])] =
+        AsOfJoin.asOfTolerance(
+            left, right, Seq("k"), "ts", "ts", Seq("v"), tol)
+          .orderBy("tag").select("tag", "asof_v")
+          .as[(String, Option[Double])].collect().toSeq
+      // both gaps are exactly 7200 s in the NTZ domain
+      assert(run(7200L) == Seq(("fall", Some(2.0)), ("spring", Some(1.0))))
+      // a bound between the phantom 3600 s and the true 7200 s excludes
+      // BOTH (the old hop wrongly kept the spring-forward pair)
+      assert(run(5000L) == Seq(("fall", None), ("spring", None)))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("null timestamps never match: null-ts right ignored, null-ts left unmatched") {
     val left = Seq(("u1", Some(10L), "has-ts"), ("u1", None, "no-ts"))
       .toDF("k", "ts", "tag")

@@ -25,8 +25,12 @@ class PlanContractSpec extends AnyFunSuite {
     // sequence()-generated calendar grid — bounded by the DATE SPAN, not
     // the corpus (text_quality_prune's former one-row threshold join is
     // now a scalar subquery — no join at all)
+    // text_mixture_temp's nested loop is weighted.crossJoin(broadcast(
+    // scalars)): the build side is the ONE-ROW global normalizer
+    // (sum of per-group totals/weights) attached to the groups frame —
+    // bounded by construction, same class as the keyset anchor
     val boundedLoop = Set("sim_topk", "j5_band_join",
-      "o10_keyset", "j2_calendar_fill", "a4_asfreq")
+      "o10_keyset", "j2_calendar_fill", "a4_asfreq", "text_mixture_temp")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -60,13 +64,17 @@ class PlanContractSpec extends AnyFunSuite {
       "j1_surrogate_key", "pack_bins", "a12_freq_infer", "a12_freq_modal",
       "j4_asof", "j7_asof_forward", "j8_asof_tolerance", "p5_dedup_first",
       "o2_head", "o5_reverse", "o6_topk_group", "o10_keyset",
-      "dedup_paragraphs", "dedup_ngram_jaccard", "dedup_embedding",
+      // dedup_containment shares ngramPairCounts (the posting-list core,
+      // incl. its per-gram doc-freq-cap window) with dedup_ngram_jaccard
+      "dedup_paragraphs", "dedup_ngram_jaccard", "dedup_containment",
+      "dedup_embedding",
       "dedup_embedding_lsh", "w6_weekend",
-      // text_mixture's two windows are both bounded by construction —
+      // text_mixture's two windows (and text_mixture_temp's — same
+      // mixtureSelect core) are both bounded by construction —
       // bucket-level over the per-(group,bucket) aggregate (≤ numBuckets
       // rows per group), doc-level over only the one straddling bucket —
       // and MixtureSpec pins both shapes against regression
-      "text_mixture",
+      "text_mixture", "text_mixture_temp",
       // p12's window partitions by the uniform hash shard — corpus/nShards
       // per partition by construction, and the per-shard sort IS the
       // operator's contract (the write layout); ShardingSpec pins balance
