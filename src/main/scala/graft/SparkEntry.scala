@@ -1197,6 +1197,40 @@ object SparkEntry {
         round(col("containment_b"), 6).as("containment_b"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Fixed retrieval queries for ret_bm25 — vocabulary terms the synthetic
+    * corpus actually contains, plus one deliberate OOV term ("shuffle") to
+    * exercise the query-term-not-in-corpus path (contributes zero in both
+    * engines via the inner df join). */
+  private val retrievalQueries = Seq(
+    (1, "spark window agg shuffle"),
+    (2, "customer query merge join"),
+    (3, "vector stream hash batch"))
+
+  /** Okapi BM25 top-10 per query ([[ext.Retrieval.bm25TopK]]): one text
+    * scan into a checkpointed posting frame, broadcast query arm,
+    * bounded-heap TopK ranking (no Window). Score rounded to 4 dp BEFORE
+    * ranking so summation-order ulps can't flip the emitted top-k; the
+    * oracle replays the same collection statistics (N and lengths count
+    * kept tokens; N counts docs with ≥1 token). */
+  private def retBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ext.Retrieval.bm25TopK(
+        T(s, dir, "documents"), "doc_id", "text",
+        retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** TF-IDF weights for a fixed 4-term vocabulary
+    * ([[ext.Retrieval.tfidfForVocab]]): the sparse-feature sibling of
+    * ret_bm25 — same one-scan posting checkpoint, vocab-sized broadcast
+    * everywhere else. */
+  private def retTfidf(s: SparkSession, dir: String): DataFrame =
+    ext.Retrieval.tfidfForVocab(
+        T(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "customer", "vector", "merge"))
+      .orderBy(col("doc_id"), col("term"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1735,7 +1769,12 @@ object SparkEntry {
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
-      "text_mixture_temp", "text_lm_quality", "text_boilerplate")
+      "text_mixture_temp", "text_lm_quality", "text_boilerplate",
+      // the retrieval pair's posting frame is a lazily-materialized
+      // checkpoint (the text_quality_prune class): a memoized plan's
+      // second run would re-read the persisted postings while the oracle
+      // re-tokenizes per run
+      "ret_bm25", "ret_tfidf")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1862,6 +1901,8 @@ object SparkEntry {
     "text_mixture_temp" -> (textMixtureTemp _),
     "url_domain_gate" -> (urlDomainGate _),
     "dedup_containment" -> (dedupContainment _),
+    "ret_bm25" -> (retBm25 _),
+    "ret_tfidf" -> (retTfidf _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -2967,6 +3008,51 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE length(token) > 0 GROUP BY token)
         |WHERE r <= 50 ORDER BY 1""".stripMargin,
+    "ret_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'spark window agg shuffle'),
+        |    (2, 'customer query merge join'),
+        |    (3, 'vector stream hash batch')),
+        |tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT query_id, t FROM
+        |  (SELECT query_id, unnest(string_split_regex(qtext, '\s+')) AS t
+        |   FROM q) WHERE length(t) > 0),
+        |dfr AS (SELECT t, count(*) AS df FROM tf
+        |  WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |    round(sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+        |      * tf.tf * (1.2 + 1.0)
+        |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))),
+        |      4) AS score
+        |  FROM tf JOIN qt USING (t) JOIN dfr USING (t)
+        |    JOIN dl USING (doc_id), st
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+        |SELECT query_id, doc_id, score, rank FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ret_tfidf" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+        |v(term) AS (VALUES ('spark'), ('customer'), ('vector'), ('merge')),
+        |sub AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN v USING (term)),
+        |dfr AS (SELECT term, count(*) AS df FROM sub GROUP BY 1)
+        |SELECT sub.doc_id, sub.term, CAST(sub.tf AS BIGINT) AS tf,
+        |  CAST(dfr.df AS BIGINT) AS df,
+        |  round(sub.tf * ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)), 4)
+        |    AS tfidf
+        |FROM sub JOIN dfr USING (term), st
+        |ORDER BY doc_id, term""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
         | CAST(ascii(substr(text,1,1)) AS INT) AS first_cp,

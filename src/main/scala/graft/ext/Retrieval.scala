@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus — the missing sibling of
+  * the embedding-side [[Similarity]] family (north-star breadth; no
+  * reference analogue). Training-data pipelines use it for targeted
+  * decontamination (retrieve corpus docs lexically close to an eval set),
+  * seed expansion (grow a curated set from exemplar queries), and eval-set
+  * mining; it is also the classical "search this corpus" operator.
+  *
+  * Scale shape (the point of the design): the corpus text is tokenized
+  * EXACTLY ONCE into a lazily-checkpointed narrow `(doc, term, tf)`
+  * posting frame — document length, document frequency, and the scoring
+  * join all re-read its materialized blocks. The query side (queries ×
+  * query terms, with their IDFs) is KBs and always broadcast, so the only
+  * corpus-sized exchanges are the posting aggregation itself, the narrow
+  * `(doc, len)` attach, and the per-(query, doc) score aggregation over
+  * CANDIDATES (docs sharing ≥1 query term) — never an all-pairs join. The
+  * final ranking is the bounded-heap [[graft.ops.TopK]] operator, not a
+  * Window: O(queries · k) state, no per-query sort.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k documents per query.
+    *
+    * score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf(t,d)·(k1+1) /
+    *                 (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    * with the Lucene-style non-negative idf(t) = ln(1 + (N − df + 0.5) /
+    * (df + 0.5)). N, |d| and avgdl count KEPT (non-empty, whitespace-split)
+    * tokens, and N counts documents with ≥1 such token — empty documents
+    * can never match, so they are out of the collection statistics by
+    * construction (documented engine choice; the oracle replays it).
+    * Repeated terms in a QUERY count once (standard bag-of-terms practice
+    * for short queries); repeated terms in a document are the tf.
+    *
+    * Engine-portability: the score is rounded to `roundScoreTo` dp BEFORE
+    * ranking, and rank ties break on ascending doc id, so summation-order
+    * ulps between engines cannot flip the emitted top-k.
+    *
+    * Returns (queryIdCol, idCol, score, rank) with rank 1..k per query.
+    */
+  def bm25TopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundScoreTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(k1 >= 0, s"k1 must be non-negative, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+
+    // ONE text scan: the posting frame is the checkpoint every downstream
+    // statistic derives from (the fitUnigramModel pattern)
+    val tf = corpus
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+
+    // narrow (doc, len) frame + one-row collection stats
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    // avgdl via exact long sum then one double division (avg() would sum
+    // doubles in Spark but exact integers in DuckDB — an engine-visible
+    // ulp); the long sum is order-independent, so both engines agree
+    // bit-for-bit
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("__N"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+
+    // query terms: distinct per query, KBs, broadcast everywhere below
+    val qt = queries
+      .select(col(queryIdCol),
+        explode(TextAnalysis.tokens(col(queryTextCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .distinct()
+
+    // document frequency ONLY for terms some query mentions: the posting
+    // frame is semi-joined down to the query vocabulary (broadcast) before
+    // the term-grain aggregate — df work is O(matching postings), not
+    // O(corpus vocabulary)
+    val qVocab = qt.select(col("__t")).distinct()
+    val dfFrame = tf
+      .join(broadcast(qVocab), Seq("__t"))
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df")) // tf is (doc, term)-unique
+
+    // per-(query, term) idf — the one-row stats frame rides in via a
+    // broadcast cross (bounded build side by construction)
+    val qArm = qt
+      .join(dfFrame, Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col("__t"), col("__avgdl"),
+        log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))).as("__idf"))
+
+    // candidates: postings × broadcast query arm; attach doc length via
+    // the narrow doc-grain join (the only corpus-sized equi-join, both
+    // sides derived from the one checkpoint)
+    val scored = tf
+      .join(broadcast(qArm), Seq("__t"))
+      .join(dl, Seq(idCol))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (lit(k1) + 1.0)
+          / (col("__tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__s")), roundScoreTo).as("score"))
+
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** TF-IDF document term weights for the query vocabulary — the linear
+    * sibling of [[bm25TopK]] for cosine/dot retrieval and for feeding
+    * sparse features to a downstream classifier. Same one-scan posting
+    * checkpoint, same broadcast query vocabulary; returns one row per
+    * (doc, term ∈ vocab) with `tf`, `df` and `tfidf` = tf · ln(1 + (N −
+    * df + 0.5)/(df + 0.5)).
+    */
+  def tfidfForVocab(
+      corpus: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], roundTo: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    val tf = corpus
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    // N = docs with ≥1 kept token, same collection-statistics choice as
+    // bm25TopK (two narrow aggregates over the checkpoint, one row out)
+    val stats = tf.groupBy(col(idCol)).agg(count(lit(1)).as("__x"))
+      .agg(count(lit(1)).cast("double").as("__N"))
+    val vocabDf = corpus.sparkSession
+      .createDataFrame(vocab.distinct.map(Tuple1(_)))
+      .toDF("term")
+    val sub = tf.join(broadcast(vocabDf), Seq("term"))
+    val dfFrame = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    sub.join(broadcast(dfFrame), Seq("term")) // df frame is vocab-sized
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(1.0)
+          + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
+          roundTo).as("tfidf"))
+  }
+}

@@ -29,8 +29,11 @@ class PlanContractSpec extends AnyFunSuite {
     // scalars)): the build side is the ONE-ROW global normalizer
     // (sum of per-group totals/weights) attached to the groups frame —
     // bounded by construction, same class as the keyset anchor
+    // ret_bm25/ret_tfidf cross-broadcast their ONE-ROW collection-stats
+    // frame (N, avgdl) onto the vocab-sized arm — same class
     val boundedLoop = Set("sim_topk", "j5_band_join",
-      "o10_keyset", "j2_calendar_fill", "a4_asfreq", "text_mixture_temp")
+      "o10_keyset", "j2_calendar_fill", "a4_asfreq", "text_mixture_temp",
+      "ret_bm25", "ret_tfidf")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -82,6 +85,23 @@ class PlanContractSpec extends AnyFunSuite {
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
+    }
+  }
+
+  test("retrieval ranks via the bounded heap over one materialized posting frame") {
+    // the corpus text is tokenized once into the checkpointed posting
+    // frame (every statistic re-reads its blocks — Scan ExistingRDD), the
+    // query arm broadcasts, and the final ranking is the TopK operator,
+    // never a per-query Window sort
+    Seq("ret_bm25").foreach { name =>
+      val p = plans(name)
+      assert(p.contains("TopKPerGroup"),
+        s"$name lost its TopKPerGroup ranking:\n$p")
+      assert(!p.contains("Window"), s"$name plans a Window node:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name no longer reads a materialized posting frame:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast query arm:\n$p")
     }
   }
 

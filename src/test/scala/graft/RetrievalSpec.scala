@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 4-doc corpus with hand-computable statistics; doc 4 is empty (out of
+  // the collection stats by construction)
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry date"),
+    (4L, "")).toDF("doc_id", "text")
+
+  /** Reference BM25 (k1=1.2, b=0.75) computed independently in Scala. */
+  private def bm25Ref(
+      tfs: Map[String, Int], dl: Int, avgdl: Double, n: Int,
+      df: Map[String, Int], terms: Seq[String]): Double = {
+    val k1 = 1.2; val b = 0.75
+    terms.distinct.filter(t => df.contains(t) && tfs.contains(t)).map { t =>
+      val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+      idf * tfs(t) * (k1 + 1.0) /
+        (tfs(t) + k1 * (1.0 - b + b * dl / avgdl))
+    }.sum
+  }
+
+  test("bm25TopK matches an independent closed-form computation") {
+    val q = Seq((10, "banana date"), (20, "apple")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 10,
+        roundScoreTo = 6)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+
+    // collection stats over docs 1..3 (doc 4 has no tokens)
+    val n = 3; val avgdl = (3 + 2 + 4) / 3.0
+    val df = Map("apple" -> 1, "banana" -> 2, "cherry" -> 2, "date" -> 1)
+    val tfs = Map(
+      1L -> (Map("apple" -> 2, "banana" -> 1), 3),
+      2L -> (Map("banana" -> 1, "cherry" -> 1), 2),
+      3L -> (Map("cherry" -> 3, "date" -> 1), 4))
+    def ref(doc: Long, terms: String*): Double = {
+      val (m, dl) = tfs(doc)
+      BigDecimal(bm25Ref(m, dl, avgdl, n, df, terms))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Seq(
+      // banana date: doc3 has the rarer 'date', docs 1/2 only 'banana'
+      (10, 3L, ref(3L, "banana", "date")),
+      (10, 2L, ref(2L, "banana", "date")),
+      (10, 1L, ref(1L, "banana", "date")),
+      (20, 1L, ref(1L, "apple")))
+    assert(got.map(r => (r._1, r._2, r._3)) == expected)
+    assert(got.map(_._4) == Seq(1, 2, 3, 1)) // ranks dense from 1 per query
+  }
+
+  test("bm25TopK: OOV query terms contribute nothing; all-OOV query matches nothing") {
+    val q = Seq((1, "banana zzz"), (2, "zzz yyy")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(got.forall(_._1 == 1), "all-OOV query 2 must emit no rows")
+    // identical to the query without the OOV term
+    val clean = Retrieval.bm25TopK(
+        corpus, "doc_id", "text",
+        Seq((1, "banana")).toDF("qid", "qtext"), "qid", "qtext", k = 10)
+      .orderBy(col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(got == clean)
+  }
+
+  test("bm25TopK: k bounds each query's rows; repeated query terms count once") {
+    val q = Seq((1, "cherry cherry cherry")).toDF("qid", "qtext")
+    val one = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 1)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(one.size == 1 && one.head._2 == 3L) // doc 3: tf=3 of 'cherry'
+    val single = Retrieval.bm25TopK(
+        corpus, "doc_id", "text",
+        Seq((1, "cherry")).toDF("qid", "qtext"), "qid", "qtext", k = 1)
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(one == single, "query-side tf must be ignored")
+  }
+
+  test("tfidfForVocab matches the closed form and covers only vocab terms") {
+    val got = Retrieval.tfidfForVocab(
+        corpus, "doc_id", "text", Seq("cherry", "apple"), roundTo = 6)
+      .orderBy(col("doc_id"), col("term"))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    def w(tf: Int, df: Int): Double =
+      BigDecimal(tf * math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, "apple", 2L, 1L, w(2, 1)),
+      (2L, "cherry", 1L, 2L, w(1, 2)),
+      (3L, "cherry", 3L, 2L, w(3, 2))))
+  }
+}
