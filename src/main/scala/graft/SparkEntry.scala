@@ -1231,6 +1231,23 @@ object SparkEntry {
         Seq("spark", "customer", "vector", "merge"))
       .orderBy(col("doc_id"), col("term"))
 
+  /** Portable linear quality gate ([[ext.QualityClassifier.markerLogit]]):
+    * σ(b + Σ w_t·tf_t) over named marker terms — the closed form a fitted
+    * linear classifier reduces to after vocabulary projection (the
+    * spark.ml-trained sibling is spec-only: training isn't
+    * SQL-expressible). Weights are DYADIC (multiples of 2^-3) so every
+    * per-term product with an integer tf is exact in double and the logit
+    * is bit-identical under any summation order — no rounding hazard
+    * between engines. Map-only: one CountInSet kernel per term. */
+  private def textClfScore(s: SparkSession, dir: String): DataFrame =
+    ext.QualityClassifier.markerLogit(
+        T(s, dir, "documents"), "text",
+        Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+          ("the", -0.125)),
+        bias = -0.25)
+      .select(col("doc_id"), col("logit"), col("prob"))
+      .orderBy(col("doc_id"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1903,6 +1920,7 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "ret_bm25" -> (retBm25 _),
     "ret_tfidf" -> (retTfidf _),
+    "text_clf_score" -> (textClfScore _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -3053,6 +3071,22 @@ object SparkEntry {
         |    AS tfidf
         |FROM sub JOIN dfr USING (term), st
         |ORDER BY doc_id, term""".stripMargin,
+    "text_clf_score" ->
+      """WITH w(t, w) AS (VALUES
+        |    ('data', 0.75), ('slow', -1.25), ('spark', 0.5),
+        |    ('the', -0.125)),
+        |tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |mc AS (SELECT tk.doc_id, tk.t, count(*) AS tf FROM tk
+        |  JOIN w USING (t) GROUP BY 1, 2),
+        |agg AS (SELECT mc.doc_id, sum(w.w * mc.tf) AS s FROM mc
+        |  JOIN w USING (t) GROUP BY 1),
+        |lg AS (SELECT d.doc_id,
+        |    round(-0.25 + coalesce(agg.s, 0), 6) AS logit
+        |  FROM documents d LEFT JOIN agg USING (doc_id))
+        |SELECT doc_id, logit,
+        |  round(1.0 / (1.0 + exp(-logit)), 6) AS prob
+        |FROM lg ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
         | CAST(ascii(substr(text,1,1)) AS INT) AS first_cp,

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring — the classifier-filter stage of
+  * web-corpus curation (the GPT-3/LLaMA-style "does this look like a
+  * reference page?" gate; reference pipelines score with a fastText-like
+  * linear model and keep by threshold or noisy-threshold sampling). Two
+  * halves, both linear models over term counts:
+  *
+  *  - [[train]] / [[score]]: a real spark.ml pipeline — whitespace tokens
+  *    → [[HashingTF]] (sparse term-frequency vector, feature hashing, no
+  *    vocabulary state) → binomial [[LogisticRegression]]. Training is a
+  *    handful of corpus passes over the label set (usually a SMALL seed:
+  *    positives = curated exemplars, negatives = random crawl); scoring
+  *    is one map-only model.transform pass — no shuffle, model weights
+  *    ship as a broadcast task binary.
+  *  - [[markerLogit]]: the engine-portable closed form σ(b + Σ w_t·tf_t)
+  *    over NAMED marker terms with literal weights — the shape a fitted
+  *    linear model reduces to after vocabulary projection, expressible
+  *    identically in SQL for the oracle gate (and handy by itself as an
+  *    interpretable hand-tuned gate).
+  */
+object QualityClassifier {
+
+  /** Fitted classifier: the hashing transformer + the logistic model. */
+  final case class TextClassifier(
+      hasher: HashingTF, model: LogisticRegressionModel) {
+    def numFeatures: Int = hasher.getNumFeatures
+  }
+
+  /** Train a binomial logistic quality classifier on a labeled frame.
+    *
+    * @param labeled  frame with `textCol` (string) and `labelCol`
+    *                 (0.0/1.0 double; 1 = keep-quality)
+    * @param numFeatures hashed feature space (power of two; 2^18 default
+    *                 — fastText-scale, KBs of dense weights)
+    */
+  def train(
+      labeled: DataFrame, textCol: String, labelCol: String,
+      numFeatures: Int = 1 << 18, maxIter: Int = 50,
+      regParam: Double = 1e-4): TextClassifier = {
+    require(numFeatures > 0, s"numFeatures must be positive: $numFeatures")
+    val hasher = new HashingTF()
+      .setInputCol("__toks").setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+    val prepared = hasher.transform(
+      labeled.withColumn("__toks",
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setRegParam(regParam)
+    TextClassifier(hasher, lr.fit(prepared))
+  }
+
+  /** Score a corpus under a fitted classifier: appends `quality_prob`
+    * (P(label=1)). One hashing + one dense-dot map pass, zero shuffle at
+    * any corpus size; the weight vector broadcasts with the task. */
+  def score(
+      df: DataFrame, textCol: String, clf: TextClassifier): DataFrame = {
+    val hashed = clf.hasher.transform(
+      df.withColumn("__toks",
+        filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)))
+    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    clf.model
+      .setFeaturesCol("__features")
+      .setProbabilityCol("__prob")
+      .transform(hashed)
+      .withColumn("quality_prob", probOf(col("__prob")))
+      .drop("__toks", "__features", "__prob", "rawPrediction", "prediction")
+  }
+
+  /** Engine-portable linear gate: appends `logit` = b + Σ w_t·tf_t over
+    * the marker terms and `prob` = σ(logit), both rounded to `roundTo` dp
+    * (per-term products sum in deterministic map order — the weights
+    * frame is a literal — so both engines agree). Map-only: one
+    * [[graft.functions.CountInSet]] kernel eval per marker term, no
+    * explode, no join, no shuffle. Marker sets are interpretable and
+    * small by design (a distilled linear model's top terms); for opaque
+    * hashed models use [[score]].
+    */
+  def markerLogit(
+      df: DataFrame, textCol: String, weights: Seq[(String, Double)],
+      bias: Double, roundTo: Int = 6): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate marker term in weights")
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = TextAnalysis.tokens(col(textCol))
+    def tf(t: String): Column = GraftColumnBridge.column(
+      graft.functions.CountInSet(
+        GraftColumnBridge.expression(toks), Seq(t))).cast("double")
+    // deterministic left-to-right sum in declared weight order
+    val logit = weights.foldLeft(lit(bias)) { case (acc, (t, w)) =>
+      acc + lit(w) * tf(t)
+    }
+    df.withColumn("logit", round(logit, roundTo))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), roundTo))
+  }
+}
