@@ -160,7 +160,7 @@ object ScaleSmoke {
       graft.ext.TextAnalysis.scoreUnigram(bigDocs, "text", m)
         .agg(sum(col("sum_lp")).cast("long").as("c")).head().getLong(0)
     }
-    // 500k docs with derived URLs: ~1k registered domains x cdn/www/bare
+    // 50k docs with derived URLs: ~1k registered domains x cdn/www/bare
     // host variants — the cardinality shape of a crawl slice
     val bigUrls = bigDocs.withColumn("url", concat(
       lit("https://"),
@@ -170,16 +170,16 @@ object ScaleSmoke {
       lit("site"), pmod(col("doc_id"), lit(997)).cast("string"),
       when(col("doc_id") % 5 === 0, lit(".co.uk")).otherwise(lit(".com")),
       lit("/p/"), col("doc_id").cast("string")))
-    timed("url domain stats 500k") {
+    timed("url domain stats 50k") {
       // agg over n_tokens so the map-side token counting is not pruned
       graft.ext.UrlOps.domainStats(bigUrls, "url", "text")
         .agg(sum(col("n_tokens")).cast("long").as("c")).head().getLong(0)
     }
-    timed("url host cap 500k") {
+    timed("url host cap 50k") {
       graft.ext.UrlOps.capPerHost(
         bigUrls.select(col("doc_id"), col("url")), "url", "doc_id", 5).count()
     }
-    timed("normalize+chunk 500k docs") {
+    timed("normalize+chunk 50k docs") {
       // NFC kernel + 64/48 overlapping windows; agg over chunk text so
       // neither the kernel nor the slice is pruned away
       graft.ext.TextAnalysis.chunkByTokens(
@@ -189,7 +189,7 @@ object ScaleSmoke {
         .agg(sum(length(col("chunk_text"))).cast("long").as("c"))
         .head().getLong(0)
     }
-    timed("boilerplate strip 500k docs") {
+    timed("boilerplate strip 50k docs") {
       // seeded chrome (df >> minDf) + per-doc unique line (df=1): the fit
       // exchange carries line-hash counts only; rewrite is one kernel eval
       val seeded = bigDocs.select(col("doc_id"),
@@ -198,6 +198,28 @@ object ScaleSmoke {
           col("doc_id").cast("string")).as("text"))
       graft.ext.TextAnalysis.removeBoilerplateLines(seeded, "text", 20L)
         .agg(sum(length(col("clean"))).cast("long").as("c")).head().getLong(0)
+    }
+    timed("bm25 retrieval 50k docs") {
+      // 100 queries over the x10 corpus: the posting aggregation and the
+      // candidate scoring are the corpus-sized stages; the query arm
+      // stays broadcast at any corpus size (queries x terms = KBs)
+      val queries = spark.range(100L).select(
+        col("id").cast("int").as("qid"),
+        concat_ws(" ",
+          element_at(split(lit("spark window agg join merge batch"), " "),
+            (col("id") % 6 + 1).cast("int")),
+          element_at(split(lit("customer query vector stream hash data"), " "),
+            (col("id") % 6 + 1).cast("int"))).as("qtext"))
+      graft.ext.Retrieval.bm25TopK(
+        bigDocs, "doc_id", "text", queries, "qid", "qtext", k = 20).count()
+    }
+    timed("clf marker logit 50k docs") {
+      graft.ext.QualityClassifier.markerLogit(
+          bigDocs, "text",
+          Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+            ("the", -0.125)), bias = -0.25)
+        .agg(sum(when(col("prob") >= 0.5, 1L).otherwise(0L))).head()
+      bigDocs.count()
     }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape

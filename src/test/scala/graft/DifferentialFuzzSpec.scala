@@ -426,4 +426,68 @@ class DifferentialFuzzSpec extends AnyFunSuite {
       got == model
     })
   }
+
+  // ——— BM25 top-k vs closed-form model ———
+
+  test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
+    // random tiny corpora (incl. empty docs and an empty corpus), random
+    // short queries over the corpus alphabet plus one OOV term, random k.
+    // The model re-derives N/dl/avgdl/df/idf and the rounded-score-then-
+    // doc-id ranking from scratch; Okapi params are the operator defaults.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val gen = for {
+      nDocs <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 8)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws)
+      nQ <- Gen.choose(1, 3)
+      qs <- Gen.listOfN(nQ, for {
+        len <- Gen.choose(1, 3)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab :+ "zz"))
+      } yield ws)
+      k <- Gen.choose(1, 5)
+    } yield (docs, qs, k)
+    check("bm25")(Prop.forAllNoShrink(gen) { case (docs, qs, k) =>
+      val corpus = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val queries = qs.zipWithIndex
+        .map { case (ws, i) => (i, ws.mkString(" ")) }
+        .toDF("qid", "qtext")
+      val got = graft.ext.Retrieval.bm25TopK(
+          corpus, "doc_id", "text", queries, "qid", "qtext", k)
+        .select("qid", "doc_id", "score", "rank")
+        .as[(Int, Long, Double, Int)].collect().toSeq.sorted
+
+      val docTf: Map[Long, Map[String, Int]] = docs.zipWithIndex
+        .map { case (ws, i) =>
+          i.toLong -> ws.groupBy(identity).map { case (t, l) => t -> l.size }
+        }.toMap.filter(_._2.nonEmpty)
+      val n = docTf.size
+      val dls = docTf.map { case (d, m) => d -> m.values.sum }
+      val avgdl = if (n == 0) 0.0 else dls.values.sum.toDouble / n
+      val df = docTf.values.flatMap(_.keys).groupBy(identity)
+        .map { case (t, l) => t -> l.size }
+      val expected = qs.zipWithIndex.flatMap { case (ws, qi) =>
+        val terms = ws.distinct
+        val scored = docTf.toSeq.flatMap { case (d, m) =>
+          val hit = terms.filter(t => m.contains(t) && df.contains(t))
+          if (hit.isEmpty) None
+          else {
+            val s = hit.map { t =>
+              val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+              idf * m(t) * (1.2 + 1.0) /
+                (m(t) + 1.2 * (1.0 - 0.75 + 0.75 * dls(d) / avgdl))
+            }.sum
+            Some((d, BigDecimal(s)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }
+        scored.sortBy { case (d, s) => (-s, d) }.take(k)
+          .zipWithIndex.map { case ((d, s), r) => (qi, d, s, r + 1) }
+      }.sorted
+      got == expected
+    })
+  }
 }
