@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Redaction, Similarity, TextAnalysis, UrlOps}
+import graft.ext.{Dedup, QualityClassifier, Redaction, Similarity, TextAnalysis, UrlOps}
 import graft.ops.Sampling
 import graft.streaming.ContaminationGate
 
@@ -15,6 +15,9 @@ import graft.streaming.ContaminationGate
   *  1. language ID + quality scoring (map-only); the predicted language
   *     routes every later per-language decision — at corpus scale there
   *     is no ground-truth `lang` label
+  *  1.25. model-based quality gate (optional): a fitted hashed-term
+  *     logistic classifier scores every rule-gate survivor in one
+  *     map-only pass (seed-trained upstream via [[QualityClassifier]])
   *  1.5. URL/domain curation (optional, web corpora): domain blocklist
   *     (map-side scan predicate) and per-host document cap (bounded-heap
   *     TopK) — the cheap source-level drops run before any
@@ -50,14 +53,22 @@ object DataPipeline {
     * @param maxDocsPerHost cap any one host's document share (stage 1.5;
     *                  requires `url`; 0 skips)
     * @param boilerplateMinDf strip lines appearing in >= this many docs
-    *                  (stage 0, CCNet-style template chrome; 0 skips) */
+    *                  (stage 0, CCNet-style template chrome; 0 skips)
+    * @param qualityModel fitted [[QualityClassifier.TextClassifier]] for
+    *                  the model-based gate (stage 1.25, the GPT-3/LLaMA
+    *                  "looks like a reference page" filter; None skips —
+    *                  the model trains on a SEED label set upstream, e.g.
+    *                  curated exemplars vs random crawl)
+    * @param minQualityProb keep threshold for the classifier gate */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
       benchmark: Option[DataFrame] = None,
       blockedDomains: Seq[String] = Nil,
       maxDocsPerHost: Int = 0,
-      boilerplateMinDf: Long = 0L): (DataFrame, DataFrame, DataFrame) = {
+      boilerplateMinDf: Long = 0L,
+      qualityModel: Option[QualityClassifier.TextClassifier] = None,
+      minQualityProb: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -75,8 +86,20 @@ object DataPipeline {
     // 1. language ID + quality gates — pure map stages, no shuffle
     val scored = TextAnalysis.qualityFeatures(
       TextAnalysis.langId(canonical, "text", "predicted_lang"), "text")
-    val gated = scored.filter(
+    val ruleGated = scored.filter(
       col("n_words") >= 5 && col("stop_ratio") <= 0.9 && col("quality_score") > 0.2)
+
+    // 1.25. model-based quality gate (optional): hashed-term logistic
+    //       scoring is one map-only transform — the weights broadcast
+    //       with the task, so the gate costs one pass like the rule gate
+    //       above it (rules run FIRST: they are cheaper and the
+    //       classifier then scores fewer rows)
+    val gated = qualityModel match {
+      case Some(clf) => QualityClassifier.score(ruleGated, "text", clf)
+        .filter(col("quality_prob") >= minQualityProb)
+        .drop("quality_prob")
+      case None => ruleGated
+    }
 
     // 1.5. URL/domain curation (web corpora only): the domain blocklist
     //      stays a map-side scan predicate; the host cap is the

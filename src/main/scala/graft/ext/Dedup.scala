@@ -570,8 +570,12 @@ object Dedup {
           min(when(col("__self"), col("cluster_id"))).as("__old"))
         .withColumn("__changed", col("__new") < col("__old"))
         .localCheckpoint()
+      // coalesce: sum over an EMPTY label set is null (zero input pairs —
+      // e.g. a fully-gated corpus upstream), and that must read as
+      // converged, not crash
       val changed = updated
-        .agg(sum(when(col("__changed"), lit(1L)).otherwise(lit(0L))))
+        .agg(coalesce(
+          sum(when(col("__changed"), lit(1L)).otherwise(lit(0L))), lit(0L)))
         .head().getLong(0)
       // free the previous round's checkpoint blocks (unpersist must
       // target the CHECKPOINTED frame — `labels` is a projection of it)

@@ -32,6 +32,30 @@ class ExamplesSpec extends AnyFunSuite {
     assert(curated2.select("doc_id").except(curated.select("doc_id")).count() == 0)
   }
 
+  test("stage 1.25: a seed-trained classifier gate bites and only shrinks the corpus") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // seed labels: positives from the corpus's own style, negatives spam-like
+    import spark.implicits._
+    val seed = (0 until 120).map { i =>
+      if (i % 2 == 0) (s"table join query scan data value row agg $i", 1.0)
+      else (s"free casino winner click buy now bonus $i", 0.0)
+    }.toDF("text", "label")
+    val clf = graft.ext.QualityClassifier.train(
+      seed, "text", "label", numFeatures = 1 << 12)
+    val (base, _, _) = DataPipeline.curate(docs, emb)
+    val (gatedOut, _, _) = DataPipeline.curate(
+      docs, emb, qualityModel = Some(clf), minQualityProb = 0.2)
+    val nBase = base.count(); val nGated = gatedOut.count()
+    // corpus docs look like the positives, so most survive — but the
+    // gate is real: it can only shrink, never grow
+    assert(nGated > 0 && nGated <= nBase)
+    // an obviously-spammy threshold removes everything
+    val (strict, _, _) = DataPipeline.curate(
+      docs, emb, qualityModel = Some(clf), minQualityProb = 1.0)
+    assert(strict.count() == 0)
+  }
+
   test("prepareTraining: LM prune, mixture, and shards interlock") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -106,6 +106,15 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("duplicateClusters: zero input pairs yields an empty labeling (both algorithms)") {
+    // regression: a fully-gated corpus upstream hands the clusterer no
+    // pairs; the convergence probe's sum over the empty label set is null
+    // and must read as converged, not crash
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(none).count() == 0)
+    assert(Dedup.duplicateClusters(none, algorithm = "star").count() == 0)
+  }
+
   test("duplicateClusters: 30-node path — diameter past maxIter degrades " +
       "within-hop-correct, converges with maxIter raised") {
     // a path graph 1—2—…—30: the min label (1) is 29 hops from node 30,
