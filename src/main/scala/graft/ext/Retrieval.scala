@@ -113,6 +113,86 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** Build the PERSISTABLE inverted index for [[bm25TopKFromIndex]]: one
+    * row per (doc, term) with `tf` and the doc's kept-token length `dl`
+    * denormalized on — everything query-time scoring needs, so serving a
+    * query batch never touches the corpus text again. One tokenization
+    * pass; the doc-length attach is the only extra exchange vs the inline
+    * path, paid once at build time instead of per query batch.
+    *
+    * [[writeIndex]] lays the frame out for serving: hash-distributed,
+    * sorted by `term` within files, so parquet row-group min/max stats
+    * prune non-query terms at scan time without any shuffle on read.
+    */
+  def buildIndex(
+      corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = corpus
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq(idCol))
+      .select(col(idCol), col("term"), col("tf"), col("dl"))
+  }
+
+  /** [[buildIndex]] → parquet at `path`, term-sorted within files (see
+    * buildIndex scaladoc for why). */
+  def writeIndex(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      numFiles: Int = 0): Unit = {
+    val idx = buildIndex(corpus, idCol, textCol)
+    val sized = if (numFiles > 0) idx.repartition(numFiles) else idx
+    sized.sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** BM25 top-k over a prebuilt [[buildIndex]] frame (read back from
+    * [[writeIndex]] output or still in memory) — identical results to
+    * [[bm25TopK]] on the source corpus, without re-tokenizing it. The
+    * collection statistics re-derive from the index's narrow columns
+    * (distinct (doc, dl) pairs), df from the postings restricted to the
+    * query vocabulary; everything else is the same broadcast-arm +
+    * bounded-heap plan. */
+  def bm25TopKFromIndex(
+      index: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundScoreTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val docs = index.select(col(idCol), col("dl")).distinct()
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__N"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val qt = queries
+      .select(col(queryIdCol),
+        explode(TextAnalysis.tokens(col(queryTextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val qVocab = qt.select(col("term")).distinct()
+    val dfFrame = index
+      .join(broadcast(qVocab), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val qArm = qt
+      .join(dfFrame, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(queryIdCol), col("term"), col("__avgdl"),
+        log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
+          / (col("__df") + lit(0.5))).as("__idf"))
+    val scored = index
+      .join(broadcast(qArm), Seq("term"))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__s")), roundScoreTo).as("score"))
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** TF-IDF document term weights for the query vocabulary — the linear
     * sibling of [[bm25TopK]] for cosine/dot retrieval and for feeding
     * sparse features to a downstream classifier. Same one-scan posting

@@ -88,6 +88,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(one == single, "query-side tf must be ignored")
   }
 
+  test("prebuilt index round-trips through parquet and reproduces bm25TopK exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-idx").toFile
+    dir.deleteOnExit()
+    val q = Seq((10, "banana date"), (20, "apple"), (30, "cherry zzz"))
+      .toDF("qid", "qtext")
+    val direct = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    Retrieval.writeIndex(corpus, "doc_id", "text", dir.getAbsolutePath)
+    val idx = spark.read.parquet(dir.getAbsolutePath)
+    val viaIndex = Retrieval.bm25TopKFromIndex(
+        idx, "doc_id", q, "qid", "qtext", k = 10)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(viaIndex == direct)
+    assert(direct.nonEmpty)
+    // the index carries exactly the kept-token postings with dl attached
+    val rows = idx.orderBy("doc_id", "term")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows.contains((1L, "apple", 2L, 3L)))
+    assert(rows.contains((3L, "cherry", 3L, 4L)))
+    assert(!rows.exists(_._1 == 4L)) // the empty doc has no postings
+  }
+
   test("tfidfForVocab matches the closed form and covers only vocab terms") {
     val got = Retrieval.tfidfForVocab(
         corpus, "doc_id", "text", Seq("cherry", "apple"), roundTo = 6)

@@ -319,6 +319,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("classifier gates run unchanged on a stream, matching batch") {
+    // both quality-scoring halves are stateless map passes: markerLogit
+    // is kernel expressions over literals, and the fitted spark.ml
+    // model's transform is one hashing + dense-dot map with the weights
+    // broadcast in the task binary — so a streaming ingest path gates
+    // with the SAME code as batch curation
+    val dir = Files.createTempDirectory("graft-stream-clf").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (1L, "data data spark analysis"),
+      (2L, "slow slow slow spam"),
+      (3L, "")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val weights = Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5))
+    val batch = graft.ext.QualityClassifier
+      .markerLogit(docs, "text", weights, bias = -0.25)
+      .select("doc_id", "logit", "prob").orderBy("doc_id")
+      .as[(Long, Double, Double)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val gated = graft.ext.QualityClassifier
+      .markerLogit(stream, "text", weights, bias = -0.25)
+      .select("doc_id", "logit", "prob")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_clf").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_stream_clf ORDER BY 1")
+        .as[(Long, Double, Double)].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+    // the trained-model path streams too (one map-only transform)
+    val seed = (0 until 60).map(i =>
+      if (i % 2 == 0) (s"data analysis spark $i", 1.0)
+      else (s"slow spam click $i", 0.0)).toDF("text", "label")
+    val clf = graft.ext.QualityClassifier.train(
+      seed, "text", "label", numFeatures = 1 << 10)
+    val batchMl = graft.ext.QualityClassifier.score(docs, "text", clf)
+      .select("doc_id", "quality_prob").orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    val gatedMl = graft.ext.QualityClassifier.score(stream, "text", clf)
+      .select("doc_id", "quality_prob")
+    val q2 = gatedMl.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_clf_ml").start()
+    try {
+      q2.processAllAvailable()
+      val gotMl = spark.sql("SELECT * FROM graft_stream_clf_ml ORDER BY 1")
+        .as[(Long, Double)].collect().toSeq
+      assert(gotMl == batchMl)
+    } finally q2.stop()
+  }
+
   test("normalize, boilerplate rewrite, and chunking run unchanged on a " +
       "stream, matching batch") {
     // the round-6 curation stages are map-only too: NFC normalization and
