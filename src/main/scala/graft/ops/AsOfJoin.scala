@@ -129,28 +129,31 @@ object AsOfJoin {
           last(rowStruct, ignoreNulls = true).over(w)))
     val bounded = toleranceSeconds match {
       case Some(tol) =>
-        // null out matches outside the window. Timestamp columns (LTZ and
-        // NTZ) diff via timestamp_diff in the column's OWN domain: for NTZ
-        // the subtraction never consults the session timezone — the
-        // previous NTZ→LTZ→double hop was only difference-exact under
-        // fixed-offset session zones; with a DST-observing zone two NTZ
-        // operands straddling a transition picked up different offsets,
-        // skewing the diff by the shift (and the fall-back overlap made
-        // the mapping non-monotone). Microsecond unit + µs-scaled bound
-        // preserves the old double-seconds semantics for fractional
-        // timestamps exactly (no whole-second truncation). Numeric time
-        // columns keep the double-seconds cast.
+        // null out matches outside the window. TIMESTAMP_NTZ bounds via
+        // DIRECT subtraction — `SubtractTimestamps` on NTZ is exact
+        // zone-free wall-clock micros — compared against an exact
+        // day-time-interval literal (no unit truncation). The session
+        // timezone never touches the NTZ values: the pre-round-8 NTZ→LTZ
+        // →double hop skewed diffs by the offset change across a DST
+        // transition, and the seemingly-cleaner timestamp_diff() is
+        // wrong differently — it implicitly CASTS its NTZ inputs through
+        // the session zone, renormalizing wall-clock times that fall in
+        // a spring-forward gap (02:02 under America/New_York reads as
+        // 03:02; caught by the NTZ differential fuzzer). TIMESTAMP (LTZ)
+        // keeps the double-cast INSTANT difference — physical elapsed
+        // seconds, the pandas/DuckDB asof semantics for absolute
+        // timestamps (its native subtraction would be LOCAL-difference,
+        // which double-counts DST shifts for instants); numeric time
+        // columns keep the plain double diff.
         val tsType = unioned.schema("__ts").dataType
-        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        import org.apache.spark.sql.types.TimestampNTZType
         val (earlier, later) =
           if (forward) (col("__ts"), col("__match")("__mts"))
           else (col("__match")("__mts"), col("__ts"))
         val inWindow = tsType match {
-          case _: TimestampNTZType | _: TimestampType =>
-            val tolUs =
-              if (tol > Long.MaxValue / 1000000L) Long.MaxValue
-              else tol * 1000000L
-            timestamp_diff("MICROSECOND", earlier, later) <= tolUs
+          case _: TimestampNTZType =>
+            later - earlier <= make_dt_interval(
+              lit(0), lit(0), lit(0), lit(tol.toDouble))
           case _ => later.cast("double") - earlier.cast("double") <= tol
         }
         carried.withColumn("__match", when(inWindow, col("__match")))

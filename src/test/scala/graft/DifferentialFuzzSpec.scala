@@ -137,6 +137,35 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test(s"fuzz: as-of tolerance on TIMESTAMP_NTZ across a DST gap == model ($Cases cases)") {
+    // the generator's abstract times become MINUTES from a base 30 min
+    // before America/New_York's 2024 spring-forward, so operand pairs
+    // freely straddle the skipped 02:00-03:00 wall-clock hour. The model
+    // stays plain integer minutes — NTZ arithmetic is wall-clock
+    // arithmetic, whatever the session timezone does (the round-8 DST
+    // fix; the old LTZ-hop diff diverges on these cases by ±60 min).
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      def asNtz(minsCol: String) = expr(
+        s"cast('2024-03-10 01:30:00' as timestamp_ntz) + " +
+          s"make_interval(0, 0, 0, 0, 0, $minsCol, 0)")
+      val gen = for {
+        lr <- asofGen
+        tol <- Gen.choose(0L, 30L)
+      } yield (lr._1, lr._2, tol)
+      check("asof-ntz")(Prop.forAllNoShrink(gen) { case (l, r, tolMin) =>
+        val ldf = l.toDF("k", "lt", "lid").withColumn("lts", asNtz("lt"))
+        val rdf = r.toDF("k", "rt", "rv").withColumn("rts", asNtz("rt"))
+        val got = AsOfJoin.asOfTolerance(
+            ldf, rdf, Seq("k"), "lts", "rts", Seq("rv"), tolMin * 60L)
+          .select(col("lid"), col("asof_rv"))
+          .as[(Long, Option[Int])].collect().toSet
+        got == asofModel("tolerance", tolMin, l, r)
+      })
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   // ——— token-budget mixture vs naive cumulative model ———
 
   test(s"fuzz: mixtureByTokenBudget == naive prefix model ($Cases cases)") {
@@ -459,6 +488,15 @@ class DifferentialFuzzSpec extends AnyFunSuite {
           corpus, "doc_id", "text", queries, "qid", "qtext", k)
         .select("qid", "doc_id", "score", "rank")
         .as[(Int, Long, Double, Int)].collect().toSeq.sorted
+      // the prebuilt-index path must agree case-for-case (incl. empty
+      // corpora and all-OOV queries)
+      val viaIndex = graft.ext.Retrieval.bm25TopKFromIndex(
+          graft.ext.Retrieval.buildIndex(corpus, "doc_id", "text"),
+          "doc_id", queries, "qid", "qtext", k)
+        .select("qid", "doc_id", "score", "rank")
+        .as[(Int, Long, Double, Int)].collect().toSeq.sorted
+      if (viaIndex != got)
+        sys.error(s"index path diverged: $viaIndex vs $got")
 
       val docTf: Map[Long, Map[String, Int]] = docs.zipWithIndex
         .map { case (ws, i) =>
