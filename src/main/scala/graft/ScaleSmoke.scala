@@ -213,6 +213,26 @@ object ScaleSmoke {
       graft.ext.Retrieval.bm25TopK(
         bigDocs, "doc_id", "text", queries, "qid", "qtext", k = 20).count()
     }
+    // the amortization claim with numbers: the one-time index build vs
+    // the same 100 queries served from the persisted postings — no
+    // re-tokenization, no posting aggregation at query time
+    val bm25IdxDir = "/tmp/graft_smoke_bm25_idx"
+    timed("bm25 index build+write 50k") {
+      graft.ext.Retrieval.writeIndex(bigDocs, "doc_id", "text", bm25IdxDir)
+      spark.read.parquet(bm25IdxDir).count()
+    }
+    timed("bm25 query via index") {
+      val queries = spark.range(100L).select(
+        col("id").cast("int").as("qid"),
+        concat_ws(" ",
+          element_at(split(lit("spark window agg join merge batch"), " "),
+            (col("id") % 6 + 1).cast("int")),
+          element_at(split(lit("customer query vector stream hash data"), " "),
+            (col("id") % 6 + 1).cast("int"))).as("qtext"))
+      graft.ext.Retrieval.bm25TopKFromIndex(
+        spark.read.parquet(bm25IdxDir), "doc_id",
+        queries, "qid", "qtext", k = 20).count()
+    }
     timed("clf marker logit 50k docs") {
       graft.ext.QualityClassifier.markerLogit(
           bigDocs, "text",

@@ -113,6 +113,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 4L)) // the empty doc has no postings
   }
 
+  test("retrieval-based decontamination: benchmark queries pinpoint their corpus copies") {
+    // the composition the operator exists for in a curation pipeline:
+    // eval-suite texts as queries -> top-hit docs above a score floor are
+    // quarantined. Disjoint per-doc vocabularies make the expected hits
+    // exact: only the planted copies share terms with their query.
+    val clean = (0 until 20).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+    val benchTexts = Seq("leak alpha beta gamma", "leak delta epsilon zeta")
+    val planted = benchTexts.zipWithIndex.map { case (t, i) =>
+      ((100 + i).toLong, t)
+    }
+    val corpus = (clean ++ planted).toDF("doc_id", "text")
+    val queries = benchTexts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("qid", "qtext")
+    val hits = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", queries, "qid", "qtext", k = 3)
+    // each query's best hit is its planted copy; nothing else shares
+    // anything but the common 'leak' token
+    val top1 = hits.filter(col("rank") === 1)
+      .select("qid", "doc_id").as[(Int, Long)].collect().toMap
+    assert(top1 == Map(0 -> 100L, 1 -> 101L))
+    // quarantine: drop every doc that is some query's top hit
+    val contaminated = hits.filter(col("rank") === 1).select("doc_id")
+    val decontaminated = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(decontaminated.count() == 20)
+    assert(decontaminated.filter(col("doc_id") >= 100).count() == 0)
+  }
+
   test("tfidfForVocab matches the closed form and covers only vocab terms") {
     val got = Retrieval.tfidfForVocab(
         corpus, "doc_id", "text", Seq("cherry", "apple"), roundTo = 6)
