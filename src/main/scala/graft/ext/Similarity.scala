@@ -173,6 +173,109 @@ object Similarity {
     *                 — recomputable by an external engine from the same
     *                 parquet (the portable-oracle pattern; the default
     *                 xxhash64-ordered sample is engine-specific). */
+  /** Lloyd centroid training over a `(__id, __v)` frame — the shared core
+    * of [[ivfTopK]] and [[assignCells]]. Seeds from explicit ids
+    * (portable) or a deterministic hash-ordered sample; each iteration
+    * assigns via the [[graft.functions.NearestCentroids]] kernel and
+    * recomputes per-cell per-dimension means (double accumulate → float
+    * cast, the materialized-centroid dtype). The centroid matrix is
+    * KBs and lives driver-side like the unigram model.
+    *
+    * DETERMINISM CAVEAT (advisor round-4): the distributed avg's double
+    * accumulation order depends on partial-aggregate merge order, so the
+    * update is reproducible only up to ulps across runs/engines. The
+    * float cast absorbs that variance in practice — every observed run
+    * and the sim_ivf_portable oracle (which recomputes this update in
+    * DuckDB) are value-exact at 3 SFs — but it is NOT a guarantee: a mean
+    * landing within an ulp of a float-rounding boundary, or a resulting
+    * near-tie in a cell assignment, could flip a cell and surface as a
+    * one-off oracle flake. If that flake is ever observed, the fix is a
+    * deterministic per-cell tree sum (sort by id, fixed-shape reduction)
+    * on BOTH engines — diagnosis first lands here. */
+  private def trainCentroids(
+      vecs: DataFrame,
+      numCells: Int,
+      lloydIters: Int,
+      seedIds: Option[Seq[Long]]): Array[Seq[Float]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var centroids: Array[Seq[Float]] = seedIds match {
+      case Some(ids) =>
+        val byId = vecs.filter(col("__id").isin(ids: _*))
+          .as[(Long, Seq[Float])].collect().toMap
+        ids.map(id => byId.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"seed id $id not present in candidates"))).toArray
+      case None => vecs
+        .withColumn("__r", xxhash64(col("__id")))
+        .orderBy("__r").limit(numCells)
+        .select("__v").as[Seq[Float]].collect()
+    }
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    (1 to lloydIters).foreach { _ =>
+      val dimAvgs = (0 until dim).map(i =>
+        avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
+      val updated = vecs
+        .withColumn("__cell", nearestCell(col("__v"), centroids))
+        .groupBy(col("__cell"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+      updated.foreach { row =>
+        centroids(row.getInt(0)) =
+          (0 until dim).map(i => row.getDouble(i + 1).toFloat)
+      }
+    }
+    centroids
+  }
+
+  /** Argmin over the broadcast centroid list: |c|² − 2·v·c, as ONE native
+    * kernel node ([[graft.functions.NearestCentroids]] — bit-identical to
+    * the array_min-over-structs form; the centroid matrix rides as a
+    * reference object instead of numCells×dim literals in the plan). */
+  private def nearestCell(v: Column, centroids: Array[Seq[Float]]): Column =
+    element_at(exprCol(graft.functions.NearestCentroids(
+      expression(v), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)), 1)
+
+  /** Append `cell` — each row's nearest Lloyd-trained centroid. The
+    * clustering half of [[semanticDuplicates]], public for callers who
+    * want the cluster labels themselves (topic bucketing, per-cell
+    * stats). Training runs at CALL time (jobs, like fitUnigramModel);
+    * the returned frame's assignment pass is one kernel eval per row. */
+  def assignCells(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = 16,
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None): DataFrame = {
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist()
+    val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
+    vecs.unpersist()
+    df.withColumn("cell", nearestCell(col(vecCol), centroids))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023:
+    * cluster the embedding space, then look for near-dups ONLY within a
+    * cluster): Lloyd cells as the blocking key for
+    * [[embeddingNearDuplicates]]. The quadratic pair work is bounded per
+    * cell (and capped/drop-logged via `maxBlockSize`); cross-cell
+    * near-dups are the recall trade the technique accepts — raise
+    * `numCells` for tighter cells, lower it for higher recall. Returns
+    * (id_a, id_b, cosine) with id_a < id_b, cosine ≥ `threshold`. */
+  def semanticDuplicates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 16,
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None,
+      maxBlockSize: Int = 10000): DataFrame =
+    embeddingNearDuplicates(
+      assignCells(df, idCol, vecCol, numCells, lloydIters, seedIds),
+      idCol, vecCol, "cell", threshold, maxBlockSize)
+
   def ivfTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -188,55 +291,8 @@ object Similarity {
 
     val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
-
-    // seed centroids: explicit ids (portable) or deterministic hash-ordered
-    // sample (default)
-    var centroids: Array[Seq[Float]] = seedIds match {
-      case Some(ids) =>
-        val byId = vecs.filter(col("__id").isin(ids: _*))
-          .as[(Long, Seq[Float])].collect().toMap
-        ids.map(id => byId.getOrElse(id,
-          throw new IllegalArgumentException(
-            s"seed id $id not present in candidates"))).toArray
-      case None => vecs
-        .withColumn("__r", xxhash64(col("__id")))
-        .orderBy("__r").limit(numCells)
-        .select("__v").as[Seq[Float]].collect()
-    }
-
-    // argmin over the broadcast centroid list: |c|² − 2·v·c, as ONE native
-    // kernel node ([[graft.functions.NearestCentroids]] — bit-identical to
-    // the array_min-over-structs form; the centroid matrix rides as a
-    // reference object instead of numCells×dim literals in the plan)
-    def cellOf(v: Column): Column =
-      element_at(exprCol(graft.functions.NearestCentroids(
-        expression(v), centroids.toIndexedSeq.map(_.toIndexedSeq), 1)), 1)
-
-    val dim = centroids.headOption.map(_.length).getOrElse(0)
-    (1 to lloydIters).foreach { _ =>
-      // DETERMINISM CAVEAT (advisor round-4): the distributed avg's double
-      // accumulation order depends on partial-aggregate merge order, so
-      // the update is reproducible only up to ulps across runs/engines.
-      // The float cast below absorbs that variance in practice — every
-      // observed run and the sim_ivf_portable oracle (which recomputes
-      // this update in DuckDB) are value-exact at 3 SFs — but it is NOT a
-      // guarantee: a mean landing within an ulp of a float-rounding
-      // boundary, or a resulting near-tie in a cell assignment, could
-      // flip a cell and surface as a one-off oracle flake. If that flake
-      // is ever observed, the fix is a deterministic per-cell tree sum
-      // (sort by id, fixed-shape reduction) on BOTH engines — diagnosis
-      // first lands here.
-      val dimAvgs = (0 until dim).map(i =>
-        avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
-      val updated = vecs.withColumn("__cell", cellOf(col("__v")))
-        .groupBy(col("__cell"))
-        .agg(dimAvgs.head, dimAvgs.tail: _*)
-        .collect()
-      updated.foreach { row =>
-        centroids(row.getInt(0)) =
-          (0 until dim).map(i => row.getDouble(i + 1).toFloat)
-      }
-    }
+    val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
+    def cellOf(v: Column): Column = nearestCell(v, centroids)
 
     val assigned = vecs.withColumn("__cell", cellOf(col("__v")))
       .select(col("__id").as("neighbor_id"), col("__cell"),

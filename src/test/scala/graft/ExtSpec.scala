@@ -255,6 +255,32 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Seq((2000L, 2001L)))
   }
 
+  test("semanticDuplicates: Lloyd cells separate the clusters, pairs stay within") {
+    // two tight clusters far apart + one outlier; seeds one per cluster.
+    // SemDeDup semantics: near-dup pairs enumerate within a cell only.
+    def jitter(base: Seq[Float], eps: Float) = base.map(_ + eps)
+    val a = Seq(10f, 0f, 0f, 0f)
+    val b = Seq(0f, 10f, 0f, 0f)
+    val df = Seq(
+      (0L, a), (1L, jitter(a, 0.01f)), (2L, jitter(a, 0.02f)),
+      (10L, b), (11L, jitter(b, 0.01f)),
+      (99L, Seq(5f, 5f, 5f, 5f))) // equidistant-ish outlier
+      .toDF("vec_id", "embedding")
+    val cells = Similarity.assignCells(
+        df, "vec_id", "embedding", numCells = 2, lloydIters = 1,
+        seedIds = Some(Seq(0L, 10L)))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(cells(0L) == cells(1L) && cells(1L) == cells(2L))
+    assert(cells(10L) == cells(11L))
+    assert(cells(0L) != cells(10L))
+    val pairs = Similarity.semanticDuplicates(
+        df, "vec_id", "embedding", threshold = 0.999, numCells = 2,
+        lloydIters = 1, seedIds = Some(Seq(0L, 10L)))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    // all within-cluster jitter pairs, nothing across clusters
+    assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
+  }
+
   // ——— TextAnalysis ———
 
   test("token counts and stopwords") {
