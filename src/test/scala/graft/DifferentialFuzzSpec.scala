@@ -456,6 +456,79 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  // ——— sessionize vs linear-scan model ———
+
+  test(s"fuzz: sessionize == gap-split model ($Cases cases)") {
+    // random per-key event times (with duplicates — orderCols breaks the
+    // tie) and random gap; the model sorts each key's events and starts a
+    // session wherever the gap exceeds the threshold
+    val gen = for {
+      nKeys <- Gen.choose(1, 3)
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(0, nKeys - 1)
+        t <- Gen.choose(0L, 120L)
+      } yield (k, t))
+      gap <- Gen.choose(1L, 40L)
+    } yield (rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      gap)
+    check("sessionize")(Prop.forAllNoShrink(gen) { case (rows, gap) =>
+      val df = rows.toDF("k", "t", "eid")
+        .withColumn("ts", expr("timestamp_seconds(t)"))
+      val got = graft.ops.TimeSeriesOps
+        .sessionize(df, Seq("k"), "ts", gap, orderCols = Seq("eid"))
+        .select(col("eid"), col("session_id"))
+        .as[(Long, Long)].collect().toMap
+      val model = rows.groupBy(_._1).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._2, e._3))
+        var sid = 0L
+        var prev = Long.MinValue
+        sorted.map { case (_, t, eid) =>
+          if (prev == Long.MinValue || t - prev > gap) sid += 1
+          prev = t
+          (eid, sid)
+        }
+      }
+      got == model
+    })
+  }
+
+  // ——— capPerHost vs md5-priority model (incl. null-host passthrough) ———
+
+  test(s"fuzz: capPerHost == priority model, null hosts pass through ($Cases cases)") {
+    val hosts = Vector("a.com", "b.org", "c.net")
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      rows <- Gen.listOfN(n, for {
+        h <- Gen.choose(0, hosts.length) // == length -> unparseable URL
+      } yield h)
+      k <- Gen.choose(1, 4)
+    } yield (rows.zipWithIndex.map { case (h, i) =>
+      (i.toLong,
+        if (h == hosts.length) "not a url"
+        else s"https://${hosts(h)}/p/$i")
+    }, k)
+    check("capPerHost")(Prop.forAllNoShrink(gen) { case (rows, k) =>
+      val got = UrlOps.capPerHost(
+          rows.toDF("doc_id", "url"), "url", "doc_id", k)
+        .select(col("doc_id"), col("host"), col("rank"))
+        .as[(Long, Option[String], Option[Int])].collect().toSet
+      val model = rows.flatMap { case (id, url) =>
+        val h = hosts.find(x => url.contains(x))
+        h match {
+          case None => Some((id, None, None)) // null-host rows survive uncapped
+          case Some(host) =>
+            val peers = rows.filter(_._2.contains(host))
+              .map(r => (md5hex(s"${r._1}:42"), r._1))
+              .sorted
+            val rank = peers.indexWhere(_._2 == id) + 1
+            if (rank <= k) Some((id, Some(host), Some(rank))) else None
+        }
+      }.toSet
+      got == model
+    })
+  }
+
   // ——— BM25 top-k vs closed-form model ———
 
   test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
