@@ -241,6 +241,17 @@ object ScaleSmoke {
         .agg(sum(when(col("prob") >= 0.5, 1L).otherwise(0L))).head()
       bigDocs.count()
     }
+    timed("semantic dedup 50k vectors") {
+      // Lloyd-cell blocking on the x10 embedding frame: 128 cells bound
+      // the within-cell pair joins; the cap skips degenerate cells whole
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val bigEmb = (0 until 10).map(k =>
+        emb.withColumn("vec_id", col("vec_id") + lit(k * 100000L)))
+        .reduce(_ unionByName _)
+      graft.ext.Similarity.semanticDuplicates(
+        bigEmb, "vec_id", "embedding", threshold = 0.4,
+        numCells = 128, maxBlockSize = 2000).count()
+    }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
       // the star contraction exists for (min-label would need 99 rounds)
