@@ -1302,6 +1302,22 @@ object SparkEntry {
       .select(col("doc_id"), col("logit"), col("prob"))
       .orderBy(col("doc_id"))
 
+  /** Noisy-threshold classifier sampling
+    * ([[ext.QualityClassifier.noisyThresholdGate]] over the marker-logit
+    * probs): the GPT-3 softened keep — `pareto_draw > 1 − prob` with a
+    * deterministic md5-derived Pareto draw. The oracle replays the hash,
+    * the inverse-CDF and the rounded comparison. */
+  private def textClfSample(s: SparkSession, dir: String): DataFrame =
+    ext.QualityClassifier.noisyThresholdGate(
+        ext.QualityClassifier.markerLogit(
+          T(s, dir, "documents"), "text",
+          Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+            ("the", -0.125)),
+          bias = -0.25),
+        "doc_id", "prob")
+      .select(col("doc_id"), col("prob"), col("pareto_draw"))
+      .orderBy(col("doc_id"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1977,6 +1993,7 @@ object SparkEntry {
     "ret_bm25" -> (retBm25 _),
     "ret_tfidf" -> (retTfidf _),
     "text_clf_score" -> (textClfScore _),
+    "text_clf_sample" -> (textClfSample _),
     "dedup_semantic" -> (dedupSemantic _),
   )
 
@@ -3145,6 +3162,30 @@ object SparkEntry {
         |SELECT doc_id, logit,
         |  round(1.0 / (1.0 + exp(-logit)), 6) AS prob
         |FROM lg ORDER BY doc_id""".stripMargin,
+    "text_clf_sample" ->
+      """WITH w(t, w) AS (VALUES
+        |    ('data', 0.75), ('slow', -1.25), ('spark', 0.5),
+        |    ('the', -0.125)),
+        |tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |mc AS (SELECT tk.doc_id, tk.t, count(*) AS tf FROM tk
+        |  JOIN w USING (t) GROUP BY 1, 2),
+        |agg AS (SELECT mc.doc_id, sum(w.w * mc.tf) AS s FROM mc
+        |  JOIN w USING (t) GROUP BY 1),
+        |lg AS (SELECT d.doc_id,
+        |    round(-0.25 + coalesce(agg.s, 0), 6) AS logit
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |pr AS (SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM lg),
+        |g AS (SELECT doc_id, prob,
+        |    round(pow(1.0
+        |        - CAST(CAST('0x' || substr(
+        |            md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)
+        |          AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+        |      -1.0 / 9.0) - 1.0, 6) AS pareto_draw
+        |  FROM pr)
+        |SELECT doc_id, prob, pareto_draw FROM g
+        |WHERE pareto_draw > round(1.0 - prob, 6) ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
         | CAST(ascii(substr(text,1,1)) AS INT) AS first_cp,

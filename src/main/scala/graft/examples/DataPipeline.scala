@@ -59,7 +59,10 @@ object DataPipeline {
     *                  "looks like a reference page" filter; None skips —
     *                  the model trains on a SEED label set upstream, e.g.
     *                  curated exemplars vs random crawl)
-    * @param minQualityProb keep threshold for the classifier gate */
+    * @param minQualityProb keep threshold for the classifier gate
+    * @param noisyQualityGate soften the classifier gate GPT-3-style
+    *                  (deterministic Pareto draw vs 1 − prob) instead of
+    *                  the hard threshold */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -68,7 +71,8 @@ object DataPipeline {
       maxDocsPerHost: Int = 0,
       boilerplateMinDf: Long = 0L,
       qualityModel: Option[QualityClassifier.TextClassifier] = None,
-      minQualityProb: Double = 0.5): (DataFrame, DataFrame, DataFrame) = {
+      minQualityProb: Double = 0.5,
+      noisyQualityGate: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -95,9 +99,18 @@ object DataPipeline {
     //       above it (rules run FIRST: they are cheaper and the
     //       classifier then scores fewer rows)
     val gated = qualityModel match {
-      case Some(clf) => QualityClassifier.score(ruleGated, "text", clf)
-        .filter(col("quality_prob") >= minQualityProb)
-        .drop("quality_prob")
+      case Some(clf) =>
+        val scored = QualityClassifier.score(ruleGated, "text", clf)
+        val kept =
+          // noisy: the GPT-3 softened keep (pareto_draw > 1 − prob) —
+          // low scorers keep a heavy-tailed chance, preserving corpus
+          // diversity; hard: the plain threshold
+          if (noisyQualityGate)
+            QualityClassifier.noisyThresholdGate(
+                scored, "doc_id", "quality_prob")
+              .drop("pareto_draw")
+          else scored.filter(col("quality_prob") >= minQualityProb)
+        kept.drop("quality_prob")
       case None => ruleGated
     }
 

@@ -73,6 +73,30 @@ object QualityClassifier {
       .drop("__toks", "__features", "__prob", "rawPrediction", "prediction")
   }
 
+  /** GPT-3-style noisy-threshold sampling (Brown et al. 2020, App. A):
+    * keep a document iff `pareto_draw > 1 − score`, so high-scoring docs
+    * almost always survive while low scorers keep a heavy-tailed chance —
+    * the standard softening that stops a classifier gate from collapsing
+    * corpus diversity. DETERMINISTIC twin of the paper's
+    * `np.random.pareto(α)`: the draw is `(1−u)^(−1/α) − 1` (inverse-CDF
+    * of the Lomax/Pareto-II tail) with `u` the first 52 bits of
+    * `md5(id:seed)` scaled to [0, 1) — reproducible across runs, engines
+    * and cluster layouts, reseedable per epoch, map-only (one hash per
+    * row, no shuffle). The comparison uses 6-dp-rounded operands on both
+    * sides so cross-engine `pow` ulps cannot flip a keep decision.
+    * Appends `pareto_draw` and keeps surviving rows. */
+  def noisyThresholdGate(
+      df: DataFrame, idCol: String, scoreCol: String,
+      alpha: Double = 9.0, seed: String = "42"): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val pri = graft.ops.Sampling.hashPriority(col(idCol), seed)
+    val u = graft.ops.Sampling.priorityPrefix(pri, 13).cast("double") /
+      lit(4503599627370496.0) // 2^52: 13 hex digits, exact in double
+    val draw = pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0)
+    df.withColumn("pareto_draw", round(draw, 6))
+      .filter(col("pareto_draw") > round(lit(1.0) - col(scoreCol), 6))
+  }
+
   /** Engine-portable linear gate: appends `logit` = b + Σ w_t·tf_t over
     * the marker terms and `prob` = σ(logit), both rounded to `roundTo` dp
     * (per-term products sum in deterministic map order — the weights

@@ -75,6 +75,29 @@ class QualityClassifierSpec extends AnyFunSuite {
       (3L, -0.25, sig(-0.25))))
   }
 
+  test("noisyThresholdGate: deterministic, reseedable, score-monotone in aggregate") {
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, if (i % 2 == 0) 0.9 else 0.0))
+      .toDF("doc_id", "score")
+    val kept = QualityClassifier.noisyThresholdGate(df, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    // Lomax survival P(draw > x) = (1+x)^(-9): x=0.1 → ~0.42, x=1 → ~0.2%
+    val hi = kept.count(_ % 2 == 0) / (n / 2).toDouble
+    val lo = kept.count(_ % 2 == 1) / (n / 2).toDouble
+    assert(hi > 0.3 && hi < 0.55, s"high-score survival $hi outside (0.3, 0.55)")
+    assert(lo < 0.02, s"zero-score survival $lo should be ~0.2%")
+    // deterministic replay; a different seed draws a different sample
+    val again = QualityClassifier.noisyThresholdGate(df, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept)
+    val reseeded = QualityClassifier.noisyThresholdGate(
+        df, "doc_id", "score", seed = "7")
+      .select("doc_id").as[Long].collect().toSet
+    assert(reseeded != kept)
+    // the gate only filters: survivors are input rows with the draw appended
+    assert(kept.subsetOf((0 until n).map(_.toLong).toSet))
+  }
+
   test("markerLogit rejects duplicate marker terms") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
