@@ -198,6 +198,15 @@ class PlanContractSpec extends AnyFunSuite {
     assert(shuffles(ds) == 3,
       s"url_domain_stats exchange count changed (distinct-expand pair + " +
         s"ordering):\n$ds")
+    // classifier gates: marker scoring and the pareto keep are pure map
+    // work — the only exchange in either plan is Verify's ordering, and
+    // neither plans a join at any corpus size
+    Seq("text_clf_score", "text_clf_sample").foreach { name =>
+      val p = plans(name)
+      assert(!p.toLowerCase.contains("join"), s"$name grew a join:\n$p")
+      assert(shuffles(p) == 1,
+        s"$name grew a corpus exchange (expected ordering only):\n$p")
+    }
   }
 
   test("scans prune columns: q1 reads only the aggregated lineitem columns") {
