@@ -456,6 +456,67 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  // ——— calendarFill vs grid model ———
+
+  test(s"fuzz: calendarFill == full-grid model ($Cases cases)") {
+    // random sparse (entity, day, value) observations; the model builds
+    // the [global min-day, global max-day] grid per entity and zero-fills
+    val gen = for {
+      nIds <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 35) // calendarFill's bounds need >= 1 row
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0, nIds - 1)
+        d <- Gen.choose(0, 25)
+        v <- Gen.choose(1, 99)
+      } yield (id, d, v))
+    } yield rows.groupBy(r => (r._1, r._2)) // one value per (id, day)
+      .map(_._2.head).toList
+    check("calendarFill")(Prop.forAllNoShrink(gen) { rows =>
+      val df = rows.toDF("id", "d", "v")
+        .select(col("id"),
+          expr("date_add(date '2024-01-01', d)").as("day"),
+          col("v").cast("double").as("v"))
+      val got = graft.ops.TimeSeriesOps
+        .calendarFill(df, "id", "day", Seq("v"))
+        .select(col("id"), expr("datediff(day, date '2024-01-01')"), col("v"))
+        .as[(Int, Int, Double)].collect().toSet
+      val lo = rows.map(_._2).min
+      val hi = rows.map(_._2).max
+      val byKey = rows.map(r => (r._1, r._2) -> r._3.toDouble).toMap
+      val model = rows.map(_._1).distinct.flatMap(id =>
+        (lo to hi).map(d => (id, d, byKey.getOrElse((id, d), 0.0)))).toSet
+      got == model
+    })
+  }
+
+  // ——— band join vs nested-loop model ———
+
+  test(s"fuzz: band join == nested-loop model ($Cases cases)") {
+    // |a - b| <= width pairs between two small frames; the model is the
+    // quadratic scan the range-condition join must reproduce exactly
+    val gen = for {
+      na <- Gen.choose(0, 25)
+      as <- Gen.listOfN(na, Gen.choose(-50L, 50L))
+      nb <- Gen.choose(0, 25)
+      bs <- Gen.listOfN(nb, Gen.choose(-50L, 50L))
+      w <- Gen.choose(0L, 15L)
+    } yield (as.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+      bs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, w)
+    check("band")(Prop.forAllNoShrink(gen) { case (as, bs, w) =>
+      val a = as.toDF("aid", "av")
+      val b = bs.toDF("bid", "bv")
+      val got = a.join(b,
+          col("bv") >= col("av") - w && col("bv") <= col("av") + w)
+        .select("aid", "bid").as[(Long, Long)].collect().toSet
+      val model = (for {
+        (aid, av) <- as
+        (bid, bv) <- bs
+        if math.abs(av - bv) <= w
+      } yield (aid, bid)).toSet
+      got == model
+    })
+  }
+
   // ——— sessionize vs linear-scan model ———
 
   test(s"fuzz: sessionize == gap-split model ($Cases cases)") {
