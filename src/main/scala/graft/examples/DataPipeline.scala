@@ -62,7 +62,10 @@ object DataPipeline {
     * @param minQualityProb keep threshold for the classifier gate
     * @param noisyQualityGate soften the classifier gate GPT-3-style
     *                  (deterministic Pareto draw vs 1 − prob) instead of
-    *                  the hard threshold */
+    *                  the hard threshold
+    * @param semanticCells block stage 4's embedding sweep on SemDeDup
+    *                  Lloyd cells instead of the stored label (the
+    *                  no-label real-corpus path; 0 keeps label blocks) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -72,7 +75,8 @@ object DataPipeline {
       boilerplateMinDf: Long = 0L,
       qualityModel: Option[QualityClassifier.TextClassifier] = None,
       minQualityProb: Double = 0.5,
-      noisyQualityGate: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+      noisyQualityGate: Boolean = false,
+      semanticCells: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -142,12 +146,19 @@ object DataPipeline {
     val nearDeduped = exact.join(losers, Seq("doc_id"), "left_anti")
 
     // 4. embedding near-dup sweep: drop the higher id of any surviving
-    //    pair with cosine >= 0.995 (blocking on the stored label keeps the
-    //    pair join bounded; at corpus scale the block is an LSH bucket)
+    //    pair with cosine >= 0.995. Blocking choice: a stored label (the
+    //    fixture's ground truth) or, with `semanticCells` > 0, SemDeDup
+    //    Lloyd cells — the blocking a real corpus uses when no label
+    //    exists (the other at-scale option is an LSH bucket)
     val vecs = embeddings.join(
       nearDeduped.select(col("doc_id").as("vec_id")), "vec_id")
-    val vecLosers = Similarity.embeddingNearDuplicates(
-        vecs, "vec_id", "embedding", "label", 0.995)
+    val vecLosers = (
+      if (semanticCells > 0)
+        Similarity.semanticDuplicates(
+          vecs, "vec_id", "embedding", 0.995, numCells = semanticCells)
+      else
+        Similarity.embeddingNearDuplicates(
+          vecs, "vec_id", "embedding", "label", 0.995))
       .select(col("id_b").as("doc_id")).distinct()
     val swept = nearDeduped.join(vecLosers, Seq("doc_id"), "left_anti")
 

@@ -56,6 +56,21 @@ class ExamplesSpec extends AnyFunSuite {
     assert(strict.count() == 0)
   }
 
+  test("stage 4 semantic blocking: the pipeline runs label-free end-to-end") {
+    // the real-corpus path: no ground-truth label column needed for the
+    // embedding sweep — Lloyd cells block the pair join instead
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .drop("label") // prove the label is genuinely unused
+    val (curated, _, _) = DataPipeline.curate(docs, emb, semanticCells = 8)
+    val n = curated.count()
+    assert(n > 0 && n < docs.count())
+    // deterministic: Lloyd seeds hash-derived, same corpus -> same result
+    val (again, _, _) = DataPipeline.curate(docs, emb, semanticCells = 8)
+    assert(curated.select("doc_id").except(again.select("doc_id")).count() == 0)
+    assert(again.select("doc_id").except(curated.select("doc_id")).count() == 0)
+  }
+
   test("prepareTraining: LM prune, mixture, and shards interlock") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
