@@ -119,6 +119,15 @@ class PlanContractSpec extends AnyFunSuite {
           s"$name banded pair join is no longer shuffle-hash (broadcast " +
             s"of a corpus-sized side?):\n${plans(name)}")
       }
+    // embedding-pair family: under the block-cap's filter Catalyst's size
+    // estimate collapses, and without the pinned hint it would BROADCAST a
+    // corpus-sized side (the hint lives in embeddingNearDuplicates)
+    Seq("dedup_embedding", "dedup_embedding_lsh", "dedup_semantic")
+      .foreach { name =>
+        assert(plans(name).contains("ShuffledHashJoin"),
+          s"$name within-block pair join is no longer shuffle-hash:\n" +
+            plans(name))
+      }
   }
 
   test("text_quality_prune scores the corpus exactly once") {
