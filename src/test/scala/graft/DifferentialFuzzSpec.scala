@@ -590,6 +590,55 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  // ——— n-gram Jaccard pairs vs capped shingle-set model ———
+
+  test(s"fuzz: ngramJaccardPairs == capped shingle-set model ($Cases cases)") {
+    // tiny vocab → heavy shingle collisions → real pair volume; the model
+    // re-derives distinct bigram sets, the stop-shingle doc-frequency cap,
+    // and set-arithmetic Jaccard from scratch. The engine hashes grams
+    // (xxhash64) — equality-only use, collision-free at this scale — so
+    // the model works on the gram strings directly.
+    val vocab = Vector("a", "b", "c", "d")
+    val gen = for {
+      nDocs <- Gen.choose(0, 10)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws)
+      cap <- Gen.choose(1, 5)
+      thr <- Gen.oneOf(0.1, 0.3, 0.5)
+    } yield (docs, cap, thr)
+    check("ngram-jaccard")(Prop.forAllNoShrink(gen) { case (docs, cap, thr) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup
+        .ngramJaccardPairs(df, "doc_id", "text", 2, thr, cap)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      val sets: Map[Long, Set[String]] = docs.zipWithIndex.map {
+        case (ws, i) =>
+          i.toLong -> ws.sliding(2).filter(_.size == 2)
+            .map(_.mkString(" ")).toSet
+      }.toMap
+      val dfreq = sets.values.flatten.groupBy(identity)
+        .map { case (g, l) => g -> l.size }
+      val keptSets = sets.map { case (id, s) =>
+        id -> s.filter(g => dfreq(g) <= cap)
+      }
+      val model = (for {
+        (ia, sa) <- keptSets.toSeq
+        (ib, sb) <- keptSets.toSeq
+        if ia < ib
+        shared = (sa & sb).size
+        if shared > 0
+        j = shared.toDouble / (sa.size + sb.size - shared)
+        if j >= thr
+      } yield (ia, ib, j)).toSet
+      got == model
+    })
+  }
+
   // ——— BM25 top-k vs closed-form model ———
 
   test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
