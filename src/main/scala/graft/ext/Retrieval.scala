@@ -49,6 +49,8 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     require(k1 >= 0, s"k1 must be non-negative, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    require(queryIdCol != idCol,
+      s"query and document id columns must differ, both are '$idCol'")
 
     // ONE text scan: the posting frame is the checkpoint every downstream
     // statistic derives from (the fitUnigramModel pattern)
@@ -160,6 +162,8 @@ object Retrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       roundScoreTo: Int = 4): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    require(queryIdCol != idCol,
+      s"query and document id columns must differ, both are '$idCol'")
     val docs = index.select(col(idCol), col("dl")).distinct()
     val stats = docs.agg(
       count(lit(1)).cast("double").as("__N"),
