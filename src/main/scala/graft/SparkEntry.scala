@@ -1318,6 +1318,19 @@ object SparkEntry {
       .select(col("doc_id"), col("prob"), col("pareto_draw"))
       .orderBy(col("doc_id"))
 
+  /** P14 — Efraimidis–Spirakis weighted sampling without replacement
+    * ([[ops.Sampling.weightedSample]]): per language, 5 docs drawn with
+    * probability ∝ token count via the deterministic `u^(1/w)` priority
+    * key and the bounded-heap TopK (no Window). The oracle replays the
+    * md5-derived uniform, the key and the ranking. */
+  private def p14WeightedSample(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.weightedSample(
+        T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("w")),
+        "doc_id", "w", Seq("lang"), 5)
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("rank"))
+      .orderBy(col("lang"), col("rank"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -1995,6 +2008,7 @@ object SparkEntry {
     "text_clf_score" -> (textClfScore _),
     "text_clf_sample" -> (textClfSample _),
     "dedup_semantic" -> (dedupSemantic _),
+    "p14_weighted_sample" -> (p14WeightedSample _),
   )
 
   /** Shared CTEs for the portable-minhash oracles: signature math and
@@ -3186,6 +3200,21 @@ object SparkEntry {
         |  FROM pr)
         |SELECT doc_id, prob, pareto_draw FROM g
         |WHERE pareto_draw > round(1.0 - prob, 6) ORDER BY doc_id""".stripMargin,
+    "p14_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\S+')) AS w FROM documents),
+        |p AS (SELECT doc_id, lang,
+        |    round(pow(
+        |      CAST(CAST('0x' || substr(
+        |          md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)
+        |        AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+        |      1.0 / CAST(w AS DOUBLE)), 9) AS sample_key
+        |  FROM t WHERE w > 0),
+        |rk AS (SELECT doc_id, lang, sample_key,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY sample_key DESC, doc_id) AS INT) AS rank FROM p)
+        |SELECT doc_id, lang, sample_key, rank FROM rk
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "mm_features" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS INT) AS byte_len,
         | CAST(ascii(substr(text,1,1)) AS INT) AS first_cp,

@@ -54,6 +54,37 @@ object Sampling {
       GraftColumnBridge.expression(keyCol.cast("string")), 8)) % 100
   }
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement (2006):
+    * per group, keep the k rows with the largest priority key
+    * `u^(1/w)` — over many draws each row's inclusion probability is
+    * proportional to its weight, and the whole draw happens in one
+    * bounded-heap [[TopK.perGroupRanked]] pass (O(groups·k) state, no
+    * Window, no per-group sort). The classical distributed form of
+    * "sample documents proportional to quality/token count".
+    *
+    * DETERMINISTIC: `u` is the first 52 bits of `md5(id:seed)` scaled to
+    * [0, 1) — reproducible across runs, engines and cluster layouts,
+    * reseedable per epoch. The key rounds to 9 dp before ranking (id
+    * tie-break), so cross-engine `pow` ulps cannot flip the sample.
+    * Rows with null or non-positive weight are EXCLUDED (E-S requires
+    * w > 0; a zero-weight row can never be drawn). Appends `sample_key`
+    * and `rank` (1 = highest key). */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String,
+      groupCols: Seq[String], k: Int, seed: String = "42"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(groupCols.nonEmpty,
+      "groupCols must be non-empty (add a constant column for a global draw)")
+    val u = priorityPrefix(hashPriority(col(idCol), seed), 13)
+      .cast("double") / lit(4503599627370496.0) // 2^52
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_key",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+    graft.ops.TopK.perGroupRanked(
+      keyed, groupCols, Seq(col("sample_key").desc, col(idCol)), k)
+  }
+
   /** Deterministic corpus reshuffle into `nShards` balanced shards — the
     * "global shuffle then write N training files" step of a training-data
     * pipeline, reproducible across reruns and cluster sizes. Each row gets

@@ -101,6 +101,32 @@ class ShardingSpec extends AnyFunSuite {
       s"writer path must reuse the single shard exchange:\n$plan")
   }
 
+  test("weightedSample: inclusion tracks weight, deterministic, excludes w <= 0") {
+    // 500 groups, each {one weight-50 row, one weight-1 row, one w=0 row,
+    // one null-w row}; k=1. E-S: P(heavy wins) = 50/51 ≈ 0.98 over many
+    // independent groups — and the zero/null rows can never be drawn.
+    val rows = (0 until 500).flatMap { g =>
+      Seq((g * 10L + 0, g, Some(50.0)), (g * 10L + 1, g, Some(1.0)),
+        (g * 10L + 2, g, Some(0.0)), (g * 10L + 3, g, None))
+    }
+    val df = rows.toDF("id", "grp", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", Seq("grp"), 1)
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 500) // one winner per group
+    assert(picked.forall(id => id % 10 <= 1), "a non-positive-weight row won")
+    val heavyShare = picked.count(_ % 10 == 0) / 500.0
+    assert(heavyShare > 0.93 && heavyShare <= 1.0,
+      s"heavy-row share $heavyShare far from E-S expectation ~0.98")
+    // deterministic replay; a different seed redraws
+    val again = Sampling.weightedSample(df, "id", "w", Seq("grp"), 1)
+      .select("id").as[Long].collect().toSet
+    assert(again == picked)
+    val reseeded = Sampling.weightedSample(df, "id", "w", Seq("grp"), 1,
+        seed = "7")
+      .select("id").as[Long].collect().toSet
+    assert(reseeded != picked)
+  }
+
   test("plan: one hash exchange on the shard, no global sort") {
     val df = assigned
     df.collect()
