@@ -590,6 +590,67 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  // ——— repetitionStats vs multiset model ———
+
+  test(s"fuzz: repetitionStats == multiset model ($Cases cases)") {
+    // random texts incl. empty strings and leading/trailing/multiple
+    // whitespace; the model replicates the kernel's documented Pattern
+    // .split(text, -1) semantics (a leading empty token survives) exactly
+    val pat = java.util.regex.Pattern.compile("\\s+")
+    val gen = for {
+      nDocs <- Gen.choose(0, 12)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 8)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "ab"))
+        lead <- Gen.oneOf("", " ", "  ")
+        sep <- Gen.oneOf(" ", "  ")
+      } yield lead + ws.mkString(sep))
+      n <- Gen.choose(1, 3)
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, n)
+    check("repetition")(Prop.forAllNoShrink(gen) { case (docs, n) =>
+      val got = graft.ext.TextAnalysis
+        .repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .select("doc_id", "n_tokens", "n_grams", "n_distinct", "top_count")
+        .as[(Long, Int, Int, Int, Int)].collect().toSet
+      val model = docs.map { case (id, t) =>
+        val toks = pat.split(t, -1).toSeq
+        val grams = toks.sliding(n).filter(_.size == n)
+          .map(_.mkString(" ")).toSeq
+        val byGram = grams.groupBy(identity)
+        (id, toks.size, grams.size, byGram.size,
+          if (grams.isEmpty) 0 else byGram.values.map(_.size).max)
+      }.toSet
+      got == model
+    })
+  }
+
+  // ——— topTokens vs count-and-rank model ———
+
+  test(s"fuzz: topTokens == count-and-rank model ($Cases cases)") {
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val gen = for {
+      nDocs <- Gen.choose(0, 10)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 10)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws)
+      k <- Gen.choose(1, 6)
+    } yield (docs, k)
+    check("topTokens")(Prop.forAllNoShrink(gen) { case (docs, k) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextAnalysis.topTokens(df, "text", k)
+        .select("rank", "token", "n")
+        .as[(Int, String, Long)].collect().toSeq.sorted
+      val counts = docs.flatten.groupBy(identity)
+        .map { case (t, l) => (t, l.size.toLong) }.toSeq
+      val model = counts.sortBy { case (t, c) => (-c, t) }.take(k)
+        .zipWithIndex.map { case ((t, c), i) => (i + 1, t, c) }.sorted
+      got == model
+    })
+  }
+
   // ——— n-gram Jaccard pairs vs capped shingle-set model ———
 
   test(s"fuzz: ngramJaccardPairs == capped shingle-set model ($Cases cases)") {
