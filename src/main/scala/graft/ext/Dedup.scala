@@ -867,7 +867,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Int = 1000): DataFrame =
-    ngramPairCounts(df, idCol, textCol, n, maxDocFreq)
+    ngramPairCounts(df, idCol, textCol, n, maxDocFreq,
+        threshold, sizeOrdered = false)
       .withColumn("jaccard",
         col("__shared").cast("double")
           / (col("__na") + col("__nb") - col("__shared")))
@@ -891,7 +892,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame =
-    ngramPairCounts(df, idCol, textCol, n, maxDocFreq)
+    ngramPairCounts(df, idCol, textCol, n, maxDocFreq,
+        threshold, sizeOrdered = true)
       .withColumn("overlap",
         col("__shared").cast("double") / least(col("__na"), col("__nb")))
       .filter(col("overlap") >= threshold)
@@ -900,28 +902,66 @@ object Dedup {
         (col("__shared").cast("double") / col("__nb")).as("containment_b"))
 
   /** Shared pair-generation core of [[ngramJaccardPairs]] /
-    * [[ngramOverlapPairs]]: returns one row per candidate pair
-    * (id_a < id_b, ≥1 shared kept shingle) with `__shared`, `__na`,
-    * `__nb` — the shared-shingle count and both docs' kept-shingle
-    * sizes. */
+    * [[ngramOverlapPairs]]: returns candidate pairs (id_a < id_b) with
+    * `__shared`, `__na`, `__nb` — the shared-shingle count and both docs'
+    * kept-shingle sizes — covering EVERY pair whose similarity can reach
+    * `threshold`; sub-threshold pairs may or may not appear (callers
+    * filter), so the thresholded output is identical to the naive
+    * all-shared-gram enumeration.
+    *
+    * Two filters cut the candidate volume below the naive
+    * Σ_grams C(df, 2) posting-list explosion (which is quadratic inside
+    * duplicate clusters — each pair re-emitted once per shared gram):
+    *
+    *  1. EXACT GRAM-SET COLLAPSE. Docs with identical kept-shingle sets
+    *     (the dominant near-dup mode in crawl corpora: mirrored /
+    *     re-posted pages) are grouped by a 128-bit fingerprint of the
+    *     canonical gram array and represented by their min-id member.
+    *     Within-cluster pairs are emitted directly (similarity 1.0,
+    *     shared = na = nb); pair DISCOVERY runs on representatives only,
+    *     so a duplication factor d cuts the posting-list pair volume by
+    *     d². Cluster size is bounded by `maxDocFreq`: the stop-shingle
+    *     cap is computed on the PRE-collapse corpus, so any cluster
+    *     larger than the cap loses all its grams and vanishes — exactly
+    *     the naive core's behavior.
+    *  2. PREFIX + LENGTH FILTERING (AllPairs/PPJoin, Xiao et al. 2008 —
+    *     public literature). Grams are canonically ordered rarest-first
+    *     (df asc, hash tiebreak). For Jaccard ≥ t a pair must share
+    *     ≥ ceil(t·max(na,nb)) grams, so each doc need only post its
+    *     first n − ceil(t·n) + 1 grams; for overlap ≥ t the bound
+    *     ceil(t·min) holds only for the smaller doc, so the smaller
+    *     side posts its prefix and the larger posts everything
+    *     (`sizeOrdered = true`). Jaccard candidates additionally pass
+    *     the length filter min(na,nb) ≥ t·max(na,nb).
+    *
+    * Surviving representative pairs are verified EXACTLY: the candidate
+    * frame joins back to the (checkpointed) per-cluster gram arrays and
+    * `array_intersect` computes the true shared count — no pair is ever
+    * counted via the posting explosion, so a pair costs one row, not one
+    * row per shared gram. Verified rep pairs then expand to member pairs
+    * through the cluster id lists. Drops are logged via [[DropMetrics]];
+    * there are no driver-side collects anywhere in the chain.
+    */
   private def ngramPairCounts(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int,
+      threshold: Double,
+      sizeOrdered: Boolean): DataFrame = {
     require(maxDocFreq > 0, s"maxDocFreq must be positive, got $maxDocFreq")
-    // grams are joined by 64-bit hash, not string: the pair-join shuffle
-    // moves (long, long) rows and the join side becomes broadcast-able
+    // grams are keyed by 64-bit hash, not string: every exchange below
+    // moves (long, long) rows and gram arrays are arrays of longs
     import org.apache.spark.sql.GraftColumnBridge
     val grams = df.select(
       col(idCol),
       explode(GraftColumnBridge.column(graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(col(textCol), n))))).as("__g"))
-    // stop-shingle drop: count docs per gram over the same exchange the
-    // pair join uses; shuffle_hash on the count side — its size estimate
-    // under the explode is tiny, and a broadcast would collect one row per
-    // distinct shingle (≈ corpus token count) onto the driver
+    // stop-shingle drop: count docs per gram; shuffle_hash on the count
+    // side — its size estimate under the explode is tiny, and a broadcast
+    // would collect one row per distinct shingle (≈ corpus token count)
+    // onto the driver
     val freqs = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     val kept = DropMetrics.observe(
         grams.hint("shuffle_hash").join(freqs.hint("shuffle_hash"), "__g"),
@@ -931,40 +971,140 @@ object Dedup {
           max(col("__df")).as("max_doc_freq"),
           lit(maxDocFreq.toLong).as("cap")))
       .filter(col("__df") <= maxDocFreq)
-      .drop("__df")
-    // From here the plan is a straight LINE over the kept gram stream —
-    // one corpus pass, no diamonds. Earlier formulations branched `kept`
-    // into a sizes aggregate plus a pair self-join and joined them back;
-    // each branch RECOMPUTED the scan→shingle→hash→freq-join tree because
-    // exchange reuse does not bridge the diamond (measured: the whole
-    // gram pipeline executed 2-3×). Instead:
-    //  1. each doc's kept-shingle count rides along every gram row via a
-    //     count window on the id — one exchange, no second source scan;
-    //  2. pair generation needs NO self-join: each gram group collects
-    //     its (id, n) structs — memory-safe BY CONSTRUCTION, the
-    //     stop-shingle filter bounds every list at maxDocFreq (never
-    //     collect the unfiltered stream) — and the value-ordered pairs
-    //     explode positionally from the sorted list (ids are distinct
-    //     within a gram — wordNgrams dedups per doc — so position order
-    //     IS value order). Row-identical to the self-equi-join +
-    //     id_a<id_b filter, minus its two corpus-sized exchanges;
-    //  3. both sizes travel INSIDE the pair rows, so Jaccard needs no
-    //     join-back — just min() over values constant within the group.
-    val sized = kept.withColumn("__n",
-      count(lit(1)).over(Window.partitionBy(col(idCol))))
-    val lists = sized
-      .groupBy(col("__g"))
-      .agg(sort_array(
-        collect_list(struct(col(idCol).as("__id"), col("__n")))).as("__ids"))
-    lists
-      .select(posexplode(col("__ids")).as(Seq("__px", "__a")), col("__ids"))
-      .select(col("__a"),
-        explode(slice(col("__ids"), col("__px") + lit(2), size(col("__ids"))))
-          .as("__b"))
-      .groupBy(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"))
+    // one row per doc: kept grams in canonical rarest-first order (df
+    // asc, hash tiebreak — a total order shared by every doc, which is
+    // what makes the prefix lemma sound), plus the kept-shingle count.
+    // Array length is bounded by the doc's own shingle count; the
+    // collect_list is per-DOC, never per-gram-group.
+    val docGrams = kept
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("__df"), col("__g")))),
+        x => x("__g")).as("__grams"))
+      .withColumn("__n", size(col("__grams")))
+    // exact-duplicate collapse on a 128-bit gram-array fingerprint (the
+    // fingerprint128 posture: one 64-bit hash silently MERGES distinct
+    // docs at ~10⁹ scale). Checkpointed: every branch below (within-pairs,
+    // prefix posting, verify join ×2, member expansion ×2) re-reads the
+    // materialized blocks instead of recomputing the scan→shingle chain.
+    val clusters = docGrams
+      .groupBy(
+        xxhash64(col("__grams")).as("__fp1"),
+        xxhash64(lit(FingerprintSeed2), col("__grams")).as("__fp2"))
       .agg(
-        count(lit(1)).as("__shared"),
-        min(col("__a.__n")).as("__na"),
-        min(col("__b.__n")).as("__nb"))
+        sort_array(collect_list(col(idCol))).as("__ids"),
+        min(col("__n")).as("__n"),
+        min_by(col("__grams"), col(idCol)).as("__grams"))
+      .withColumn("__rep", element_at(col("__ids"), 1))
+      .localCheckpoint(eager = false)
+    // (a) within-cluster pairs: identical kept-gram sets, similarity 1.0
+    // by construction (shared = na = nb). Sorted member list → positional
+    // explosion gives id_a < id_b directly. Volume is output-inherent and
+    // bounded per cluster by C(maxDocFreq, 2).
+    val withinPairs = clusters
+      .filter(size(col("__ids")) > 1)
+      .select(posexplode(col("__ids")).as(Seq("__px", "__ida")),
+        col("__ids"), col("__n"))
+      .select(col("__ida").as("id_a"),
+        explode(slice(col("__ids"), col("__px") + lit(2), size(col("__ids"))))
+          .as("id_b"),
+        col("__n").cast("long").as("__shared"),
+        col("__n").cast("long").as("__na"),
+        col("__n").cast("long").as("__nb"))
+    // (b) cross-cluster candidates from prefix posting lists over
+    // REPRESENTATIVES. k = ceil(t·n) is the minimum shared-gram count a
+    // qualifying pair must reach relative to this doc's size (Jaccard:
+    // valid for both sides; overlap: valid for the smaller side only).
+    // The 1e-9 guard keeps float ceil from overshooting an exact integer
+    // product — the safe direction is a one-gram-longer prefix.
+    val kOf: Column => Column = nn =>
+      greatest(lit(1), ceil(lit(threshold) * nn - lit(1e-9)).cast("int"))
+    val prefLen = col("__n") - kOf(col("__n")) + lit(1)
+    val rawPairs =
+      if (!sizeOrdered) {
+        // Jaccard mode: both sides post prefixes only; a qualifying pair
+        // shares a gram within both prefixes (Chaudhuri et al. 2006
+        // prefix lemma under the shared canonical order). Lists sorted by
+        // (id) → positional pairs have a.id < b.id.
+        val posting = clusters.select(col("__rep"), col("__n"),
+          explode(slice(col("__grams"), lit(1), prefLen)).as("__g"))
+        posting
+          .groupBy(col("__g"))
+          .agg(sort_array(
+            collect_list(struct(col("__rep").as("__id"), col("__n"))))
+            .as("__l"))
+          .select(posexplode(col("__l")).as(Seq("__px", "__a")), col("__l"))
+          .select(col("__a"),
+            explode(slice(col("__l"), col("__px") + lit(2), size(col("__l"))))
+              .as("__b"))
+          // length filter: Jaccard ≥ t forces min ≥ t·max
+          .filter(least(col("__a.__n"), col("__b.__n")).cast("double")
+            >= lit(threshold) * greatest(col("__a.__n"), col("__b.__n"))
+              - lit(1e-9))
+          .select(col("__a.__id").as("__rlo"), col("__b.__id").as("__rhi"),
+            col("__a.__n").as("__nlo"), col("__b.__n").as("__nhi"))
+      } else {
+        // overlap mode: every doc posts all grams, flagged by whether the
+        // gram sits in its own prefix; lists sorted by (n, id) so the
+        // earlier element of a pair is the smaller doc (id tiebreak), and
+        // only its prefix membership gates the pair. Normalize to id
+        // order afterwards (sizes travel with their ids — containment is
+        // directional).
+        val posting = clusters.select(col("__rep"), col("__n"),
+          posexplode(col("__grams")).as(Seq("__pos", "__g")))
+          .withColumn("__isp", col("__pos") + lit(1) <= prefLen)
+        posting
+          .groupBy(col("__g"))
+          .agg(sort_array(collect_list(struct(
+            col("__n"), col("__rep").as("__id"), col("__isp")))).as("__l"))
+          .select(posexplode(col("__l")).as(Seq("__px", "__a")), col("__l"))
+          .filter(col("__a.__isp"))
+          .select(col("__a"),
+            explode(slice(col("__l"), col("__px") + lit(2), size(col("__l"))))
+              .as("__b"))
+          .select(
+            least(col("__a.__id"), col("__b.__id")).as("__rlo"),
+            greatest(col("__a.__id"), col("__b.__id")).as("__rhi"),
+            when(col("__a.__id") < col("__b.__id"), col("__a.__n"))
+              .otherwise(col("__b.__n")).as("__nlo"),
+            when(col("__a.__id") < col("__b.__id"), col("__b.__n"))
+              .otherwise(col("__a.__n")).as("__nhi"))
+      }
+    // dedup candidates (a pair surfaces once per shared prefix gram) then
+    // verify EXACTLY against the cluster gram arrays: shared =
+    // |A ∩ B| via array_intersect on the canonical arrays (distinct per
+    // doc by construction — wordNgrams dedups). shuffle_hash: the rep
+    // frame is corpus-sized, a broadcast would collect it driver-side.
+    val cands = rawPairs
+      .groupBy(col("__rlo"), col("__rhi"))
+      .agg(min(col("__nlo")).as("__nlo"), min(col("__nhi")).as("__nhi"))
+    val repGrams = clusters.select(col("__rep"), col("__grams"), col("__ids"))
+    val verified = cands
+      .join(repGrams.select(col("__rep").as("__rlo"),
+        col("__grams").as("__gl"), col("__ids").as("__idsl"))
+        .hint("shuffle_hash"), Seq("__rlo"))
+      .join(repGrams.select(col("__rep").as("__rhi"),
+        col("__grams").as("__gr"), col("__ids").as("__idsr"))
+        .hint("shuffle_hash"), Seq("__rhi"))
+      .select(col("__idsl"), col("__idsr"),
+        size(array_intersect(col("__gl"), col("__gr"))).cast("long")
+          .as("__shared"),
+        col("__nlo").cast("long"), col("__nhi").cast("long"))
+    // expand verified rep pairs to member pairs; sizes follow their ids
+    // under the least/greatest normalization (cluster members share n)
+    val crossPairs = verified
+      .select(explode(col("__idsl")).as("__ia"), col("__idsr"),
+        col("__shared"), col("__nlo"), col("__nhi"))
+      .select(col("__ia"), explode(col("__idsr")).as("__ib"),
+        col("__shared"), col("__nlo"), col("__nhi"))
+      .select(
+        least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("__shared"),
+        when(col("__ia") < col("__ib"), col("__nlo"))
+          .otherwise(col("__nhi")).as("__na"),
+        when(col("__ia") < col("__ib"), col("__nhi"))
+          .otherwise(col("__nlo")).as("__nb"))
+    withinPairs.unionByName(crossPairs)
   }
 }
