@@ -259,6 +259,14 @@ object ScaleSmoke {
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       graft.ext.Dedup.duplicateClusters(chain, algorithm = "star").count()
     }
+    timed("auto clusters 100x100 chains") {
+      // same pathological graph through the DEFAULT path: min-label
+      // stalls for AutoEscalateRounds, then star contraction finishes —
+      // the bounded-prelude posture a 100 TB boilerplate mega-cluster hits
+      val chain = spark.range(10000L).filter(col("id") % 100 =!= 99)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.ext.Dedup.duplicateClusters(chain).count()
+    }
     spark.stop()
   }
 }

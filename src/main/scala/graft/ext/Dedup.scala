@@ -481,37 +481,71 @@ object Dedup {
     * done, or let the ContextCleaner reclaim the blocks after the
     * DataFrame is garbage-collected. Returns (id, cluster_id).
     *
-    * @param algorithm `"minlabel"` (default) or `"star"`. Min-label's
-    *                  round count is the min node's eccentricity — ideal
-    *                  for the tiny components near-dup mining produces,
-    *                  and 2 exchanges per round. `"star"` is the
-    *                  alternating large-star/small-star contraction
-    *                  (Kiveris et al., "Connected Components in MapReduce
-    *                  and Beyond"): O(log²) rounds regardless of
-    *                  diameter, at ~3x the exchanges per round — the
-    *                  right choice when a 100 TB corpus grows a
-    *                  boilerplate mega-cluster with long chains (a
-    *                  30-hop path converges in 3 star rounds vs 29
-    *                  label hops). Identical output labels (spec'd
-    *                  equal on shared fixtures and randomized graphs).
+    * @param algorithm `"auto"` (default), `"minlabel"`, or `"star"`.
+    *                  Min-label's round count is the min node's
+    *                  eccentricity — ideal for the tiny components
+    *                  near-dup mining produces, and 2 exchanges per
+    *                  round. `"star"` is the alternating
+    *                  large-star/small-star contraction (Kiveris et al.,
+    *                  "Connected Components in MapReduce and Beyond"):
+    *                  O(log²) rounds regardless of diameter, at ~3x the
+    *                  exchanges per round — the right choice when a
+    *                  100 TB corpus grows a boilerplate mega-cluster
+    *                  with long chains (a 30-hop path converges in 3
+    *                  star rounds vs 29 label hops). `"auto"` runs
+    *                  min-label and, if [[AutoEscalateRounds]] rounds
+    *                  pass without a fixpoint (a long-chain graph — the
+    *                  shape min-label is wrong for), discards the
+    *                  partial labels and restarts with star: typical
+    *                  corpora pay nothing, pathological ones pay a
+    *                  bounded constant prelude instead of a
+    *                  diameter-proportional round count. Identical
+    *                  output labels on every path (spec'd equal on
+    *                  shared fixtures and randomized graphs).
     */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      algorithm: String = "minlabel"): DataFrame = algorithm match {
-    case "minlabel" => minLabelClusters(pairs, idA, idB, maxIter)
+      algorithm: String = "auto"): DataFrame = algorithm match {
+    case "auto" =>
+      val rounds = math.min(AutoEscalateRounds, maxIter)
+      val (labels, cached, converged) =
+        minLabelClusters(pairs, idA, idB, rounds, warnOnStop = false)
+      if (converged) labels
+      else {
+        // long-chain graph: drop the partial min-label state and rerun
+        // with the diameter-insensitive contraction
+        if (cached != null) cached.unpersist()
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"duplicateClusters(auto): no fixpoint after $rounds min-label " +
+            "rounds; escalating to star contraction")
+        starClusters(pairs, idA, idB, maxIter)
+      }
+    case "minlabel" =>
+      minLabelClusters(pairs, idA, idB, maxIter, warnOnStop = true)._1
     case "star" => starClusters(pairs, idA, idB, maxIter)
     case other => throw new IllegalArgumentException(
-      s"duplicateClusters algorithm must be 'minlabel' or 'star', got '$other'")
+      s"duplicateClusters algorithm must be 'auto', 'minlabel' or 'star', " +
+        s"got '$other'")
   }
 
+  /** Min-label rounds `"auto"` spends before escalating to star
+    * contraction: near-dup components (cliques, small blobs) converge in
+    * 1-3, so 5 non-converged rounds is strong evidence of a long-chain
+    * component whose remaining round count is diameter-proportional. */
+  val AutoEscalateRounds = 5
+
+  /** Runs min-label propagation; returns (labels, the checkpointed frame
+    * backing them — unpersist to reclaim, null if zero rounds ran,
+    * converged). */
   private def minLabelClusters(
       pairs: DataFrame,
       idA: String,
       idB: String,
-      maxIter: Int): DataFrame = {
+      maxIter: Int,
+      warnOnStop: Boolean): (DataFrame, DataFrame, Boolean) = {
     // localCheckpoint (not persist): the iteration's inputs must be CUT
     // from their upstream lineage, not just cached — the pair-generation
     // tree under `pairs` is hundreds of expression nodes, and with plain
@@ -585,13 +619,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    if (!converged && warnOnStop)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"duplicateClusters stopped after $maxIter rounds WITHOUT converging: " +
           "labels are correct only within that many hops of each component's " +
           "minimum; raise maxIter for long near-dup chains")
     edges.unpersist()
-    labels
+    (labels, cached, converged)
   }
 
   /** Alternating large-star/small-star contraction (see

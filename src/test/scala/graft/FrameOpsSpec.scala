@@ -122,16 +122,35 @@ class FrameOpsSpec extends AnyFunSuite {
     // are correct within maxIter hops of each component's minimum (a WARN
     // is logged), and a raised maxIter converges exactly.
     val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val partial = Dedup.duplicateClusters(pairs) // default maxIter = 20
+    val partial = Dedup.duplicateClusters(pairs, algorithm = "minlabel")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(partial.map(_._1) == (1L to 30L))
     // seeded init already pulls one hop, so ≥ the first 21 nodes reach 1
     assert(partial.take(21).forall(_._2 == 1L))
     // far tail has NOT converged yet — proves the WARN path really ran
     assert(partial.last._2 != 1L)
-    val full = Dedup.duplicateClusters(pairs, maxIter = 40)
+    val full = Dedup.duplicateClusters(pairs, maxIter = 40,
+        algorithm = "minlabel")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(full == (1L to 30L).map(i => (i, 1L)))
+  }
+
+  test("duplicateClusters(auto): long chain escalates to star and converges " +
+      "inside the default budget; clique graphs stay on min-label") {
+    // the 30-node path that defeats default min-label (previous test):
+    // auto must detect the stall after AutoEscalateRounds and hand the
+    // graph to star contraction, converging EXACTLY under default maxIter
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain) // default algorithm = auto
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == (1L to 30L).map(i => (i, 1L)))
+    // a clique converges in one min-label round — auto output identical
+    // to explicit min-label (no escalation distortion)
+    val clique = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b))
+      .toDF("id_a", "id_b")
+    val auto = Dedup.duplicateClusters(clique)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(auto == (1L to 5L).map(i => (i, 1L)))
   }
 
   test("duplicateClusters(star) == min-label on pair chains") {
