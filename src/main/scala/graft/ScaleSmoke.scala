@@ -252,6 +252,29 @@ object ScaleSmoke {
         bigEmb, "vec_id", "embedding", threshold = 0.4,
         numCells = 128, maxBlockSize = 2000).count()
     }
+    timed("ivf retrain x3 batches") {
+      // three query batches, Lloyd retrained per call — the cost
+      // writeCentroids amortizes away
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      (0 until 3).map { b =>
+        graft.ext.Similarity.ivfTopK(
+          emb.filter(col("vec_id") % 50 === b), emb, "vec_id", "embedding",
+          k = 5, numCells = 64, numProbes = 4).count()
+      }.sum
+    }
+    timed("ivf prebuilt x3 batches") {
+      // same three batches over one persisted centroid build: build cost
+      // paid once, serving is assignment+probe only
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val dir = java.nio.file.Files.createTempDirectory("smoke_centroids").toString
+      graft.ext.Similarity.writeCentroids(
+        emb, "vec_id", "embedding", dir, numCells = 64)
+      (0 until 3).map { b =>
+        graft.ext.Similarity.ivfTopKFromCentroids(
+          emb.filter(col("vec_id") % 50 === b), emb, "vec_id", "embedding",
+          k = 5, dir, numProbes = 4).count()
+      }.sum
+    }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
       // the star contraction exists for (min-label would need 99 rounds)

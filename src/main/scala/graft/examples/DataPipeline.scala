@@ -97,14 +97,31 @@ object DataPipeline {
     val ruleGated = scored.filter(
       col("n_words") >= 5 && col("stop_ratio") <= 0.9 && col("quality_score") > 0.2)
 
-    // 1.25. model-based quality gate (optional): hashed-term logistic
+    // 1.5. URL/domain curation (web corpora only): the domain blocklist
+    //      stays a map-side scan predicate; the host cap is the
+    //      bounded-heap TopK — the cheap source-level drops run BEFORE
+    //      the classifier scores anything and before any content-pairing
+    //      stage sees the rows (cheapest-drops-first: a blocklisted doc
+    //      must not cost a model eval). Both halves only drop what they
+    //      can attribute: docs with no parseable URL pass through the
+    //      blocklist AND the cap untouched
+    val urlGated0 =
+      if (blockedDomains.nonEmpty) UrlOps.dropBlockedDomains(ruleGated, "url", blockedDomains)
+      else ruleGated
+    val urlGated =
+      if (maxDocsPerHost > 0)
+        UrlOps.capPerHost(urlGated0, "url", "doc_id", maxDocsPerHost)
+          .drop("host", "rank")
+      else urlGated0
+
+    // 1.75. model-based quality gate (optional): hashed-term logistic
     //       scoring is one map-only transform — the weights broadcast
     //       with the task, so the gate costs one pass like the rule gate
-    //       above it (rules run FIRST: they are cheaper and the
-    //       classifier then scores fewer rows)
+    //       above it (rules and URL drops run FIRST: they are cheaper
+    //       and the classifier then scores fewer rows)
     val gated = qualityModel match {
       case Some(clf) =>
-        val scored = QualityClassifier.score(ruleGated, "text", clf)
+        val scored = QualityClassifier.score(urlGated, "text", clf)
         val kept =
           // noisy: the GPT-3 softened keep (pareto_draw > 1 − prob) —
           // low scorers keep a heavy-tailed chance, preserving corpus
@@ -115,26 +132,11 @@ object DataPipeline {
               .drop("pareto_draw")
           else scored.filter(col("quality_prob") >= minQualityProb)
         kept.drop("quality_prob")
-      case None => ruleGated
+      case None => urlGated
     }
 
-    // 1.5. URL/domain curation (web corpora only): the domain blocklist
-    //      stays a map-side scan predicate; the host cap is the
-    //      bounded-heap TopK — the cheap source-level drops run BEFORE
-    //      any content-pairing stage sees the rows. Both halves only drop
-    //      what they can attribute: docs with no parseable URL pass
-    //      through the blocklist AND the cap untouched
-    val urlGated0 =
-      if (blockedDomains.nonEmpty) UrlOps.dropBlockedDomains(gated, "url", blockedDomains)
-      else gated
-    val urlGated =
-      if (maxDocsPerHost > 0)
-        UrlOps.capPerHost(urlGated0, "url", "doc_id", maxDocsPerHost)
-          .drop("host", "rank")
-      else urlGated0
-
     // 2. exact dedup: keep the earliest doc per identical text
-    val exact = Dedup.exact(urlGated, Seq("text"), "doc_id")
+    val exact = Dedup.exact(gated, Seq("text"), "doc_id")
 
     // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of
     //    each cluster (duplicateClusters labels every clustered doc)

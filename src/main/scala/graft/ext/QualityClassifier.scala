@@ -61,13 +61,24 @@ object QualityClassifier {
     * any corpus size; the weight vector broadcasts with the task. */
   def score(
       df: DataFrame, textCol: String, clf: TextClassifier): DataFrame = {
+    // MLlib transform appends rawPrediction/prediction columns we discard
+    // below; refuse inputs that already carry same-named columns rather
+    // than silently dropping the caller's data (advisor round-8)
+    val reserved = Seq("__toks", "__features", "__prob",
+      "rawPrediction", "prediction")
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"score() uses internal column name(s) ${clash.mkString(", ")} that " +
+        "already exist on the input — rename or drop them first")
     val hashed = clf.hasher.transform(
       df.withColumn("__toks",
         filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)))
     val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
-    clf.model
-      .setFeaturesCol("__features")
-      .setProbabilityCol("__prob")
+    // copy() — setFeaturesCol/setProbabilityCol on the shared model would
+    // mutate the caller's classifier in place (advisor round-8)
+    clf.model.copy(new org.apache.spark.ml.param.ParamMap()
+        .put(clf.model.featuresCol, "__features")
+        .put(clf.model.probabilityCol, "__prob"))
       .transform(hashed)
       .withColumn("quality_prob", probOf(col("__prob")))
       .drop("__toks", "__features", "__prob", "rawPrediction", "prediction")

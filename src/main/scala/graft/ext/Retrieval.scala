@@ -51,6 +51,7 @@ object Retrieval {
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
     require(queryIdCol != idCol,
       s"query and document id columns must differ, both are '$idCol'")
+    requireNotReserved(idCol, queryIdCol)
 
     // ONE text scan: the posting frame is the checkpoint every downstream
     // statistic derives from (the fitUnigramModel pattern)
@@ -126,8 +127,20 @@ object Retrieval {
     * sorted by `term` within files, so parquet row-group min/max stats
     * prune non-query terms at scan time without any shuffle on read.
     */
+  /** Internal/output column names of the posting machinery: an id column
+    * sharing one would silently collide with them (the same class of bug
+    * the id-collision require catches — advisor round-8). */
+  private val ReservedCols = Set("__t", "term", "tf", "dl", "df",
+    "score", "rank", "tfidf")
+
+  private def requireNotReserved(cols: String*): Unit =
+    cols.foreach(c => require(!ReservedCols(c),
+      s"column name '$c' collides with the retrieval internals " +
+        s"(${ReservedCols.toSeq.sorted.mkString(", ")}) — rename it first"))
+
   def buildIndex(
       corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireNotReserved(idCol)
     val tf = corpus
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
@@ -164,6 +177,7 @@ object Retrieval {
     require(k >= 1, s"k must be positive, got $k")
     require(queryIdCol != idCol,
       s"query and document id columns must differ, both are '$idCol'")
+    requireNotReserved(idCol, queryIdCol)
     val docs = index.select(col(idCol), col("dl")).distinct()
     val stats = docs.agg(
       count(lit(1)).cast("double").as("__N"),
@@ -208,6 +222,7 @@ object Retrieval {
       corpus: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String], roundTo: Int = 4): DataFrame = {
     require(vocab.nonEmpty, "vocab must be non-empty")
+    requireNotReserved(idCol)
     val tf = corpus
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)

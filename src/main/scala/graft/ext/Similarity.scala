@@ -248,6 +248,11 @@ object Similarity {
       numCells: Int = 16,
       lloydIters: Int = 2,
       seedIds: Option[Seq[Long]] = None): DataFrame = {
+    // silent overwrite of a caller's own `cell` column would feed a wrong
+    // blocking key into semanticDuplicates downstream (advisor round-8)
+    require(!df.columns.contains("cell"),
+      "assignCells writes a 'cell' column but the input already has one — " +
+        "rename or drop it first")
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
     val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
@@ -286,17 +291,88 @@ object Similarity {
       numProbes: Int = 4,
       lloydIters: Int = 2,
       seedIds: Option[Seq[Long]] = None): DataFrame = {
-    val spark = candidates.sparkSession
-    import spark.implicits._
-
     val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
     val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
-    def cellOf(v: Column): Column = nearestCell(v, centroids)
+    vecs.unpersist()
+    ivfServe(queries, candidates, idCol, vecCol, k, centroids, numProbes)
+  }
 
-    val assigned = vecs.withColumn("__cell", cellOf(col("__v")))
-      .select(col("__id").as("neighbor_id"), col("__cell"),
-        col("__v").as("__cv"))
+  /** Train Lloyd centroids on `candidates` and persist them as a parquet
+    * frame `(cell int, centroid array<float>)` at `path` — the
+    * [[Retrieval.writeIndex]] analogue for ANN serving: the Lloyd
+    * iterations (each a corpus pass) are paid ONCE at build time, and
+    * every later query batch goes through [[ivfTopKFromCentroids]]
+    * without retraining. The file is KBs (numCells × dim floats). */
+  def writeCentroids(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      numCells: Int = 16,
+      lloydIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist()
+    val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
+    vecs.unpersist()
+    centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .coalesce(1) // KBs — one file, no shuffle
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeCentroids]] frame back into the driver-side centroid
+    * matrix (KBs — the same driver state training would have produced).
+    * Validates the cell ids are the contiguous 0..n-1 the serving kernel
+    * indexes by. */
+  def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Seq[Float]] = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    require(rows.nonEmpty, s"no centroids at $path")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      s"centroid frame at $path has non-contiguous cell ids " +
+        s"${rows.map(_._1).mkString(",")} — expected 0..${rows.length - 1}")
+    rows.map(_._2)
+  }
+
+  /** IVF top-k over prebuilt centroids ([[writeCentroids]] output):
+    * identical results to [[ivfTopK]] with the same centroid matrix,
+    * minus the per-call Lloyd training passes — the realistic production
+    * pattern for repeated query batches against a stable corpus. */
+  def ivfTopKFromCentroids(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidsPath: String,
+      numProbes: Int = 4): DataFrame =
+    ivfServe(queries, candidates, idCol, vecCol, k,
+      loadCentroids(candidates.sparkSession, centroidsPath), numProbes)
+
+  /** Shared serving path of [[ivfTopK]] / [[ivfTopKFromCentroids]]:
+    * assign candidates to their nearest cell, probe each query's
+    * `numProbes` nearest cells, score only within probed cells, rank with
+    * the bounded heap. */
+  private def ivfServe(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Seq[Float]],
+      numProbes: Int): DataFrame = {
+    val assigned = candidates
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", nearestCell(col("__cv"), centroids))
       .withColumn("__cn", l2Norm(col("__cv")))
 
     // queries probe their numProbes nearest cells (same kernel, take = P)
@@ -308,14 +384,12 @@ object Similarity {
       .withColumn("__qn", l2Norm(col("__qv")))
       .withColumn("__cell", explode(probeCells))
 
-    val out = rankTopK(
+    rankTopK(
       q.join(assigned, "__cell")
         .filter(col("neighbor_id") =!= col("query_id"))
         .withColumn("cosine",
           cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn"))),
       k)
-    vecs.unpersist()
-    out
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a

@@ -112,6 +112,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(got.headOption.contains(0L)) // identical vector shares its cell
   }
 
+  test("writeCentroids -> ivfTopKFromCentroids == ivfTopK (round-trip identity)") {
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(4)(Array.fill(12)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 100L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    // deterministic seeds so the retrain inside ivfTopK reproduces the
+    // exact centroid matrix writeCentroids persisted
+    val seeds = Some(Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    val dir = java.nio.file.Files.createTempDirectory("centroids").toString
+    Similarity.writeCentroids(df, "vec_id", "embedding", dir,
+      numCells = 6, lloydIters = 2, seedIds = seeds)
+    // floats round-trip parquet exactly: loaded matrix == trained matrix
+    val fromIdx = Similarity.ivfTopKFromCentroids(
+        queries, df, "vec_id", "embedding", k = 3, dir, numProbes = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val inline = Similarity.ivfTopK(
+        queries, df, "vec_id", "embedding", k = 3,
+        numCells = 6, numProbes = 2, lloydIters = 2, seedIds = seeds)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromIdx == inline)
+    assert(fromIdx.nonEmpty)
+    // loadCentroids validates contiguity and shape
+    val cents = Similarity.loadCentroids(spark, dir)
+    assert(cents.length == 6 && cents.forall(_.length == 12))
+  }
+
+  test("assignCells refuses an input that already has a 'cell' column") {
+    val df = Seq((1L, Seq(1f, 2f), 0)).toDF("id", "v", "cell")
+    val e = intercept[IllegalArgumentException](
+      Similarity.assignCells(df, "id", "v", numCells = 1))
+    assert(e.getMessage.contains("cell"))
+  }
+
   test("NearestCentroids kernel == composed array_min/array_sort argmin, bit-for-bit") {
     import org.apache.spark.sql.GraftColumnBridge.{column => exprCol, expression}
     val rnd = new scala.util.Random(23)
