@@ -1,0 +1,31 @@
+package graft
+
+/** Committed content-hash goldens for [[GoldenHashes]] — (sf-dir
+  * basename, query name, md5) triples. Regenerated via
+  * `SPARK_GRAFT_GOLDEN_WRITE=1` (see GoldenHashes scaladoc); a diff in
+  * this file IS the review surface for an intended value change to a
+  * production hash path. */
+object GoldenHashesData {
+  val triples: Seq[(String, String, String)] = Seq(
+    ("sf0.001", "a14_approx_distinct", "dceba3dac8202eacfb0af014ab2a73f0"),
+    ("sf0.001", "dedup_minhash_lsh", "a53e915a26d81bb3ae2f4fe40687b7a4"),
+    ("sf0.001", "dedup_minhash_sigs", "068b0367e2d101b32e53e5fd6f0d0031"),
+    ("sf0.001", "dedup_simhash", "e9eedbb87ec8423080f5df8dc3937ee2"),
+    ("sf0.001", "dedup_simhash_pairs", "4f9e0d29be0d9a2a424df4be5b61ae94"),
+    ("sf0.001", "sim_ivf_topk", "2a54152af1b16ace74c0f5af4f68ef17"),
+    ("sf0.001", "sim_lsh_topk", "6ae861367de0a613ef220a26748db03d"),
+    ("sf0.01", "a14_approx_distinct", "46ae2a261d5fa445c1ee8f9077e4df26"),
+    ("sf0.01", "dedup_minhash_lsh", "b3b86ed8792a40cfadab4bce1f25da46"),
+    ("sf0.01", "dedup_minhash_sigs", "5df158cc84548150bd2580fdc8c69962"),
+    ("sf0.01", "dedup_simhash", "ea409a19370629dbade0055795688d5b"),
+    ("sf0.01", "dedup_simhash_pairs", "518ad83e5709833b555a47285db0511a"),
+    ("sf0.01", "sim_ivf_topk", "b309364c2c078aad72dec2ceb6b3131e"),
+    ("sf0.01", "sim_lsh_topk", "3e5b9275ca69843042819eb005299ba1"),
+    ("sf0.1", "a14_approx_distinct", "0b783501bca7f31f2a9747d74bac72f3"),
+    ("sf0.1", "dedup_minhash_lsh", "d5c3281dbaeaaddd0fac00ad3c96cd7e"),
+    ("sf0.1", "dedup_minhash_sigs", "2fe7fe2bde48b48c1349f899fccdf856"),
+    ("sf0.1", "dedup_simhash", "40bd43af0c260c15c6547513e9e0e375"),
+    ("sf0.1", "dedup_simhash_pairs", "5d4225f917bdb622c44f4b0d06e4fd65"),
+    ("sf0.1", "sim_ivf_topk", "fab7b90cda8614ae22d5e0d0fcf42e92"),
+    ("sf0.1", "sim_lsh_topk", "91f12ee1e2929b1cee2e7a1c8e7dae55"))
+}

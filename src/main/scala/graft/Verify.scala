@@ -22,13 +22,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,6 +34,33 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // self-oracle for the queries DuckDB cannot replay (engine-specific
+    // hash kernels): content hash vs committed golden → golden_check.json
+    // next to the parquet dumps. GOLDEN FAIL lines are the regression
+    // signal; SPARK_GRAFT_GOLDEN_WRITE=1 prints the triples to commit
+    // into resources/graft/golden_hashes.txt after an intended change.
+    val sfKey = Paths.get(sfDir).getFileName.toString
+    val goldenRows = GoldenHashes.queries.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val (hash, exp, ok) = GoldenHashes.check(name, sfKey, fn(spark, sfDir))
+        val status =
+          if (exp.isEmpty) "no_golden" else if (ok) "pass" else "FAIL"
+        println(s"GOLDEN $name: $status ($hash)")
+        if (sys.env.contains("SPARK_GRAFT_GOLDEN_WRITE"))
+          println(s"GOLDEN_TRIPLE $sfKey $name $hash")
+        s"""${q(name)}: {"hash": ${q(hash)}, "expected": ${
+          exp.fold("null")(q)}, "status": ${q(status)}}"""
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/golden_check.json"),
+      goldenRows.mkString("{", ",", "}"))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
