@@ -21,10 +21,20 @@ The Arrow data plane ("data_files") needs pyarrow: each file is a
 self-contained IPC stream (schema preamble + one record batch) written
 by the Spark executors — the JVM driver never materializes the rows.
 
-fit estimates a per-numeric-column Gaussian (mean, population std);
-generate samples it with a seeded PRNG carried in the model blob, so the
-same model produces bit-identical sequences across fresh worker
-processes. Pure stdlib — no third-party imports.
+Two model families, chosen by argv:
+  (default)  per-numeric-column Gaussian (mean, population std) — pure
+             stdlib, no third-party imports;
+  "ar"       per-numeric-column AR(2) fitted with numpy.linalg.lstsq on
+             per-entity lagged design rows (rows grouped by itemIdCols,
+             ordered by tsCol; lags never bleed across entities) — a
+             genuinely foreign numeric runtime standing where the
+             reference's TF/Torch model libraries stand behind its
+             adapters.
+
+Both carry a seeded PRNG in the model blob, so the same model produces
+bit-identical sequences across fresh worker processes. The generate op
+dispatches on the blob's "type" tag, not argv — the blob is opaque to
+the JVM and round-trips verbatim.
 
 Argv "fail" forces the error response (exercises the JVM error path).
 """
@@ -45,6 +55,75 @@ def _arrow_rows(paths):
     return rows
 
 
+def _fit_ar(schema, rows, order=2):
+    """Per-column AR(order) via numpy lstsq over per-entity lagged rows."""
+    import numpy as np
+    cols = schema["numericCols"]
+    ids = schema.get("itemIdCols") or []
+    ts = schema.get("tsCol")
+
+    def key(r):
+        k = tuple(str(r.get(c)) for c in ids)
+        return k + ((r.get(ts),) if ts else ())
+
+    ordered = sorted(rows, key=key)
+    series = {}
+    for r in ordered:
+        series.setdefault(tuple(str(r.get(c)) for c in ids), {})
+        for c in cols:
+            v = r.get(c)
+            if isinstance(v, (int, float)):
+                series[tuple(str(r.get(cc)) for cc in ids)] \
+                    .setdefault(c, []).append(float(v))
+    coef = {}
+    for c in cols:
+        X, y, tail = [], [], []
+        for ent in series.values():
+            vs = ent.get(c, [])
+            for t in range(order, len(vs)):
+                X.append([1.0] + [vs[t - 1 - j] for j in range(order)])
+                y.append(vs[t])
+            if vs:
+                tail = vs  # last entity's series seeds generation inits
+        if len(y) > order:
+            Xa, ya = np.asarray(X), np.asarray(y)
+            beta, _, _, _ = np.linalg.lstsq(Xa, ya, rcond=None)
+            resid = ya - Xa @ beta
+            sigma = float(np.sqrt(float(np.mean(resid ** 2))))
+            bs = [float(b) for b in beta]
+        else:  # too short to fit: constant-mean degenerate AR
+            allv = [v for ent in series.values() for v in ent.get(c, [])]
+            m = sum(allv) / len(allv) if allv else 0.0
+            bs, sigma = [m] + [0.0] * order, 0.0
+        init = (tail[-order:] if len(tail) >= order
+                else [0.0] * (order - len(tail)) + tail)
+        coef[c] = {"beta": bs, "sigma": sigma, "init": init}
+    return {"ok": True,
+            "model": {"type": "ar", "seed": 20260814, "order": order,
+                      "coef": coef}}
+
+
+def _generate_ar(req):
+    model = req["model"]
+    rng = random.Random(int(model.get("seed", 0)))
+    order = int(model.get("order", 2))
+    cols = sorted(model["coef"])
+    rows = []
+    for s in range(int(req["n"])):
+        state = {c: list(model["coef"][c]["init"]) for c in cols}
+        for t in range(int(req["seqLen"])):
+            row = {"seq_id": s, "step": t}
+            for c in cols:
+                m = model["coef"][c]
+                x = m["beta"][0] + sum(
+                    m["beta"][1 + j] * state[c][-1 - j] for j in range(order))
+                x += m["sigma"] * rng.gauss(0.0, 1.0)
+                state[c] = (state[c] + [x])[-order:]
+                row[c] = x
+            rows.append(row)
+    return {"ok": True, "rows": rows}
+
+
 def handle(req):
     op = req.get("op")
     if op == "fit":
@@ -53,6 +132,8 @@ def handle(req):
             rows = _arrow_rows(req["data_files"])
         else:
             rows = req["data"]
+        if "ar" in sys.argv[1:]:
+            return _fit_ar(req["schema"], rows)
         stats = {}
         for c in cols:
             vs = [float(r[c]) for r in rows
@@ -64,6 +145,8 @@ def handle(req):
         return {"ok": True,
                 "model": {"seed": 20260812, "stats": stats}}
     if op == "generate":
+        if req["model"].get("type") == "ar":
+            return _generate_ar(req)
         model = req["model"]
         rng = random.Random(int(model.get("seed", 0)))
         cols = sorted(model["stats"])

@@ -326,4 +326,46 @@ class ApiSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](p.fit(data, schema))
     assert(e.getMessage.contains("boom"))
   }
+
+  // ——— numpy AR worker: a genuinely foreign NUMERIC runtime (lstsq) ———
+
+  private def haveNumpy: Boolean = try {
+    new ProcessBuilder("python3", "-c", "import numpy").start().waitFor() == 0
+  } catch { case _: Throwable => false }
+
+  test("numpy AR worker: lstsq-fitted model continues a deterministic series") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    // m1: exact linear ramp (AR(2) continuation is t+1, sigma = 0); the
+    // fitted model must EXTRAPOLATE it — a mean/Gaussian mock cannot
+    val ramp = (0 until 40).map(i => ("only", i.toLong, i.toDouble, 1.0))
+      .toDF("item_id", "ts", "m1", "m2")
+    val p = new ProcessProvider(pythonWorker("ar").get, name = "py_ar")
+    val fitted = p.fit(ramp, schema)
+    val out = fitted.generate(spark, 1, 4).orderBy("step").collect()
+    // series ended at 39 -> continuation 40, 41, 42, 43 (sigma 0 exact)
+    val m1 = out.map(_.getDouble(out.head.fieldIndex("m1"))).toSeq
+    m1.zip(Seq(40.0, 41.0, 42.0, 43.0)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"AR continuation $m1 != 40..43") }
+    // fresh worker process, same blob -> bit-identical (seed in blob)
+    val again = fitted.generate(spark, 1, 4).orderBy("step").collect()
+      .map(_.getDouble(out.head.fieldIndex("m1"))).toSeq
+    assert(m1 == again)
+  }
+
+  test("numpy AR worker: fit -> generate -> score through EvaluationPipeline") {
+    import graft.providers.ProcessProvider
+    import graft.pipeline.{EvaluationPipeline, PredictiveScorer}
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    val p = new ProcessProvider(pythonWorker("ar").get, name = "py_ar_pipe")
+    val pipeline = new EvaluationPipeline(
+      Map("py_ar" -> p), new PredictiveScorer(seqLen = 5), iterations = 2)
+    val result = pipeline.fit(data, schema)
+    assert(result.bestGenerator.contains("py_ar"))
+    val scores = result.metrics
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(scores.length == 2 && scores.forall(s => s >= 0 && !s.isNaN))
+  }
 }
