@@ -7,6 +7,9 @@ package graft
   * production hash path. */
 object GoldenHashesData {
   val triples: Seq[(String, String, String)] = Seq(
+    ("sf0.001", "pipeline_curate", "65b0abf3bea444b8f1dec026da959de6"),
+    ("sf0.01", "pipeline_curate", "eacd9b1806eca758dda26fedecf2d8a7"),
+    ("sf0.1", "pipeline_curate", "4c084ad82d789823ded2084ee0db61c0"),
     ("sf0.001", "a14_approx_distinct", "dceba3dac8202eacfb0af014ab2a73f0"),
     ("sf0.001", "dedup_minhash_lsh", "a53e915a26d81bb3ae2f4fe40687b7a4"),
     ("sf0.001", "dedup_minhash_sigs", "068b0367e2d101b32e53e5fd6f0d0031"),

@@ -569,6 +569,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The COMPOSED curation chain as one benchable unit — the thing a real
+    * corpus job runs: boilerplate removal + NFC + langId/quality gates +
+    * URL blocklist/host-cap + exact dedup + MinHash-LSH near-dup clusters
+    * + embedding sweep + decontamination + PII redaction
+    * ([[examples.DataPipeline.curate]]). Emits the kept doc_id set (the
+    * chain's exact decision surface); value-pinned by a [[GoldenHashes]]
+    * golden — the per-stage operators each have their own oracle row, this
+    * query pins their composition. */
+  private def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = seedUrls(T(s, dir, "documents"))
+    val emb = T(s, dir, "embeddings")
+    val (curated, _, _) = examples.DataPipeline.curate(
+      docs, emb,
+      benchmark = Some(docs.filter(col("doc_id") % 97 === 3)),
+      blockedDomains = Seq("site3.com"),
+      maxDocsPerHost = 200)
+    curated.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -1876,7 +1895,9 @@ object SparkEntry {
       // re-tokenizes per run
       "ret_bm25", "ret_tfidf",
       // Lloyd training runs jobs at construction (the sim_ivf class)
-      "dedup_semantic")
+      "dedup_semantic",
+      // composed chain: duplicateClusters iterates at construction
+      "pipeline_curate")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -1931,6 +1952,7 @@ object SparkEntry {
     "a14_distinct_exact" -> (a14DistinctExact _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
+    "pipeline_curate" -> (pipelineCurate _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk" -> (simTopK _),
     "dedup_minhash_sigs" -> (dedupMinhashSigs _),

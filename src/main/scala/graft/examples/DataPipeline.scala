@@ -135,8 +135,17 @@ object DataPipeline {
       case None => urlGated
     }
 
-    // 2. exact dedup: keep the earliest doc per identical text
+    // 2. exact dedup: keep the earliest doc per identical text.
+    //    CHECKPOINTED: every downstream stage (near-dup pair mining, the
+    //    keep anti-join, the embedding sweep's id semi-join) re-reads this
+    //    frame — without the cut, each consumer re-runs the whole
+    //    scan→normalize→gate→dedup chain (measured: 12 corpus scans in
+    //    the one serving plan). Lazy local checkpoint = the chain runs
+    //    once, consumers scan materialized blocks; a cluster-scale caller
+    //    running hour-long jobs should swap in reliable checkpointing
+    //    (setCheckpointDir + .checkpoint()) for fault tolerance.
     val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+      .localCheckpoint(eager = false)
 
     // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of
     //    each cluster (duplicateClusters labels every clustered doc)
@@ -178,8 +187,12 @@ object DataPipeline {
     // 6. PII redaction: typed placeholders replace raw PII in the corpus
     //    text itself (audit counts are available via counts = true if a
     //    curation dashboard needs them)
+    //    CHECKPOINTED like `exact`: three consumers (the returned corpus,
+    //    the eval split, the token accounting) would each re-pay the
+    //    anti-joins + regex redaction otherwise
     val curated = Redaction.redact(decontaminated, "text", counts = false)
       .drop("text").withColumnRenamed("redacted", "text")
+      .localCheckpoint(eager = false)
 
     // 7. deterministic 10% eval split — partition-independent, so the
     //    split is reproducible on any cluster layout
