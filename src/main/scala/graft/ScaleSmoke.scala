@@ -252,6 +252,35 @@ object ScaleSmoke {
         bigEmb, "vec_id", "embedding", threshold = 0.4,
         numCells = 128, maxBlockSize = 2000).count()
     }
+    timed("skewed domain stats 1M urls") {
+      // 50% of a 1M-row corpus on one mega-domain: the crawl-corpus skew
+      // shape. Auto guard samples, detects the hot key, runs the salted
+      // (domain, host, salt) cascade — wall time must stay flat vs the
+      // balanced case because no reducer ever sees the mega-domain's raw
+      // rows in one task
+      val urls = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat(lit("https://"),
+          when(col("id") % 2 === 0, lit("www.mega-site.com"))
+            .otherwise(concat(lit("site"), pmod(col("id"), lit(5000)),
+              lit(".com"))),
+          lit("/page/"), col("id")).as("url"),
+        concat(lit("token "), col("id")).as("text"))
+      graft.ext.UrlOps.domainStatsAuto(urls, "url", "text").count()
+    }
+    timed("skewed host cap 1M urls") {
+      // same fixture through capPerHost: the bounded-heap TopK's PARTIAL
+      // phase reduces the mega-host to k rows per map partition before
+      // the exchange — the skew never reaches a reducer
+      val urls = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        concat(lit("https://"),
+          when(col("id") % 2 === 0, lit("www.mega-site.com"))
+            .otherwise(concat(lit("site"), pmod(col("id"), lit(5000)),
+              lit(".com"))),
+          lit("/page/"), col("id")).as("url"))
+      graft.ext.UrlOps.capPerHost(urls, "url", "doc_id", 100).count()
+    }
     timed("ivf retrain x3 batches") {
       // three query batches, Lloyd retrained per call — the cost
       // writeCentroids amortizes away

@@ -79,17 +79,77 @@ object UrlOps {
     * token definition, [[TextAnalysis.tokenCount]]). One shuffle on the
     * domain; token counting happens map-side BEFORE the exchange, so only
     * (domain, host, n) rows move — the text never shuffles. Returns
-    * (domain, n_docs, n_hosts, n_tokens). */
+    * (domain, n_docs, n_hosts, n_tokens).
+    *
+    * SKEW posture: count/sum are partial-aggregated (a mega-domain's raw
+    * rows combine map-side; the reducer sees one partial row per map
+    * partition) and the distinct-host phase keys its first exchange on
+    * (domain, host), spreading a domain across its hosts. The residual
+    * hazard — a single (domain, host) pair owning most of the corpus
+    * while map-side hash aggregation degrades (many groups per task →
+    * sort-based fallback) — is what `saltBuckets > 0` covers: an
+    * explicit three-stage cascade keyed (domain, host, salt) →
+    * (domain, host) → (domain), every exchange carrying only aggregate
+    * rows. Output is value-identical (all aggregates algebraic);
+    * [[domainStatsAuto]] picks the posture from a sampled pre-count. */
   def domainStats(
       df: DataFrame, urlCol: String, textCol: String,
-      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame =
-    withUrlParts(df, urlCol, multiLabelSuffixes)
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes,
+      saltBuckets: Int = 0): DataFrame = {
+    val pruned = withUrlParts(df, urlCol, multiLabelSuffixes)
       .select(col("domain"), col("host"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("__n"))
-      .groupBy(col("domain"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("host")).as("n_hosts"),
-        sum(col("__n")).as("n_tokens"))
+    if (saltBuckets <= 0)
+      pruned
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("__n")).as("n_tokens"))
+    else
+      pruned
+        .withColumn("__salt", pmod(
+          spark_partition_id() + monotonically_increasing_id(),
+          lit(saltBuckets)))
+        .groupBy(col("domain"), col("host"), col("__salt"))
+        .agg(count(lit(1)).as("__d"), sum(col("__n")).as("__t"))
+        .groupBy(col("domain"), col("host"))
+        .agg(sum(col("__d")).as("__d"), sum(col("__t")).as("__t"))
+        .groupBy(col("domain"))
+        .agg(sum(col("__d")).as("n_docs"),
+          count(lit(1)).as("n_hosts"),
+          sum(col("__t")).as("n_tokens"))
+  }
+
+  /** [[domainStats]] with an automatic skew guard: a cheap sampled
+    * pre-count (one narrow job over `1/sampleMod` of the rows, URL column
+    * only — the text is never touched) estimates the hottest registered
+    * domain's corpus share; at or above `maxKeyShare` the salted cascade
+    * engages, otherwise the plain single-exchange plan runs. The sample
+    * membership is a deterministic URL hash, so the decision is
+    * reproducible across runs and cluster layouts. Both postures are
+    * value-identical — the guard only picks the plan. */
+  def domainStatsAuto(
+      df: DataFrame, urlCol: String, textCol: String,
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes,
+      maxKeyShare: Double = 0.2,
+      sampleMod: Int = 100,
+      saltBuckets: Int = 32): DataFrame = {
+    require(maxKeyShare > 0 && maxKeyShare <= 1,
+      s"maxKeyShare must be in (0, 1], got $maxKeyShare")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val sampled = df
+      .filter(pmod(xxhash64(col(urlCol)), lit(sampleMod)) === 0)
+      .select(registeredDomain(host(col(urlCol)), multiLabelSuffixes)
+        .as("__dom"))
+      .groupBy(col("__dom")).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__max"),
+        coalesce(sum(col("__c")), lit(0L)).as("__tot"))
+      .head()
+    val (hot, tot) = (sampled.getLong(0), sampled.getLong(1))
+    val skewed = tot > 0 && hot.toDouble / tot >= maxKeyShare
+    domainStats(df, urlCol, textCol, multiLabelSuffixes,
+      if (skewed) saltBuckets else 0)
+  }
 
   /** Drops every document whose registered domain is in `blocked` — the
     * blocklist as a COLUMN PREDICATE: compiles to `NOT domain IN (…)`

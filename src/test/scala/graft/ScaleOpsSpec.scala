@@ -144,6 +144,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(cents.length == 6 && cents.forall(_.length == 12))
   }
 
+  test("domainStats salted cascade == plain plan on skewed and uniform fixtures") {
+    import graft.ext.UrlOps
+    val rnd = new scala.util.Random(41)
+    // skewed: 60% of docs on one mega-domain (two hosts), rest uniform
+    val rows = (0 until 3000).map { i =>
+      val (host, words) =
+        if (i % 5 < 3) (if (i % 2 == 0) "www.mega.com" else "cdn.mega.com",
+          "alpha beta gamma")
+        else (s"site${rnd.nextInt(50)}.com", "delta epsilon")
+      (i.toLong, s"https://$host/p$i", words)
+    }
+    val df = rows.toDF("doc_id", "url", "text")
+    def canon(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("domain").as[(String, Long, Long, Long)].collect().toSeq
+    val plain = canon(UrlOps.domainStats(df, "url", "text"))
+    val salted = canon(UrlOps.domainStats(df, "url", "text", saltBuckets = 8))
+    assert(plain == salted)
+    assert(plain.exists(r => r._1 == "mega.com" && r._2 == 1800 && r._3 == 2))
+    // auto guard: the mega-domain crosses the default 20% share -> the
+    // salted cascade engages (its plan carries the __salt key); a uniform
+    // corpus stays on the plain single-exchange plan
+    val auto = UrlOps.domainStatsAuto(df, "url", "text", sampleMod = 1)
+    assert(auto.queryExecution.analyzed.toString.contains("__salt"))
+    assert(canon(auto) == plain)
+    val uniform = (0 until 3000).map(i =>
+      (i.toLong, s"https://site${i % 400}.com/p$i", "zeta eta")).toDF(
+      "doc_id", "url", "text")
+    val autoU = UrlOps.domainStatsAuto(uniform, "url", "text", sampleMod = 1)
+    assert(!autoU.queryExecution.analyzed.toString.contains("__salt"))
+  }
+
   test("assignCells refuses an input that already has a 'cell' column") {
     val df = Seq((1L, Seq(1f, 2f), 0)).toDF("id", "v", "cell")
     val e = intercept[IllegalArgumentException](
