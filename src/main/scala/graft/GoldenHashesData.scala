@@ -30,5 +30,11 @@ object GoldenHashesData {
     ("sf0.1", "dedup_simhash", "40bd43af0c260c15c6547513e9e0e375"),
     ("sf0.1", "dedup_simhash_pairs", "5d4225f917bdb622c44f4b0d06e4fd65"),
     ("sf0.1", "sim_ivf_topk", "fab7b90cda8614ae22d5e0d0fcf42e92"),
-    ("sf0.1", "sim_lsh_topk", "91f12ee1e2929b1cee2e7a1c8e7dae55"))
+    ("sf0.1", "sim_lsh_topk", "91f12ee1e2929b1cee2e7a1c8e7dae55"),
+    ("sf0.001", "text_decontaminate_fuzzy", "2bf306ccb419d1d315f34740c3bcb16e"),
+    ("sf0.01", "text_decontaminate_fuzzy", "4896bb33427fa4e484bc035af71fbfe3"),
+    ("sf0.1", "text_decontaminate_fuzzy", "f2bbacbe97a377ae9fc52efd53317954"),
+    ("sf0.001", "text_compression", "d20f73bcd2266530b59cc5959e72c865"),
+    ("sf0.01", "text_compression", "6ca0aa006990c266c680d15f2d44e39a"),
+    ("sf0.1", "text_compression", "efb031e5e6c1574b20f0085f7a0678d9"))
 }

@@ -84,6 +84,17 @@ object ScaleSmoke {
     timed("simhash pairs 50k docs") {
       graft.ext.Dedup.simHashNearDuplicates(bigDocs, "doc_id", "text", 3).count()
     }
+    // fuzzy decontamination: 50k-doc corpus against a 500-doc benchmark
+    // (a real eval-suite scale ratio); broadcast benchmark, corpus map-only
+    timed("fuzzy decontam 50k vs 500") {
+      graft.ext.Dedup.fuzzyDecontaminate(
+        bigDocs, docs.filter(col("doc_id") % 10 === 1),
+        "doc_id", "doc_id", "text", "text", threshold = 0.5).count()
+    }
+    timed("compression ratio 50k docs") {
+      graft.ext.TextAnalysis.compressionStats(bigDocs, "doc_id", "text")
+        .agg(sum(col("deflate_bytes")), avg(col("deflate_ratio"))).count()
+    }
     timed("sessionize 1M events") {
       graft.ops.TimeSeriesOps.sessionize(
           bigEvents, Seq("user_id"), "ts", 43200L, Seq("event_id"))

@@ -678,6 +678,32 @@ object SparkEntry {
     Dedup.minHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Cross-corpus fuzzy-decontamination candidates (portable twin): even
+    * docs play the corpus, odd docs the benchmark; pairs are banded
+    * corpus × benchmark MinHash candidates verified at sig-similarity ≥
+    * 0.5. The DuckDB oracle re-derives the pairs with a naive pairwise
+    * join, proving the cross-corpus banding drops no pairs. */
+  private def dedupCrossMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.minHashCrossPairsPortable(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "doc_id", "text", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Production fuzzy decontamination: corpus (even docs) minus anything
+    * ≥0.7 signature-similar to the benchmark (odd docs), at the xxhash64
+    * production defaults. Engine-specific hashes → value-pinned by a
+    * [[GoldenHashes]] golden; the portable twin [[dedupCrossMinhash]] is
+    * the oracle-checked value proof of the same plan shape. */
+  private def textDecontaminateFuzzy(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyDecontaminate(
+        T(s, dir, "documents").filter(col("doc_id") % 2 === 0),
+        T(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        "doc_id", "doc_id", "text", "text")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
   /** Portable 32-bit SimHash signatures — oracle-checked value-for-value. */
   private def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPortable(T(s, dir, "documents"), "doc_id", "text")
@@ -1383,6 +1409,16 @@ object SparkEntry {
         "doc_id", "text", 2)
       .orderBy(col("doc_id"))
 
+  /** zlib compression-ratio quality signal (Dolma-class gate): raw and
+    * DEFLATE byte counts per document + the ratio. No SQL engine exposes
+    * deflate sizes → value-pinned by a [[GoldenHashes]] golden (integer
+    * byte counts dominate the hash; the ratio is derived). */
+  private def textCompression(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.compressionStats(
+        T(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Corpus vocabulary top-50: explode → map-side-combined token count →
     * bounded-heap rank tail (no Window, no vocabulary sort). */
   private def textVocab(s: SparkSession, dir: String): DataFrame =
@@ -1963,6 +1999,8 @@ object SparkEntry {
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_simhash_pairs_portable" -> (dedupSimhashPairsPortable _),
     "dedup_minhash_pairs_portable" -> (dedupMinhashPairsPortable _),
+    "dedup_cross_minhash" -> (dedupCrossMinhash _),
+    "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -1973,6 +2011,7 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
+    "text_compression" -> (textCompression _),
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
     "text_redact" -> (textRedact _),
@@ -2935,6 +2974,19 @@ object SparkEntry {
     "dedup_minhash_pairs_portable" ->
       s"""WITH ${portablePairsCtes()}
         |SELECT id_a, id_b, sig_similarity FROM portable_pairs
+        |ORDER BY 1, 2""".stripMargin,
+    // naive corpus (even) × benchmark (odd) pairwise replay of the banded
+    // cross-corpus candidates — the unused portable_pairs tail of the
+    // shared CTE chain is never evaluated
+    "dedup_cross_minhash" ->
+      s"""WITH ${portablePairsCtes()}
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0, 6) AS sig_similarity
+        |FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
+        |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+        |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5
         |ORDER BY 1, 2""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},

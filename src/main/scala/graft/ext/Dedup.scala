@@ -1141,4 +1141,178 @@ object Dedup {
           .otherwise(col("__nlo")).as("__nb"))
     withinPairs.unionByName(crossPairs)
   }
+
+  /** Band a signature frame `(id, sigCol: array<long>)` into one row per
+    * (band index, xxhash64 of the band's slice) — the shared LSH bucketing
+    * step of the self- and cross-corpus pair generators. */
+  private def bandSignatures(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      outId: String,
+      outSig: String): DataFrame =
+    sigs.select(col(idCol).as(outId), col(sigCol).as(outSig),
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band_idx"),
+          // reference the INPUT column: naming the outSig alias here would
+          // be a lateral column alias, which Generate refuses to resolve
+          xxhash64(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))
+            .as("band_hash"))): _*)).as("__band"))
+      .select(col(outId), col(outSig),
+        col("__band.band_idx"), col("__band.band_hash"))
+
+  /** Cross-corpus banded pair core over two pre-computed signature frames
+    * `(id, __sig)`: banded equi-join of corpus buckets against benchmark
+    * buckets, exact per-pair agreement count via the native
+    * [[graft.functions.LongArrayMatchCount]] kernel, cross-band dedup on
+    * the thin (id, id, count) rows. See [[minHashCrossPairs]] for the
+    * scale rationale. Returns (id_a, id_b, __mc). */
+  private def crossPairsFromSigs(
+      corpusSigs: DataFrame,
+      benchSigs: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      broadcastBenchmark: Boolean,
+      maxBenchBucketSize: Int,
+      tag: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val c = bandSignatures(corpusSigs, "__id", "__sig", bands, rowsPerBand,
+      "__cid", "__csig")
+    val b0 = bandSignatures(benchSigs, "__id", "__sig", bands, rowsPerBand,
+      "__bid", "__bsig")
+    // cap the BENCHMARK buckets in both modes (deterministic output either
+    // way): per-bucket pair volume is |corpus bucket| × |benchmark bucket|,
+    // so only a degenerate benchmark bucket can multiply the corpus stream.
+    // A real eval suite never trips the cap; a tripped bucket is logged
+    // boilerplate that belongs to exact dedup, not pair enumeration.
+    val b = capBuckets(b0, Seq("band_idx", "band_hash"),
+      maxBenchBucketSize, tag)
+    val joined =
+      if (broadcastBenchmark) c.join(broadcast(b), Seq("band_idx", "band_hash"))
+      else c.hint("shuffle_hash").join(b.hint("shuffle_hash"),
+        Seq("band_idx", "band_hash"))
+    joined
+      .select(col("__cid").as("id_a"), col("__bid").as("id_b"),
+        GraftColumnBridge.column(graft.functions.LongArrayMatchCount(
+          GraftColumnBridge.expression(col("__csig")),
+          GraftColumnBridge.expression(col("__bsig")))).as("__mc"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("__mc")).as("__mc"))
+  }
+
+  /** Cross-corpus MinHash near-dup pairs — fuzzy decontamination's
+    * candidate stage: which corpus documents are NEAR duplicates of a
+    * benchmark/eval document. The exact-overlap [[contaminationScore]]
+    * catches verbatim leakage; signature-level matching also catches
+    * paraphrased or lightly edited contamination whose n-grams no longer
+    * match verbatim. Both sides get the production xxhash64 signatures
+    * ([[minHashSignatureArray]]) and the same banding as
+    * [[minHashNearDuplicates]]; candidates come from the banded equi-join
+    * of corpus buckets against benchmark buckets and are verified by the
+    * exact agreeing-hash fraction ≥ `threshold`.
+    *
+    * Scale: the corpus never self-joins — per-bucket pair volume is
+    * |corpus bucket| × |benchmark bucket|, linear in the corpus. With
+    * `broadcastBenchmark` (default — eval suites are MBs) the corpus side
+    * is one map stage end-to-end: signatures, banding, the broadcast-hash
+    * join and the verify kernel all pipeline with NO corpus exchange; only
+    * the thin (id_a, id_b, count) cross-band dedup shuffles. Set it false
+    * when the "benchmark" is itself corpus-scale (held-out-split
+    * decontamination) → both sides shuffle-hash on the bucket key.
+    *
+    * Returns (id_a: corpus id, id_b: benchmark id, sig_similarity).
+    */
+  def minHashCrossPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      broadcastBenchmark: Boolean = true,
+      maxBenchBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val cs = minHashSignatureArray(corpus, idCol, textCol, shingleLen, numHashes)
+      .select(col(idCol).as("__id"), col("__sig"))
+    val bs = minHashSignatureArray(benchmark, benchIdCol, benchTextCol,
+        shingleLen, numHashes)
+      .select(col(benchIdCol).as("__id"), col("__sig"))
+    crossPairsFromSigs(cs, bs, bands, rowsPerBand, broadcastBenchmark,
+        maxBenchBucketSize, "minhash_cross")
+      .select(col("id_a"), col("id_b"),
+        (col("__mc").cast("double") / lit(numHashes.toDouble))
+          .as("sig_similarity"))
+      .filter(col("sig_similarity") >= threshold)
+  }
+
+  /** Cross-engine-portable cross-corpus MinHash pairs over the 4
+    * [[minHashSignaturesPortable]] hashes (bands of 2) — the oracle twin
+    * of [[minHashCrossPairs]]: a naive pairwise corpus × benchmark SQL
+    * join with the band agreement spelled as explicit conjunctions
+    * re-derives the same pairs value-for-value, proving the cross-corpus
+    * banding drops no pairs. */
+  def minHashCrossPairsPortable(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3,
+      maxBenchBucketSize: Int = 10000): DataFrame = {
+    val k = PortableCoeffs.length
+    val bands = 2
+    val rowsPerBand = k / bands
+    def sigsOf(df: DataFrame, id: String, text: String): DataFrame =
+      minHashSignaturesPortable(df, id, text, shingleLen)
+        .select(col(id).as("__id"),
+          array((0 until k).map(i => col(s"minhash_$i")): _*).as("__sig"))
+    crossPairsFromSigs(sigsOf(corpus, idCol, textCol),
+        sigsOf(benchmark, benchIdCol, benchTextCol),
+        bands, rowsPerBand, broadcastBenchmark = true,
+        maxBenchBucketSize, "minhash_cross_portable")
+      .select(col("id_a"), col("id_b"),
+        round(col("__mc").cast("double") / lit(k.toDouble), 6)
+          .as("sig_similarity"))
+      .filter(col("sig_similarity") >= threshold)
+  }
+
+  /** Fuzzy decontamination gate: drop corpus documents whose MinHash
+    * signature agrees with ANY benchmark document on ≥ `threshold` of the
+    * hashes ([[minHashCrossPairs]]). Complements the exact n-gram
+    * [[contaminationScore]] gate (GPT-3-appendix-style decontamination
+    * misses paraphrases; near-dup matching catches lightly edited eval
+    * leakage). The corpus text rides only the final anti-join — the pair
+    * machinery exchanges signatures and ids, never text — at the price of
+    * scanning the corpus input twice (signatures + survivors); persist
+    * the input first if it is not file-backed.
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val hits = minHashCrossPairs(corpus, benchmark, idCol, benchIdCol,
+        textCol, benchTextCol, threshold, shingleLen, numHashes, bands,
+        broadcastBenchmark)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
 }

@@ -810,4 +810,51 @@ object TextAnalysis {
         org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)),
         hashes, 15)))
   }
+
+  /** zlib compression-ratio quality signal (Dolma/RedPajama-class
+    * heuristic): per document, the raw and DEFLATE-compressed byte
+    * counts plus `deflate_ratio` = compressed/raw (rounded 4 dp; null for
+    * empty text). Prose lands ~0.3–0.6; far below is boilerplate or
+    * repetition (compresses too well), far above is high-entropy junk.
+    * Map-only — one [[graft.functions.DeflateSizes]] kernel eval per row,
+    * no shuffle, sizes only (compressed bytes never materialize as a
+    * column). */
+  def compressionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val sizes = GraftColumnBridge.column(graft.functions.DeflateSizes(
+      GraftColumnBridge.expression(col(textCol)), level))
+    df.withColumn("__z", sizes).select(
+      col(idCol),
+      col("__z.raw_bytes").as("raw_bytes"),
+      col("__z.deflate_bytes").as("deflate_bytes"),
+      when(col("__z.raw_bytes") > 0,
+        round(col("__z.deflate_bytes").cast("double")
+          / col("__z.raw_bytes"), 4)).as("deflate_ratio"))
+  }
+
+  /** Keep documents whose [[compressionStats]] `deflate_ratio` lies in
+    * [`lo`, `hi`] — the two-sided compression gate (drop
+    * repetition/boilerplate below `lo`, binary/noise above `hi`).
+    * Documents with empty/null text have no ratio and are dropped. The
+    * gate is a map-only filter over the original frame: the kernel
+    * evaluates once per row inside the same stage, nothing joins back. */
+  def pruneByCompressionRatio(
+      df: DataFrame,
+      textCol: String,
+      lo: Double = 0.15,
+      hi: Double = 0.95,
+      level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(lo <= hi, s"lo ($lo) must be <= hi ($hi)")
+    val sizes = GraftColumnBridge.column(graft.functions.DeflateSizes(
+      GraftColumnBridge.expression(col(textCol)), level))
+    val ratio = when(sizes.getField("raw_bytes") > 0,
+      sizes.getField("deflate_bytes").cast("double")
+        / sizes.getField("raw_bytes"))
+    df.filter(ratio.between(lo, hi))
+  }
 }

@@ -551,3 +551,71 @@ case class RemoveLinesInLongSet(
   override protected def withNewChildInternal(newChild: Expression): RemoveLinesInLongSet =
     copy(child = newChild)
 }
+
+/** Raw and DEFLATE-compressed byte counts of a string — the zlib
+  * compression-ratio quality signal (Dolma/RedPajama-class heuristic: a
+  * document that compresses far better than prose is boilerplate or
+  * repetition; far worse is binary junk or high-entropy noise). One
+  * native eval per row, no shuffle; returns
+  * struct(raw_bytes: long, deflate_bytes: long) so callers do the ratio
+  * arithmetic (and its rounding) in plain SQL. Sizes only — no engine
+  * ships compressed bytes around. Level is zlib's (1-9, default 6);
+  * `deflate_bytes` of an empty string is the 2-byte zlib header+trailer
+  * cost, raw_bytes 0 — callers guard the division.
+  *
+  * Determinism: the LENGTH of a DEFLATE stream at a fixed level is a
+  * pure function of the input for a given zlib build; goldens pinning it
+  * are container-scoped the same way the xxhash64 goldens are
+  * JVM-scoped.
+  */
+case class DeflateSizes(child: Expression, level: Int = 6)
+    extends UnaryExpression {
+  require(level >= 1 && level <= 9, s"deflate level must be in [1,9], got $level")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_bytes", LongType, nullable = false),
+    StructField("deflate_bytes", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"DeflateSizes requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = DeflateSizes.deflater(level).get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = DeflateSizes.buffer.get()
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bytes.length.toLong, compressed))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("deflateSizes", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateSizes =
+    copy(child = newChild)
+}
+
+object DeflateSizes {
+  /** Deflater holds native zlib state and is not thread-safe; one per
+    * (thread, level). The JVM frees them with the thread (end() is an
+    * optimization we trade for reuse across rows). */
+  private val deflaters =
+    new java.util.concurrent.ConcurrentHashMap[Int, ThreadLocal[java.util.zip.Deflater]]()
+  private[functions] def deflater(level: Int): ThreadLocal[java.util.zip.Deflater] =
+    deflaters.computeIfAbsent(level, l =>
+      ThreadLocal.withInitial(() => new java.util.zip.Deflater(l)))
+  private[functions] val buffer: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
+}

@@ -355,6 +355,71 @@ class ExtSpec extends AnyFunSuite {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("compressionStats: sizes match a direct Deflater; ratio orders " +
+      "repetition < prose < noise") {
+    val rep = "spam spam spam spam spam spam spam spam spam spam " * 20
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across a meadow full of unrelated words in varied order " * 5
+    val noise = new scala.util.Random(7).alphanumeric.take(1000).mkString
+    val multi = "héllo wörld ünïcode • →"
+    val df = Seq((0L, rep), (1L, prose), (2L, noise), (3L, multi), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.compressionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def expected(s: String): (Long, Long) = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (bytes.length.toLong, n)
+    }
+    for ((s, i) <- Seq(rep, prose, noise, multi, "").zipWithIndex) {
+      val (raw, comp) = expected(s)
+      assert(got(i).getLong(1) == raw && got(i).getLong(2) == comp, s"doc $i")
+    }
+    // empty text → null ratio (guarded division)
+    assert(got(4).isNullAt(3))
+    val ratios = got.take(3).map(_.getDouble(3))
+    assert(ratios(0) < ratios(1) && ratios(1) < ratios(2),
+      s"expected repetition < prose < noise, got ${ratios.toSeq}")
+    // null text propagates null, not a crash
+    val n = TextAnalysis.compressionStats(
+        Seq((0L, Option.empty[String])).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("raw_bytes").collect()
+    assert(n(0).isNullAt(0))
+  }
+
+  test("pruneByCompressionRatio keeps exactly the in-band unrounded ratios") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 60L).map { i =>
+      val t = i % 3 match {
+        case 0 => "dup " * (rnd.nextInt(50) + 1)
+        case 1 => Seq.fill(rnd.nextInt(40) + 3)(
+          rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString).mkString(" ")
+        case _ => rnd.alphanumeric.take(rnd.nextInt(200)).mkString
+      }
+      (i, t)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val kept = TextAnalysis.pruneByCompressionRatio(df, "text", 0.2, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = docs.collect { case (id, t) if t.getBytes("UTF-8").nonEmpty =>
+      val bytes = t.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (id, n.toDouble / bytes.length)
+    }.collect { case (id, r) if r >= 0.2 && r <= 0.8 => id }.toSet
+    assert(kept === expected)
+  }
+
   test("topTokens ranks corpus tokens by frequency, ties lexicographic") {
     val df = Seq("b a", "b c", "b a c", "d").toDF("text")
     val got = TextAnalysis.topTokens(df, "text", 3)
