@@ -65,7 +65,13 @@ object DataPipeline {
     *                  the hard threshold
     * @param semanticCells block stage 4's embedding sweep on SemDeDup
     *                  Lloyd cells instead of the stored label (the
-    *                  no-label real-corpus path; 0 keeps label blocks) */
+    *                  no-label real-corpus path; 0 keeps label blocks)
+    * @param fuzzyDecontaminationThreshold additionally drop survivors
+    *                  whose MinHash signature is ≥ this similar to any
+    *                  `benchmark` document (stage 5.5 — catches
+    *                  paraphrased eval leakage the exact-gram stage 5
+    *                  misses; None skips, and it is skipped anyway when
+    *                  `benchmark` is None) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -76,7 +82,8 @@ object DataPipeline {
       qualityModel: Option[QualityClassifier.TextClassifier] = None,
       minQualityProb: Double = 0.5,
       noisyQualityGate: Boolean = false,
-      semanticCells: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+      semanticCells: Int = 0,
+      fuzzyDecontaminationThreshold: Option[Double] = None): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -177,11 +184,23 @@ object DataPipeline {
     //    the eval suite is quarantined. Map-only (CountInLongSet kernel);
     //    exact benchmark members score 1.0 and are dropped with their
     //    near-copies
-    val decontaminated = benchmark match {
+    val decontaminated0 = benchmark match {
       case Some(bench) => ContaminationGate.withScore(swept, bench, "text")
         .filter(col("contamination") < 0.5)
         .drop("n_grams", "n_contaminated", "contamination")
       case None => swept
+    }
+
+    // 5.5. fuzzy decontamination (optional): paraphrased/lightly-edited
+    //      eval leakage has few verbatim grams but a near-identical
+    //      MinHash signature; the banded cross-corpus gate catches it.
+    //      AFTER the exact gate — the cheaper per-row kernel already
+    //      removed verbatim leaks, so the pair machinery sees fewer rows
+    val decontaminated = (benchmark, fuzzyDecontaminationThreshold) match {
+      case (Some(bench), Some(t)) =>
+        Dedup.fuzzyDecontaminate(decontaminated0, bench,
+          "doc_id", "doc_id", "text", "text", threshold = t)
+      case _ => decontaminated0
     }
 
     // 6. PII redaction: typed placeholders replace raw PII in the corpus

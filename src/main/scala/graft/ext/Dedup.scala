@@ -80,16 +80,28 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       seed: Long = 42L,
-      outCol: String = "__sig"): DataFrame = {
+      outCol: String = "__sig"): DataFrame =
+    df.select(col(idCol),
+      minHashSignatureColumn(col(textCol), shingleLen, numHashes, seed).as(outCol))
+
+  /** The production signature as a bare COLUMN expression (the map-only
+    * core of [[minHashSignatureArray]]) — for callers that need the
+    * signature alongside arbitrary other columns, e.g. the streaming
+    * fuzzy-decontamination gate. Shingle-less/null docs get the sentinel
+    * `MinHashP` in every slot. */
+  def minHashSignatureColumn(
+      text: Column,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      seed: Long = 42L): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     val p = MinHashP
     val (as, bs) = minHashCoeffs(numHashes, seed)
     val hashes = GraftColumnBridge.column(graft.functions.XxHash64Array(
-      GraftColumnBridge.expression(wordNgrams(col(textCol), shingleLen))))
+      GraftColumnBridge.expression(wordNgrams(text, shingleLen))))
     val sig = GraftColumnBridge.column(
       graft.functions.MinHashSigs(GraftColumnBridge.expression(hashes), as, bs, p))
-    df.select(col(idCol),
-      coalesce(sig, array((0 until numHashes).map(_ => lit(p)): _*)).as(outCol))
+    coalesce(sig, array((0 until numHashes).map(_ => lit(p)): _*))
   }
 
   /** MinHash signatures as k columns (minhash_0 … minhash_{k-1}) — the

@@ -619,3 +619,95 @@ object DeflateSizes {
   private[functions] val buffer: ThreadLocal[Array[Byte]] =
     ThreadLocal.withInitial(() => new Array[Byte](64 * 1024))
 }
+
+/** Maximum agreeing-position count between a document's MinHash
+  * signature and a BENCHMARK signature set, with candidates restricted
+  * to signatures sharing at least one exact band slice — the per-row
+  * fold of the cross-corpus banded pair join
+  * ([[graft.ext.Dedup.minHashCrossPairs]]) for the streaming gate:
+  * every signature of a document lives in that document's own row, so
+  * the whole candidate+verify step is ONE map-only eval against a
+  * reference index (band slice → candidate signatures) built lazily per
+  * task from the benchmark array. Candidate generation by exact slice
+  * equality is the join's band-hash equality minus its xxhash64
+  * collisions (a collision there adds a spurious candidate whose
+  * similarity is then verified anyway — the outputs differ only if two
+  * DIFFERENT slices collide at 64 bits AND that pair alone clears the
+  * threshold, ~2⁻⁶⁴ per pair). Returns 0 for a doc with no banded
+  * candidate.
+  */
+case class MaxBandedSigAgreement(
+    child: Expression,
+    benchSigs: Seq[Seq[Long]],
+    bands: Int,
+    rowsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"MaxBandedSigAgreement requires array<bigint>, got ${other.simpleString}")
+    }
+
+  /** band-slice → candidate benchmark signatures. Built once per
+    * deserialized expression instance (per task), read-only afterwards. */
+  @transient private lazy val index: java.util.HashMap[(Int, Seq[Long]), java.util.ArrayList[Array[Long]]] = {
+    val m = new java.util.HashMap[(Int, Seq[Long]), java.util.ArrayList[Array[Long]]]()
+    benchSigs.foreach { s =>
+      val arr = s.toArray
+      var b = 0
+      while (b < bands) {
+        val key = (b, arr.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq)
+        var lst = m.get(key)
+        if (lst == null) { lst = new java.util.ArrayList[Array[Long]](); m.put(key, lst) }
+        lst.add(arr)
+        b += 1
+      }
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) { sig(i) = arr.getLong(i); i += 1 }
+    var best = 0
+    val seen = new java.util.HashSet[Array[Long]]() // identity set: each
+    // benchmark sig is ONE array instance shared across its band buckets
+    var b = 0
+    while (b < bands) {
+      val key = (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq)
+      val cands = index.get(key)
+      if (cands != null) {
+        var j = 0
+        while (j < cands.size()) {
+          val cand = cands.get(j)
+          if (seen.add(cand) && cand.length == k) {
+            var mc = 0
+            var p = 0
+            while (p < k) { if (cand(p) == sig(p)) mc += 1; p += 1 }
+            if (mc > best) best = mc
+          }
+          j += 1
+        }
+      }
+      b += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("maxBandedSigAgreement", this, getClass.getName)
+      s"${ev.value} = ((java.lang.Integer) $ref.nullSafeEval($c)).intValue();"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxBandedSigAgreement =
+    copy(child = newChild)
+}

@@ -195,4 +195,32 @@ class ExamplesSpec extends AnyFunSuite {
     // the gates still left a usable corpus behind
     assert(curated.count() > 0)
   }
+
+  test("stage 5.5: fuzzy decontamination drops near-copies the exact gate keeps") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val bench = raw.filter(col("doc_id") % 41 === 0)
+    // a paraphrased benchmark copy: append one sentence to a benchmark
+    // doc — most shingles shift but the MinHash signature stays close, so
+    // the exact gram gate scores it low while the fuzzy gate catches it
+    val paraphrase = bench.limit(1)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        concat(col("text"), lit(" and that concludes the passage today"))
+          .as("text"),
+        col("lang"))
+    val docs = raw.unionByName(paraphrase, allowMissingColumns = true)
+    val (exactOnly, _, _) = DataPipeline.curate(docs, emb, Some(bench))
+    val (withFuzzy, _, _) = DataPipeline.curate(docs, emb, Some(bench),
+      fuzzyDecontaminationThreshold = Some(0.5))
+    val fuzzyKept = withFuzzy.select("doc_id").distinct()
+    // the fuzzy stage only shrinks the survivor set
+    assert(fuzzyKept.join(exactOnly.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti").count() == 0)
+    // the planted paraphrase survives the exact gate but dies fuzzily
+    // (guard: only meaningful if the paraphrase cleared the earlier gates)
+    if (exactOnly.filter(col("doc_id") >= 1000000L).count() > 0)
+      assert(withFuzzy.filter(col("doc_id") >= 1000000L).count() == 0)
+    assert(withFuzzy.count() > 0)
+  }
 }

@@ -233,6 +233,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fuzzy gate == batch fuzzyDecontaminate on a shared fixture") {
+    // the gate folds the benchmark SIGNATURE index into a map-only kernel
+    // (band-slice candidates + exact agreement verify per row), so the
+    // streaming plan needs no join and no state — and its survivor set
+    // must match the batch banded cross-join gate
+    val dir = Files.createTempDirectory("graft-stream-fuzzy").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      (2L, "pack my box with five dozen liquor jugs before the long trip"),
+      (3L, "unrelated words entirely here no overlap with anything at all"),
+      (4L, "tiny"))
+      .toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "completely different benchmark prompt about astronomy facts"))
+      .toDF("bench_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val batchKept = graft.ext.Dedup.fuzzyDecontaminate(
+        docs, benchmark, "doc_id", "bench_id", "text", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // sanity: the exact copy (0) dies; its near-dup (1) dies at 0.5; the
+    // unrelated docs survive
+    assert(!batchKept.contains(0L) && batchKept.contains(3L))
+
+    // gate on a BATCH frame first (survivor-set parity)
+    val gateKept = graft.streaming.FuzzyContaminationGate(
+        docs, benchmark, "text", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(gateKept.toSeq == batchKept.toSeq)
+
+    // the similarity column matches the batch pair verify, value-exactly
+    val pairMax = graft.ext.Dedup.minHashCrossPairs(
+        docs, benchmark, "doc_id", "bench_id", "text", "text",
+        threshold = 0.0)
+      .groupBy("id_a").agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.max(org.apache.spark.sql.functions.col("sig_similarity")), 6).as("m"))
+      .as[(Long, Double)].collect().toMap
+    val gateSim = graft.streaming.FuzzyContaminationGate.withMaxSimilarity(
+        docs, benchmark, "text", "text")
+      .select("doc_id", "max_benchmark_similarity")
+      .as[(Long, Double)].collect().toMap
+    for ((id, sim) <- gateSim)
+      assert(sim == pairMax.getOrElse(id, 0.0), s"doc $id")
+
+    // and through a real stream: parquet source -> append memory sink
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val gated = graft.streaming.FuzzyContaminationGate(
+      stream, benchmark, "text", "text", threshold = 0.5)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_fuzzy").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT doc_id FROM graft_stream_fuzzy ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(got == batchKept.toSeq)
+    } finally q.stop()
+  }
+
   test("contamination gate rejects an oversized benchmark side loudly") {
     // the gate's driver collect is bounded: an argument swap (corpus
     // passed as benchmark) must die with a diagnostic, not an OOM
