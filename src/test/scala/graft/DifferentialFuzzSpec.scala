@@ -702,6 +702,64 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   // ——— BM25 top-k vs closed-form model ———
 
+  test(s"fuzz: minHashCrossPairsPortable == md5-signature model ($Cases cases)") {
+    // the model re-derives EVERYTHING from scratch: distinct word
+    // trigrams, md5-prefix shingle hashes, the 4 portable permutations,
+    // min-per-permutation signatures (sentinel p for shingle-less docs),
+    // band agreement as explicit conjunctions, and the threshold — the
+    // full cross-corpus candidate+verify semantics the DuckDB oracle pins
+    // on fixed SFs, here on randomized adversarial shapes (empty docs,
+    // heavy collisions from a tiny vocab, exact cross-split duplicates)
+    import graft.ext.Dedup
+    val p = Dedup.PortableP
+    def sigOf(ws: Seq[String]): Seq[Long] = {
+      val grams = ws.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+        .toSeq.distinct
+      val hs = grams.map(g => java.lang.Long.parseLong(md5hex(g).take(7), 16))
+      Dedup.PortableCoeffs.map { case (a, b) =>
+        if (hs.isEmpty) p else hs.map(h => (h * a + b) % p).min
+      }
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val gen = for {
+      nDocs <- Gen.choose(0, 14)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws)
+      nDups <- Gen.choose(0, 3)
+    } yield (docs, nDups)
+    check("cross-minhash")(Prop.forAllNoShrink(gen) { case (docs0, nDups) =>
+      // exact duplicates with parity-flipping ids → guaranteed
+      // cross-split near-dups
+      val docs = docs0 ++ docs0.take(nDups)
+      val rows = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 2 === 0)
+      val bench = df.filter(col("doc_id") % 2 === 1)
+      val got = Dedup.minHashCrossPairsPortable(corpus, bench,
+          "doc_id", "doc_id", "text", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      val sigs = docs.zipWithIndex.map { case (ws, i) => i.toLong -> sigOf(ws) }
+      val model = (for {
+        (ia, sa) <- sigs if ia % 2 == 0
+        (ib, sb) <- sigs if ib % 2 == 1
+        bandMatch = (sa(0) == sb(0) && sa(1) == sb(1)) ||
+          (sa(2) == sb(2) && sa(3) == sb(3))
+        mc = sa.zip(sb).count { case (x, y) => x == y }
+        sim = math.rint(mc / 4.0 * 1e6) / 1e6
+        if bandMatch && sim >= 0.5
+      } yield (ia, ib, sim)).toSet
+      if (got != model) {
+        System.err.println(s"cross-minhash mismatch: docs=$docs")
+        System.err.println(s"got=$got\nmodel=$model")
+      }
+      got == model
+    })
+  }
+
   test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
     // random tiny corpora (incl. empty docs and an empty corpus), random
     // short queries over the corpus alphabet plus one OOV term, random k.

@@ -130,6 +130,31 @@ class PlanContractSpec extends AnyFunSuite {
       }
   }
 
+  test("fuzzy decontamination broadcasts the benchmark; corpus reaches the " +
+      "pair join without shuffling; compression stats are map-only") {
+    val p = plans("text_decontaminate_fuzzy")
+    // the banded cross join builds on the BENCHMARK side only — a shuffle
+    // join here would exchange the banded corpus; a corpus-side broadcast
+    // would collect it onto the driver
+    assert(p.contains("BroadcastHashJoin"),
+      s"text_decontaminate_fuzzy lost the broadcast benchmark build:\n$p")
+    // everything between the pair join and its broadcast build side is the
+    // streamed (corpus) subtree: signatures + banding must pipeline into
+    // the join with no exchange (the url_blocklist contract pattern)
+    val streamed = p.substring(
+      p.indexOf("BroadcastHashJoin"), p.indexOf("BroadcastExchange"))
+    assert(!streamed.contains("Exchange hashpartitioning"),
+      s"text_decontaminate_fuzzy shuffles the banded corpus before the " +
+        s"pair join:\n$p")
+    val c = plans("text_compression")
+    // one kernel eval per row, nothing joins back: the only exchange is
+    // the final ordering
+    assert(!c.toLowerCase.contains("join"),
+      s"text_compression grew a join:\n$c")
+    assert(!c.contains("Exchange hashpartitioning"),
+      s"text_compression shuffles beyond the ordering exchange:\n$c")
+  }
+
   test("text_quality_prune scores the corpus exactly once") {
     // Both the percentile threshold (a scalar subquery) and the filter
     // consume the SAME lazily-checkpointed narrow score frame: the final
