@@ -91,6 +91,12 @@ object ScaleSmoke {
         bigDocs, docs.filter(col("doc_id") % 10 === 1),
         "doc_id", "doc_id", "text", "text", threshold = 0.5).count()
     }
+    // ExactSubstr span dedup at the paper's n=50: rolling-hash windows,
+    // exchanges carry (hash, id, pos) only, text rides 2 stages
+    timed("span dedup 50k docs n=50") {
+      graft.ext.Dedup.dropRepeatedSpans(bigDocs, "doc_id", "text", 50)
+        .agg(sum(length(col("text")))).count()
+    }
     timed("compression ratio 50k docs") {
       graft.ext.TextAnalysis.compressionStats(bigDocs, "doc_id", "text")
         .agg(sum(col("deflate_bytes")), avg(col("deflate_ratio"))).count()

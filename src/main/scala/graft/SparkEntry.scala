@@ -704,6 +704,28 @@ object SparkEntry {
         "doc_id", "doc_id", "text", "text")
       .select(col("doc_id")).orderBy(col("doc_id"))
 
+  /** ExactSubstr-style repeated-span detection at n=5 on a deterministic
+    * subset: every (doc, 1-based window start) whose 5-token window
+    * recurs corpus-wide, with the global count. The engine keys windows
+    * by a 128-bit rolling hash (equality-only use); the oracle re-derives
+    * them as explicit gram strings. */
+  private def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(
+        T(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", 5)
+      .orderBy(col("doc_id"), col("pos"))
+
+  /** ExactSubstr-style span REMOVAL at n=5: one copy of every duplicated
+    * ≥5-token passage survives (the corpus-wide first occurrence);
+    * untouched documents keep their text byte-identical. The oracle
+    * replays keeper selection and token masking in SQL. */
+  private def textSpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropRepeatedSpans(
+        T(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", 5)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Portable 32-bit SimHash signatures — oracle-checked value-for-value. */
   private def dedupSimhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPortable(T(s, dir, "documents"), "doc_id", "text")
@@ -2001,6 +2023,8 @@ object SparkEntry {
     "dedup_minhash_pairs_portable" -> (dedupMinhashPairsPortable _),
     "dedup_cross_minhash" -> (dedupCrossMinhash _),
     "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
+    "dedup_spans" -> (dedupSpans _),
+    "text_span_dedup" -> (textSpanDedup _),
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
@@ -2142,6 +2166,21 @@ object SparkEntry {
       |WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
       |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
       |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5)""".stripMargin
+
+  /** Shared CTEs for the span-dedup oracles: token split, n-token windows
+    * as explicit gram strings with 1-based positions — the string-keyed
+    * replay of [[graft.ext.Dedup.repeatedSpans]]'s 128-bit rolling-hash
+    * windows (equality-only use; collision-free at test SFs). */
+  private def spanCtes(n: Int, where: String): String = {
+    val w = n - 1
+    s"""sd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+      |  FROM documents $where),
+      |sw AS (SELECT doc_id,
+      |  unnest(generate_series(1, len(toks) - $w)) AS pos,
+      |  unnest([array_to_string(list_slice(toks, i, i + $w), ' ')
+      |    for i in generate_series(1, len(toks) - $w)]) AS g
+      |  FROM sd)""".stripMargin
+  }
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
     * sums over md5-hashed tokens, mirroring [[graft.ext.Dedup.simHashPortable]]
@@ -2988,6 +3027,39 @@ object SparkEntry {
         |  AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
         |   + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH ${spanCtes(5, "WHERE doc_id % 3 = 0")},
+        |sc AS (SELECT g, count(*) AS cnt FROM sw GROUP BY g)
+        |SELECT sw.doc_id, CAST(sw.pos AS BIGINT) AS pos,
+        | CAST(sc.cnt AS BIGINT) AS n_occurrences
+        |FROM sw JOIN sc USING (g) WHERE sc.cnt >= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // keeper = first (doc, pos) occurrence per window; every other
+    // occurrence's covered tokens are masked; rebuilt docs re-join kept
+    // tokens with single spaces, untouched docs keep their original text
+    "text_span_dedup" ->
+      s"""WITH ${spanCtes(5, "WHERE doc_id % 3 = 0")},
+        |sk AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+        |  count(*) OVER (PARTITION BY g) AS cnt
+        |  FROM sw),
+        |sdrop AS (SELECT doc_id, pos FROM sk WHERE cnt >= 2 AND rn > 1),
+        |stok AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(toks))) AS tpos,
+        |  unnest(toks) AS tk FROM sd),
+        |skeep AS (SELECT t.doc_id, t.tpos, t.tk FROM stok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM sdrop x
+        |    WHERE x.doc_id = t.doc_id
+        |      AND t.tpos >= x.pos AND t.tpos < x.pos + 5)),
+        |srw AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY tpos) AS text
+        |  FROM skeep GROUP BY doc_id),
+        |shas AS (SELECT DISTINCT doc_id FROM sdrop)
+        |SELECT d.doc_id,
+        |  CASE WHEN s.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.text, '') END AS text
+        |FROM documents d
+        |LEFT JOIN shas s USING (doc_id) LEFT JOIN srw r USING (doc_id)
+        |WHERE d.doc_id % 3 = 0 ORDER BY 1""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
         |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs

@@ -1327,4 +1327,99 @@ object Dedup {
       .select(col("id_a").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Every occurrence of a CORPUS-REPEATED n-token window, joined to its
+    * global occurrence count — and, with `withKeeper`, its keeper (the
+    * lexicographically first (doc, pos) occurrence) — the shared core of
+    * [[repeatedSpans]] / [[dropRepeatedSpans]]. One kernel eval per
+    * document produces all window hashes (rolling — O(tokens), not
+    * O(tokens·n)); the only exchanges move (h1, h2, id, pos) rows, never
+    * text. The kernel map stage runs twice (once per join arm — the
+    * aggregate arm exchanges post-partial-agg, so the two exchanges
+    * differ and ReuseExchange cannot share them); that re-scan is
+    * deliberately cheaper at corpus scale than materializing the
+    * exploded window stream (tokens-per-corpus rows) to save it. Both
+    * sides are hinted `shuffle_hash`: Catalyst's size estimate under the
+    * explode would otherwise BROADCAST the window-count aggregate — one
+    * row per distinct window at corpus scale, a driver collect.
+    * `withKeeper` costs a SortAggregate (min over a struct has no hash
+    * aggregation); [[repeatedSpans]] skips it and keeps the cheap
+    * count-only hash aggregate. */
+  private def repeatedSpanOccurrences(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      withKeeper: Boolean): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val occ = df.select(col(idCol),
+        posexplode(GraftColumnBridge.column(graft.functions.TokenWindowHashes(
+          GraftColumnBridge.expression(col(textCol)), n))).as(Seq("__p", "__w")))
+      .select(col(idCol), (col("__p") + lit(1)).cast("long").as("__pos"),
+        col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
+    val aggs =
+      if (withKeeper) Seq(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("__pos"))).as("__keep"))
+      else Seq(count(lit(1)).as("__cnt"))
+    val stats = occ.groupBy(col("__h1"), col("__h2")).agg(aggs.head, aggs.tail: _*)
+    occ.hint("shuffle_hash")
+      .join(stats.hint("shuffle_hash"), Seq("__h1", "__h2"))
+      .filter(col("__cnt") >= 2)
+  }
+
+  /** ExactSubstr-style repeated-span detection (Lee et al. 2022): every
+    * (document, 1-based window start) whose n-token window occurs ≥2
+    * times anywhere in the corpus, with the global occurrence count. A
+    * repeated substring of length L ≥ n yields L−n+1 repeated windows,
+    * so every cross- or within-document verbatim repeat of at least n
+    * tokens is caught at every position it covers. Windows are keyed by
+    * a 128-bit rolling hash ([[graft.functions.TokenWindowHashes]]) —
+    * corpus-scale window counts make 64-bit birthday collisions (a
+    * silently merged innocent span) a real event, the
+    * [[fingerprint128]] argument at span grain.
+    * Returns (idCol, pos, n_occurrences). */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50): DataFrame =
+    repeatedSpanOccurrences(df, idCol, textCol, n, withKeeper = false)
+      .select(col(idCol), col("__pos").as("pos"),
+        col("__cnt").as("n_occurrences"))
+
+  /** ExactSubstr-style span REMOVAL: rewrite each document dropping every
+    * token covered by a repeated n-token window occurrence, except the
+    * corpus-wide first occurrence of each window (min (doc, pos)) — one
+    * copy of every duplicated passage survives, the Lee et al. 2022
+    * policy at window grain. Documents with no repeated span keep their
+    * text byte-identical; modified documents re-join kept tokens with
+    * single spaces ([[dropRepeatedParagraphs]] whitespace precedent).
+    *
+    * Scale: text crosses exactly two stages — the kernel map pass
+    * (window hashes) and the final rewrite join; every intermediate
+    * exchange carries (hash, id, pos) rows. The per-document dropped
+    * start list is bounded by that document's window count and is tiny
+    * in practice (repeats are the exception); the rewrite itself is one
+    * [[graft.functions.RemoveTokenRanges]] kernel eval. */
+  def dropRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50): DataFrame = {
+    require(!df.columns.contains("__starts"),
+      "dropRepeatedSpans uses the internal column name '__starts' — " +
+        "rename or drop it first")
+    import org.apache.spark.sql.GraftColumnBridge
+    val dropped = repeatedSpanOccurrences(df, idCol, textCol, n,
+        withKeeper = true)
+      .filter(!(col(idCol) === col("__keep")(idCol) &&
+        col("__pos") === col("__keep")("__pos")))
+      .select(col(idCol), col("__pos"))
+    val starts = dropped.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    df.join(starts, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__starts").isNull, col(textCol))
+          .otherwise(GraftColumnBridge.column(graft.functions.RemoveTokenRanges(
+            GraftColumnBridge.expression(col(textCol)),
+            GraftColumnBridge.expression(col("__starts")), n))))
+      .drop("__starts")
+  }
 }

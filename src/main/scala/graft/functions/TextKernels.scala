@@ -711,3 +711,146 @@ case class MaxBandedSigAgreement(
   override protected def withNewChildInternal(newChild: Expression): MaxBandedSigAgreement =
     copy(child = newChild)
 }
+
+/** 128-bit rolling hashes of every n-token window of a text — the
+  * candidate core of ExactSubstr-style span dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better": repeated
+  * ≥n-token substrings across a corpus are training-loss poison). Tokens
+  * are java `\s+` splits; each token is XXH64-hashed under two seeds and
+  * each stream rolls polynomially (wraparound 64-bit, distinct odd
+  * bases) — O(tokens) per document regardless of n, one eval per row,
+  * zero shuffles. Output index i (0-based) is the window starting at
+  * token i; documents with fewer than n tokens yield an empty array.
+  * Two independent 64-bit streams because a corpus-scale window count
+  * (10¹⁰⁺) makes single-64-bit birthday collisions — which would
+  * silently delete an innocent span — a real event, the
+  * [[graft.ext.Dedup.fingerprint128]] argument at span grain.
+  */
+case class TokenWindowHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 2, s"window length must be >= 2 tokens, got $n")
+
+  private val B1 = 0x9E3779B97F4A7C15L // distinct odd bases
+  private val B2 = 0xC2B2AE3D27D4EB4FL
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"TokenWindowHashes requires a string input, got ${other.simpleString}")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // Pattern.split(..., -1) matches Spark's split()/DuckDB's
+    // string_split_regex exactly, trailing empty tokens included
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val t1 = new Array[Long](toks.length)
+    val t2 = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      t1(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      t2(i) = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 1042L)
+      i += 1
+    }
+    // pow = B^(n-1) (wraparound), rolling: h' = (h - t_out*pow)*B + t_in
+    var pow1 = 1L; var pow2 = 1L
+    i = 1
+    while (i < n) { pow1 *= B1; pow2 *= B2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < n) { h1 = h1 * B1 + t1(i); h2 = h2 * B2 + t2(i); i += 1 }
+    val out = new Array[Any](m)
+    val row0 = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h1, h2))
+    out(0) = row0
+    var k = 0
+    while (k < m - 1) {
+      h1 = (h1 - t1(k) * pow1) * B1 + t1(k + n)
+      h2 = (h2 - t2(k) * pow2) * B2 + t2(k + n)
+      out(k + 1) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](h1, h2))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokenWindowHashes", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+}
+
+/** Rewrite a text dropping every token whose (1-based) position falls in
+  * any window [s, s+n) for a start s in `starts` — the removal half of
+  * span dedup. Kept tokens re-join with single spaces (the rewrite
+  * normalizes whitespace in MODIFIED documents, the
+  * [[graft.ext.Dedup.dropRepeatedParagraphs]] precedent); callers apply
+  * it only to documents that actually have dropped spans. One eval per
+  * row; `starts` is the per-document SORTED start list (a handful of
+  * values — repeated spans are the exception, not the rule).
+  */
+case class RemoveTokenRanges(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(n >= 1, s"window length must be >= 1, got $n")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"RemoveTokenRanges requires (string, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+
+  override protected def nullSafeEval(text: Any, starts: Any): Any = {
+    // same -1-limit split as TokenWindowHashes: positions must agree
+    val toks = ws.split(text.asInstanceOf[UTF8String].toString, -1)
+    val arr = starts.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sb = new java.lang.StringBuilder
+    var first = true
+    var j = 0 // index of the first range that could still cover tpos
+    var i = 0
+    while (i < toks.length) {
+      val tpos = i + 1 // 1-based, matching the span positions
+      while (j < m && !arr.isNullAt(j) && arr.getLong(j) + n <= tpos) j += 1
+      val covered = j < m && !arr.isNullAt(j) &&
+        arr.getLong(j) <= tpos && tpos < arr.getLong(j) + n
+      if (!covered) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ref = ctx.addReferenceObj("removeTokenRanges", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String)" +
+        s" $ref.nullSafeEval($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RemoveTokenRanges =
+    copy(left = newLeft, right = newRight)
+}

@@ -760,6 +760,69 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test(s"fuzz: repeatedSpans/dropRepeatedSpans == window-string model ($Cases cases)") {
+    // from-scratch model of the ExactSubstr semantics: -1-limit \s+ split,
+    // n-token window strings with 1-based positions, global counts,
+    // keeper = lexicographically first (doc, pos), mask covered tokens of
+    // every non-keeper occurrence, rejoin with single spaces (docs with no
+    // drop keep the original text). Tiny vocab → heavy window collisions.
+    import graft.ext.Dedup
+    val vocab = Vector("a", "b", "c")
+    val gen = for {
+      nDocs <- Gen.choose(0, 8)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      n <- Gen.choose(2, 4)
+    } yield (docs, n)
+    check("span-dedup")(Prop.forAllNoShrink(gen) { case (docs, n) =>
+      val rows = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      val toks: Map[Long, Array[String]] = rows.map { case (id, t) =>
+        id -> java.util.regex.Pattern.compile("\\s+").split(t, -1)
+      }.toMap
+      val occ: Seq[(Long, Int, String)] = rows.flatMap { case (id, _) =>
+        val ts = toks(id)
+        (0 to ts.length - n).map(i =>
+          (id, i + 1, ts.slice(i, i + n).mkString(" ")))
+      }
+      val counts = occ.groupBy(_._3).map { case (g, l) => g -> l }
+      val repeated = counts.filter(_._2.size >= 2)
+      val spanModel = (for {
+        (_, l) <- repeated; (id, pos, _) <- l
+      } yield (id, pos.toLong, l.size.toLong)).toSet
+      val gotSpans = Dedup.repeatedSpans(df, "doc_id", "text", n)
+        .as[(Long, Long, Long)].collect().toSet
+      val dropped: Map[Long, Seq[Int]] = (for {
+        (_, l) <- repeated.toSeq
+        keeper = l.minBy(o => (o._1, o._2))
+        (id, pos, _) <- l if (id, pos) != ((keeper._1, keeper._2))
+      } yield (id, pos)).groupBy(_._1)
+        .map { case (id, l) => id -> l.map(_._2).sorted }
+      val rewriteModel = rows.map { case (id, t) =>
+        dropped.get(id) match {
+          case None => id -> Option(t)
+          case Some(starts) =>
+            val ts = toks(id)
+            val kept = ts.zipWithIndex.collect {
+              case (tk, i) if !starts.exists(s => i + 1 >= s && i + 1 < s + n) => tk
+            }
+            id -> Option(kept.mkString(" "))
+        }
+      }.toMap
+      val gotRewrite = Dedup.dropRepeatedSpans(df, "doc_id", "text", n)
+        .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+      val ok = gotSpans == spanModel && gotRewrite == rewriteModel
+      if (!ok) {
+        System.err.println(s"span-dedup mismatch: docs=$docs n=$n")
+        System.err.println(s"spans got=$gotSpans model=$spanModel")
+        System.err.println(s"rw got=$gotRewrite model=$rewriteModel")
+      }
+      ok
+    })
+  }
+
   test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
     // random tiny corpora (incl. empty docs and an empty corpus), random
     // short queries over the corpus alphabet plus one OOV term, random k.
