@@ -97,6 +97,15 @@ object ScaleSmoke {
       graft.ext.Dedup.dropRepeatedSpans(bigDocs, "doc_id", "text", 50)
         .agg(sum(length(col("text")))).count()
     }
+    // Misra-Gries vocab: one capacity-entry summary per partition vs the
+    // exact form's row-per-distinct-token shuffle. On THIS corpus (31
+    // distinct tokens) the exact groupBy wins locally — the sketch's
+    // value is cardinality: its exchange stays `capacity` rows per
+    // partition when the vocabulary has billions of distinct tokens
+    timed("MG approx vocab 50k docs") {
+      graft.ext.TextAnalysis.approxTopTokens(bigDocs, "text", 50,
+        capacity = 4096).count()
+    }
     timed("compression ratio 50k docs") {
       graft.ext.TextAnalysis.compressionStats(bigDocs, "doc_id", "text")
         .agg(sum(col("deflate_bytes")), avg(col("deflate_ratio"))).count()

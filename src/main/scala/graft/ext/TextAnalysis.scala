@@ -836,6 +836,36 @@ object TextAnalysis {
           / col("__z.raw_bytes"), 4)).as("deflate_ratio"))
   }
 
+  /** Approximate corpus vocabulary via the mergeable Misra–Gries
+    * heavy-hitter aggregate ([[graft.functions.MisraGriesTopK]]) — the
+    * at-scale alternative to the exact [[topTokens]]: the exact form
+    * shuffles one row per distinct token (billions at 100 TB); this
+    * shuffles ONE `capacity`-entry summary per partition. Returns
+    * (rank, token, count_lo, max_undercount): the true count of an
+    * emitted token lies in [count_lo, count_lo + max_undercount], and
+    * any token whose true count exceeds max_undercount is guaranteed
+    * present. Capacity trades memory for error — with capacity ≥
+    * distinct tokens the summary is exact. */
+  def approxTopTokens(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      capacity: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    require(k >= 1 && capacity >= k,
+      s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val agg = GraftColumnBridge.column(
+      graft.functions.MisraGriesTopK(
+        GraftColumnBridge.expression(tokens(col(textCol))), capacity)
+        .toAggregateExpression())
+    df.agg(agg.as("__mg"))
+      .select(posexplode(col("__mg")).as(Seq("__i", "__e")))
+      .filter(col("__i") < k)
+      .select((col("__i") + 1).as("rank"), col("__e.token").as("token"),
+        col("__e.count_lo").as("count_lo"),
+        col("__e.max_undercount").as("max_undercount"))
+  }
+
   /** Keep documents whose [[compressionStats]] `deflate_ratio` lies in
     * [`lo`, `hi`] — the two-sided compression gate (drop
     * repetition/boilerplate below `lo`, binary/noise above `hi`).

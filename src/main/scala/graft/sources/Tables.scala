@@ -73,6 +73,25 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Hive-layout partitioned parquet (`path/col=value/…`): the 100 TB
+    * corpus layout — partition columns (language, crawl date, source)
+    * never store per-row, and a filter on one prunes whole directories
+    * BEFORE any task launches (`PartitionFilters` in the scan, asserted
+    * in SourcesSpec). `maxRecordsPerFile` bounds file size so a skewed
+    * partition (one dominant language) still writes split-friendly
+    * files. */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    val w = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w).parquet(path)
+  }
+
   /** Bucketed parquet table for co-located joins: both sides bucketed and
     * sorted on the join key with the same bucket count join with NO
     * shuffle exchange (verified in SourcesSpec). The 100 TB pattern for

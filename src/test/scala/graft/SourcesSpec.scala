@@ -42,6 +42,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(q.count() == 1)
     assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(day"),
       s"partition filter should prune:\n$plan")
+
+    // writePartitioned: multi-column hive layout + bounded file size; a
+    // two-level filter prunes directories, and maxRecordsPerFile splits
+    // the skewed partition into multiple part files
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-part2").toFile
+    dir2.deleteOnExit()
+    val skewed = (0 until 90).map(i =>
+        (if (i < 80) "en" else "de", s"2024-01-0${i % 3 + 1}", i.toLong))
+      .toDF("lang", "day", "doc_id")
+    graft.sources.Tables.writePartitioned(
+      skewed.repartition(1), dir2.getAbsolutePath, Seq("lang", "day"),
+      maxRecordsPerFile = 10L)
+    val back = spark.read.parquet(dir2.getAbsolutePath)
+      .filter(col("lang") === "en" && col("day") === "2024-01-01")
+    assert(back.count() == skewed.filter(col("lang") === "en" &&
+      col("day") === "2024-01-01").count())
+    val plan2 = back.queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters") && plan2.contains("isnotnull(lang"),
+      s"two-level partition filter should prune:\n$plan2")
+    // the 80-row en partitions were split into <=10-record files
+    val enFiles = new java.io.File(dir2, "lang=en/day=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(enFiles >= 2, s"maxRecordsPerFile did not split: $enFiles files")
   }
 
   test("HLL++ approx distinct within 5% of exact (a14 sketch query)") {
