@@ -34,6 +34,9 @@ object ScaleSmoke {
       .reduce(_ unionByName _)
 
     // SPARK_GRAFT_SMOKE_ONLY=substr[,substr...] runs matching blocks only
+    // carried between the signature-index blocks; rebuilt on demand when
+    // SPARK_GRAFT_SMOKE_ONLY skips the write block
+    var smokeSigDir: String = null
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty) // empty/blank filter would match every block
@@ -329,6 +332,45 @@ object ScaleSmoke {
           emb.filter(col("vec_id") % 50 === b), emb, "vec_id", "embedding",
           k = 5, dir, numProbes = 4).count()
       }.sum
+    }
+    // incremental-ingest dedup: a ~500-doc increment against a ~45k-doc
+    // disjoint history (a real daily-crawl ratio) — via the history's
+    // persisted signature frame vs re-shingling it per increment.
+    // HONEST local read: the two run ~even HERE because the synthetic
+    // docs are short (re-shingling 45k tiny texts ≈ decoding 45k sig
+    // arrays from parquet). The index's real wins are proportional to
+    // text size (web docs: KBs-100KBs text vs 256 B sig = 10-400x less
+    // IO per increment) and structural: the history TEXT need not be
+    // retained or readable at dedup time at all
+    val smokeHistory = bigDocs.filter(col("doc_id") % 10 =!= 7)
+    val smokeShard = docs.filter(col("doc_id") % 10 === 7)
+    timed("sig index write 45k history") {
+      val dir = java.nio.file.Files.createTempDirectory("smoke_sigs").toString
+      graft.ext.Dedup.writeSignatures(smokeHistory, "doc_id", "text", dir)
+      smokeSigDir = dir
+      spark.read.parquet(dir).count()
+    }
+    timed("increment dedup vs index") {
+      if (smokeSigDir == null) { // write block skipped via SMOKE_ONLY
+        smokeSigDir = java.nio.file.Files.createTempDirectory("smoke_sigs").toString
+        graft.ext.Dedup.writeSignatures(smokeHistory, "doc_id", "text", smokeSigDir)
+      }
+      graft.ext.Dedup.dedupIncrement(smokeShard,
+        spark.read.parquet(smokeSigDir), "doc_id", "doc_id", "text",
+        threshold = 0.5).count()
+    }
+    timed("increment dedup recompute") {
+      // the same history comparison WITHOUT the index: re-shingle +
+      // re-hash the full history per increment
+      val vsHistory = graft.ext.Dedup.minHashCrossPairs(smokeShard,
+          smokeHistory, "doc_id", "doc_id", "text", "text", threshold = 0.5,
+          broadcastBenchmark = false)
+        .select(col("id_a").as("doc_id"))
+      val within = graft.ext.Dedup.minHashNearDuplicates(smokeShard,
+          "doc_id", "text", threshold = 0.5)
+        .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
+      smokeShard.join(vsHistory.unionByName(within).distinct(),
+        Seq("doc_id"), "left_anti").count()
     }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape

@@ -1328,6 +1328,97 @@ object Dedup {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Persist a corpus's production MinHash signatures as parquet
+    * `(idCol, sig: array<long>)` — the incremental-ingest analogue of
+    * [[graft.ext.Retrieval.writeIndex]] / `Similarity.writeCentroids`:
+    * a daily crawl increment dedups against the historical corpus by
+    * reading this frame instead of re-shingling petabytes of history.
+    * The signature pass is the dominant dedup cost, paid once per doc
+    * for the corpus's lifetime. */
+  def writeSignatures(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      numFiles: Int = 0): Unit = {
+    val sigs = minHashSignatureArray(corpus, idCol, textCol, shingleLen,
+        numHashes)
+      .select(col(idCol), col("__sig").as("sig"))
+    (if (numFiles > 0) sigs.repartition(numFiles) else sigs)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Cross-corpus near-dup pairs of a NEW shard against a persisted
+    * signature frame ([[writeSignatures]] output, or any
+    * `(id, sig array<long>)` frame) — identical results to
+    * [[minHashCrossPairs]] with the historical corpus as `benchmark`,
+    * without re-shingling it. The signature side is typically
+    * corpus-scale, so the default posture is the shuffle-hash banded
+    * join (`broadcastSignatures = false`); flip it for a small index.
+    * Returns (id_a: new-shard id, id_b: indexed id, sig_similarity). */
+  def minHashCrossPairsFromSignatures(
+      newDocs: DataFrame,
+      signatures: DataFrame,
+      idCol: String,
+      sigIdCol: String,
+      textCol: String,
+      sigCol: String = "sig",
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      broadcastSignatures: Boolean = false,
+      maxIndexBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val cs = minHashSignatureArray(newDocs, idCol, textCol, shingleLen,
+        numHashes)
+      .select(col(idCol).as("__id"), col("__sig"))
+    val bs = signatures
+      .select(col(sigIdCol).as("__id"), col(sigCol).as("__sig"))
+    crossPairsFromSigs(cs, bs, bands, rowsPerBand, broadcastSignatures,
+        maxIndexBucketSize, "minhash_cross_index")
+      .select(col("id_a"), col("id_b"),
+        (col("__mc").cast("double") / lit(numHashes.toDouble))
+          .as("sig_similarity"))
+      .filter(col("sig_similarity") >= threshold)
+  }
+
+  /** Incremental-ingest dedup: the new shard minus (a) near-dups of the
+    * persisted historical corpus ([[minHashCrossPairsFromSignatures]])
+    * and (b) within-shard near-dups ([[minHashNearDuplicates]], dropping
+    * the larger id of every pair — route the shard through
+    * [[duplicateClusters]] instead when chains need one survivor per
+    * component). The historical corpus is touched only
+    * through its KB-per-million-docs signature frame; the new shard —
+    * the small side, by definition of an increment — pays one signature
+    * pass. Append the survivors' signatures back with
+    * [[writeSignatures]] to roll the index forward. */
+  def dedupIncrement(
+      newDocs: DataFrame,
+      signatures: DataFrame,
+      idCol: String,
+      sigIdCol: String,
+      textCol: String,
+      sigCol: String = "sig",
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val vsHistory = minHashCrossPairsFromSignatures(newDocs, signatures,
+        idCol, sigIdCol, textCol, sigCol, threshold, shingleLen, numHashes,
+        bands)
+      .select(col("id_a").as(idCol))
+    val within = minHashNearDuplicates(newDocs, idCol, textCol, threshold,
+        shingleLen, numHashes, bands)
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
+    newDocs.join(vsHistory.unionByName(within).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Every occurrence of a CORPUS-REPEATED n-token window, joined to its
     * global occurrence count — and, with `withKeeper`, its keeper (the
     * lexicographically first (doc, pos) occurrence) — the shared core of

@@ -95,6 +95,37 @@ class CrossDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature index round-trip: pairs-from-signatures == recomputed " +
+      "cross pairs; dedupIncrement drops history hits and within-shard dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig-idx").toFile
+    dir.deleteOnExit()
+    val docs = randomCorpus(77, 40)
+    val history = docs.filter(col("doc_id") % 2 === 1)
+    val shard = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeSignatures(history, "doc_id", "text", dir.getAbsolutePath)
+    val sigs = spark.read.parquet(dir.getAbsolutePath)
+    val expected = Dedup.minHashCrossPairs(shard, history, "doc_id", "doc_id",
+        "text", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (bcast <- Seq(false, true)) {
+      val got = Dedup.minHashCrossPairsFromSignatures(shard, sigs,
+          "doc_id", "doc_id", "text", threshold = 0.5,
+          broadcastSignatures = bcast)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"broadcastSignatures=$bcast")
+    }
+    // increment semantics: shard minus history hits minus pair-larger ids
+    val historyHits = expected.map(_._1)
+    val withinDrops = Dedup.minHashNearDuplicates(shard, "doc_id", "text",
+        threshold = 0.5)
+      .select(greatest(col("id_a"), col("id_b"))).as[Long].collect().toSet
+    val kept = Dedup.dedupIncrement(shard, sigs, "doc_id", "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val all = shard.select("doc_id").as[Long].collect().toSet
+    assert(kept === all.diff(historyHits).diff(withinDrops))
+  }
+
   test("portable cross pairs == naive portable model") {
     val docs = randomCorpus(55, 40)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
