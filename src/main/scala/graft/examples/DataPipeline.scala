@@ -71,7 +71,11 @@ object DataPipeline {
     *                  `benchmark` document (stage 5.5 — catches
     *                  paraphrased eval leakage the exact-gram stage 5
     *                  misses; None skips, and it is skipped anyway when
-    *                  `benchmark` is None) */
+    *                  `benchmark` is None)
+    * @param spanDedupWindow remove every repeated ≥this-many-token span
+    *                  except its corpus-first occurrence (stage 2.5,
+    *                  ExactSubstr policy — Lee et al. 2022 use 50;
+    *                  0 skips) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -83,7 +87,8 @@ object DataPipeline {
       minQualityProb: Double = 0.5,
       noisyQualityGate: Boolean = false,
       semanticCells: Int = 0,
-      fuzzyDecontaminationThreshold: Option[Double] = None): (DataFrame, DataFrame, DataFrame) = {
+      fuzzyDecontaminationThreshold: Option[Double] = None,
+      spanDedupWindow: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -151,7 +156,16 @@ object DataPipeline {
     //    once, consumers scan materialized blocks; a cluster-scale caller
     //    running hour-long jobs should swap in reliable checkpointing
     //    (setCheckpointDir + .checkpoint()) for fault tolerance.
-    val exact = Dedup.exact(gated, Seq("text"), "doc_id")
+    // 2.5. repeated-span removal (optional, ExactSubstr policy): AFTER
+    //      exact dedup (whole-doc copies die wholesale first, so the span
+    //      machinery sees each text once) and BEFORE near-dup mining
+    //      (de-boilerplated texts make signature similarity reflect real
+    //      content). The checkpoint moves to whichever frame downstream
+    //      consumers re-read.
+    val exact0 = Dedup.exact(gated, Seq("text"), "doc_id")
+    val exact = (if (spanDedupWindow > 0)
+        Dedup.dropRepeatedSpans(exact0, "doc_id", "text", spanDedupWindow)
+      else exact0)
       .localCheckpoint(eager = false)
 
     // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of

@@ -196,6 +196,28 @@ class ExamplesSpec extends AnyFunSuite {
     assert(curated.count() > 0)
   }
 
+  test("stage 2.5: span dedup strips a shared boilerplate run from later docs") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // plant the same 8-token footer on every 5th doc — classic template
+    // chrome below the boilerplate-LINE radar (same line never repeats
+    // within a doc) but exactly what span dedup removes
+    val footer = "shared footer tokens alpha beta gamma delta epsilon"
+    val docs = raw.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + footer)))
+        .otherwise(col("text")))
+    val (plain, _, _) = DataPipeline.curate(docs, emb)
+    val (spanned, _, _) = DataPipeline.curate(docs, emb, spanDedupWindow = 8)
+    // span dedup can only shrink surviving texts, never grow them
+    val planted = plain.filter(col("text").contains(footer))
+    val survivors = spanned.filter(col("text").contains(footer))
+    assert(planted.count() > 1, "fixture should plant multiple footers")
+    assert(survivors.count() <= 1,
+      "all but the first footer occurrence must be stripped")
+    assert(spanned.count() > 0)
+  }
+
   test("stage 5.5: fuzzy decontamination drops near-copies the exact gate keeps") {
     import org.apache.spark.sql.functions._
     val raw = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
