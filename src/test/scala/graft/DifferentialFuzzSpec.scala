@@ -823,6 +823,48 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test(s"fuzz: Misra-Gries invariants vs exact counts ($Cases cases)") {
+    // MG output is input-order-dependent in its ties, so the model checks
+    // INVARIANTS, not equality: (a) containment — every emitted token's
+    // true count lies in [count_lo, count_lo + max_undercount]; (b)
+    // retention — every token with true count > max_undercount is
+    // emitted; (c) at capacity >= distinct tokens the summary IS exact
+    val vocab = (0 until 40).map(i => s"t$i").toVector
+    val gen = for {
+      nDocs <- Gen.choose(0, 30)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 15)
+        ws <- Gen.listOfN(len, Gen.frequency(
+          (5, Gen.oneOf(vocab.take(4))), (1, Gen.oneOf(vocab))))
+      } yield ws.mkString(" "))
+      capacity <- Gen.choose(2, 50)
+      parts <- Gen.choose(1, 6)
+    } yield (docs, capacity, parts)
+    check("misra-gries")(Prop.forAllNoShrink(gen) { case (docs, capacity, parts) =>
+      val exact = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, l) => t -> l.size.toLong }
+      val df = docs.toDF("text").repartition(parts)
+      val got = graft.ext.TextAnalysis
+        .approxTopTokens(df, "text", capacity, capacity)
+        .select("token", "count_lo", "max_undercount")
+        .as[(String, Long, Long)].collect().toSeq
+      val contained = got.forall { case (t, lo, d) =>
+        val tru = exact(t); lo <= tru && tru <= lo + d
+      }
+      val delta = got.headOption.map(_._3).getOrElse(0L)
+      val present = got.map(_._1).toSet
+      val retained = exact.forall { case (t, tru) =>
+        tru <= delta || present.contains(t)
+      }
+      val exactWhenBig = capacity < exact.size ||
+        (got.map(r => r._1 -> r._2).toMap == exact && got.forall(_._3 == 0L))
+      val ok = contained && retained && exactWhenBig
+      if (!ok) System.err.println(
+        s"MG mismatch: cap=$capacity parts=$parts docs=$docs got=$got exact=$exact")
+      ok
+    })
+  }
+
   test(s"fuzz: bm25TopK == closed-form model ($Cases cases)") {
     // random tiny corpora (incl. empty docs and an empty corpus), random
     // short queries over the corpus alphabet plus one OOV term, random k.

@@ -155,6 +155,25 @@ class PlanContractSpec extends AnyFunSuite {
       s"text_compression shuffles beyond the ordering exchange:\n$c")
   }
 
+  test("span dedup: window streams join shuffle-hash; text never enters " +
+      "a pair exchange") {
+    // both span queries: the occurrence/count join must stay shuffle-hash
+    // (the under-the-explode estimate would broadcast a corpus-scale
+    // aggregate), and every hash exchange carries only
+    // (hash, id, pos)-shaped rows — the text column name must not appear
+    // in any Exchange hashpartitioning line
+    for (name <- Seq("dedup_spans", "text_span_dedup")) {
+      val p = plans(name)
+      assert(p.contains("ShuffledHashJoin"),
+        s"$name window-count join is no longer shuffle-hash:\n$p")
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, s"$name lost its hash exchanges:\n$p")
+      exchanges.foreach(l => assert(!l.contains("text#"),
+        s"$name ships text through a hash exchange:\n$l"))
+    }
+  }
+
   test("text_quality_prune scores the corpus exactly once") {
     // Both the percentile threshold (a scalar subquery) and the filter
     // consume the SAME lazily-checkpointed narrow score frame: the final
