@@ -1028,6 +1028,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet head/middle/tail perplexity partition over the fitted unigram
+    * LM: corpus-tertile cuts as scalar subqueries over ONE checkpointed
+    * narrow score frame — no whole-corpus ntile window. Non-memoizable
+    * (materializing plan + model fit at construction, the
+    * text_quality_prune class). */
+  private def textLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = TextAnalysis.fitUnigramModel(
+      docs, "text", vocabSize = 32, alpha = 1.0)
+    TextAnalysis.perplexityBuckets(docs, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget mixture sampling ("data mixing"): keep, per language,
     * the md5-priority-ordered prefix of documents whose running token sum
     * fits half the language's token total. The bucketed plan
@@ -1946,7 +1959,8 @@ object SparkEntry {
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
-      "text_mixture_temp", "text_lm_quality", "text_boilerplate",
+      "text_mixture_temp", "text_lm_quality", "text_lm_buckets",
+      "text_boilerplate",
       // the retrieval pair's posting frame is a lazily-materialized
       // checkpoint (the text_quality_prune class): a memoized plan's
       // second run would re-read the persisted postings while the oracle
@@ -2041,6 +2055,7 @@ object SparkEntry {
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
+    "text_lm_buckets" -> (textLmBuckets _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -3253,6 +3268,34 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
         |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same model/scoring CTE chain as text_lm_quality, then corpus-tertile
+    // cuts over the 4-dp-rounded scores (both engines round the thresholds
+    // too — the libm-absorption rule)
+    "text_lm_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+        |voc AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tk GROUP BY t
+        |  ORDER BY count(*) DESC, t LIMIT 32),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |sc AS (SELECT tk.doc_id, count(*) AS n_tok,
+        |    sum(ln((coalesce(voc.c, 0) + 1.0) / (tot.total + vn.v + 1.0)))
+        |      AS sum_lp
+        |  FROM tk LEFT JOIN voc ON tk.t = voc.t, tot, vn
+        |  GROUP BY tk.doc_id),
+        |base AS (SELECT d.doc_id, round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |cut AS (SELECT
+        |    round(quantile_cont(avg_lp, ${1.0 / 3}), 4) AS lo,
+        |    round(quantile_cont(avg_lp, ${2.0 / 3}), 4) AS hi FROM base)
+        |SELECT b.doc_id, b.avg_lp,
+        |  CASE WHEN b.avg_lp IS NULL THEN NULL
+        |       WHEN b.avg_lp > cut.hi THEN 'head'
+        |       WHEN b.avg_lp > cut.lo THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM base b, cut ORDER BY 1""".stripMargin,
     "text_vocab" ->
       """SELECT CAST(r AS INT) AS rank, token, n FROM (
         |  SELECT token, count(*) AS n,

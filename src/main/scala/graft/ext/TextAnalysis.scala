@@ -836,6 +836,41 @@ object TextAnalysis {
           / col("__z.raw_bytes"), 4)).as("deflate_ratio"))
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020 §4.3): label
+    * every document `head` / `middle` / `tail` by corpus-wide percentile
+    * cuts of its LM score — the buckets CCNet samples training data from
+    * (head = the most-fluent third; avg log-prob is the negated-ppl
+    * proxy, so HIGHER score = head). One narrow scoring pass
+    * ([[scoreUnigram]]) into a lazily checkpointed (id, score) frame;
+    * BOTH cut thresholds are scalar subqueries over that same frame (the
+    * [[pruneBottomQuantile]] shape) — the corpus text is scanned once
+    * and never shuffles, and no whole-corpus ntile window exists
+    * anywhere. Buckets compare the 4-dp-rounded score against
+    * 4-dp-rounded thresholds (the libm-absorption rule the LM oracle
+    * established). Token-less docs have no score → null bucket. */
+  def perplexityBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: UnigramModel,
+      cuts: (Double, Double) = (1.0 / 3, 2.0 / 3)): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+    require(0 < cuts._1 && cuts._1 < cuts._2 && cuts._2 < 1,
+      s"cuts must satisfy 0 < lo < hi < 1, got $cuts")
+    val scored = scoreUnigram(df, textCol, model)
+      .select(col(idCol), round(col("avg_lp"), 4).as("__lp"))
+      .localCheckpoint(eager = false) // materialized by the subquery job
+    def thr(q: Double): Column = GraftColumnBridge.column(ScalarSubquery(
+      scored.agg(round(expr(s"percentile(__lp, ${q}D)"), 4).as("__t"))
+        .queryExecution.analyzed))
+    scored.select(col(idCol), col("__lp").as("avg_lp"),
+      when(col("__lp").isNull, lit(null).cast("string"))
+        .when(col("__lp") > thr(cuts._2), lit("head"))
+        .when(col("__lp") > thr(cuts._1), lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Approximate corpus vocabulary via the mergeable Misra–Gries
     * heavy-hitter aggregate ([[graft.functions.MisraGriesTopK]]) — the
     * at-scale alternative to the exact [[topTokens]]: the exact form

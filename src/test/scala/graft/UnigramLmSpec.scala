@@ -89,4 +89,44 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"unigram scoring leaked a shuffle:\n$plan")
   }
+
+  test("perplexityBuckets: tertile partition, score-ordered, null for " +
+      "token-less docs; final plan reads the checkpoint without re-scoring") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(5)
+    val docs = ((0L until 90L).map { i =>
+      // three fluency tiers: common words, mixed, rare-only
+      val t = i % 3 match {
+        case 0 => Seq.fill(20)("the")
+        case 1 => Seq.fill(10)("the") ++ Seq.fill(10)("rare" + rnd.nextInt(50))
+        case _ => Seq.fill(20)("rare" + rnd.nextInt(50))
+      }
+      (i, t.mkString(" "))
+    } :+ (1000L, "")).toDF("doc_id", "text")
+    val model = TextAnalysis.fitUnigramModel(docs, "text", 8, 1.0)
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", model)
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      if (r.isNullAt(2)) None else Some(r.getString(2))))
+    // token-less doc: null score, null bucket
+    val empty = rows.find(_._1 == 1000L).get
+    assert(empty._2.isEmpty && empty._3.isEmpty)
+    val byBucket = rows.filter(_._3.isDefined)
+      .groupBy(_._3.get).view.mapValues(_.map(_._2.get)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // strict ordering: every head score > every middle score > every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // roughly a third each (ties can skew the exact split)
+    byBucket.values.foreach(v => assert(v.length >= 15 && v.length <= 45))
+    // one-pass contract: the serving plan reads the checkpointed narrow
+    // frame and contains no scoring kernel and no join
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"perplexityBuckets does not read a materialized score frame:\n$p")
+    assert(!p.contains("unigramlogprobstats"),
+      s"perplexityBuckets re-scores in its final plan:\n$p")
+    assert(!p.toLowerCase.contains("join"),
+      s"perplexityBuckets grew a threshold join:\n$p")
+  }
 }
