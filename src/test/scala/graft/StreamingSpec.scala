@@ -382,6 +382,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
       assert(got == Seq(1L))
     } finally q.stop()
+
+    // the compression-ratio gate is the same stateless-kernel class:
+    // identical survivor set through a real stream
+    val zipped = graft.ext.TextAnalysis
+      .pruneByCompressionRatio(stream, "text", 0.3, 0.95)
+    val q2 = zipped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_zip").start()
+    try {
+      q2.processAllAvailable()
+      val got2 = spark.sql("SELECT doc_id FROM graft_stream_zip ORDER BY 1")
+        .as[Long].collect().toSeq
+      val batch2 = graft.ext.TextAnalysis
+        .pruneByCompressionRatio(docs, "text", 0.3, 0.95)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+      assert(got2 == batch2)
+      assert(got2.nonEmpty && got2.size < 3) // the gate bites on the fixture
+    } finally q2.stop()
   }
 
   test("classifier gates run unchanged on a stream, matching batch") {
