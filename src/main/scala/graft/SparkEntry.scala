@@ -588,6 +588,21 @@ object SparkEntry {
     curated.select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Per-benchmark-document contamination attribution: which eval docs
+    * leak into the corpus, how many corpus docs carry ≥50% of their
+    * grams, and the worst overlap — the report a decontamination run
+    * ships with its gate. */
+  private def textContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // even/odd split (the fuzzy-decontamination fixture): near-dup pairs
+    // cross the parity line, so real >=50% leaks exist at every test SF
+    Dedup.contaminationAttribution(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "doc_id", "text", "text")
+      .orderBy(col("bench_id"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -2056,6 +2071,7 @@ object SparkEntry {
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
     "text_lm_buckets" -> (textLmBuckets _),
+    "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
@@ -2992,6 +3008,30 @@ object SparkEntry {
         |   AS DOUBLE) / count(*), 6) AS contamination
         |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // attribution flips the direction: overlap measured against EACH
+    // benchmark doc's gram set (bg keeps bench ids, not a flat set)
+    "text_contamination_report" ->
+      """WITH c AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cg AS (SELECT DISTINCT doc_id AS cid, unnest(CASE WHEN len(toks) >= 3 THEN
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)] ELSE [] END) AS gram
+        |  FROM c),
+        |b AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bg AS (SELECT DISTINCT doc_id AS bench_id,
+        |  unnest(CASE WHEN len(toks) >= 3 THEN
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)] ELSE [] END) AS gram
+        |  FROM b),
+        |nb AS (SELECT bench_id, count(*) AS nb FROM bg GROUP BY 1),
+        |sh AS (SELECT cg.cid, bg.bench_id, count(*) AS shared
+        |  FROM cg JOIN bg USING (gram) GROUP BY 1, 2),
+        |hit AS (SELECT sh.bench_id, sh.shared, nb.nb
+        |  FROM sh JOIN nb USING (bench_id) WHERE sh.shared >= nb.nb * 0.5)
+        |SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated_docs,
+        |  round(max(CAST(shared AS DOUBLE) / nb), 6) AS max_overlap
+        |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
     "o10_keyset" ->
       """WITH a AS (SELECT value AS av, event_id AS ae FROM events
         |  ORDER BY value DESC, event_id LIMIT 10),

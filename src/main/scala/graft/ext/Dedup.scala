@@ -1328,6 +1328,56 @@ object Dedup {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-document contamination ATTRIBUTION — the report a
+    * decontamination run ships alongside the gate: for every benchmark
+    * document, how many corpus documents contain ≥ `minFraction` of ITS
+    * n-grams, and the worst overlap. Direction matters: leakage is
+    * measured against the BENCHMARK doc's gram set (a short eval prompt
+    * fully contained in a long page is a 100% leak of that prompt, even
+    * though it is a sliver of the page — the [[contaminationScore]]
+    * per-corpus-doc fraction under-weights exactly that case).
+    *
+    * Scale: benchmark gram→id pairs and per-doc gram counts broadcast
+    * (eval suites are small — same boundary as [[contaminationScore]]);
+    * the corpus side is one explode feeding the broadcast join, so corpus
+    * text never exchanges; the only shuffle carries
+    * (corpus id, bench id, count) rows.
+    * Returns (bench_id, n_contaminated_docs, max_overlap) for benchmark
+    * docs with ≥1 hit.
+    */
+  def contaminationAttribution(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 3,
+      minFraction: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def gramHashes(c: Column): Column = GraftColumnBridge.column(
+      graft.functions.XxHash64Array(
+        GraftColumnBridge.expression(wordNgrams(c, n))))
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(gramHashes(col(benchTextCol))).as("__g"))
+    val benchSizes = benchGrams.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("__nb"))
+    val corpusGrams = corpus
+      .select(col(idCol).as("__cid"),
+        explode(gramHashes(col(textCol))).as("__g"))
+    corpusGrams
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col("__cid"), col("bench_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .filter(col("__shared") >= col("__nb") * lit(minFraction))
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        round(max(col("__shared").cast("double") / col("__nb")), 6)
+          .as("max_overlap"))
+  }
+
   /** Persist a corpus's production MinHash signatures as parquet
     * `(idCol, sig: array<long>)` — the incremental-ingest analogue of
     * [[graft.ext.Retrieval.writeIndex]] / `Similarity.writeCentroids`:

@@ -823,6 +823,44 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test(s"fuzz: FuzzyContaminationGate(batch) == fuzzyDecontaminate ($Cases cases)") {
+    // the streaming gate's candidates come from exact band-SLICE equality
+    // (MaxBandedSigAgreement index) where the batch join uses band-HASH
+    // equality — identical unless two different slices collide at 64 bits.
+    // This replays random corpora through BOTH and demands survivor-set
+    // equality; a tiny vocab forces heavy real collisions of CONTENT
+    // (equal slices), which is exactly where the index path must agree.
+    import graft.ext.Dedup
+    val vocab = Vector("a", "b", "c", "d")
+    val gen = for {
+      nCorpus <- Gen.choose(0, 12)
+      nBench <- Gen.choose(0, 6)
+      mk = (n: Int) => Gen.listOfN(n, for {
+        len <- Gen.choose(0, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      corpus <- mk(nCorpus)
+      bench <- mk(nBench)
+      thr <- Gen.oneOf(0.3, 0.5, 0.8)
+    } yield (corpus, bench, thr)
+    check("fuzzy-gate")(Prop.forAllNoShrink(gen) { case (corpus, bench, thr) =>
+      val cdf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bdf = bench.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("bench_id", "text")
+      val joined = Dedup.fuzzyDecontaminate(cdf, bdf, "doc_id", "bench_id",
+          "text", "text", threshold = thr, numHashes = 16, bands = 4)
+        .select("doc_id").as[Long].collect().toSet
+      val gated = graft.streaming.FuzzyContaminationGate(cdf, bdf,
+          "text", "text", threshold = thr, numHashes = 16, bands = 4)
+        .select("doc_id").as[Long].collect().toSet
+      if (joined != gated) System.err.println(
+        s"fuzzy-gate mismatch thr=$thr corpus=$corpus bench=$bench " +
+          s"joined=$joined gated=$gated")
+      joined == gated
+    })
+  }
+
   test(s"fuzz: Misra-Gries invariants vs exact counts ($Cases cases)") {
     // MG output is input-order-dependent in its ties, so the model checks
     // INVARIANTS, not equality: (a) containment — every emitted token's

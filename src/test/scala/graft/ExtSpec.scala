@@ -355,6 +355,33 @@ class ExtSpec extends AnyFunSuite {
   private def round6(v: Double): Double =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("contaminationAttribution: contained prompt attributes at 100%, " +
+      "direction is benchmark-relative") {
+    // bench doc 100 is FULLY contained in corpus doc 0 (100% of ITS
+    // grams leak) even though it is a sliver of doc 0 — the case the
+    // per-corpus-doc contamination fraction under-weights
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "totally unrelated words that share nothing at all today"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "beta gamma delta epsilon"),        // contained in doc 0
+      (101L, "verbs nouns adjectives adverbs"))  // leaks nowhere
+      .toDF("bench_id", "text")
+    val rep = graft.ext.Dedup.contaminationAttribution(
+        corpus, bench, "doc_id", "bench_id", "text", "text",
+        n = 3, minFraction = 0.5)
+      .orderBy("bench_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rep == Seq((100L, 1L, 1.0)))
+    // lowering the bar keeps direction: still keyed by the bench doc
+    val all = graft.ext.Dedup.contaminationAttribution(
+        corpus, bench, "doc_id", "bench_id", "text", "text",
+        n = 3, minFraction = 0.0)
+      .select("bench_id").as[Long].collect().toSet
+    assert(all == Set(100L)) // 101 shares no gram: no row even at 0.0
+  }
+
   test("compressionStats: sizes match a direct Deflater; ratio orders " +
       "repetition < prose < noise") {
     val rep = "spam spam spam spam spam spam spam spam spam spam " * 20
