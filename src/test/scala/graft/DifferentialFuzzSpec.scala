@@ -861,6 +861,56 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     })
   }
 
+  test(s"fuzz: contaminationAttribution == set-arithmetic model ($Cases cases)") {
+    // from-scratch model: distinct trigram sets both sides, per-pair
+    // intersection sizes, benchmark-relative threshold, per-bench-doc
+    // count + max fraction. xxhash64 is equality-only here, so the model
+    // works on gram strings directly (the ngram-fuzz precedent).
+    import graft.ext.Dedup
+    val vocab = Vector("a", "b", "c", "d")
+    val gen = for {
+      nCorpus <- Gen.choose(0, 10)
+      nBench <- Gen.choose(0, 5)
+      mk = (n: Int) => Gen.listOfN(n, for {
+        len <- Gen.choose(0, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws)
+      corpus <- mk(nCorpus)
+      bench <- mk(nBench)
+      frac <- Gen.oneOf(0.25, 0.5, 0.75)
+    } yield (corpus, bench, frac)
+    check("contam-attrib")(Prop.forAllNoShrink(gen) { case (corpus, bench, frac) =>
+      def grams(ws: Seq[String]): Set[String] =
+        ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val cdf = corpus.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }.toDF("doc_id", "text")
+      val bdf = bench.zipWithIndex.map { case (ws, i) =>
+        (100L + i, ws.mkString(" ")) }.toDF("bench_id", "text")
+      val got = Dedup.contaminationAttribution(cdf, bdf, "doc_id",
+          "bench_id", "text", "text", n = 3, minFraction = frac)
+        .as[(Long, Long, Double)].collect().toSet
+      val cg = corpus.zipWithIndex.map { case (ws, i) => i.toLong -> grams(ws) }
+      val model = bench.zipWithIndex.flatMap { case (ws, bi) =>
+        val bg = grams(ws)
+        if (bg.isEmpty) None
+        else {
+          val hits = cg.collect { case (_, g)
+            if (g & bg).size >= bg.size * frac && (g & bg).nonEmpty => (g & bg).size }
+          // the engine's join produces no row for zero overlap even at
+          // minFraction 0 — mirror that
+          val real = cg.collect { case (_, g)
+            if (g & bg).nonEmpty && (g & bg).size >= bg.size * frac => (g & bg).size }
+          if (real.isEmpty) None
+          else Some((100L + bi, real.size.toLong,
+            math.rint(real.max.toDouble / bg.size * 1e6) / 1e6))
+        }
+      }.toSet
+      if (got != model) System.err.println(
+        s"attrib mismatch frac=$frac corpus=$corpus bench=$bench got=$got model=$model")
+      got == model
+    })
+  }
+
   test(s"fuzz: Misra-Gries invariants vs exact counts ($Cases cases)") {
     // MG output is input-order-dependent in its ties, so the model checks
     // INVARIANTS, not equality: (a) containment — every emitted token's

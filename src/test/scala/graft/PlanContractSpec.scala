@@ -155,6 +155,20 @@ class PlanContractSpec extends AnyFunSuite {
       s"text_compression shuffles beyond the ordering exchange:\n$c")
   }
 
+  test("contamination attribution broadcasts the benchmark arms; the " +
+      "corpus side reaches the gram join unshuffled") {
+    val p = plans("text_contamination_report")
+    // two broadcast builds (bench grams + bench sizes); the corpus gram
+    // explode pipelines into the gram join, so no hash exchange may carry
+    // the gram column or text — only (cid, bench_id)-grain aggregate rows
+    assert(p.contains("BroadcastHashJoin"),
+      s"text_contamination_report lost its broadcast benchmark build:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    exchanges.foreach(l => assert(!l.contains("__g#") && !l.contains("text#"),
+      s"text_contamination_report shuffles the gram stream or text:\n$l"))
+  }
+
   test("span dedup: window streams join shuffle-hash; text never enters " +
       "a pair exchange") {
     // both span queries: the occurrence/count join must stay shuffle-hash
