@@ -47,11 +47,13 @@ object Verify {
     // signal; SPARK_GRAFT_GOLDEN_WRITE=1 prints the triples to commit
     // into resources/graft/golden_hashes.txt after an intended change.
     val sfKey = Paths.get(sfDir).getFileName.toString
+    var goldenFailures = 0
     val goldenRows = GoldenHashes.queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (hash, exp, ok) = GoldenHashes.check(name, sfKey, fn(spark, sfDir))
         val status =
           if (exp.isEmpty) "no_golden" else if (ok) "pass" else "FAIL"
+        if (status == "FAIL") goldenFailures += 1
         println(s"GOLDEN $name: $status ($hash)")
         if (sys.env.contains("SPARK_GRAFT_GOLDEN_WRITE"))
           println(s"GOLDEN_TRIPLE $sfKey $name $hash")
@@ -65,5 +67,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a golden mismatch is a VALUE regression in a production hash path —
+    // fail the artifact (rc != 0), not just the log, so the driver's gate
+    // catches it even when the ScalaTest suite is skipped. no_golden rows
+    // (new SF, pre-pin) stay soft.
+    if (goldenFailures > 0) {
+      System.err.println(s"[verify] $goldenFailures golden FAILure(s)")
+      sys.exit(3)
+    }
   }
 }

@@ -164,7 +164,12 @@ case class MisraGriesTopK(
     val it = b.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // NOT writeUTF: its 64 KiB modified-UTF-8 limit would crash the
+      // partial-aggregate shuffle on whitespace-free blobs (base64,
+      // minified JS) that web corpora routinely contain as one "token"
+      val keyBytes = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(keyBytes.length)
+      out.write(keyBytes)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -177,7 +182,13 @@ case class MisraGriesTopK(
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val keyBytes = new Array[Byte](len)
+      in.readFully(keyBytes)
+      m.put(new String(keyBytes, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     new MisraGriesState(m, delta)
   }
 

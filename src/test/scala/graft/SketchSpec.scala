@@ -67,6 +67,22 @@ class SketchSpec extends AnyFunSuite {
     assert(top3 == heavy.toSet)
   }
 
+  test("tokens longer than 64 KiB survive the serialize/merge path") {
+    // writeUTF would throw UTFDataFormatException past 65535 bytes of
+    // modified UTF-8 — whitespace-free blobs (base64, minified JS) are
+    // one "token" to the whitespace tokenizer, so the summary must
+    // round-trip them through the partial-aggregate shuffle
+    val blob = "x" * 70000
+    val blobU = "é" * 40000 // 80000 UTF-8 bytes, multi-byte chars
+    val docs = Seq(s"$blob common", s"$blob common", s"$blobU common", "common")
+    val df = docs.toDF("text").repartition(3) // force serialize + merge
+    val got = TextAnalysis.approxTopTokens(df, "text", 10, capacity = 16)
+      .select("token", "count_lo").as[(String, Long)].collect().toMap
+    assert(got("common") == 4L)
+    assert(got(blob) == 2L)
+    assert(got(blobU) == 1L)
+  }
+
   test("empty corpus and null/empty text yield an empty summary") {
     val df = Seq(Option.empty[String], Some(""), Some("   "))
       .toDF("text")
