@@ -155,7 +155,25 @@ object Bench {
           // true median: average the middle two when reps is even
           if (reps % 2 == 1) s(reps / 2) else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
         }
-      name -> (median, cold)
+      // job/stage audit (one extra untimed execution of the warm body):
+      // a sub-0.2 s query paying 4-23× vs DuckDB is paying Spark's per-JOB
+      // floor — this count is the denominator of that tail, so regressions
+      // in action count (a new eager subquery, an accidental checkpoint)
+      // surface as a number, not a vibe
+      val tracker = spark.sparkContext.statusTracker
+      val jobsBefore = tracker.getJobIdsForGroup(null).toSet
+      try {
+        planned match {
+          case Some(p) => p.clone().execute().count()
+          case None =>
+            val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
+            rec()
+        }
+      } catch { case _: Throwable => () }
+      val jobIds = tracker.getJobIdsForGroup(null).toSet -- jobsBefore
+      val nStages = jobIds.toSeq
+        .flatMap(id => tracker.getJobInfo(id).map(_.stageIds.length)).sum
+      name -> (median, cold, jobIds.size, nStages)
     }
     val aqeMain = spark.conf.get("spark.sql.adaptive.enabled").toBoolean
     // ——— batched sub-floor posture ———
@@ -168,7 +186,7 @@ object Bench {
     // lens). Clone-per-rep like the warm path, so it is AQE-off only.
     val floorThresh = 0.25
     val subfloor = results.collect {
-      case (n, (w, _)) if w >= 0 && w < floorThresh &&
+      case (n, (w, _, _, _)) if w >= 0 && w < floorThresh &&
         !SparkEntry.eagerConstruction(n) => n
     }.toSeq.sorted
     val batched: Option[Double] =
@@ -230,8 +248,11 @@ object Bench {
       }
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map { case (k, (w, _)) => k -> w })
-    val qsCold = jsonMap(results.map { case (k, (_, c)) => k -> c })
+    val qs = jsonMap(results.map { case (k, (w, _, _, _)) => k -> w })
+    val qsCold = jsonMap(results.map { case (k, (_, c, _, _)) => k -> c })
+    val qsJobs = results
+      .map { case (k, (_, _, j, st)) => s"\"$k\":[$j,$st]" }
+      .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalCold = results.values.map(_._2).sum
     val batchedJson = batched.fold("")(s =>
@@ -243,7 +264,8 @@ object Bench {
         s""""queries_aqe":${jsonMap(aqeQueries)}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""total_cold":$totalCold,"queries_cold":$qsCold$batchedJson""" +
+        s""""total_cold":$totalCold,"queries_cold":$qsCold,""" +
+        s""""queries_jobs":$qsJobs$batchedJson""" +
         s"""$aqeJson,"sf":"$sfDir"}"""
     println(line)
     // also land the result as a file: the driver's log tail truncates long

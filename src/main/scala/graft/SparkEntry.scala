@@ -599,9 +599,14 @@ object SparkEntry {
     Dedup.contaminationAttribution(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "doc_id", "text", "text")
+        "doc_id", "doc_id", "text", "text",
+        // the "benchmark" here IS a held-out corpus split (half the table),
+        // the documented corpus-scale case: shuffle-hash the gram join
+        // instead of broadcasting an exploded corpus-half
+        broadcastBenchmark = false)
       .orderBy(col("bench_id"))
   }
+
 
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =

@@ -1000,10 +1000,17 @@ object Dedup {
     // grams are keyed by 64-bit hash, not string: every exchange below
     // moves (long, long) rows and gram arrays are arrays of longs
     import org.apache.spark.sql.GraftColumnBridge
+    // ONE scan+shingle pass, ONE gram-keyed exchange: the raw stream is
+    // repartitioned by gram and lazily checkpointed, so the doc-frequency
+    // aggregate AND the df-attach join both reuse that partitioning with
+    // no further exchange (previously each consumer recomputed the
+    // scan→shingle→explode chain and shuffled it independently)
     val grams = df.select(
-      col(idCol),
-      explode(GraftColumnBridge.column(graft.functions.XxHash64Array(
-        GraftColumnBridge.expression(wordNgrams(col(textCol), n))))).as("__g"))
+        col(idCol),
+        explode(GraftColumnBridge.column(graft.functions.XxHash64Array(
+          GraftColumnBridge.expression(wordNgrams(col(textCol), n))))).as("__g"))
+      .repartition(col("__g"))
+      .localCheckpoint(eager = false)
     // stop-shingle drop: count docs per gram; shuffle_hash on the count
     // side — its size estimate under the explode is tiny, and a broadcast
     // would collect one row per distinct shingle (≈ corpus token count)
@@ -1308,6 +1315,14 @@ object Dedup {
     * machinery exchanges signatures and ids, never text — at the price of
     * scanning the corpus input twice (signatures + survivors); persist
     * the input first if it is not file-backed.
+    *
+    * Shingle-less benchmark docs (< `shingleLen` tokens, or null text)
+    * are excluded from the gate: their signature is the all-sentinel
+    * array ([[minHashSignatureArray]]), which matches every other
+    * shingle-less doc at similarity 1.0 — one short eval row would
+    * silently drop every short corpus doc while carrying no
+    * contamination signal. (The raw [[minHashCrossPairs]] keeps sentinel
+    * pairs: it reports signature agreement and the caller decides.)
     */
   def fuzzyDecontaminate(
       corpus: DataFrame,
@@ -1321,7 +1336,13 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       broadcastBenchmark: Boolean = true): DataFrame = {
-    val hits = minHashCrossPairs(corpus, benchmark, idCol, benchIdCol,
+    // sentinel exclusion (scaladoc): a bench doc with no shingles emits
+    // the all-sentinel signature and would "contaminate" every short
+    // corpus doc — same kernel, same tokenization, so the predicate is
+    // exact (mirrored in streaming.FuzzyContaminationGate)
+    val bench = benchmark.filter(
+      size(wordNgrams(col(benchTextCol), shingleLen)) > 0)
+    val hits = minHashCrossPairs(corpus, bench, idCol, benchIdCol,
         textCol, benchTextCol, threshold, shingleLen, numHashes, bands,
         broadcastBenchmark)
       .select(col("id_a").as(idCol)).distinct()
@@ -1337,11 +1358,16 @@ object Dedup {
     * though it is a sliver of the page — the [[contaminationScore]]
     * per-corpus-doc fraction under-weights exactly that case).
     *
-    * Scale: benchmark gram→id pairs and per-doc gram counts broadcast
-    * (eval suites are small — same boundary as [[contaminationScore]]);
-    * the corpus side is one explode feeding the broadcast join, so corpus
-    * text never exchanges; the only shuffle carries
-    * (corpus id, bench id, count) rows.
+    * Scale: with `broadcastBenchmark` (default) the benchmark gram→id
+    * pairs and per-doc gram counts broadcast and the corpus side is one
+    * explode feeding the broadcast join, so corpus text never exchanges;
+    * the only shuffle carries (corpus id, bench id, count) rows.
+    * BOUNDARY (same as [[minHashCrossPairs]]): the broadcast is sized for
+    * a real eval suite (KBs–MBs of text, millions of grams at most). A
+    * corpus-for-benchmark argument swap — or held-out-split attribution
+    * where the "benchmark" IS corpus-scale — must pass
+    * `broadcastBenchmark = false`, which shuffle-hash-joins both gram
+    * streams on the gram key instead (no driver-sized structure anywhere).
     * Returns (bench_id, n_contaminated_docs, max_overlap) for benchmark
     * docs with ≥1 hit.
     */
@@ -1353,29 +1379,104 @@ object Dedup {
       textCol: String,
       benchTextCol: String,
       n: Int = 3,
-      minFraction: Double = 0.5): DataFrame = {
+      minFraction: Double = 0.5,
+      broadcastBenchmark: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(c, n))))
+    // each bench doc's gram-set size rides ALONGSIDE its exploded grams
+    // (two selects — not one — so explode references a resolved column,
+    // not a lateral alias): no separate benchmark-sizes scan, aggregate,
+    // or broadcast join anywhere in the plan
     val benchGrams = benchmark
       .select(col(benchIdCol).as("bench_id"),
-        explode(gramHashes(col(benchTextCol))).as("__g"))
-    val benchSizes = benchGrams.groupBy(col("bench_id"))
-      .agg(count(lit(1)).as("__nb"))
+        gramHashes(col(benchTextCol)).as("__gs"))
+      .select(col("bench_id"), size(col("__gs")).as("__nb"),
+        explode(col("__gs")).as("__g"))
     val corpusGrams = corpus
       .select(col(idCol).as("__cid"),
         explode(gramHashes(col(textCol))).as("__g"))
-    corpusGrams
-      .join(broadcast(benchGrams), Seq("__g"))
+    val hits =
+      if (broadcastBenchmark) corpusGrams.join(broadcast(benchGrams), Seq("__g"))
+      else corpusGrams.hint("shuffle_hash")
+        .join(benchGrams.hint("shuffle_hash"), Seq("__g"))
+    attributionFromHits(hits, minFraction)
+  }
+
+  /** (cid, bench_id, nb) hit rows → per-benchmark-doc attribution — the
+    * shared tail of [[contaminationAttribution]] / [[contaminationReport]].
+    * `__nb` is constant per bench_id (carried through the explode), so
+    * max() recovers it without a sizes join. */
+  private def attributionFromHits(
+      hits: DataFrame,
+      minFraction: Double): DataFrame =
+    hits
       .groupBy(col("__cid"), col("bench_id"))
-      .agg(count(lit(1)).as("__shared"))
-      .join(broadcast(benchSizes), Seq("bench_id"))
+      .agg(count(lit(1)).as("__shared"), max(col("__nb")).as("__nb"))
       .filter(col("__shared") >= col("__nb") * lit(minFraction))
       .groupBy(col("bench_id"))
       .agg(count(lit(1)).as("n_contaminated_docs"),
         round(max(col("__shared").cast("double") / col("__nb")), 6)
           .as("max_overlap"))
+
+  /** BOTH contamination directions from ONE corpus gram pass — what a real
+    * decontamination run ships: the per-corpus-doc score frame (gates the
+    * corpus) and the per-benchmark-doc attribution report (names the leaks).
+    * Run separately, [[contaminationScore]] and [[contaminationAttribution]]
+    * each explode the corpus's n-grams — the dominant cost at corpus scale.
+    * Here the exploded `(cid, gram)` frame and the gram-level hit join are
+    * computed once (lazily `localCheckpoint`ed, materialized by the first
+    * consumer; swap for reliable `.checkpoint()` on a cluster) and both
+    * outputs aggregate from them.
+    *
+    * Returns (scores, attribution) with schemas identical to
+    * [[contaminationScore]] / [[contaminationAttribution]] — value-equality
+    * against the separate runs is pinned in ContaminationReportSpec.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 3,
+      minFraction: Double = 0.5,
+      broadcastBenchmark: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def gramHashes(c: Column): Column = GraftColumnBridge.column(
+      graft.functions.XxHash64Array(
+        GraftColumnBridge.expression(wordNgrams(c, n))))
+    val corpusGrams = corpus
+      .select(col(idCol).as("__cid"),
+        explode(gramHashes(col(textCol))).as("__g"))
+      .localCheckpoint(eager = false) // ONE corpus explode for both outputs
+    val benchGrams = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        gramHashes(col(benchTextCol)).as("__gs"))
+      .select(col("bench_id"), size(col("__gs")).as("__nb"),
+        explode(col("__gs")).as("__g"))
+      .localCheckpoint(eager = false)
+    // gram-level hits (cid, g, bench_id, nb): both aggregates consume this
+    val hits =
+      (if (broadcastBenchmark) corpusGrams.join(broadcast(benchGrams), Seq("__g"))
+       else corpusGrams.hint("shuffle_hash")
+         .join(benchGrams.hint("shuffle_hash"), Seq("__g")))
+        .localCheckpoint(eager = false)
+    // score direction: a gram hitting k bench docs still counts ONCE for
+    // the corpus doc's contaminated fraction (mirrors contaminationScore's
+    // distinct bench gram set)
+    val contaminated = hits.select(col("__cid"), col("__g")).distinct()
+      .groupBy(col("__cid")).agg(count(lit(1)).as("__nc"))
+    val scores = corpusGrams.groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(contaminated, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol), col("n_grams"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("__nc"), lit(0L)) / col("n_grams"), 6)
+          .as("contamination"))
+    (scores, attributionFromHits(hits, minFraction))
   }
 
   /** Persist a corpus's production MinHash signatures as parquet

@@ -11,17 +11,39 @@ import org.apache.spark.sql.functions._
   * mining; it is also the classical "search this corpus" operator.
   *
   * Scale shape (the point of the design): the corpus text is tokenized
-  * EXACTLY ONCE into a lazily-checkpointed narrow `(doc, term, tf)`
-  * posting frame — document length, document frequency, and the scoring
-  * join all re-read its materialized blocks. The query side (queries ×
+  * EXACTLY ONCE, MAP-SIDE, into a lazily-checkpointed denormalized
+  * posting frame `(doc, dl, term, tf)` — term frequency and document
+  * length are per-document statistics, so the [[graft.functions.TokenTfs]]
+  * kernel computes both in one eval per row and the posting frame needs
+  * NO exchange at all (the old explode → groupBy(doc, term) →
+  * groupBy(doc)-join shape shuffled the corpus-sized posting stream
+  * twice for values a map stage produces). The query side (queries ×
   * query terms, with their IDFs) is KBs and always broadcast, so the only
-  * corpus-sized exchanges are the posting aggregation itself, the narrow
-  * `(doc, len)` attach, and the per-(query, doc) score aggregation over
-  * CANDIDATES (docs sharing ≥1 query term) — never an all-pairs join. The
-  * final ranking is the bounded-heap [[graft.ops.TopK]] operator, not a
+  * corpus-sized exchanges are the narrow distinct `(doc, dl)` collection
+  * statistic and the per-(query, doc) score aggregation over CANDIDATES
+  * (docs sharing ≥1 query term) — never an all-pairs join. The final
+  * ranking is the bounded-heap [[graft.ops.TopK]] operator, not a
   * Window: O(queries · k) state, no per-query sort.
   */
 object Retrieval {
+
+  /** The one-scan, zero-shuffle posting frame `(idCol, dlCol, termCol,
+    * tfCol)`: one row per (document, distinct kept token). Docs with no
+    * kept token emit no row (they can never match and are out of the
+    * collection statistics by construction). */
+  private def postings(
+      corpus: DataFrame, idCol: String, textCol: String,
+      termCol: String, tfCol: String, dlCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    corpus
+      .select(col(idCol), GraftColumnBridge.column(graft.functions.TokenTfs(
+        GraftColumnBridge.expression(col(textCol)))).as("__k"))
+      .select(col(idCol), col("__k").getField("dl").as(dlCol),
+        explode(col("__k").getField("tfs")).as("__p"))
+      .select(col(idCol), col(dlCol),
+        col("__p").getField("term").as(termCol),
+        col("__p").getField("tf").as(tfCol))
+  }
 
   /** Okapi BM25 top-k documents per query.
     *
@@ -53,22 +75,17 @@ object Retrieval {
       s"query and document id columns must differ, both are '$idCol'")
     requireNotReserved(idCol, queryIdCol)
 
-    // ONE text scan: the posting frame is the checkpoint every downstream
-    // statistic derives from (the fitUnigramModel pattern)
-    val tf = corpus
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .filter(length(col("__t")) > 0)
-      .groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).as("__tf"))
+    // ONE text scan, zero exchanges: the map-side posting frame is the
+    // checkpoint every downstream statistic derives from
+    val tf = postings(corpus, idCol, textCol, "__t", "__tf", "__dl")
       .localCheckpoint(eager = false)
 
-    // narrow (doc, len) frame + one-row collection stats
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    // narrow (doc, len) collection stats off the denormalized dl column.
     // avgdl via exact long sum then one double division (avg() would sum
     // doubles in Spark but exact integers in DuckDB — an engine-visible
     // ulp); the long sum is order-independent, so both engines agree
     // bit-for-bit
-    val stats = dl.agg(
+    val stats = tf.select(col(idCol), col("__dl")).distinct().agg(
       count(lit(1)).cast("double").as("__N"),
       (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
 
@@ -98,12 +115,10 @@ object Retrieval {
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
 
-    // candidates: postings × broadcast query arm; attach doc length via
-    // the narrow doc-grain join (the only corpus-sized equi-join, both
-    // sides derived from the one checkpoint)
+    // candidates: postings × broadcast query arm — doc length is already
+    // on every posting row, so no doc-grain join exists at all
     val scored = tf
       .join(broadcast(qArm), Seq("__t"))
-      .join(dl, Seq(idCol))
       .withColumn("__s",
         col("__idf") * col("__tf") * (lit(k1) + 1.0)
           / (col("__tf")
@@ -130,8 +145,8 @@ object Retrieval {
   /** Internal/output column names of the posting machinery: an id column
     * sharing one would silently collide with them (the same class of bug
     * the id-collision require catches — advisor round-8). */
-  private val ReservedCols = Set("__t", "term", "tf", "dl", "df",
-    "score", "rank", "tfidf")
+  private val ReservedCols = Set("__t", "__tf", "__dl", "__k", "__p",
+    "term", "tf", "dl", "df", "score", "rank", "tfidf")
 
   private def requireNotReserved(cols: String*): Unit =
     cols.foreach(c => require(!ReservedCols(c),
@@ -141,13 +156,9 @@ object Retrieval {
   def buildIndex(
       corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
     requireNotReserved(idCol)
-    val tf = corpus
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, Seq(idCol))
+    // one map pass — the TokenTfs kernel emits tf and dl together, so the
+    // old groupBy + doc-grain join (two corpus-sized exchanges) is gone
+    postings(corpus, idCol, textCol, "term", "tf", "dl")
       .select(col(idCol), col("term"), col("tf"), col("dl"))
   }
 
@@ -223,15 +234,12 @@ object Retrieval {
       vocab: Seq[String], roundTo: Int = 4): DataFrame = {
     require(vocab.nonEmpty, "vocab must be non-empty")
     requireNotReserved(idCol)
-    val tf = corpus
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = postings(corpus, idCol, textCol, "term", "tf", "dl")
+      .select(col(idCol), col("term"), col("tf"))
       .localCheckpoint(eager = false)
     // N = docs with ≥1 kept token, same collection-statistics choice as
-    // bm25TopK (two narrow aggregates over the checkpoint, one row out)
-    val stats = tf.groupBy(col(idCol)).agg(count(lit(1)).as("__x"))
+    // bm25TopK (one narrow distinct over the checkpoint, one row out)
+    val stats = tf.select(col(idCol)).distinct()
       .agg(count(lit(1)).cast("double").as("__N"))
     val vocabDf = corpus.sparkSession
       .createDataFrame(vocab.distinct.map(Tuple1(_)))

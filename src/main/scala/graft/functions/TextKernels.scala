@@ -622,27 +622,39 @@ object DeflateSizes {
 
 /** Maximum agreeing-position count between a document's MinHash
   * signature and a BENCHMARK signature set, with candidates restricted
-  * to signatures sharing at least one exact band slice — the per-row
-  * fold of the cross-corpus banded pair join
-  * ([[graft.ext.Dedup.minHashCrossPairs]]) for the streaming gate:
-  * every signature of a document lives in that document's own row, so
-  * the whole candidate+verify step is ONE map-only eval against a
-  * reference index (band slice → candidate signatures) built lazily per
-  * task from the benchmark array. Candidate generation by exact slice
-  * equality is the join's band-hash equality minus its xxhash64
-  * collisions (a collision there adds a spurious candidate whose
-  * similarity is then verified anyway — the outputs differ only if two
-  * DIFFERENT slices collide at 64 bits AND that pair alone clears the
-  * threshold, ~2⁻⁶⁴ per pair). Returns 0 for a doc with no banded
-  * candidate.
+  * to signatures sharing at least one band (by 64-bit band-slice hash —
+  * the same candidate rule as the cross-corpus banded pair join in
+  * [[graft.ext.Dedup.minHashCrossPairs]]) — the per-row fold of that
+  * join for the streaming gate: every signature of a document lives in
+  * that document's own row, so the whole candidate+verify step is ONE
+  * map-only eval against a reference index built lazily per expression
+  * instance from the benchmark signatures. A slice-hash collision adds
+  * a spurious candidate whose similarity is then verified exactly — the
+  * output differs from exhaustive search only if a collision pair alone
+  * clears the caller's threshold (~2⁻⁶⁴ per pair, the join path's own
+  * collision budget). Returns 0 for a doc with no banded candidate.
+  *
+  * Memory (the reason for this layout): benchmark signatures are stored
+  * FLAT as one primitive `Array[Long]` (`numSigs × sigLen` — 8 B per
+  * hash, no boxing; this is what Java-serializes with the plan), and the
+  * per-instance lazy index is two parallel primitive arrays
+  * (slice-hash keys + signature ordinals, sorted, binary-searched) at
+  * 12 B per (sig, band) entry — no HashMap entry / boxed-key overhead.
+  * At [[graft.streaming.FuzzyContaminationGate.MaxBenchmarkSigs]] sigs
+  * (2²⁰) × 32 hashes × 8 bands: flat 256 MB + index 96 MB.
   */
 case class MaxBandedSigAgreement(
     child: Expression,
-    benchSigs: Seq[Seq[Long]],
+    benchSigsFlat: Array[Long],
+    sigLen: Int,
     bands: Int,
     rowsPerBand: Int)
     extends UnaryExpression {
   require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
+  require(sigLen == bands * rowsPerBand,
+    s"sigLen ($sigLen) must equal bands*rowsPerBand (${bands * rowsPerBand})")
+  require(benchSigsFlat.length % sigLen == 0,
+    s"flat benchmark array (${benchSigsFlat.length}) is not a multiple of sigLen ($sigLen)")
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = child.nullable
@@ -653,48 +665,107 @@ case class MaxBandedSigAgreement(
         s"MaxBandedSigAgreement requires array<bigint>, got ${other.simpleString}")
     }
 
-  /** band-slice → candidate benchmark signatures. Built once per
-    * deserialized expression instance (per task), read-only afterwards. */
-  @transient private lazy val index: java.util.HashMap[(Int, Seq[Long]), java.util.ArrayList[Array[Long]]] = {
-    val m = new java.util.HashMap[(Int, Seq[Long]), java.util.ArrayList[Array[Long]]]()
-    benchSigs.foreach { s =>
-      val arr = s.toArray
+  private def mix64(z0: Long): Long = { // splitmix64 finalizer
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def sliceHash(a: Array[Long], off: Int, band: Int): Long = {
+    var h = mix64(band.toLong)
+    var i = 0
+    while (i < rowsPerBand) { h = mix64(h ^ a(off + i)); i += 1 }
+    h
+  }
+
+  /** (sorted slice-hash keys, parallel signature ordinals). Built once
+    * per deserialized expression instance, read-only afterwards. */
+  @transient private lazy val index: (Array[Long], Array[Int]) = {
+    val numSigs = benchSigsFlat.length / sigLen
+    val n = numSigs * bands
+    val keys = new Array[Long](n)
+    val sigIdx = new Array[Int](n)
+    var i = 0
+    var p = 0
+    while (i < numSigs) {
       var b = 0
       while (b < bands) {
-        val key = (b, arr.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq)
-        var lst = m.get(key)
-        if (lst == null) { lst = new java.util.ArrayList[Array[Long]](); m.put(key, lst) }
-        lst.add(arr)
+        keys(p) = sliceHash(benchSigsFlat, i * sigLen + b * rowsPerBand, b)
+        sigIdx(p) = i
+        p += 1
         b += 1
       }
+      i += 1
     }
-    m
+    sortParallel(keys, sigIdx, 0, n - 1)
+    (keys, sigIdx)
+  }
+
+  /** dual-array quicksort (median-of-3, insertion below 16): keeps the
+    * index fully primitive — java.util.Arrays cannot co-sort a payload. */
+  private def sortParallel(k: Array[Long], v: Array[Int], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (hi - lo >= 16) {
+      val mid = lo + (hi - lo) / 2
+      // median-of-3 pivot
+      val piv = {
+        val a = k(lo); val b = k(mid); val c = k(hi)
+        if (a < b) { if (b < c) b else if (a < c) c else a }
+        else { if (a < c) a else if (b < c) c else b }
+      }
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (k(i) < piv) i += 1
+        while (k(j) > piv) j -= 1
+        if (i <= j) {
+          val tk = k(i); k(i) = k(j); k(j) = tk
+          val tv = v(i); v(i) = v(j); v(j) = tv
+          i += 1; j -= 1
+        }
+      }
+      // recurse into the smaller half, loop on the larger (O(log n) stack)
+      if (j - lo < hi - i) { sortParallel(k, v, lo, j); lo = i }
+      else { sortParallel(k, v, i, hi); hi = j }
+    }
+    var i = lo + 1
+    while (i <= hi) {
+      val tk = k(i); val tv = v(i)
+      var j = i - 1
+      while (j >= lo && k(j) > tk) { k(j + 1) = k(j); v(j + 1) = v(j); j -= 1 }
+      k(j + 1) = tk; v(j + 1) = tv
+      i += 1
+    }
   }
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val k = arr.numElements()
+    if (k != sigLen) return 0 // no equal-length candidate can exist
     val sig = new Array[Long](k)
     var i = 0
     while (i < k) { sig(i) = arr.getLong(i); i += 1 }
+    val (keys, sigIdx) = index
     var best = 0
-    val seen = new java.util.HashSet[Array[Long]]() // identity set: each
-    // benchmark sig is ONE array instance shared across its band buckets
+    val seen = new java.util.HashSet[Integer]() // candidate ordinals already verified
     var b = 0
     while (b < bands) {
-      val key = (b, sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).toSeq)
-      val cands = index.get(key)
-      if (cands != null) {
-        var j = 0
-        while (j < cands.size()) {
-          val cand = cands.get(j)
-          if (seen.add(cand) && cand.length == k) {
+      val key = sliceHash(sig, b * rowsPerBand, b)
+      var pos = java.util.Arrays.binarySearch(keys, key)
+      if (pos >= 0) {
+        while (pos > 0 && keys(pos - 1) == key) pos -= 1 // run start
+        while (pos < keys.length && keys(pos) == key) {
+          val cand = sigIdx(pos)
+          if (seen.add(cand)) {
+            val off = cand * sigLen
             var mc = 0
             var p = 0
-            while (p < k) { if (cand(p) == sig(p)) mc += 1; p += 1 }
+            while (p < k) { if (benchSigsFlat(off + p) == sig(p)) mc += 1; p += 1 }
             if (mc > best) best = mc
           }
-          j += 1
+          pos += 1
         }
       }
       b += 1

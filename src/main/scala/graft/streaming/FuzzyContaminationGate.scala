@@ -33,8 +33,11 @@ import graft.ext.Dedup
 object FuzzyContaminationGate {
 
   /** Hard cap on collected benchmark signatures: 1M sigs × 32 hashes
-    * × 8 B = 256 MB on the driver — generous for any real eval suite,
-    * fatal-with-a-diagnostic for an argument swap. */
+    * × 8 B = 256 MB flat primitive array + 96 MB sorted band index per
+    * executor (the kernel stores signatures UNBOXED — see
+    * [[graft.functions.MaxBandedSigAgreement]]'s memory note) — generous
+    * for any real eval suite, fatal-with-a-diagnostic for an argument
+    * swap. */
   val MaxBenchmarkSigs: Int = 1 << 20
 
   /** Appends `max_benchmark_similarity` (max agreeing-hash fraction vs
@@ -56,10 +59,16 @@ object FuzzyContaminationGate {
     import org.apache.spark.sql.GraftColumnBridge
     val rowsPerBand = numHashes / bands
     // benchmark signatures → driver, once, at gate-build time; guarded
-    // limit so a corpus-for-benchmark swap dies loudly, not with an OOM
+    // limit so a corpus-for-benchmark swap dies loudly, not with an OOM.
+    // Shingle-less benchmark docs (< shingleLen tokens, or null text) are
+    // EXCLUDED: their all-sentinel signature carries no contamination
+    // signal, and keeping it would score every shingle-less corpus doc as
+    // similarity 1.0 — one short eval row silently dropping every short
+    // corpus doc (mirrored in Dedup.fuzzyDecontaminate; parity spec'd)
     val capped = Dedup.minHashSignatureArray(
         benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
         "__bid", benchTextCol, shingleLen, numHashes)
+      .filter(col("__sig").getItem(0) =!= lit(Dedup.MinHashP))
       .select(col("__sig")).limit(maxBenchmarkSigs + 1).collect()
     if (capped.length > maxBenchmarkSigs)
       throw new IllegalArgumentException(
@@ -68,13 +77,20 @@ object FuzzyContaminationGate {
           "signature index. Did you swap the corpus and benchmark " +
           "arguments? For a corpus-scale benchmark use the batch " +
           "fuzzyDecontaminate(broadcastBenchmark = false).")
-    val benchSigs: Seq[Seq[Long]] = capped.map(_.getSeq[Long](0)).toSeq
+    val flat = new Array[Long](capped.length * numHashes)
+    var i = 0
+    while (i < capped.length) {
+      val s = capped(i).getSeq[Long](0)
+      var j = 0
+      while (j < numHashes) { flat(i * numHashes + j) = s(j); j += 1 }
+      i += 1
+    }
     val sig: Column =
       Dedup.minHashSignatureColumn(col(textCol), shingleLen, numHashes)
     val best =
-      if (benchSigs.isEmpty) lit(0) // nothing can leak from an empty suite
+      if (flat.isEmpty) lit(0) // nothing can leak from an empty suite
       else GraftColumnBridge.column(graft.functions.MaxBandedSigAgreement(
-        GraftColumnBridge.expression(sig), benchSigs, bands, rowsPerBand))
+        GraftColumnBridge.expression(sig), flat, numHashes, bands, rowsPerBand))
     docs.withColumn("max_benchmark_similarity",
       round(best.cast("double") / lit(numHashes.toDouble), 6))
   }

@@ -71,13 +71,28 @@ class CrossDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("fuzzyDecontaminate drops exactly the pair hits; exact cross-dups die") {
+  test("fuzzyDecontaminate drops exactly the pair hits against the " +
+      "shingle-bearing benchmark; exact cross-dups die; short corpus docs " +
+      "survive sentinel bench docs") {
     val docs = randomCorpus(33, 40)
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val bench = docs.filter(col("doc_id") % 2 === 1)
-    val hits = Dedup.minHashCrossPairs(corpus, bench, "doc_id", "doc_id",
+    // the gate excludes shingle-less bench docs (all-sentinel signatures
+    // carry no contamination signal — they would drop every short corpus
+    // doc); the model therefore pairs against the FILTERED bench
+    val benchReal = bench.filter(size(Dedup.wordNgrams(col("text"), 3)) > 0)
+    assert(bench.count() > benchReal.count(),
+      "fixture must contain shingle-less bench docs for this test to bite")
+    val hits = Dedup.minHashCrossPairs(corpus, benchReal, "doc_id", "doc_id",
         "text", "text", threshold = 0.7)
       .select("id_a").distinct().as[Long].collect().toSet
+    // a shingle-less CORPUS doc must never be a hit once sentinel bench
+    // docs are excluded (nothing real can band-match the sentinel slice)
+    val shortCorpus = corpus
+      .filter(size(Dedup.wordNgrams(col("text"), 3)) <= 0 ||
+        Dedup.wordNgrams(col("text"), 3).isNull)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shortCorpus.intersect(hits).isEmpty)
     val kept = Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "doc_id",
         "text", "text", threshold = 0.7)
       .select("doc_id").as[Long].collect().toSet

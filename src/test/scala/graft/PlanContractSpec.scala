@@ -155,18 +155,25 @@ class PlanContractSpec extends AnyFunSuite {
       s"text_compression shuffles beyond the ordering exchange:\n$c")
   }
 
-  test("contamination attribution broadcasts the benchmark arms; the " +
-      "corpus side reaches the gram join unshuffled") {
+  test("contamination attribution: held-out-split posture shuffle-hashes " +
+      "the gram join, no sizes join, text never exchanges") {
     val p = plans("text_contamination_report")
-    // two broadcast builds (bench grams + bench sizes); the corpus gram
-    // explode pipelines into the gram join, so no hash exchange may carry
-    // the gram column or text — only (cid, bench_id)-grain aggregate rows
-    assert(p.contains("BroadcastHashJoin"),
-      s"text_contamination_report lost its broadcast benchmark build:\n$p")
-    val exchanges = p.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    exchanges.foreach(l => assert(!l.contains("__g#") && !l.contains("text#"),
-      s"text_contamination_report shuffles the gram stream or text:\n$l"))
+    // the query's "benchmark" is half the corpus (held-out split), the
+    // documented broadcastBenchmark=false case: the gram join must be
+    // shuffle-hash (a broadcast would build an exploded corpus-half), and
+    // the per-bench-doc gram count rides the explode — no second benchmark
+    // scan, aggregate, or sizes join anywhere
+    assert(p.contains("ShuffledHashJoin"),
+      s"text_contamination_report gram join is not shuffle-hash:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"text_contamination_report grew a broadcast (sizes join came back?):\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"text_contamination_report scans beyond corpus+bench (sizes rescan?):\n$p")
+    // hash exchanges may carry the 8-byte gram keys (that IS the shuffle-
+    // hash plan) but never document text
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"),
+        s"text_contamination_report shuffles document text:\n$l"))
   }
 
   test("span dedup: window streams join shuffle-hash; text never enters " +

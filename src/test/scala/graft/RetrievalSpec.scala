@@ -59,6 +59,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._4) == Seq(1, 2, 3, 1)) // ranks dense from 1 per query
   }
 
+  test("TokenTfs posting frame == explode/groupBy posting frame") {
+    // the kernel replaced a corpus-shuffling explode → groupBy(doc, term)
+    // → groupBy(doc)-join chain; values must be identical on adversarial
+    // tokenization shapes (nulls, empties, repeated/multi-whitespace)
+    val docs = Seq(
+      (1L, Some("a b a  c\ta")), (2L, Some("  leading and trailing  ")),
+      (3L, Some("")), (4L, None), (5L, Some("x")),
+      (6L, Some("x x x y y z"))).toDF("doc_id", "text")
+    val naive = {
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.ext.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    }
+    val got = Retrieval.buildIndex(docs, "doc_id", "text")
+    assert(got.collect().map(_.toSeq).toSet === naive.collect().map(_.toSeq).toSet)
+  }
+
   test("bm25TopK: OOV query terms contribute nothing; all-OOV query matches nothing") {
     val q = Seq((1, "banana zzz"), (2, "zzz yyy")).toDF("qid", "qtext")
     val got = Retrieval.bm25TopK(
