@@ -37,6 +37,7 @@ object ScaleSmoke {
     // carried between the signature-index blocks; rebuilt on demand when
     // SPARK_GRAFT_SMOKE_ONLY skips the write block
     var smokeSigDir: String = null
+    var smokeSpanDir: String = null
     val only = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
       .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty) // empty/blank filter would match every block
@@ -371,6 +372,175 @@ object ScaleSmoke {
         .select(greatest(col("id_a"), col("id_b")).as("doc_id"))
       smokeShard.join(vsHistory.unionByName(within).distinct(),
         Seq("doc_id"), "left_anti").count()
+    }
+    // skewed-benchmark contamination: ONE boilerplate benchmark doc whose
+    // grams sit in 50% of a 500k-doc corpus — the worst case for the
+    // (cid, bench_id) shuffle (the hot gram's join output is 250k rows for
+    // that one bench doc) and for the fuzzy gate's banded verify. Partial
+    // aggregation must bound it: map-side (cid, bench_id) combining means
+    // no reducer ever sees the hot benchmark doc's raw gram hits in one
+    // task. Wall time must stay in line with the balanced gate blocks.
+    val boiler = "subscribe to our newsletter for updates and offers today"
+    val skewDocs = spark.range(500000L).select(
+      col("id").as("doc_id"),
+      concat(
+        when(col("id") % 2 === 0, lit(boiler + " ")).otherwise(lit("")),
+        lit("doc body token "), col("id").cast("string"),
+        lit(" filler "), pmod(col("id"), lit(1000)).cast("string")).as("text"))
+    val skewBench = spark.range(3L).select(
+      (col("id") + 1000000L).as("doc_id"),
+      when(col("id") === 0, lit(boiler))
+        .otherwise(concat(lit("benign eval question "),
+          col("id").cast("string"), lit(" unique phrasing nothing shared")))
+        .as("text"))
+    timed("skewed-bench contam score") {
+      graft.ext.Dedup.contaminationScore(
+          skewDocs, skewBench, "doc_id", "text")
+        .agg(sum(col("n_contaminated")).cast("long").as("c")).head().getLong(0)
+    }
+    timed("skewed-bench attribution") {
+      graft.ext.Dedup.contaminationAttribution(
+        skewDocs, skewBench, "doc_id", "doc_id", "text", "text").count()
+    }
+    timed("skewed-bench fuzzy gate") {
+      // the hot bench doc's band buckets hold 250k corpus candidates; the
+      // gate's per-row kernel verify must stay map-only (no pair exchange)
+      graft.streaming.FuzzyContaminationGate.withMaxSimilarity(
+          skewDocs, skewBench, "text", "text")
+        .agg(sum(when(col("max_benchmark_similarity") >= 0.7, 1L)
+          .otherwise(0L)).as("c")).head().getLong(0)
+    }
+    // incremental span-dedup: the ExactSubstr analogue of the signature
+    // index — mask an increment's history-repeated spans from the
+    // PERSISTED (h1, h2, id, pos) frame vs re-window-hashing the full
+    // history per increment. Same honest-IO caveat as the sig index:
+    // these synthetic texts are tiny, so local times run close; the win
+    // scales with text size (the history text is never read — or kept)
+    timed("span index write 45k history") {
+      val dir = java.nio.file.Files.createTempDirectory("smoke_spanidx").toString
+      graft.ext.Dedup.writeSpanIndex(smokeHistory, "doc_id", "text",
+        dir, n = 20)
+      smokeSpanDir = dir
+      spark.read.parquet(dir).count()
+    }
+    timed("span increment vs index") {
+      if (smokeSpanDir == null) { // write block skipped via SMOKE_ONLY
+        smokeSpanDir = java.nio.file.Files.createTempDirectory("smoke_spanidx").toString
+        graft.ext.Dedup.writeSpanIndex(smokeHistory, "doc_id", "text",
+          smokeSpanDir, n = 20)
+      }
+      graft.ext.Dedup.dropRepeatedSpansIncrement(smokeShard,
+          spark.read.parquet(smokeSpanDir), "doc_id", "text", n = 20)
+        .agg(sum(length(col("text")))).count()
+    }
+    timed("span increment recompute") {
+      // the same masking WITHOUT the index: window-hash history + shard
+      graft.ext.Dedup.dropRepeatedSpans(
+          smokeHistory.unionByName(smokeShard), "doc_id", "text", n = 20)
+        .join(smokeShard.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .agg(sum(length(col("text")))).count()
+    }
+    // pipeline_curate at x100 (500k docs, 200k vectors): per-stage wall
+    // times via eager cuts between stages (each number is ONE stage's
+    // true cost), then the COMPOSED chain end-to-end with its scan count
+    // — the super-linearity check for the checkpoint strategy and stage
+    // ordering (a stage whose x100 time is >>10x its x10 share would
+    // surface here)
+    val big100 = docs
+      .select(col("doc_id"), col("text"), col("lang"),
+        explode(sequence(lit(0), lit(99))).as("__k"))
+      .select((col("doc_id") + col("__k") * lit(100000L)).as("doc_id"),
+        col("text"), col("lang"))
+    val emb100 = {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      emb.select(col("vec_id"), col("embedding"), col("label"),
+          explode(sequence(lit(0), lit(99))).as("__k"))
+        .select((col("vec_id") + col("__k") * lit(100000L)).as("vec_id"),
+          col("embedding"), col("label"))
+    }
+    val bench100 = docs.filter(col("doc_id") % 97 === 3)
+    // the staged x100 blocks share mutable state (each stage's eager cut
+    // feeds the next), so the group runs when ANY of its block names
+    // matches the SMOKE_ONLY filter; with a partial match the skipped
+    // stages' work simply folds into the next selected stage's timing
+    val x100StageNames = (1 to 6).map(i => s"x100 stage $i")
+    // timedKeep: the stage chain's eager checkpoints must SURVIVE their
+    // own timed block (the next stage reads those blocks) — cleanup runs
+    // once for the whole group below
+    def timedKeep(name: String)(f: => Long): Unit =
+      if (only.forall(_.exists(name.toLowerCase.contains))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
+      }
+    if (only.forall(fs => x100StageNames.exists(n => fs.exists(n.contains)))) {
+      val groupBefore = spark.sparkContext.getPersistentRDDs.keySet
+      var stage = graft.ext.TextAnalysis.qualityFeatures(
+          graft.ext.TextAnalysis.langId(
+            big100.withColumn("text",
+              graft.ext.TextAnalysis.unicodeNormalize(col("text"))),
+            "text", "predicted_lang"), "text")
+        .filter(col("n_words") >= 5 && col("stop_ratio") <= 0.9 &&
+          col("quality_score") > 0.2)
+      timedKeep("x100 stage 1 gates 500k") {
+        stage = stage.localCheckpoint(); stage.count()
+      }
+      timedKeep("x100 stage 2 exact dedup") {
+        stage = graft.ext.Dedup.exact(stage, Seq("text"), "doc_id")
+          .localCheckpoint()
+        stage.count()
+      }
+      timedKeep("x100 stage 3 near-dup clusters") {
+        val pairs = graft.ext.Dedup.minHashNearDuplicates(
+          stage, "doc_id", "text", threshold = 0.7)
+        val losers = graft.ext.Dedup.duplicateClusters(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        stage = stage.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+        stage.count()
+      }
+      timedKeep("x100 stage 4 embedding sweep") {
+        val vecs = emb100.join(
+          stage.select(col("doc_id").as("vec_id")), "vec_id")
+        val vecLosers = graft.ext.Similarity.embeddingNearDuplicates(
+            vecs, "vec_id", "embedding", "label", 0.995)
+          .select(col("id_b").as("doc_id")).distinct()
+        stage = stage.join(vecLosers, Seq("doc_id"), "left_anti").localCheckpoint()
+        stage.count()
+      }
+      timedKeep("x100 stage 5 decontam gate") {
+        stage = graft.streaming.ContaminationGate.withScore(
+            stage, bench100, "text")
+          .filter(col("contamination") < 0.5)
+          .drop("n_grams", "n_contaminated", "contamination")
+          .localCheckpoint()
+        stage.count()
+      }
+      timedKeep("x100 stage 6 redact+account") {
+        val red = graft.ext.Redaction.redact(stage, "text", counts = false)
+          .drop("text").withColumnRenamed("redacted", "text")
+        red.select(col("predicted_lang"),
+            graft.ext.TextAnalysis.tokenCount(col("text")).as("n"))
+          .groupBy(col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("total_tokens"))
+          .count()
+      }
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!groupBefore.contains(id)) rdd.unpersist(blocking = false) }
+      System.gc()
+    }
+    timed("pipeline x100 composed 500k") {
+      val (curated, _, _) = graft.examples.DataPipeline.curate(
+        big100, emb100, benchmark = Some(bench100))
+      val plan = curated.queryExecution.executedPlan.toString
+      val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+      // 0 here is the POINT: every corpus read sits behind the two lazy
+      // checkpoint cuts, so the serving segment re-reads materialized
+      // blocks (Scan ExistingRDD), never the parquet
+      println(s"  [pipeline x100] parquet scans in the final serving " +
+        s"segment: $scans (corpus reads live behind the checkpoint cuts)")
+      curated.count()
     }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape

@@ -1587,15 +1587,20 @@ object Dedup {
     * `withKeeper` costs a SortAggregate (min over a struct has no hash
     * aggregation); [[repeatedSpans]] skips it and keeps the cheap
     * count-only hash aggregate. */
-  private def repeatedSpanOccurrences(
-      df: DataFrame, idCol: String, textCol: String, n: Int,
-      withKeeper: Boolean): DataFrame = {
+  private def spanWindowOccurrences(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    val occ = df.select(col(idCol),
+    df.select(col(idCol),
         posexplode(GraftColumnBridge.column(graft.functions.TokenWindowHashes(
           GraftColumnBridge.expression(col(textCol)), n))).as(Seq("__p", "__w")))
       .select(col(idCol), (col("__p") + lit(1)).cast("long").as("__pos"),
         col("__w.h1").as("__h1"), col("__w.h2").as("__h2"))
+  }
+
+  private def repeatedSpanOccurrences(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      withKeeper: Boolean): DataFrame = {
+    val occ = spanWindowOccurrences(df, idCol, textCol, n)
     val aggs =
       if (withKeeper) Seq(count(lit(1)).as("__cnt"),
         min(struct(col(idCol), col("__pos"))).as("__keep"))
@@ -1648,12 +1653,22 @@ object Dedup {
     require(!df.columns.contains("__starts"),
       "dropRepeatedSpans uses the internal column name '__starts' — " +
         "rename or drop it first")
-    import org.apache.spark.sql.GraftColumnBridge
     val dropped = repeatedSpanOccurrences(df, idCol, textCol, n,
         withKeeper = true)
       .filter(!(col(idCol) === col("__keep")(idCol) &&
         col("__pos") === col("__keep")("__pos")))
       .select(col(idCol), col("__pos"))
+    rewriteWithoutSpans(df, dropped, idCol, textCol, n)
+  }
+
+  /** (id, __pos) dropped-window starts → rewritten frame: collect each
+    * document's sorted start list and erase the covered tokens in one
+    * [[graft.functions.RemoveTokenRanges]] kernel eval — the shared tail
+    * of [[dropRepeatedSpans]] / [[dropRepeatedSpansIncrement]]. */
+  private def rewriteWithoutSpans(
+      df: DataFrame, dropped: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     val starts = dropped.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
     df.join(starts, Seq(idCol), "left")
@@ -1663,5 +1678,74 @@ object Dedup {
             GraftColumnBridge.expression(col(textCol)),
             GraftColumnBridge.expression(col("__starts")), n))))
       .drop("__starts")
+  }
+
+  /** Persist a corpus's n-token window hashes as parquet
+    * `(h1, h2, idCol, pos)` — the ExactSubstr analogue of
+    * [[writeSignatures]] (Lee et al. 2022's deployment shape): a daily
+    * crawl increment masks spans repeated against the historical corpus
+    * by reading this frame instead of re-window-hashing petabytes of
+    * history. The window-hash kernel pass is the dominant span-dedup
+    * cost, paid once per document for the corpus's lifetime; the index
+    * is ~24 B per token — columnar-compressed parquet, laid out
+    * hash-sorted within files so row-group min/max stats prune
+    * non-matching ranges at scan time. */
+  def writeSpanIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 50,
+      numFiles: Int = 0): Unit = {
+    val occ = spanWindowOccurrences(corpus, idCol, textCol, n)
+      .select(col("__h1").as("h1"), col("__h2").as("h2"),
+        col(idCol), col("__pos").as("pos"))
+    (if (numFiles > 0) occ.repartition(numFiles) else occ)
+      .sortWithinPartitions(col("h1"), col("h2"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** ExactSubstr span removal for an INCREMENT against a persisted
+    * [[writeSpanIndex]] history: erase every increment window occurrence
+    * whose hash appears in the history index (history PRECEDES the
+    * increment, so the historical occurrence is always the keeper), plus
+    * within-increment repeats under the usual first-(doc, pos)-keeper
+    * policy. With history ids ordered before increment ids this is
+    * row-identical to [[dropRepeatedSpans]] over history ∪ increment
+    * restricted to the increment (SpanDedupSpec pins it); the general
+    * contract is the deployment one — history wins regardless of id
+    * order, because its documents were already written.
+    *
+    * Scale: the history never re-hashes — its text is not even read; the
+    * increment (small by definition) pays one kernel pass per join arm.
+    * The index arm joins `shuffle_hash` on the 128-bit window key (the
+    * [[repeatedSpanOccurrences]] posture — a broadcast of either side
+    * would driver-collect a corpus-scale stream); every exchange carries
+    * (h1, h2, id, pos) rows only.
+    */
+  def dropRepeatedSpansIncrement(
+      newDocs: DataFrame,
+      spanIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 50): DataFrame = {
+    require(!newDocs.columns.contains("__starts"),
+      "dropRepeatedSpansIncrement uses the internal column name " +
+        "'__starts' — rename or drop it first")
+    val occ = spanWindowOccurrences(newDocs, idCol, textCol, n)
+    // (a) any increment occurrence of a window history contains: dropped
+    val inHistory = occ.hint("shuffle_hash")
+      .join(spanIndex.select(col("h1").as("__h1"), col("h2").as("__h2"))
+        .hint("shuffle_hash"),
+        Seq("__h1", "__h2"), "left_semi")
+      .select(col(idCol), col("__pos"))
+    // (b) within-increment repeats: keep the increment's first (doc, pos)
+    val withinDropped = repeatedSpanOccurrences(newDocs, idCol, textCol, n,
+        withKeeper = true)
+      .filter(!(col(idCol) === col("__keep")(idCol) &&
+        col("__pos") === col("__keep")("__pos")))
+      .select(col(idCol), col("__pos"))
+    val dropped = inHistory.unionByName(withinDropped).distinct()
+    rewriteWithoutSpans(newDocs, dropped, idCol, textCol, n)
   }
 }

@@ -60,6 +60,57 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got == Seq(Some("m n o p"), Some(""), Some(weird), None))
   }
 
+  test("span index round-trip: increment masking == recomputed full-corpus " +
+      "dropRepeatedSpans on the increment rows") {
+    // randomized corpus with verbatim cross- and within-split repeats;
+    // history ids (even, 0..98) precede increment ids (odd + copies at
+    // 101+), so the full-corpus min-(doc,pos) keeper coincides with the
+    // increment path's history-wins precedence — the documented parity
+    // regime
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (0 until 60).map { i =>
+      val len = rnd.nextInt(14) // includes < n tokens → no windows
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // the increment: verbatim copies of history docs (history→increment
+    // repeats), fresh random docs, and a within-increment duplicate pair;
+    // ALL increment ids follow every history id
+    val copies = base.take(8).map { case (id, t) => (id + 101L, t) }
+    val fresh = (0 until 20).map { i =>
+      val len = rnd.nextInt(14)
+      (200L + i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val withinDup = Seq((301L, "zz yy xx ww vv uu"), (303L, "zz yy xx ww vv uu"))
+    val docs = (base ++ copies ++ fresh ++ withinDup).toDF("doc_id", "text")
+    val history = docs.filter(col("doc_id") < 100)
+    val increment = docs.filter(col("doc_id") >= 100)
+    val n = 4
+    val dir = java.nio.file.Files.createTempDirectory("graft-span-idx").toFile
+    dir.deleteOnExit()
+    Dedup.writeSpanIndex(history, "doc_id", "text", dir.getAbsolutePath, n)
+    val idx = spark.read.parquet(dir.getAbsolutePath)
+    // history windows repeated only against the increment must still be
+    // in the index (it persists ALL occurrences, not just repeated ones)
+    assert(idx.columns.toSeq == Seq("h1", "h2", "doc_id", "pos"))
+    val got = Dedup.dropRepeatedSpansIncrement(
+        increment, idx, "doc_id", "text", n)
+      .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+    val expected = Dedup.dropRepeatedSpans(
+        docs, "doc_id", "text", n)
+      .join(increment.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "text").as[(Long, Option[String])].collect().toMap
+    assert(got.keySet == expected.keySet)
+    // real repeats must exist for the test to bite
+    val touched = increment.select("doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+      .exists { case (k, v) => got(k) != v }
+    assert(touched, "fixture produced no masked increment doc")
+    got.foreach { case (k, v) =>
+      assert(v == expected(k), s"doc $k: increment=$v recomputed=${expected(k)}")
+    }
+  }
+
   test("rewrite composes: a second pass finds nothing new (idempotence " +
       "on the fixture)") {
     val df = Seq(
