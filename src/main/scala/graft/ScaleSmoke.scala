@@ -550,9 +550,18 @@ object ScaleSmoke {
       graft.ext.Dedup.duplicateClusters(chain, algorithm = "star").count()
     }
     timed("auto clusters 100x100 chains") {
-      // same pathological graph through the DEFAULT path: min-label
+      // same pathological graph with the driver finish DISABLED: min-label
       // stalls for AutoEscalateRounds, then star contraction finishes —
       // the bounded-prelude posture a 100 TB boilerplate mega-cluster hits
+      // (its pair list exceeds any driver cap by construction)
+      val chain = spark.range(10000L).filter(col("id") % 100 =!= 99)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      graft.ext.Dedup.duplicateClusters(chain, driverFinishMaxPairs = 0).count()
+    }
+    timed("auto clusters driver finish") {
+      // the same 9.9k-pair graph through the DEFAULT path: the bounded
+      // limit-probe collects it and union-find labels it driver-side —
+      // the small-graph endgame (labels spec'd identical to distributed)
       val chain = spark.range(10000L).filter(col("id") % 100 =!= 99)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       graft.ext.Dedup.duplicateClusters(chain).count()

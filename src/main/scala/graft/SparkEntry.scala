@@ -1319,16 +1319,20 @@ object SparkEntry {
         alpha = 0.5, budgetFraction = 0.5, seed = "42", numBuckets = 64)
       .orderBy(col("doc_id"))
 
-  /** Domain-level quality gate ([[UrlOps.dropLowQualityDomains]]): score
-    * every doc (map-only), average per registered domain (narrow
-    * domain-keyed exchange), drop the below-threshold domains via a
-    * broadcast anti-join — the text itself never shuffles. Survivors
-    * audited per language. */
+  /** Domain-level quality gate ([[UrlOps.dropLowQualityDomainsNarrow]]):
+    * score every doc ONCE into a lazily checkpointed narrow
+    * (lang, n_words, score, domain) frame; the domain-mean aggregate and
+    * the anti-join both read its blocks — the accounting consumer needs
+    * no heavy column back, so the old two-scoring-pass shape
+    * ([[UrlOps.dropLowQualityDomains]], which must return the text) is
+    * the wrong tool here. Text never shuffles and never materializes.
+    * Survivors audited per language. */
   private def urlDomainGate(s: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.qualityFeatures(
       seedUrls(T(s, dir, "documents")), "text")
-    ext.UrlOps.dropLowQualityDomains(
-        scored, "url", "quality_score", minMeanScore = 0.165)
+    ext.UrlOps.dropLowQualityDomainsNarrow(
+        scored, "url", "quality_score", minMeanScore = 0.165,
+        keepCols = Seq("lang", "n_words"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_words"))
@@ -1986,6 +1990,8 @@ object SparkEntry {
       // second run would re-read the persisted postings while the oracle
       // re-tokenizes per run
       "ret_bm25", "ret_tfidf",
+      // narrow domain-gate checkpoint (the text_quality_prune class)
+      "url_domain_gate",
       // Lloyd training runs jobs at construction (the sim_ivf class)
       "dedup_semantic",
       // composed chain: duplicateClusters iterates at construction

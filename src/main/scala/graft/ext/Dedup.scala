@@ -514,14 +514,45 @@ object Dedup {
     *                  diameter-proportional round count. Identical
     *                  output labels on every path (spec'd equal on
     *                  shared fixtures and randomized graphs).
+    * @param driverFinishMaxPairs `"auto"` only: when a bounded
+    *                  `limit(cap+1)` probe shows the pair list holds at
+    *                  most this many edges, finish with union-find on the
+    *                  driver instead of iterating distributed rounds —
+    *                  the standard small-graph endgame of every
+    *                  contraction CC algorithm (near-dup pair lists are
+    *                  tiny relative to their corpus: a 10⁹-doc corpus
+    *                  with 1% duplicates has ~10⁷ pairs, and after
+    *                  mining, the pair list — NOT the corpus — is the
+    *                  graph). The probe reads at most cap+1 rows (one
+    *                  bounded job); memory is ~100 B/pair on the driver
+    *                  (the default caps at ~50 MB). Labels are identical
+    *                  to the distributed paths (same min-label-per-
+    *                  component contract; spec'd on randomized graphs);
+    *                  ids must be integral or string for the driver
+    *                  ordering — other types skip the probe. 0 disables.
     */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 20,
-      algorithm: String = "auto"): DataFrame = algorithm match {
+      algorithm: String = "auto",
+      driverFinishMaxPairs: Int = 1 << 19): DataFrame = algorithm match {
     case "auto" =>
+      driverFinishLabels(pairs, idA, idB, driverFinishMaxPairs) match {
+        case Some(local) => local
+        case None => distributedAuto(pairs, idA, idB, maxIter)
+      }
+    case "minlabel" =>
+      minLabelClusters(pairs, idA, idB, maxIter, warnOnStop = true)._1
+    case "star" => starClusters(pairs, idA, idB, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"duplicateClusters algorithm must be 'auto', 'minlabel' or 'star', " +
+        s"got '$other'")
+  }
+
+  private def distributedAuto(
+      pairs: DataFrame, idA: String, idB: String, maxIter: Int): DataFrame = {
       val rounds = math.min(AutoEscalateRounds, maxIter)
       val (labels, cached, converged) =
         minLabelClusters(pairs, idA, idB, rounds, warnOnStop = false)
@@ -535,12 +566,73 @@ object Dedup {
             "rounds; escalating to star contraction")
         starClusters(pairs, idA, idB, maxIter)
       }
-    case "minlabel" =>
-      minLabelClusters(pairs, idA, idB, maxIter, warnOnStop = true)._1
-    case "star" => starClusters(pairs, idA, idB, maxIter)
-    case other => throw new IllegalArgumentException(
-      s"duplicateClusters algorithm must be 'auto', 'minlabel' or 'star', " +
-        s"got '$other'")
+  }
+
+  /** Bounded driver finish for small pair graphs: `limit(cap+1)` probe →
+    * union-find with min-label-per-component output. Returns None when
+    * the graph exceeds the cap (distributed rounds take over) or the id
+    * type has no natural driver ordering. The returned frame is a
+    * LocalRelation — downstream keep-one-per-cluster anti-joins broadcast
+    * it with no extra job. */
+  private def driverFinishLabels(
+      pairs: DataFrame, idA: String, idB: String,
+      cap: Int): Option[DataFrame] = {
+    if (cap <= 0) return None
+    val dt = pairs.schema(idA).dataType
+    if (dt != pairs.schema(idB).dataType) return None
+    val ord: Option[Ordering[Any]] = dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue()))
+      case org.apache.spark.sql.types.StringType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[String]))
+      case _ => None
+    }
+    ord.flatMap { implicit o =>
+      val probe = pairs.select(col(idA), col(idB)).limit(cap + 1).collect()
+      if (probe.length > cap) None
+      else {
+        // union-find with path halving; component label = min member.
+        // Invariant: every value in `parent` is itself a key, so
+        // parent.get(parent.get(x)) never misses.
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x0: Any): Any = {
+          if (parent.get(x0) == null) { parent.put(x0, x0); return x0 }
+          var x = x0
+          while (parent.get(x) != x) {
+            parent.put(x, parent.get(parent.get(x)))
+            x = parent.get(x)
+          }
+          x
+        }
+        probe.foreach { r =>
+          val (a, b) = (r.get(0), r.get(1))
+          if (a != null && b != null) {
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent.put(ra, rb)
+          }
+        }
+        val minOf = new java.util.HashMap[Any, Any]()
+        val it0 = new java.util.ArrayList[Any](parent.keySet()).iterator()
+        while (it0.hasNext) {
+          val n = it0.next()
+          val root = find(n)
+          val cur = minOf.get(root)
+          if (cur == null || o.lt(n, cur)) minOf.put(root, n)
+        }
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+        val it1 = parent.keySet().iterator()
+        while (it1.hasNext) {
+          val n = it1.next()
+          rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", dt, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id", dt, nullable = false)))
+        Some(pairs.sparkSession.createDataFrame(rows, schema))
+      }
+    }
   }
 
   /** Min-label rounds `"auto"` spends before escalating to star
@@ -575,7 +667,7 @@ object Dedup {
     // shuffle bandwidth, not for correctness)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the init aggregate
     // seeded init: label₀ = min(self, direct neighbors). The naive init
     // (label₀ = self) needs a groupBy-shaped exchange for the id-distinct
     // anyway, so folding the first propagation hop into it is a whole
@@ -603,10 +695,12 @@ object Dedup {
       val msgs = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("cluster_id"), lit(false).as("__self"))
-      // eager localCheckpoint materializes the round (that job IS the
-      // round's full scan — nothing downstream recomputes it), and the
-      // change count is then a near-free follow-up aggregate over the
-      // materialized blocks
+      // LAZY localCheckpoint + the change-count aggregate as its first
+      // consumer: the aggregate's full scan computes AND persists the
+      // round's blocks in ONE job (an eager checkpoint would spend a job
+      // materializing and a second re-reading the blocks for the count —
+      // one extra full pass per round, locally ~100 ms of pure job floor
+      // and at corpus scale a re-read of a 10⁹-row label frame)
       val updated = labels
         .select(col("id"), col("cluster_id"), lit(true).as("__self"))
         .unionByName(msgs)
@@ -615,7 +709,7 @@ object Dedup {
           min(col("cluster_id")).as("__new"),
           min(when(col("__self"), col("cluster_id"))).as("__old"))
         .withColumn("__changed", col("__new") < col("__old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // coalesce: sum over an EMPTY label set is null (zero input pairs —
       // e.g. a fully-gated corpus upstream), and that must read as
       // converged, not crash
@@ -661,7 +755,7 @@ object Dedup {
     var edges = pairs
       .select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by round 1's scan
     var cached = edges
     var prevSig: Option[(Long, Long)] = None
     var converged = false
@@ -691,9 +785,10 @@ object Dedup {
         .select(col("v").as("u"), col("__m").as("v"))
         .unionByName(minsS.select(col("u"), col("__m").as("v")))
         .distinct()
-        .localCheckpoint()
-      // signature ON the materialized round (the checkpoint job above is
-      // the round's full scan; this aggregate reads the blocks)
+        .localCheckpoint(eager = false)
+      // the signature aggregate is the lazy checkpoint's first consumer:
+      // its full scan computes and persists the round in ONE job (the
+      // min-label rationale)
       val sigRow = small.agg(
         count(lit(1)).as("n"),
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L)).as("h")).head()

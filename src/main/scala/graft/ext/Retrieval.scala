@@ -106,11 +106,16 @@ object Retrieval {
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df")) // tf is (doc, term)-unique
 
-    // per-(query, term) idf — the one-row stats frame rides in via a
-    // broadcast cross (bounded build side by construction)
+    // per-(query, term) idf. The dfFrame and one-row stats attaches are
+    // vocab-sized ⋈ vocab-sized / ⋈ 1-row: they join on a literal key
+    // INSIDE the query arm's own build (internal stages of one broadcast
+    // job) — a nested broadcast per tiny frame would spawn a separate
+    // job each, and locally every job is ~100 ms of pure floor
     val qArm = qt
-      .join(dfFrame, Seq("__t"))
-      .crossJoin(broadcast(stats))
+      .join(dfFrame.hint("shuffle_hash"), Seq("__t"))
+      .withColumn("__one", lit(1))
+      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
+        Seq("__one"))
       .select(col(queryIdCol), col("__t"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
@@ -203,9 +208,12 @@ object Retrieval {
       .join(broadcast(qVocab), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
+    // same single-build-job arm assembly as bm25TopK (see its comment)
     val qArm = qt
-      .join(dfFrame, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .join(dfFrame.hint("shuffle_hash"), Seq("term"))
+      .withColumn("__one", lit(1))
+      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
+        Seq("__one"))
       .select(col(queryIdCol), col("term"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
@@ -246,8 +254,12 @@ object Retrieval {
       .toDF("term")
     val sub = tf.join(broadcast(vocabDf), Seq("term"))
     val dfFrame = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    sub.join(broadcast(dfFrame), Seq("term")) // df frame is vocab-sized
-      .crossJoin(broadcast(stats))
+    // df (vocab-sized) must broadcast onto the corpus-sized sub; the
+    // one-row stats attach joins on a literal key instead of a nested
+    // broadcast cross (one fewer broadcast-build job, same values)
+    sub.join(broadcast(dfFrame), Seq("term"))
+      .withColumn("__one", lit(1))
+      .join(broadcast(stats.withColumn("__one", lit(1))), Seq("__one"))
       .select(col(idCol), col("term"), col("tf"), col("df"),
         round(col("tf") * log(lit(1.0)
           + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),

@@ -861,13 +861,18 @@ object TextAnalysis {
     val scored = scoreUnigram(df, textCol, model)
       .select(col(idCol), round(col("avg_lp"), 4).as("__lp"))
       .localCheckpoint(eager = false) // materialized by the subquery job
-    def thr(q: Double): Column = GraftColumnBridge.column(ScalarSubquery(
-      scored.agg(round(expr(s"percentile(__lp, ${q}D)"), 4).as("__t"))
+    // BOTH cuts from ONE scalar subquery (an array-valued single column):
+    // two separate percentile subqueries are two subquery jobs — the same
+    // aggregation pass paid twice just to carry two doubles
+    val thrs: Column = GraftColumnBridge.column(ScalarSubquery(
+      scored.agg(expr(
+        s"array(round(percentile(__lp, ${cuts._1}D), 4), " +
+          s"round(percentile(__lp, ${cuts._2}D), 4))").as("__t"))
         .queryExecution.analyzed))
     scored.select(col(idCol), col("__lp").as("avg_lp"),
       when(col("__lp").isNull, lit(null).cast("string"))
-        .when(col("__lp") > thr(cuts._2), lit("head"))
-        .when(col("__lp") > thr(cuts._1), lit("middle"))
+        .when(col("__lp") > element_at(thrs, 2), lit("head"))
+        .when(col("__lp") > element_at(thrs, 1), lit("middle"))
         .otherwise(lit("tail")).as("ppl_bucket"))
   }
 

@@ -261,4 +261,40 @@ object UrlOps {
         Seq("__graft_dom"), "left_anti")
       .drop("__graft_dom")
   }
+
+  /** [[dropLowQualityDomains]] for consumers that do NOT need the heavy
+    * columns (text) back — the audit/accounting shape: project to
+    * `keepCols` + the score + the registered domain, lazily
+    * `localCheckpoint` that NARROW frame, and run BOTH the domain-mean
+    * aggregate and the anti-join from its materialized blocks (the
+    * [[graft.ext.TextAnalysis.pruneBottomQuantile]] pattern). One
+    * score/URL-parse pass instead of two; the text never shuffles and is
+    * never even materialized. Returns `keepCols` + `scoreCol` rows of the
+    * surviving docs — re-attach heavy columns by key afterwards if
+    * needed. Rows are identical to [[dropLowQualityDomains]] projected to
+    * the same columns (UrlOpsSpec pins it). */
+  def dropLowQualityDomainsNarrow(
+      df: DataFrame, urlCol: String, scoreCol: String,
+      minMeanScore: Double,
+      keepCols: Seq[String],
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes,
+      broadcastBad: Boolean = true): DataFrame = {
+    require(!df.columns.contains("__graft_dom"),
+      "input already has the internal __graft_dom column")
+    val narrow = df
+      .withColumn("__graft_dom",
+        registeredDomain(host(col(urlCol)), multiLabelSuffixes))
+      .select(keepCols.map(col) :+ col(scoreCol) :+ col("__graft_dom"): _*)
+      .localCheckpoint(eager = false) // materialized by the bad-domain agg
+    val bad = narrow
+      .filter(col("__graft_dom").isNotNull)
+      .groupBy(col("__graft_dom"))
+      .agg(avg(col(scoreCol)).as("__mean"))
+      .filter(col("__mean") < minMeanScore)
+      .select(col("__graft_dom"))
+    narrow.join(
+        if (broadcastBad) broadcast(bad) else bad,
+        Seq("__graft_dom"), "left_anti")
+      .drop("__graft_dom")
+  }
 }

@@ -138,19 +138,54 @@ class FrameOpsSpec extends AnyFunSuite {
   test("duplicateClusters(auto): long chain escalates to star and converges " +
       "inside the default budget; clique graphs stay on min-label") {
     // the 30-node path that defeats default min-label (previous test):
-    // auto must detect the stall after AutoEscalateRounds and hand the
-    // graph to star contraction, converging EXACTLY under default maxIter
+    // with the driver finish DISABLED, auto must detect the stall after
+    // AutoEscalateRounds and hand the graph to star contraction,
+    // converging EXACTLY under default maxIter
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(chain) // default algorithm = auto
+    val got = Dedup.duplicateClusters(chain, driverFinishMaxPairs = 0)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == (1L to 30L).map(i => (i, 1L)))
+    // the DEFAULT auto path takes the bounded driver finish on a graph
+    // this small — labels must be identical
+    val viaDriver = Dedup.duplicateClusters(chain)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaDriver == got)
     // a clique converges in one min-label round — auto output identical
     // to explicit min-label (no escalation distortion)
     val clique = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b))
       .toDF("id_a", "id_b")
-    val auto = Dedup.duplicateClusters(clique)
+    val auto = Dedup.duplicateClusters(clique, driverFinishMaxPairs = 0)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(auto == (1L to 5L).map(i => (i, 1L)))
+  }
+
+  test("duplicateClusters: driver finish == distributed labels on random " +
+      "graphs; cap boundary falls back to distributed") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (0 until n).map { _ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)
+      }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+      val viaDriver = Dedup.duplicateClusters(pairs)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val distributed = Dedup.duplicateClusters(pairs, maxIter = 50,
+          driverFinishMaxPairs = 0)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(viaDriver == distributed, s"trial $trial")
+      // cap smaller than the pair count: probe declines, distributed path
+      // must produce the same labels
+      val capped = Dedup.duplicateClusters(pairs, maxIter = 50,
+          driverFinishMaxPairs = 1)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(capped == distributed, s"trial $trial (capped)")
+    }
+    // string ids ride the driver path too
+    val sp = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
+    val sGot = Dedup.duplicateClusters(sp)
+      .orderBy("id").as[(String, String)].collect().toSeq
+    assert(sGot == Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("x", "x"), ("y", "x")))
   }
 
   test("duplicateClusters(star) == min-label on pair chains") {

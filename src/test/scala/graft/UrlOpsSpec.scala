@@ -136,6 +136,29 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(hosted.length == 2 && hosted.forall(_._2.contains("one.example.com")))
   }
 
+  test("dropLowQualityDomainsNarrow == dropLowQualityDomains projected " +
+      "to keepCols; one scoring pass in the plan") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 80).map { i =>
+      (i.toLong, s"https://site${i % 8}.com/p/$i", s"lang${i % 3}",
+        rnd.nextDouble())
+    }.toDF("doc_id", "url", "lang", "score")
+      // a couple of unparseable/null URLs must survive both forms
+      .unionByName(Seq((100L, null.asInstanceOf[String], "lang0", 0.01),
+        (101L, "not a url", "lang1", 0.02)).toDF("doc_id", "url", "lang", "score"))
+    val full = UrlOps.dropLowQualityDomains(docs, "url", "score", 0.5)
+      .select("doc_id", "lang", "score")
+    val narrow = UrlOps.dropLowQualityDomainsNarrow(
+      docs, "url", "score", 0.5, keepCols = Seq("doc_id", "lang"))
+    assert(narrow.columns.toSeq == Seq("doc_id", "lang", "score"))
+    assert(narrow.collect().map(_.toSeq).toSet ===
+      full.collect().map(_.toSeq).toSet)
+    // the anti-join probe must read the checkpoint blocks, not rescan
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"),
+      s"narrow gate no longer reads a materialized score frame:\n$plan")
+  }
+
   test("plan: extraction is map-only; cap plans TopK, not Window") {
     val parts = UrlOps.withUrlParts(urls, "url")
     parts.collect()
