@@ -537,18 +537,28 @@ object Dedup {
       idB: String = "id_b",
       maxIter: Int = 20,
       algorithm: String = "auto",
-      driverFinishMaxPairs: Int = 1 << 19): DataFrame = algorithm match {
-    case "auto" =>
-      driverFinishLabels(pairs, idA, idB, driverFinishMaxPairs) match {
-        case Some(local) => local
-        case None => distributedAuto(pairs, idA, idB, maxIter)
-      }
-    case "minlabel" =>
-      minLabelClusters(pairs, idA, idB, maxIter, warnOnStop = true)._1
-    case "star" => starClusters(pairs, idA, idB, maxIter)
-    case other => throw new IllegalArgumentException(
-      s"duplicateClusters algorithm must be 'auto', 'minlabel' or 'star', " +
-        s"got '$other'")
+      driverFinishMaxPairs: Int = 1 << 19): DataFrame = {
+    // a pair with a null endpoint carries no usable edge: drop it before
+    // ANY path sees it, so all four paths (driver finish, min-label, star,
+    // auto's escalation) agree on null-bearing inputs. Before r11 the
+    // paths disagreed — min-label grouped the nulls into a spurious
+    // null-keyed row, star's self-edge filter silently dropped the pair,
+    // and the driver finish skipped it (advisor r10). One narrow filter,
+    // no extra exchange or job.
+    val cleaned = pairs.filter(col(idA).isNotNull && col(idB).isNotNull)
+    algorithm match {
+      case "auto" =>
+        driverFinishLabels(cleaned, idA, idB, driverFinishMaxPairs) match {
+          case Some(local) => local
+          case None => distributedAuto(cleaned, idA, idB, maxIter)
+        }
+      case "minlabel" =>
+        minLabelClusters(cleaned, idA, idB, maxIter, warnOnStop = true)._1
+      case "star" => starClusters(cleaned, idA, idB, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"duplicateClusters algorithm must be 'auto', 'minlabel' or 'star', " +
+          s"got '$other'")
+    }
   }
 
   private def distributedAuto(
@@ -608,6 +618,9 @@ object Dedup {
         }
         probe.foreach { r =>
           val (a, b) = (r.get(0), r.get(1))
+          // null endpoints cannot reach here — duplicateClusters filters
+          // null-bearing pairs before every path — but keep the guard as
+          // defense for any future direct caller
           if (a != null && b != null) {
             val (ra, rb) = (find(a), find(b))
             if (ra != rb) parent.put(ra, rb)
@@ -1465,6 +1478,11 @@ object Dedup {
     * streams on the gram key instead (no driver-sized structure anywhere).
     * Returns (bench_id, n_contaminated_docs, max_overlap) for benchmark
     * docs with ≥1 hit.
+    *
+    * Duplicate `benchIdCol` rows contribute the UNION of their gram sets
+    * (one benchmark-side groupBy exchange); pass
+    * `assumeUniqueBenchIds = true` to skip that aggregate when ids are
+    * unique by construction (see [[benchGramRows]]).
     */
   def contaminationAttribution(
       corpus: DataFrame,
@@ -1475,20 +1493,17 @@ object Dedup {
       benchTextCol: String,
       n: Int = 3,
       minFraction: Double = 0.5,
-      broadcastBenchmark: Boolean = true): DataFrame = {
+      broadcastBenchmark: Boolean = true,
+      assumeUniqueBenchIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
+    requireNotAttributionReserved(idCol)
+    // benchIdCol == "bench_id" is the identity rename — allowed
+    if (benchIdCol != "bench_id") requireNotAttributionReserved(benchIdCol)
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(c, n))))
-    // each bench doc's gram-set size rides ALONGSIDE its exploded grams
-    // (two selects — not one — so explode references a resolved column,
-    // not a lateral alias): no separate benchmark-sizes scan, aggregate,
-    // or broadcast join anywhere in the plan
-    val benchGrams = benchmark
-      .select(col(benchIdCol).as("bench_id"),
-        gramHashes(col(benchTextCol)).as("__gs"))
-      .select(col("bench_id"), size(col("__gs")).as("__nb"),
-        explode(col("__gs")).as("__g"))
+    val benchGrams = benchGramRows(benchmark, benchIdCol, benchTextCol,
+      gramHashes, assumeUniqueBenchIds)
     val corpusGrams = corpus
       .select(col(idCol).as("__cid"),
         explode(gramHashes(col(textCol))).as("__g"))
@@ -1497,6 +1512,56 @@ object Dedup {
       else corpusGrams.hint("shuffle_hash")
         .join(benchGrams.hint("shuffle_hash"), Seq("__g"))
     attributionFromHits(hits, minFraction)
+  }
+
+  /** Internal/output names of the contamination-attribution machinery —
+    * a user id column sharing one would be silently clobbered by the
+    * internal selects instead of erroring loudly (same guard class as
+    * Retrieval.ReservedCols, advisor r10). */
+  private val AttributionReserved = Set("__g", "__gs", "__nb", "__cid",
+    "__nc", "__shared", "bench_id", "n_grams", "n_contaminated",
+    "contamination", "n_contaminated_docs", "max_overlap")
+
+  private def requireNotAttributionReserved(cols: String*): Unit =
+    cols.foreach(c => require(!AttributionReserved(c),
+      s"column name '$c' collides with the contamination-attribution " +
+        s"internals (${AttributionReserved.toSeq.sorted.mkString(", ")})" +
+        " — rename it first"))
+
+  /** Bench side of the attribution joins: (bench_id, __nb, __g) with the
+    * doc's gram-SET size riding alongside its exploded grams (two selects —
+    * not one — so explode references a resolved column, not a lateral
+    * alias).
+    *
+    * Default (`assumeUniqueIds = false`): duplicate `benchIdCol` rows (a
+    * benchmark stored one example per row under a shared task id)
+    * contribute the UNION of their gram sets and `__nb` is the union's
+    * size — attribution is invariant to how the benchmark text is
+    * row-split (advisor r10: the previous carried-size path took one
+    * row's size under duplicate ids, a silent wrong answer). The union
+    * costs ONE groupBy exchange of the packed per-row gram arrays.
+    *
+    * `assumeUniqueIds = true` is the zero-exchange fast path for callers
+    * whose bench ids are unique BY CONSTRUCTION (a keyed eval suite, or
+    * the held-out-split posture where ids come from the corpus's own
+    * key): no benchmark-sizes scan, aggregate, or join anywhere — the
+    * size rides the explode. */
+  private def benchGramRows(
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      gramHashes: Column => Column,
+      assumeUniqueIds: Boolean): DataFrame = {
+    val perRow = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        gramHashes(col(benchTextCol)).as("__gs"))
+    val sized =
+      if (assumeUniqueIds) perRow
+      else perRow
+        .groupBy(col("bench_id"))
+        .agg(array_distinct(flatten(collect_list(col("__gs")))).as("__gs"))
+    sized.select(col("bench_id"), size(col("__gs")).as("__nb"),
+      explode(col("__gs")).as("__g"))
   }
 
   /** (cid, bench_id, nb) hit rows → per-benchmark-doc attribution — the
@@ -1538,8 +1603,11 @@ object Dedup {
       benchTextCol: String,
       n: Int = 3,
       minFraction: Double = 0.5,
-      broadcastBenchmark: Boolean = true): (DataFrame, DataFrame) = {
+      broadcastBenchmark: Boolean = true,
+      assumeUniqueBenchIds: Boolean = false): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.GraftColumnBridge
+    requireNotAttributionReserved(idCol)
+    if (benchIdCol != "bench_id") requireNotAttributionReserved(benchIdCol)
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(c, n))))
@@ -1547,11 +1615,8 @@ object Dedup {
       .select(col(idCol).as("__cid"),
         explode(gramHashes(col(textCol))).as("__g"))
       .localCheckpoint(eager = false) // ONE corpus explode for both outputs
-    val benchGrams = benchmark
-      .select(col(benchIdCol).as("bench_id"),
-        gramHashes(col(benchTextCol)).as("__gs"))
-      .select(col("bench_id"), size(col("__gs")).as("__nb"),
-        explode(col("__gs")).as("__g"))
+    val benchGrams = benchGramRows(benchmark, benchIdCol, benchTextCol,
+        gramHashes, assumeUniqueBenchIds)
       .localCheckpoint(eager = false)
     // gram-level hits (cid, g, bench_id, nb): both aggregates consume this
     val hits =

@@ -151,6 +151,7 @@ object Retrieval {
     * sharing one would silently collide with them (the same class of bug
     * the id-collision require catches — advisor round-8). */
   private val ReservedCols = Set("__t", "__tf", "__dl", "__k", "__p",
+    "__one", "__s", "__df", "__idf", "__N", "__avgdl",
     "term", "tf", "dl", "df", "score", "rank", "tfidf")
 
   private def requireNotReserved(cols: String*): Unit =

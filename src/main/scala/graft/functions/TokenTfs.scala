@@ -47,15 +47,16 @@ case class TokenTfs(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
-    val counts = new java.util.TreeMap[String, Long]()
+    // value type is java.lang.Long (not scala.Long) so the absent-key
+    // null is a real reference, matching MisraGriesAggregate's map
+    val counts = new java.util.TreeMap[String, java.lang.Long]()
     var dl = 0L
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (t.nonEmpty) {
         dl += 1L
-        val cur = counts.get(t)
-        counts.put(t, if (cur == null) 1L else cur + 1L)
+        counts.put(t, counts.getOrDefault(t, 0L) + 1L)
       }
       i += 1
     }

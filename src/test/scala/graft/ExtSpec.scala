@@ -382,6 +382,49 @@ class ExtSpec extends AnyFunSuite {
     assert(all == Set(100L)) // 101 shares no gram: no row even at 0.0
   }
 
+  test("contaminationAttribution: duplicate bench ids union their gram " +
+      "sets (row-split invariance)") {
+    // one logical bench doc stored as TWO rows under id 200: its gram
+    // set is the union (6 grams). Corpus doc 0 carries exactly the first
+    // row's 3 grams → overlap 3/6 = 0.5 (the pre-r11 carried-size path
+    // took ONE row's size, reporting 3/3 = 1.0)
+    val corpus = Seq(
+      (0L, "a b c d e"),
+      (1L, "nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq((200L, "a b c d e"), (200L, "v w x y z"))
+      .toDF("bench_id", "text")
+    val rep = graft.ext.Dedup.contaminationAttribution(
+        corpus, bench, "doc_id", "bench_id", "text", "text",
+        n = 3, minFraction = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rep == Seq((200L, 1L, 0.5)))
+    // overlapping duplicate rows: shared grams count ONCE in the union
+    // ("b c d" appears in both rows; union still has 4 distinct grams)
+    val bench2 = Seq((200L, "a b c d"), (200L, "b c d e"))
+      .toDF("bench_id", "text")
+    val rep2 = graft.ext.Dedup.contaminationAttribution(
+        corpus, bench2, "doc_id", "bench_id", "text", "text",
+        n = 3, minFraction = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // corpus doc 0 "a b c d e" contains all 4 union grams → 100% leak
+    assert(rep2 == Seq((200L, 1L, 1.0)))
+  }
+
+  test("contaminationAttribution: reserved internal column names are " +
+      "rejected loudly") {
+    val df = Seq((0L, "x")).toDF("__cid", "text")
+    val b = Seq((1L, "y")).toDF("bench_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.contaminationAttribution(
+        df, b, "__cid", "bench_id", "text", "text")
+    }
+    // benchIdCol == "bench_id" is the identity rename: allowed
+    graft.ext.Dedup.contaminationAttribution(
+      df.withColumnRenamed("__cid", "doc_id"), b,
+      "doc_id", "bench_id", "text", "text").collect()
+  }
+
   test("compressionStats: sizes match a direct Deflater; ratio orders " +
       "repetition < prose < noise") {
     val rep = "spam spam spam spam spam spam spam spam spam spam " * 20

@@ -180,6 +180,23 @@ class FrameOpsSpec extends AnyFunSuite {
         .orderBy("id").as[(Long, Long)].collect().toSeq
       assert(capped == distributed, s"trial $trial (capped)")
     }
+    // null-bearing pairs are dropped identically on EVERY path (advisor
+    // r10: driver finish skipped them, min-label grew a spurious
+    // null-keyed row, star silently dropped them — auto's output depended
+    // on the pair count vs the cap)
+    val np = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (3L, null), (null, 4L), (null, null))
+      .toDF("id_a", "id_b")
+    val expected = Seq((1L, 1L), (2L, 1L))
+    for (args <- Seq(
+        () => Dedup.duplicateClusters(np),
+        () => Dedup.duplicateClusters(np, maxIter = 50,
+          driverFinishMaxPairs = 0),
+        () => Dedup.duplicateClusters(np, algorithm = "minlabel"),
+        () => Dedup.duplicateClusters(np, algorithm = "star"))) {
+      val got = args().orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == expected)
+    }
     // string ids ride the driver path too
     val sp = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("id_a", "id_b")
     val sGot = Dedup.duplicateClusters(sp)
