@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Sampling, Scaling, TimeSeriesOps => Ts}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -602,8 +602,9 @@ object SparkEntry {
         "doc_id", "doc_id", "text", "text",
         // the "benchmark" here IS a held-out corpus split (half the table),
         // the documented corpus-scale case: shuffle-hash the gram join
-        // instead of broadcasting an exploded corpus-half
-        broadcastBenchmark = false)
+        // instead of broadcasting an exploded corpus-half; its ids are the
+        // corpus's own unique key, so the zero-exchange size path applies
+        broadcastBenchmark = false, assumeUniqueBenchIds = true)
       .orderBy(col("bench_id"))
   }
 
@@ -1046,6 +1047,23 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"), col("n_oov"),
         round(col("avg_lp"), 4).as("avg_lp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance resampling (Xie et al. 2023): hashed bag-of-n-gram
+    * models fitted on a target sample (doc_id % 17 = 0) and the raw rest,
+    * per-doc log importance weight in ONE map-only kernel eval, Gumbel
+    * top-k selection ∝ exp λ via the bounded-heap TopK. Non-memoizable
+    * (two model fits at construction, the text_lm_quality class). */
+  private def textDsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val target = docs.filter(col("doc_id") % 17 === 0)
+    val rawDocs = docs.filter(col("doc_id") % 17 =!= 0)
+    val tm = Dsir.fitHashedModel(target, "text", buckets = 256, maxN = 2)
+    val rm = Dsir.fitHashedModel(rawDocs, "text", buckets = 256, maxN = 2)
+    Dsir.resample(rawDocs, "doc_id", "text", tm, rm, k = 50)
+      .select(col("doc_id"), col("log_weight"), col("n_feat"),
+        col("sample_key"), col("rank"))
+      .orderBy(col("rank"))
   }
 
   /** CCNet head/middle/tail perplexity partition over the fitted unigram
@@ -1985,6 +2003,8 @@ object SparkEntry {
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
       "text_mixture_temp", "text_lm_quality", "text_lm_buckets",
       "text_boilerplate",
+      // two hashed-gram model fits (collect jobs) at construction
+      "text_dsir",
       // the retrieval pair's posting frame is a lazily-materialized
       // checkpoint (the text_quality_prune class): a memoized plan's
       // second run would re-read the persisted postings while the oracle
@@ -2081,6 +2101,7 @@ object SparkEntry {
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
+    "text_dsir" -> (textDsir _),
     "text_lm_buckets" -> (textLmBuckets _),
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
@@ -3319,6 +3340,54 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
         |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // DSIR replay: hashed-gram (md5-prefix bucket) add-1 models on the
+    // target/raw splits, per-doc summed log ratio (4 dp), Gumbel key from
+    // the same md5(id:seed) uniform as the weighted-sample oracle (6 dp)
+    "text_dsir" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, t[i] AS gram FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d)
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |    FROM d)),
+        |bk AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 256
+        |      AS INT) AS b
+        |  FROM g),
+        |tb AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 17 = 0
+        |  GROUP BY 1),
+        |tn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS total FROM tb),
+        |qb AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 17 <> 0
+        |  GROUP BY 1),
+        |qn AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS total FROM qb),
+        |lam AS (SELECT rb.doc_id,
+        |    round(sum(ln((coalesce(tb.c, 0) + 1.0) / (tn.total + 256.0))
+        |            - ln((coalesce(qb.c, 0) + 1.0) / (qn.total + 256.0))), 4)
+        |      AS log_weight,
+        |    CAST(count(*) AS INT) AS n_feat
+        |  FROM bk rb
+        |  LEFT JOIN tb ON rb.b = tb.b
+        |  LEFT JOIN qb ON rb.b = qb.b
+        |  CROSS JOIN tn CROSS JOIN qn
+        |  WHERE rb.doc_id % 17 <> 0
+        |  GROUP BY 1),
+        |ky AS (SELECT doc_id, log_weight, n_feat,
+        |    round(log_weight - ln(-ln(
+        |      (CAST(CAST('0x' || substr(
+        |          md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)
+        |        AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0)), 6)
+        |      AS sample_key
+        |  FROM lam),
+        |rk AS (SELECT doc_id, log_weight, n_feat, sample_key,
+        |    CAST(row_number() OVER (ORDER BY sample_key DESC, doc_id)
+        |      AS INT) AS rank
+        |  FROM ky)
+        |SELECT doc_id, log_weight, n_feat, sample_key, rank FROM rk
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
     // same model/scoring CTE chain as text_lm_quality, then corpus-tertile
     // cuts over the 4-dp-rounded scores (both engines round the thresholds
     // too — the libm-absorption rule)
