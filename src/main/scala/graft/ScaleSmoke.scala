@@ -566,6 +566,36 @@ object ScaleSmoke {
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       graft.ext.Dedup.duplicateClusters(chain).count()
     }
+
+    // ——— edit-distance pairs at 50k docs (+50k seeded twins) ———
+    // the prefix posting is k·q+1 rows per doc whatever the corpus size;
+    // rarity ordering keeps candidate volume tracking true near-dup
+    // density. Twins guarantee 50k real pairs exist — the verify side is
+    // exercised at volume, not just the pruning.
+    timed("edit-distance pairs 100k docs") {
+      val subset = bigDocs.select(col("doc_id"), col("text"))
+      val twins = subset.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        concat(col("text").substr(lit(1), length(col("text")) - 3),
+          lit(" zq")).as("text"))
+      graft.ext.Dedup.editDistancePairs(
+        subset.unionByName(twins), "doc_id", "text", maxEdits = 6).count()
+    }
+
+    // ——— DSIR importance resampling at 50k docs ———
+    // fit exchanges are bounded by `buckets` rows per task whatever the
+    // corpus size; scoring is strictly map-only (plan pinned in DsirSpec);
+    // the resample tail is the bounded-heap TopK. The 50k run times the
+    // full fit→fit→score→select chain at production bucket count.
+    timed("dsir fit+score+select 50k") {
+      val target = bigDocs.filter(col("doc_id") % 17 === 0)
+      val raw = bigDocs.filter(col("doc_id") % 17 =!= 0)
+      val tm = graft.ext.Dsir.fitHashedModel(target, "text",
+        buckets = 8192, maxN = 2)
+      val rm = graft.ext.Dsir.fitHashedModel(raw, "text",
+        buckets = 8192, maxN = 2)
+      graft.ext.Dsir.resample(raw, "doc_id", "text", tm, rm, k = 1000)
+        .count()
+    }
     spark.stop()
   }
 }

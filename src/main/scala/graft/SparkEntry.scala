@@ -609,6 +609,23 @@ object SparkEntry {
   }
 
 
+  /** Edit-distance near-dup pairs (Ed-Join prefix filter + banded
+    * Levenshtein verify) over seeded revision twins: every subset doc
+    * gets a copy with its last 3 chars replaced by " zq" — a ≤6-edit
+    * revision, the OCR/typo duplication mode token Jaccard misses. The
+    * oracle is NAIVE pairwise Levenshtein (the result is provably
+    * independent of the operator's gram order/hash, so no hash replay). */
+  private def dedupEditPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id"), col("text"))
+    val twins = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+      concat(col("text").substr(lit(1), length(col("text")) - 3), lit(" zq"))
+        .as("text"))
+    Dedup.editDistancePairs(docs.unionByName(twins), "doc_id", "text",
+        maxEdits = 6, q = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs on a deterministic subset. */
   private def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(
@@ -2005,6 +2022,8 @@ object SparkEntry {
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
       "text_dsir",
+      // lazily-checkpointed gram stream (the text_quality_prune class)
+      "dedup_edit_pairs",
       // the retrieval pair's posting frame is a lazily-materialized
       // checkpoint (the text_quality_prune class): a memoized plan's
       // second run would re-read the persisted postings while the oracle
@@ -2102,6 +2121,7 @@ object SparkEntry {
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
     "text_dsir" -> (textDsir _),
+    "dedup_edit_pairs" -> (dedupEditPairs _),
     "text_lm_buckets" -> (textLmBuckets _),
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
@@ -3340,6 +3360,37 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
         |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // edit-distance pairs: the operator's result is provably independent
+    // of its internal gram order (prefix-filter completeness holds for
+    // ANY shared total order), so the oracle replays the prefix filter
+    // under a DIFFERENT order (md5 instead of df-then-xxhash) and a
+    // different engine's Levenshtein — agreement means the result really
+    // is order-invariant, and the oracle stays affordable (the naive
+    // all-pairs form measured 17 s at sf0.1)
+    "dedup_edit_pairs" ->
+      """WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0),
+        |u AS (SELECT doc_id, text FROM s
+        |      UNION ALL
+        |      SELECT doc_id + 1000000,
+        |        substr(text, 1, length(text) - 3) || ' zq' FROM s),
+        |f AS (SELECT doc_id, text, length(text) AS L FROM u
+        |  WHERE length(text) >= 21),
+        |g AS (SELECT DISTINCT doc_id, L, h FROM (
+        |  SELECT doc_id, L, md5(substr(text, i, 3)) AS h
+        |  FROM (SELECT doc_id, text, L,
+        |          unnest(generate_series(1, L - 2)) AS i FROM f))),
+        |pre AS (SELECT doc_id, L, h FROM (
+        |  SELECT doc_id, L, h,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |  FROM g) WHERE rn <= 19),
+        |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pre a JOIN pre b ON a.h = b.h AND a.doc_id < b.doc_id
+        |    AND abs(a.L - b.L) <= 6),
+        |v AS (SELECT id_a, id_b, levenshtein(fa.text, fb.text) AS ed
+        |  FROM c JOIN f fa ON c.id_a = fa.doc_id
+        |         JOIN f fb ON c.id_b = fb.doc_id)
+        |SELECT id_a, id_b, CAST(ed AS INT) AS edit_distance
+        |FROM v WHERE ed <= 6 ORDER BY 1, 2""".stripMargin,
     // DSIR replay: hashed-gram (md5-prefix bucket) add-1 models on the
     // target/raw splits, per-doc summed log ratio (4 dp), Gumbel key from
     // the same md5(id:seed) uniform as the weighted-sample oracle (6 dp)

@@ -1908,4 +1908,136 @@ object Dedup {
     val dropped = inHistory.unionByName(withinDropped).distinct()
     rewriteWithoutSpans(newDocs, dropped, idCol, textCol, n)
   }
+
+  // ——— edit-distance (Levenshtein) near-dup pairs ———
+
+  /** Hashed character q-grams of `text` as an array column — pure
+    * built-ins (`transform`/`substr`/`xxhash64`), fully codegen'd. */
+  private def charGramHashes(text: Column, q: Int): Column =
+    transform(sequence(lit(1), length(text) - (q - 1)),
+      i => xxhash64(text.substr(i, lit(q))))
+
+  /** All pairs of documents within Levenshtein distance `maxEdits` —
+    * the OCR/typo/near-identical-revision dedup modality that token-level
+    * Jaccard misses (a handful of character edits barely moves a shingle
+    * set but IS the duplication signal for scanned or templated text).
+    *
+    * Algorithm (Ed-Join family — Xiao, Wang, Lin, Yu 2008, "Ed-Join: an
+    * efficient algorithm for similarity joins with edit distance
+    * constraints"; public literature): one edit operation disturbs at
+    * most `q` of a string's character q-grams, so two strings within
+    * `maxEdits` = k differ in at most k·q gram TYPES per side. Under ANY
+    * global total order on grams, if the k·q+1 smallest grams of A share
+    * nothing with the k·q+1 smallest of B then |A∖B| > k·q — so every
+    * qualifying pair shares a gram inside both PREFIXES, and each doc
+    * need only post k·q+1 gram rows (bounded, corpus-size-independent).
+    * Candidates additionally pass the length filter ||A|−|B]| ≤ k; the
+    * survivor pairs verify with the THRESHOLD-BANDED built-in
+    * `levenshtein(a, b, k)` — O(k·len) per pair, not O(len²).
+    *
+    * Scale shape: grams are ordered RAREST-FIRST (global document
+    * frequency asc, hash tiebreak — Ed-Join's published ordering): rare
+    * grams are shared by few documents, so posting lists stay short and
+    * candidate volume tracks the real near-dup density instead of the
+    * corpus's common-trigram background (a random gram order makes
+    * nearly every length-compatible pair of same-language documents a
+    * candidate — measured locally before switching). Cost: one
+    * vocabulary-sized df aggregate + a gram-keyed join of the distinct
+    * per-doc gram stream, then a bounded-heap per-doc TopK picks each
+    * prefix — k·q+1 posting rows per doc, corpus-size-independent; text
+    * never shuffles into pair generation, and the verify joins texts
+    * back by id for CANDIDATE pairs only. The RESULT SET is provably
+    * independent of the chosen order (completeness holds for any shared
+    * total order — only candidate volume varies), so the oracle may
+    * replay a DIFFERENT complete order (md5) and must still agree.
+    *
+    * EXACT-TEXT COLLAPSE (the [[ngramJaccardPairs]] pattern at character
+    * grain): byte-identical documents — the dominant near-dup mode in
+    * crawl corpora — are grouped by an `xxhash64(text)` fingerprint and
+    * represented by their min-id member, so pair DISCOVERY and VERIFY
+    * run once per DISTINCT text (a duplication factor d cuts the
+    * discovery volume d²); within-cluster member pairs emit directly at
+    * distance 0 and verified representative pairs expand through the
+    * member lists. The collapse aggregate partially deduplicates
+    * map-side, so its exchange carries ~one row per distinct text per
+    * task, not per document. (Fingerprint collision odds are 2⁻⁶⁴ per
+    * distinct-text pair — the [[minHashSignatureArray]] trade.)
+    *
+    * CONTRACT: documents shorter than q·(maxEdits+1) characters are
+    * EXCLUDED (below that length the prefix bound cannot certify
+    * completeness — q-grams can miss entirely; use exact dedup or
+    * [[ngramJaccardPairs]] for short strings). Returns
+    * (id_a, id_b, edit_distance) with id_a < id_b, distance ≤ maxEdits.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxEdits: Int,
+      q: Int = 3): DataFrame = {
+    require(maxEdits >= 1, s"maxEdits must be positive, got $maxEdits")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val minLen = q * (maxEdits + 1)
+    val prefixLen = maxEdits * q + 1
+    // exact-text collapse: one row per DISTINCT text, min-id rep +
+    // member list; map-side partial aggregation dedupes before exchange
+    val uniq = df
+      .select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= minLen)
+      .groupBy(xxhash64(col(textCol)).as("__fp"))
+      .agg(min(col(idCol)).as("__rep"),
+        first(col(textCol)).as(textCol),
+        collect_list(col(idCol)).as("__members"))
+      .localCheckpoint(eager = false) // read by discovery + both expands
+    val reps = uniq.select(col("__rep").as(idCol), col(textCol))
+    // distinct per-rep grams, lazily checkpointed: the df aggregate and
+    // the rarity join both read the materialized stream (one gram pass)
+    val docGrams = reps
+      .select(col(idCol), length(col(textCol)).as("__len"),
+        explode(array_distinct(charGramHashes(col(textCol), q))).as("__g"))
+      .localCheckpoint(eager = false)
+    val dfFrame = docGrams.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+    // per-rep k·q+1 rarest grams via the bounded heap — no per-doc sort
+    val postings = graft.ops.TopK.perGroup(
+        docGrams.join(dfFrame.hint("shuffle_hash"), Seq("__g")),
+        Seq(idCol), Seq(col("__df"), col("__g")), prefixLen)
+      .select(col(idCol), col("__len"), col("__g"))
+    val cands = postings.as("a")
+      .join(postings.as("b"),
+        col("a.__g") === col("b.__g") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          abs(col("a.__len") - col("b.__len")) <= maxEdits)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ta = reps.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val tb = reps.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    // banded verify on REPRESENTATIVE pairs: -1 = distance exceeds k
+    val repPairs = cands
+      .join(ta, Seq("id_a"))
+      .join(tb, Seq("id_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("__ta"), col("__tb"), maxEdits))
+      .filter(col("edit_distance") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+    // expansion: each explode references a PRIOR select's column (never a
+    // same-select alias — the Generate lateral-alias trap)
+    val membA = uniq.select(col("__rep").as("id_a"), col("__members").as("__ma"))
+    val membB = uniq.select(col("__rep").as("id_b"), col("__members").as("__mb"))
+    val cross = repPairs
+      .join(membA, Seq("id_a"))
+      .join(membB, Seq("id_b"))
+      .select(explode(col("__ma")).as("__ia"), col("__mb"), col("edit_distance"))
+      .select(col("__ia"), explode(col("__mb")).as("__ib"), col("edit_distance"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("edit_distance"))
+    val within = uniq
+      .filter(size(col("__members")) > 1)
+      .select(explode(col("__members")).as("__ia"), col("__members"))
+      .select(col("__ia"), explode(col("__members")).as("__ib"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        lit(0).as("edit_distance"))
+    cross.unionByName(within)
+  }
 }
