@@ -44,8 +44,24 @@ class EditDistanceSpec extends AnyFunSuite {
     assert(d == Seq((1L, 2L, 0)))
   }
 
-  test("differential completeness: == naive all-pairs Levenshtein on " +
-      "random corpora with planted edits") {
+  /** Textbook Wagner–Fischer DP — a from-scratch model sharing NO code
+    * with the operator or the builtin. */
+  private def scalaLev(a: String, b: String): Int = {
+    val prev = Array.tabulate(b.length + 1)(identity)
+    val cur = new Array[Int](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("differential completeness: == from-scratch all-pairs DP model " +
+      "on random corpora with planted edits and exact-dup clusters") {
     val rnd = new scala.util.Random(31)
     def randStr(n: Int) =
       (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
@@ -57,28 +73,30 @@ class EditDistanceSpec extends AnyFunSuite {
         case 2 => s.take(i) + s.drop(i + 1)
       }
     }
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 12) {
       val bases = (0 until 12).map(_ => randStr(25 + rnd.nextInt(30)))
-      // derivatives at 0..8 edits: some inside the k=5 band, some out
+      // derivatives at 0..8 edits (some in the k=5 band, some out) plus
+      // verbatim copies — the exact-text collapse path must still emit
+      // every member pair
       val all = bases ++ bases.flatMap { b =>
-        (0 until rnd.nextInt(3)).map { _ =>
+        (0 until rnd.nextInt(4)).map { _ =>
           (0 until rnd.nextInt(9)).foldLeft(b)((s, _) => edit(s))
         }
-      }
+      } ++ bases.take(rnd.nextInt(3))
       val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val k = 5
       val got = Dedup.editDistancePairs(df, "doc_id", "text",
           maxEdits = k, q = 3)
         .as[(Long, Long, Int)].collect().toSet
-      // naive model through the independent 2-arg builtin, full cross
-      val f = df.filter(length(col("text")) >= 3 * (k + 1))
-      val want = f.as("a").crossJoin(f.as("b"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id"),
-          levenshtein(col("a.text"), col("b.text")).as("ed"))
-        .filter(col("ed") <= k)
-        .as[(Long, Long, Int)].collect().toSet
+      // from-scratch model: full cross product through the Scala DP
+      val kept = all.zipWithIndex.collect {
+        case (t, i) if t.length >= 3 * (k + 1) => (i.toLong, t)
+      }
+      val want = (for {
+        (ia, ta) <- kept; (ib, tb) <- kept if ia < ib
+        d = scalaLev(ta, tb) if d <= k
+      } yield (ia, ib, d)).toSet
       assert(got == want, s"trial $trial")
     }
   }

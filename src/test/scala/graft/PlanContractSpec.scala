@@ -176,6 +176,29 @@ class PlanContractSpec extends AnyFunSuite {
         s"text_contamination_report shuffles document text:\n$l"))
   }
 
+  test("edit-distance pairs: bounded-heap prefix selection, shuffle-hash " +
+      "rarity join, no broadcast of a corpus-sized side") {
+    val p = plans("dedup_edit_pairs")
+    // per-doc k·q+1 rarest-gram prefixes come from the bounded heap —
+    // a Window/sort here would be a per-doc vocabulary sort at scale
+    assert(p.contains("TopKPerGroup"),
+      s"dedup_edit_pairs lost its TopKPerGroup prefix selection:\n$p")
+    // the gram-rarity attach is pinned shuffle-hash: the df frame is
+    // vocabulary-sized (can exceed any broadcast threshold at corpus
+    // scale) and the gram stream is corpus-sized
+    assert(p.contains("ShuffledHashJoin"),
+      s"dedup_edit_pairs rarity join is no longer shuffle-hash:\n$p")
+    // text moves in exactly one exchange class: the exact-text-collapse
+    // aggregate (one deduplicated row per distinct text, map-side
+    // partial). The posting/pair exchanges must carry hashes only.
+    val textExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("text#"))
+      .size
+    assert(textExchanges <= 1,
+      s"dedup_edit_pairs text enters $textExchanges exchanges (collapse " +
+        s"should be the only one):\n$p")
+  }
+
   test("span dedup: window streams join shuffle-hash; text never enters " +
       "a pair exchange") {
     // both span queries: the occurrence/count join must stay shuffle-hash
