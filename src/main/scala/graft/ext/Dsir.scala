@@ -119,4 +119,40 @@ object Dsir {
         .drop("__g")
     else graft.ops.TopK.perGroupRanked(keyed, groupCols, order, k)
   }
+
+  /** Persist a fitted model as parquet `(bucket, log_prob)` with the fit
+    * parameters denormalized on — the `Retrieval.writeIndex` /
+    * `Dedup.writeSignatures` pattern at model grain: fit once on the
+    * reference corpora, then daily increments score against the stored
+    * table without re-reading a byte of the fit corpus. `buckets` rows —
+    * KBs — in one file. */
+  def writeModel(
+      spark: org.apache.spark.sql.SparkSession,
+      m: HashedModel, path: String): Unit = {
+    import spark.implicits._
+    m.logProbs.toSeq.zipWithIndex
+      .map { case (lp, b) =>
+        (b, lp, m.buckets, m.maxN, m.totalGrams, m.alpha) }
+      .toDF("bucket", "log_prob", "buckets", "max_n", "total_grams",
+        "alpha")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writeModel]] table back into a scoring-ready model. */
+  def readModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): HashedModel = {
+    val rows = spark.read.parquet(path)
+      .select("bucket", "log_prob", "buckets", "max_n", "total_grams",
+        "alpha")
+      .collect()
+    require(rows.nonEmpty, s"empty DSIR model at $path")
+    val head = rows.head
+    val (buckets, maxN) = (head.getInt(2), head.getInt(3))
+    require(rows.length == buckets,
+      s"DSIR model at $path holds ${rows.length} rows for $buckets buckets")
+    val lp = new Array[Double](buckets)
+    rows.foreach(r => lp(r.getInt(0)) = r.getDouble(1))
+    HashedModel(lp, buckets, maxN, head.getLong(4), head.getDouble(5))
+  }
 }

@@ -543,4 +543,49 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.map(_._3) == Seq("sitea.com", "siteb.co.uk", null, "evil.com"))
     } finally q.stop()
   }
+
+  test("DSIR importance weighting runs unchanged on a stream, matching " +
+      "batch; model survives a parquet round-trip") {
+    // importanceWeights is one stateless kernel eval per row (the
+    // log-ratio table rides the task binary), so the SAME code gates a
+    // streaming ingest path; the persisted-model round-trip is the
+    // fit-once / score-increments deployment shape
+    val dir = Files.createTempDirectory("graft-stream-dsir").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "cats and dogs and cats"),
+      (2L, "unrelated words entirely here"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val tm = graft.ext.Dsir.fitHashedModel(
+      docs.filter(col("doc_id") < 2), "text", buckets = 64, maxN = 2)
+    val rm = graft.ext.Dsir.fitHashedModel(docs, "text",
+      buckets = 64, maxN = 2)
+    // model persistence round-trip: identical weights through the table
+    val mdir = Files.createTempDirectory("graft-dsir-model").toFile
+    mdir.deleteOnExit()
+    graft.ext.Dsir.writeModel(spark, tm, mdir.getAbsolutePath)
+    val tm2 = graft.ext.Dsir.readModel(spark, mdir.getAbsolutePath)
+    assert(tm2.buckets == tm.buckets && tm2.maxN == tm.maxN &&
+      tm2.totalGrams == tm.totalGrams && tm2.alpha == tm.alpha)
+    assert(tm2.logProbs.toSeq == tm.logProbs.toSeq)
+    val batch = graft.ext.Dsir.importanceWeights(docs, "text", tm, rm)
+      .select("doc_id", "log_weight", "n_feat")
+      .orderBy("doc_id").as[(Long, Double, Int)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val gated = graft.ext.Dsir.importanceWeights(stream, "text", tm2, rm)
+      .select("doc_id", "log_weight", "n_feat")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_dsir").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_stream_dsir ORDER BY 1")
+        .as[(Long, Double, Int)].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
