@@ -1083,6 +1083,22 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Multi-phrase blocklist statistics: ONE Aho–Corasick automaton pass
+    * per doc versus a per-phrase contains/regexp chain (10³–10⁵ phrases
+    * in production lists = that many corpus scans). The oracle replays
+    * the distinct-phrase count with per-phrase `contains` — overlapping
+    * OCCURRENCE totals aren't SQL-replayable and are spec-checked
+    * against a brute-force model instead. */
+  private def textPhraseGate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.phraseStats(T(s, dir, "documents"), "text", PhraseList)
+      .select(col("doc_id"), col("n_phrases_hit"),
+        (col("n_phrases_hit") > 0).as("blocked"))
+      .orderBy(col("doc_id"))
+
+  private val PhraseList = Seq("fast table", "scan slow",
+    "window table table", "value fast merge", "quantum banana",
+    "slow fast", "table table", "agg join small")
+
   /** CCNet head/middle/tail perplexity partition over the fitted unigram
     * LM: corpus-tertile cuts as scalar subqueries over ONE checkpointed
     * narrow score frame — no whole-corpus ntile window. Non-memoizable
@@ -2122,6 +2138,7 @@ object SparkEntry {
     "text_lm_quality" -> (textLmQuality _),
     "text_dsir" -> (textDsir _),
     "dedup_edit_pairs" -> (dedupEditPairs _),
+    "text_phrase_gate" -> (textPhraseGate _),
     "text_lm_buckets" -> (textLmBuckets _),
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
@@ -3360,6 +3377,27 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
         |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_phrase_gate" ->
+      """SELECT doc_id,
+        |  CAST((CASE WHEN contains(text, 'fast table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'scan slow') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'window table table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'value fast merge') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'quantum banana') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'slow fast') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'table table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'agg join small') THEN 1 ELSE 0 END)
+        |    AS INT) AS n_phrases_hit,
+        |  (CASE WHEN contains(text, 'fast table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'scan slow') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'window table table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'value fast merge') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'quantum banana') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'slow fast') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'table table') THEN 1 ELSE 0 END)
+        |    + (CASE WHEN contains(text, 'agg join small') THEN 1 ELSE 0 END)
+        |    > 0 AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // edit-distance pairs: the operator's result is provably independent
     // of its internal gram order (prefix-filter completeness holds for
     // ANY shared total order), so the oracle replays the prefix filter

@@ -313,6 +313,37 @@ object TextAnalysis {
     full.select(outCols: _*).unionByName(partial.select(outCols: _*))
   }
 
+  // ——— multi-phrase blocklist (Aho–Corasick) ———
+
+  /** Append phrase-blocklist statistics: `n_phrase_hits` (every
+    * occurrence of every phrase, overlapping included) and
+    * `n_phrases_hit` (distinct phrases present). ONE
+    * [[graft.functions.AhoCorasickStats]] automaton pass per row —
+    * production blocklists run to 10³–10⁵ phrases, where the
+    * per-phrase `contains`/`regexp_count` chain is that many corpus
+    * scans. Case-sensitive; lowercase both sides upstream for
+    * case-insensitive lists. Map-only at any corpus size. */
+  def phraseStats(
+      df: DataFrame, textCol: String, phrases: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val st = GraftColumnBridge.column(graft.functions.AhoCorasickStats(
+      GraftColumnBridge.expression(col(textCol)), phrases))
+    df.withColumn("__ac", st)
+      .withColumn("n_phrase_hits", col("__ac.n_hits"))
+      .withColumn("n_phrases_hit", col("__ac.n_phrases_hit"))
+      .drop("__ac")
+  }
+
+  /** Blocklist gate: keep only documents containing NONE of `phrases` —
+    * the text-grain sibling of [[UrlOps.dropBlockedDomains]]. One
+    * map-only automaton pass; pushes nothing to the scan but adds no
+    * exchange either. */
+  def dropBlockedPhrases(
+      df: DataFrame, textCol: String, phrases: Seq[String]): DataFrame =
+    phraseStats(df, textCol, phrases)
+      .filter(col("n_phrases_hit") === 0)
+      .drop("n_phrase_hits", "n_phrases_hit")
+
   // ——— Gopher-style rule filters (Rae et al. 2021 §A1.1) ———
 
   /** Document-level quality signals behind the published Gopher /
