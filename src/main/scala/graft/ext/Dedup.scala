@@ -1977,6 +1977,14 @@ object Dedup {
       q: Int = 3): DataFrame = {
     require(maxEdits >= 1, s"maxEdits must be positive, got $maxEdits")
     require(q >= 2, s"q must be >= 2, got $q")
+    // id/text columns sharing an internal or output name would be
+    // silently clobbered by the selects below — reject loudly
+    Seq(idCol, textCol).filter(Set("__fp", "__rep", "__members", "__len",
+        "__g", "__df", "__ta", "__tb", "__ia", "__ib",
+        "id_a", "id_b", "edit_distance"))
+      .headOption.foreach(c => throw new IllegalArgumentException(
+        s"column name '$c' collides with the editDistancePairs " +
+          "internals/outputs — rename it first"))
     val minLen = q * (maxEdits + 1)
     val prefixLen = maxEdits * q + 1
     // exact-text collapse: one row per DISTINCT text, min-id rep +

@@ -42,6 +42,18 @@ object Dsir {
       totalGrams: Long,
       alpha: Double)
 
+  /** Output/internal names the weighting/resample machinery appends — a
+    * caller column sharing one would be silently clobbered (same guard
+    * class as Retrieval.ReservedCols, advisor r10). */
+  private val ReservedCols = Set("__ds", "__g", "log_weight", "n_feat",
+    "sample_key", "rank")
+
+  private def requireNotReserved(df: DataFrame, alsoCols: String*): Unit =
+    (df.columns.toSeq ++ alsoCols).filter(ReservedCols)
+      .headOption.foreach(c => throw new IllegalArgumentException(
+        s"column name '$c' collides with the DSIR outputs/internals " +
+          s"(${ReservedCols.toSeq.sorted.mkString(", ")}) — rename it first"))
+
   private def bucketsCol(text: Column, maxN: Int, buckets: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     GraftColumnBridge.column(graft.functions.HashedGramBuckets(
@@ -77,6 +89,7 @@ object Dsir {
     require(target.buckets == raw.buckets && target.maxN == raw.maxN,
       s"model shapes differ: target (${target.buckets}, n≤${target.maxN})" +
         s" vs raw (${raw.buckets}, n≤${raw.maxN})")
+    requireNotReserved(df)
     import org.apache.spark.sql.GraftColumnBridge
     val ratio = Array.tabulate(target.buckets)(b =>
       target.logProbs(b) - raw.logProbs(b))

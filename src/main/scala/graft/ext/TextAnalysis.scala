@@ -326,6 +326,14 @@ object TextAnalysis {
   def phraseStats(
       df: DataFrame, textCol: String, phrases: Seq[String]): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
+    // duplicate list entries would double-count n_phrases_hit; loud > silent
+    require(phrases.distinct.length == phrases.length,
+      "phrase list contains duplicates — deduplicate it first")
+    df.columns.toSeq
+      .filter(Set("__ac", "n_phrase_hits", "n_phrases_hit"))
+      .headOption.foreach(c => throw new IllegalArgumentException(
+        s"column name '$c' collides with the phraseStats outputs " +
+          "(__ac, n_phrase_hits, n_phrases_hit) — rename it first"))
     val st = GraftColumnBridge.column(graft.functions.AhoCorasickStats(
       GraftColumnBridge.expression(col(textCol)), phrases))
     df.withColumn("__ac", st)

@@ -67,14 +67,12 @@ case class AhoCorasickStats(child: Expression, phrases: Seq[String])
     val n = goto.length
     val fail = new Array[Int](n)
     val out = new Array[List[Int]](n)
-    var bfs = List.empty[Int]
     out(0) = ownOut(0)
     val queue = new java.util.ArrayDeque[Int]()
     goto(0).forEach((_, v) => { fail(v) = 0; queue.add(v) })
     while (!queue.isEmpty) {
       val u = queue.poll()
       out(u) = ownOut(u) ++ out(fail(u))
-      bfs = u :: bfs
       goto(u).forEach { (c, v) =>
         var f = fail(u)
         while (f != 0 && goto(f).get(c) == null) f = fail(f)

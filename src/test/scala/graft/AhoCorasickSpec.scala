@@ -58,6 +58,18 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
+  test("guards: duplicate phrases and output-name collisions are " +
+      "rejected loudly") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseStats(docs, "text", Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseStats(
+        docs.withColumn("n_phrases_hit", lit(1)), "text", Seq("a"))
+    }
+  }
+
   test("dropBlockedPhrases keeps exactly the hit-free docs; plan is " +
       "map-only") {
     val docs = Seq(

@@ -135,5 +135,18 @@ class DsirSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dsir.importanceWeights(docs, "text", tm, other)
     }
+    // reserved output names are rejected loudly, not clobbered
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(
+        docs.withColumn("log_weight", lit(0.0)), "text", tm, tm)
+    }
+  }
+
+  test("editDistancePairs rejects id/text names colliding with its " +
+      "internals") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id_a", "text")
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.editDistancePairs(df, "id_a", "text", maxEdits = 2)
+    }
   }
 }
