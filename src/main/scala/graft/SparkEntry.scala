@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Sampling, Scaling, TimeSeriesOps => Ts}
-import graft.ext.{Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Dedup, Dsir, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -880,6 +880,19 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ top-k (Jégou 2011): coarse cells bound where to look, PQ
+    * codes bound what shuffles (M ints + a norm per candidate, never the
+    * vector); ADC lookup table built once per (query, posting-shard)
+    * kernel call. Approximate by design → golden-pinned, with the
+    * recall/lossless-limit proofs in PqSpec. Non-memoizable: coarse +
+    * PQ training at construction (the sim_ivf_topk class). */
+  private def simIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", 5, numCells = 16, numProbes = 4, m = 8, kSub = 16)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fixed seed ids for the portable IVF twin — spaced across the id range
     * so every SF (embeddings ≥ 500 rows) has all 16 present. */
   private val ivfSeedIds: Seq[Long] = (0 until 16).map(_ * 29L)
@@ -1064,6 +1077,44 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tok"), col("n_oov"),
         round(col("avg_lp"), 4).as("avg_lp"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Bigram stupid-backoff LM scoring (Brants 2007; the n=2 step of the
+    * CCNet quality ladder). Non-memoizable: two model-fit corpus passes
+    * at construction (the text_lm_quality class). */
+  private def textLmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // fit on a held split, score the full corpus — scoring unseen docs is
+    // what exercises the backoff path (fit-on-scored would see every
+    // bigram of its own counts and never back off)
+    val model = TextAnalysis.fitBigramModel(
+      docs.filter(col("doc_id") % 3 === 0), "text",
+      vocabSize = 32, alpha = 1.0, backoff = 0.4)
+    TextAnalysis.scoreBigram(docs, "text", model)
+      .select(col("doc_id"), col("n_tok"), col("n_hit"),
+        round(col("avg_lp"), 4).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE subword token accounting (Sennrich 2016): fit 60 merges on the
+    * corpus word-count table (distributed count, driver merge loop),
+    * encode every document map-only, roll up per language. `tok_hash_sum`
+    * (wrapping sum of per-doc xxhash64 over the exact subword stream)
+    * pins token VALUES in the golden gate, not just counts.
+    * Non-memoizable: model fit at construction. */
+  private def textBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = Bpe.fit(docs, "text", numMerges = 60)
+    // project first: the table's own n_chars column would (correctly)
+    // trip the encodeStats reserved-name guard
+    Bpe.encodeStats(docs.select("doc_id", "lang", "text"), "text", model)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_tok_bpe")).as("total_bpe"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("tok_hash")).as("tok_hash_sum"))
+      .orderBy(col("lang"))
   }
 
   /** DSIR importance resampling (Xie et al. 2023): hashed bag-of-n-gram
@@ -2033,8 +2084,11 @@ object SparkEntry {
     * persists. */
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
+      "sim_ivfpq_topk", // coarse + PQ training at construction
       "sim_ivf_portable", "text_quality_prune", "text_mixture",
       "text_mixture_temp", "text_lm_quality", "text_lm_buckets",
+      "text_lm_bigram", // two model-fit passes at construction
+      "text_bpe", // word-count fit + driver merge loop at construction
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
       "text_dsir",
@@ -2123,6 +2177,7 @@ object SparkEntry {
     "sim_lsh_topk" -> (simLshTopK _),
     "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
+    "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "sim_ivf_portable" -> (simIvfPortable _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_quality" -> (textQuality _),
@@ -2136,6 +2191,8 @@ object SparkEntry {
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
+    "text_lm_bigram" -> (textLmBigram _),
+    "text_bpe" -> (textBpe _),
     "text_dsir" -> (textDsir _),
     "dedup_edit_pairs" -> (dedupEditPairs _),
     "text_phrase_gate" -> (textPhraseGate _),
@@ -3377,6 +3434,51 @@ object SparkEntry {
         |  CAST(coalesce(sc.n_oov, 0) AS INT) AS n_oov,
         |  round(sc.sum_lp / sc.n_tok, 4) AS avg_lp
         |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // bigram stupid-backoff replay: same top-32 add-1 unigram CTEs as
+    // text_lm_quality, then vocabulary-mapped consecutive-position
+    // bigram/context counts; position 1 scores unigram, later positions
+    // ln(c/cctx) when the mapped bigram is seen else ln(0.4)+unigram
+    "text_lm_bigram" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, i, t[i] AS tok FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |    FROM d)),
+        |tkf AS (SELECT * FROM tk WHERE doc_id % 3 = 0),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tkf),
+        |voc AS (SELECT tok AS t, CAST(count(*) AS DOUBLE) AS c FROM tkf
+        |  GROUP BY 1 ORDER BY count(*) DESC, tok LIMIT 32),
+        |vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM voc),
+        |mp AS (SELECT tk.doc_id, tk.i,
+        |    CASE WHEN voc.t IS NULL THEN '' ELSE tk.tok END AS m
+        |  FROM tk LEFT JOIN voc ON tk.tok = voc.t),
+        |bg AS (SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS DOUBLE) AS c
+        |  FROM mp a JOIN mp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.doc_id % 3 = 0
+        |  GROUP BY 1, 2),
+        |cx AS (SELECT m1, sum(c) AS cc FROM bg GROUP BY 1),
+        |sc1 AS (SELECT mp.doc_id,
+        |    ln((coalesce(voc.c, 0) + 1.0) / (tot.total + vn.v + 1.0)) AS lp,
+        |    0 AS hit
+        |  FROM mp LEFT JOIN voc ON mp.m = voc.t, tot, vn WHERE mp.i = 1),
+        |scb AS (SELECT a.doc_id,
+        |    CASE WHEN bg.c IS NOT NULL THEN ln(bg.c / cx.cc)
+        |         ELSE ln(0.4) + ln((coalesce(voc.c, 0) + 1.0)
+        |                           / (tot.total + vn.v + 1.0)) END AS lp,
+        |    CASE WHEN bg.c IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM mp a JOIN mp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  LEFT JOIN bg ON a.m = bg.m1 AND b.m = bg.m2
+        |  LEFT JOIN cx ON a.m = cx.m1
+        |  LEFT JOIN voc ON b.m = voc.t, tot, vn),
+        |agg AS (SELECT doc_id, sum(lp) AS s, sum(hit) AS h, count(*) AS n
+        |  FROM (SELECT * FROM sc1 UNION ALL SELECT * FROM scb) GROUP BY 1)
+        |SELECT d2.doc_id,
+        |  CAST(coalesce(agg.n, 0) AS INT) AS n_tok,
+        |  CAST(coalesce(agg.h, 0) AS INT) AS n_hit,
+        |  round(agg.s / agg.n, 4) AS avg_lp
+        |FROM documents d2 LEFT JOIN agg ON d2.doc_id = agg.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
     "text_phrase_gate" ->
       """SELECT doc_id,
         |  CAST((CASE WHEN contains(text, 'fast table') THEN 1 ELSE 0 END)

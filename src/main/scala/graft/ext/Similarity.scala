@@ -392,6 +392,183 @@ object Similarity {
       k)
   }
 
+  // ——— IVF-PQ: product-quantized serving (Jégou et al. 2011) ———
+
+  /** A fitted product quantizer: `codebooks(m)(k)` is subspace m's k-th
+    * sub-centroid (M × K × D/M floats — KBs, a driver/reference object
+    * like the IVF centroid matrix). */
+  final case class PqModel(codebooks: Seq[Seq[Seq[Float]]]) {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val numSubspaces: Int = codebooks.length
+    val subDim: Int = codebooks.head.head.length
+  }
+
+  private def pqCodesCol(v: Column, model: PqModel): Column =
+    exprCol(graft.functions.PqCodes(expression(v),
+      model.codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq))
+
+  /** Train a product quantizer: split the D dims into `m` equal
+    * subspaces, k-means each subspace to `kSub` sub-centroids. The
+    * per-iteration work is ONE distributed pass: a single [[graft
+    * .functions.PqCodes]] eval per row assigns all M subspaces at once,
+    * then one `groupBy(subspace, code)` aggregate recomputes every
+    * sub-centroid's per-dimension mean (double accumulate → float cast;
+    * same determinism caveat as [[trainCentroids]]). Seeding is the
+    * xxhash64-order sample unless `seedIds` pins explicit rows (the
+    * spec/differential hook, as with IVF). Train on a bounded sample at
+    * corpus scale — codebook quality saturates quickly and the encode
+    * pass is what touches every row. */
+  def trainPq(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, kSub: Int, iters: Int = 2,
+      seedIds: Option[Seq[Long]] = None): PqModel = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(kSub >= 1, s"kSub must be positive, got $kSub")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist()
+    try {
+      val seeds: Array[Seq[Float]] = seedIds match {
+        case Some(ids) =>
+          val byId = vecs.filter(col("__id").isin(ids: _*))
+            .as[(Long, Seq[Float])].collect().toMap
+          ids.map(id => byId.getOrElse(id,
+            throw new IllegalArgumentException(
+              s"seed id $id not present in candidates"))).toArray
+        case None => vecs
+          .withColumn("__r", xxhash64(col("__id")))
+          .orderBy("__r").limit(kSub)
+          .select("__v").as[Seq[Float]].collect()
+      }
+      require(seeds.nonEmpty, "trainPq needs a non-empty candidate set")
+      val dim = seeds.head.length
+      require(dim % m == 0,
+        s"vector dim $dim is not divisible into $m subspaces")
+      val dsub = dim / m
+      // init: subspace slices of the seed rows (K seeds shared across
+      // all M subspaces — one collect, deterministic)
+      var codebooks: Array[Array[Seq[Float]]] = Array.tabulate(m) { mi =>
+        seeds.map(s => s.slice(mi * dsub, (mi + 1) * dsub)).toArray
+      }
+      (1 to iters).foreach { _ =>
+        val model = PqModel(codebooks.map(_.toIndexedSeq).toIndexedSeq)
+        val dimAvgs = (0 until dsub).map(j =>
+          avg(element_at(col("__sv"), j + 1).cast("double")).as(s"__a$j"))
+        val updated = vecs
+          .withColumn("__codes", pqCodesCol(col("__v"), model))
+          .select(col("__v"),
+            posexplode(col("__codes")).as(Seq("__m", "__code")))
+          .withColumn("__sv",
+            slice(col("__v"), col("__m") * dsub + 1, lit(dsub)))
+          .groupBy(col("__m"), col("__code"))
+          .agg(dimAvgs.head, dimAvgs.tail: _*)
+          .collect()
+        updated.foreach { row =>
+          codebooks(row.getInt(0))(row.getInt(1)) =
+            (0 until dsub).map(j => row.getDouble(j + 2).toFloat)
+        }
+      }
+      PqModel(codebooks.map(_.toIndexedSeq).toIndexedSeq)
+    } finally vecs.unpersist()
+  }
+
+  /** Append `pq_codes` (array<int>, one sub-centroid id per subspace)
+    * — map-only. */
+  def encodePq(
+      df: DataFrame, vecCol: String, model: PqModel,
+      outCol: String = "pq_codes"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"encodePq writes '$outCol' but the input already has it — " +
+        "rename or drop it first")
+    df.withColumn(outCol, pqCodesCol(col(vecCol), model))
+  }
+
+  /** IVF-PQ top-k: coarse IVF cells bound WHERE to look, PQ codes bound
+    * WHAT crosses the wire. Candidates are encoded map-only to
+    * (cell, id, codes, norm) — the 4·D-byte vector never leaves its
+    * scan — and grouped into bounded posting rows of ≤ `maxPerShard`
+    * entries per (cell, hash-shard). Each query probes `numProbes`
+    * cells and one [[graft.functions.PqAdcTopK]] kernel call scores an
+    * entire posting row: the M×K lookup table is built once per
+    * (query, shard) and amortized over its candidates; the kernel
+    * returns the shard's top k under (cosine desc, id asc) — the SAME
+    * total order the global bounded-heap rank applies, so per-shard
+    * pruning is lossless w.r.t. the final ranking. Cosines are ADC
+    * approximations: quantized dot over the candidate's TRUE stored
+    * norm.
+    *
+    * Training (coarse centroids + codebooks) runs at call time; for
+    * repeated batches persist centroids ([[writeCentroids]]) and train
+    * PQ on a sample. */
+  def ivfPqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      numProbes: Int = 4,
+      m: Int = 8,
+      kSub: Int = 16,
+      lloydIters: Int = 2,
+      pqIters: Int = 2,
+      seedIds: Option[Seq[Long]] = None,
+      pqSeedIds: Option[Seq[Long]] = None,
+      maxPerShard: Int = 4096,
+      pqModel: Option[PqModel] = None): DataFrame = {
+    require(maxPerShard >= 1, s"maxPerShard must be positive, got $maxPerShard")
+    val spark = candidates.sparkSession
+    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist()
+    try {
+      val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
+      // at corpus scale: train on a bounded sample and inject via pqModel
+      // (the writeCentroids analogue for the quantizer)
+      val pq = pqModel.getOrElse(
+        trainPq(candidates, idCol, vecCol, m, kSub, pqIters, pqSeedIds))
+
+      // encode: the only candidate-side exchange carries (id, M ints,
+      // norm) — never the vector
+      val nShards = math.max(1L,
+        (vecs.count() / math.max(1, numCells.toLong) / maxPerShard) + 1)
+      val posting = vecs
+        .withColumn("__cell", nearestCell(col("__v"), centroids))
+        .withColumn("__codes", pqCodesCol(col("__v"), pq))
+        .withColumn("__n", l2Norm(col("__v")))
+        .withColumn("__shard", pmod(xxhash64(col("__id")), lit(nShards)))
+        .groupBy(col("__cell"), col("__shard"))
+        .agg(collect_list(struct(
+          col("__id").as("id"), col("__codes").as("codes"),
+          col("__n").as("norm"))).as("__entries"))
+
+      val probeCells: Column =
+        exprCol(graft.functions.NearestCentroids(
+          expression(col("__qv")),
+          centroids.toIndexedSeq.map(_.toIndexedSeq),
+          math.min(numProbes, centroids.length)))
+      val q = queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+        .withColumn("__qn", l2Norm(col("__qv")))
+        .withColumn("__cell", explode(probeCells))
+
+      val shardTopK = exprCol(graft.functions.PqAdcTopK(
+        expression(col("query_id")), expression(col("__qv")),
+        expression(col("__qn")), expression(col("__entries")),
+        pq.codebooks.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq, k))
+      // posting is numCells×nShards rows — broadcast-sized by
+      // construction at serving time (entries are code-compressed)
+      val scored = q.join(posting.hint("shuffle_hash"), "__cell")
+        .withColumn("__topk", shardTopK)
+        .select(col("query_id"), explode(col("__topk")).as("__e"))
+        .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
+          col("__e.cosine").as("cosine"))
+      rankTopK(scored, k)
+    } finally vecs.unpersist()
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a
     * cluster label or LSH bucket): pairs with cosine ≥ `threshold`.
     * The blocking column bounds the pair blow-up; at corpus scale feed the

@@ -704,6 +704,150 @@ object TextAnalysis {
       .drop("__lm")
   }
 
+  /** Fitted bigram stupid-backoff model (Brants et al. 2007): the add-α
+    * [[UnigramModel]] it backs off to, plus the bigram table over
+    * VOCABULARY-MAPPED tokens — each corpus token is replaced by itself
+    * when in the unigram vocabulary, else by the `""` OOV sentinel, so
+    * the bigram state space is bounded by (V+1)² at ANY corpus size.
+    * `bigramLogProbs` maps `"m1 m2"` → ln(c(m1,m2)/cctx(m1)) where cctx
+    * is the pre-cap context mass (Σ_m2 c(m1,m2)); `backoff` is the
+    * stupid-backoff penalty multiplied into the unigram probability when
+    * a bigram is unseen (0.4 in the paper). */
+  final case class BigramModel(
+      unigram: UnigramModel,
+      bigramLogProbs: Seq[(String, Double)],
+      backoff: Double)
+
+  /** All consecutive mapped-token bigrams of `text` (non-distinct,
+    * occurrence order) via the [[graft.functions.MappedBigrams]] kernel. */
+  private def mappedBigrams(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MappedBigrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), vocab))
+
+  /** Fit a bigram stupid-backoff model — the next step up from
+    * [[fitUnigramModel]] on the CCNet-style quality ladder (Wenzek 2020
+    * scores with a KenLM n-gram model; this is the n=2 form with stupid
+    * backoff, the smoothing Brants 2007 showed wins at corpus scale
+    * precisely because it needs only raw counts).
+    *
+    * Two corpus passes at fit time (unigram vocabulary, then mapped
+    * bigram counts — the second pass cannot start before the vocabulary
+    * exists), each a single explode + partial-agg'd `groupBy`. The bigram
+    * counts frame is lazily `localCheckpoint`ed and BOTH derived reads
+    * (context masses, top-`maxBigrams` cap) run over that materialized
+    * ≤(V+1)²-row frame, never the corpus. Context masses are computed
+    * BEFORE the cap, so capped-away bigrams fall back to the backoff
+    * path rather than inflating survivors' conditionals. The collected
+    * model is ≤ maxBigrams + V entries — KBs at the defaults — shipped
+    * to scoring as an expression reference object like the unigram and
+    * IVF models. */
+  def fitBigramModel(
+      df: DataFrame, textCol: String, vocabSize: Int = 200,
+      alpha: Double = 1.0, backoff: Double = 0.4,
+      maxBigrams: Int = 1 << 20): BigramModel = {
+    require(backoff > 0 && backoff <= 1,
+      s"backoff must be in (0, 1], got $backoff")
+    require(maxBigrams >= 1, s"maxBigrams must be positive, got $maxBigrams")
+    val uni = fitUnigramModel(df, textCol, vocabSize, alpha)
+    val vocab = uni.logProbs.map(_._1)
+    val pairs = df
+      .select(explode(mappedBigrams(col(textCol), vocab)).as("bg"))
+      .groupBy(col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // materialized by the context job
+    // context mass per m1 — "m1 m2" single-space join is unambiguous
+    // (tokens cannot contain whitespace; the "" OOV sentinel yields a
+    // leading/bare space, which substring_index maps back to "")
+    val ctx = pairs
+      .groupBy(substring_index(col("bg"), " ", 1).as("m1"))
+      .agg(sum(col("n")).as("cn"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val top = graft.ops.TopK.perGroupRanked(
+        pairs.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("n").desc, col("bg")), maxBigrams)
+      .select(col("bg"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val lps = top.map { case (bg, c) =>
+      val m1 = bg.substring(0, bg.indexOf(' '))
+      (bg, math.log(c.toDouble / ctx(m1)))
+    }.toSeq
+    BigramModel(uni, lps, backoff)
+  }
+
+  /** Score every document under a fitted [[BigramModel]]: appends
+    * `sum_lp` (position 0 scored by the unigram model, positions ≥ 1 by
+    * the seen-bigram conditional or `ln(backoff) + unigram`), `n_tok`,
+    * `n_hit` (positions scored by a seen bigram) and `avg_lp` =
+    * sum_lp/n_tok (null for token-less docs). One
+    * [[graft.functions.BigramLogProbStats]] kernel eval per row — no
+    * explode, no join, no shuffle at any corpus size. */
+  def scoreBigram(
+      df: DataFrame, textCol: String, model: BigramModel): DataFrame = {
+    // loud reject over silent clobber (the advisor-r10 guard class)
+    val reserved = Set("__lm", "sum_lp", "n_tok", "n_hit", "avg_lp")
+    df.columns.find(reserved).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' collides with the bigram scoring outputs " +
+          s"(${reserved.toSeq.sorted.mkString(", ")}) — rename it first"))
+    import org.apache.spark.sql.GraftColumnBridge
+    val st = GraftColumnBridge.column(graft.functions.BigramLogProbStats(
+      GraftColumnBridge.expression(col(textCol)),
+      model.unigram.logProbs, model.unigram.oovLogProb,
+      model.bigramLogProbs, math.log(model.backoff)))
+    df.withColumn("__lm", st)
+      .withColumn("sum_lp", col("__lm.sum_lp"))
+      .withColumn("n_tok", col("__lm.n_tok"))
+      .withColumn("n_hit", col("__lm.n_hit"))
+      .withColumn("avg_lp",
+        when(col("n_tok") > 0, col("sum_lp") / col("n_tok")))
+      .drop("__lm")
+  }
+
+  /** Persist a fitted [[BigramModel]] as parquet (two tables under
+    * `path`: `unigram/` with token/log_prob rows plus the OOV/total/alpha
+    * header values, `bigram/` with bigram/log_prob rows) — fit once,
+    * score daily increments ([[graft.ext.Dsir.writeModel]] pattern). */
+  def writeBigramModel(
+      spark: org.apache.spark.sql.SparkSession, m: BigramModel,
+      path: String): Unit = {
+    import spark.implicits._
+    // the header values (OOV mass, totals) ride the vocab rows — an
+    // empty-vocabulary model would lose them on the round trip
+    require(m.unigram.logProbs.nonEmpty,
+      "cannot persist a bigram model with an empty vocabulary " +
+        "(fit on a non-empty corpus first)")
+    m.unigram.logProbs.zipWithIndex
+      .map { case ((t, lp), i) =>
+        (i, t, lp, m.unigram.oovLogProb, m.unigram.totalTokens,
+          m.unigram.alpha, m.backoff) }
+      .toDF("rank", "token", "log_prob", "oov_log_prob", "total_tokens",
+        "alpha", "backoff")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram")
+    m.bigramLogProbs
+      .toDF("bigram", "log_prob")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/bigram")
+  }
+
+  /** Load a [[writeBigramModel]] table pair back into a scoring-ready
+    * model. */
+  def readBigramModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): BigramModel = {
+    val uniRows = spark.read.parquet(s"$path/unigram")
+      .select("rank", "token", "log_prob", "oov_log_prob", "total_tokens",
+        "alpha", "backoff")
+      .collect().sortBy(_.getInt(0))
+    require(uniRows.nonEmpty, s"empty bigram model at $path")
+    val head = uniRows.head
+    val uni = UnigramModel(
+      uniRows.map(r => (r.getString(1), r.getDouble(2))).toSeq,
+      head.getDouble(3), head.getLong(4), head.getDouble(5))
+    val bg = spark.read.parquet(s"$path/bigram")
+      .select("bigram", "log_prob")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    BigramModel(uni, bg, head.getDouble(6))
+  }
+
   /** Corpus vocabulary: the k most frequent whitespace tokens with ranks —
     * the canonical corpus-scale wordcount (vocabulary building, frequency
     * cutoffs for tokenizer training). One explode + one partial-agg'd

@@ -588,4 +588,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("bigram-LM scoring and BPE accounting run unchanged on a stream, " +
+      "matching batch") {
+    // both are one stateless kernel eval per row (model tables ride the
+    // task binary) — the fit-once / score-daily-increments deployment
+    // shape for the quality ladder and the token budgeter
+    val dir = Files.createTempDirectory("graft-stream-lm2").toFile
+    dir.deleteOnExit()
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat ran and the dog sat"),
+      (2L, "unrelated words entirely here"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val lm = graft.ext.TextAnalysis.fitBigramModel(
+      docs.filter(col("doc_id") < 2), "text", vocabSize = 6)
+    val bpe = graft.ext.Bpe.fit(docs, "text", numMerges = 8)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Bpe.encodeStats(
+          graft.ext.TextAnalysis.scoreBigram(df, "text", lm), "text", bpe)
+        .select("doc_id", "sum_lp", "n_tok", "n_hit", "n_tok_bpe",
+          "tok_hash")
+    val batch = score(docs).orderBy("doc_id")
+      .as[(Long, Double, Int, Int, Int, Long)].collect().toSeq
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val q = score(stream).writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_lm2").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_stream_lm2 ORDER BY 1")
+        .as[(Long, Double, Int, Int, Int, Long)].collect().toSeq
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
