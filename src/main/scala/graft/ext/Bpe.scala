@@ -35,7 +35,9 @@ object Bpe {
 
   /** Fit `numMerges` BPE merges on the corpus' `maxWords` most frequent
     * whitespace words. The merge loop stops early when no adjacent pair
-    * repeats (fully-merged vocabulary). */
+    * remains (every word fully merged to one symbol); unlike subword-nmt
+    * it does NOT stop below frequency 2, so count-1 pairs are still
+    * learned as merges — deterministic and golden-pinned. */
   def fit(
       df: DataFrame, textCol: String, numMerges: Int,
       maxWords: Int = 1 << 16): BpeModel = {
@@ -152,7 +154,10 @@ object Bpe {
         when(col("__bpe").isNotNull, size(col("__bpe"))))
       .withColumn("n_chars",
         length(regexp_replace(col(textCol), "\\s+", "")))
-      .withColumn("tok_hash", xxhash64(concat_ws(" ", col("__bpe"))))
+      // concat_ws maps a NULL array to "" — an unguarded hash would give
+      // null documents the same tok_hash as genuinely empty ones
+      .withColumn("tok_hash",
+        when(col("__bpe").isNotNull, xxhash64(concat_ws(" ", col("__bpe")))))
       .drop("__bpe")
   }
 

@@ -489,8 +489,13 @@ object Similarity {
   /** IVF-PQ top-k: coarse IVF cells bound WHERE to look, PQ codes bound
     * WHAT crosses the wire. Candidates are encoded map-only to
     * (cell, id, codes, norm) — the 4·D-byte vector never leaves its
-    * scan — and grouped into bounded posting rows of ≤ `maxPerShard`
-    * entries per (cell, hash-shard). Each query probes `numProbes`
+    * scan — and grouped into bounded posting rows: each cell is split
+    * into ceil(cellCount / maxPerShard) id-hash shards, so a posting row
+    * holds ≤ `maxPerShard` entries in expectation even when cells are
+    * skewed (the shard count tracks the cell's OWN size, not the global
+    * mean; the residual variance is that of a uniform hash over distinct
+    * ids). Shard membership never affects results — per-shard pruning is
+    * lossless, see below. Each query probes `numProbes`
     * cells and one [[graft.functions.PqAdcTopK]] kernel call scores an
     * entire posting row: the M×K lookup table is built once per
     * (query, shard) and amortized over its candidates; the kernel
@@ -531,14 +536,27 @@ object Similarity {
         trainPq(candidates, idCol, vecCol, m, kSub, pqIters, pqSeedIds))
 
       // encode: the only candidate-side exchange carries (id, M ints,
-      // norm) — never the vector
-      val nShards = math.max(1L,
-        (vecs.count() / math.max(1, numCells.toLong) / maxPerShard) + 1)
-      val posting = vecs
+      // norm) — never the vector. Shard counts are PER CELL
+      // (ceil(cellCount / maxPerShard)) so a skewed hot cell still honors
+      // the posting-row cap in expectation over the id hash — a single
+      // global shard count derived from the mean cell size does not (the
+      // hot cell's rows would all land in too few shards). The per-cell
+      // count aggregation replaces the global count() the old form
+      // needed anyway: same job count, ≤numCells rows on the driver.
+      val encoded = vecs
         .withColumn("__cell", nearestCell(col("__v"), centroids))
+      val cellCounts: Map[Int, Long] = encoded
+        .groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val shardByCell: Column = element_at(
+        map(cellCounts.toSeq.sortBy(_._1).flatMap { case (c, n) =>
+          Seq(lit(c), lit((n + maxPerShard - 1) / maxPerShard))
+        }: _*),
+        col("__cell"))
+      val posting = encoded
         .withColumn("__codes", pqCodesCol(col("__v"), pq))
         .withColumn("__n", l2Norm(col("__v")))
-        .withColumn("__shard", pmod(xxhash64(col("__id")), lit(nShards)))
+        .withColumn("__shard", pmod(xxhash64(col("__id")), shardByCell))
         .groupBy(col("__cell"), col("__shard"))
         .agg(collect_list(struct(
           col("__id").as("id"), col("__codes").as("codes"),

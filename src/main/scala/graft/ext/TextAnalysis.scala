@@ -345,11 +345,13 @@ object TextAnalysis {
   /** Blocklist gate: keep only documents containing NONE of `phrases` —
     * the text-grain sibling of [[UrlOps.dropBlockedDomains]]. One
     * map-only automaton pass; pushes nothing to the scan but adds no
-    * exchange either. */
+    * exchange either. A blocklist must only drop what it names: null-text
+    * documents contain none of the phrases, so the NULL stat coalesces to
+    * 0 and the row passes (same convention as `dropBlockedDomains`). */
   def dropBlockedPhrases(
       df: DataFrame, textCol: String, phrases: Seq[String]): DataFrame =
     phraseStats(df, textCol, phrases)
-      .filter(col("n_phrases_hit") === 0)
+      .filter(coalesce(col("n_phrases_hit"), lit(0)) === 0)
       .drop("n_phrase_hits", "n_phrases_hit")
 
   // ——— Gopher-style rule filters (Rae et al. 2021 §A1.1) ———

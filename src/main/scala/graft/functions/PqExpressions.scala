@@ -148,6 +148,11 @@ case class PqAdcTopK(
     if (v.numElements() != m * dsub) return null
     val queryId = qid.asInstanceOf[Long]
     val qNorm = qn.asInstanceOf[Double]
+    // degenerate-vector guard: a zero-norm query has no defined cosine
+    // against anything — return null (the row contributes no matches)
+    // rather than ±Inf/NaN, which would either rank first or be silently
+    // dropped by the NaN-rejecting heap comparator
+    if (qNorm <= 0.0) return null
     // LUT[m][k] = q_m · c_{m,k} — once per call, amortized over the shard
     val lut = new Array[Array[Double]](m)
     var mi = 0
@@ -181,9 +186,13 @@ case class PqAdcTopK(
     while (i < n) {
       val e = entries.getStruct(i, 3)
       val id = e.getLong(0)
-      if (id != queryId) {
+      val entryNorm = e.getDouble(2)
+      // zero-norm stored candidates are skipped: their ADC cosine would
+      // be ±Inf (ranked first) or NaN (never inserted) — neither is a
+      // meaningful similarity, and brute force yields NaN for them too
+      if (id != queryId && entryNorm > 0.0) {
         val codes = e.getArray(1)
-        val norm = e.getDouble(2)
+        val norm = entryNorm
         var dot = 0.0
         var mj = 0
         while (mj < m) { dot += lut(mj)(codes.getInt(mj)); mj += 1 }

@@ -70,17 +70,19 @@ class AhoCorasickSpec extends AnyFunSuite {
     }
   }
 
-  test("dropBlockedPhrases keeps exactly the hit-free docs; plan is " +
+  test("dropBlockedPhrases keeps exactly the hit-free docs; null text " +
+      "passes the gate (a blocklist only drops what it names); plan is " +
       "map-only") {
     val docs = Seq(
       (1L, "clean words only here"),
       (2L, "contains a bad phrase inside"),
-      (3L, "another clean one"))
+      (3L, "another clean one"),
+      (4L, null))
       .toDF("doc_id", "text")
     val kept = TextAnalysis.dropBlockedPhrases(docs, "text",
         Seq("bad phrase", "worse phrase"))
       .select("doc_id").as[Long].collect().toSeq.sorted
-    assert(kept == Seq(1L, 3L))
+    assert(kept == Seq(1L, 3L, 4L))
     val plan = TextAnalysis.phraseStats(docs, "text", Seq("x"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),

@@ -186,6 +186,13 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(1) == ((2L, Some(0), Some(0), Some(0))))
     assert(rows(2) == ((3L, Some(0), Some(0), Some(0))))
     assert(rows(3)._2.isEmpty && rows(3)._3.isEmpty) // null text
+    // tok_hash pins token VALUES: null text must hash NULL, not collide
+    // with a genuinely empty document's hash (advisor-r11)
+    val hashes = Bpe.encodeStats(df, "text", m)
+      .select("doc_id", "tok_hash")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(hashes(3)._2.isEmpty, "null text must have NULL tok_hash")
+    assert(hashes(1)._2.nonEmpty, "empty text hashes its empty encoding")
   }
 
   test("plan: encode is map-only — no exchange touches the corpus") {

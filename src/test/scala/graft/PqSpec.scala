@@ -171,6 +171,32 @@ class PqSpec extends AnyFunSuite {
     assert(run(1).toSeq == run(1000000).toSeq)
   }
 
+  test("degenerate vectors: zero-norm candidates are skipped, a " +
+      "zero-norm query matches nothing (no ±Inf/NaN cosines)") {
+    val dim = 8
+    val base = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(dim)(((i % 5) + 1).toFloat)))
+    val zeroCand = (100L, Seq.fill(dim)(0f))
+    val df = (base :+ zeroCand).toDF("id", "v")
+    val q = df.filter(col("id") < 3)
+    val out = Similarity.ivfPqTopK(q, df, "id", "v", 25,
+        numCells = 2, numProbes = 2, m = 4, kSub = 4,
+        seedIds = Some(Seq(0L, 1L)),
+        pqSeedIds = Some((0 until 4).map(_.toLong)))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(!out.exists(_._2 == 100L), "zero-norm candidate must be skipped")
+    assert(out.forall(r => !r._3.isNaN && !r._3.isInfinite),
+      "no ±Inf/NaN cosine may be emitted")
+    // zero-norm query: contributes no result rows at all
+    val zq = Seq((200L, Seq.fill(dim)(0f))).toDF("id", "v")
+    val zout = Similarity.ivfPqTopK(zq, df, "id", "v", 5,
+      numCells = 2, numProbes = 2, m = 4, kSub = 4,
+      seedIds = Some(Seq(0L, 1L)),
+      pqSeedIds = Some((0 until 4).map(_.toLong)))
+    assert(zout.count() == 0L)
+  }
+
   test("recall: clustered candidates — every approx neighbor comes from " +
       "the query's cluster, full result sets") {
     // PQ deliberately quantizes away intra-cluster jitter, so exact-id
