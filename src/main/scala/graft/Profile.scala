@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
 /** Stage-waterfall profiler for single queries — the measurement arm of
   * the perf protocol (name the barrier BEFORE touching the code).
   *
-  * Mirrors Bench's warm posture exactly (AQE off, 4 shuffle partitions,
-  * once-planned `groupBy().count()` plan, clone-and-execute), runs one
+  * Mirrors Bench's warm posture exactly (AQE off unless SPARK_GRAFT_AQE,
+  * 4 CPUs / 4 shuffle partitions by default, once-planned
+  * `groupBy().count()` plan, clone-and-execute), runs one
   * untimed warmup then one instrumented execution, and prints per-job /
   * per-stage wall times, task counts, and shuffle/input byte counters.
   * Jobs are printed in submission order with their wall offsets so
@@ -83,13 +84,14 @@ object Profile {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: Profile <query> [query...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
       .config("spark.sql.codegen.cache.maxEntries", "4096")
@@ -100,27 +102,31 @@ object Profile {
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
+      val drain = () => org.apache.spark.graftbridge.ListenerBusDrain
+        .waitUntilEmpty(spark.sparkContext)
       if (SparkEntry.eagerConstruction(name)) {
         // eager queries re-pay construction per rep in Bench too
         fn(spark, sfDir).count() // warmup
+        drain() // fence: queued warmup events must not reach the listener
         val w = new Waterfall
         spark.sparkContext.addSparkListener(w)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(400) // drain listener bus
+        drain() // fence: tail events must land before detach
         spark.sparkContext.removeSparkListener(w)
         println(s"== $name (eager)\n" + w.report(wall))
       } else {
         val planned = fn(spark, sfDir).groupBy().count()
           .queryExecution.executedPlan
         planned.clone().execute().count() // warmup
+        drain()
         val w = new Waterfall
         spark.sparkContext.addSparkListener(w)
         val t0 = System.nanoTime()
         planned.clone().execute().count()
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(400)
+        drain()
         spark.sparkContext.removeSparkListener(w)
         println(s"== $name\n" + w.report(wall))
       }

@@ -215,8 +215,12 @@ object Similarity {
     (1 to lloydIters).foreach { _ =>
       val dimAvgs = (0 until dim).map(i =>
         avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
+      // nearestCell is NULL for null/dim-mismatched vectors — such rows
+      // must not form a null-key group (getInt(0) would NPE) and must not
+      // pull centroid means; they are simply never assignable.
       val updated = vecs
         .withColumn("__cell", nearestCell(col("__v"), centroids))
+        .filter(col("__cell").isNotNull)
         .groupBy(col("__cell"))
         .agg(dimAvgs.head, dimAvgs.tail: _*)
         .collect()
@@ -543,8 +547,12 @@ object Similarity {
       // hot cell's rows would all land in too few shards). The per-cell
       // count aggregation replaces the global count() the old form
       // needed anyway: same job count, ≤numCells rows on the driver.
+      // NearestCentroids yields NULL for null/dim-mismatched vectors; such
+      // rows can never be probed, so drop them up front — otherwise the
+      // null-key group row NPEs the r.getInt(0) in the cellCounts collect.
       val encoded = vecs
         .withColumn("__cell", nearestCell(col("__v"), centroids))
+        .filter(col("__cell").isNotNull)
       val cellCounts: Map[Int, Long] = encoded
         .groupBy(col("__cell")).agg(count(lit(1)).as("__cn"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

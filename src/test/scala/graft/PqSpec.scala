@@ -250,6 +250,25 @@ class PqSpec extends AnyFunSuite {
       s"an exchange carries the candidate vector:\n$plan")
   }
 
+  test("null / dim-mismatched candidate vectors degrade to ignored " +
+      "(no driver NPE from the per-cell count collect)") {
+    val dim = 8
+    val base = (0 until 20).map(i =>
+      (i.toLong, Some(Seq.fill(dim)(((i % 5) + 1).toFloat))))
+    val nullCand = (100L, None: Option[Seq[Float]])
+    val shortCand = (101L, Some(Seq(1f, 2f))) // wrong dimension
+    val df = (base :+ nullCand :+ shortCand).toDF("id", "v")
+    val q = base.take(3).toDF("id", "v")
+    val out = Similarity.ivfPqTopK(q, df, "id", "v", 25,
+        numCells = 2, numProbes = 2, m = 4, kSub = 4,
+        seedIds = Some(Seq(0L, 1L)),
+        pqSeedIds = Some((0 until 4).map(_.toLong)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(!out.exists(r => r._2 == 100L || r._2 == 101L),
+      "null / dim-mismatched candidates must be ignored, not surfaced")
+  }
+
   test("encodePq refuses an existing output column") {
     val df = Seq((1L, Seq(1f, 0f))).toDF("id", "pq_codes")
     val model = PqModel(Seq(Seq(Seq(1f, 0f))))
