@@ -1502,9 +1502,12 @@ object Dedup {
     def gramHashes(c: Column): Column = GraftColumnBridge.column(
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(c, n))))
-    val benchGrams = benchGramRows(benchmark, benchIdCol, benchTextCol,
-      gramHashes, assumeUniqueBenchIds)
-    val corpusGrams = corpus
+    // both sides' gram-hash kernel passes are their entire pre-join cost —
+    // remediate under-parallel scans before them (no-op at corpus scale,
+    // see graft.ops.Par; "text never exchanges" still holds there)
+    val benchGrams = benchGramRows(graft.ops.Par.fanOutSmallScan(benchmark),
+      benchIdCol, benchTextCol, gramHashes, assumeUniqueBenchIds)
+    val corpusGrams = graft.ops.Par.fanOutSmallScan(corpus)
       .select(col(idCol).as("__cid"),
         explode(gramHashes(col(textCol))).as("__g"))
     val hits =

@@ -35,7 +35,9 @@ object Retrieval {
       corpus: DataFrame, idCol: String, textCol: String,
       termCol: String, tfCol: String, dlCol: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    corpus
+    // the TokenTfs kernel pass is the frame's entire cost — remediate an
+    // under-parallel scan before it (no-op at corpus scale, see Par)
+    graft.ops.Par.fanOutSmallScan(corpus)
       .select(col(idCol), GraftColumnBridge.column(graft.functions.TokenTfs(
         GraftColumnBridge.expression(col(textCol)))).as("__k"))
       .select(col(idCol), col("__k").getField("dl").as(dlCol),
@@ -67,7 +69,7 @@ object Retrieval {
       corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      roundScoreTo: Int = 4): DataFrame = {
+      roundScoreTo: Int = 4, materialize: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(k1 >= 0, s"k1 must be non-negative, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
@@ -76,18 +78,38 @@ object Retrieval {
     requireNotReserved(idCol, queryIdCol)
 
     // ONE text scan, zero exchanges: the map-side posting frame is the
-    // checkpoint every downstream statistic derives from
-    val tf = postings(corpus, idCol, textCol, "__t", "__tf", "__dl")
-      .localCheckpoint(eager = false)
+    // checkpoint every downstream statistic derives from.
+    // `materialize = false` keeps it declarative instead — the three
+    // consumers (collection stats, df aggregate, candidate scoring)
+    // re-derive it, i.e. up to three map-only tokenize passes but ONE
+    // pure re-plannable query with no mid-plan state; at small/medium
+    // corpus the repeated fanned kernel pass is cheaper than the
+    // per-call checkpoint round-trip. Identical output either way
+    // (spec'd).
+    val raw = postings(corpus, idCol, textCol, "__t", "__tf", "__dl")
+    val tf = if (materialize) raw.localCheckpoint(eager = false) else raw
 
-    // narrow (doc, len) collection stats off the denormalized dl column.
-    // avgdl via exact long sum then one double division (avg() would sum
-    // doubles in Spark but exact integers in DuckDB — an engine-visible
-    // ulp); the long sum is order-independent, so both engines agree
-    // bit-for-bit
-    val stats = tf.select(col(idCol), col("__dl")).distinct().agg(
-      count(lit(1)).cast("double").as("__N"),
-      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    // narrow (doc, len) collection stats. avgdl via exact long sum then
+    // one double division (avg() would sum doubles in Spark but exact
+    // integers in DuckDB — an engine-visible ulp); the long sum is
+    // order-independent, so both engines agree bit-for-bit.
+    // Materialized posture: derive from the checkpointed posting blocks
+    // (a (doc, dl) distinct — no re-scan of the text, the point of the
+    // checkpoint). Declarative posture: a doc-grain tokenCount map pass —
+    // one row per doc by construction, so no distinct exchange and no
+    // explode; dl > 0 is the same "docs with ≥1 kept token" predicate the
+    // posting frame encodes by emitting no row.
+    val stats =
+      if (materialize)
+        tf.select(col(idCol), col("__dl")).distinct().agg(
+          count(lit(1)).cast("double").as("__N"),
+          (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+      else
+        graft.ops.Par.fanOutSmallScan(corpus)
+          .select(TextAnalysis.tokenCount(col(textCol)).as("__dl"))
+          .filter(col("__dl") > 0).agg(
+            count(lit(1)).cast("double").as("__N"),
+            (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
 
     // query terms: distinct per query, KBs, broadcast everywhere below
     val qt = queries

@@ -205,9 +205,11 @@ object TextAnalysis {
   def mixtureByTokenBudget(
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       budgetFraction: Double, seed: String = "42",
-      numBuckets: Int = 4096, broadcastStatus: Boolean = true): DataFrame =
+      numBuckets: Int = 4096, broadcastStatus: Boolean = true,
+      materialize: Boolean = true): DataFrame =
     mixtureSelect(
-      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets,
+        materialize),
       idCol, groupCol, broadcastStatus,
       // the group total is the full-frame window sum over the same tiny
       // bucket rows — the budget costs no separate per-group aggregate
@@ -231,8 +233,20 @@ object TextAnalysis {
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       budgets: DataFrame, budgetCol: String, seed: String,
       numBuckets: Int, broadcastStatus: Boolean): DataFrame =
+    mixtureByTokenBudget(df, idCol, groupCol, textCol, budgets, budgetCol,
+      seed, numBuckets, broadcastStatus, materialize = true)
+
+  /** [[mixtureByTokenBudget]] (explicit-budgets form) with the
+    * materialization posture exposed — Scala forbids default arguments on
+    * both overloads, hence the two-arity pair. */
+  def mixtureByTokenBudget(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      budgets: DataFrame, budgetCol: String, seed: String,
+      numBuckets: Int, broadcastStatus: Boolean,
+      materialize: Boolean): DataFrame =
     mixtureSelect(
-      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets,
+        materialize),
       idCol, groupCol, broadcastStatus,
       cum => {
         // one row per group: broadcast under the same bounded-cardinality
@@ -242,23 +256,35 @@ object TextAnalysis {
         cum.join(if (broadcastStatus) broadcast(b) else b, Seq(groupCol))
       })
 
-  /** The once-computed, once-materialized (id, group, n_tok, priority,
-    * bucket) frame behind both [[mixtureByTokenBudget]] forms. */
+  /** The once-computed (id, group, n_tok, priority, bucket) frame behind
+    * both [[mixtureByTokenBudget]] forms.
+    *
+    * `materialize` (default) lazily `localCheckpoint`s it, so the three
+    * downstream consumers re-read narrow blocks and the text is tokenized
+    * EXACTLY once — the corpus-scale posture. `materialize = false` keeps
+    * the frame declarative: consumers re-derive it (the text is tokenized
+    * up to three times, map-only, never shuffled) but the whole mixture
+    * is then one pure plan — no mid-plan state, re-plannable/cacheable by
+    * the session like any other query, and at small/medium corpus the
+    * repeated fanned map pass is cheaper than the per-call checkpoint
+    * round-trip. Identical rows either way (spec'd). */
   private def narrowMixtureFrame(
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
-      seed: String, numBuckets: Int): DataFrame = {
+      seed: String, numBuckets: Int, materialize: Boolean = true): DataFrame = {
     require(numBuckets >= 1 && numBuckets <= (1 << 20),
       s"numBuckets must be in [1, 2^20], got $numBuckets")
     val pri = graft.ops.Sampling.hashPriority(col(idCol), seed)
     // leading 5 hex chars = 20 bits; (v * numBuckets) / 2^20 is a monotone
     // map, so bucket order agrees with full-priority lexicographic order
     // (exact in double: v * numBuckets < 2^40 << 2^53)
-    df.select(col(idCol), col(groupCol),
+    val narrow = graft.ops.Par.fanOutSmallScan(df)
+      .select(col(idCol), col(groupCol),
         tokenCount(col(textCol)).as("n_tok"), pri.as("__pri"))
       .withColumn("__bucket",
         floor(graft.ops.Sampling.priorityPrefix(col("__pri"), 5)
           * numBuckets / pow(lit(2), lit(20))).cast("int"))
-      .localCheckpoint(eager = false) // materialized by the first consumer
+    // materialized by the first consumer
+    if (materialize) narrow.localCheckpoint(eager = false) else narrow
   }
 
   /** Mixture selection over the narrow scored frame. `attachBudget` adds
@@ -284,20 +310,23 @@ object TextAnalysis {
     // small no matter the corpus size
     val wb = Window.partitionBy(groupCol).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // keeps every fully-inside bucket plus any straddling bucket;
+    // buckets wholly past the budget never rejoin the corpus. The bound
+    // must be INCLUSIVE: a zero-token doc's inclusive cumsum equals the
+    // running offset where it sits, so with offset == budget the bucket
+    // can still contribute zero-cost docs that satisfy the naive
+    // `cumsum <= budget` semantics (strict `<` diverged on that edge —
+    // found by the differential fuzzer at budgetFraction = 0).
+    // Selects, not withColumn ladders, throughout: every Dataset op
+    // re-analyzes the whole plan, and the eager-construction bench
+    // queries pay that per rep.
     val status = attachBudget(
-        bucketAgg.withColumn("__cum", sum(col("__bsum")).over(wb)))
-      .withColumn("__offset", col("__cum") - col("__bsum"))
-      // keeps every fully-inside bucket plus any straddling bucket;
-      // buckets wholly past the budget never rejoin the corpus. The bound
-      // must be INCLUSIVE: a zero-token doc's inclusive cumsum equals the
-      // running offset where it sits, so with offset == budget the bucket
-      // can still contribute zero-cost docs that satisfy the naive
-      // `cumsum <= budget` semantics (strict `<` diverged on that edge —
-      // found by the differential fuzzer at budgetFraction = 0)
+        bucketAgg.select(col(groupCol), col("__bucket"), col("__bsum"),
+          sum(col("__bsum")).over(wb).as("__cum")))
+      .select(col(groupCol), col("__bucket"),
+        (col("__cum") <= col("__budget")).as("__full"),
+        (col("__cum") - col("__bsum")).as("__offset"), col("__budget"))
       .filter(col("__offset") <= col("__budget"))
-      .withColumn("__full", col("__cum") <= col("__budget"))
-      .select(col(groupCol), col("__bucket"), col("__full"),
-        col("__offset"), col("__budget"))
     val statusSide = if (broadcastStatus) broadcast(status) else status
     val joined = narrow.join(statusSide, Seq(groupCol, "__bucket"))
     val outCols = narrow.columns.filterNot(_.startsWith("__")).map(col).toSeq
@@ -308,8 +337,9 @@ object TextAnalysis {
       .orderBy(col("__pri"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val partial = joined.filter(!col("__full"))
-      .withColumn("__dcum", sum(col("n_tok")).over(wd) + col("__offset"))
-      .filter(col("__dcum") <= col("__budget"))
+      .select(outCols :+ ((sum(col("n_tok")).over(wd) + col("__offset"))
+        <= col("__budget")).as("__keep"): _*)
+      .filter(col("__keep"))
     full.select(outCols: _*).unionByName(partial.select(outCols: _*))
   }
 
@@ -511,33 +541,56 @@ object TextAnalysis {
       df: DataFrame, idCol: String, groupCol: String, textCol: String,
       alpha: Double, budgetFraction: Double, seed: String = "42",
       numBuckets: Int = 4096, broadcastStatus: Boolean = true,
-      integerWeights: Boolean = true): DataFrame = {
+      integerWeights: Boolean = true,
+      materialize: Boolean = true): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(budgetFraction >= 0 && budgetFraction <= 1,
       s"budgetFraction must be in [0, 1], got $budgetFraction")
     mixtureSelect(
-      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets),
+      narrowMixtureFrame(df, idCol, groupCol, textCol, seed, numBuckets,
+        materialize),
       idCol, groupCol, broadcastStatus,
       cum => {
         // group totals, weights and the normalizer all derive from the
-        // (group, bucket) sums — tiny frames re-read from the narrow
-        // checkpoint's materialized blocks, never a second text scan
-        val totals = cum.groupBy(col(groupCol))
-          .agg(sum(col("__bsum")).as("__gt"))
-        val rawW =
-          if (alpha == 0.5) sqrt(col("__gt").cast("double"))
-          else pow(col("__gt").cast("double"), alpha)
-        val weighted = totals.withColumn("__w",
-          if (integerWeights) floor(rawW).cast("long").cast("double")
-          else rawW)
-        val scalars = weighted.agg(
-          sum(col("__gt")).cast("double").as("__tot"),
-          sum(col("__w")).as("__den"))
-        val budgets = weighted.crossJoin(broadcast(scalars))
-          .select(col(groupCol),
-            floor(lit(budgetFraction) * col("__tot") * col("__w")
-              / col("__den")).cast("long").as("__budget"))
-        cum.join(broadcast(budgets), Seq(groupCol))
+        // (group, bucket) sums — window passes over that TINY frame
+        // (≤ numBuckets rows per group), never a second text scan. The
+        // former shape (two aggregates + crossJoin + broadcast join back
+        // onto cum) computed the same values through four extra plan
+        // nodes and two extra broadcast exchanges; windows keep the
+        // arithmetic identical — group totals are exact long sums, and
+        // with `integerWeights` the global __den/__tot sums accumulate
+        // integer-valued doubles / longs, exact in any order (the raw-
+        // double caveat in the scaladoc applies to both shapes equally).
+        import org.apache.spark.sql.expressions.Window
+        val wg = Window.partitionBy(groupCol)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // ≤ numBuckets × |groups| rows total: the single-partition global
+        // window is trivially small no matter the corpus size
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        def rawW(gt: Column) =
+          if (alpha == 0.5) sqrt(gt.cast("double"))
+          else pow(gt.cast("double"), alpha)
+        def weight(gt: Column) =
+          if (integerWeights) floor(rawW(gt)).cast("long").cast("double")
+          else rawW(gt)
+        // one designated row per group (its first bucket) carries the
+        // group's (total, weight) into the global sums. Two selects, not
+        // a withColumn ladder: every Dataset op re-analyzes the whole
+        // plan, and the eager-construction bench queries pay that per rep
+        val star = cum.columns.map(col)
+        val withGt = cum.select(star :+
+          sum(col("__bsum")).over(wg).as("__gt") :+
+          (row_number().over(Window.partitionBy(groupCol)
+            .orderBy(col("__bucket"))) === 1).as("__first"): _*)
+        withGt.select(star :+
+          floor(lit(budgetFraction)
+            * sum(when(col("__first"), col("__gt")).otherwise(lit(0L)))
+                .over(wAll).cast("double")
+            * weight(col("__gt"))
+            / sum(when(col("__first"), weight(col("__gt")))
+                .otherwise(lit(0d))).over(wAll))
+            .cast("long").as("__budget"): _*)
       })
   }
 
@@ -848,6 +901,134 @@ object TextAnalysis {
       .select("bigram", "log_prob")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     BigramModel(uni, bg, head.getDouble(6))
+  }
+
+  // ——— hashed n≤5 stupid-backoff LM (Brants 2007, production arity) ———
+
+  /** Fitted hashed n-gram stupid-backoff model: per-order capped count
+    * tables over PORTABLE 56-bit gram hashes (first 14 md5 hex digits of
+    * the space-joined gram — engine-replayable, see
+    * [[graft.functions.NgramHashing]]). `tables(o-1)` holds order-o's
+    * top-`maxPerOrder` (hash → count) entries by (count desc, hash asc);
+    * `b1` is the kept order-1 entry count the add-α unigram denominator
+    * uses; `totalTokens` is the PRE-cap corpus token count. The whole
+    * model is ≤ n·maxPerOrder 16-byte entries — driver/reference-object
+    * sized at any corpus size, which is the production point of hashing
+    * (Brants 2007 §4: count tables, no discounting, fixed backoff). */
+  final case class NgramLmModel(
+      n: Int,
+      tables: Seq[Seq[(Long, Long)]],
+      totalTokens: Long,
+      b1: Int,
+      alpha: Double,
+      backoff: Double)
+
+  private def ngramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.NgramHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** Fit the hashed n-gram model — the n≤5 step of the CCNet-style
+    * quality ladder ([[fitUnigramModel]] → [[fitBigramModel]] → this).
+    * ONE corpus pass: the [[graft.functions.NgramHashes]] kernel emits
+    * every (order, gram-hash) pair map-side; the explode feeds a
+    * partial-agg'd `groupBy(o, h)` whose counts frame is lazily
+    * `localCheckpoint`ed, and BOTH derived reads — the per-order
+    * top-`maxPerOrder` cap (bounded heap, grouped by order) and the
+    * pre-cap token total — run over that materialized frame, never the
+    * corpus. Unlike [[fitBigramModel]] there is no vocabulary pre-pass:
+    * hashing replaces vocabulary mapping, so fit is ONE text scan at any
+    * n. Context counts are the order-(o−1) table itself (raw-count
+    * stupid backoff); a capped-away context backs off rather than
+    * erroring. */
+  def fitNgramModel(
+      df: DataFrame, textCol: String, n: Int = 5,
+      alpha: Double = 1.0, backoff: Double = 0.4,
+      maxPerOrder: Int = 1 << 16): NgramLmModel = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(backoff > 0 && backoff <= 1,
+      s"backoff must be in (0, 1], got $backoff")
+    require(maxPerOrder >= 1, s"maxPerOrder must be positive, got $maxPerOrder")
+    val counts = graft.ops.Par.fanOutSmallScan(df)
+      .select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .select(col("g.o").as("o"), col("g.h").as("h"))
+      .groupBy(col("o"), col("h"))
+      .agg(count(lit(1)).as("cn"))
+      .localCheckpoint(eager = false) // materialized by the top-k job
+    val top = graft.ops.TopK.perGroupRanked(
+        counts, Seq("o"), Seq(col("cn").desc, col("h")), maxPerOrder)
+      .select(col("o"), col("h"), col("cn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val total = counts.filter(col("o") === 1)
+      .agg(coalesce(sum(col("cn")), lit(0L))).head().getLong(0)
+    val byOrder = top.groupBy(_._1)
+    val tables = (1 to n).map(o =>
+      byOrder.getOrElse(o, Array.empty[(Int, Long, Long)])
+        .map(t => (t._2, t._3)).toSeq)
+    NgramLmModel(n, tables, total, tables.head.length, alpha, backoff)
+  }
+
+  /** Score every document under a fitted [[NgramLmModel]]: appends
+    * `sum_lp`, `n_tok`, `n_top` (positions scored at their maximal order
+    * without backoff) and `avg_lp` = sum_lp/n_tok (null for token-less
+    * docs). One [[graft.functions.NgramBackoffLogProbStats]] kernel eval
+    * per row — no explode, no join, no shuffle at any corpus size; the
+    * same stateless kernel scores a stream unchanged. */
+  def scoreNgram(
+      df: DataFrame, textCol: String, model: NgramLmModel): DataFrame = {
+    val reserved = Set("__lm", "sum_lp", "n_tok", "n_top", "avg_lp")
+    df.columns.find(reserved).foreach(c =>
+      throw new IllegalArgumentException(
+        s"column name '$c' collides with the n-gram scoring outputs " +
+          s"(${reserved.toSeq.sorted.mkString(", ")}) — rename it first"))
+    import org.apache.spark.sql.GraftColumnBridge
+    val st = GraftColumnBridge.column(graft.functions.NgramBackoffLogProbStats(
+      GraftColumnBridge.expression(col(textCol)),
+      model.n, model.tables, model.totalTokens, model.b1,
+      model.alpha, model.backoff))
+    df.withColumn("__lm", st)
+      .withColumn("sum_lp", col("__lm.sum_lp"))
+      .withColumn("n_tok", col("__lm.n_tok"))
+      .withColumn("n_top", col("__lm.n_top"))
+      .withColumn("avg_lp",
+        when(col("n_tok") > 0, col("sum_lp") / col("n_tok")))
+      .drop("__lm")
+  }
+
+  /** Persist a fitted [[NgramLmModel]]: `tables/` holds (o, h, cn) rows,
+    * `meta/` one row of scalars — fit once (bounded collect), score
+    * every daily increment from the loaded model. */
+  def writeNgramModel(
+      spark: org.apache.spark.sql.SparkSession, m: NgramLmModel,
+      path: String): Unit = {
+    import spark.implicits._
+    m.tables.zipWithIndex
+      .flatMap { case (t, i) => t.map { case (h, c) => (i + 1, h, c) } }
+      .toDF("o", "h", "cn")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/tables")
+    Seq((m.n, m.totalTokens, m.b1, m.alpha, m.backoff))
+      .toDF("n", "total_tokens", "b1", "alpha", "backoff")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeNgramModel]] pair back into a scoring-ready model.
+    * Table order within each n restores the fit's (count desc, hash asc)
+    * canonical order so the round trip is value-exact. */
+  def readNgramModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): NgramLmModel = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta")
+      .select("n", "total_tokens", "b1", "alpha", "backoff").head()
+    val n = meta.getInt(0)
+    val rows = spark.read.parquet(s"$path/tables")
+      .select(col("o").cast("int"), col("h"), col("cn"))
+      .as[(Int, Long, Long)].collect()
+    val byOrder = rows.groupBy(_._1)
+    NgramLmModel(n,
+      (1 to n).map(o => byOrder.getOrElse(o, Array.empty[(Int, Long, Long)])
+        .map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq),
+      meta.getLong(1), meta.getInt(2), meta.getDouble(3), meta.getDouble(4))
   }
 
   /** Corpus vocabulary: the k most frequent whitespace tokens with ranks —

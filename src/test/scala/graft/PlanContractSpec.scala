@@ -25,14 +25,12 @@ class PlanContractSpec extends AnyFunSuite {
     // sequence()-generated calendar grid — bounded by the DATE SPAN, not
     // the corpus (text_quality_prune's former one-row threshold join is
     // now a scalar subquery — no join at all)
-    // text_mixture_temp's nested loop is weighted.crossJoin(broadcast(
-    // scalars)): the build side is the ONE-ROW global normalizer
-    // (sum of per-group totals/weights) attached to the groups frame —
-    // bounded by construction, same class as the keyset anchor
     // ret_bm25/ret_tfidf cross-broadcast their ONE-ROW collection-stats
     // frame (N, avgdl) onto the vocab-sized arm — same class
+    // (text_mixture_temp's former crossJoin(broadcast(scalars)) is now a
+    // global window over the tiny bucket frame — no nested loop at all)
     val boundedLoop = Set("sim_topk", "j5_band_join",
-      "o10_keyset", "j2_calendar_fill", "a4_asfreq", "text_mixture_temp",
+      "o10_keyset", "j2_calendar_fill", "a4_asfreq",
       "ret_bm25", "ret_tfidf")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
@@ -89,20 +87,29 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("retrieval ranks via the bounded heap over one materialized posting frame") {
-    // the corpus text is tokenized once into the checkpointed posting
-    // frame (every statistic re-reads its blocks — Scan ExistingRDD), the
-    // query arm broadcasts, and the final ranking is the TopK operator,
-    // never a per-query Window sort
+    // bench posture (materialize=false): declarative posting frame, TopK
+    // ranking, broadcast query arm, never a per-query Window sort
     Seq("ret_bm25").foreach { name =>
       val p = plans(name)
       assert(p.contains("TopKPerGroup"),
         s"$name lost its TopKPerGroup ranking:\n$p")
       assert(!p.contains("Window"), s"$name plans a Window node:\n$p")
-      assert(p.contains("Scan ExistingRDD"),
-        s"$name no longer reads a materialized posting frame:\n$p")
       assert(p.contains("BroadcastHashJoin"),
         s"$name lost its broadcast query arm:\n$p")
     }
+    // corpus-scale posture (materialize=true, the default): the text is
+    // tokenized once into the checkpointed posting frame and every
+    // statistic re-reads its blocks (Scan ExistingRDD)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import spark.implicits._
+    val q = Seq((1L, "customer data")).toDF("query_id", "qtext")
+    val scaled = graft.ext.Retrieval.bm25TopK(
+      docs, "doc_id", "text", q, "query_id", "qtext", k = 5)
+    val sp = scaled.queryExecution.executedPlan.toString
+    assert(sp.contains("Scan ExistingRDD"),
+      s"default bm25TopK no longer reads a materialized posting frame:\n$sp")
+    assert(sp.contains("TopKPerGroup") && !sp.contains("Window"),
+      s"default bm25TopK ranking shape regressed:\n$sp")
   }
 
   test("star joins broadcast their dimension sides") {
