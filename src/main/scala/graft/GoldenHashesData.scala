@@ -10,6 +10,11 @@ object GoldenHashesData {
     ("sf0.001", "sim_ivfpq_topk", "8cba6e29e3180bd5f4f0b7042181b558"),
     ("sf0.01", "sim_ivfpq_topk", "a4411a350e362793ab04ca8132e252d0"),
     ("sf0.1", "sim_ivfpq_topk", "b1de463dfd9ccbad2099868f167ae078"),
+    // sim_ivfpq_serve replays the same models — identical hashes by
+    // construction (see GoldenHashes.queries)
+    ("sf0.001", "sim_ivfpq_serve", "8cba6e29e3180bd5f4f0b7042181b558"),
+    ("sf0.01", "sim_ivfpq_serve", "a4411a350e362793ab04ca8132e252d0"),
+    ("sf0.1", "sim_ivfpq_serve", "b1de463dfd9ccbad2099868f167ae078"),
     ("sf0.001", "text_bpe", "010b64ddb88539a4ef5f7e422e9cbf06"),
     ("sf0.01", "text_bpe", "73d47edebe6e28b08e9860367ae54ef1"),
     ("sf0.1", "text_bpe", "db03615af5baf39e7cd5d113f084db36"),

@@ -893,6 +893,34 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Serving-only IVF-PQ ([[Similarity.ivfPqTopKFromModels]]): identical
+    * results — and golden — to [[simIvfPqTopK]], but the coarse centroids
+    * and PQ codebooks come from parquet models persisted ONCE per corpus
+    * (trained at first construction with the same deterministic
+    * hash-sample seeding). Each rep then pays exactly a serving batch's
+    * cost — model load, map-only candidate encode, bounded posting
+    * build, probe + ADC rank — and never a Lloyd or PQ training pass;
+    * the bench delta vs sim_ivfpq_topk IS the amortized training cost.
+    * Non-memoizable: model load + the per-cell count collect run at
+    * construction. */
+  private def simIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val cent = s"$base/ivf_centroids"
+    val pq = s"$base/pq_codebooks"
+    if (!new java.io.File(s"$cent/_SUCCESS").exists ||
+        !new java.io.File(s"$pq/_SUCCESS").exists) {
+      Similarity.writeCentroids(e, "vec_id", "embedding", cent,
+        numCells = 16, lloydIters = 2)
+      Similarity.writePqModel(s,
+        Similarity.trainPq(e, "vec_id", "embedding", 8, 16, 2), pq)
+    }
+    Similarity.ivfPqTopKFromModels(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5, cent, pq, numProbes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fixed seed ids for the portable IVF twin — spaced across the id range
     * so every SF (embeddings ≥ 500 rows) has all 16 present. */
   private val ivfSeedIds: Seq[Long] = (0 until 16).map(_ * 29L)
@@ -1096,6 +1124,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed n=5 stupid-backoff LM (Brants 2007 production form,
+    * [[TextAnalysis.fitNgramModel]]): per-order capped count tables over
+    * portable md5-56-bit gram hashes, fit on a held split (doc_id%2=0 —
+    * scoring the other half is what exercises the backoff chain), score
+    * the full corpus. The oracle replays hashing, per-order caps, the
+    * backoff CASE-chain and the add-α hashed unigram terminal
+    * value-for-value. Non-memoizable: model fit (two collect jobs) at
+    * construction. */
+  private def textLmNgram(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = TextAnalysis.fitNgramModel(
+      docs.filter(col("doc_id") % 2 === 0), "text",
+      n = 5, alpha = 1.0, backoff = 0.4, maxPerOrder = 1 << 16)
+    TextAnalysis.scoreNgram(docs, "text", model)
+      .select(col("doc_id"), col("n_tok"), col("n_top"),
+        round(col("avg_lp"), 4).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE subword token accounting (Sennrich 2016): fit 60 merges on the
     * corpus word-count table (distributed count, driver merge loop),
     * encode every document map-only, roll up per language. `tok_hash_sum`
@@ -1169,12 +1216,16 @@ object SparkEntry {
     * ([[TextAnalysis.mixtureByTokenBudget]]) never sorts a whole group:
     * bucket sums classify buckets against the budget and only the one
     * straddling bucket per group pays an exact window. The oracle replays
-    * the equivalent global cumulative window. Non-memoizable: the
-    * checkpointed narrow frame must be rebuilt per bench rep. */
+    * the equivalent global cumulative window. materialize=false: at this
+    * corpus size the declarative form (narrow frame re-derived map-only
+    * per consumer) beats the checkpoint round-trip, and the query is then
+    * a pure plan (memoizable like any other; a rep re-executes every
+    * tokenize pass). */
   private def textMixture(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.mixtureByTokenBudget(
         T(s, dir, "documents"), "doc_id", "lang", "text",
-        budgetFraction = 0.5, seed = "42", numBuckets = 64)
+        budgetFraction = 0.5, seed = "42", numBuckets = 64,
+        materialize = false)
       .orderBy(col("doc_id"))
 
   /** PII-redaction gate over the corpus: the synthetic documents carry no
@@ -1413,12 +1464,13 @@ object SparkEntry {
     * no-full-group-window plan as text_mixture; the oracle replays the
     * α-weighted budget arithmetic (integerized weights, so no float
     * summation-order can flip a floor) and the global cumulative window.
-    * Non-memoizable: the checkpointed narrow frame must be rebuilt per
-    * bench rep. */
+    * materialize=false: same declarative small-corpus posture as
+    * text_mixture (pure plan, memoizable; reps re-execute every pass). */
   private def textMixtureTemp(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.mixtureByTemperature(
         T(s, dir, "documents"), "doc_id", "lang", "text",
-        alpha = 0.5, budgetFraction = 0.5, seed = "42", numBuckets = 64)
+        alpha = 0.5, budgetFraction = 0.5, seed = "42", numBuckets = 64,
+        materialize = false)
       .orderBy(col("doc_id"))
 
   /** Domain-level quality gate ([[UrlOps.dropLowQualityDomainsNarrow]]):
@@ -1474,10 +1526,13 @@ object SparkEntry {
     * kept tokens; N counts docs with ≥1 token). */
   private def retBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // materialize=false: at this corpus size the declarative posting
+    // frame (re-derived map-only per consumer) beats the checkpoint
+    // round-trip, and the query becomes a pure memoizable plan
     ext.Retrieval.bm25TopK(
         T(s, dir, "documents"), "doc_id", "text",
         retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",
-        k = 10)
+        k = 10, materialize = false)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -2085,20 +2140,28 @@ object SparkEntry {
   private val nonMemoizable =
     Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
       "sim_ivfpq_topk", // coarse + PQ training at construction
-      "sim_ivf_portable", "text_quality_prune", "text_mixture",
-      "text_mixture_temp", "text_lm_quality", "text_lm_buckets",
+      // model load + the per-cell count collect at construction (first
+      // construction also trains and persists the models)
+      "sim_ivfpq_serve",
+      // (text_mixture / text_mixture_temp / ret_bm25 were in this set
+      // while their narrow/posting frames checkpointed; the bench queries
+      // now pass materialize=false — fully declarative plans, nothing a
+      // cloned repetition could illegitimately reuse)
+      "sim_ivf_portable", "text_quality_prune",
+      "text_lm_quality", "text_lm_buckets",
       "text_lm_bigram", // two model-fit passes at construction
+      "text_lm_ngram", // hashed n-gram fit (collect jobs) at construction
       "text_bpe", // word-count fit + driver merge loop at construction
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
       "text_dsir",
       // lazily-checkpointed gram stream (the text_quality_prune class)
       "dedup_edit_pairs",
-      // the retrieval pair's posting frame is a lazily-materialized
-      // checkpoint (the text_quality_prune class): a memoized plan's
-      // second run would re-read the persisted postings while the oracle
+      // ret_tfidf's posting frame is a lazily-materialized checkpoint
+      // (the text_quality_prune class): a memoized plan's second run
+      // would re-read the persisted postings while the oracle
       // re-tokenizes per run
-      "ret_bm25", "ret_tfidf",
+      "ret_tfidf",
       // narrow domain-gate checkpoint (the text_quality_prune class)
       "url_domain_gate",
       // Lloyd training runs jobs at construction (the sim_ivf class)
@@ -2178,6 +2241,7 @@ object SparkEntry {
     "sim_lsh_portable" -> (simLshPortable _),
     "sim_ivf_topk" -> (simIvfTopK _),
     "sim_ivfpq_topk" -> (simIvfPqTopK _),
+    "sim_ivfpq_serve" -> (simIvfPqServe _),
     "sim_ivf_portable" -> (simIvfPortable _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_quality" -> (textQuality _),
@@ -2192,6 +2256,7 @@ object SparkEntry {
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
     "text_lm_bigram" -> (textLmBigram _),
+    "text_lm_ngram" -> (textLmNgram _),
     "text_bpe" -> (textBpe _),
     "text_dsir" -> (textDsir _),
     "dedup_edit_pairs" -> (dedupEditPairs _),
@@ -3438,6 +3503,56 @@ object SparkEntry {
     // text_lm_quality, then vocabulary-mapped consecutive-position
     // bigram/context counts; position 1 scores unigram, later positions
     // ln(c/cctx) when the mapped bigram is seen else ln(0.4)+unigram
+    "text_lm_ngram" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+        |  FROM d),
+        |g AS (SELECT doc_id, i, o.o AS o,
+        |    CAST('0x' || substr(md5(array_to_string(t[i-o.o+1:i], ' ')),
+        |      1, 14) AS BIGINT) AS gh,
+        |    CASE WHEN o.o >= 2 THEN CAST('0x' ||
+        |      substr(md5(array_to_string(t[i-o.o+1:i-1], ' ')), 1, 14)
+        |      AS BIGINT) END AS ch
+        |  FROM pos, generate_series(1, 5) o(o) WHERE o.o <= i),
+        |cn AS (SELECT o, gh AS h, CAST(count(*) AS DOUBLE) AS c
+        |  FROM g WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        |  QUALIFY row_number() OVER (PARTITION BY o
+        |    ORDER BY count(*) DESC, gh) <= 65536),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM g
+        |  WHERE doc_id % 2 = 0 AND o = 1),
+        |b1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM cn WHERE o = 1),
+        |j AS (SELECT g.doc_id, g.i, g.o, cg.c AS cg, cc.c AS cc
+        |  FROM g LEFT JOIN cn cg ON cg.o = g.o AND cg.h = g.gh
+        |         LEFT JOIN cn cc ON cc.o = g.o - 1 AND cc.h = g.ch),
+        |p AS (SELECT doc_id, i, least(5, i) AS maxo,
+        |    max(CASE WHEN o = 1 THEN cg END) AS c1,
+        |    max(CASE WHEN o = 2 THEN cg / cc END) AS r2,
+        |    max(CASE WHEN o = 3 THEN cg / cc END) AS r3,
+        |    max(CASE WHEN o = 4 THEN cg / cc END) AS r4,
+        |    max(CASE WHEN o = 5 THEN cg / cc END) AS r5
+        |  FROM j GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN r5 IS NOT NULL THEN ln(r5)
+        |         WHEN r4 IS NOT NULL THEN (maxo - 4) * ln(0.4) + ln(r4)
+        |         WHEN r3 IS NOT NULL THEN (maxo - 3) * ln(0.4) + ln(r3)
+        |         WHEN r2 IS NOT NULL THEN (maxo - 2) * ln(0.4) + ln(r2)
+        |         ELSE (maxo - 1) * ln(0.4)
+        |           + ln((coalesce(c1, 0) + 1.0)
+        |                / (tot.total + 1.0 * (b1.v + 1))) END AS lp,
+        |    CASE WHEN (maxo = 5 AND r5 IS NOT NULL)
+        |      OR (maxo = 4 AND r4 IS NOT NULL)
+        |      OR (maxo = 3 AND r3 IS NOT NULL)
+        |      OR (maxo = 2 AND r2 IS NOT NULL) THEN 1 ELSE 0 END AS top
+        |  FROM p, tot, b1),
+        |agg AS (SELECT doc_id, sum(lp) AS s, sum(top) AS h, count(*) AS n
+        |  FROM sc GROUP BY 1)
+        |SELECT d2.doc_id, CAST(coalesce(agg.n, 0) AS INT) AS n_tok,
+        |  CAST(coalesce(agg.h, 0) AS INT) AS n_top,
+        |  round(agg.s / agg.n, 4) AS avg_lp
+        |FROM documents d2 LEFT JOIN agg ON d2.doc_id = agg.doc_id
+        |ORDER BY d2.doc_id""".stripMargin,
     "text_lm_bigram" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -510,8 +510,8 @@ object Similarity {
     * norm.
     *
     * Training (coarse centroids + codebooks) runs at call time; for
-    * repeated batches persist centroids ([[writeCentroids]]) and train
-    * PQ on a sample. */
+    * repeated batches persist BOTH models ([[writeCentroids]] +
+    * [[writePqModel]]) and serve via [[ivfPqTopKFromModels]]. */
   def ivfPqTopK(
       queries: DataFrame,
       candidates: DataFrame,
@@ -529,7 +529,6 @@ object Similarity {
       maxPerShard: Int = 4096,
       pqModel: Option[PqModel] = None): DataFrame = {
     require(maxPerShard >= 1, s"maxPerShard must be positive, got $maxPerShard")
-    val spark = candidates.sparkSession
     val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .persist()
     try {
@@ -538,7 +537,54 @@ object Similarity {
       // (the writeCentroids analogue for the quantizer)
       val pq = pqModel.getOrElse(
         trainPq(candidates, idCol, vecCol, m, kSub, pqIters, pqSeedIds))
+      ivfPqServe(queries, vecs, idCol, vecCol, k, centroids, pq,
+        numProbes, maxPerShard)
+    } finally vecs.unpersist()
+  }
 
+  /** [[ivfPqTopK]] from PERSISTED models ([[writeCentroids]] +
+    * [[writePqModel]] output): identical results to [[ivfPqTopK]] with
+    * the same centroid matrix and codebooks, minus every training pass —
+    * the production serving path for repeated query batches against a
+    * stable corpus (the [[ivfTopKFromCentroids]] pattern, extended to
+    * the quantizer). Each call still encodes the candidate frame
+    * map-only and builds the bounded posting rows; persist/serve the
+    * posting frame itself when even that should be amortized. */
+  def ivfPqTopKFromModels(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidsPath: String,
+      pqModelPath: String,
+      numProbes: Int = 4,
+      maxPerShard: Int = 4096): DataFrame = {
+    require(maxPerShard >= 1, s"maxPerShard must be positive, got $maxPerShard")
+    val spark = candidates.sparkSession
+    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    ivfPqServe(queries, vecs, idCol, vecCol, k,
+      loadCentroids(spark, centroidsPath).toArray,
+      readPqModel(spark, pqModelPath), numProbes, maxPerShard)
+  }
+
+  /** Shared serving core of [[ivfPqTopK]] / [[ivfPqTopKFromModels]]:
+    * encode candidates map-only to (cell, id, codes, norm), build the
+    * per-cell id-hash-sharded posting rows, probe + ADC-score + rank.
+    * `vecs` is the (__id, __v)-shaped candidate frame (persisted by the
+    * training caller; serving needs no persist — each branch below scans
+    * it once per job the same way any declarative frame is). */
+  private def ivfPqServe(
+      queries: DataFrame,
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Seq[Float]],
+      pq: PqModel,
+      numProbes: Int,
+      maxPerShard: Int): DataFrame = {
+    {
       // encode: the only candidate-side exchange carries (id, M ints,
       // norm) — never the vector. Shard counts are PER CELL
       // (ceil(cellCount / maxPerShard)) so a skewed hot cell still honors
@@ -592,7 +638,43 @@ object Similarity {
         .select(col("query_id"), col("__e.neighbor_id").as("neighbor_id"),
           col("__e.cosine").as("cosine"))
       rankTopK(scored, k)
-    } finally vecs.unpersist()
+    }
+  }
+
+  /** Persist a fitted product quantizer as a (subspace, code, centroid)
+    * parquet table — the [[writeCentroids]] analogue for the quantizer:
+    * train once (on a bounded sample at corpus scale), serve every query
+    * batch via [[ivfPqTopKFromModels]]. */
+  def writePqModel(spark: SparkSession, m: PqModel, path: String): Unit = {
+    import spark.implicits._
+    m.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (c, code) => (mi, code, c) }
+    }.toDF("subspace", "code", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[writePqModel]] table back into an encode-ready [[PqModel]],
+    * validating that subspaces and codes are contiguous from 0 (a partial
+    * or hand-edited table would otherwise silently mis-assign codes). */
+  def readPqModel(spark: SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid"))
+      .as[(Int, Int, Seq[Float])].collect()
+    require(rows.nonEmpty, s"no PQ codebooks at $path")
+    val byM = rows.groupBy(_._1)
+    require(byM.keySet == (0 until byM.size).toSet,
+      s"PQ table at $path has non-contiguous subspaces " +
+        s"${byM.keys.toSeq.sorted.mkString(",")}")
+    PqModel((0 until byM.size).map { mi =>
+      val cs = byM(mi).sortBy(_._2)
+      require(cs.map(_._2).toSeq == (0 until cs.length),
+        s"PQ table at $path, subspace $mi: non-contiguous codes " +
+          s"${cs.map(_._2).mkString(",")}")
+      cs.map(_._3.toIndexedSeq).toIndexedSeq
+    })
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g. a

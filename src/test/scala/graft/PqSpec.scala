@@ -269,6 +269,42 @@ class PqSpec extends AnyFunSuite {
       "null / dim-mismatched candidates must be ignored, not surfaced")
   }
 
+  test("writePqModel/readPqModel round-trips the codebooks exactly") {
+    val r = rnd
+    val m = 3; val kSub = 4; val dsub = 2
+    val model = PqModel(Seq.fill(m)(Seq.fill(kSub)(
+      Seq.fill(dsub)((r.nextInt(9) - 4) * 0.25f))))
+    val tmp = java.nio.file.Files.createTempDirectory("pqrt").toString
+    Similarity.writePqModel(spark, model, s"$tmp/pq")
+    assert(Similarity.readPqModel(spark, s"$tmp/pq").codebooks
+      == model.codebooks)
+  }
+
+  test("serving from persisted models == direct ivfPqTopK, exactly") {
+    val r = rnd
+    val dim = 8
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(dim)((r.nextInt(9) - 4).toFloat)))
+    val df = vecs.toDF("id", "v")
+    val q = df.filter(col("id") < 5)
+    val seeds = Some(Seq(0L, 1L))
+    val pqSeeds = Some((0 until 4).map(_.toLong))
+    def sorted(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val direct = sorted(Similarity.ivfPqTopK(q, df, "id", "v", 4,
+      numCells = 2, numProbes = 2, m = 4, kSub = 4,
+      seedIds = seeds, pqSeedIds = pqSeeds))
+    val tmp = java.nio.file.Files.createTempDirectory("pqserve").toString
+    Similarity.writeCentroids(df, "id", "v", s"$tmp/cent",
+      numCells = 2, lloydIters = 2, seedIds = seeds)
+    Similarity.writePqModel(spark,
+      Similarity.trainPq(df, "id", "v", 4, 4, 2, pqSeeds), s"$tmp/pq")
+    val served = sorted(Similarity.ivfPqTopKFromModels(q, df, "id", "v", 4,
+      s"$tmp/cent", s"$tmp/pq", numProbes = 2))
+    assert(served == direct)
+  }
+
   test("encodePq refuses an existing output column") {
     val df = Seq((1L, Seq(1f, 0f))).toDF("id", "pq_codes")
     val model = PqModel(Seq(Seq(Seq(1f, 0f))))
