@@ -111,11 +111,14 @@ object Profile {
         val w = new Waterfall
         spark.sparkContext.addSparkListener(w)
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val frame = fn(spark, sfDir)
+        val tc = System.nanoTime()
+        frame.count()
         val wall = (System.nanoTime() - t0) / 1e9
         drain() // fence: tail events must land before detach
         spark.sparkContext.removeSparkListener(w)
-        println(s"== $name (eager)\n" + w.report(wall))
+        println(f"== $name (eager, construct=${(tc - t0) / 1e9}%.3fs)\n" +
+          w.report(wall))
       } else {
         val planned = fn(spark, sfDir).groupBy().count()
           .queryExecution.executedPlan

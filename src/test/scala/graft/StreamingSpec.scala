@@ -605,14 +605,21 @@ class StreamingSpec extends AnyFunSuite {
     docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
     val lm = graft.ext.TextAnalysis.fitBigramModel(
       docs.filter(col("doc_id") < 2), "text", vocabSize = 6)
+    val ng = graft.ext.TextAnalysis.fitNgramModel(
+      docs.filter(col("doc_id") < 2), "text", n = 4)
     val bpe = graft.ext.Bpe.fit(docs, "text", numMerges = 8)
     def score(df: org.apache.spark.sql.DataFrame) =
       graft.ext.Bpe.encodeStats(
-          graft.ext.TextAnalysis.scoreBigram(df, "text", lm), "text", bpe)
-        .select("doc_id", "sum_lp", "n_tok", "n_hit", "n_tok_bpe",
-          "tok_hash")
+          graft.ext.TextAnalysis.scoreNgram(
+            graft.ext.TextAnalysis.scoreBigram(df, "text", lm)
+              .withColumnRenamed("sum_lp", "bg_sum_lp")
+              .withColumnRenamed("n_tok", "bg_n_tok")
+              .withColumnRenamed("avg_lp", "bg_avg_lp"),
+            "text", ng), "text", bpe)
+        .select("doc_id", "bg_sum_lp", "bg_n_tok", "n_hit", "sum_lp",
+          "n_top", "n_tok_bpe", "tok_hash")
     val batch = score(docs).orderBy("doc_id")
-      .as[(Long, Double, Int, Int, Int, Long)].collect().toSeq
+      .as[(Long, Double, Int, Int, Double, Int, Int, Long)].collect().toSeq
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
@@ -621,7 +628,7 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       val got = spark.sql("SELECT * FROM graft_stream_lm2 ORDER BY 1")
-        .as[(Long, Double, Int, Int, Int, Long)].collect().toSeq
+        .as[(Long, Double, Int, Int, Double, Int, Int, Long)].collect().toSeq
       assert(got == batch)
     } finally q.stop()
   }
