@@ -15,6 +15,9 @@ object GoldenHashesData {
     ("sf0.001", "sim_ivfpq_serve", "8cba6e29e3180bd5f4f0b7042181b558"),
     ("sf0.01", "sim_ivfpq_serve", "a4411a350e362793ab04ca8132e252d0"),
     ("sf0.1", "sim_ivfpq_serve", "b1de463dfd9ccbad2099868f167ae078"),
+    ("sf0.001", "text_unigram_tok", "6bcf4dac23afd43c63d955c0eb8fc61d"),
+    ("sf0.01", "text_unigram_tok", "8f84527e156911bcf545c709b31d4284"),
+    ("sf0.1", "text_unigram_tok", "794edc5a9d2f8be2852171191d077640"),
     ("sf0.001", "text_bpe", "010b64ddb88539a4ef5f7e422e9cbf06"),
     ("sf0.01", "text_bpe", "73d47edebe6e28b08e9860367ae54ef1"),
     ("sf0.1", "text_bpe", "db03615af5baf39e7cd5d113f084db36"),

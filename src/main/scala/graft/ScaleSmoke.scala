@@ -596,6 +596,93 @@ object ScaleSmoke {
       graft.ext.Dsir.resample(raw, "doc_id", "text", tm, rm, k = 1000)
         .count()
     }
+
+    // ——— external Arrow embedding worker throughput ———
+    // one numpy worker process per IPC batch (scripts/embed_worker.py,
+    // bit-identical to stubEmbed — MultimodalSpec pins it); the number to
+    // watch is rows/s through the subprocess seam, the serving shape a
+    // pooled GPU encoder replaces
+    timed("arrow embed worker 500 docs") {
+      val media = graft.ext.Multimodal.mediaFromText(
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", "smoke")
+      graft.ext.Multimodal.embedViaWorker(media,
+        Seq("python3", "scripts/embed_worker.py", "16")).count()
+    }
+
+    // ——— day-2 incremental composition ———
+    // every persisted-state API in ONE day-2 run, the deployment shape a
+    // daily corpus increment takes: all day-1 state (minhash signature
+    // index, span index, IVF centroids + PQ codebooks, DSIR models,
+    // n-gram LM, retrieval index) is FIT AND PERSISTED ONCE up front;
+    // the increment then flows through dedup-vs-index → span masking →
+    // LM + DSIR scoring → ANN serving → BM25 retrieval touching ONLY
+    // the increment's text plus the persisted state — the day-1 corpus
+    // text is never re-read in any increment stage.
+    {
+      val base = java.nio.file.Files
+        .createTempDirectory("smoke_day2").toString
+      val history = bigDocs.filter(col("doc_id") % 10 =!= 3)
+      val increment = docs.filter(col("doc_id") % 10 === 3)
+      val histEmb = (0 until 10).map(k =>
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .withColumn("vec_id", col("vec_id") + lit(k * 100000L)))
+        .reduce(_ unionByName _)
+      var dsirT: graft.ext.Dsir.HashedModel = null
+      var dsirR: graft.ext.Dsir.HashedModel = null
+      timed("day1 fit+persist all state") {
+        graft.ext.Dedup.writeSignatures(history, "doc_id", "text",
+          s"$base/sigs")
+        graft.ext.Dedup.writeSpanIndex(history, "doc_id", "text",
+          s"$base/spans", n = 20)
+        graft.ext.Similarity.writeCentroids(histEmb, "vec_id", "embedding",
+          s"$base/cent", numCells = 16, lloydIters = 2)
+        graft.ext.Similarity.writePqModel(spark,
+          graft.ext.Similarity.trainPq(
+            histEmb, "vec_id", "embedding", 8, 16, 2), s"$base/pq")
+        graft.ext.TextAnalysis.writeNgramModel(spark,
+          graft.ext.TextAnalysis.fitNgramModel(history, "text", n = 4),
+          s"$base/lm")
+        dsirT = graft.ext.Dsir.fitHashedModel(
+          history.filter(col("doc_id") % 17 === 0), "text",
+          buckets = 8192, maxN = 2)
+        dsirR = graft.ext.Dsir.fitHashedModel(
+          history.filter(col("doc_id") % 17 =!= 0), "text",
+          buckets = 8192, maxN = 2)
+        graft.ext.Retrieval.writeIndex(history, "doc_id", "text",
+          s"$base/ret")
+        spark.read.parquet(s"$base/sigs").count()
+      }
+      timed("day2 dedup vs sig index") {
+        graft.ext.Dedup.dedupIncrement(increment,
+          spark.read.parquet(s"$base/sigs"), "doc_id", "doc_id", "text",
+          threshold = 0.5).count()
+      }
+      timed("day2 span mask vs index") {
+        graft.ext.Dedup.dropRepeatedSpansIncrement(increment,
+          spark.read.parquet(s"$base/spans"), "doc_id", "text",
+          n = 20).count()
+      }
+      timed("day2 LM + DSIR scoring") {
+        val lm = graft.ext.TextAnalysis.readNgramModel(spark, s"$base/lm")
+        graft.ext.Dsir.importanceWeights(
+          graft.ext.TextAnalysis.scoreNgram(increment, "text", lm),
+          "text", dsirT, dsirR).count()
+      }
+      timed("day2 ANN serve vs models") {
+        val incEmb = spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .filter(col("vec_id") % 10 === 3)
+        graft.ext.Similarity.ivfPqTopKFromModels(incEmb, histEmb,
+          "vec_id", "embedding", 5, s"$base/cent", s"$base/pq").count()
+      }
+      timed("day2 BM25 vs ret index") {
+        import spark.implicits._
+        graft.ext.Retrieval.bm25TopKFromIndex(
+          spark.read.parquet(s"$base/ret"), "doc_id",
+          Seq((1L, "customer data"), (2L, "vector merge"))
+            .toDF("query_id", "qtext"), "query_id", "qtext", k = 10).count()
+      }
+    }
     spark.stop()
   }
 }

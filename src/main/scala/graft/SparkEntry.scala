@@ -1164,6 +1164,27 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Unigram-LM (SentencePiece) subword accounting ([[ext.UnigramTok]],
+    * Kudo 2018): EM-fitted piece vocabulary over the capped word-count
+    * table, Viterbi encode map-only, per-lang rollup with a wrapping
+    * tok_hash sum pinning exact piece VALUES in the golden gate — the
+    * [[textBpe]] twin on the probabilistic tokenizer. Non-memoizable:
+    * model fit at construction. */
+  private def textUnigramTok(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = ext.UnigramTok.fit(docs, "text", vocabSize = 300,
+      maxWords = 1 << 16, maxPieceLen = 6, seedSize = 1024, emIters = 2)
+    ext.UnigramTok.encodeStats(
+        docs.select("doc_id", "lang", "text"), "text", model)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        sum(col("n_tok_uni")).as("total_uni"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("tok_hash")).as("tok_hash_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** DSIR importance resampling (Xie et al. 2023): hashed bag-of-n-gram
     * models fitted on a target sample (doc_id % 17 = 0) and the raw rest,
     * per-doc log importance weight in ONE map-only kernel eval, Gumbel
@@ -2152,6 +2173,7 @@ object SparkEntry {
       "text_lm_bigram", // two model-fit passes at construction
       "text_lm_ngram", // hashed n-gram fit (collect jobs) at construction
       "text_bpe", // word-count fit + driver merge loop at construction
+      "text_unigram_tok", // word-count fit + driver EM loop at construction
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
       "text_dsir",
@@ -2258,6 +2280,7 @@ object SparkEntry {
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_ngram" -> (textLmNgram _),
     "text_bpe" -> (textBpe _),
+    "text_unigram_tok" -> (textUnigramTok _),
     "text_dsir" -> (textDsir _),
     "dedup_edit_pairs" -> (dedupEditPairs _),
     "text_phrase_gate" -> (textPhraseGate _),

@@ -183,9 +183,64 @@ object Multimodal {
       batchTransform: Array[Byte] => Array[Byte] = identity,
       outSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.spark.sql.GraftArrowBridge
-    val out = GraftArrowBridge.toBatchRdd(df).map(batchTransform)
-    GraftArrowBridge.fromBatchRdd(df.sparkSession, out,
+    // self-contained chunks (schema preamble + batch): the worker reads
+    // each with a bare pyarrow.ipc.open_stream and answers in kind — no
+    // out-of-band schema transport in either direction
+    val out = GraftArrowBridge.toSelfContainedBatchRdd(df).map(batchTransform)
+    GraftArrowBridge.fromSelfContainedBatchRdd(df.sparkSession, out,
       outSchema.getOrElse(df.schema))
+  }
+
+  /** Executor-side subprocess pump for [[transformViaArrow]]: pipe one
+    * Arrow IPC batch through `cmd`'s stdin/stdout (one stateless worker
+    * process per batch — the shape a pooled GPU encoder sits behind; a
+    * long-lived pool drops in here without touching the Spark side).
+    * Fails loudly with the worker's stderr on a non-zero exit. */
+  def pipeThroughWorker(cmd: Seq[String]): Array[Byte] => Array[Byte] =
+    (batch: Array[Byte]) => {
+      val pb = new ProcessBuilder(cmd: _*)
+      val proc = pb.start()
+      val out = new java.io.ByteArrayOutputStream()
+      val err = new java.io.ByteArrayOutputStream()
+      val writer = new Thread(() => {
+        try { proc.getOutputStream.write(batch); proc.getOutputStream.close() }
+        catch { case _: java.io.IOException => () } // worker died first
+      })
+      writer.start()
+      val buf = new Array[Byte](64 * 1024)
+      var n = proc.getInputStream.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = proc.getInputStream.read(buf) }
+      n = proc.getErrorStream.read(buf)
+      while (n >= 0) { err.write(buf, 0, n); n = proc.getErrorStream.read(buf) }
+      writer.join()
+      val rc = proc.waitFor()
+      require(rc == 0,
+        s"worker ${cmd.mkString(" ")} exited $rc: ${err.toString("UTF-8")}")
+      out.toByteArray
+    }
+
+  /** Media → embedding through an EXTERNAL Arrow worker
+    * ([[transformViaArrow]] ∘ [[pipeThroughWorker]]): the media frame
+    * leaves Spark as Arrow IPC batches, the worker (default:
+    * `scripts/embed_worker.py`, a numpy process replicating
+    * [[stubEmbed]]'s float math bit-for-bit — swap in a real encoder
+    * there) returns (media_id, embedding float32[dim]) batches, and the
+    * result re-enters as a DataFrame ANN composes on unchanged
+    * ([[Similarity.ivfPqTopK]] etc.). Zero per-row serialization on the
+    * JVM side; one worker process per batch. */
+  def embedViaWorker(
+      media: DataFrame,
+      cmd: Seq[String],
+      dim: Int = 16): DataFrame = {
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    transformViaArrow(
+      media.select(col("media_id"), col("payload")),
+      pipeThroughWorker(cmd), Some(outSchema))
   }
 
   /** Build a media table from any table with a string column, for tests and

@@ -57,6 +57,38 @@ object GraftArrowBridge {
     }.collect().toSeq.sorted
   }
 
+  /** One SELF-CONTAINED Arrow IPC stream (schema preamble + one record
+    * batch) per element — the chunk shape an external
+    * `pyarrow.ipc.open_stream` consumer can read without out-of-band
+    * schema transport, unlike [[toBatchRdd]]'s bare batches. */
+  def toSelfContainedBatchRdd(
+      df: DataFrame,
+      maxRecordsPerBatch: Long = 10000L): RDD[Array[Byte]] = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = ds.schema
+    val timeZone = ds.sparkSession.sessionState.conf.sessionLocalTimeZone
+    ds.queryExecution.toRdd.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else ArrowConverters.toBatchWithSchemaIterator(
+        rows, schema, maxRecordsPerBatch, Long.MaxValue, timeZone,
+        true, false)
+    }
+  }
+
+  /** Parse SELF-CONTAINED Arrow IPC streams ([[toSelfContainedBatchRdd]]
+    * shape, or an external worker's `pyarrow.ipc.new_stream` output)
+    * back into a DataFrame of `schema`. */
+  def fromSelfContainedBatchRdd(
+      spark: SparkSession,
+      batches: RDD[Array[Byte]],
+      schema: StructType): DataFrame = {
+    val s = spark.asInstanceOf[classic.SparkSession]
+    val rows = batches.mapPartitions { it =>
+      ArrowConverters.fromBatchWithSchemaIterator(it, TaskContext.get())._1
+    }
+    s.internalCreateDataFrame(rows, schema)
+  }
+
   /** Parse serialized Arrow record batches back into a DataFrame of
     * `schema` (the inverse of [[toBatchRdd]] for an unchanged schema, or
     * the re-entry point for a worker that emitted a new schema). */

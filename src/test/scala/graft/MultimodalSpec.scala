@@ -99,4 +99,39 @@ class MultimodalSpec extends AnyFunSuite {
     val batches = org.apache.spark.sql.GraftArrowBridge.toBatchRdd(media).collect()
     assert(batches.nonEmpty && batches.forall(_.length > 0))
   }
+
+  test("external Arrow embedding worker == in-JVM stubEmbed bit-for-bit; " +
+      "ANN over worker embeddings is identical end-to-end") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "spec")
+    val viaJvm = Multimodal.stubEmbed(
+        media.as[Multimodal.MediaItem], dim = 16)
+      .collect().map(e => (e.media_id, e.embedding)).sortBy(_._1)
+    val worker = Multimodal.embedViaWorker(media,
+      Seq("python3", "scripts/embed_worker.py", "16"), dim = 16)
+    val viaExt = worker
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(viaExt.length == viaJvm.length)
+    viaJvm.zip(viaExt).foreach { case ((idJ, embJ), (idE, embE)) =>
+      assert(idJ == idE)
+      assert(embJ == embE, s"embedding diverges for media_id $idJ")
+    }
+    // end-to-end: ANN over the worker embeddings reproduces the in-JVM
+    // path exactly (pinned seeds — the whole bridge is value-transparent)
+    val jvmDf = Multimodal.stubEmbed(media.as[Multimodal.MediaItem], 16)
+      .toDF("media_id", "embedding")
+    def ann(emb: org.apache.spark.sql.DataFrame) =
+      graft.ext.Similarity.ivfPqTopK(
+          emb.filter(col("media_id") < 5), emb, "media_id", "embedding",
+          3, numCells = 2, numProbes = 2, m = 4, kSub = 4,
+          seedIds = Some(Seq(0L, 1L)),
+          pqSeedIds = Some((0 until 4).map(_.toLong)))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    assert(ann(worker) == ann(jvmDf))
+  }
 }
