@@ -504,6 +504,33 @@ object SparkEntry {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Fixed-length training-sequence assembly
+    * ([[graft.ext.Packing.packSequences]]): tokens hash to portable
+    * 15-bit ids (56-bit md5, the engine-portable hash every twin uses),
+    * each doc gets an EOS separator, and per-shard token streams chunk
+    * into exact 128-token context windows with documents straddling the
+    * boundaries — the concat-and-chunk step of LM pretraining prep. The
+    * oracle replays the hash, the exclusive prefix sum, the straddle
+    * ranges, the slices and the ordered reassembly; windows compare by
+    * md5 of the id stream (scalar, not array — robust cross-engine
+    * hashing), plus doc/token counts. */
+  private def textPackIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(
+      col("doc_id"),
+      transform(
+        filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => length(t) > 0),
+        t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % 32768L)
+        .as("tok_ids"))
+    graft.ext.Packing.packSequences(docs, "tok_ids",
+        pmod(col("doc_id"), lit(8L)), "doc_id", seqLen = 128,
+        eosId = 32768L)
+      .select(col("shard"), col("seq_idx"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"))
+      .orderBy(col("shard"), col("seq_idx"))
+  }
+
   /** Paragraph-level exact dedup across the corpus. The synthetic
     * two-paragraph docs (doc k = text(k) ⧺ \n ⧺ text(k+5)) make every
     * second paragraph a cross-document repeat, so the first-occurrence
@@ -1557,6 +1584,32 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 serving from the PERSISTED inverted index
+    * ([[ext.Retrieval.writeIndex]] → [[ext.Retrieval.bm25TopKFromIndex]]):
+    * identical results — and oracle — to [[retBm25]], but the corpus is
+    * tokenized ONCE when the index is written (first construction, the
+    * [[simIvfPqServe]] pattern) and each repetition pays exactly a
+    * serving batch's cost: a term-pruned index scan (parquet row groups
+    * are term-sorted, so min/max stats drop non-query terms), the narrow
+    * collection-stat distinct, the broadcast query arm and the
+    * bounded-heap rank — the corpus TEXT is never read again. The plan is
+    * pure (reads persisted parquet, no mid-plan state), so it stays
+    * memoizable; the bench delta vs ret_bm25 IS the amortized
+    * tokenization. */
+  private def retBm25Serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_index"
+    if (!new java.io.File(s"$path/_SUCCESS").exists)
+      ext.Retrieval.writeIndex(T(s, dir, "documents"), "doc_id", "text",
+        path, numFiles = 4)
+    ext.Retrieval.bm25TopKFromIndex(
+        s.read.parquet(path), "doc_id",
+        retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** TF-IDF weights for a fixed 4-term vocabulary
     * ([[ext.Retrieval.tfidfForVocab]]): the sparse-feature sibling of
     * ret_bm25 — same one-scan posting checkpoint, vocab-sized broadcast
@@ -2317,6 +2370,7 @@ object SparkEntry {
     "w11_value_windows" -> (w11ValueWindows _),
     "dedup_bloom_cross" -> (dedupBloomCross _),
     "pack_bins" -> (packBins _),
+    "text_pack_ids" -> (textPackIds _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
@@ -2334,6 +2388,7 @@ object SparkEntry {
     "url_domain_gate" -> (urlDomainGate _),
     "dedup_containment" -> (dedupContainment _),
     "ret_bm25" -> (retBm25 _),
+    "ret_bm25_serve" -> (retBm25Serve _),
     "ret_tfidf" -> (retTfidf _),
     "text_clf_score" -> (textClfScore _),
     "text_clf_sample" -> (textClfSample _),
@@ -2446,6 +2501,40 @@ object SparkEntry {
        |b AS (SELECT doc_id, $bitSums FROM h GROUP BY 1),
        |s AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash32 FROM b)""".stripMargin
   }
+
+  /** Shared by ret_bm25 and ret_bm25_serve: the serving path is
+    * value-identical to the inline path by construction (index round-trip
+    * spec), so both check against the same replay. */
+  private lazy val retBm25OracleSql: String =
+    """WITH q(query_id, qtext) AS (VALUES
+      |    (1, 'spark window agg shuffle'),
+      |    (2, 'customer query merge join'),
+      |    (3, 'vector stream hash batch')),
+      |tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+      |  FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
+      |  WHERE length(t) > 0 GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+      |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |qt AS (SELECT DISTINCT query_id, t FROM
+      |  (SELECT query_id, unnest(string_split_regex(qtext, '\s+')) AS t
+      |   FROM q) WHERE length(t) > 0),
+      |dfr AS (SELECT t, count(*) AS df FROM tf
+      |  WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |    round(sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+      |      * tf.tf * (1.2 + 1.0)
+      |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))),
+      |      4) AS score
+      |  FROM tf JOIN qt USING (t) JOIN dfr USING (t)
+      |    JOIN dl USING (doc_id), st
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
+      |SELECT query_id, doc_id, score, rank FROM rk
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "a15_quantiles" ->
@@ -3265,6 +3354,35 @@ object SparkEntry {
         |SELECT shard, bin, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_pack_ids" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  list_append(
+        |    [CAST('0x' || substr(md5(t), 1, 14) AS BIGINT) % 32768
+        |     for t in regexp_extract_all(coalesce(text, ''), '\S+')],
+        |    32768) AS tok_ids
+        |  FROM documents),
+        |o AS (SELECT *, CAST(len(tok_ids) AS BIGINT) AS n,
+        |  COALESCE(SUM(CAST(len(tok_ids) AS BIGINT)) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d),
+        |x AS (SELECT shard, off, tok_ids, n,
+        |  unnest(generate_series(CAST(off // 128 AS BIGINT),
+        |      CAST((off + n - 1) // 128 AS BIGINT)))
+        |    AS seq_idx FROM o),
+        |p AS (SELECT shard, seq_idx, off,
+        |  list_slice(tok_ids, greatest(seq_idx * 128 - off, 0) + 1,
+        |    least((seq_idx + 1) * 128 - off, n)) AS piece
+        |  FROM x),
+        |sq AS (SELECT shard, seq_idx,
+        |    flatten(list(piece ORDER BY off)) AS seq_ids,
+        |    count(*) AS n_docs
+        |  FROM p GROUP BY 1, 2)
+        |SELECT shard, seq_idx, n_docs,
+        |  CAST(len(seq_ids) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(seq_ids, ',')) AS ids_md5
+        |FROM sq WHERE len(seq_ids) = 128
+        |ORDER BY shard, seq_idx""".stripMargin,
     "dedup_paragraphs" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |synth AS (SELECT a.doc_id, a.text || chr(10) || b.text AS text
@@ -3753,36 +3871,10 @@ object SparkEntry {
         |    FROM documents)
         |  WHERE length(token) > 0 GROUP BY token)
         |WHERE r <= 50 ORDER BY 1""".stripMargin,
-    "ret_bm25" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (1, 'spark window agg shuffle'),
-        |    (2, 'customer query merge join'),
-        |    (3, 'vector stream hash batch')),
-        |tk AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tk
-        |  WHERE length(t) > 0 GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-        |qt AS (SELECT DISTINCT query_id, t FROM
-        |  (SELECT query_id, unnest(string_split_regex(qtext, '\s+')) AS t
-        |   FROM q) WHERE length(t) > 0),
-        |dfr AS (SELECT t, count(*) AS df FROM tf
-        |  WHERE t IN (SELECT t FROM qt) GROUP BY 1),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |    round(sum(ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
-        |      * tf.tf * (1.2 + 1.0)
-        |      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / st.avgdl))),
-        |      4) AS score
-        |  FROM tf JOIN qt USING (t) JOIN dfr USING (t)
-        |    JOIN dl USING (doc_id), st
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
-        |SELECT query_id, doc_id, score, rank FROM rk
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ret_bm25" -> retBm25OracleSql,
+    // serving path: value-identical to ret_bm25 by construction (the
+    // index round-trip spec), so it shares the oracle verbatim
+    "ret_bm25_serve" -> retBm25OracleSql,
     "ret_tfidf" ->
       """WITH tk AS (SELECT doc_id,
         |    unnest(string_split_regex(text, '\s+')) AS term FROM documents),
