@@ -1584,27 +1584,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** BM25 serving from the PERSISTED inverted index
-    * ([[ext.Retrieval.writeIndex]] → [[ext.Retrieval.bm25TopKFromIndex]]):
-    * identical results — and oracle — to [[retBm25]], but the corpus is
-    * tokenized ONCE when the index is written (first construction, the
-    * [[simIvfPqServe]] pattern) and each repetition pays exactly a
-    * serving batch's cost: a term-pruned index scan (parquet row groups
-    * are term-sorted, so min/max stats drop non-query terms), the narrow
-    * collection-stat distinct, the broadcast query arm and the
-    * bounded-heap rank — the corpus TEXT is never read again. The plan is
-    * pure (reads persisted parquet, no mid-plan state), so it stays
-    * memoizable; the bench delta vs ret_bm25 IS the amortized
-    * tokenization. */
+  /** BM25 serving from the PERSISTED index bundle
+    * ([[ext.Retrieval.writeIndexBundle]] →
+    * [[ext.Retrieval.bm25TopKFromBundle]]): identical results — and
+    * oracle — to [[retBm25]], but the corpus is tokenized ONCE when the
+    * bundle is written (first construction, the [[simIvfPqServe]]
+    * pattern) and each repetition pays exactly a serving batch's cost:
+    * queries tokenize driver-side, df and collection stats come from the
+    * bundle's sidecars, and the postings scan carries a literal
+    * `term IN` filter the term-sorted parquet prunes by — the corpus
+    * text and corpus-wide aggregates are never touched again. The plan
+    * is pure (reads persisted parquet, no mid-plan state), so it stays
+    * memoizable; the bench delta vs ret_bm25 IS the amortized index
+    * build. */
   private def retBm25Serve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_index"
-    if (!new java.io.File(s"$path/_SUCCESS").exists)
-      ext.Retrieval.writeIndex(T(s, dir, "documents"), "doc_id", "text",
-        path, numFiles = 4)
-    ext.Retrieval.bm25TopKFromIndex(
-        s.read.parquet(path), "doc_id",
+      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_bundle"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
+      ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
+        "text", path, numFiles = 4)
+    ext.Retrieval.bm25TopKFromBundle(path, "doc_id",
         retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",
         k = 10)
       .orderBy(col("query_id"), col("rank"))

@@ -253,6 +253,102 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** The full SERVING index bundle — what a production deployment persists
+    * so query batches never touch corpus text OR corpus-wide statistics
+    * again (the Lucene shape: postings + term dictionary + collection
+    * stats):
+    *  - `path/postings`: the [[buildIndex]] frame, term-sorted within
+    *    files so parquet row-group min/max stats prune non-query terms;
+    *  - `path/terms`: (term, df) — document frequency precomputed at
+    *    build time for EVERY term (one extra term-grain aggregate, paid
+    *    once) so serving never aggregates the postings;
+    *  - `path/stats`: one row (n_docs, sum_dl) — the collection
+    *    statistics as exact longs.
+    * One tokenization pass feeds all three (the postings frame is lazily
+    * checkpointed across the three writes). */
+  def writeIndexBundle(
+      corpus: DataFrame, idCol: String, textCol: String, path: String,
+      numFiles: Int = 0): Unit = {
+    requireNotReserved(idCol)
+    val idx = buildIndex(corpus, idCol, textCol).localCheckpoint(eager = false)
+    val sized = if (numFiles > 0) idx.repartition(numFiles) else idx
+    sized.sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    idx.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    idx.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k served from a [[writeIndexBundle]] — identical results to
+    * [[bm25TopK]] on the source corpus, at pure-serving cost:
+    *  - queries tokenize DRIVER-side (the request batch is KBs by
+    *    contract — the same bound that lets the inline path broadcast
+    *    it), so the query arm assembles with no corpus-side work;
+    *  - the postings scan carries a LITERAL `term IN (...)` filter, so
+    *    parquet row-group stats on the term-sorted bundle skip everything
+    *    but the query vocabulary (`PushedFilters` — the index-lookup
+    *    semantics of a term dictionary, expressed as scan pruning);
+    *  - df and collection stats come from the sidecars (tiny scans in
+    *    the broadcast-build job), never from a corpus-wide aggregate.
+    * Two jobs: the query-arm broadcast build and the pruned
+    * scan→score→rank pass. */
+  def bm25TopKFromBundle(
+      path: String, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      roundScoreTo: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(queryIdCol != idCol,
+      s"query and document id columns must differ, both are '$idCol'")
+    requireNotReserved(idCol, queryIdCol)
+    val spark = queries.sparkSession
+    // driver-edge collect of the REQUEST batch (KBs by the same contract
+    // that lets the inline path broadcast it — never the corpus), then a
+    // driver-side replay of TextAnalysis.tokens + the per-query distinct;
+    // the id column keeps its exact input type through the LocalRelation
+    val qRows = queries.select(col(queryIdCol), col(queryTextCol)).collect()
+    val qtRows = qRows.flatMap { r =>
+      Option(r.get(1)).map(_.toString).getOrElse("")
+        .split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => org.apache.spark.sql.Row(r.get(0), t))
+    }
+    val qtSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(queryIdCol,
+        queries.schema(queryIdCol).dataType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType)))
+    val qt = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qtSchema)
+    val qTerms = qtRows.map(_.getString(1)).distinct.toSeq
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("double").as("__N"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("__avgdl"))
+    val dfFrame = spark.read.parquet(s"$path/terms")
+      .filter(col("term").isin(qTerms: _*))
+    val qArm = qt
+      .join(dfFrame.hint("shuffle_hash"), Seq("term"))
+      .withColumn("__one", lit(1))
+      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
+        Seq("__one"))
+      .select(col(queryIdCol), col("term"), col("__avgdl"),
+        log(lit(1.0) + (col("__N") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5))).as("__idf"))
+    val scored = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(qTerms: _*)) // literal → PushedFilters
+      .join(broadcast(qArm), Seq("term"))
+      .withColumn("__s",
+        col("__idf") * col("tf") * (lit(k1) + 1.0)
+          / (col("tf")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__s")), roundScoreTo).as("score"))
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** TF-IDF document term weights for the query vocabulary — the linear
     * sibling of [[bm25TopK]] for cosine/dot retrieval and for feeding
     * sparse features to a downstream classifier. Same one-scan posting

@@ -146,6 +146,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 4L)) // the empty doc has no postings
   }
 
+  test("serving bundle reproduces bm25TopK exactly (sidecar df/stats + pruned scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25-bundle").toFile
+    dir.deleteOnExit()
+    val q = Seq((10, "banana date"), (20, "apple"), (30, "cherry zzz"),
+      (40, "zzz onlyoov"), (50, ""))
+      .toDF("qid", "qtext")
+    val direct = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 10)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    Retrieval.writeIndexBundle(corpus, "doc_id", "text", dir.getAbsolutePath)
+    val viaBundle = Retrieval.bm25TopKFromBundle(
+        dir.getAbsolutePath, "doc_id", q, "qid", "qtext", k = 10)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(viaBundle == direct)
+    assert(direct.nonEmpty)
+    // query-id type survives the driver-side LocalRelation round-trip
+    assert(Retrieval.bm25TopKFromBundle(
+      dir.getAbsolutePath, "doc_id", q, "qid", "qtext", k = 10)
+      .schema("qid").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // the sidecars carry the exact collection statistics
+    val st = spark.read.parquet(s"${dir.getAbsolutePath}/stats")
+      .as[(Long, Long)].collect().toSeq
+    assert(st.size == 1)
+    val idx = spark.read.parquet(s"${dir.getAbsolutePath}/postings")
+    val wantN = idx.select("doc_id").distinct().count()
+    assert(st.head._1 == wantN)
+  }
+
   test("retrieval-based decontamination: benchmark queries pinpoint their corpus copies") {
     // the composition the operator exists for in a curation pipeline:
     // eval-suite texts as queries -> top-hit docs above a score floor are
