@@ -527,7 +527,9 @@ object SparkEntry {
         eosId = 32768L)
       .select(col("shard"), col("seq_idx"), col("n_docs"), col("n_tokens"),
         md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
-          .as("ids_md5"))
+          .as("ids_md5"),
+        concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+          .as("starts_csv"))
       .orderBy(col("shard"), col("seq_idx"))
   }
 
@@ -1666,6 +1668,23 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("rank"))
       .orderBy(col("lang"), col("rank"))
 
+  /** Deterministic per-source epoch upsampling
+    * ([[ops.Sampling.epochExpand]]): the mixture-weight application step
+    * of published pretraining recipes — src0 dropped (w=0), src1 halved,
+    * src2 ×2.5, src3 ×3, everything else ×1. The oracle replays the
+    * CASE-chain weights, the md5 uniform and the fractional-epoch gate;
+    * (count, sum of ids) per (source, epoch) pins the selected replica
+    * SETS, not just their sizes. */
+  private def textEpochMix(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.epochExpand(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5, "src3" -> 3.0),
+        defaultEpochs = 1.0, seed = "epoch")
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("source"), col("epoch"))
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -2371,6 +2390,7 @@ object SparkEntry {
     "dedup_bloom_cross" -> (dedupBloomCross _),
     "pack_bins" -> (packBins _),
     "text_pack_ids" -> (textPackIds _),
+    "text_epoch_mix" -> (textEpochMix _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
@@ -3354,6 +3374,23 @@ object SparkEntry {
         |SELECT shard, bin, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "text_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 3.0 ELSE 1.0 END AS w,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'),
+        |    1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_ep
+        |  FROM d),
+        |e AS (SELECT doc_id, source,
+        |  unnest(generate_series(CAST(1 AS BIGINT), n_ep)) AS epoch
+        |  FROM n)
+        |SELECT source, epoch, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_pack_ids" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |  list_append(
@@ -3372,15 +3409,18 @@ object SparkEntry {
         |    AS seq_idx FROM o),
         |p AS (SELECT shard, seq_idx, off,
         |  list_slice(tok_ids, greatest(seq_idx * 128 - off, 0) + 1,
-        |    least((seq_idx + 1) * 128 - off, n)) AS piece
+        |    least((seq_idx + 1) * 128 - off, n)) AS piece,
+        |  CASE WHEN off >= seq_idx * 128 THEN off - seq_idx * 128 END AS ds
         |  FROM x),
         |sq AS (SELECT shard, seq_idx,
         |    flatten(list(piece ORDER BY off)) AS seq_ids,
-        |    count(*) AS n_docs
+        |    count(*) AS n_docs,
+        |    list(ds ORDER BY ds) FILTER (WHERE ds IS NOT NULL) AS dss
         |  FROM p GROUP BY 1, 2)
         |SELECT shard, seq_idx, n_docs,
         |  CAST(len(seq_ids) AS BIGINT) AS n_tokens,
-        |  md5(array_to_string(seq_ids, ',')) AS ids_md5
+        |  md5(array_to_string(seq_ids, ',')) AS ids_md5,
+        |  coalesce(array_to_string(dss, ','), '') AS starts_csv
         |FROM sq WHERE len(seq_ids) = 128
         |ORDER BY shard, seq_idx""".stripMargin,
     "dedup_paragraphs" ->

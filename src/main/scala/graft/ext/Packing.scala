@@ -76,7 +76,10 @@ object Packing {
     * empty docs — standard separator semantics).
     *
     * Returns one row per complete window: (`shard`, `seq_idx`,
-    * `ids` array, `n_docs` contributing, `n_tokens` = seqLen). With
+    * `ids` array, `n_docs` contributing, `doc_starts` — the sorted
+    * window-relative offsets where a new document begins, i.e. the
+    * attention-mask reset points (empty prefix when the window opens
+    * mid-document), `n_tokens` = seqLen). With
     * `dropRemainder = false` the final short window of each shard is kept
     * (`n_tokens` < seqLen — callers pad it themselves).
     *
@@ -137,7 +140,13 @@ object Packing {
           array_sort(collect_list(struct(col("__off").as("o"),
             col("__piece").as("p")))),
           x => x.getField("p"))).as("ids"),
-        count(lit(1)).as("n_docs"))
+        count(lit(1)).as("n_docs"),
+        // window-relative offsets where a NEW document begins (its piece
+        // starts at the doc's token 0) — the attention-mask reset points
+        // a trainer needs to stop cross-document attention in a packed
+        // window. A window that opens mid-document has no 0 entry.
+        sort_array(collect_list(when(col("__start") === 0L,
+          col("__off") - col("seq_idx") * L))).as("doc_starts"))
       .withColumn("n_tokens", size(col("ids")).cast("long"))
     if (dropRemainder) out.filter(col("n_tokens") === seqLen.toLong) else out
   }

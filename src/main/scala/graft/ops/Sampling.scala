@@ -168,4 +168,46 @@ object Sampling {
     }
     df.filter(gate < pct)
   }
+
+  /** Deterministic per-source EPOCH upsampling — the mixture-weight
+    * application step of published pretraining recipes (LLaMA's
+    * Wikipedia×2.45, Dolma's per-source epoch factors): a source with
+    * epoch factor `w` repeats every document `floor(w)` times, and a
+    * deterministic hash-gated `w − floor(w)` fraction of its documents
+    * once more — so expected token share matches the recipe exactly
+    * while every rerun, engine and cluster layout picks the SAME extra
+    * documents (u = first 32 bits of `md5(id:seed)`, the
+    * [[hashPriority]] idiom every oracle replays).
+    *
+    * Map-only: the weight table compiles into a CASE chain (no join),
+    * the repetition is a per-row `sequence` explode — no shuffle
+    * anywhere, pipelines straight into a downstream shuffler/packer
+    * ([[shardByHash]], [[graft.ext.Packing.packSequences]] — give
+    * replicas distinct stream keys via (id, epoch)). Sources absent
+    * from `epochs` get `defaultEpochs`; `w = 0` drops the source.
+    * Appends `epoch` (1-based replica index, ≤ ceil(w)). */
+  def epochExpand(
+      df: DataFrame, idCol: String, sourceCol: String,
+      epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0,
+      seed: String = "epoch"): DataFrame = {
+    (epochs.map(_._2) :+ defaultEpochs).foreach(w =>
+      require(w >= 0 && w <= 1000,
+        s"epoch factor must be in [0, 1000], got $w"))
+    Seq("epoch", "__n_epochs").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it first"))
+    val wCol = epochs.foldRight(lit(defaultEpochs): Column) {
+      case ((s, w), rest) => when(col(sourceCol) === s, w).otherwise(rest)
+    }
+    val u = priorityPrefix(hashPriority(col(idCol), seed), 8)
+      .cast("double") / lit(4294967296.0) // 2^32
+    val n = floor(wCol).cast("long") +
+      when(u < wCol - floor(wCol), 1L).otherwise(0L)
+    df.withColumn("__n_epochs", n)
+      .withColumn("epoch",
+        explode(when(col("__n_epochs") >= 1L,
+          sequence(lit(1L), col("__n_epochs")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__n_epochs")
+  }
 }

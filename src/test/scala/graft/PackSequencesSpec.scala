@@ -18,10 +18,10 @@ class PackSequencesSpec extends AnyFunSuite {
 
   /** The semantics, stated sequentially: per shard, concatenate
     * (ids ++ EOS) in order, chunk by L; n_docs counts docs overlapping
-    * the chunk. */
+    * the chunk; doc_starts are the in-chunk offsets of doc beginnings. */
   private def model(
       docs: Seq[(Long, Option[Seq[Long]])], nShards: Int, l: Int,
-      drop: Boolean): Seq[(Long, Long, Seq[Long], Long, Long)] =
+      drop: Boolean): Seq[(Long, Long, Seq[Long], Long, Seq[Long], Long)] =
     docs.groupBy { case (ord, _) => ord % nShards }.toSeq.flatMap {
       case (shard, ds) =>
         val sorted = ds.sortBy(_._1)
@@ -39,7 +39,10 @@ class PackSequencesSpec extends AnyFunSuite {
             val lo = s.toLong * l
             val hi = lo + chunk.length
             val nDocs = spans.count { case (a, b) => a < hi && b > lo }
-            Some((shard, s.toLong, chunk.toSeq, nDocs.toLong,
+            val starts = spans.collect {
+              case (a, _) if a >= lo && a < hi => a - lo
+            }.sorted
+            Some((shard, s.toLong, chunk.toSeq, nDocs.toLong, starts,
               chunk.length.toLong))
           }
         }
@@ -47,13 +50,13 @@ class PackSequencesSpec extends AnyFunSuite {
 
   private def run(
       docs: Seq[(Long, Option[Seq[Long]])], nShards: Int, l: Int,
-      drop: Boolean): Seq[(Long, Long, Seq[Long], Long, Long)] = {
+      drop: Boolean): Seq[(Long, Long, Seq[Long], Long, Seq[Long], Long)] = {
     val df = docs.toDF("ord", "tok_ids")
     Packing.packSequences(df, "tok_ids", pmod(col("ord"), lit(nShards.toLong)),
         "ord", l, EOS, dropRemainder = drop)
       .select(col("shard"), col("seq_idx"), col("ids"), col("n_docs"),
-        col("n_tokens"))
-      .as[(Long, Long, Seq[Long], Long, Long)].collect().toSeq
+        col("doc_starts"), col("n_tokens"))
+      .as[(Long, Long, Seq[Long], Long, Seq[Long], Long)].collect().toSeq
   }
 
   test("fixture: docs straddle window boundaries exactly") {
@@ -64,10 +67,10 @@ class PackSequencesSpec extends AnyFunSuite {
       (6L, Some(Seq.empty[Long])))
     val full = run(docs, 1, 4, drop = false).sortBy(r => (r._1, r._2))
     assert(full == Seq(
-      (0L, 0L, Seq(1L, 2L, 3L, EOS), 1L, 4L),
-      (0L, 1L, Seq(4L, EOS, EOS), 2L, 3L)))
+      (0L, 0L, Seq(1L, 2L, 3L, EOS), 1L, Seq(0L), 4L),
+      (0L, 1L, Seq(4L, EOS, EOS), 2L, Seq(0L, 2L), 3L)))
     val dropped = run(docs, 1, 4, drop = true)
-    assert(dropped == Seq((0L, 0L, Seq(1L, 2L, 3L, EOS), 1L, 4L)))
+    assert(dropped == Seq((0L, 0L, Seq(1L, 2L, 3L, EOS), 1L, Seq(0L), 4L)))
   }
 
   test("fixture: one doc spans many windows") {
@@ -76,12 +79,14 @@ class PackSequencesSpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(
       Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L, 8L, 9L), Seq(10L, EOS)))
     assert(got.map(_._4) == Seq(1L, 1L, 1L, 1L))
+    // the doc starts in window 0 only; continuations have no reset point
+    assert(got.map(_._5) == Seq(Seq(0L), Seq(), Seq(), Seq()))
   }
 
   test("null ids contribute exactly the EOS separator") {
     val docs = Seq((0L, None: Option[Seq[Long]]), (1L, Some(Seq(7L))))
     val got = run(docs, 1, 4, drop = false)
-    assert(got == Seq((0L, 0L, Seq(EOS, 7L, EOS), 2L, 3L)))
+    assert(got == Seq((0L, 0L, Seq(EOS, 7L, EOS), 2L, Seq(0L, 1L), 3L)))
   }
 
   test("fuzz: op == sequential concat-and-chunk model (60 cases)") {
