@@ -182,6 +182,26 @@ object ScaleSmoke {
       graft.ops.Sampling.shardByHash(bigDocs, "doc_id", 64)
         .agg(sum(col("pos")).cast("long").as("c")).head().getLong(0)
     }
+    timed("epoch expand 50k docs") {
+      // recipe weights over the x10 corpus: map-only CASE chain +
+      // sequence explode, no exchange — the count forces the full
+      // expansion (~1.9x rows with these weights)
+      graft.ops.Sampling.epochExpand(
+        bigDocs.select(col("doc_id"), col("source")), "doc_id", "source",
+        Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5, "src3" -> 3.0))
+        .count()
+    }
+    timed("pack sequences 50k docs") {
+      // 2048-token windows over 64 shards: one prefix-sum window per
+      // shard, one straddle explode, one bounded reassembly aggregate —
+      // the production id stream (xxhash64 ids; the portable md5 twin is
+      // the oracle query's job)
+      val ids = bigDocs.select(col("doc_id"),
+        transform(filter(split(col("text"), "\\s+"), t => length(t) > 0),
+          t => pmod(xxhash64(t), lit(32768L))).as("tok_ids"))
+      graft.ext.Packing.packSequences(ids, "tok_ids",
+        pmod(col("doc_id"), lit(64L)), "doc_id", 2048, 32768L).count()
+    }
     timed("unigram LM fit+score 50k") {
       // fit (two bounded passes) + kernel scoring pass; sum over the
       // score column so the kernel work is not pruned away
@@ -261,6 +281,26 @@ object ScaleSmoke {
             (col("id") % 6 + 1).cast("int"))).as("qtext"))
       graft.ext.Retrieval.bm25TopKFromIndex(
         spark.read.parquet(bm25IdxDir), "doc_id",
+        queries, "qid", "qtext", k = 20).count()
+    }
+    // the full serving bundle (term dictionary + collection-stat
+    // sidecars): query time never aggregates the postings at all — the
+    // delta vs "query via index" is the sidecar payoff
+    val bm25BundleDir = "/tmp/graft_smoke_bm25_bundle"
+    timed("bm25 bundle build+write 50k") {
+      graft.ext.Retrieval.writeIndexBundle(bigDocs, "doc_id", "text",
+        bm25BundleDir)
+      spark.read.parquet(s"$bm25BundleDir/postings").count()
+    }
+    timed("bm25 bundle serve 100q") {
+      val queries = spark.range(100L).select(
+        col("id").cast("int").as("qid"),
+        concat_ws(" ",
+          element_at(split(lit("spark window agg join merge batch"), " "),
+            (col("id") % 6 + 1).cast("int")),
+          element_at(split(lit("customer query vector stream hash data"), " "),
+            (col("id") % 6 + 1).cast("int"))).as("qtext"))
+      graft.ext.Retrieval.bm25TopKFromBundle(bm25BundleDir, "doc_id",
         queries, "qid", "qtext", k = 20).count()
     }
     timed("clf marker logit 50k docs") {
