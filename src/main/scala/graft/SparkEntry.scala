@@ -1685,6 +1685,48 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_id"))
       .orderBy(col("source"), col("epoch"))
 
+  /** The composed training-data ASSEMBLY pipeline, end-to-end and
+    * oracle-exact: portable quality gate ([[ext.QualityClassifier
+    * .markerLogit]], dyadic weights so the logit compares exactly) →
+    * per-source epoch upsampling ([[ops.Sampling.epochExpand]]) →
+    * portable token-id hashing → fixed-length sequence packing
+    * ([[graft.ext.Packing.packSequences]], replicas ordered by
+    * doc_id·8+epoch within doc-keyed shards). The DuckDB oracle replays
+    * the FULL chain — gate arithmetic, epoch gate, hash, prefix sums,
+    * straddle slices, reassembly and boundary offsets — so one green row
+    * value-checks the whole curate→mix→pack composition, not just its
+    * pieces. Every stage is map-only until packSequences' two terminal
+    * exchanges (the plan a 100 TB assembly run wants). */
+  private def pipelinePack(s: SparkSession, dir: String): DataFrame = {
+    val kept = ext.QualityClassifier.markerLogit(
+        T(s, dir, "documents"), "text",
+        Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+          ("the", -0.125)),
+        bias = -0.25)
+      .filter(col("logit") > -0.5)
+    val expanded = ops.Sampling.epochExpand(
+      kept.select(col("doc_id"), col("source"), col("text")),
+      "doc_id", "source",
+      Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5, "src3" -> 3.0),
+      defaultEpochs = 1.0, seed = "epoch")
+    val withIds = expanded.select(
+      (col("doc_id") * 8L + col("epoch")).as("ord"),
+      pmod(col("doc_id"), lit(8L)).as("shard_key"),
+      transform(
+        filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          t => length(t) > 0),
+        t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % 32768L)
+        .as("tok_ids"))
+    graft.ext.Packing.packSequences(withIds, "tok_ids", col("shard_key"),
+        "ord", seqLen = 128, eosId = 32768L)
+      .select(col("shard"), col("seq_idx"), col("n_docs"), col("n_tokens"),
+        md5(concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .as("ids_md5"),
+        concat_ws(",", transform(col("doc_starts"), _.cast("string")))
+          .as("starts_csv"))
+      .orderBy(col("shard"), col("seq_idx"))
+  }
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -2391,6 +2433,7 @@ object SparkEntry {
     "pack_bins" -> (packBins _),
     "text_pack_ids" -> (textPackIds _),
     "text_epoch_mix" -> (textEpochMix _),
+    "pipeline_pack" -> (pipelinePack _),
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
@@ -3374,6 +3417,63 @@ object SparkEntry {
         |SELECT shard, bin, count(*) AS n_docs,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pipeline_pack" ->
+      """WITH w(t, wt) AS (VALUES
+        |    ('data', 0.75), ('slow', -1.25), ('spark', 0.5),
+        |    ('the', -0.125)),
+        |tk0 AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+        |  FROM documents),
+        |mc AS (SELECT tk0.doc_id, tk0.t, count(*) AS tf FROM tk0
+        |  JOIN w USING (t) GROUP BY 1, 2),
+        |agg AS (SELECT mc.doc_id, sum(w.wt * mc.tf) AS s FROM mc
+        |  JOIN w ON w.t = mc.t GROUP BY 1),
+        |kept AS (SELECT d.doc_id, d.source, d.text
+        |  FROM documents d LEFT JOIN agg USING (doc_id)
+        |  WHERE round(-0.25 + coalesce(agg.s, 0), 6) > -0.5),
+        |ep AS (SELECT doc_id, source, text,
+        |  CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5
+        |    WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 3.0 ELSE 1.0 END AS wf,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'),
+        |    1, 8) AS BIGINT) / 4294967296.0 AS u
+        |  FROM kept),
+        |nn AS (SELECT doc_id, text,
+        |  CAST(floor(wf) AS BIGINT)
+        |    + CASE WHEN u < wf - floor(wf) THEN 1 ELSE 0 END AS n_ep
+        |  FROM ep),
+        |ex AS (SELECT doc_id, text,
+        |  unnest(generate_series(CAST(1 AS BIGINT), n_ep)) AS epoch
+        |  FROM nn),
+        |d AS (SELECT doc_id * 8 + epoch AS ord, doc_id % 8 AS shard,
+        |  list_append(
+        |    [CAST('0x' || substr(md5(t), 1, 14) AS BIGINT) % 32768
+        |     for t in regexp_extract_all(coalesce(text, ''), '\S+')],
+        |    32768) AS tok_ids
+        |  FROM ex),
+        |o AS (SELECT *, CAST(len(tok_ids) AS BIGINT) AS n,
+        |  COALESCE(SUM(CAST(len(tok_ids) AS BIGINT)) OVER (
+        |    PARTITION BY shard ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d),
+        |x AS (SELECT shard, off, tok_ids, n,
+        |  unnest(generate_series(CAST(off // 128 AS BIGINT),
+        |      CAST((off + n - 1) // 128 AS BIGINT)))
+        |    AS seq_idx FROM o),
+        |p AS (SELECT shard, seq_idx, off,
+        |  list_slice(tok_ids, greatest(seq_idx * 128 - off, 0) + 1,
+        |    least((seq_idx + 1) * 128 - off, n)) AS piece,
+        |  CASE WHEN off >= seq_idx * 128 THEN off - seq_idx * 128 END AS ds
+        |  FROM x),
+        |sq AS (SELECT shard, seq_idx,
+        |    flatten(list(piece ORDER BY off)) AS seq_ids,
+        |    count(*) AS n_docs,
+        |    list(ds ORDER BY ds) FILTER (WHERE ds IS NOT NULL) AS dss
+        |  FROM p GROUP BY 1, 2)
+        |SELECT shard, seq_idx, n_docs,
+        |  CAST(len(seq_ids) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(seq_ids, ',')) AS ids_md5,
+        |  coalesce(array_to_string(dss, ','), '') AS starts_csv
+        |FROM sq WHERE len(seq_ids) = 128
+        |ORDER BY shard, seq_idx""".stripMargin,
     "text_epoch_mix" ->
       """WITH d AS (SELECT doc_id, source,
         |  CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.5

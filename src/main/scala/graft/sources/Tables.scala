@@ -73,6 +73,43 @@ object Tables {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Crawl-grade JSONL ingest: PERMISSIVE parse with the corrupt raw line
+    * RETAINED (`_corrupt_record`), so malformed lines — a fact of life in
+    * web-crawl dumps — are quarantined with evidence instead of silently
+    * nulled (DROPMALFORMED) or fatal (FAILFAST kills a 100 TB job on one
+    * bad byte). A missing FIELD is not corruption (it parses to null);
+    * only unparseable lines carry the raw text. Schema is required: at
+    * corpus scale inference is a full extra read, and the corrupt column
+    * only works with an explicit schema anyway.
+    *
+    * Spark restriction (SPARK-21610): a query over the RAW files whose
+    * pruned schema is ONLY `_corrupt_record` is disallowed — e.g. a bare
+    * `count()` after filtering on it. Keep a data column in the
+    * projection (what [[splitCorrupt]] consumers naturally do), or
+    * persist the parsed frame first. */
+  def loadJsonAudited(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not declare _corrupt_record — it is added here")
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a [[loadJsonAudited]] frame into (clean, quarantined). Both
+    * sides keep every schema column (the quarantine side carries the raw
+    * line alongside whatever half-parsed — Spark: both sides reference
+    * data columns too, which keeps the plan clear of the
+    * only-corrupt-column scan restriction Spark disallows). */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    df.filter(col("_corrupt_record").isNotNull))
+
   /** Hive-layout partitioned parquet (`path/col=value/…`): the 100 TB
     * corpus layout — partition columns (language, crawl date, source)
     * never store per-row, and a filter on one prunes whole directories

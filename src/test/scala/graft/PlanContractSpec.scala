@@ -29,9 +29,12 @@ class PlanContractSpec extends AnyFunSuite {
     // frame (N, avgdl) onto the vocab-sized arm — same class
     // (text_mixture_temp's former crossJoin(broadcast(scalars)) is now a
     // global window over the tiny bucket frame — no nested loop at all)
+    // ret_bm25_serve attaches its ONE-ROW stats SIDECAR the same way —
+    // the literal __one key constant-folds away and the join planizes
+    // as a nested loop over one row
     val boundedLoop = Set("sim_topk", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq",
-      "ret_bm25", "ret_tfidf")
+      "ret_bm25", "ret_tfidf", "ret_bm25_serve")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -79,7 +82,11 @@ class PlanContractSpec extends AnyFunSuite {
       // p12's window partitions by the uniform hash shard — corpus/nShards
       // per partition by construction, and the per-shard sort IS the
       // operator's contract (the write layout); ShardingSpec pins balance
-      "p12_shard_assign")
+      "p12_shard_assign",
+      // packSequences' doc-grain prefix-sum window partitions by the
+      // caller's shard key — same p12 class (shard count is the
+      // parallelism knob, the per-shard order IS the concat contract)
+      "text_pack_ids", "pipeline_pack")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")

@@ -113,4 +113,43 @@ class SourcesSpec extends AnyFunSuite {
     val js = Tables.loadJson(spark, s"$prefix/docs-*.json")
     assert(js.count() == 40)
   }
+
+  test("audited JSONL ingest quarantines malformed lines with evidence") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "part-0.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"doc_id": 1, "text": "clean line one"}""")
+    w.println("""{"doc_id": 2}""") // missing field: parses, text=null
+    w.println("""{"doc_id": 3, "text": "truncated""") // corrupt
+    w.println("""not json at all""") // corrupt
+    w.println("""{"doc_id": 4, "text": "clean line two"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = Tables.loadJsonAudited(spark, f.getAbsolutePath, schema)
+    val (clean, bad) = Tables.splitCorrupt(df)
+    // NOTE: keep data columns in every projection — Spark disallows raw
+    // JSON scans whose pruned schema is ONLY the internal corrupt-record
+    // column (a bare clean.count() trips it; see loadJsonAudited doc)
+    val cleanRows = clean.select(col("doc_id"), col("text"))
+      .as[(Option[Long], Option[String])].collect().toSeq
+    assert(cleanRows.size == 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text"))
+    // the missing-field line is CLEAN (null text), not quarantined
+    assert(cleanRows.contains((Some(2L), None)))
+    // keep a data column in the projection: Spark disallows scans whose
+    // only referenced column is the internal corrupt-record column
+    val badLines = bad.select(col("doc_id"), col("_corrupt_record"))
+      .as[(Option[Long], String)].collect().map(_._2).toSet
+    assert(badLines == Set("""{"doc_id": 3, "text": "truncated""",
+      "not json at all"))
+    // declared _corrupt_record collides loudly
+    intercept[IllegalArgumentException] {
+      Tables.loadJsonAudited(spark, f.getAbsolutePath,
+        schema.add("_corrupt_record", StringType))
+    }
+  }
 }

@@ -632,4 +632,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == batch)
     } finally q.stop()
   }
+
+  test("epoch upsampling runs unchanged on a stream, matching batch") {
+    // epochExpand is a stateless map (CASE weights + hash gate +
+    // sequence explode) — an arriving micro-batch expands exactly like
+    // the batch plan, so recipe weights can apply at ingest time
+    val dir = Files.createTempDirectory("graft-stream-epoch").toFile
+    dir.deleteOnExit()
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val weights = Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5)
+    val batch = graft.ops.Sampling
+      .epochExpand(docs, "doc_id", "source", weights)
+      .select("doc_id", "source", "epoch")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val expanded = graft.ops.Sampling
+      .epochExpand(stream, "doc_id", "source", weights)
+      .select("doc_id", "source", "epoch")
+    val q = expanded.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_epoch").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_stream_epoch")
+        .as[(Long, String, Long)].collect().toSeq.sorted
+      assert(got == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
