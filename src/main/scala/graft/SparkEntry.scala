@@ -504,6 +504,19 @@ object SparkEntry {
       .orderBy(col("shard"), col("bin"))
   }
 
+  /** Portable 15-bit token ids: first 14 md5 hex digits (the
+    * [[graft.functions.Md5PrefixLong]] kernel — bit-identical to
+    * `conv(substring(md5(t),1,14),16,10)` without materializing and
+    * re-parsing the 32-char hex string per token) mod 32768. The DuckDB
+    * oracles recompute the expression form. */
+  private def portableTokenIds(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    transform(
+      filter(split(coalesce(text, lit("")), "\\s+"), t => length(t) > 0),
+      t => GraftColumnBridge.column(graft.functions.Md5PrefixLong(
+        GraftColumnBridge.expression(t), 14)) % 32768L)
+  }
+
   /** Fixed-length training-sequence assembly
     * ([[graft.ext.Packing.packSequences]]): tokens hash to portable
     * 15-bit ids (56-bit md5, the engine-portable hash every twin uses),
@@ -516,12 +529,7 @@ object SparkEntry {
     * hashing), plus doc/token counts. */
   private def textPackIds(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(
-      col("doc_id"),
-      transform(
-        filter(split(coalesce(col("text"), lit("")), "\\s+"),
-          t => length(t) > 0),
-        t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % 32768L)
-        .as("tok_ids"))
+      col("doc_id"), portableTokenIds(col("text")).as("tok_ids"))
     graft.ext.Packing.packSequences(docs, "tok_ids",
         pmod(col("doc_id"), lit(8L)), "doc_id", seqLen = 128,
         eosId = 32768L)
@@ -1712,11 +1720,7 @@ object SparkEntry {
     val withIds = expanded.select(
       (col("doc_id") * 8L + col("epoch")).as("ord"),
       pmod(col("doc_id"), lit(8L)).as("shard_key"),
-      transform(
-        filter(split(coalesce(col("text"), lit("")), "\\s+"),
-          t => length(t) > 0),
-        t => conv(substring(md5(t), 1, 14), 16, 10).cast("long") % 32768L)
-        .as("tok_ids"))
+      portableTokenIds(col("text")).as("tok_ids"))
     graft.ext.Packing.packSequences(withIds, "tok_ids", col("shard_key"),
         "ord", seqLen = 128, eosId = 32768L)
       .select(col("shard"), col("seq_idx"), col("n_docs"), col("n_tokens"),
