@@ -18,6 +18,9 @@ object GoldenHashesData {
     ("sf0.001", "text_unigram_tok", "6bcf4dac23afd43c63d955c0eb8fc61d"),
     ("sf0.01", "text_unigram_tok", "8f84527e156911bcf545c709b31d4284"),
     ("sf0.1", "text_unigram_tok", "794edc5a9d2f8be2852171191d077640"),
+    ("sf0.001", "text_pack_bpe", "f304cd8738bb47a9052eb0533c0305b6"),
+    ("sf0.01", "text_pack_bpe", "db1b0a648277636cb041639628c85d62"),
+    ("sf0.1", "text_pack_bpe", "39d9c39f94f334aa91bcf9a415e16c57"),
     ("sf0.001", "text_bpe", "010b64ddb88539a4ef5f7e422e9cbf06"),
     ("sf0.01", "text_bpe", "73d47edebe6e28b08e9860367ae54ef1"),
     ("sf0.1", "text_bpe", "db03615af5baf39e7cd5d113f084db36"),

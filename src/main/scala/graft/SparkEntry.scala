@@ -1201,6 +1201,31 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** BPE-tokenized sequence packing: the REAL subword tokenizer (greedy
+    * merges from a fit model, [[textBpe]]'s fit) feeding
+    * [[graft.ext.Packing.packSequences]] — the tokenize→pack composition
+    * a training job actually runs, with ids = xxhash64 of each subword.
+    * Golden-pinned (greedy BPE is not SQL-expressible): per-shard rollup
+    * whose wrapping per-window hash sum pins exact window CONTENTS and
+    * boundary counts, not just sizes. Non-memoizable: BPE fit at
+    * construction (the text_bpe class). */
+  private def textPackBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = Bpe.fit(docs, "text", numMerges = 60)
+    val ids = docs.select(col("doc_id"),
+      transform(Bpe.encode(col("text"), model), t => xxhash64(t))
+        .as("tok_ids"))
+    graft.ext.Packing.packSequences(ids, "tok_ids",
+        pmod(col("doc_id"), lit(8L)), "doc_id", seqLen = 128, eosId = -1L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("n_docs")).as("n_doc_pieces"),
+        sum(xxhash64(concat_ws(",",
+          transform(col("ids"), _.cast("string"))))).as("win_hash_sum"),
+        sum(size(col("doc_starts")).cast("long")).as("n_starts"))
+      .orderBy(col("shard"))
+  }
+
   /** Unigram-LM (SentencePiece) subword accounting ([[ext.UnigramTok]],
     * Kudo 2018): EM-fitted piece vocabulary over the capped word-count
     * table, Viterbi encode map-only, per-lang rollup with a wrapping
@@ -1629,6 +1654,22 @@ object SparkEntry {
         T(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "customer", "vector", "merge"))
       .orderBy(col("doc_id"), col("term"))
+
+  /** TF-IDF served from the SAME persisted bundle as [[retBm25Serve]]
+    * ([[ext.Retrieval.tfidfFromBundle]]): tf from the term-pruned
+    * postings, df/N from the sidecars — the sparse-feature serving path,
+    * value-identical to [[retTfidf]] (shared oracle). */
+  private def retTfidfServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
+      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_bundle"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
+      ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
+        "text", path, numFiles = 4)
+    ext.Retrieval.tfidfFromBundle(s, path, "doc_id",
+        Seq("spark", "customer", "vector", "merge"))
+      .orderBy(col("doc_id"), col("term"))
+  }
 
   /** Portable linear quality gate ([[ext.QualityClassifier.markerLogit]]):
     * σ(b + Σ w_t·tf_t) over named marker terms — the closed form a fitted
@@ -2291,6 +2332,7 @@ object SparkEntry {
       "text_lm_bigram", // two model-fit passes at construction
       "text_lm_ngram", // hashed n-gram fit (collect jobs) at construction
       "text_bpe", // word-count fit + driver merge loop at construction
+      "text_pack_bpe", // same BPE fit at construction
       "text_unigram_tok", // word-count fit + driver EM loop at construction
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
@@ -2457,6 +2499,8 @@ object SparkEntry {
     "ret_bm25" -> (retBm25 _),
     "ret_bm25_serve" -> (retBm25Serve _),
     "ret_tfidf" -> (retTfidf _),
+    "ret_tfidf_serve" -> (retTfidfServe _),
+    "text_pack_bpe" -> (textPackBpe _),
     "text_clf_score" -> (textClfScore _),
     "text_clf_sample" -> (textClfSample _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -2602,6 +2646,24 @@ object SparkEntry {
       |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
       |SELECT query_id, doc_id, score, rank FROM rk
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared by ret_tfidf and ret_tfidf_serve (bundle path is
+    * value-identical by construction). */
+  private lazy val retTfidfOracleSql: String =
+    """WITH tk AS (SELECT doc_id,
+      |    unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+      |  WHERE length(term) > 0 GROUP BY 1, 2),
+      |st AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+      |v(term) AS (VALUES ('spark'), ('customer'), ('vector'), ('merge')),
+      |sub AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN v USING (term)),
+      |dfr AS (SELECT term, count(*) AS df FROM sub GROUP BY 1)
+      |SELECT sub.doc_id, sub.term, CAST(sub.tf AS BIGINT) AS tf,
+      |  CAST(dfr.df AS BIGINT) AS df,
+      |  round(sub.tf * ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)), 4)
+      |    AS tfidf
+      |FROM sub JOIN dfr USING (term), st
+      |ORDER BY doc_id, term""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "a15_quantiles" ->
@@ -4019,21 +4081,9 @@ object SparkEntry {
     // serving path: value-identical to ret_bm25 by construction (the
     // index round-trip spec), so it shares the oracle verbatim
     "ret_bm25_serve" -> retBm25OracleSql,
-    "ret_tfidf" ->
-      """WITH tk AS (SELECT doc_id,
-        |    unnest(string_split_regex(text, '\s+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
-        |  WHERE length(term) > 0 GROUP BY 1, 2),
-        |st AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
-        |v(term) AS (VALUES ('spark'), ('customer'), ('vector'), ('merge')),
-        |sub AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN v USING (term)),
-        |dfr AS (SELECT term, count(*) AS df FROM sub GROUP BY 1)
-        |SELECT sub.doc_id, sub.term, CAST(sub.tf AS BIGINT) AS tf,
-        |  CAST(dfr.df AS BIGINT) AS df,
-        |  round(sub.tf * ln(1 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5)), 4)
-        |    AS tfidf
-        |FROM sub JOIN dfr USING (term), st
-        |ORDER BY doc_id, term""".stripMargin,
+    "ret_tfidf" -> retTfidfOracleSql,
+    // bundle serving path: value-identical by construction (spec'd)
+    "ret_tfidf_serve" -> retTfidfOracleSql,
     "text_clf_score" ->
       """WITH w(t, w) AS (VALUES
         |    ('data', 0.75), ('slow', -1.25), ('spark', 0.5),

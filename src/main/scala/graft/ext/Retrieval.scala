@@ -349,6 +349,35 @@ object Retrieval {
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** [[tfidfForVocab]] served from a [[writeIndexBundle]] — identical
+    * results without touching the corpus text or running any corpus-wide
+    * aggregate: tf from the term-pruned postings scan (literal `term IN`
+    * filter → row-group pruning), df from the terms sidecar, N from the
+    * stats sidecar. The sparse-feature serving path beside
+    * [[bm25TopKFromBundle]]. */
+  def tfidfFromBundle(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String,
+      vocab: Seq[String], roundTo: Int = 4): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    requireNotReserved(idCol)
+    val v = vocab.distinct
+    val stats = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs").cast("double").as("__N"))
+    val dfFrame = spark.read.parquet(s"$path/terms")
+      .filter(col("term").isin(v: _*))
+    val sub = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(v: _*)) // literal → PushedFilters
+      .select(col(idCol), col("term"), col("tf"))
+    sub.join(broadcast(dfFrame), Seq("term"))
+      .withColumn("__one", lit(1))
+      .join(broadcast(stats.withColumn("__one", lit(1))), Seq("__one"))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(lit(1.0)
+          + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
+          roundTo).as("tfidf"))
+  }
+
   /** TF-IDF document term weights for the query vocabulary — the linear
     * sibling of [[bm25TopK]] for cosine/dot retrieval and for feeding
     * sparse features to a downstream classifier. Same one-scan posting

@@ -34,7 +34,7 @@ class PlanContractSpec extends AnyFunSuite {
     // as a nested loop over one row
     val boundedLoop = Set("sim_topk", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq",
-      "ret_bm25", "ret_tfidf", "ret_bm25_serve")
+      "ret_bm25", "ret_tfidf", "ret_bm25_serve", "ret_tfidf_serve")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -86,7 +86,7 @@ class PlanContractSpec extends AnyFunSuite {
       // packSequences' doc-grain prefix-sum window partitions by the
       // caller's shard key — same p12 class (shard count is the
       // parallelism knob, the per-shard order IS the concat contract)
-      "text_pack_ids", "pipeline_pack")
+      "text_pack_ids", "pipeline_pack", "text_pack_bpe")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")

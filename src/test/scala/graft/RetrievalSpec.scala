@@ -175,6 +175,17 @@ class RetrievalSpec extends AnyFunSuite {
     val idx = spark.read.parquet(s"${dir.getAbsolutePath}/postings")
     val wantN = idx.select("doc_id").distinct().count()
     assert(st.head._1 == wantN)
+    // the tfidf serving path reproduces the inline form exactly too
+    val vocab = Seq("banana", "apple", "cherry", "zzz")
+    val tfidfDirect = Retrieval.tfidfForVocab(corpus, "doc_id", "text", vocab)
+      .orderBy(col("doc_id"), col("term"))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    val tfidfBundle = Retrieval.tfidfFromBundle(spark,
+        dir.getAbsolutePath, "doc_id", vocab)
+      .orderBy(col("doc_id"), col("term"))
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(tfidfBundle == tfidfDirect)
+    assert(tfidfDirect.nonEmpty)
   }
 
   test("retrieval-based decontamination: benchmark queries pinpoint their corpus copies") {
