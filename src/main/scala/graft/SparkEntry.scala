@@ -580,6 +580,24 @@ object SparkEntry {
     * members via a corpus anti-join, count survivors per language.
     * Singletons (docs in no pair) survive untouched. The oracle replays
     * pairs + recursive-CTE closure + the same anti-join. */
+  /** Keep-BEST-per-cluster dedup ([[Dedup.keepBestPerCluster]]): same
+    * portable pair mining + closure as [[dedupClusters]], but the kept
+    * representative is the longest member (token count, ties → lowest
+    * id) instead of the min-id one — the quality-aware curation policy.
+    * The oracle replays minhash, the recursive-CTE closure AND the
+    * ranking, so the whole policy value-checks. Non-memoizable:
+    * duplicateClusters iterates at construction. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val subset = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+    val docs = subset.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashNearDuplicatesPortable(subset, "doc_id", "text"),
+      maxIter = 200)
+    Dedup.keepBestPerCluster(docs, "doc_id", "n_tokens", clusters)
+      .orderBy(col("doc_id"))
+  }
+
   private def dedupEndToEnd(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
     // explicit generous maxIter — same by-construction oracle-agreement
@@ -2318,7 +2336,8 @@ object SparkEntry {
     * the comparison honest, and the bench reclaims any RDDs a rep
     * persists. */
   private val nonMemoizable =
-    Set("dedup_clusters", "dedup_end_to_end", "sim_ivf_topk",
+    Set("dedup_clusters", "dedup_end_to_end", "dedup_keep_best",
+      "sim_ivf_topk",
       "sim_ivfpq_topk", // coarse + PQ training at construction
       // model load + the per-cell count collect at construction (first
       // construction also trains and persists the models)
@@ -2483,6 +2502,7 @@ object SparkEntry {
     "dedup_paragraphs" -> (dedupParagraphs _),
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_end_to_end" -> (dedupEndToEnd _),
     "text_contamination" -> (textContamination _),
     "url_domain_stats" -> (urlDomainStats _),
@@ -3677,6 +3697,25 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT id FROM drops)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
+        |  UNION SELECT id_b, id_a FROM portable_pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |docs2 AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |mem AS (SELECT d2.doc_id, d2.lang, d2.n_tokens,
+        |  coalesce(l.cluster_id, d2.doc_id) AS cluster
+        |  FROM docs2 d2 LEFT JOIN labels l ON l.id = d2.doc_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster
+        |  ORDER BY n_tokens DESC, doc_id) AS rn FROM mem)
+        |SELECT doc_id, lang, n_tokens FROM rk WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "dedup_minhash_portable" ->
       // the shared CTE chain's unused portable_pairs tail is never
       // evaluated; the signature math lives in ONE place for all three

@@ -531,6 +531,44 @@ object Dedup {
     *                  ids must be integral or string for the driver
     *                  ordering — other types skip the probe. 0 disables.
     */
+  /** Cluster-aware representative selection — the curation policy AFTER
+    * near-dup clustering: instead of the keep-first/min-id default
+    * (what `cluster_id` membership encodes), keep the BEST member of
+    * each duplicate cluster by a caller-supplied quality score (length,
+    * classifier prob, perplexity — ties break to the lowest id), plus
+    * every unclustered doc (its own singleton cluster). The published
+    * near-dup pipelines differ exactly here — "drop all but one" is
+    * policy, and dropping the longest/cleanest copy for an arbitrary
+    * min-id one wastes quality.
+    *
+    * Scale shape: one join of the cluster ASSIGNMENT (pair-list-sized,
+    * not corpus-sized — see [[duplicateClusters]]) onto the corpus, then
+    * one bounded-heap TopK (k = 1) per cluster — O(clusters) state, no
+    * Window, no per-cluster sort, and docs outside any cluster pass
+    * through the same heap keyed by their own id.
+    *
+    * @param clusters [[duplicateClusters]] output: (id, cluster_id)
+    */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    require(docs.columns.contains(idCol), s"docs lacks id column '$idCol'")
+    require(docs.columns.contains(scoreCol),
+      s"docs lacks score column '$scoreCol'")
+    Seq("__cl_id", "__cl", "__cluster", "rank").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"docs column '$c' collides with keepBestPerCluster internals"))
+    val cl = clusters.select(col("id").as("__cl_id"),
+      col("cluster_id").as("__cl"))
+    val member = docs
+      .join(cl, col(idCol) === col("__cl_id"), "left")
+      .withColumn("__cluster", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl_id", "__cl")
+    graft.ops.TopK.perGroupRanked(member, Seq("__cluster"),
+        Seq(col(scoreCol).desc, col(idCol)), 1)
+      .drop("rank", "__cluster")
+  }
+
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",

@@ -496,4 +496,27 @@ class ExtSpec extends AnyFunSuite {
       .orderBy("rank").as[(Int, String, Long)].collect().toSeq
     assert(got == Seq((1, "b", 3L), (2, "a", 2L), (3, "c", 2L)))
   }
+
+  test("keepBestPerCluster: best-scoring member wins, singletons survive") {
+    import graft.ext.Dedup
+    // cluster {1,2,3} (labels as duplicateClusters emits: min-id rep),
+    // cluster {5,6}, singletons 4 and 7 (7 absent from clusters entirely)
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (4L, 4L)).toDF("id", "cluster_id")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // 2 and 3 tie on score -> min id 2
+      (4L, 5L), (5L, 8L), (6L, 9L), (7L, 1L))
+      .toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", "score", clusters)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((2L, 30L), (4L, 5L), (6L, 9L), (7L, 1L)))
+    // guards: missing columns and internal-name collisions fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestPerCluster(docs, "doc_id", "nope", clusters)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestPerCluster(docs.withColumn("rank", col("score")),
+        "doc_id", "score", clusters)
+    }
+  }
 }

@@ -71,7 +71,7 @@ class PlanContractSpec extends AnyFunSuite {
       // dedup_containment shares ngramPairCounts (the posting-list core,
       // incl. its per-gram doc-freq-cap window) with dedup_ngram_jaccard
       "dedup_paragraphs", "dedup_ngram_jaccard", "dedup_containment",
-      "dedup_embedding",
+      "dedup_embedding", "dedup_keep_best",
       "dedup_embedding_lsh", "dedup_semantic", "w6_weekend",
       // text_mixture's two windows (and text_mixture_temp's — same
       // mixtureSelect core) are both bounded by construction —
