@@ -79,6 +79,18 @@ object ScaleSmoke {
       graft.ext.Dedup.minHashNearDuplicates(
         bigDocs, "doc_id", "text", threshold = 0.5).count()
     }
+    timed("keep-best dedup 50k docs") {
+      // the quality-aware representative policy end-to-end at x10:
+      // pairs -> clusters -> argmax(token count) per cluster
+      val pairs = graft.ext.Dedup.minHashNearDuplicates(
+        bigDocs, "doc_id", "text", threshold = 0.5)
+      val clusters = graft.ext.Dedup.duplicateClusters(pairs)
+      graft.ext.Dedup.keepBestPerCluster(
+        bigDocs.select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens")),
+        "doc_id", "n_tokens", clusters).count()
+    }
     timed("resample+calendar 1M") {
       val daily = graft.ops.TimeSeriesOps.resampleSum(
         bigEvents, "user_id", "ts", Seq("value"), "day")
@@ -302,6 +314,11 @@ object ScaleSmoke {
             (col("id") % 6 + 1).cast("int"))).as("qtext"))
       graft.ext.Retrieval.bm25TopKFromBundle(bm25BundleDir, "doc_id",
         queries, "qid", "qtext", k = 20).count()
+    }
+    timed("tfidf bundle serve 6 terms") {
+      graft.ext.Retrieval.tfidfFromBundle(spark, bm25BundleDir, "doc_id",
+        Seq("spark", "window", "agg", "customer", "vector", "merge"))
+        .count()
     }
     timed("clf marker logit 50k docs") {
       graft.ext.QualityClassifier.markerLogit(

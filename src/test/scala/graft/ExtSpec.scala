@@ -519,4 +519,31 @@ class ExtSpec extends AnyFunSuite {
         "doc_id", "score", clusters)
     }
   }
+
+  test("fuzz: keepBestPerCluster == argmax model (30 cases)") {
+    import graft.ext.Dedup
+    val rnd = new scala.util.Random(130815L)
+    (1 to 30).foreach { k =>
+      val n = 2 + rnd.nextInt(40)
+      val docs = (0L until n.toLong).map(i => (i, rnd.nextInt(10).toLong))
+      // random partial clustering: each doc joins one of ~n/3 groups or
+      // stays unclustered; labels use the min member id like
+      // duplicateClusters does
+      val groups = docs.map(_._1).filter(_ => rnd.nextBoolean())
+        .groupBy(_ => rnd.nextInt(1 + n / 3)).values
+        .filter(_.size >= 2).toSeq
+      val clusterRows = groups.flatMap(g => g.map(id => (id, g.min)))
+      val kept = Dedup.keepBestPerCluster(
+          docs.toDF("doc_id", "score"), "doc_id", "score",
+          clusterRows.toDF("id", "cluster_id"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      val scoreOf = docs.toMap
+      val clustered = clusterRows.map(_._1).toSet
+      val want = (groups.map(g =>
+          g.maxBy(id => (scoreOf(id), -id))) ++
+          docs.map(_._1).filterNot(clustered))
+        .map(id => (id, scoreOf(id))).sorted
+      assert(kept == want, s"case $k: n=$n groups=${groups.size}")
+    }
+  }
 }
