@@ -709,6 +709,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): per query
+    * vector, the 5 most-similar DIFFERENT-label candidates — the
+    * contrastive-training pairs op. Oracle replays the null-safe label
+    * exclusion, the cosine and the ranking. */
+  private def simHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    Similarity.enableNative(s)
+    val e = T(s, dir, "embeddings")
+    Similarity.hardNegatives(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label", 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Portable MinHash signatures — oracle-checked value-for-value. */
   private def dedupMinhashPortable(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignaturesPortable(
@@ -2426,6 +2440,7 @@ object SparkEntry {
     "pipeline_curate" -> (pipelineCurate _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk" -> (simTopK _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "dedup_minhash_sigs" -> (dedupMinhashSigs _),
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -3741,6 +3756,20 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
         |    AS INT) AS rank FROM s)
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  c.label AS neighbor_label,
+        |  list_cosine_similarity(q.emb, c.emb) AS cos
+        |  FROM q JOIN e c ON c.label IS DISTINCT FROM q.label),
+        |r AS (SELECT query_id, neighbor_id, neighbor_label, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+        |    AS INT) AS rank FROM s)
+        |SELECT query_id, rank, neighbor_id, neighbor_label,
+        |  round(cos, 6) AS cosine
         |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
     "sim_lsh_portable" -> lshPortableOracle,
     "sim_ivf_portable" -> ivfPortableOracle,

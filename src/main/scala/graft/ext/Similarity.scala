@@ -76,6 +76,41 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query vector, the k MOST similar candidates whose label differs
+    * (null-safe: `IS DISTINCT FROM` semantics, so null-labeled rows pair
+    * with everything labeled) — the "hardest" negatives an embedding
+    * model trains against (in-batch negatives are too easy; the
+    * near-boundary ones carry the gradient). Same broadcast-queries
+    * nested-loop shape as [[bruteForceTopK]] with the label exclusion
+    * fused into the scoring pass (never materializing same-label pairs),
+    * bounded-heap rank; at corpus scale generate candidates with the
+    * IVF/LSH paths and apply the same exclusion before the re-rank.
+    * Returns (query_id, rank, neighbor_id, neighbor_label, cosine). */
+  def hardNegatives(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val q = queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("__ql"),
+      col(vecCol).as("__qv"), l2Norm(col(vecCol)).as("__qn"))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(!(col("neighbor_label") <=> col("__ql")))
+      .withColumn("cosine",
+        cosine(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq("query_id"), Seq(col("cosine").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH signature: `numBits` sign bits of dot products
     * with seeded Gaussian hyperplanes, packed into a long.
     *

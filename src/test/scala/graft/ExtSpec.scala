@@ -520,6 +520,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: nearest different-label candidates, null-safe") {
+    import graft.ext.Similarity
+    // labels: two tight clusters on orthogonal axes + one null-labeled
+    val vecs = Seq(
+      (0L, "a", Seq(1.0f, 0.0f)), (1L, "a", Seq(0.9f, 0.1f)),
+      (2L, "b", Seq(0.0f, 1.0f)), (3L, "b", Seq(0.1f, 0.9f)),
+      (4L, null.asInstanceOf[String], Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding",
+        "label", 3)
+      .orderBy(col("rank"))
+      .as[(Long, Int, Long, Option[String], Double)].collect().toSeq
+    // same-label 1 excluded; null-labeled 4 is a valid negative (IS
+    // DISTINCT FROM) and is the closest, then the b-cluster by cosine
+    assert(got.map(_._3) == Seq(4L, 3L, 2L))
+    assert(got.map(_._4) == Seq(None, Some("b"), Some("b")))
+    assert(got.map(_._2) == Seq(1, 2, 3))
+    // a null-labeled QUERY pairs with every labeled candidate
+    val gotNull = Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 4), vecs, "vec_id", "embedding",
+        "label", 10)
+      .as[(Long, Int, Long, Option[String], Double)].collect().toSeq
+    assert(gotNull.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("fuzz: keepBestPerCluster == argmax model (30 cases)") {
     import graft.ext.Dedup
     val rnd = new scala.util.Random(130815L)

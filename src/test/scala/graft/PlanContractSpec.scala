@@ -32,7 +32,7 @@ class PlanContractSpec extends AnyFunSuite {
     // ret_bm25_serve attaches its ONE-ROW stats SIDECAR the same way —
     // the literal __one key constant-folds away and the join planizes
     // as a nested loop over one row
-    val boundedLoop = Set("sim_topk", "j5_band_join",
+    val boundedLoop = Set("sim_topk", "sim_hard_negatives", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq",
       "ret_bm25", "ret_tfidf", "ret_bm25_serve", "ret_tfidf_serve")
     plans.foreach { case (name, p) =>
@@ -48,7 +48,8 @@ class PlanContractSpec extends AnyFunSuite {
     // o6_topk_group is deliberately the declarative rank().over(window)
     // BASELINE that o8/o9 twin natively — it is exempt here and belongs
     // to the window family below
-    Seq("sim_topk", "sim_lsh_topk", "sim_lsh_portable", "sim_ivf_topk",
+    Seq("sim_topk", "sim_hard_negatives", "sim_lsh_topk",
+        "sim_lsh_portable", "sim_ivf_topk",
         "sim_ivf_portable", "o8_topk_native", "o9_topk_ranked")
       .foreach { name =>
         assert(plans(name).contains("TopKPerGroup"),
