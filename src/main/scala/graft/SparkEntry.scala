@@ -1804,6 +1804,27 @@ object SparkEntry {
       .orderBy(col("shard"), col("seq_idx"))
   }
 
+  /** Paragraph-level language composition
+    * ([[TextAnalysis.langSegments]], the CCNet granularity): the raw
+    * corpus has no newlines, so two-paragraph mixed-language docs are
+    * synthesized by pairing each doc_id%5==0 doc with the +5 doc's text
+    * (the [[dedupParagraphs]] fixture shape); segments roll up to per
+    * (doc, predicted) paragraph and token counts. The oracle replays
+    * the paragraph split, the marker heuristic per paragraph and the
+    * rollup. */
+  private def textLangidPara(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val b = docs.select((col("doc_id") - 5).as("__id2"),
+      col("text").as("__text_b"))
+    val synth = docs.join(b, col("doc_id") === col("__id2"))
+      .select(col("doc_id"),
+        concat_ws("\n", col("text"), col("__text_b")).as("text"))
+    TextAnalysis.langSegments(synth, "doc_id", "text")
+      .groupBy(col("doc_id"), col("predicted"))
+      .agg(count(lit(1)).as("n_paras"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("doc_id"), col("predicted"))
+  }
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -2462,6 +2483,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_para" -> (textLangidPara _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -3802,6 +3824,33 @@ object SparkEntry {
         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
         | count(*) AS n_docs
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_langid_para" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |synth AS (SELECT a.doc_id, a.text || chr(10) || b.text AS text
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 5),
+        |p0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS para
+        |  FROM synth),
+        |p AS (SELECT doc_id, para,
+        |  string_split_regex(para, '\s+') AS toks
+        |  FROM p0 WHERE length(trim(para)) > 0),
+        |s AS (SELECT doc_id,
+        |  len([t for t in toks if t in ('der','die','und','nicht')]) AS s_de,
+        |  len([t for t in toks if t in ('the','and','of','data')]) AS s_en,
+        |  len([t for t in toks if t in ('el','la','los','que')]) AS s_es,
+        |  len([t for t in toks if t in ('le','les','des','une')]) AS s_fr,
+        |  len([t for t in toks if t in ('的','是','了','在')]) AS s_zh,
+        |  CAST(len(regexp_extract_all(para, '\S+')) AS BIGINT) AS n_tok
+        |  FROM p),
+        |c AS (SELECT doc_id, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |    AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
+        |  n_tok FROM s)
+        |SELECT doc_id, predicted, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_tokens" ->
       """SELECT lang,
         | CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,

@@ -637,6 +637,31 @@ object TextAnalysis {
       .drop("__toks" +: langs.map(l => s"__s_$l"): _*)
   }
 
+  /** Paragraph-level language segmentation — the CCNet granularity
+    * (Wenzek et al. 2020 run LID per paragraph and split documents at
+    * language boundaries, because web pages mix languages and a
+    * doc-level label mislabels every minority paragraph): one row per
+    * non-empty paragraph with its position, predicted language (the
+    * [[langId]] marker heuristic) and kept-token count — the frame a
+    * caller rolls up into per-doc language composition, splits on, or
+    * routes to per-language pipelines. Map-only: newline posexplode +
+    * the per-language CountInSet kernels, no exchange at any corpus
+    * size. */
+  def langSegments(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("para_idx", "__para", "predicted", "n_tok", "__toks")
+    require(!reserved(idCol),
+      s"id column '$idCol' collides with langSegments outputs")
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("para_idx", "__para")))
+      .filter(length(trim(col("__para"))) > 0)
+    langId(paras, "__para", "predicted")
+      .withColumn("n_tok", tokenCount(col("__para")).cast("long"))
+      .select(col(idCol), col("para_idx"), col("predicted"), col("n_tok"))
+  }
+
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
     * token stream, computed inside one `aggregate` higher-order function —
     * whole-stage-codegen friendly, no shuffle, no UDF.

@@ -164,4 +164,27 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"rewrite shuffles:\n$plan")
     assert(!plan.contains("Join"), s"rewrite joins:\n$plan")
   }
+
+  test("langSegments: per-paragraph LID, empties dropped, map-only plan") {
+    val docs = Seq(
+      (1L, "the data and of the\nder und die nicht der"),
+      (2L, "le les des une\n\n   \nthe and data"), // blank + ws-only paras
+      (3L, null.asInstanceOf[String]),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.langSegments(docs, "doc_id", "text")
+      .orderBy("doc_id", "para_idx")
+      .as[(Long, Int, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, "en", 5L), (1L, 1, "de", 5L),
+      (2L, 0, "fr", 4L), (2L, 3, "en", 3L)))
+    // map-only: no exchange, no join at any corpus size
+    val plan = TextAnalysis.langSegments(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"langSegments shuffles:\n$plan")
+    // reserved id-name guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langSegments(
+        docs.withColumnRenamed("doc_id", "predicted"), "predicted", "text")
+    }
+  }
 }
