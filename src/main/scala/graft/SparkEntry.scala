@@ -1804,6 +1804,28 @@ object SparkEntry {
       .orderBy(col("shard"), col("seq_idx"))
   }
 
+  /** HTML-to-text extraction ([[TextAnalysis.stripHtml]]): every doc is
+    * wrapped in adversarial crawl markup — a script whose body contains
+    * a bare `<` (the generic tag-strip would eat it; subtree removal
+    * must win), style/comment blocks, block-boundary tags and all six
+    * entities — then extracted; md5 of the cleaned text pins the exact
+    * rewrite, token count the extraction yield. The oracle replays the
+    * wrap and the identical regex chain (DuckDB's explicit 'g' flag vs
+    * Spark's replace-all default). */
+  private def textHtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><style>p {color: red}</style>" +
+        "<script>if (a<b) {go()}</script></head><body><h1>Title</h1><p>"),
+      coalesce(col("text"), lit("")),
+      lit("</p><div>x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;" +
+        " &nbsp;z</div><!-- hidden --></body></html>"))
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.stripHtml(html).as("__clean"))
+      .select(col("doc_id"), md5(col("__clean")).as("clean_md5"),
+        TextAnalysis.tokenCount(col("__clean")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Paragraph-level language composition
     * ([[TextAnalysis.langSegments]], the CCNet granularity): the raw
     * corpus has no newlines, so two-paragraph mixed-language docs are
@@ -2484,6 +2506,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_langid_para" -> (textLangidPara _),
+    "text_html_strip" -> (textHtmlStrip _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -3824,6 +3847,44 @@ object SparkEntry {
         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
         | count(*) AS n_docs
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "text_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><style>p {color: red}</style>'
+        |  || '<script>if (a<b) {go()}</script></head><body><h1>Title</h1><p>'
+        |  || coalesce(text, '')
+        |  || '</p><div>x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+        |  || ' &nbsp;z</div><!-- hidden --></body></html>' AS html
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g')
+        |  AS t FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(t,
+        |  '<[^>]*>', ' ', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g')
+        |  AS t FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g')
+        |  AS t FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g')
+        |  AS t FROM c7),
+        |c9 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g')
+        |  AS t FROM c8),
+        |c10 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g')
+        |  AS t FROM c9),
+        |c11 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g')
+        |  AS t FROM c10),
+        |c12 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g')
+        |  AS t FROM c11),
+        |c AS (SELECT doc_id, trim(regexp_replace(t, ' ?\n ?', chr(10),
+        |  'g'), ' ' || chr(10)) AS clean FROM c12)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  CAST(len(regexp_extract_all(clean, '\S+')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_langid_para" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
         |synth AS (SELECT a.doc_id, a.text || chr(10) || b.text AS text

@@ -637,6 +637,41 @@ object TextAnalysis {
       .drop("__toks" +: langs.map(l => s"__s_$l"): _*)
   }
 
+  /** HTML-to-text extraction — the crawl-ingest step BEFORE every text
+    * operator (the WET-file transform): drop <script>/<style> subtrees
+    * and comments, turn block-level boundaries into newlines (so
+    * paragraph structure survives for [[langSegments]] / paragraph
+    * dedup), strip remaining tags, decode the six dominant entities,
+    * collapse whitespace. Patterns are in the Java/RE2 COMMON SUBSET
+    * ([[Redaction]]'s portability contract — no lookaround, no
+    * backreferences) so the DuckDB oracle replays the chain verbatim
+    * (with its explicit 'g' flag — Spark replaces all matches by
+    * default; same semantics, different call syntax). Map-only, one
+    * chained codegen'd expression per row, no UDF, no shuffle.
+    *
+    * NOT a conformant HTML5 parser — neither are the C4/CCNet
+    * extractors; this is the deterministic regex subset that covers
+    * machine-generated crawl markup, and pathological markup degrades
+    * to leftover text, never to an error. */
+  def stripHtml(text: Column): Column = {
+    val noScript =
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) {
+      case (c, (e, r)) => regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(
+      regexp_replace(decoded, "[ \\t\\r]+", " "), " ?\\n ?", "\n"),
+      " \n")
+  }
+
   /** Paragraph-level language segmentation — the CCNet granularity
     * (Wenzek et al. 2020 run LID per paragraph and split documents at
     * language boundaries, because web pages mix languages and a

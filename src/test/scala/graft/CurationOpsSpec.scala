@@ -165,6 +165,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"rewrite joins:\n$plan")
   }
 
+  test("stripHtml: subtree removal wins over tag strip; entities; breaks") {
+    val docs = Seq(
+      // script body contains a bare '<' — subtree removal must eat it
+      // whole, not leave 'b) {go()}' behind
+      (1L, "<script>if (a<b) {go()}</script><p>keep me</p>"),
+      (2L, "<style>p {c:red}</style>A<br/>B<!-- no -->C"),
+      (3L, "x &amp; y &lt;t&gt; &quot;q&quot; &#39;s&#39; &nbsp;z"),
+      (4L, "plain text, no markup"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "html")
+    val got = docs
+      .select(col("doc_id"),
+        TextAnalysis.stripHtml(col("html")).as("clean"))
+      .orderBy("doc_id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("keep me")),
+      (2L, Some("A\nB C")),
+      (3L, Some("x & y <t> \"q\" 's' z")),
+      (4L, Some("plain text, no markup")),
+      (5L, None)))
+  }
+
   test("langSegments: per-paragraph LID, empties dropped, map-only plan") {
     val docs = Seq(
       (1L, "the data and of the\nder und die nicht der"),
