@@ -194,6 +194,17 @@ object ScaleSmoke {
       graft.ops.Sampling.shardByHash(bigDocs, "doc_id", 64)
         .agg(sum(col("pos")).cast("long").as("c")).head().getLong(0)
     }
+    timed("html strip + langseg 50k") {
+      // crawl-ingest shape: wrap in markup, extract, per-paragraph LID —
+      // all map-only, one pass
+      val html = bigDocs.select(col("doc_id"),
+        concat(lit("<html><body><h1>t</h1><p>"), col("text"),
+          lit("</p><script>a<b</script></body></html>")).as("h"))
+      graft.ext.TextAnalysis.langSegments(
+        html.select(col("doc_id"),
+          graft.ext.TextAnalysis.stripHtml(col("h")).as("text")),
+        "doc_id", "text").count()
+    }
     timed("epoch expand 50k docs") {
       // recipe weights over the x10 corpus: map-only CASE chain +
       // sequence explode, no exchange — the count forces the full

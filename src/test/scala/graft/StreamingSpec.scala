@@ -399,6 +399,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(got2 == batch2)
       assert(got2.nonEmpty && got2.size < 3) // the gate bites on the fixture
     } finally q2.stop()
+
+    // HTML extraction is the same stateless class — a crawl-ingest
+    // stream strips markup with the batch expression verbatim
+    val html = stream.select(col("doc_id"),
+      graft.ext.TextAnalysis.stripHtml(
+        concat(lit("<p>"), col("text"), lit("</p><script>x<y</script>")))
+        .as("clean"))
+    val q3 = html.writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_html").start()
+    try {
+      q3.processAllAvailable()
+      val got3 = spark.sql(
+        "SELECT doc_id, clean FROM graft_stream_html ORDER BY 1")
+        .as[(Long, String)].collect().toSeq
+      val batch3 = docs.select(col("doc_id"),
+        graft.ext.TextAnalysis.stripHtml(
+          concat(lit("<p>"), col("text"), lit("</p><script>x<y</script>")))
+          .as("clean"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(got3 == batch3)
+      assert(got3.map(_._2) == docs.orderBy("doc_id")
+        .as[(Long, String)].collect().toSeq.map(_._2))
+    } finally q3.stop()
   }
 
   test("classifier gates run unchanged on a stream, matching batch") {
