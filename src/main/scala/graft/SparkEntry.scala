@@ -1847,6 +1847,43 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("predicted"))
   }
 
+  /** The composed crawl-INGEST pipeline, end-to-end and oracle-exact
+    * (the front half of a WET-style pipeline, complementing
+    * [[pipelinePack]]'s back half): adversarial markup wrap (boilerplate
+    * nav line + a second paragraph from another doc) →
+    * [[TextAnalysis.stripHtml]] → [[TextAnalysis.langSegments]] → keep
+    * only paragraphs predicted 'en' (the no-marker nav line ties to 'de'
+    * and drops) → order-preserving reassembly → minimum-token gate. One
+    * green row value-checks extraction, segmentation, routing,
+    * reassembly and the gate together (md5 of the rebuilt text). Every
+    * stage is map-only until the per-doc reassembly aggregate. */
+  private def pipelineWet(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+    val b = docs.select((col("doc_id") - 5).as("__id2"),
+      col("text").as("__tb"))
+    val html = docs.join(b, col("doc_id") === col("__id2"))
+      .select(col("doc_id"), concat(
+        lit("<html><body><div>nav | menu | login</div><p>"), col("text"),
+        lit("</p><p>"), col("__tb"), lit("</p></body></html>")).as("h"))
+    val clean = html.select(col("doc_id"),
+      TextAnalysis.stripHtml(col("h")).as("text"))
+    val en = TextAnalysis.langSegments(clean, "doc_id", "text",
+        keepText = true)
+      .filter(col("predicted") === "en")
+    en.groupBy(col("doc_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("para_idx").as("i"),
+            col("para").as("p")))),
+          x => x.getField("p"))).as("__text_en"),
+        count(lit(1)).as("n_paras_en"),
+        sum(col("n_tok")).as("n_tokens_en"))
+      .filter(col("n_tokens_en") >= 3)
+      .select(col("doc_id"), col("n_paras_en"), col("n_tokens_en"),
+        md5(col("__text_en")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language ID → confusion counts vs the labeled lang. */
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(T(s, dir, "documents"), "text", "predicted")
@@ -2507,6 +2544,7 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "text_langid_para" -> (textLangidPara _),
     "text_html_strip" -> (textHtmlStrip _),
+    "pipeline_wet" -> (pipelineWet _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition" -> (textRepetition _),
@@ -3847,6 +3885,69 @@ object SparkEntry {
         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted,
         | count(*) AS n_docs
         |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "pipeline_wet" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |h AS (SELECT a.doc_id,
+        |  '<html><body><div>nav | menu | login</div><p>' || a.text
+        |  || '</p><p>' || b.text || '</p></body></html>' AS html
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 5),
+        |c1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |c2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)[^>]*>', chr(10), 'g')
+        |  AS t FROM c3),
+        |c5 AS (SELECT doc_id, regexp_replace(t,
+        |  '<[^>]*>', ' ', 'g') AS t FROM c4),
+        |c6 AS (SELECT doc_id, regexp_replace(t, '&nbsp;', ' ', 'g')
+        |  AS t FROM c5),
+        |c7 AS (SELECT doc_id, regexp_replace(t, '&lt;', '<', 'g')
+        |  AS t FROM c6),
+        |c8 AS (SELECT doc_id, regexp_replace(t, '&gt;', '>', 'g')
+        |  AS t FROM c7),
+        |c9 AS (SELECT doc_id, regexp_replace(t, '&quot;', '"', 'g')
+        |  AS t FROM c8),
+        |c10 AS (SELECT doc_id, regexp_replace(t, '&#39;', chr(39), 'g')
+        |  AS t FROM c9),
+        |c11 AS (SELECT doc_id, regexp_replace(t, '&amp;', '&', 'g')
+        |  AS t FROM c10),
+        |c12 AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g')
+        |  AS t FROM c11),
+        |c AS (SELECT doc_id, trim(regexp_replace(t, ' ?\n ?', chr(10),
+        |  'g'), ' ' || chr(10)) AS clean FROM c12),
+        |p0 AS (SELECT doc_id,
+        |  unnest(string_split(clean, chr(10))) AS para,
+        |  unnest(generate_series(0, len(string_split(clean, chr(10))) - 1))
+        |    AS pos
+        |  FROM c),
+        |p AS (SELECT doc_id, pos, para,
+        |  string_split_regex(para, '\s+') AS toks
+        |  FROM p0 WHERE length(trim(para)) > 0),
+        |s AS (SELECT doc_id, pos, para,
+        |  len([t for t in toks if t in ('der','die','und','nicht')]) AS s_de,
+        |  len([t for t in toks if t in ('the','and','of','data')]) AS s_en,
+        |  len([t for t in toks if t in ('el','la','los','que')]) AS s_es,
+        |  len([t for t in toks if t in ('le','les','des','une')]) AS s_fr,
+        |  len([t for t in toks if t in ('的','是','了','在')]) AS s_zh,
+        |  CAST(len(regexp_extract_all(para, '\S+')) AS BIGINT) AS n_tok
+        |  FROM p),
+        |cl AS (SELECT doc_id, pos, para, n_tok, CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |    AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS predicted
+        |  FROM s),
+        |r AS (SELECT doc_id,
+        |    string_agg(para, chr(10) ORDER BY pos) AS text_en,
+        |    CAST(count(*) AS BIGINT) AS n_paras_en,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens_en
+        |  FROM cl WHERE predicted = 'en' GROUP BY 1)
+        |SELECT doc_id, n_paras_en, n_tokens_en, md5(text_en) AS text_md5
+        |FROM r WHERE n_tokens_en >= 3 ORDER BY doc_id""".stripMargin,
     "text_html_strip" ->
       """WITH h AS (SELECT doc_id,
         |  '<html><head><style>p {color: red}</style>'

@@ -683,8 +683,10 @@ object TextAnalysis {
     * the per-language CountInSet kernels, no exchange at any corpus
     * size. */
   def langSegments(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val reserved = Set("para_idx", "__para", "predicted", "n_tok", "__toks")
+      df: DataFrame, idCol: String, textCol: String,
+      keepText: Boolean = false): DataFrame = {
+    val reserved = Set("para_idx", "__para", "predicted", "n_tok", "__toks",
+      "para")
     require(!reserved(idCol),
       s"id column '$idCol' collides with langSegments outputs")
     val paras = df
@@ -692,9 +694,15 @@ object TextAnalysis {
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("para_idx", "__para")))
       .filter(length(trim(col("__para"))) > 0)
-    langId(paras, "__para", "predicted")
+    val scored = langId(paras, "__para", "predicted")
       .withColumn("n_tok", tokenCount(col("__para")).cast("long"))
-      .select(col(idCol), col("para_idx"), col("predicted"), col("n_tok"))
+    val base = Seq(col(idCol), col("para_idx"), col("predicted"),
+      col("n_tok"))
+    // keepText: carry the paragraph itself — for language-routing
+    // pipelines that REASSEMBLE the kept paragraphs (CCNet splits docs
+    // at language boundaries and keeps each side)
+    scored.select(
+      (if (keepText) base :+ col("__para").as("para") else base): _*)
   }
 
   /** Document fingerprint: order-sensitive polynomial rolling hash over the
