@@ -188,6 +188,43 @@ class CurationOpsSpec extends AnyFunSuite {
       (5L, None)))
   }
 
+  test("fuzz: langSegments == driver-side heuristic model (50 cases)") {
+    val markers = TextAnalysis.LangMarkers
+    val langs = markers.keys.toSeq.sorted
+    def predict(para: String): String = {
+      val toks = para.split("\\s+")
+      val scores = langs.map(l => l -> toks.count(markers(l).contains))
+      // argmax, alphabetical tie-break (strictly-greater update order)
+      scores.tail.foldLeft(scores.head) { case (best, cur) =>
+        if (cur._2 > best._2) cur else best
+      }._1
+    }
+    val vocab = markers.values.flatten.toSeq ++
+      Seq("xyz", "qq", "data42", "", "zz")
+    val rnd = new scala.util.Random(42L)
+    val docs = (0L until 50L).map { i =>
+      val nParas = rnd.nextInt(5)
+      val paras = Seq.fill(nParas)(
+        if (rnd.nextInt(6) == 0) "   " // whitespace-only paragraph
+        else Seq.fill(1 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      (i, if (rnd.nextInt(10) == 0) null else paras.mkString("\n"))
+    }
+    val got = TextAnalysis.langSegments(docs.toDF("doc_id", "text"),
+        "doc_id", "text", keepText = true)
+      .select("doc_id", "para_idx", "predicted", "n_tok", "para")
+      .as[(Long, Int, String, Long, String)].collect().toSeq.sorted
+    val want = docs.flatMap { case (id, text) =>
+      Option(text).getOrElse("").split("\n", -1).zipWithIndex.collect {
+        case (p, idx) if p.trim.nonEmpty =>
+          (id, idx, predict(p),
+            "\\S+".r.findAllIn(p).size.toLong, p)
+      }
+    }.sorted
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("langSegments: per-paragraph LID, empties dropped, map-only plan") {
     val docs = Seq(
       (1L, "the data and of the\nder und die nicht der"),
