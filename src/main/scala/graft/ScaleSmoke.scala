@@ -610,6 +610,35 @@ object ScaleSmoke {
         s"segment: $scans (corpus reads live behind the checkpoint cuts)")
       curated.count()
     }
+    timed("ingest+pack x100 composed 500k") {
+      // the OTHER composed chain at x100: markup wrap -> stripHtml ->
+      // paragraph LID -> en-reassembly -> epoch upsampling -> xxhash ids
+      // -> 1024-token windows. Everything before packSequences' two
+      // terminal exchanges is one map stage over the scan.
+      val html = big100.select(col("doc_id"),
+        concat(lit("<html><body><div>nav | menu</div><p>"), col("text"),
+          lit("</p><script>a<b</script></body></html>")).as("h"))
+      val clean = html.select(col("doc_id"),
+        graft.ext.TextAnalysis.stripHtml(col("h")).as("text"))
+      val en = graft.ext.TextAnalysis.langSegments(
+          clean, "doc_id", "text", keepText = true)
+        .filter(col("predicted") === "en")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("para_idx").as("i"),
+            col("para").as("p")))),
+          x => x.getField("p"))).as("text"))
+        .join(big100.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val expanded = graft.ops.Sampling.epochExpand(en, "doc_id",
+        "lang", Seq("de" -> 0.5, "zh" -> 2.5))
+      val ids = expanded.select(
+        (col("doc_id") * 8L + col("epoch")).as("ord"),
+        pmod(col("doc_id"), lit(64L)).as("shard_key"),
+        transform(filter(split(col("text"), "\\s+"), t => length(t) > 0),
+          t => pmod(xxhash64(t), lit(32768L))).as("tok_ids"))
+      graft.ext.Packing.packSequences(ids, "tok_ids", col("shard_key"),
+        "ord", 1024, 32768L).count()
+    }
     timed("star clusters 100x100 chains") {
       // 100 disjoint 100-node paths: diameter 99 — the long-chain shape
       // the star contraction exists for (min-label would need 99 rounds)
