@@ -27,6 +27,26 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.load(s, dir, name)
 
+  /** tmpdir base for the serving-query model caches, keyed by a CONTENT
+    * fingerprint of the source table files (absolute path + per-file
+    * name/length/mtime, md5'd) — not by `dir.hashCode`: regenerating the
+    * data at the same path, or two dirs colliding on hashCode, must miss
+    * the cache and rebuild, never silently serve stale persisted state.
+    * Driver-side listing only, no job. */
+  private[graft] def servingBase(dir: String, tables: String*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tables.foreach { t =>
+      val f = new java.io.File(s"$dir/$t.parquet")
+      md.update(f.getAbsolutePath.getBytes("UTF-8"))
+      val files =
+        if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
+      files.foreach(g => md.update(
+        s"${g.getName}:${g.length}:${g.lastModified}".getBytes("UTF-8")))
+    }
+    val fp = md.digest().map("%02x".format(_)).mkString.take(16)
+    s"${System.getProperty("java.io.tmpdir")}/graft_models_$fp"
+  }
+
   /** Exact decimal sum of a 2-dp money/value column, emitted as double.
     * Double sums are order-dependent (±1e-8 at 1e8), and a sum landing on a
     * rounding boundary then hashes differently per engine; decimal sums are
@@ -974,8 +994,7 @@ object SparkEntry {
     * construction. */
   private def simIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val base = servingBase(dir, "embeddings")
     val cent = s"$base/ivf_centroids"
     val pq = s"$base/pq_codebooks"
     if (!new java.io.File(s"$cent/_SUCCESS").exists ||
@@ -1666,8 +1685,7 @@ object SparkEntry {
     * build. */
   private def retBm25Serve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_bundle"
+    val path = servingBase(dir, "documents") + "/bm25_bundle"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
       ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
         "text", path, numFiles = 4)
@@ -1693,8 +1711,7 @@ object SparkEntry {
     * value-identical to [[retTfidf]] (shared oracle). */
   private def retTfidfServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_models_" +
-      java.lang.Integer.toHexString(dir.hashCode) + "/bm25_bundle"
+    val path = servingBase(dir, "documents") + "/bm25_bundle"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
       ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
         "text", path, numFiles = 4)

@@ -195,8 +195,20 @@ object Multimodal {
     * Arrow IPC batch through `cmd`'s stdin/stdout (one stateless worker
     * process per batch — the shape a pooled GPU encoder sits behind; a
     * long-lived pool drops in here without touching the Spark side).
-    * Fails loudly with the worker's stderr on a non-zero exit. */
-  def pipeThroughWorker(cmd: Seq[String]): Array[Byte] => Array[Byte] =
+    * Fails loudly with the worker's stderr on a non-zero exit.
+    *
+    * stdin and stderr are pumped on their own threads while this thread
+    * reads stdout, so a chatty worker (a long traceback, GPU/torch
+    * logging past the ~64KB OS pipe buffer) can never deadlock the task:
+    * all three pipes always have a dedicated reader/writer. Captured
+    * stderr is capped at `maxStderrBytes` (the pipe keeps draining past
+    * the cap — only capture stops); `timeout` bounds the post-EOF
+    * process wait so a worker that closes stdout but never exits cannot
+    * hang the task forever. */
+  def pipeThroughWorker(
+      cmd: Seq[String],
+      timeout: java.time.Duration = java.time.Duration.ofMinutes(10),
+      maxStderrBytes: Int = 1 << 20): Array[Byte] => Array[Byte] =
     (batch: Array[Byte]) => {
       val pb = new ProcessBuilder(cmd: _*)
       val proc = pb.start()
@@ -206,16 +218,38 @@ object Multimodal {
         try { proc.getOutputStream.write(batch); proc.getOutputStream.close() }
         catch { case _: java.io.IOException => () } // worker died first
       })
+      writer.setDaemon(true)
       writer.start()
+      var errTruncated = false
+      val errDrainer = new Thread(() => {
+        val ebuf = new Array[Byte](64 * 1024)
+        try {
+          var n = proc.getErrorStream.read(ebuf)
+          while (n >= 0) {
+            val keep = math.min(n, maxStderrBytes - err.size)
+            if (keep > 0) err.write(ebuf, 0, keep)
+            if (keep < n) errTruncated = true
+            n = proc.getErrorStream.read(ebuf)
+          }
+        } catch { case _: java.io.IOException => () }
+      })
+      errDrainer.setDaemon(true)
+      errDrainer.start()
       val buf = new Array[Byte](64 * 1024)
       var n = proc.getInputStream.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = proc.getInputStream.read(buf) }
-      n = proc.getErrorStream.read(buf)
-      while (n >= 0) { err.write(buf, 0, n); n = proc.getErrorStream.read(buf) }
-      writer.join()
-      val rc = proc.waitFor()
+      val exited = proc.waitFor(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!exited) {
+        proc.destroyForcibly()
+        throw new IllegalStateException(
+          s"worker ${cmd.mkString(" ")} did not exit within ${timeout.getSeconds}s after stdout EOF")
+      }
+      writer.join(timeout.toMillis)
+      errDrainer.join(timeout.toMillis)
+      val rc = proc.exitValue()
+      val errText = err.toString("UTF-8") + (if (errTruncated) " …[stderr truncated]" else "")
       require(rc == 0,
-        s"worker ${cmd.mkString(" ")} exited $rc: ${err.toString("UTF-8")}")
+        s"worker ${cmd.mkString(" ")} exited $rc: $errText")
       out.toByteArray
     }
 

@@ -310,8 +310,8 @@ object Retrieval {
     // the id column keeps its exact input type through the LocalRelation
     val qRows = queries.select(col(queryIdCol), col(queryTextCol)).collect()
     val qtRows = qRows.flatMap { r =>
-      Option(r.get(1)).map(_.toString).getOrElse("")
-        .split("\\s+").filter(_.nonEmpty).distinct
+      TextAnalysis.tokensLocal(Option(r.get(1)).map(_.toString).orNull)
+        .distinct
         .map(t => org.apache.spark.sql.Row(r.get(0), t))
     }
     val qtSchema = org.apache.spark.sql.types.StructType(Seq(

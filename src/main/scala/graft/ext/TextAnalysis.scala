@@ -16,6 +16,15 @@ object TextAnalysis {
     * tokens filter on `length > 0` (as the kernels do). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** Driver-side twin of [[tokens]] + the consumers' non-empty filter —
+    * THE single source of truth for any driver-edge replay of corpus
+    * tokenization (bundle-serving query arms, oracle helpers). Null-safe;
+    * returns only real tokens. Any change to the canonical tokenizer
+    * must change [[tokens]] and this definition together, or the
+    * "bundle serving ≡ inline" contracts silently break. */
+  def tokensLocal(text: String): Array[String] =
+    Option(text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+
   /** Token count: the number of NON-EMPTY whitespace tokens — maximal
     * `\S+` runs, counted by one codegen'd `regexp_count` with no array
     * materialization. This is THE token definition for every counting

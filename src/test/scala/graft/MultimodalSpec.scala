@@ -134,4 +134,49 @@ class MultimodalSpec extends AnyFunSuite {
         .sortBy(x => (x._1, x._2)).toSeq
     assert(ann(worker) == ann(jvmDf))
   }
+
+  // — worker-pipe robustness (round-13 advice, medium): a chatty worker
+  // must never deadlock the task, stderr capture is capped, and a worker
+  // that hangs after stdout EOF hits the bounded wait —
+
+  test("worker writing >64KB stderr BEFORE touching stdin/stdout " +
+      "completes (no pipe deadlock)") {
+    // the worker fills the OS stderr pipe buffer first; without a
+    // dedicated stderr drainer both processes block forever
+    val pump = Multimodal.pipeThroughWorker(Seq("python3", "-c",
+      """import sys
+        |sys.stderr.write('x' * 262144); sys.stderr.flush()
+        |data = sys.stdin.buffer.read()
+        |sys.stdout.buffer.write(data); sys.stdout.flush()
+        |""".stripMargin))
+    val payload = Array.tabulate[Byte](1000)(_.toByte)
+    assert(pump(payload).toSeq == payload.toSeq)
+  }
+
+  test("failing worker surfaces stderr, capped with a truncation marker") {
+    val pump = Multimodal.pipeThroughWorker(Seq("python3", "-c",
+      """import sys
+        |sys.stdin.buffer.read()
+        |sys.stderr.write('E' * 4096)
+        |sys.exit(3)
+        |""".stripMargin), maxStderrBytes = 64)
+    val e = intercept[IllegalArgumentException](pump(Array[Byte](1, 2, 3)))
+    assert(e.getMessage.contains("exited 3"))
+    assert(e.getMessage.contains("[stderr truncated]"))
+    // count only the captured stderr (the echoed cmd contains one 'E')
+    val captured = e.getMessage.substring(e.getMessage.indexOf("exited 3: "))
+    assert(captured.count(_ == 'E') == 64)
+  }
+
+  test("worker that closes stdout but never exits hits the bounded wait") {
+    val pump = Multimodal.pipeThroughWorker(Seq("python3", "-c",
+      """import sys, time, os
+        |sys.stdin.buffer.read()
+        |sys.stdout.buffer.write(b'ok'); sys.stdout.flush()
+        |os.close(1)
+        |time.sleep(600)
+        |""".stripMargin), timeout = java.time.Duration.ofSeconds(2))
+    val e = intercept[IllegalStateException](pump(Array[Byte](9)))
+    assert(e.getMessage.contains("did not exit within 2s"))
+  }
 }
