@@ -618,6 +618,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** SoftDeDup-style duplicate-aware sampling weights
+    * ([[Dedup.softDedupWeights]]) over the same portable minhash cluster
+    * set as `dedup_clusters`/`dedup_keep_best`: every doc kept, cluster
+    * mass normalized to ~1 (alpha = 1 → weight = 1/cluster_size). The
+    * oracle replays the recursive-CTE closure, the singleton coalesce,
+    * the size count and the power weight. */
+  private def dedupSoftWeights(s: SparkSession, dir: String): DataFrame = {
+    val subset = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashNearDuplicatesPortable(subset, "doc_id", "text"),
+      maxIter = 200)
+    Dedup.softDedupWeights(subset.select(col("doc_id")), "doc_id", clusters)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source n-gram overlap audit ([[Dedup.sourceOverlap]]): the
+    * source-level exact-Jaccard matrix over distinct 3-gram sets — the
+    * corpus-provenance report run before mixing decisions. Exact string
+    * grams (hashGrams stays off) so the DuckDB oracle replays the whole
+    * thing: per-source distinct gram sets, pair intersections, sizes,
+    * Jaccard. */
+  private def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(T(s, dir, "documents"), "text", "source", n = 3)
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** Per-group embedding centroid drift ([[Similarity.centroidDrift]]):
+    * each label-group's mean vector cosine vs the global mean — the
+    * embedding-space distribution-shift audit. One corpus pass to
+    * (group, dim) partial sums; the oracle replays the per-dim averages
+    * and the cosine reduction (round 6 absorbs double-summation order). */
+  private def simSourceDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidDrift(T(s, dir, "embeddings"), "embedding", "label")
+      .orderBy(col("label"))
+
   private def dedupEndToEnd(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
     // explicit generous maxIter — same by-construction oracle-agreement
@@ -2618,6 +2652,9 @@ object SparkEntry {
     "o10_keyset" -> (o10Keyset _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
+    "dedup_source_overlap" -> (dedupSourceOverlap _),
+    "sim_source_drift" -> (simSourceDrift _),
     "dedup_end_to_end" -> (dedupEndToEnd _),
     "text_contamination" -> (textContamination _),
     "url_domain_stats" -> (urlDomainStats _),
@@ -3831,6 +3868,60 @@ object SparkEntry {
         |  ORDER BY n_tokens DESC, doc_id) AS rn FROM mem)
         |SELECT doc_id, lang, n_tokens FROM rk WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
+        |  UNION SELECT id_b, id_a FROM portable_pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+        |  LEFT JOIN labels l ON l.id = d.doc_id),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM mem GROUP BY 1)
+        |SELECT m.doc_id, m.cluster_id, s.cluster_size,
+        |  round(pow(s.cluster_size, -1.0), 6) AS weight
+        |FROM mem m JOIN sz s USING (cluster_id)
+        |ORDER BY 1""".stripMargin,
+    "dedup_source_overlap" ->
+      """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |  unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |          for i in generate_series(1, len(toks)-2)]) AS gram
+        |  FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b USING (gram) WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_common, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+        |    AS jaccard
+        |FROM pr JOIN sz sa ON sa.source = pr.source_a
+        |  JOIN sz sb ON sb.source = pr.source_b
+        |ORDER BY 1, 2""".stripMargin,
+    "sim_source_drift" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |x AS (SELECT label, i AS pos, emb[i] AS v FROM (
+        |  SELECT label, emb, unnest(generate_series(1, len(emb))) AS i
+        |  FROM e)),
+        |gp AS (SELECT label, pos, sum(v) AS s, count(*) AS c
+        |  FROM x GROUP BY 1, 2),
+        |gl AS (SELECT pos, sum(s) / sum(c) AS gm FROM gp GROUP BY 1),
+        |cs AS (SELECT g.label, max(g.c) AS nn,
+        |    sum((g.s / g.c) * gl.gm) AS dt,
+        |    sum((g.s / g.c) * (g.s / g.c)) AS mm,
+        |    sum(gl.gm * gl.gm) AS gg
+        |  FROM gp g JOIN gl USING (pos) GROUP BY 1)
+        |SELECT label, CAST(nn AS BIGINT) AS n,
+        |  round(CASE WHEN mm > 0 AND gg > 0
+        |    THEN dt / (sqrt(mm) * sqrt(gg)) END, 6) AS cos_to_global
+        |FROM cs ORDER BY label""".stripMargin,
     "dedup_minhash_portable" ->
       // the shared CTE chain's unused portable_pairs tail is never
       // evaluated; the signature math lives in ONE place for all three

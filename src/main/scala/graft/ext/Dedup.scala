@@ -569,6 +569,46 @@ object Dedup {
       .drop("rank", "__cluster")
   }
 
+  /** SoftDeDup-style duplicate-aware sampling weights: instead of DROPPING
+    * near-duplicates ([[dropDuplicatePairs]]/[[keepBestPerCluster]]), keep
+    * every document and DOWNWEIGHT duplicate clusters so k copies of the
+    * same content contribute ~one document's worth of training signal —
+    * `weight = cluster_size^(−alpha)` (alpha = 1: uniform mass 1 per
+    * cluster; alpha < 1: partial discount). The soft policy preserves
+    * natural up-sampling of genuinely popular content while bounding it.
+    *
+    * `clusters` is a [[duplicateClusters]] output (id, cluster_id); docs
+    * absent from it are singletons (cluster = own id, weight 1). Plan:
+    * one left join onto the narrow cluster frame, then the size count as
+    * a window partitioned by cluster — ONE exchange on the cluster key,
+    * no separate aggregate+join round-trip. Near-dup clusters are small
+    * by nature (and bounded by the pair-generation caps upstream), so the
+    * per-cluster window carries no skew hazard; singletons partition by
+    * their own id. Returns (idCol, cluster_id, cluster_size, weight).
+    */
+  def softDedupWeights(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      alpha: Double = 1.0,
+      roundTo: Int = 6): DataFrame = {
+    require(docs.columns.contains(idCol), s"docs lacks id column '$idCol'")
+    require(alpha >= 0, s"alpha must be non-negative, got $alpha")
+    Seq("__cl_id", "__cl", "cluster_id", "cluster_size", "weight").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"docs column '$c' collides with softDedupWeights output"))
+    val cl = clusters.select(col("id").as("__cl_id"),
+      col("cluster_id").as("__cl"))
+    docs
+      .join(cl, col(idCol) === col("__cl_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col(idCol)))
+      .drop("__cl_id", "__cl")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("weight",
+        round(pow(col("cluster_size").cast("double"), -alpha), roundTo))
+  }
+
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
@@ -1092,6 +1132,90 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("overlap"),
         (col("__shared").cast("double") / col("__na")).as("containment_a"),
         (col("__shared").cast("double") / col("__nb")).as("containment_b"))
+
+  /** Cross-source n-gram overlap audit: the SOURCE-level Jaccard matrix —
+    * for every pair of sources sharing at least one distinct word n-gram,
+    * the exact Jaccard of their corpus-wide distinct gram SETS (plus the
+    * raw set sizes). The corpus-provenance twin of the document-level
+    * near-dup ops: it answers "how much of source B is already in source
+    * A" before mixing/weighting decisions, and flags mirror/scrape
+    * relationships between whole crawls that per-document dedup only
+    * reveals pair-by-pair.
+    *
+    * Plan (one corpus text pass, everything after is |grams|-scale or
+    * smaller):
+    *  1. explode distinct per-doc grams → (source, gram), aggregated
+    *     `groupBy(gram).collect_set(source)` — ONE corpus exchange; the
+    *     per-gram set is bounded by the number of sources (map-side
+    *     partial sets dedup before the shuffle), and `hashGrams` thins
+    *     the exchange key to an xxhash64 long for production corpora
+    *     (off by default so the semantics — and the oracle — are exact
+    *     string-set Jaccard).
+    *  2. per-source set sizes from the same per-gram frame (explode the
+    *     source sets — |grams| rows, no second corpus pass).
+    *  3. pair expansion per gram over the SORTED source set (two Generate
+    *     nodes, no self-join): a gram present in s sources emits C(s,2)
+    *     pairs, so ubiquitous grams (stop-phrases present in every crawl)
+    *     dominate the volume quadratically in |sources| —
+    *     `maxSourcesPerGram` drops grams above the cap from the WHOLE
+    *     audit (sizes and pairs alike, so Jaccard stays internally
+    *     consistent over the kept gram space), the [[ngramPairCounts]]
+    *     stop-shingle precedent.
+    *  4. per-pair counts join the (|sources|-row, broadcast) size frame.
+    *
+    * Returns (source_a, source_b, n_common, n_a, n_b, jaccard) for pairs
+    * with n_common ≥ 1, source_a < source_b. Null-source rows drop.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3,
+      hashGrams: Boolean = false,
+      maxSourcesPerGram: Int = Int.MaxValue,
+      roundTo: Int = 6,
+      materialize: Boolean = true): DataFrame = {
+    require(maxSourcesPerGram >= 2,
+      s"maxSourcesPerGram must allow pairs (>= 2), got $maxSourcesPerGram")
+    val gramKey: Column => Column =
+      if (hashGrams) g => xxhash64(g) else identity
+    val perGram0 = df
+      .select(col(sourceCol).as("__src"),
+        explode(wordNgrams(col(textCol), n)).as("__gram"))
+      .select(col("__src"), gramKey(col("__gram")).as("__g"))
+      .groupBy(col("__g"))
+      .agg(collect_set(col("__src")).as("__srcs"))
+      .filter(size(col("__srcs")) <= maxSourcesPerGram)
+      .drop("__g") // downstream consumers only read the source sets
+    // both the size frame and the pair expansion read the per-gram sets:
+    // materialize them once (narrow — source sets, no text/gram payload)
+    // instead of paying the corpus gram pass twice. materialize=false is
+    // the declarative posture (bench honesty / pure-plan callers).
+    val perGram =
+      if (materialize) perGram0.localCheckpoint(eager = false) else perGram0
+    val sizes = perGram
+      .select(explode(col("__srcs")).as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val pairs = perGram
+      .filter(size(col("__srcs")) >= 2)
+      .select(sort_array(col("__srcs")).as("__sorted"))
+      .select(explode(col("__sorted")).as("source_a"), col("__sorted"))
+      .select(col("source_a"),
+        explode(filter(col("__sorted"), x => x > col("source_a")))
+          .as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("__s").as("source_a"),
+        col("__n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("__s").as("source_b"),
+        col("__n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        col("n_a"), col("n_b"),
+        round(col("n_common").cast("double")
+          / (col("n_a") + col("n_b") - col("n_common")), roundTo)
+          .as("jaccard"))
+  }
 
   /** Shared pair-generation core of [[ngramJaccardPairs]] /
     * [[ngramOverlapPairs]]: returns candidate pairs (id_a < id_b) with

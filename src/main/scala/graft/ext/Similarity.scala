@@ -766,4 +766,51 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Per-group embedding centroids + drift vs the corpus centroid: for
+    * each group (source / language / shard / day), the mean vector's
+    * cosine to the GLOBAL mean vector — the distribution-shift audit for
+    * embedding-bearing corpora (a source whose centroid points away from
+    * the corpus is the first thing to inspect before mixing, and a day
+    * whose drift drops is an embedding-model or crawl regression).
+    *
+    * Plan: ONE corpus pass — posexplode the vectors and aggregate
+    * (group, dim) → (sum, count); everything downstream (group means,
+    * the global mean as the dim-wise sum of group sums, the cosine
+    * reduction) runs on the |groups|·dim aggregate frame, KB-scale at
+    * any corpus size. The vectors never shuffle: only per-dim partial
+    * sums cross the exchange. Output (groupCol, n, cos_to_global),
+    * cosine rounded (double summation order is engine/partition-
+    * dependent; rounding absorbs it, the repo-wide oracle rule).
+    *
+    * Zero-norm edge: a group (or corpus) whose mean is the zero vector
+    * has no direction — its cosine is null, never NaN.
+    */
+  def centroidDrift(
+      df: DataFrame,
+      vecCol: String,
+      groupCol: String,
+      roundTo: Int = 6): DataFrame = {
+    val gp = df
+      .select(col(groupCol).as("__grp"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col("__grp"), col("__pos"))
+      .agg(sum(col("__v").cast("double")).as("__s"), count(lit(1)).as("__c"))
+    // tiny from here on: |groups| × dim rows
+    val glob = gp.groupBy(col("__pos"))
+      .agg((sum(col("__s")) / sum(col("__c"))).as("__gm"))
+    val joined = gp
+      .withColumn("__m", col("__s") / col("__c"))
+      .join(broadcast(glob), Seq("__pos"))
+    joined
+      .groupBy(col("__grp"))
+      .agg(
+        max(col("__c")).as("n"),
+        sum(col("__m") * col("__gm")).as("__dot"),
+        sum(col("__m") * col("__m")).as("__mm"),
+        sum(col("__gm") * col("__gm")).as("__gg"))
+      .select(col("__grp").as(groupCol), col("n"),
+        round(when(col("__mm") > 0 && col("__gg") > 0,
+            col("__dot") / (sqrt(col("__mm")) * sqrt(col("__gg")))),
+          roundTo).as("cos_to_global"))
+  }
 }

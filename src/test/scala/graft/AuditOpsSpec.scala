@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** Round-14 corpus-audit family: soft dedup weights, cross-source overlap,
+  * embedding centroid drift. Closed-form fixtures, posture equivalences
+  * (hashGrams on/off), and degenerate inputs.
+  */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ——— softDedupWeights ———
+
+  test("softDedupWeights: cluster mass 1/size, singletons weight 1") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+    val got = Dedup.softDedupWeights(docs, "doc_id", clusters)
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_id", "cluster_size", "weight")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 0.333333), (2L, 1L, 3L, 0.333333),
+      (3L, 1L, 3L, 0.333333), (4L, 4L, 1L, 1.0)))
+    // total mass: one unit per cluster
+    val mass = got.map(_._4).sum
+    assert(math.abs(mass - 2.0) < 1e-4)
+  }
+
+  test("softDedupWeights: alpha generalizes the discount") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("id", "cluster_id")
+    val got = Dedup.softDedupWeights(docs, "doc_id", clusters, alpha = 0.5)
+      .select("weight").as[Double].collect().toSeq
+    // 4^-0.5 = 0.5 for every member
+    assert(got == Seq(0.5, 0.5, 0.5, 0.5))
+    // alpha = 0: no discount at all
+    val flat = Dedup.softDedupWeights(docs, "doc_id", clusters, alpha = 0.0)
+      .select("weight").as[Double].collect().toSeq
+    assert(flat == Seq(1.0, 1.0, 1.0, 1.0))
+  }
+
+  test("softDedupWeights: reserved output names rejected, empty clusters ok") {
+    val bad = Seq((1L, 2.0)).toDF("doc_id", "weight")
+    val cl = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    val e = intercept[IllegalArgumentException](
+      Dedup.softDedupWeights(bad, "doc_id", cl))
+    assert(e.getMessage.contains("weight"))
+    val got = Dedup.softDedupWeights(Seq(7L).toDF("doc_id"), "doc_id", cl)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((7L, 7L, 1L, 1.0)))
+  }
+
+  // ——— sourceOverlap ———
+
+  private val overlapFixture = Seq(
+    ("A", "a b c d"),   // grams: "a b c", "b c d"
+    ("B", "a b c x"),   // grams: "a b c", "b c x"
+    ("C", "zz yy xx ww")) // grams disjoint from A and B
+    .toDF("source", "text")
+
+  test("sourceOverlap: exact Jaccard over per-source distinct gram sets") {
+    val got = Dedup.sourceOverlap(overlapFixture, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // only A-B share a gram ("a b c"): 1 / (2 + 2 - 1) = 1/3
+    assert(got == Seq(("A", "B", 1L, 2L, 2L, 0.333333)))
+  }
+
+  test("sourceOverlap: hashGrams posture is value-identical") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.sourceOverlap(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect().toSeq
+    val hashed = Dedup.sourceOverlap(docs, "text", "source", hashGrams = true)
+      .orderBy("source_a", "source_b").collect().toSeq
+    assert(exact == hashed)
+    assert(exact.nonEmpty)
+  }
+
+  test("sourceOverlap: maxSourcesPerGram drops ubiquitous grams from the " +
+      "whole audit (sizes stay consistent with pair counts)") {
+    val df = Seq(
+      ("A", "k k k u1 u1 u1"), // grams: "k k k", "k k u1", "k u1 u1", "u1 u1 u1"
+      ("B", "k k k u2 u2 u2"),
+      ("C", "k k k u3 u3 u3"))
+      .toDF("source", "text")
+    // "k k k" lives in all 3 sources; capped at 2 it vanishes everywhere
+    val capped = Dedup.sourceOverlap(df, "text", "source",
+        maxSourcesPerGram = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(capped.isEmpty) // no other gram is shared
+    val uncapped = Dedup.sourceOverlap(df, "text", "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(uncapped.map(r => (r._1, r._2, r._3)) ==
+      Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L)))
+    assert(uncapped.forall(r => r._4 == 4L && r._5 == 4L))
+  }
+
+  test("sourceOverlap: null text and null source degrade gracefully") {
+    val df = Seq(
+      (Some("A"), Some("a b c d")),
+      (Some("B"), Some("a b c d")),
+      (Some("B"), None),
+      (None, Some("a b c d")))
+      .toDF("source", "text")
+    val got = Dedup.sourceOverlap(df, "text", "source")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 2L, 2L, 1.0)))
+  }
+
+  // ——— centroidDrift ———
+
+  test("centroidDrift: closed-form two-group fixture") {
+    val df = Seq(
+      ("g1", Seq(1f, 0f)), ("g1", Seq(1f, 0f)), ("g2", Seq(0f, 1f)))
+      .toDF("src", "embedding")
+    val got = Similarity.centroidDrift(df, "embedding", "src")
+      .orderBy("src")
+      .as[(String, Long, Double)].collect().toSeq
+    // global mean = (2/3, 1/3); |g| = sqrt(5)/3
+    // g1 mean (1,0): cos = (2/3)/(sqrt(5)/3) = 2/sqrt(5)
+    // g2 mean (0,1): cos = (1/3)/(sqrt(5)/3) = 1/sqrt(5)
+    val c1 = BigDecimal(2 / math.sqrt(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c2 = BigDecimal(1 / math.sqrt(5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("g1", 2L, c1), ("g2", 1L, c2)))
+  }
+
+  test("centroidDrift: zero-mean group yields null cosine, not NaN") {
+    val df = Seq(
+      ("z", Seq(1f, 0f)), ("z", Seq(-1f, 0f)), ("p", Seq(1f, 1f)))
+      .toDF("src", "embedding")
+    val rows = Similarity.centroidDrift(df, "embedding", "src")
+      .orderBy("src").collect()
+    val z = rows.find(_.getString(0) == "z").get
+    assert(z.isNullAt(2))
+    val p = rows.find(_.getString(0) == "p").get
+    assert(!p.isNullAt(2) && !p.getDouble(2).isNaN)
+  }
+
+  test("centroidDrift: a group equal to the whole corpus has drift 1") {
+    val df = Seq(("only", Seq(3f, 4f)), ("only", Seq(3f, 4f)))
+      .toDF("src", "embedding")
+    val got = Similarity.centroidDrift(df, "embedding", "src")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("only", 2L, 1.0)))
+  }
+}

@@ -87,7 +87,11 @@ class PlanContractSpec extends AnyFunSuite {
       // packSequences' doc-grain prefix-sum window partitions by the
       // caller's shard key — same p12 class (shard count is the
       // parallelism knob, the per-shard order IS the concat contract)
-      "text_pack_ids", "pipeline_pack", "text_pack_bpe")
+      "text_pack_ids", "pipeline_pack", "text_pack_bpe",
+      // softDedupWeights' count window partitions by cluster_id —
+      // bounded by near-dup cluster size (singletons partition by own
+      // id), one exchange instead of a groupBy+join round-trip
+      "dedup_soft_weights")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
