@@ -694,6 +694,36 @@ object ScaleSmoke {
         .count()
     }
 
+    // ——— round-14 corpus-audit family ———
+    timed("source overlap 50k docs") {
+      // the scale posture: hashGrams thins the one corpus exchange to
+      // 64-bit keys, the cap bounds per-gram pair fan-out; 20 sources
+      // over 50k docs — output is the C(20,2) matrix
+      graft.ext.Dedup.sourceOverlap(bigDocs, "text", "source",
+        hashGrams = true, maxSourcesPerGram = 64).count()
+    }
+    timed("soft dedup weights 50k docs") {
+      // portable-minhash pairs → cluster labels → cluster-partitioned
+      // count window; the x10 replica clusters are exactly the
+      // duplicate-mass case soft dedup downweights
+      val subset = bigDocs.select(col("doc_id"), col("text"))
+      val clusters = graft.ext.Dedup.duplicateClusters(
+        graft.ext.Dedup.minHashNearDuplicates(
+          subset, "doc_id", "text", threshold = 0.9)
+          .select(col("id_a"), col("id_b")))
+      graft.ext.Dedup.softDedupWeights(
+        subset.select(col("doc_id")), "doc_id", clusters).count()
+    }
+    timed("centroid drift 5k vectors") {
+      // one posexplode pass to (group, dim) sums; vectors never shuffle
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val bigEmb = (0 until 10).map(k =>
+        emb.withColumn("vec_id", col("vec_id") + lit(k * 100000L)))
+        .reduce(_ unionByName _)
+      graft.ext.Similarity.centroidDrift(bigEmb, "embedding", "label")
+        .count()
+    }
+
     // ——— external Arrow embedding worker throughput ———
     // one numpy worker process per IPC batch (scripts/embed_worker.py,
     // bit-identical to stubEmbed — MultimodalSpec pins it); the number to

@@ -1189,6 +1189,14 @@ object SparkEntry {
     * two of them. Non-memoizable: the checkpointed score frame must be
     * rebuilt per bench rep or reps measure re-reads while DuckDB
     * re-scores. */
+  /** Per-source quality profile ([[TextAnalysis.sourceProfile]]): the
+    * curation dashboard — count, mean + exact p50/p90 quality, mean word
+    * count per source. Oracle replays the score formula and
+    * quantile_cont (Spark `percentile` interpolates identically). */
+  private def textSourceProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sourceProfile(T(s, dir, "documents"), "text", "source")
+      .orderBy(col("source"))
+
   private def textQualityPrune(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pruneBottomQuantile(
         T(s, dir, "documents"), "text", 0.25, Seq("doc_id", "lang"))
@@ -2602,6 +2610,7 @@ object SparkEntry {
     "text_compression" -> (textCompression _),
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
+    "text_source_profile" -> (textSourceProfile _),
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
@@ -3977,6 +3986,23 @@ object SparkEntry {
         | round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
         |   AS quality_score
         |FROM f ORDER BY 1""".stripMargin,
+    "text_source_profile" ->
+      """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT source, CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len([t for t in toks
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS INT)
+        |    AS n_stop
+        |  FROM d),
+        |q AS (SELECT source, n_words,
+        |  least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0 AS score
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(score), 6) AS avg_score,
+        |  round(quantile_cont(score, 0.5), 6) AS p50_score,
+        |  round(quantile_cont(score, 0.9), 6) AS p90_score,
+        |  round(avg(CAST(n_words AS DOUBLE)), 6) AS avg_words
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid" ->
       """WITH d AS (SELECT lang, string_split_regex(text, '\s+') AS toks FROM documents),
         |s AS (SELECT lang,

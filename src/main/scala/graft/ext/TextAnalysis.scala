@@ -80,6 +80,33 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Per-source quality profile — the curation-dashboard aggregate run
+    * before weighting/cap decisions: for each source, document count,
+    * mean and exact interpolated p50/p90 of [[qualityFeatures]]'
+    * `quality_score`, and mean raw word count. One corpus scan+score
+    * pass (the kernel cost) into a |sources|-row aggregate; the
+    * percentiles are exact (`percentile`, not the approx sketch) because
+    * the per-group state the sort-based aggregate holds is that source's
+    * score list — acceptable for per-source grains (a source with 10⁹
+    * docs should move to `approx_percentile`, documented knob). Rounding
+    * absorbs double summation order + interpolation ulps (oracle rule).
+    */
+  def sourceProfile(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String,
+      roundTo: Int = 6): DataFrame =
+    qualityFeatures(df, textCol)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality_score")), roundTo).as("avg_score"),
+        round(percentile(col("quality_score"), lit(0.5)), roundTo)
+          .as("p50_score"),
+        round(percentile(col("quality_score"), lit(0.9)), roundTo)
+          .as("p90_score"),
+        round(avg(col("n_words").cast("double")), roundTo).as("avg_words"))
+
   /** Quality-percentile pruning — the standard "drop the bottom quantile
     * by quality" curation gate — with the corpus scored EXACTLY ONCE.
     *
