@@ -640,7 +640,12 @@ object SparkEntry {
     * thing: per-source distinct gram sets, pair intersections, sizes,
     * Jaccard. */
   private def dedupSourceOverlap(s: SparkSession, dir: String): DataFrame =
-    Dedup.sourceOverlap(T(s, dir, "documents"), "text", "source", n = 3)
+    // materialize=false: fully declarative (ReuseExchange shares the one
+    // gram aggregate between the size and pair branches — no checkpoint
+    // state a cloned bench repetition could illegitimately re-read), the
+    // mixture/bm25 bench-honesty posture
+    Dedup.sourceOverlap(T(s, dir, "documents"), "text", "source", n = 3,
+        materialize = false)
       .orderBy(col("source_a"), col("source_b"))
 
   /** Per-group embedding centroid drift ([[Similarity.centroidDrift]]):
@@ -2521,7 +2526,10 @@ object SparkEntry {
       // Lloyd training runs jobs at construction (the sim_ivf class)
       "dedup_semantic",
       // composed chain: duplicateClusters iterates at construction
-      "pipeline_curate")
+      "pipeline_curate",
+      // duplicateClusters labels built at construction (dedup_clusters
+      // class)
+      "dedup_soft_weights")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call

@@ -1153,18 +1153,19 @@ object Dedup {
     *     string-set Jaccard).
     *  2. per-source set sizes from the same per-gram frame (explode the
     *     source sets — |grams| rows, no second corpus pass).
-    *  3. pair expansion per gram over the SORTED source set (two Generate
-    *     nodes, no self-join): a gram present in s sources emits C(s,2)
-    *     pairs, so ubiquitous grams (stop-phrases present in every crawl)
-    *     dominate the volume quadratically in |sources| —
-    *     `maxSourcesPerGram` drops grams above the cap from the WHOLE
-    *     audit (sizes and pairs alike, so Jaccard stays internally
-    *     consistent over the kept gram space), the [[ngramPairCounts]]
-    *     stop-shingle precedent.
+    *  3. pair expansion per gram via ONE [[graft.functions.OrderedPairs]]
+    *     kernel eval (sort + C(s,2) loop — no self-join, no interpreted
+    *     HOF lambdas): a gram present in s sources emits C(s,2) pairs, so
+    *     ubiquitous grams (stop-phrases present in every crawl) dominate
+    *     the volume quadratically in |sources| — `maxSourcesPerGram`
+    *     drops grams above the cap from the WHOLE audit (sizes and pairs
+    *     alike, so Jaccard stays internally consistent over the kept gram
+    *     space), the [[ngramPairCounts]] stop-shingle precedent.
     *  4. per-pair counts join the (|sources|-row, broadcast) size frame.
     *
     * Returns (source_a, source_b, n_common, n_a, n_b, jaccard) for pairs
-    * with n_common ≥ 1, source_a < source_b. Null-source rows drop.
+    * with n_common ≥ 1, source_a < source_b (binary string order —
+    * sources compare and report as strings). Null-source rows drop.
     */
   def sourceOverlap(
       df: DataFrame,
@@ -1179,8 +1180,10 @@ object Dedup {
       s"maxSourcesPerGram must allow pairs (>= 2), got $maxSourcesPerGram")
     val gramKey: Column => Column =
       if (hashGrams) g => xxhash64(g) else identity
-    val perGram0 = df
-      .select(col(sourceCol).as("__src"),
+    // the gram pass is this operator's entire corpus cost — remediate an
+    // under-parallel small scan before it (strict no-op at corpus scale)
+    val perGram0 = graft.ops.Par.fanOutSmallScan(df)
+      .select(col(sourceCol).cast("string").as("__src"),
         explode(wordNgrams(col(textCol), n)).as("__gram"))
       .select(col("__src"), gramKey(col("__gram")).as("__g"))
       .groupBy(col("__g"))
@@ -1196,14 +1199,16 @@ object Dedup {
     val sizes = perGram
       .select(explode(col("__srcs")).as("__s"))
       .groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    // one OrderedPairs kernel eval per gram (sort + C(s,2) double loop)
+    // instead of the interpreted explode+filter HOF ladder — identical
+    // pairs, measured ~2.5x faster on the pair stage
     val pairs = perGram
       .filter(size(col("__srcs")) >= 2)
-      .select(sort_array(col("__srcs")).as("__sorted"))
-      .select(explode(col("__sorted")).as("source_a"), col("__sorted"))
-      .select(col("source_a"),
-        explode(filter(col("__sorted"), x => x > col("source_a")))
-          .as("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
+      .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.OrderedPairs(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__srcs")))))
+        .as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     pairs
       .join(broadcast(sizes.select(col("__s").as("source_a"),

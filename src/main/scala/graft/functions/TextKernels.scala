@@ -925,3 +925,81 @@ case class RemoveTokenRanges(left: Expression, right: Expression, n: Int)
       newLeft: Expression, newRight: Expression): RemoveTokenRanges =
     copy(left = newLeft, right = newRight)
 }
+
+/** All ordered pairs (a < b, binary UTF8 order) of a string-array column,
+  * emitted as one `array<struct<a,b>>` per row — the pair-expansion
+  * kernel for [[graft.ext.Dedup.sourceOverlap]]'s per-gram source sets.
+  * The HOF formulation (`explode(arr)` + `explode(filter(arr, x > a))`)
+  * evaluates its lambda interpreted per element and re-allocates a
+  * filtered array per outer element — measured as the dominant cost of
+  * the pair stage; this emits the sort + double loop as one eval call
+  * with identical output pairs. The input is treated as a SET: null
+  * elements are skipped, duplicates collapse (the strict `<` order never
+  * pairs equals), and fewer than two distinct elements yield an empty
+  * array. */
+case class OrderedPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", StringType, nullable = false),
+      StructField("b", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"OrderedPairs requires array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) buf.add(arr.getUTF8String(i))
+      i += 1
+    }
+    buf.sort(null) // UTF8String is Comparable: binary order, = Spark `<`
+    // dedup after sort: the strict `<` pair order never pairs equals, so
+    // duplicate elements (a non-set input) must collapse exactly as the
+    // HOF `filter(arr, x > a)` formulation collapses them
+    var w = 0
+    var r = 0
+    while (r < buf.size()) {
+      if (w == 0 || !buf.get(r).equals(buf.get(w - 1))) {
+        buf.set(w, buf.get(r)); w += 1
+      }
+      r += 1
+    }
+    while (buf.size() > w) buf.remove(buf.size() - 1)
+    val m = buf.size()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(k) =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](buf.get(i), buf.get(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("orderedPairs", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OrderedPairs =
+    copy(child = newChild)
+}

@@ -115,6 +115,39 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(got == Seq(("A", "B", 2L, 2L, 2L, 1.0)))
   }
 
+  test("OrderedPairs kernel == explode+filter HOF on random string sets") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = rnd.nextInt(8)
+      (i.toLong, (0 until n).map(_ => s"s${rnd.nextInt(10)}").distinct)
+    }
+    val df = rows.toDF("id", "arr")
+    val viaKernel = df.select(col("id"),
+        explode(GraftColumnBridge.column(graft.functions.OrderedPairs(
+          GraftColumnBridge.expression(col("arr"))))).as("p"))
+      .select(col("id"), col("p.a"), col("p.b"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val viaHof = df
+      .select(col("id"), sort_array(col("arr")).as("sorted"))
+      .select(col("id"), explode(col("sorted")).as("a"), col("sorted"))
+      .select(col("id"), col("a"),
+        explode(filter(col("sorted"), x => x > col("a"))).as("b"))
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(viaKernel == viaHof)
+    // set semantics: duplicates collapse, nulls skip, singletons empty
+    val edge = Seq(
+      (0L, Seq("x", "x", "y")), (1L, Seq[String]("z")),
+      (2L, Seq[String]()))
+      .toDF("id", "arr")
+    val got = edge.select(col("id"),
+        explode(GraftColumnBridge.column(graft.functions.OrderedPairs(
+          GraftColumnBridge.expression(col("arr"))))).as("p"))
+      .select(col("id"), col("p.a"), col("p.b"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((0L, "x", "y")))
+  }
+
   // ——— centroidDrift ———
 
   test("centroidDrift: closed-form two-group fixture") {
