@@ -1194,6 +1194,20 @@ object SparkEntry {
     * two of them. Non-memoizable: the checkpointed score frame must be
     * rebuilt per bench rep or reps measure re-reads while DuckDB
     * re-scores. */
+  /** O11 — exact global score rank + percent_rank WITHOUT a
+    * single-partition window ([[ops.Ranks.globalValueRanks]]): distinct
+    * scores range-partitioned, parallel within-partition running counts,
+    * cross-partition prefix from P driver rows — the score-calibration
+    * primitive (corpus CDF position) at any scale. Scores rounded BEFORE
+    * ranking (the bm25 rule) so tie groups agree cross-engine. */
+  private def o11GlobalRank(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(
+        T(s, dir, "documents"), "text")
+      .select(col("doc_id"), round(col("quality_score"), 6).as("score"))
+    ops.Ranks.globalValueRanks(scored, "score")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality profile ([[TextAnalysis.sourceProfile]]): the
     * curation dashboard — count, mean + exact p50/p90 quality, mean word
     * count per source. Oracle replays the score formula and
@@ -2529,7 +2543,10 @@ object SparkEntry {
       "pipeline_curate",
       // duplicateClusters labels built at construction (dedup_clusters
       // class)
-      "dedup_soft_weights")
+      "dedup_soft_weights",
+      // prefix-sum totals collect + ranged checkpoint at construction
+      // (the globalPosition class)
+      "o11_global_rank")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -2619,6 +2636,7 @@ object SparkEntry {
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
     "text_source_profile" -> (textSourceProfile _),
+    "o11_global_rank" -> (o11GlobalRank _),
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
@@ -3994,6 +4012,22 @@ object SparkEntry {
         | round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
         |   AS quality_score
         |FROM f ORDER BY 1""".stripMargin,
+    "o11_global_rank" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len([t for t in toks
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS INT)
+        |    AS n_stop
+        |  FROM d),
+        |q AS (SELECT doc_id,
+        |  round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
+        |    AS score
+        |  FROM f)
+        |SELECT doc_id, score,
+        |  CAST(rank() OVER (ORDER BY score) AS BIGINT) AS rank,
+        |  round(percent_rank() OVER (ORDER BY score), 6) AS percent_rank
+        |FROM q ORDER BY doc_id""".stripMargin,
     "text_source_profile" ->
       """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL value ranks without a single-partition window.
+  *
+  * `rank() OVER (ORDER BY v)` / `percent_rank()` are the curation
+  * primitives behind score calibration (map a quality/perplexity score to
+  * its corpus CDF position before thresholding or reweighting) — and the
+  * naive window form moves the whole corpus through ONE task (Spark warns
+  * `No Partition Defined for Window operation`). This is the
+  * [[TimeSeriesOps.globalPosition]] pattern applied to VALUE ranks:
+  *
+  *  1. aggregate to per-distinct-value counts (one exchange; the frame is
+  *     value-domain-sized, not corpus-sized — rounded scores collapse
+  *     heavily);
+  *  2. RANGE-partition the distinct values (equal values land in exactly
+  *     one partition, so ties never straddle), run the running-count
+  *     window WITHIN each range partition (parallel — bounded by the
+  *     partition's value slice), and lift to a global prefix with
+  *     per-PARTITION totals — the only driver materialization, P rows;
+  *  3. join the (value → rank) table back to the input on the value.
+  *
+  * Rank semantics are SQL `rank()`: ties share `#{v' < v} + 1`;
+  * `percent_rank = (rank − 1) / (N − 1)` (0 when N = 1). Rows with a NULL
+  * value get NULL rank/percent_rank (engines disagree on null ordering —
+  * callers that want them ranked can coalesce to a sentinel first).
+  */
+object Ranks {
+
+  def globalValueRanks(
+      df: DataFrame,
+      valueCol: String,
+      outRank: String = "rank",
+      outPct: String = "percent_rank",
+      roundPctTo: Int = 6): DataFrame = {
+    require(df.columns.contains(valueCol), s"missing value column '$valueCol'")
+    Seq(outRank, outPct, "__grv").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with globalValueRanks output"))
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("__grv")).agg(count(lit(1)).as("__n"))
+    // localCheckpoint is MANDATORY (globalPosition's note): the
+    // RangePartitioner seeds its boundary sample from the RDD id, so the
+    // totals job and the final query must read ONE materialized
+    // partitioning or their __pid assignments disagree.
+    val ranged = counts.repartitionByRange(nPart, col("__grv"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__t"))
+      .orderBy(col("__pid")).collect()
+    var acc = 0L
+    val partOffset: Map[Int, Long] = totals.map { r =>
+      val e = r.getInt(0) -> acc
+      acc += r.getLong(1)
+      e
+    }.toMap
+    val n = acc
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__grv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rankTable = ranged
+      .withColumn("__local", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn(outRank,
+        col("__local") + lit(1L) +
+          coalesce(element_at(typedLit(partOffset), col("__pid")), lit(0L)))
+      .withColumn(outPct,
+        if (n <= 1L) lit(0.0)
+        else round((col(outRank) - 1L).cast("double") / lit((n - 1).toDouble),
+          roundPctTo))
+      .select(col("__grv"), col(outRank), col(outPct))
+    // left join: NULL-valued rows keep NULL rank/pct. No broadcast hint —
+    // the rank table is value-domain-sized.
+    df.join(rankTable, v === col("__grv"), "left").drop("__grv")
+  }
+}

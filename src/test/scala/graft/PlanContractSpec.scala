@@ -91,7 +91,12 @@ class PlanContractSpec extends AnyFunSuite {
       // softDedupWeights' count window partitions by cluster_id —
       // bounded by near-dup cluster size (singletons partition by own
       // id), one exchange instead of a groupBy+join round-trip
-      "dedup_soft_weights")
+      "dedup_soft_weights",
+      // globalValueRanks' running-count window partitions by the RANGE
+      // partition id over the distinct-value frame — each group is one
+      // partition's value slice (the whole point: exact global rank with
+      // no single-partition window; RanksSpec pins ≡ the naive window)
+      "o11_global_rank")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")

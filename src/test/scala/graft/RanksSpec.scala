@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ranks
+
+/** [[graft.ops.Ranks.globalValueRanks]] — exact-equality differential vs
+  * the naive global window, tie/null/degenerate handling, and the
+  * no-single-partition-window plan property.
+  */
+class RanksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalValueRanks == naive rank()/percent_rank() window, with ties") {
+    val rnd = new scala.util.Random(11)
+    // heavy ties: values drawn from a small domain
+    val df = (0 until 500)
+      .map(i => (i.toLong, (rnd.nextInt(40) / 7.0)))
+      .toDF("id", "v")
+    val got = Ranks.globalValueRanks(df, "v")
+      .select("id", "rank", "percent_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val w = Window.orderBy(col("v"))
+    val want = df
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("percent_rank", round(percent_rank().over(w), 6))
+      .select("id", "rank", "percent_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
+  test("null values keep null rank; non-null ranks unaffected") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)), (4L, Some(2.0)))
+      .toDF("id", "v")
+    val got = Ranks.globalValueRanks(df, "v")
+      .orderBy("id").collect()
+    assert(got.find(_.getLong(0) == 2L).get.isNullAt(2))
+    val ranks = got.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ranks == Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("single row: rank 1, percent_rank 0") {
+    val got = Ranks.globalValueRanks(Seq((9L, 5.0)).toDF("id", "v"), "v")
+      .select("rank", "percent_rank").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 0.0)))
+  }
+
+  test("reserved output names rejected") {
+    val e = intercept[IllegalArgumentException](
+      Ranks.globalValueRanks(Seq((1L, 1.0, 5L)).toDF("id", "v", "rank"), "v"))
+    assert(e.getMessage.contains("rank"))
+  }
+
+  test("plan: every Window is partitioned (no single-partition sort)") {
+    val df = (0 until 100).map(i => (i.toLong, i / 9.0)).toDF("id", "v")
+    val q = Ranks.globalValueRanks(df, "v")
+    q.collect()
+    // string form (the AQE-safe route the other plan specs use): every
+    // windowspecdefinition must lead with the __pid partition column
+    val plan = q.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"no window in plan:\n$plan")
+    assert(specs.forall(_.startsWith("__pid")),
+      s"found a window not partitioned by __pid: $specs")
+  }
+}
