@@ -809,6 +809,23 @@ object ScaleSmoke {
           Seq((1L, "customer data"), (2L, "vector merge"))
             .toDF("query_id", "qtext"), "query_id", "qtext", k = 10).count()
       }
+      timed("day1 centroid state persist") {
+        graft.ext.Similarity.writeCentroidState(
+          histEmb, "embedding", "label", s"$base/centstate_hist")
+        spark.read.parquet(s"$base/centstate_hist").count()
+      }
+      timed("day2 drift vs centroid state") {
+        // day-2 cost = the increment's own partials + a KB-scale merge;
+        // history vectors are never re-read
+        val incEmb = spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .filter(col("vec_id") % 10 === 3)
+        graft.ext.Similarity.writeCentroidState(
+          incEmb, "embedding", "label", s"$base/centstate_inc")
+        graft.ext.Similarity.centroidDriftFromStates(spark,
+          Seq(s"$base/centstate_hist", s"$base/centstate_inc"), "label")
+          .count()
+      }
     }
     spark.stop()
   }

@@ -790,11 +790,23 @@ object Similarity {
       df: DataFrame,
       vecCol: String,
       groupCol: String,
-      roundTo: Int = 6): DataFrame = {
-    val gp = df
-      .select(col(groupCol).as("__grp"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      roundTo: Int = 6): DataFrame =
+    driftFromPartials(centroidPartials(df, vecCol, groupCol), groupCol, roundTo)
+
+  /** The (group, dim) → (sum, count) partial-sum frame behind
+    * [[centroidDrift]] — the ONLY corpus-scale stage, and a MERGEABLE
+    * sufficient statistic: partials from two corpus slices sum to the
+    * partials of their union, which is what makes the incremental path
+    * ([[writeCentroidState]]/[[centroidDriftFromStates]]) exact. */
+  private def centroidPartials(
+      df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("__grp"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
       .groupBy(col("__grp"), col("__pos"))
       .agg(sum(col("__v").cast("double")).as("__s"), count(lit(1)).as("__c"))
+
+  private def driftFromPartials(
+      gp: DataFrame, groupCol: String, roundTo: Int): DataFrame = {
     // tiny from here on: |groups| × dim rows
     val glob = gp.groupBy(col("__pos"))
       .agg((sum(col("__s")) / sum(col("__c"))).as("__gm"))
@@ -812,5 +824,34 @@ object Similarity {
         round(when(col("__mm") > 0 && col("__gg") > 0,
             col("__dot") / (sqrt(col("__mm")) * sqrt(col("__gg")))),
           roundTo).as("cos_to_global"))
+  }
+
+  /** Persist [[centroidDrift]]'s per-(group, dim) partial sums for a
+    * corpus slice (one day's increment, one shard): (group, pos, s, c)
+    * parquet — KB-scale whatever the slice size. Day-N drift then reads
+    * N state files and never re-scans any day's vectors. */
+  def writeCentroidState(
+      df: DataFrame, vecCol: String, groupCol: String, path: String): Unit =
+    centroidPartials(df, vecCol, groupCol)
+      .select(col("__grp").as(groupCol), col("__pos").as("pos"),
+        col("__s").as("s"), col("__c").as("c"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Drift over the UNION of persisted centroid states — exact, because
+    * the partials are mergeable sufficient statistics: summing per-slice
+    * (s, c) reproduces the whole-corpus partials bit-for-bit up to
+    * double-add order (absorbed by the rounding contract). The
+    * incremental audit path: day-2 cost = day-2's own partials + a
+    * KB-scale merge, never a historical re-scan. */
+  def centroidDriftFromStates(
+      spark: SparkSession,
+      paths: Seq[String],
+      groupCol: String,
+      roundTo: Int = 6): DataFrame = {
+    require(paths.nonEmpty, "need at least one centroid state path")
+    val merged = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .groupBy(col(groupCol).as("__grp"), col("pos").as("__pos"))
+      .agg(sum(col("s")).as("__s"), sum(col("c")).as("__c"))
+    driftFromPartials(merged, groupCol, roundTo)
   }
 }

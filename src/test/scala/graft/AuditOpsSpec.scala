@@ -179,6 +179,34 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(!p.isNullAt(2) && !p.getDouble(2).isNaN)
   }
 
+  test("centroidDrift incremental: merged day states == direct on the union") {
+    val day1 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+    val day2 = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 1)
+    val base = new java.io.File("target/audit-spec/centroid-state")
+    base.mkdirs()
+    val p1 = s"${base.getAbsolutePath}/day1"
+    val p2 = s"${base.getAbsolutePath}/day2"
+    Similarity.writeCentroidState(day1, "embedding", "label", p1)
+    Similarity.writeCentroidState(day2, "embedding", "label", p2)
+    val merged = Similarity.centroidDriftFromStates(spark, Seq(p1, p2), "label")
+      .orderBy("label").as[(Int, Long, Double)].collect().toSeq
+    val direct = Similarity.centroidDrift(
+        day1.unionByName(day2), "embedding", "label")
+      .orderBy("label").as[(Int, Long, Double)].collect().toSeq
+    assert(merged == direct)
+    assert(merged.nonEmpty)
+    // single-state path == direct on that slice
+    val one = Similarity.centroidDriftFromStates(spark, Seq(p1), "label")
+      .orderBy("label").as[(Int, Long, Double)].collect().toSeq
+    val oneDirect = Similarity.centroidDrift(day1, "embedding", "label")
+      .orderBy("label").as[(Int, Long, Double)].collect().toSeq
+    assert(one == oneDirect)
+  }
+
   test("centroidDrift: a group equal to the whole corpus has drift 1") {
     val df = Seq(("only", Seq(3f, 4f)), ("only", Seq(3f, 4f)))
       .toDF("src", "embedding")
