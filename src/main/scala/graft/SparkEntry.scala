@@ -28,20 +28,33 @@ object SparkEntry {
     graft.sources.Tables.load(s, dir, name)
 
   /** tmpdir base for the serving-query model caches, keyed by a CONTENT
-    * fingerprint of the source table files (absolute path + per-file
+    * fingerprint of the source table files (qualified path + per-file
     * name/length/mtime, md5'd) — not by `dir.hashCode`: regenerating the
     * data at the same path, or two dirs colliding on hashCode, must miss
     * the cache and rebuild, never silently serve stale persisted state.
-    * Driver-side listing only, no job. */
-  private[graft] def servingBase(dir: String, tables: String*): String = {
+    * Listed through the Hadoop FileSystem API so object-store/HDFS table
+    * dirs (`s3a://…`, the path family Tables supports) fingerprint their
+    * real file statuses too — `java.io.File` on a remote URI would
+    * silently degenerate to path-only keying. Driver-side listing only,
+    * no job. */
+  private[graft] def servingBase(
+      s: SparkSession, dir: String, tables: String*): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
+    val conf = s.sparkContext.hadoopConfiguration
     tables.foreach { t =>
-      val f = new java.io.File(s"$dir/$t.parquet")
-      md.update(f.getAbsolutePath.getBytes("UTF-8"))
-      val files =
-        if (f.isDirectory) f.listFiles().sortBy(_.getName) else Array(f)
-      files.foreach(g => md.update(
-        s"${g.getName}:${g.length}:${g.lastModified}".getBytes("UTF-8")))
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      md.update(fs.makeQualified(p).toString.getBytes("UTF-8"))
+      val statuses =
+        if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+          else Array(st)
+        }
+      statuses.foreach(g => md.update(
+        s"${g.getPath.getName}:${g.getLen}:${g.getModificationTime}"
+          .getBytes("UTF-8")))
     }
     val fp = md.digest().map("%02x".format(_)).mkString.take(16)
     s"${System.getProperty("java.io.tmpdir")}/graft_models_$fp"
@@ -1033,7 +1046,7 @@ object SparkEntry {
     * construction. */
   private def simIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    val base = servingBase(dir, "embeddings")
+    val base = servingBase(s, dir, "embeddings")
     val cent = s"$base/ivf_centroids"
     val pq = s"$base/pq_codebooks"
     if (!new java.io.File(s"$cent/_SUCCESS").exists ||
@@ -1204,6 +1217,10 @@ object SparkEntry {
     val scored = TextAnalysis.qualityFeatures(
         T(s, dir, "documents"), "text")
       .select(col("doc_id"), round(col("quality_score"), 6).as("score"))
+      // engines disagree on null ordering inside rank windows (Spark
+      // NULLS FIRST, DuckDB NULLS LAST) — both sides exclude null scores
+      // so the contract can't silently diverge if a fixture grows one
+      .filter(col("score").isNotNull)
     ops.Ranks.globalValueRanks(scored, "score")
       .orderBy(col("doc_id"))
   }
@@ -1746,7 +1763,7 @@ object SparkEntry {
     * build. */
   private def retBm25Serve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = servingBase(dir, "documents") + "/bm25_bundle"
+    val path = servingBase(s, dir, "documents") + "/bm25_bundle"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
       ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
         "text", path, numFiles = 4)
@@ -1772,7 +1789,7 @@ object SparkEntry {
     * value-identical to [[retTfidf]] (shared oracle). */
   private def retTfidfServe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = servingBase(dir, "documents") + "/bm25_bundle"
+    val path = servingBase(s, dir, "documents") + "/bm25_bundle"
     if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
       ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
         "text", path, numFiles = 4)
@@ -4023,11 +4040,11 @@ object SparkEntry {
         |q AS (SELECT doc_id,
         |  round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
         |    AS score
-        |  FROM f)
+        |  FROM f WHERE n_words IS NOT NULL)
         |SELECT doc_id, score,
         |  CAST(rank() OVER (ORDER BY score) AS BIGINT) AS rank,
         |  round(percent_rank() OVER (ORDER BY score), 6) AS percent_rank
-        |FROM q ORDER BY doc_id""".stripMargin,
+        |FROM q WHERE score IS NOT NULL ORDER BY doc_id""".stripMargin,
     "text_source_profile" ->
       """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

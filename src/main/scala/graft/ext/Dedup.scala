@@ -578,13 +578,18 @@ object Dedup {
     * natural up-sampling of genuinely popular content while bounding it.
     *
     * `clusters` is a [[duplicateClusters]] output (id, cluster_id); docs
-    * absent from it are singletons (cluster = own id, weight 1). Plan:
-    * one left join onto the narrow cluster frame, then the size count as
-    * a window partitioned by cluster — ONE exchange on the cluster key,
-    * no separate aggregate+join round-trip. Near-dup clusters are small
-    * by nature (and bounded by the pair-generation caps upstream), so the
-    * per-cluster window carries no skew hazard; singletons partition by
-    * their own id. Returns (idCol, cluster_id, cluster_size, weight).
+    * absent from it are singletons (cluster = own id, weight 1), and
+    * null-id docs are each their own singleton (cluster_id null, weight
+    * 1 — they can never be evidence of duplication). Plan: cluster sizes
+    * come from the LABEL frame itself (`clusters.groupBy(cluster_id)
+    * .count` — pair-list-sized), so the corpus pays two label-frame
+    * joins and ZERO corpus exchanges — no window, no corpus-wide
+    * aggregate. Precondition that makes this exact: `cluster_size`
+    * counts the cluster AS LABELED; pass a `clusters` frame built from
+    * (a superset of) `docs` — filtering docs to a sub-subset afterwards
+    * keeps each survivor's weight based on the full cluster, which is
+    * the weighting semantics SoftDeDup wants. Returns (idCol,
+    * cluster_id, cluster_size, weight).
     */
   def softDedupWeights(
       docs: DataFrame,
@@ -594,19 +599,25 @@ object Dedup {
       roundTo: Int = 6): DataFrame = {
     require(docs.columns.contains(idCol), s"docs lacks id column '$idCol'")
     require(alpha >= 0, s"alpha must be non-negative, got $alpha")
-    Seq("__cl_id", "__cl", "cluster_id", "cluster_size", "weight").foreach(c =>
+    Seq("__cl_id", "__cl", "__szk", "__sz",
+        "cluster_id", "cluster_size", "weight").foreach(c =>
       require(!docs.columns.contains(c),
-        s"docs column '$c' collides with softDedupWeights output"))
+        s"docs column '$c' collides with softDedupWeights internals"))
     val cl = clusters.select(col("id").as("__cl_id"),
       col("cluster_id").as("__cl"))
+    // every cluster member (incl. the representative) has a label row, so
+    // the label count IS the cluster size; a singleton's own id is never
+    // a key here, so its size coalesces to 1 below
+    val sizes = cl.groupBy(col("__cl").as("__szk"))
+      .agg(count(lit(1)).as("__sz"))
     docs
       .join(cl, col(idCol) === col("__cl_id"), "left")
       .withColumn("cluster_id", coalesce(col("__cl"), col(idCol)))
-      .drop("__cl_id", "__cl")
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .join(sizes, col("cluster_id") === col("__szk"), "left")
+      .withColumn("cluster_size", coalesce(col("__sz"), lit(1L)))
       .withColumn("weight",
         round(pow(col("cluster_size").cast("double"), -alpha), roundTo))
+      .drop("__cl_id", "__cl", "__szk", "__sz")
   }
 
   def duplicateClusters(

@@ -202,9 +202,14 @@ object Multimodal {
     * logging past the ~64KB OS pipe buffer) can never deadlock the task:
     * all three pipes always have a dedicated reader/writer. Captured
     * stderr is capped at `maxStderrBytes` (the pipe keeps draining past
-    * the cap — only capture stops); `timeout` bounds the post-EOF
-    * process wait so a worker that closes stdout but never exits cannot
-    * hang the task forever. */
+    * the cap — only capture stops). `timeout` bounds the WHOLE call via a
+    * watchdog that force-kills the process at the deadline — a worker
+    * that wedges before producing output (CUDA init deadlock), stalls
+    * mid-stream, or closes stdout and never exits all unblock the task
+    * the same way: the kill closes the pipes, the read loops see EOF,
+    * and the call throws. The drainer join is short-bounded so a
+    * grandchild holding the stderr write end open (an inherited logging
+    * daemon) cannot stall a successful batch. */
   def pipeThroughWorker(
       cmd: Seq[String],
       timeout: java.time.Duration = java.time.Duration.ofMinutes(10),
@@ -214,21 +219,35 @@ object Multimodal {
       val proc = pb.start()
       val out = new java.io.ByteArrayOutputStream()
       val err = new java.io.ByteArrayOutputStream()
+      @volatile var timedOut = false
+      val killer = new Thread(() => {
+        try {
+          if (!proc.waitFor(timeout.toMillis,
+              java.util.concurrent.TimeUnit.MILLISECONDS)) {
+            timedOut = true
+            proc.destroyForcibly()
+          }
+        } catch { case _: InterruptedException => () } // normal completion
+      })
+      killer.setDaemon(true)
+      killer.start()
       val writer = new Thread(() => {
         try { proc.getOutputStream.write(batch); proc.getOutputStream.close() }
         catch { case _: java.io.IOException => () } // worker died first
       })
       writer.setDaemon(true)
       writer.start()
-      var errTruncated = false
+      @volatile var errTruncated = false
       val errDrainer = new Thread(() => {
         val ebuf = new Array[Byte](64 * 1024)
         try {
           var n = proc.getErrorStream.read(ebuf)
           while (n >= 0) {
-            val keep = math.min(n, maxStderrBytes - err.size)
-            if (keep > 0) err.write(ebuf, 0, keep)
-            if (keep < n) errTruncated = true
+            err.synchronized {
+              val keep = math.min(n, maxStderrBytes - err.size)
+              if (keep > 0) err.write(ebuf, 0, keep)
+              if (keep < n) errTruncated = true
+            }
             n = proc.getErrorStream.read(ebuf)
           }
         } catch { case _: java.io.IOException => () }
@@ -238,16 +257,16 @@ object Multimodal {
       val buf = new Array[Byte](64 * 1024)
       var n = proc.getInputStream.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = proc.getInputStream.read(buf) }
-      val exited = proc.waitFor(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
-      if (!exited) {
-        proc.destroyForcibly()
+      val rc = proc.waitFor() // bounded: the killer fires at the deadline
+      killer.interrupt()
+      writer.join(1000)
+      errDrainer.join(1000) // short: don't stall on a grandchild's pipe
+      if (timedOut)
         throw new IllegalStateException(
-          s"worker ${cmd.mkString(" ")} did not exit within ${timeout.getSeconds}s after stdout EOF")
+          s"worker ${cmd.mkString(" ")} did not exit within ${timeout.getSeconds}s (killed)")
+      val errText = err.synchronized {
+        err.toString("UTF-8") + (if (errTruncated) " …[stderr truncated]" else "")
       }
-      writer.join(timeout.toMillis)
-      errDrainer.join(timeout.toMillis)
-      val rc = proc.exitValue()
-      val errText = err.toString("UTF-8") + (if (errTruncated) " …[stderr truncated]" else "")
       require(rc == 0,
         s"worker ${cmd.mkString(" ")} exited $rc: $errText")
       out.toByteArray

@@ -45,6 +45,27 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(flat == Seq(1.0, 1.0, 1.0, 1.0))
   }
 
+  test("softDedupWeights: null-id docs are singletons, never a pseudo-cluster") {
+    // review finding (r14): the window form grouped ALL null-id docs into
+    // one partition and downweighted them as mutual duplicates — k
+    // unrelated id-less docs each got weight 1/k
+    val docs = Seq(Some(1L), None, None, None).toDF("doc_id")
+    val clusters = Seq((1L, 1L)).toDF("id", "cluster_id")
+    val got = Dedup.softDedupWeights(docs, "doc_id", clusters)
+      .select("cluster_size", "weight").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (1L, 1.0), (1L, 1.0), (1L, 1.0)))
+  }
+
+  test("softDedupWeights: sizes come from the label frame — docs filtered " +
+      "after clustering keep full-cluster weights") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    // only one survivor of a 3-cluster passed in docs: weight still 1/3
+    val got = Dedup.softDedupWeights(Seq(2L).toDF("doc_id"), "doc_id", clusters)
+      .select("cluster_id", "cluster_size", "weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0.333333)))
+  }
+
   test("softDedupWeights: reserved output names rejected, empty clusters ok") {
     val bad = Seq((1L, 2.0)).toDF("doc_id", "weight")
     val cl = Seq.empty[(Long, Long)].toDF("id", "cluster_id")

@@ -168,6 +168,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(captured.count(_ == 'E') == 64)
   }
 
+  test("worker that wedges BEFORE producing any output is killed at the " +
+      "deadline (whole-call watchdog, not just post-EOF)") {
+    val pump = Multimodal.pipeThroughWorker(Seq("python3", "-c",
+      """import sys, time
+        |sys.stdin.buffer.read()
+        |time.sleep(600)
+        |""".stripMargin), timeout = java.time.Duration.ofSeconds(2))
+    val t0 = System.nanoTime()
+    val e = intercept[IllegalStateException](pump(Array[Byte](1)))
+    assert(e.getMessage.contains("did not exit within 2s"))
+    assert((System.nanoTime() - t0) / 1e9 < 30)
+  }
+
   test("worker that closes stdout but never exits hits the bounded wait") {
     val pump = Multimodal.pipeThroughWorker(Seq("python3", "-c",
       """import sys, time, os

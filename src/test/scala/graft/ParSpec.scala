@@ -67,15 +67,15 @@ class ParSpec extends AnyFunSuite {
     val tbl = s"${dir.getAbsolutePath}/documents.parquet"
     Seq((1L, "a")).toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(tbl)
-    val base1 = SparkEntry.servingBase(dir.getAbsolutePath, "documents")
-    val base1again = SparkEntry.servingBase(dir.getAbsolutePath, "documents")
+    val base1 = SparkEntry.servingBase(spark, dir.getAbsolutePath, "documents")
+    val base1again = SparkEntry.servingBase(spark, dir.getAbsolutePath, "documents")
     assert(base1 == base1again) // stable while the data is unchanged
     // regenerate the table at the SAME path: fingerprint must move so the
     // serve queries rebuild instead of silently serving stale models
     Thread.sleep(1100) // parquet mtime granularity can be 1s
     Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(tbl)
-    val base2 = SparkEntry.servingBase(dir.getAbsolutePath, "documents")
+    val base2 = SparkEntry.servingBase(spark, dir.getAbsolutePath, "documents")
     assert(base1 != base2)
   }
 }

@@ -88,10 +88,6 @@ class PlanContractSpec extends AnyFunSuite {
       // caller's shard key — same p12 class (shard count is the
       // parallelism knob, the per-shard order IS the concat contract)
       "text_pack_ids", "pipeline_pack", "text_pack_bpe",
-      // softDedupWeights' count window partitions by cluster_id —
-      // bounded by near-dup cluster size (singletons partition by own
-      // id), one exchange instead of a groupBy+join round-trip
-      "dedup_soft_weights",
       // globalValueRanks' running-count window partitions by the RANGE
       // partition id over the distinct-value frame — each group is one
       // partition's value slice (the whole point: exact global rank with
