@@ -646,6 +646,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source duplication report composed from
+    * [[Dedup.softDedupWeights]]: for each source, how many docs sit in a
+    * near-dup cluster of size ≥ 2 and the dup rate — the dedup dashboard
+    * row that decides which crawls are worth re-fetching. Same portable
+    * cluster set as `dedup_clusters`; the oracle replays closure → sizes
+    * → source rollup. */
+  private def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val subset = T(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashNearDuplicatesPortable(subset, "doc_id", "text"),
+      maxIter = 200)
+    Dedup.softDedupWeights(
+        subset.select(col("doc_id"), col("source")), "doc_id", clusters)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") >= 2, lit(1L)).otherwise(lit(0L)))
+          .as("n_dup_docs"))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Cross-source n-gram overlap audit ([[Dedup.sourceOverlap]]): the
     * source-level exact-Jaccard matrix over distinct 3-gram sets — the
     * corpus-provenance report run before mixing decisions. Exact string
@@ -2560,7 +2583,7 @@ object SparkEntry {
       "pipeline_curate",
       // duplicateClusters labels built at construction (dedup_clusters
       // class)
-      "dedup_soft_weights",
+      "dedup_soft_weights", "dedup_cluster_stats",
       // prefix-sum totals collect + ranged checkpoint at construction
       // (the globalPosition class)
       "o11_global_rank")
@@ -2705,6 +2728,7 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_soft_weights" -> (dedupSoftWeights _),
+    "dedup_cluster_stats" -> (dedupClusterStats _),
     "dedup_source_overlap" -> (dedupSourceOverlap _),
     "sim_source_drift" -> (simSourceDrift _),
     "dedup_end_to_end" -> (dedupEndToEnd _),
@@ -3938,6 +3962,27 @@ object SparkEntry {
         |  round(pow(s.cluster_size, -1.0), 6) AS weight
         |FROM mem m JOIN sz s USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs
+        |  UNION SELECT id_b, id_a FROM portable_pairs),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT d.doc_id, d.source,
+        |    coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0) d
+        |  LEFT JOIN labels l ON l.id = d.doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS n FROM mem GROUP BY 1),
+        |agg AS (SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN s.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_docs
+        |  FROM mem m JOIN sz s USING (cluster_id) GROUP BY 1)
+        |SELECT source, n_docs, n_dup_docs,
+        |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate
+        |FROM agg ORDER BY source""".stripMargin,
     "dedup_source_overlap" ->
       """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS toks
         |  FROM documents),
