@@ -1237,6 +1237,12 @@ object SparkEntry {
     * primitive (corpus CDF position) at any scale. Scores rounded BEFORE
     * ranking (the bm25 rule) so tie groups agree cross-engine. */
   private def o11GlobalRank(s: SparkSession, dir: String): DataFrame = {
+    // the rank plan reads its input TWICE (counts agg + final join), so
+    // the expensive scoring kernel must not sit un-materialized upstream:
+    // checkpoint the NARROW (doc_id, score) frame — 16 bytes/doc, the
+    // standard materialize-the-cheap-projection trade at any scale. (A
+    // fan-out of the raw scan was A/B-refuted: the text shuffle write
+    // alone costs more than scoring in the scan task.)
     val scored = TextAnalysis.qualityFeatures(
         T(s, dir, "documents"), "text")
       .select(col("doc_id"), round(col("quality_score"), 6).as("score"))
@@ -1244,7 +1250,10 @@ object SparkEntry {
       // NULLS FIRST, DuckDB NULLS LAST) — both sides exclude null scores
       // so the contract can't silently diverge if a fixture grows one
       .filter(col("score").isNotNull)
-    ops.Ranks.globalValueRanks(scored, "score")
+      .localCheckpoint()
+    // scores are rounded to 6 decimals in [0,~1] — a bounded domain, so
+    // the broadcast rank table beats the range-partitioned general form
+    ops.Ranks.globalValueRanksBoundedDomain(scored, "score")
       .orderBy(col("doc_id"))
   }
 

@@ -360,23 +360,30 @@ object TextAnalysis {
         bucketAgg.select(col(groupCol), col("__bucket"), col("__bsum"),
           sum(col("__bsum")).over(wb).as("__cum")))
       .select(col(groupCol), col("__bucket"),
-        (col("__cum") <= col("__budget")).as("__full"),
         (col("__cum") - col("__bsum")).as("__offset"), col("__budget"))
       .filter(col("__offset") <= col("__budget"))
     val statusSide = if (broadcastStatus) broadcast(status) else status
     val joined = narrow.join(statusSide, Seq(groupCol, "__bucket"))
     val outCols = narrow.columns.filterNot(_.startsWith("__")).map(col).toSeq
-    val full = joined.filter(col("__full"))
-    // exact refinement: only straddling-bucket docs (≈ group/numBuckets)
-    // pay a sort; their global running sum = bucket offset + local cumsum
+    // ONE kept-branch pass: a row keeps iff bucket offset + its inclusive
+    // in-bucket running sum fits the budget. For a fully-inside bucket
+    // every row satisfies this (its cumsum ≤ the bucket sum and
+    // offset + bucket sum = __cum ≤ budget), so the old full/straddling
+    // branch split — two derivations of the narrow frame plus a union —
+    // collapses into this single predicate with identical row semantics
+    // (the differential specs pin it). The window partitions by
+    // (group, BUCKET): every partition is ≈ group/numBuckets rows, so the
+    // in-bucket sort stays bounded and parallel at any corpus size — the
+    // branch split avoided sorting full buckets, but that saving never
+    // paid for the extra corpus derivation it cost.
     val wd = Window.partitionBy(groupCol, "__bucket")
       .orderBy(col("__pri"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val partial = joined.filter(!col("__full"))
+    joined
       .select(outCols :+ ((sum(col("n_tok")).over(wd) + col("__offset"))
         <= col("__budget")).as("__keep"): _*)
       .filter(col("__keep"))
-    full.select(outCols: _*).unionByName(partial.select(outCols: _*))
+      .select(outCols: _*)
   }
 
   // ——— multi-phrase blocklist (Aho–Corasick) ———

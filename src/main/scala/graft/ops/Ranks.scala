@@ -77,4 +77,53 @@ object Ranks {
     // the rank table is value-domain-sized.
     df.join(rankTable, v === col("__grv"), "left").drop("__grv")
   }
+
+  /** [[globalValueRanks]] specialized to a BOUNDED value domain — the
+    * common curation case where the ranked value is a score rounded to a
+    * fixed precision (≤10^6 distinct values regardless of corpus size).
+    *
+    * The whole computation is ONE declarative plan, no driver
+    * materialization and no checkpoint: per-value counts (one exchange,
+    * map-side combine), a running-count window over the DOMAIN-sized
+    * table in a single partition (explicitly bounded — this is the one
+    * place a single-task sort is correct, because its input is the value
+    * domain, never the corpus), and a broadcast join back. The general
+    * range-partitioned form needs a sampling job + a materialized
+    * partitioning + a P-row collect; none of that is earned when the
+    * rank table provably fits in a broadcast.
+    *
+    * Caller contract: `valueCol`'s distinct-value count must be bounded
+    * (rounded/discretized values). For unbounded domains (raw doubles,
+    * ids) use [[globalValueRanks]].
+    */
+  def globalValueRanksBoundedDomain(
+      df: DataFrame,
+      valueCol: String,
+      outRank: String = "rank",
+      outPct: String = "percent_rank",
+      roundPctTo: Int = 6): DataFrame = {
+    require(df.columns.contains(valueCol), s"missing value column '$valueCol'")
+    Seq(outRank, outPct, "__grv").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with globalValueRanks output"))
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(v.as("__grv")).agg(count(lit(1)).as("__n"))
+    // domain-sized single partition: the window input is the distinct-value
+    // table, so Spark's "No Partition Defined" warning does not apply —
+    // the bound is the caller's domain contract, not the corpus
+    val w = Window.orderBy(col("__grv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rankTable = counts
+      .withColumn(outRank, coalesce(sum(col("__n")).over(w), lit(0L)) + 1L)
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn(outPct,
+        when(col("__tot") <= 1L, lit(0.0))
+          .otherwise(round((col(outRank) - 1L).cast("double") /
+            (col("__tot") - 1L).cast("double"), roundPctTo)))
+      .select(col("__grv"), col(outRank), col(outPct))
+    df.join(broadcast(rankTable), v === col("__grv"), "left").drop("__grv")
+  }
 }

@@ -54,6 +54,54 @@ class RanksSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rank"))
   }
 
+  test("boundedDomain variant == general form == naive window, with ties") {
+    val rnd = new scala.util.Random(23)
+    val df = (0 until 400)
+      .map(i => (i.toLong, (rnd.nextInt(25) / 4.0)))
+      .toDF("id", "v")
+    val got = Ranks.globalValueRanksBoundedDomain(df, "v")
+      .select("id", "rank", "percent_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val w = Window.orderBy(col("v"))
+    val want = df
+      .withColumn("rank", rank().over(w).cast("long"))
+      .withColumn("percent_rank", round(percent_rank().over(w), 6))
+      .select("id", "rank", "percent_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    val gotGeneral = Ranks.globalValueRanks(df, "v")
+      .select("id", "rank", "percent_rank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == gotGeneral)
+  }
+
+  test("boundedDomain: nulls keep null rank; single row; degenerate all-tie") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)), (4L, Some(2.0)))
+      .toDF("id", "v")
+    val got = Ranks.globalValueRanksBoundedDomain(df, "v").orderBy("id").collect()
+    assert(got.find(_.getLong(0) == 2L).get.isNullAt(2))
+    assert(got.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+      == Map(1L -> 2L, 3L -> 1L, 4L -> 2L))
+    val one = Ranks.globalValueRanksBoundedDomain(
+        Seq((9L, 5.0)).toDF("id", "v"), "v")
+      .select("rank", "percent_rank").as[(Long, Double)].collect().toSeq
+    assert(one == Seq((1L, 0.0)))
+    // all rows tie: rank 1 everywhere, percent_rank 0 (rank-1 == 0)
+    val ties = Ranks.globalValueRanksBoundedDomain(
+        Seq((1L, 7.0), (2L, 7.0), (3L, 7.0)).toDF("id", "v"), "v")
+      .select("rank", "percent_rank").as[(Long, Double)].collect().toSeq
+    assert(ties == Seq((1L, 0.0), (1L, 0.0), (1L, 0.0)))
+  }
+
+  test("boundedDomain plan: rank table joins back via broadcast") {
+    val df = (0 until 100).map(i => (i.toLong, i / 9.0)).toDF("id", "v")
+    val q = Ranks.globalValueRanksBoundedDomain(df, "v")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank table should broadcast:\n$plan")
+  }
+
   test("plan: every Window is partitioned (no single-partition sort)") {
     val df = (0 until 100).map(i => (i.toLong, i / 9.0)).toDF("id", "v")
     val q = Ranks.globalValueRanks(df, "v")
