@@ -1870,8 +1870,12 @@ object SparkEntry {
     * md5-derived uniform, the key and the ranking. */
   private def p14WeightedSample(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.weightedSample(
-        T(s, dir, "documents").select(col("doc_id"), col("lang"),
-          TextAnalysis.tokenCount(col("text")).as("w")),
+        // fan out BEFORE the token kernel: the whole query is one fused
+        // scan+tokenize+heap stage, so an under-parallel one-row-group
+        // scan serializes all its CPU (strict no-op at corpus scale)
+        ops.Par.fanOutSmallScan(T(s, dir, "documents"))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("w")),
         "doc_id", "w", Seq("lang"), 5)
       .select(col("doc_id"), col("lang"), col("sample_key"), col("rank"))
       .orderBy(col("lang"), col("rank"))

@@ -33,7 +33,10 @@ object TextAnalysis {
     * whitespace adds nothing. ([[qualityFeatures]]' `n_words` keeps the
     * raw `size(split)` form — its score formula and oracle are defined
     * over that value.) */
-  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+  def tokenCount(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.TokenCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** BPE-ish sub-token count: alternating letter-runs / digit-runs /
     * single punctuation, the usual pre-tokenizer regex shape. */

@@ -359,6 +359,67 @@ case class Md5PrefixLong(child: Expression, hexDigits: Int)
     copy(child = newChild)
 }
 
+/** Whitespace-token count: number of maximal non-whitespace runs — value-
+  * identical to `regexp_count(text, '\\S+')`, whose java.util.regex Matcher
+  * loop was the dominant CPU of every token-accounting pass (mixtures,
+  * weighted sampling, packing budgets). Whitespace is java regex `\s` =
+  * `[ \t\n\x0B\f\r]` — ASCII-only, so the kernel scans UTF-8 BYTES
+  * directly: every byte of a multi-byte codepoint has the high bit set and
+  * can never read as whitespace. One branch per byte, codegen-inline, no
+  * allocation. Null text yields null (the regexp_count convention). */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"TokenCount requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (!ws && !inTok) cnt += 1
+      inTok = !ws
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val ws = ctx.freshName("ws")
+      val inTok = ctx.freshName("inTok")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $cnt = 0;
+         |boolean $inTok = false;
+         |final int $n = $c.numBytes();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final byte $b = $c.getByte($i);
+         |  final boolean $ws = $b == 0x20 || ($b >= 0x09 && $b <= 0x0d);
+         |  if (!$ws && !$inTok) $cnt++;
+         |  $inTok = !$ws;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
 /** Per-document unigram language-model statistics — the scoring half of
   * CCNet-style perplexity filtering (Wenzek et al. 2020): given a fitted
   * add-α unigram model (token → log-probability, plus the OOV

@@ -290,6 +290,32 @@ class ExtSpec extends AnyFunSuite {
     assert(n == 6 && s == 2)
   }
 
+  test("TokenCount kernel == regexp_count(text, '\\S+') " +
+      "(fuzz incl. unicode, edge whitespace, null, empty)") {
+    val r = new scala.util.Random(0x70c3)
+    val alphabet = "ab \t\n\f\r中文é★x  "
+    val fuzz = (0 until 300).map { _ =>
+      val len = r.nextInt(40)
+      (0 until len).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    }
+    val samples = Seq("", " ", "  \t\n ", "a", " a ", "a b", " ",
+      "word word", "中 文", "tab\tsep\ncr\rfeed\ffin") ++ fuzz
+    val df = samples.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("k"),
+        regexp_count(col("text"), lit("\\S+")).as("re"))
+      .as[(Int, Int, Int)].collect()
+    got.foreach { case (i, k, re) =>
+      assert(k == re, s"mismatch on sample $i: ${samples(i)}") }
+    // null text: both forms yield null
+    val nulls = Seq((1, null: String)).toDF("id", "text")
+      .select(TextAnalysis.tokenCount(col("text")).isNull,
+        regexp_count(col("text"), lit("\\S+")).isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(nulls == ((true, true)))
+  }
+
   test("BPE-ish sub-token count splits around non-alphanumeric chars") {
     val df = Seq("don't stop2night ok").toDF("text")
     // splits around ' and spaces; digits are alphanumeric so stop2night
