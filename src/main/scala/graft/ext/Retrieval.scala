@@ -388,19 +388,32 @@ object Retrieval {
   def tfidfForVocab(
       corpus: DataFrame, idCol: String, textCol: String,
       vocab: Seq[String], roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     require(vocab.nonEmpty, "vocab must be non-empty")
     requireNotReserved(idCol)
-    val tf = postings(corpus, idCol, textCol, "term", "tf", "dl")
-      .select(col(idCol), col("term"), col("tf"))
+    val vs = vocab.distinct
+    // ONE vocab-restricted kernel pass ([[graft.functions.VocabTfs]]):
+    // the per-doc frame is (id, has_tok, |vocab| counts) — the full
+    // posting stream (every distinct term × every doc) that the previous
+    // form materialized only to keep |vocab| terms of it never exists.
+    // The lazy checkpoint is doc-grain narrow rows; both consumers
+    // (collection stats + the tf branch) re-read it, the text is
+    // tokenized exactly once.
+    val narrow = graft.ops.Par.fanOutSmallScan(corpus)
+      .select(col(idCol), GraftColumnBridge.column(graft.functions.VocabTfs(
+        GraftColumnBridge.expression(col(textCol)), vs)).as("__v"))
       .localCheckpoint(eager = false)
     // N = docs with ≥1 kept token, same collection-statistics choice as
-    // bm25TopK (one narrow distinct over the checkpoint, one row out)
-    val stats = tf.select(col(idCol)).distinct()
-      .agg(count(lit(1)).cast("double").as("__N"))
-    val vocabDf = corpus.sparkSession
-      .createDataFrame(vocab.distinct.map(Tuple1(_)))
-      .toDF("term")
-    val sub = tf.join(broadcast(vocabDf), Seq("term"))
+    // bm25TopK (one sum over the checkpoint, one row out)
+    val stats = narrow.agg(
+      sum(when(col("__v.has_tok"), 1L).otherwise(0L))
+        .cast("double").as("__N"))
+    val sub = narrow
+      .select(col(idCol), posexplode(col("__v.tfs")))
+      .filter(col("col") > 0)
+      .select(col(idCol),
+        element_at(typedLit(vs), col("pos") + 1).as("term"),
+        col("col").as("tf"))
     val dfFrame = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // df (vocab-sized) must broadcast onto the corpus-sized sub; the
     // one-row stats attach joins on a literal key instead of a nested

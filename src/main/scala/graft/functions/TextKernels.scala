@@ -420,6 +420,86 @@ case class TokenCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-document term frequencies RESTRICTED to a small constant
+  * vocabulary — the kernel behind [[graft.ext.Retrieval.tfidfForVocab]].
+  * Returns `struct<has_tok: boolean, tfs: array<bigint>>` where `has_tok`
+  * is true iff the document has ≥1 kept token (the collection-statistics
+  * membership test) and `tfs(i)` counts exact occurrences of `vocab(i)`
+  * among kept tokens (java `\s+` split, empties skipped — the
+  * [[TokenTfs]] tokenization). For a handful of query terms, building the
+  * FULL term→tf map ([[TokenTfs]]) and exploding it materializes a
+  * corpus×distinct-terms posting stream only to discard everything
+  * outside the vocabulary; this kernel's output is vocab-sized per
+  * document no matter how large the corpus row is. Byte-level scan:
+  * whitespace is java regex `\s` (ASCII), so multi-byte codepoints can
+  * never break a token. */
+case class VocabTfs(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  require(vocab.nonEmpty, "VocabTfs needs at least one vocab term")
+  require(vocab.distinct.length == vocab.length,
+    "vocab contains duplicates — deduplicate it first")
+
+  @transient private lazy val vocabBytes: Array[Array[Byte]] =
+    vocab.map(_.getBytes("UTF-8")).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("has_tok", BooleanType, nullable = false),
+    StructField("tfs", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"VocabTfs requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    val counts = new Array[Long](vocabBytes.length)
+    var hasTok = false
+    var i = 0
+    var tokStart = -1
+    def endToken(end: Int): Unit = {
+      hasTok = true
+      val len = end - tokStart
+      var v = 0
+      while (v < vocabBytes.length) {
+        val vb = vocabBytes(v)
+        if (vb.length == len) {
+          var j = 0
+          while (j < len && s.getByte(tokStart + j) == vb(j)) j += 1
+          if (j == len) counts(v) += 1L
+        }
+        v += 1
+      }
+      tokStart = -1
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (ws) { if (tokStart >= 0) endToken(i) }
+      else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (tokStart >= 0) endToken(n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hasTok, new GenericArrayData(counts)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("vocabTfs", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VocabTfs =
+    copy(child = newChild)
+}
+
 /** Per-document unigram language-model statistics — the scoring half of
   * CCNet-style perplexity filtering (Wenzek et al. 2020): given a fitted
   * add-α unigram model (token → log-probability, plus the OOV

@@ -316,6 +316,36 @@ class ExtSpec extends AnyFunSuite {
     assert(nulls == ((true, true)))
   }
 
+  test("VocabTfs kernel == brute-force token counts " +
+      "(fuzz incl. unicode, null, empty, vocab-absent)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val vocab = Seq("spark", "a", "中文", "zz")
+    val r = new scala.util.Random(0xf1d5)
+    val words = Array("spark", "a", "ab", "中文", "zz", "zzz", "the", "spark")
+    val fuzz = (0 until 200).map { _ =>
+      (0 until r.nextInt(12)).map(_ => words(r.nextInt(words.length)))
+        .mkString(Seq(" ", "  ", "\t", "\n")(r.nextInt(4)))
+    }
+    val samples = Seq("", " ", "spark", " spark spark ", "sparkx", "中文 a") ++ fuzz
+    val df = samples.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "text")
+    val got = df.select(col("id"), GraftColumnBridge.column(
+        graft.functions.VocabTfs(
+          GraftColumnBridge.expression(col("text")), vocab)).as("v"))
+      .select(col("id"), col("v.has_tok"), col("v.tfs"))
+      .as[(Int, Boolean, Seq[Long])].collect()
+    got.foreach { case (i, has, tfs) =>
+      val toks = TextAnalysis.tokensLocal(samples(i))
+      assert(has == toks.nonEmpty, s"has_tok wrong for '${samples(i)}'")
+      assert(tfs == vocab.map(v => toks.count(_ == v).toLong),
+        s"tfs wrong for '${samples(i)}'")
+    }
+    val nul = Seq((1, null: String)).toDF("id", "text")
+      .select(GraftColumnBridge.column(graft.functions.VocabTfs(
+        GraftColumnBridge.expression(col("text")), vocab)).isNull)
+      .as[Boolean].head()
+    assert(nul)
+  }
+
   test("BPE-ish sub-token count splits around non-alphanumeric chars") {
     val df = Seq("don't stop2night ok").toDF("text")
     // splits around ' and spaces; digits are alphanumeric so stop2night
