@@ -1469,7 +1469,7 @@ object SparkEntry {
     TextAnalysis.mixtureByTokenBudget(
         T(s, dir, "documents"), "doc_id", "lang", "text",
         budgetFraction = 0.5, seed = "42", numBuckets = 64,
-        materialize = false)
+        broadcastStatus = false, materialize = false)
       .orderBy(col("doc_id"))
 
   /** PII-redaction gate over the corpus: the synthetic documents carry no
@@ -1714,7 +1714,7 @@ object SparkEntry {
     TextAnalysis.mixtureByTemperature(
         T(s, dir, "documents"), "doc_id", "lang", "text",
         alpha = 0.5, budgetFraction = 0.5, seed = "42", numBuckets = 64,
-        materialize = false)
+        broadcastStatus = false, materialize = false)
       .orderBy(col("doc_id"))
 
   /** Domain-level quality gate ([[UrlOps.dropLowQualityDomainsNarrow]]):

@@ -365,7 +365,13 @@ object TextAnalysis {
       .select(col(groupCol), col("__bucket"),
         (col("__cum") - col("__bsum")).as("__offset"), col("__budget"))
       .filter(col("__offset") <= col("__budget"))
-    val statusSide = if (broadcastStatus) broadcast(status) else status
+    // the explicit shuffle hint matters on the opt-out path: status's
+    // size ESTIMATE is tiny, so without it the planner auto-broadcasts
+    // and the narrow frame is derived twice (text tokenized twice); the
+    // shuffle join hash-partitions both branches on (group, bucket) and
+    // the bucket aggregate's exchange is REUSED — one text scan total
+    val statusSide =
+      if (broadcastStatus) broadcast(status) else status.hint("shuffle_hash")
     val joined = narrow.join(statusSide, Seq(groupCol, "__bucket"))
     val outCols = narrow.columns.filterNot(_.startsWith("__")).map(col).toSeq
     // ONE kept-branch pass: a row keeps iff bucket offset + its inclusive
