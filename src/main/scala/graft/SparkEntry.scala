@@ -1265,6 +1265,43 @@ object SparkEntry {
     TextAnalysis.sourceProfile(T(s, dir, "documents"), "text", "source")
       .orderBy(col("source"))
 
+  /** Two deterministic snapshot derivations shared by the snapshot-audit
+    * queries (replayed verbatim in their oracles): day-1 drops
+    * doc_id%7==3 (those later read as `added`) and carries a stale body
+    * for doc_id%11==5 (`changed`); day-2 drops doc_id%5==4 (`removed`). */
+  private def snapshotPair(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = T(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 3)
+      .withColumn("text", when(col("doc_id") % 11 === 5,
+        concat(col("text"), lit(" [stale]"))).otherwise(col("text")))
+    (old, docs.filter(col("doc_id") % 5 =!= 4))
+  }
+
+  /** Snapshot diff dashboard ([[ext.SnapshotAudit.snapshotDiff]]):
+    * added/removed/changed/unchanged per source between two corpus
+    * snapshots, ids pinned by sum. md5 as the fingerprint so the oracle
+    * replays the verdicts exactly (the production default is the faster
+    * fingerprint128 — spec pins both classify identically). */
+  private def auditSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (old, nw) = snapshotPair(s, dir)
+    ext.SnapshotAudit.snapshotDiff(old, nw, "doc_id", "text",
+        carryCols = Seq("source"), fingerprint = c => md5(c))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** Distribution drift ([[ext.SnapshotAudit.distributionDrift]]):
+    * per-source JS divergence of the clamped length-decile histogram
+    * between the same two snapshots. */
+  private def auditDistDrift(s: SparkSession, dir: String): DataFrame = {
+    val (old, nw) = snapshotPair(s, dir)
+    ext.SnapshotAudit.distributionDrift(old, nw, "source",
+        least(floor(col("n_chars") / lit(200)), lit(9)).cast("int"))
+      .orderBy(col("source"))
+  }
+
   private def textQualityPrune(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pruneBottomQuantile(
         T(s, dir, "documents"), "text", 0.25, Seq("doc_id", "lang"))
@@ -2742,6 +2779,8 @@ object SparkEntry {
     "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
+    "audit_snapshot_diff" -> (auditSnapshotDiff _),
+    "audit_dist_drift" -> (auditDistDrift _),
     "dedup_source_overlap" -> (dedupSourceOverlap _),
     "sim_source_drift" -> (simSourceDrift _),
     "dedup_end_to_end" -> (dedupEndToEnd _),
@@ -3975,6 +4014,52 @@ object SparkEntry {
         |  round(pow(s.cluster_size, -1.0), 6) AS weight
         |FROM mem m JOIN sz s USING (cluster_id)
         |ORDER BY 1""".stripMargin,
+    "audit_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [stale]' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |nw AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 5 <> 4),
+        |d AS (SELECT COALESCE(nw.doc_id, old.doc_id) AS doc_id,
+        |    COALESCE(nw.source, old.source) AS source,
+        |    CASE WHEN old.doc_id IS NULL THEN 'added'
+        |         WHEN nw.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(old.text) = md5(nw.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id)
+        |SELECT source, status, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "audit_dist_drift" ->
+      """WITH old AS (SELECT source,
+        |    least(CAST(n_chars // 200 AS INT), 9) AS b
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |nw AS (SELECT source, least(CAST(n_chars // 200 AS INT), 9) AS b
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |ho AS (SELECT source, b, count(*) AS co FROM old GROUP BY 1, 2),
+        |hn AS (SELECT source, b, count(*) AS cn FROM nw GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(ho.source, hn.source) AS source,
+        |    COALESCE(ho.b, hn.b) AS b,
+        |    COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+        |  FROM ho FULL OUTER JOIN hn
+        |    ON ho.source = hn.source AND ho.b = hn.b),
+        |t AS (SELECT source, co, cn,
+        |    CAST(sum(co) OVER (PARTITION BY source) AS BIGINT) AS tto,
+        |    CAST(sum(cn) OVER (PARTITION BY source) AS BIGINT) AS ttn
+        |  FROM j),
+        |pq AS (SELECT source, tto, ttn,
+        |    CASE WHEN tto > 0 THEN CAST(co AS DOUBLE) / tto ELSE 0 END AS p,
+        |    CASE WHEN ttn > 0 THEN CAST(cn AS DOUBLE) / ttn ELSE 0 END AS q
+        |  FROM t),
+        |c AS (SELECT source, tto, ttn, round(
+        |    (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END)
+        |    + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END),
+        |    12) AS term
+        |  FROM pq)
+        |SELECT source, round(sum(term), 6) AS js_divergence,
+        |  max(tto) AS n_old, max(ttn) AS n_new
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE ${portablePairsCtes("WHERE doc_id % 4 = 0")},
         |edges AS (SELECT id_a AS src, id_b AS dst FROM portable_pairs

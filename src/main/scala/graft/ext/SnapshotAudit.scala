@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot-to-snapshot corpus auditing — the "what changed between
+  * crawls" dashboard a continuously-refreshed pretraining corpus needs
+  * before any day-2 increment is trusted: which documents appeared,
+  * vanished or were edited ([[snapshotDiff]]), and whether a source's
+  * content DISTRIBUTION moved even where individual ids look stable
+  * ([[distributionDrift]] — the classic silent failure: a crawler
+  * truncating bodies shifts the length distribution long before anyone
+  * reads a document).
+  *
+  * Reference anchor: the reference evaluates generator quality BETWEEN
+  * dataset versions (`paqarin` multi-generator runs re-fit per version);
+  * these operators are the corpus-side versions of that comparison,
+  * re-expressed for corpus scale (no reference counterpart — extension
+  * surface, same family as the round-14 audit ops).
+  */
+object SnapshotAudit {
+
+  /** Classify every document id across two snapshots of a corpus as
+    * `added` (only in `newSnap`), `removed` (only in `oldSnap`),
+    * `changed` (both, content fingerprint differs) or `unchanged`.
+    *
+    * Plan: each side is ONE narrow map pass (id, fingerprint, carried
+    * columns — the text fingerprints where it is read and never
+    * shuffles), then a single full-outer hash join on the id. At 100 TB
+    * both sides exchange ~24 B/doc; there is no window, no driver state,
+    * and AQE is free to pick the join strategy. `carryCols` are taken
+    * from whichever side has the row (new wins when both do — the
+    * dashboard wants current metadata).
+    *
+    * `fingerprint` defaults to [[Dedup.fingerprint128]] (two independent
+    * xxhash64 halves — see its collision/adversary notes). Pass e.g.
+    * `c => md5(c)` for a cross-engine-replayable audit; a changed/
+    * unchanged verdict needs only equality, so any injective-enough hash
+    * works. Null text fingerprints to null on BOTH sides: two null texts
+    * compare `unchanged` (null-safe equality), null vs non-null is
+    * `changed` — presence is tracked separately from the fingerprint, so
+    * a null fingerprint is never mistaken for an absent row.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil,
+      fingerprint: Column => Column = Dedup.fingerprint128): DataFrame = {
+    require(!carryCols.contains(idCol), "idCol is always carried")
+    Seq("status", "__fp_old", "__fp_new", "__in_old", "__in_new").foreach(c =>
+      require(!oldSnap.columns.contains(c) && !newSnap.columns.contains(c),
+        s"input column '$c' collides with snapshotDiff internals"))
+    val o = oldSnap.select(
+      col(idCol) +: lit(1).as("__in_old") +:
+        fingerprint(col(textCol)).as("__fp_old") +:
+        carryCols.map(c => col(c).as(s"__c_old_$c")): _*)
+    val n = newSnap.select(
+      col(idCol) +: lit(1).as("__in_new") +:
+        fingerprint(col(textCol)).as("__fp_new") +:
+        carryCols.map(c => col(c).as(s"__c_new_$c")): _*)
+    o.join(n, Seq(idCol), "full_outer")
+      .select(
+        col(idCol) +:
+          when(col("__in_old").isNull, "added")
+            .when(col("__in_new").isNull, "removed")
+            .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
+            .otherwise("changed").as("status") +:
+          carryCols.map(c =>
+            coalesce(col(s"__c_new_$c"), col(s"__c_old_$c")).as(c)): _*)
+  }
+
+  /** Per-group Jensen–Shannon divergence between two snapshots'
+    * distributions of a bucketed statistic — drift monitoring for the
+    * distributions that matter to training (length, quality, language
+    * share) without comparing any individual document.
+    *
+    * `bucket` must be a deterministic finite-codomain expression over a
+    * snapshot row (e.g. a clamped length decile); groups present in only
+    * one snapshot get divergence over the half-empty distribution
+    * (JS is finite there by construction, ≤ ln 2).
+    *
+    * JS(p, q) = ½·KL(p‖m) + ½·KL(q‖m), m = ½(p+q), natural log, with the
+    * standard 0·ln(0/x) = 0 convention. Output: one row per group —
+    * `js_divergence` (rounded), `n_old`, `n_new`.
+    *
+    * Plan: one (group, bucket) count aggregate per side (map-side
+    * partial combine — the ONLY corpus-scale stage on each side), a
+    * full-outer join of the two groups×buckets-sized histogram frames,
+    * per-group totals via a window over that tiny frame, then the JS
+    * reduction as a second tiny aggregate. Nothing corpus-sized crosses
+    * a second exchange; no driver state.
+    */
+  def distributionDrift(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      groupCol: String, bucket: Column,
+      roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(df: DataFrame, side: String) =
+      df.select(col(groupCol), bucket.as("__b"))
+        .groupBy(col(groupCol), col("__b"))
+        .agg(count(lit(1)).as(s"__c_$side"))
+    val joined = hist(oldSnap, "old")
+      .join(hist(newSnap, "new"), Seq(groupCol, "__b"), "full_outer")
+      .select(col(groupCol), col("__b"),
+        coalesce(col("__c_old"), lit(0L)).as("__co"),
+        coalesce(col("__c_new"), lit(0L)).as("__cn"))
+    // per-group totals: a window over the histogram frame — bounded by
+    // the bucket codomain per group, never corpus-sized
+    val wg = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTotals = joined
+      .select(col(groupCol), col("__co"), col("__cn"),
+        sum(col("__co")).over(wg).as("__to"),
+        sum(col("__cn")).over(wg).as("__tn"))
+    // p/q = per-bucket share (0 when the side is empty); the 0·ln(0/x)=0
+    // convention lands as a `when` guard on each KL term
+    val p = when(col("__to") > 0, col("__co").cast("double") / col("__to"))
+      .otherwise(lit(0.0))
+    val q = when(col("__tn") > 0, col("__cn").cast("double") / col("__tn"))
+      .otherwise(lit(0.0))
+    val m = (p + q) / 2.0
+    // per-bucket terms round to 12 dp BEFORE the sum: the KL terms are
+    // irrational, so an order-dependent double sum could flip the final
+    // rounding between partition layouts (and engines); 12-dp terms make
+    // the sum exact to ~1e-11 in any order (same determinism convention
+    // as the 9-dp sampling keys)
+    val term = round(
+      when(p > 0, p * log(p / m) / 2.0).otherwise(lit(0.0)) +
+        when(q > 0, q * log(q / m) / 2.0).otherwise(lit(0.0)), 12)
+    withTotals
+      .groupBy(col(groupCol))
+      .agg(round(sum(term), roundTo).as("js_divergence"),
+        max(col("__to")).as("n_old"),
+        max(col("__tn")).as("n_new"))
+  }
+}

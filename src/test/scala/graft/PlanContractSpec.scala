@@ -88,11 +88,15 @@ class PlanContractSpec extends AnyFunSuite {
       // caller's shard key — same p12 class (shard count is the
       // parallelism knob, the per-shard order IS the concat contract)
       "text_pack_ids", "pipeline_pack", "text_pack_bpe",
-      // globalValueRanks' running-count window partitions by the RANGE
-      // partition id over the distinct-value frame — each group is one
-      // partition's value slice (the whole point: exact global rank with
-      // no single-partition window; RanksSpec pins ≡ the naive window)
-      "o11_global_rank")
+      // globalValueRanksBoundedDomain's running-count window reads the
+      // DISTINCT-VALUE frame (bounded by the rounded-score domain, never
+      // the corpus; RanksSpec pins ≡ the naive window and ≡ the general
+      // range-partitioned form)
+      "o11_global_rank",
+      // distributionDrift's window reads the groups×buckets histogram
+      // frame (bounded by the bucket codomain; SnapshotAuditSpec pins
+      // every window spec partitions by the group column)
+      "audit_dist_drift")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
