@@ -93,14 +93,57 @@ object SnapshotAudit {
   def distributionDrift(
       oldSnap: DataFrame, newSnap: DataFrame,
       groupCol: String, bucket: Column,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6): DataFrame =
+    jsDivergence(
+      histogram(oldSnap, groupCol, bucket),
+      histogram(newSnap, groupCol, bucket), groupCol, roundTo)
+
+  /** The (group, bucket) count histogram of one snapshot — ONE aggregate
+    * with map-side partial combine (the only corpus-scale stage of the
+    * drift path), and a MERGEABLE sufficient statistic: per-slice
+    * histograms sum to the union's histogram, which is what makes the
+    * incremental path ([[writeHistogramState]] /
+    * [[distributionDriftFromStates]]) exact. */
+  private def histogram(
+      df: DataFrame, groupCol: String, bucket: Column): DataFrame =
+    df.select(col(groupCol), bucket.as("__b"))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+
+  /** Persist one corpus slice's histogram (a day's increment, a shard):
+    * (group, b, n) parquet — KB-scale whatever the slice size. Drift
+    * between any two snapshot lineages then reads states only and never
+    * re-scans any slice. */
+  def writeHistogramState(
+      df: DataFrame, groupCol: String, bucket: Column, path: String): Unit =
+    histogram(df, groupCol, bucket)
+      .select(col(groupCol), col("__b").as("b"), col("__n").as("n"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Drift between two snapshot LINEAGES, each the union of persisted
+    * histogram states — exact vs recomputing [[distributionDrift]] over
+    * the unioned raw slices, because counts merge by addition. Day-2
+    * audit cost = day-2's own histogram + a KB-scale merge. */
+  def distributionDriftFromStates(
+      spark: org.apache.spark.sql.SparkSession,
+      oldPaths: Seq[String], newPaths: Seq[String],
+      groupCol: String, roundTo: Int = 6): DataFrame = {
+    require(oldPaths.nonEmpty && newPaths.nonEmpty,
+      "need at least one histogram state path per side")
+    def merged(paths: Seq[String]) =
+      paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .groupBy(col(groupCol), col("b").as("__b"))
+        .agg(sum(col("n")).as("__n"))
+    jsDivergence(merged(oldPaths), merged(newPaths), groupCol, roundTo)
+  }
+
+  private def jsDivergence(
+      histOld: DataFrame, histNew: DataFrame,
+      groupCol: String, roundTo: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def hist(df: DataFrame, side: String) =
-      df.select(col(groupCol), bucket.as("__b"))
-        .groupBy(col(groupCol), col("__b"))
-        .agg(count(lit(1)).as(s"__c_$side"))
-    val joined = hist(oldSnap, "old")
-      .join(hist(newSnap, "new"), Seq(groupCol, "__b"), "full_outer")
+    val joined = histOld.withColumnRenamed("__n", "__c_old")
+      .join(histNew.withColumnRenamed("__n", "__c_new"),
+        Seq(groupCol, "__b"), "full_outer")
       .select(col(groupCol), col("__b"),
         coalesce(col("__c_old"), lit(0L)).as("__co"),
         coalesce(col("__c_new"), lit(0L)).as("__cn"))

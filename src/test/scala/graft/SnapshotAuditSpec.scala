@@ -117,6 +117,31 @@ class SnapshotAuditSpec extends AnyFunSuite {
     assert(got("only_old")._1 <= math.log(2.0) + 1e-9)
   }
 
+  test("persisted histogram states: merged increments == direct drift " +
+      "over the unioned slices (exact)") {
+    val r = new scala.util.Random(0x9157a7e)
+    def slice(n: Int) = (0 until n).map(_ =>
+      (s"s${r.nextInt(3)}", r.nextInt(12).toLong))
+    val (day1o, day2o) = (slice(300), slice(80))
+    val (day1n, day2n) = (slice(320), slice(90))
+    val base = java.nio.file.Files
+      .createTempDirectory("histstate").toString
+    val bucket = least(col("v"), lit(9)).cast("int")
+    Seq(("o1", day1o), ("o2", day2o), ("n1", day1n), ("n2", day2n))
+      .foreach { case (tag, rows) =>
+        SnapshotAudit.writeHistogramState(
+          rows.toDF("g", "v"), "g", bucket, s"$base/$tag") }
+    val fromStates = SnapshotAudit.distributionDriftFromStates(
+        spark, Seq(s"$base/o1", s"$base/o2"), Seq(s"$base/n1", s"$base/n2"),
+        "g")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = SnapshotAudit.distributionDrift(
+        (day1o ++ day2o).toDF("g", "v"), (day1n ++ day2n).toDF("g", "v"),
+        "g", bucket)
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fromStates == direct)
+  }
+
   test("plan contracts: diff is one join, no window; drift windows " +
       "only the histogram frame") {
     val o = (0L until 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
