@@ -826,6 +826,33 @@ object ScaleSmoke {
           Seq(s"$base/centstate_hist", s"$base/centstate_inc"), "label")
           .count()
       }
+      // snapshot-audit at the ×10 corpus: diff the full snapshot against
+      // an edited derivation (drop/mutate classes), then the incremental
+      // drift path — day-1 histogram persisted once, day-2 = its own
+      // histogram + a KB merge
+      val lenBucket = least(floor(length(col("text")) / lit(200)), lit(9))
+        .cast("int")
+      timed("snapshot diff x10 corpus") {
+        val old = bigDocs.filter(col("doc_id") % 7 =!= 3)
+          .withColumn("text", when(col("doc_id") % 11 === 5,
+            concat(col("text"), lit(" [stale]"))).otherwise(col("text")))
+        graft.ext.SnapshotAudit.snapshotDiff(
+            old, bigDocs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text")
+          .groupBy(col("status")).count().collect()
+        bigDocs.count()
+      }
+      timed("day1 histogram state persist") {
+        graft.ext.SnapshotAudit.writeHistogramState(
+          history, "source", lenBucket, s"$base/hist_day1")
+        spark.read.parquet(s"$base/hist_day1").count()
+      }
+      timed("day2 drift vs histogram state") {
+        graft.ext.SnapshotAudit.writeHistogramState(
+          increment, "source", lenBucket, s"$base/hist_day2")
+        graft.ext.SnapshotAudit.distributionDriftFromStates(spark,
+          Seq(s"$base/hist_day1"), Seq(s"$base/hist_day1", s"$base/hist_day2"),
+          "source").count()
+      }
     }
     spark.stop()
   }
