@@ -1817,6 +1817,35 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Source-diversified BM25 ([[ext.Retrieval.diversifyTopK]]): the
+    * top-50 candidate list re-ranked so no source holds more than 2 of
+    * each query's final 10 — exact greedy-cap semantics via two bounded
+    * heaps, no Window. Candidates come from the SAME persisted bundle as
+    * [[retBm25Serve]] (diversification is a serving-time re-rank — the
+    * production posture; bundle ≡ inline is pinned by RetrievalSpec, so
+    * the oracle replays the inline chain); the diversity key joins on
+    * via a broadcast of the query-k-sized candidate list, so the corpus
+    * scan stays map-only. */
+  private def retBm25Diverse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = servingBase(s, dir, "documents") + "/bm25_bundle"
+    if (!new java.io.File(s"$path/postings/_SUCCESS").exists)
+      ext.Retrieval.writeIndexBundle(T(s, dir, "documents"), "doc_id",
+        "text", path, numFiles = 4)
+    val base = ext.Retrieval.bm25TopKFromBundle(path, "doc_id",
+        retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",
+        k = 50)
+      .drop("rank")
+    val withSrc = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(base), Seq("doc_id"))
+    ext.Retrieval.diversifyTopK(withSrc, "query_id", "source",
+        Seq(col("score").desc, col("doc_id")), k = 10, maxPerKey = 2)
+      .select(col("query_id"), col("doc_id"), col("source"), col("score"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25 serving from the PERSISTED index bundle
     * ([[ext.Retrieval.writeIndexBundle]] →
     * [[ext.Retrieval.bm25TopKFromBundle]]): identical results — and
@@ -2798,6 +2827,7 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "ret_bm25" -> (retBm25 _),
     "ret_bm25_serve" -> (retBm25Serve _),
+    "ret_bm25_diverse" -> (retBm25Diverse _),
     "ret_tfidf" -> (retTfidf _),
     "ret_tfidf_serve" -> (retTfidfServe _),
     "text_pack_bpe" -> (textPackBpe _),
@@ -2916,7 +2946,9 @@ object SparkEntry {
   /** Shared by ret_bm25 and ret_bm25_serve: the serving path is
     * value-identical to the inline path by construction (index round-trip
     * spec), so both check against the same replay. */
-  private lazy val retBm25OracleSql: String =
+  /** The bm25 scoring chain up to a ranked `rk(query_id, doc_id, score,
+    * rank)` CTE — shared by the plain, serving and diversified oracles. */
+  private lazy val retBm25RankCtes: String =
     """WITH q(query_id, qtext) AS (VALUES
       |    (1, 'spark window agg shuffle'),
       |    (2, 'customer query merge join'),
@@ -2943,9 +2975,29 @@ object SparkEntry {
       |  GROUP BY 1, 2),
       |rk AS (SELECT query_id, doc_id, score,
       |    CAST(row_number() OVER (PARTITION BY query_id
-      |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)
-      |SELECT query_id, doc_id, score, rank FROM rk
-      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank FROM sc)""".stripMargin
+
+  private lazy val retBm25OracleSql: String =
+    retBm25RankCtes +
+      """
+        |SELECT query_id, doc_id, score, rank FROM rk
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Greedy-cap replay: per-(query, source) row_number over the top-50
+    * candidates, cap 2, then the global re-rank capped at 10. */
+  private lazy val retBm25DiverseOracleSql: String =
+    retBm25RankCtes +
+      """,
+        |cand AS (SELECT rk.query_id, rk.doc_id, d.source, rk.score
+        |  FROM rk JOIN documents d USING (doc_id) WHERE rk.rank <= 50),
+        |ws AS (SELECT *, row_number() OVER (PARTITION BY query_id, source
+        |    ORDER BY score DESC, doc_id) AS sr FROM cand),
+        |fin AS (SELECT query_id, doc_id, source, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM ws WHERE sr <= 2)
+        |SELECT query_id, doc_id, source, score, rank FROM fin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Shared by ret_tfidf and ret_tfidf_serve (bundle path is
     * value-identical by construction). */
@@ -4693,6 +4745,7 @@ object SparkEntry {
         |  WHERE length(token) > 0 GROUP BY token)
         |WHERE r <= 50 ORDER BY 1""".stripMargin,
     "ret_bm25" -> retBm25OracleSql,
+    "ret_bm25_diverse" -> retBm25DiverseOracleSql,
     // serving path: value-identical to ret_bm25 by construction (the
     // index round-trip spec), so it shares the oracle verbatim
     "ret_bm25_serve" -> retBm25OracleSql,

@@ -426,4 +426,31 @@ object Retrieval {
           + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
           roundTo).as("tfidf"))
   }
+
+  /** Diversified re-rank: the final top-`k` per query may contain at most
+    * `maxPerKey` results sharing a diversity key (source, domain, host) —
+    * the standard result-diversification cap, and the retrieval face of
+    * the same source-balancing concern the mixtures handle corpus-side.
+    *
+    * Semantics are EXACTLY the greedy scan ("walk the base ranking in
+    * order, skip a doc once its key holds `maxPerKey`"): a doc survives
+    * the greedy iff it is within its key's best `maxPerKey` under the
+    * total order AND among the global best `k` of those survivors — so
+    * the plan is two bounded-heap passes ([[graft.ops.TopK]], state
+    * ≤ maxPerKey then ≤ k per group), no Window, no per-query sort.
+    * `orderBy` must be a TOTAL order (tie-break on the id) or the two
+    * formulations can disagree on ties. Null diversity keys form their
+    * own capped group (a missing source is still one source).
+    */
+  def diversifyTopK(
+      ranked: DataFrame, queryIdCol: String, diversityCol: String,
+      orderBy: Seq[Column], k: Int, maxPerKey: Int,
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxPerKey >= 1, s"maxPerKey must be positive, got $maxPerKey")
+    val within = graft.ops.TopK.perGroup(
+      ranked, Seq(queryIdCol, diversityCol), orderBy, maxPerKey)
+    graft.ops.TopK.perGroupRanked(
+      within, Seq(queryIdCol), orderBy, k, rankCol)
+  }
 }

@@ -229,4 +229,37 @@ class RetrievalSpec extends AnyFunSuite {
       (2L, "cherry", 1L, 2L, w(1, 2)),
       (3L, "cherry", 3L, 2L, w(3, 2))))
   }
+
+  test("diversifyTopK == greedy scan with per-key cap (randomized fuzz, " +
+      "ties and null keys)") {
+    val r = new scala.util.Random(0xd1fe5)
+    for (trial <- 0 until 20) {
+      val k = 1 + r.nextInt(6)
+      val cap = 1 + r.nextInt(3)
+      // small score domain forces ties; occasional null keys
+      val rows = (0 until 60).map { i =>
+        (1L + r.nextInt(3), i.toLong,
+          if (r.nextInt(10) == 0) null else s"s${r.nextInt(4)}",
+          (r.nextInt(5) / 2.0))
+      }
+      val got = ext.Retrieval.diversifyTopK(
+          rows.toDF("query_id", "doc_id", "key", "score"),
+          "query_id", "key", Seq(col("score").desc, col("doc_id")), k, cap)
+        .select("query_id", "doc_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (q, qRows) =>
+        val ordered = qRows.sortBy(t => (-t._4, t._2))
+        val taken = scala.collection.mutable.Buffer[(Long, Long, Int)]()
+        val perKey = scala.collection.mutable.Map[String, Int]()
+        ordered.foreach { case (_, id, key, _) =>
+          if (taken.size < k && perKey.getOrElse(key, 0) < cap) {
+            perKey(key) = perKey.getOrElse(key, 0) + 1
+            taken += ((q, id, taken.size + 1))
+          }
+        }
+        taken
+      }.toSet
+      assert(got == want, s"trial $trial (k=$k cap=$cap)")
+    }
+  }
 }
