@@ -1257,6 +1257,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source quantile normalization
+    * ([[ops.Ranks.quantileNormalizeBoundedDomain]]): each source's
+    * quality-score distribution mapped onto the global one, so one
+    * threshold is fair across differently-biased sources. Scored frame
+    * checkpointed narrow (the o11 pattern — the rank machinery reads it
+    * twice); all distributions live on the rounded-score domain. */
+  private def textQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityFeatures(
+        T(s, dir, "documents"), "text")
+      .select(col("doc_id"), col("source"),
+        round(col("quality_score"), 6).as("score"))
+      .filter(col("score").isNotNull)
+      .localCheckpoint()
+    ops.Ranks.quantileNormalizeBoundedDomain(scored, "source", "score",
+        outCol = "norm_score")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source quality profile ([[TextAnalysis.sourceProfile]]): the
     * curation dashboard — count, mean + exact p50/p90 quality, mean word
     * count per source. Oracle replays the score formula and
@@ -2665,7 +2683,9 @@ object SparkEntry {
       "dedup_soft_weights", "dedup_cluster_stats",
       // prefix-sum totals collect + ranged checkpoint at construction
       // (the globalPosition class)
-      "o11_global_rank")
+      "o11_global_rank",
+      // scored-frame checkpoint at construction (the o11 class)
+      "text_quantile_norm")
 
   /** Public view of [[nonMemoizable]] for harnesses: these queries do their
     * distributed work at CONSTRUCTION, so a benchmark repetition must call
@@ -2756,6 +2776,7 @@ object SparkEntry {
     "text_quality_prune" -> (textQualityPrune _),
     "text_source_profile" -> (textSourceProfile _),
     "o11_global_rank" -> (o11GlobalRank _),
+    "text_quantile_norm" -> (textQuantileNorm _),
     "text_redact" -> (textRedact _),
     "text_mixture" -> (textMixture _),
     "text_lm_quality" -> (textLmQuality _),
@@ -4224,6 +4245,36 @@ object SparkEntry {
         | round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
         |   AS quality_score
         |FROM f ORDER BY 1""".stripMargin,
+    "text_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split_regex(text, '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, source, CAST(len(toks) AS INT) AS n_words,
+        |  CAST(len([t for t in toks
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS INT)
+        |    AS n_stop
+        |  FROM d),
+        |q AS (SELECT doc_id, source,
+        |  round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
+        |    AS score
+        |  FROM f WHERE n_words IS NOT NULL),
+        |q2 AS (SELECT * FROM q WHERE score IS NOT NULL),
+        |counts AS (SELECT source, score, count(*) AS n FROM q2
+        |  GROUP BY 1, 2),
+        |gc AS (SELECT source, score,
+        |  round(CAST(sum(n) OVER (PARTITION BY source ORDER BY score)
+        |      AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE), 9) AS qf
+        |  FROM counts),
+        |gl0 AS (SELECT score AS uv, sum(n) AS un FROM counts GROUP BY 1),
+        |gl AS (SELECT uv,
+        |  round(CAST(sum(un) OVER (ORDER BY uv) AS DOUBLE)
+        |    / CAST(sum(un) OVER () AS DOUBLE), 9) AS uf FROM gl0),
+        |lk AS (SELECT gc.source, gc.score,
+        |  (SELECT min(uv) FROM gl WHERE uf >= gc.qf) AS norm_score
+        |  FROM gc)
+        |SELECT q2.doc_id, q2.source, q2.score, lk.norm_score
+        |FROM q2 JOIN lk USING (source, score)
+        |ORDER BY q2.doc_id""".stripMargin,
     "o11_global_rank" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

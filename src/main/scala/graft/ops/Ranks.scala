@@ -126,4 +126,88 @@ object Ranks {
       .select(col("__grv"), col(outRank), col(outPct))
     df.join(broadcast(rankTable), v === col("__grv"), "left").drop("__grv")
   }
+
+  /** Quantile normalization across groups over a BOUNDED value domain:
+    * map each row's value to the GLOBAL distribution's value at the same
+    * within-group quantile — the batch-effect correction that makes one
+    * quality threshold fair across sources whose scorers are biased
+    * differently (the rank-family sibling of the mixtures' source
+    * balancing). `normalized(v, g) = Q_global(F_g(v))` with the
+    * right-continuous inverse CDF `Q(p) = min{u : F(u) ≥ p}`, so every
+    * group's maximum maps to the global maximum and ties stay ties.
+    *
+    * The naive form is `percent_rank` per group + `percentile_cont`
+    * per row — a per-group corpus window plus a global sort. Here every
+    * distribution lives on the DOMAIN-sized distinct-value frame
+    * ([[globalValueRanksBoundedDomain]]'s contract: rounded scores,
+    * ≤10^6 values): per-group CDFs via a (group)-partitioned window over
+    * the counts, the global CDF via one domain-sized window, the inverse
+    * lookup as a FORWARD AS-OF join ([[AsOfJoin.asOfForward]]) of group
+    * fractions onto global fractions, and a broadcast join back to the
+    * corpus. One corpus aggregate + one corpus broadcast join; nothing
+    * corpus-sized is ever sorted.
+    *
+    * CDF fractions are integer-count ratios rounded to 9 dp before the
+    * as-of comparison (exact same doubles in any engine — the oracle
+    * replays the lookup). Rows with a NULL value keep a NULL
+    * `outCol`.
+    */
+  def quantileNormalizeBoundedDomain(
+      df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "normalized", roundFracTo: Int = 9): DataFrame = {
+    Seq(groupCol, valueCol).foreach(c => require(df.columns.contains(c),
+      s"missing column '$c'"))
+    Seq(outCol, "__qg", "__qv").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input column '$c' collides with quantileNormalize output"))
+    val v = col(valueCol)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(col(groupCol).as("__qg"), v.as("__qv"))
+      .agg(count(lit(1)).as("__qn"))
+    val wg = Window.partitionBy(col("__qg")).orderBy(col("__qv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wgAll = Window.partitionBy(col("__qg"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val groupCdf = counts.select(col("__qg"), col("__qv"),
+      round(sum(col("__qn")).over(wg)
+        / sum(col("__qn")).over(wgAll).cast("double"), roundFracTo)
+        .as("__qf"))
+    // global CDF re-aggregates the same domain-sized counts frame; its
+    // single-partition window is bounded by the domain contract
+    val wu = Window.orderBy(col("__uv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wuAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val globalCdf = counts
+      .groupBy(col("__qv").as("__uv")).agg(sum(col("__qn")).as("__un"))
+      .select(col("__uv"),
+        round(sum(col("__un")).over(wu)
+          / sum(col("__un")).over(wuAll).cast("double"), roundFracTo)
+          .as("__uf"))
+    // inverse CDF: the EARLIEST global value whose fraction reaches the
+    // group fraction — the [[AsOfJoin]] union trick inlined (the generic
+    // operator's schema-align/struct-carry machinery measurably costs
+    // per-construction plan analysis; here the payload is one column and
+    // both sides are already domain-sized). Descending fraction order
+    // with global rows first at ties ⇒ the running last global value is
+    // exactly min{u : F(u) ≥ p}; the group's 1.0 always matches the
+    // global 1.0, so no group row is left unmatched.
+    val unioned = groupCdf
+      .select(col("__qg"), col("__qv"), col("__qf").as("__f"),
+        lit(null).cast(globalCdf.schema("__uv").dataType).as("__uv"),
+        lit(1).as("__isg"))
+      .unionByName(globalCdf.select(
+        lit(null).cast(groupCdf.schema("__qg").dataType).as("__qg"),
+        lit(null).cast(groupCdf.schema("__qv").dataType).as("__qv"),
+        col("__uf").as("__f"), col("__uv"), lit(0).as("__isg")))
+    val wm = Window.orderBy(col("__f").desc, col("__isg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lookup = unioned
+      .withColumn(outCol, last(col("__uv"), ignoreNulls = true).over(wm))
+      .filter(col("__isg") === 1)
+      .select(col("__qg"), col("__qv"), col(outCol))
+    df.join(broadcast(lookup),
+        col(groupCol) === col("__qg") && v === col("__qv"), "left")
+      .drop("__qg", "__qv")
+  }
 }

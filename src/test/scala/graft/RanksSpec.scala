@@ -102,6 +102,38 @@ class RanksSpec extends AnyFunSuite {
       s"rank table should broadcast:\n$plan")
   }
 
+  test("quantileNormalize == driver-side reference (randomized, ties); " +
+      "group max maps to global max; nulls stay null") {
+    val r = new scala.util.Random(0x9a27)
+    for (trial <- 0 until 10) {
+      val rows = (0 until 300).map { i =>
+        (i.toLong, s"g${r.nextInt(4)}",
+          if (r.nextInt(20) == 0) None else Some(r.nextInt(15) / 4.0))
+      }
+      val df = rows.toDF("id", "g", "v")
+      val got = Ranks.quantileNormalizeBoundedDomain(df, "g", "v")
+        .select("id", "normalized")
+        .as[(Long, Option[Double])].collect().toMap
+      // reference: right-continuous inverse global CDF of the in-group CDF
+      val present = rows.collect { case (id, g, Some(v)) => (id, g, v) }
+      val globalSorted = present.map(_._3).sorted
+      val n = globalSorted.size.toDouble
+      def fGlobal(u: Double) = globalSorted.count(_ <= u) / n
+      val domain = globalSorted.distinct
+      present.foreach { case (id, g, v) =>
+        val grp = present.filter(_._2 == g).map(_._3)
+        val fg = BigDecimal(grp.count(_ <= v) / grp.size.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val want = domain.find(u =>
+          BigDecimal(fGlobal(u)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble >= fg).get
+        assert(got(id).contains(want), s"trial $trial id $id (g=$g v=$v)")
+      }
+      rows.collect { case (id, _, None) => id }
+        .foreach(id => assert(got(id).isEmpty, s"null row $id"))
+    }
+  }
+
   test("plan: every Window is partitioned (no single-partition sort)") {
     val df = (0 until 100).map(i => (i.toLong, i / 9.0)).toDF("id", "v")
     val q = Ranks.globalValueRanks(df, "v")
