@@ -2278,6 +2278,30 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /** J9 — interval-overlap join ([[ops.IntervalJoin.overlapJoin]]):
+    * orders whose priority-independent fulfillment windows overlap for
+    * the SAME customer (two open orders at once), each unordered pair
+    * once, rolled up per order year. The declarative inequality form
+    * plans a per-customer nested loop; the granule decomposition is an
+    * ordinary equi-join on (customer, 32-day granule) with the
+    * keep-at-later-start-granule trick replacing any dedup exchange. */
+  private def j9Interval(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"),
+        datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+          .cast("long").as("start_d"))
+      .withColumn("end_d",
+        col("start_d") + 1L + pmod(col("o_orderkey"), lit(30L)))
+    ops.IntervalJoin.overlapJoin(o, o, Seq("o_custkey"),
+        "start_d", "end_d", "start_d", "end_d", granuleWidth = 32)
+      .filter(col("o_orderkey") < col("r_o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("o_orderkey") + col("r_o_orderkey")).as("sum_keys"))
+      .orderBy(col("o_year"))
+  }
+
   /** W8 — sessionization (gap-and-island) + per-session / per-user rollup.
     * One shuffle for the session numbering, one for the rollup. */
   private def w8Session(s: SparkSession, dir: String): DataFrame = {
@@ -2796,6 +2820,7 @@ object SparkEntry {
     "a18_string_agg" -> (a18StringAgg _),
     "j5_band_join" -> (j5BandJoin _),
     "j6_q5_region" -> (j6Q5Region _),
+    "j9_interval" -> (j9Interval _),
     "w8_session" -> (w8Session _),
     "w9_ranks" -> (w9Ranks _),
     "o6_topk_group" -> (o6TopkGroup _),
@@ -4245,6 +4270,20 @@ object SparkEntry {
         | round(least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0, 6)
         |   AS quality_score
         |FROM f ORDER BY 1""".stripMargin,
+    "j9_interval" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(date_diff('day', DATE '1990-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS start_d
+        |  FROM orders),
+        |i AS (SELECT *, start_d + 1 + (o_orderkey % 30) AS end_d FROM o),
+        |p AS (SELECT a.o_year, a.o_orderkey AS ka, b.o_orderkey AS kb
+        |  FROM i a JOIN i b ON a.o_custkey = b.o_custkey
+        |    AND a.o_orderkey < b.o_orderkey
+        |    AND a.start_d < b.end_d AND b.start_d < a.end_d)
+        |SELECT o_year, count(*) AS n_pairs,
+        |  CAST(sum(ka + kb) AS BIGINT) AS sum_keys
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_quantile_norm" ->
       """WITH d AS (SELECT doc_id, source,
         |    string_split_regex(text, '\s+') AS toks FROM documents),

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IntervalJoin
+
+/** [[graft.ops.IntervalJoin.overlapJoin]] — randomized differential vs the
+  * naive inequality join across granule widths, half-open edge semantics,
+  * null/empty intervals, keyless mode, and the no-nested-loop plan pin.
+  */
+class IntervalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def naive(
+      rows: Seq[(Long, String, Long, Long)]): Set[(Long, Long)] = {
+    val valid = rows.filter(t => t._4 > t._3)
+    (for {
+      a <- valid; b <- valid
+      if a._2 == b._2 && a._3 < b._4 && b._3 < a._4
+    } yield (a._1, b._1)).toSet
+  }
+
+  test("overlapJoin == naive inequality join (randomized, all widths)") {
+    val r = new scala.util.Random(0x17e2a1)
+    for (trial <- 0 until 8) {
+      val rows = (0L until 80L).map { i =>
+        val s = r.nextInt(200).toLong
+        (i, s"k${r.nextInt(5)}", s, s + r.nextInt(25) - 2) // some empty/inverted
+      }
+      val df = rows.toDF("id", "k", "s", "e")
+      for (w <- Seq(1L, 3L, 7L, 64L, 1000L)) {
+        val got = IntervalJoin.overlapJoin(
+            df, df, Seq("k"), "s", "e", "s", "e", granuleWidth = w)
+          .select(col("id"), col("r_id"))
+          .as[(Long, Long)].collect().toSet
+        assert(got == naive(rows), s"trial $trial width $w")
+      }
+    }
+  }
+
+  test("half-open semantics: touching intervals do not overlap; " +
+      "containment and identity do") {
+    val df = Seq(
+      (1L, "k", 0L, 10L), (2L, "k", 10L, 20L), // touching
+      (3L, "k", 2L, 5L),                       // contained in 1
+      (4L, "k", 0L, 10L)                       // identical to 1
+    ).toDF("id", "k", "s", "e")
+    val got = IntervalJoin.overlapJoin(
+        df, df, Seq("k"), "s", "e", "s", "e", granuleWidth = 4)
+      .select(col("id"), col("r_id")).as[(Long, Long)].collect().toSet
+      .filter(p => p._1 < p._2)
+    assert(got == Set((1L, 3L), (1L, 4L), (3L, 4L)))
+  }
+
+  test("null endpoints and empty intervals never match; keyless mode works") {
+    val df = Seq(
+      (1L, Some(0L), Some(5L)), (2L, Some(3L), Some(8L)),
+      (3L, None, Some(9L)), (4L, Some(1L), None), (5L, Some(6L), Some(6L))
+    ).toDF("id", "s", "e")
+    val got = IntervalJoin.overlapJoin(
+        df, df, Nil, "s", "e", "s", "e", granuleWidth = 3)
+      .select(col("id"), col("r_id")).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 2L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("plan: equi-join on (keys, granule), no nested loop / cartesian") {
+    val df = (0L until 50L).map(i => (i, s"k${i % 3}", i % 40, i % 40 + 5))
+      .toDF("id", "k", "s", "e")
+    val q = IntervalJoin.overlapJoin(
+      df, df, Seq("k"), "s", "e", "s", "e", granuleWidth = 8)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+  }
+}
