@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.ext.SnapshotAudit
+
+/** Streaming distribution-drift monitor — the streaming twin of
+  * [[graft.ext.SnapshotAudit.distributionDrift]], built on the SAME
+  * mergeable histogram state instead of a streaming aggregation.
+  *
+  * A native streaming agg (update mode) would hold the running histogram
+  * in operator state and still need a post-aggregation join + window for
+  * the JS reduction — shapes streaming Spark restricts. But histogram
+  * counts are mergeable sufficient statistics, so the monitor needs no
+  * streaming state at all: each micro-batch writes its OWN (group,
+  * bucket, n) increment via `foreachBatch` (a plain batch aggregate of
+  * that batch's rows), and the current drift against a persisted
+  * reference is [[SnapshotAudit.distributionDriftFromStates]] over the
+  * accumulated increments — EXACT vs re-running the batch operator on
+  * everything seen so far (count addition is order- and
+  * partitioning-free; StreamingSpec pins the equality). Restart-safe the
+  * same way the batch increments are: an increment directory either
+  * exists completely or is rewritten by its retried batch id.
+  */
+object DriftGate {
+
+  /** `foreachBatch` body: the micro-batch's histogram increment →
+    * `base/batch_<batchId>` (overwrite — a Structured Streaming retry of
+    * the same batch id rewrites, not duplicates). */
+  def histogramWriter(
+      groupCol: String, bucket: Column, base: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      SnapshotAudit.writeHistogramState(
+        batch, groupCol, bucket, s"$base/batch_$batchId")
+
+  /** The increment directories written so far (sorted for determinism). */
+  def incrementPaths(spark: SparkSession, base: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** Current drift of everything streamed so far vs the reference
+    * lineage (e.g. the day-1 [[SnapshotAudit.writeHistogramState]]). */
+  def drift(
+      spark: SparkSession, referencePaths: Seq[String], base: String,
+      groupCol: String, roundTo: Int = 6): DataFrame = {
+    val inc = incrementPaths(spark, base)
+    require(inc.nonEmpty, s"no histogram increments under $base yet")
+    SnapshotAudit.distributionDriftFromStates(
+      spark, referencePaths, inc, groupCol, roundTo)
+  }
+}

@@ -686,4 +686,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming drift monitor == batch distributionDrift over " +
+      "everything streamed (mergeable increments, multiple micro-batches)") {
+    val r = new scala.util.Random(0xd21f7a)
+    val ref = (0 until 300).map(_ =>
+      (100000L + r.nextInt(1000), s"s${r.nextInt(3)}", r.nextInt(12).toLong))
+      .toDF("doc_id", "source", "v")
+    val streamed = (0 until 250).map(i =>
+      (i.toLong, s"s${r.nextInt(3)}", r.nextInt(12).toLong))
+    val bucket = least(col("v"), lit(9)).cast("int")
+    val base = Files.createTempDirectory("graft-drift").toString
+    graft.ext.SnapshotAudit.writeHistogramState(
+      ref, "source", bucket, s"$base/ref")
+
+    // several parquet files => several micro-batches (maxFilesPerTrigger)
+    val inDir = Files.createTempDirectory("graft-drift-in").toString
+    streamed.grouped(60).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("doc_id", "source", "v")
+        .write.mode("overwrite").parquet(s"$inDir/part$i") }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("v", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part*")
+    val q = stream.writeStream
+      .foreachBatch(graft.streaming.DriftGate.histogramWriter(
+        "source", bucket, s"$base/inc"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(graft.streaming.DriftGate
+      .incrementPaths(spark, s"$base/inc").size > 1,
+      "fixture should exercise more than one micro-batch")
+    val got = graft.streaming.DriftGate.drift(
+        spark, Seq(s"$base/ref"), s"$base/inc", "source")
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = graft.ext.SnapshotAudit.distributionDrift(
+        ref, streamed.toDF("doc_id", "source", "v"), "source", bucket)
+      .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
 }
