@@ -63,24 +63,22 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.withColumn("__toks", tokens(t))
+    // fused one-byte-pass kernel (word/punct/stop counts together) —
+    // value-identical to the split-array + regexp_count + CountInSet
+    // tree it replaces (ExtSpec differential); no token-array allocation
+    df.withColumn("__q", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.QualityStats(
+          org.apache.spark.sql.GraftColumnBridge.expression(t), StopWords)))
       .withColumn("n_chars_q", length(t))
-      .withColumn("n_words", size(col("__toks")))
-      .withColumn("n_punct", regexp_count(t, lit("[.,!?;]")))
-      .withColumn("n_stop",
-        // native one-pass kernel, not size(filter(...isin...)): the HOF
-        // runs its lambda interpreted per token — corpus-scale cost — and
-        // its expression tree is ~8x larger at analysis time
-        org.apache.spark.sql.GraftColumnBridge.column(
-          graft.functions.CountInSet(
-            org.apache.spark.sql.GraftColumnBridge.expression(col("__toks")),
-            StopWords)))
+      .withColumn("n_words", col("__q.n_words"))
+      .withColumn("n_punct", col("__q.n_punct"))
+      .withColumn("n_stop", col("__q.n_stop"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words"))
       .withColumn(
         "quality_score",
         least(col("n_words"), lit(200)).cast("double") / lit(400.0)
           + col("stop_ratio") / lit(2.0))
-      .drop("__toks")
+      .drop("__q")
   }
 
   /** Per-source quality profile — the curation-dashboard aggregate run

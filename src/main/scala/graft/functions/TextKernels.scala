@@ -500,6 +500,93 @@ case class VocabTfs(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Fused quality-feature statistics — ONE byte pass emitting
+  * `struct<n_words: int, n_punct: int, n_stop: int>`, value-identical to
+  * the three-pass expression tree it replaces
+  * ([[graft.ext.TextAnalysis.qualityFeatures]]):
+  *  - `n_words` ≡ `size(split(text, "\s+"))` — Spark's split uses java
+  *    limit −1 (every empty segment kept), so the size is exactly
+  *    (#maximal whitespace runs) + 1, leading/trailing/empty included;
+  *  - `n_punct` ≡ `regexp_count(text, "[.,!?;]")` (ASCII char class);
+  *  - `n_stop`  ≡ [[CountInSet]] over the non-empty tokens.
+  * The tree allocates the token array and runs two regex Matchers per
+  * row; the kernel reads UTF-8 bytes once, no allocation (whitespace =
+  * java `\s`, ASCII-only, so multi-byte codepoints never split a token).
+  */
+case class QualityStats(child: Expression, stopWords: Seq[String])
+    extends UnaryExpression {
+
+  require(stopWords.nonEmpty, "QualityStats needs at least one stopword")
+
+  @transient private lazy val stopBytes: Array[Array[Byte]] =
+    stopWords.map(_.getBytes("UTF-8")).toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"QualityStats requires a string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var wsRuns = 0
+    var punct = 0
+    var stop = 0
+    var inWs = false
+    var tokStart = -1
+    def endToken(end: Int): Unit = {
+      val len = end - tokStart
+      var v = 0
+      var found = false
+      while (v < stopBytes.length && !found) {
+        val vb = stopBytes(v)
+        if (vb.length == len) {
+          var j = 0
+          while (j < len && s.getByte(tokStart + j) == vb(j)) j += 1
+          if (j == len) { stop += 1; found = true }
+        }
+        v += 1
+      }
+      tokStart = -1
+    }
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val ws = b == 0x20 || (b >= 0x09 && b <= 0x0d)
+      if (ws) {
+        if (!inWs) wsRuns += 1
+        if (tokStart >= 0) endToken(i)
+      } else {
+        if (tokStart < 0) tokStart = i
+        if (b == '.' || b == ',' || b == '!' || b == '?' || b == ';')
+          punct += 1
+      }
+      inWs = ws
+      i += 1
+    }
+    if (tokStart >= 0) endToken(n)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](wsRuns + 1, punct, stop))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("qualityStats", this, getClass.getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QualityStats =
+    copy(child = newChild)
+}
+
 /** Per-document unigram language-model statistics — the scoring half of
   * CCNet-style perplexity filtering (Wenzek et al. 2020): given a fitted
   * add-α unigram model (token → log-probability, plus the OOV

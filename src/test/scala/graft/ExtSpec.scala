@@ -346,6 +346,42 @@ class ExtSpec extends AnyFunSuite {
     assert(nul)
   }
 
+  test("QualityStats kernel == split/regexp_count/CountInSet tree " +
+      "(fuzz incl. unicode, edge whitespace, punct, null)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val r = new scala.util.Random(0x9a57a7)
+    val alphabet = "ab the of.!?;, \t\n中é "
+    val fuzz = (0 until 300).map { _ =>
+      (0 until r.nextInt(50)).map(_ =>
+        alphabet(r.nextInt(alphabet.length))).mkString
+    }
+    val samples = Seq("", " ", "  ", "the", " the of ", "a.b,c!d?e;f",
+      "the  of\tand\nin", ".,!?;") ++ fuzz
+    val stops = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+    val df = samples.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"), GraftColumnBridge.column(
+        graft.functions.QualityStats(
+          GraftColumnBridge.expression(col("text")), stops)).as("q"))
+      .select(col("id"), col("q.n_words"), col("q.n_punct"), col("q.n_stop"))
+      .as[(Int, Int, Int, Int)].collect()
+    val want = df.select(col("id"),
+        size(split(col("text"), "\\s+")),
+        regexp_count(col("text"), lit("[.,!?;]")),
+        GraftColumnBridge.column(graft.functions.CountInSet(
+          GraftColumnBridge.expression(split(col("text"), "\\s+")
+            .cast("array<string>")), stops)))
+      .as[(Int, Int, Int, Int)].collect()
+    // CountInSet counts empty-string segments too only if "" is a
+    // stopword — it is not, so the tree equals the token-only count
+    assert(got.sortBy(_._1).toSeq == want.sortBy(_._1).toSeq)
+    val nul = Seq((1, null: String)).toDF("id", "text")
+      .select(GraftColumnBridge.column(graft.functions.QualityStats(
+        GraftColumnBridge.expression(col("text")), stops)).isNull)
+      .as[Boolean].head()
+    assert(nul)
+  }
+
   test("BPE-ish sub-token count splits around non-alphanumeric chars") {
     val df = Seq("don't stop2night ok").toDF("text")
     // splits around ' and spaces; digits are alphanumeric so stop2night
