@@ -1328,6 +1328,21 @@ object SparkEntry {
         round(min(col("quality_score")), 6).as("min_score"))
       .orderBy(col("lang"))
 
+  /** Per-source bottom-quantile prune
+    * ([[TextAnalysis.pruneBottomQuantilePerGroup]]): every source loses
+    * its OWN bottom 25 % — the source-fair gate a global threshold
+    * can't express. Thresholds are a |sources|-row exact-percentile
+    * aggregate broadcast onto the once-scored narrow frame. */
+  private def textPruneBySource(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pruneBottomQuantilePerGroup(
+        T(s, dir, "documents"), "text", 0.25, "source", Seq("doc_id", "lang"),
+        materialize = false)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        round(min(col("quality_score")), 6).as("min_score"),
+        sum(col("doc_id")).as("sum_id"))
+      .orderBy(col("source"))
+
   /** P13 — per-source document cap (domain-cap curation: bound any one
     * source's share of the corpus). Deterministic hash-priority order
     * ([[ops.Sampling.hashPriority]]), capped via the bounded-heap
@@ -2798,6 +2813,7 @@ object SparkEntry {
     "text_compression" -> (textCompression _),
     "text_vocab" -> (textVocab _),
     "text_quality_prune" -> (textQualityPrune _),
+    "text_prune_by_source" -> (textPruneBySource _),
     "text_source_profile" -> (textSourceProfile _),
     "o11_global_rank" -> (o11GlobalRank _),
     "text_quantile_norm" -> (textQuantileNorm _),
@@ -4525,6 +4541,22 @@ object SparkEntry {
         |  round(st.top_count / CAST(st.n_grams AS DOUBLE), 6)
         |    AS top_gram_fraction
         |FROM d LEFT JOIN st USING (doc_id) ORDER BY 1""".stripMargin,
+    "text_prune_by_source" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    string_split_regex(text, '\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, source,
+        |  least(len(toks), 200) / 400.0
+        |    + (len([t for t in toks
+        |        if t in ('the','a','an','of','and','to','in','is')])
+        |       / len(toks)) / 2.0 AS q
+        |  FROM d),
+        |t AS (SELECT source, quantile_cont(q, 0.25) AS thr FROM f
+        |  GROUP BY 1)
+        |SELECT f.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(min(q), 6) AS min_score,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM f JOIN t ON f.source = t.source
+        |WHERE q >= thr GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_quality_prune" ->
       """WITH d AS (SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
         |  FROM documents),

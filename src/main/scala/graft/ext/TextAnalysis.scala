@@ -149,6 +149,38 @@ object TextAnalysis {
       ScalarSubquery(thr.queryExecution.analyzed)))
   }
 
+  /** Per-GROUP bottom-quantile prune — the source-fair quality gate:
+    * each group (source, language) loses its own bottom `quantile`
+    * rather than sharing one global threshold a biased scorer would let
+    * one source dominate. Same narrow-checkpoint shape as
+    * [[pruneBottomQuantile]], but the thresholds are a |groups|-row
+    * aggregate (exact interpolated `percentile` per group — the
+    * `approx_percentile` swap is the documented 10⁹-docs-per-group knob)
+    * broadcast back onto the scored frame; one scoring pass, one tiny
+    * broadcast, no window, no driver scalar. */
+  def pruneBottomQuantilePerGroup(
+      df: DataFrame, textCol: String, quantile: Double, groupCol: String,
+      keepCols: Seq[String], materialize: Boolean = true): DataFrame = {
+    require(quantile >= 0 && quantile < 1,
+      s"quantile must be in [0, 1), got $quantile")
+    require(!keepCols.contains(groupCol), "groupCol is always kept")
+    // materialize=true: score ONCE into a lazy narrow checkpoint both
+    // consumers re-read (the corpus-scale posture). materialize=false:
+    // fully declarative — the threshold branch and the filter branch each
+    // re-run the map-only scoring kernel, but the plan is pure
+    // (memoizable, re-plannable) and at small/medium corpus the repeated
+    // kernel pass is cheaper than the per-call checkpoint round-trip —
+    // the mixture/bm25 posture, identical rows either way (spec'd).
+    val base = qualityFeatures(df, textCol)
+      .select((keepCols :+ groupCol).map(col) :+ col("quality_score"): _*)
+    val scored = if (materialize) base.localCheckpoint(eager = false) else base
+    val thr = scored.groupBy(col(groupCol))
+      .agg(expr(s"percentile(quality_score, ${quantile}D)").as("__thr"))
+    scored.join(broadcast(thr), Seq(groupCol))
+      .filter(col("quality_score") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** [[pruneBottomQuantile]] that returns the SURVIVING ROWS with all
     * original columns — the text included — plus `quality_score`. Two
     * deliberate scale strategies for carrying the heavy columns through:

@@ -74,4 +74,38 @@ class QualityPruneSpec extends AnyFunSuite {
         strategy = "bloom"))
     assert(e.getMessage.contains("rescore"))
   }
+
+  test("per-group prune == per-group driver model; single group == " +
+      "the global prune") {
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.pruneBottomQuantilePerGroup(
+        full, "text", 0.25, "source", Seq("doc_id", "lang"))
+      .select("doc_id").as[Long].collect().toSet
+    // driver model: exact interpolated percentile per source over the
+    // same scores the operator computes
+    val scores = TextAnalysis.qualityFeatures(full, "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .as[(Long, String, Double)].collect()
+    def pct(xs: Seq[Double], q: Double): Double = {
+      val s = xs.sorted
+      val pos = q * (s.size - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) s(lo) else s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    val want = scores.groupBy(_._2).values.toSeq.flatMap { rows =>
+      val thr = pct(rows.map(_._3).toSeq, 0.25)
+      rows.filter(_._3 >= thr).map(_._1).toSeq
+    }.toSet
+    assert(got == want && got.nonEmpty)
+    // one constant group degenerates to the global prune
+    val one = TextAnalysis.pruneBottomQuantilePerGroup(
+        full.withColumn("g", lit("all")), "text", 0.25, "g",
+        Seq("doc_id", "lang"))
+      .select("doc_id").as[Long].collect().toSet
+    val global = TextAnalysis.pruneBottomQuantile(
+        full, "text", 0.25, Seq("doc_id", "lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(one == global)
+  }
 }
