@@ -128,16 +128,18 @@ object Retrieval {
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df")) // tf is (doc, term)-unique
 
-    // per-(query, term) idf. The dfFrame and one-row stats attaches are
-    // vocab-sized ⋈ vocab-sized / ⋈ 1-row: they join on a literal key
+    // per-(query, term) idf. The dfFrame and one-row stats attaches live
     // INSIDE the query arm's own build (internal stages of one broadcast
     // job) — a nested broadcast per tiny frame would spawn a separate
-    // job each, and locally every job is ~100 ms of pure floor
+    // job each, and locally every job is ~100 ms of pure floor. The
+    // __one key constant-folds away, so the stats attach planizes as a
+    // BroadcastNestedLoopJoin over ONE row — intended (no hint can
+    // change a no-equi-key join), pinned by PlanContractSpec's
+    // boundedLoop set.
     val qArm = qt
       .join(dfFrame.hint("shuffle_hash"), Seq("__t"))
       .withColumn("__one", lit(1))
-      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
-        Seq("__one"))
+      .join(stats.withColumn("__one", lit(1)), Seq("__one"))
       .select(col(queryIdCol), col("__t"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
@@ -231,12 +233,12 @@ object Retrieval {
       .join(broadcast(qVocab), Seq("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
-    // same single-build-job arm assembly as bm25TopK (see its comment)
+    // same single-build-job arm assembly as bm25TopK (see its comment);
+    // the one-row stats attach is an intended BNLJ (no-equi-key)
     val qArm = qt
       .join(dfFrame.hint("shuffle_hash"), Seq("term"))
       .withColumn("__one", lit(1))
-      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
-        Seq("__one"))
+      .join(stats.withColumn("__one", lit(1)), Seq("__one"))
       .select(col(queryIdCol), col("term"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
@@ -327,11 +329,11 @@ object Retrieval {
         (col("sum_dl").cast("double") / col("n_docs")).as("__avgdl"))
     val dfFrame = spark.read.parquet(s"$path/terms")
       .filter(col("term").isin(qTerms: _*))
+    // one-row stats attach: intended BNLJ (no-equi-key, see bm25TopK)
     val qArm = qt
       .join(dfFrame.hint("shuffle_hash"), Seq("term"))
       .withColumn("__one", lit(1))
-      .join(stats.withColumn("__one", lit(1)).hint("shuffle_hash"),
-        Seq("__one"))
+      .join(stats.withColumn("__one", lit(1)), Seq("__one"))
       .select(col(queryIdCol), col("term"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("df") + lit(0.5))
           / (col("df") + lit(0.5))).as("__idf"))

@@ -50,6 +50,13 @@ object IntervalJoin {
     Seq("__g", "__gmin", "__gmax").foreach(c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"input column '$c' collides with overlapJoin internals"))
+    // prefixed right columns must not shadow a left column (a left frame
+    // already holding e.g. "r_start" would emit ambiguous duplicates)
+    right.columns.filterNot(c => keyCols.contains(c)).foreach { c =>
+      require(!left.columns.contains(s"$rightPrefix$c"),
+        s"left column '$rightPrefix$c' collides with the prefixed right " +
+          s"column for '$c' — pick a different rightPrefix")
+    }
     def granulated(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s).isNotNull && col(e).isNotNull && col(e) > col(s))
         .withColumn("__gmin", floor(col(s) / granuleWidth))

@@ -34,13 +34,18 @@ object DriftGate {
       SnapshotAudit.writeHistogramState(
         batch, groupCol, bucket, s"$base/batch_$batchId")
 
-  /** The increment directories written so far (sorted for determinism). */
+  /** The COMMITTED increment directories written so far (sorted for
+    * determinism). Only directories carrying the Hadoop committer's
+    * `_SUCCESS` marker count: a mid-write crash leaves a partial
+    * directory that the retried batch overwrites — until then it must
+    * not skew the merged histogram. */
   def incrementPaths(spark: SparkSession, base: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
+        && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.toString).sorted
   }
 

@@ -31,10 +31,12 @@ class PlanContractSpec extends AnyFunSuite {
     // global window over the tiny bucket frame — no nested loop at all)
     // ret_bm25_serve attaches its ONE-ROW stats SIDECAR the same way —
     // the literal __one key constant-folds away and the join planizes
-    // as a nested loop over one row
+    // as a nested loop over one row; ret_bm25_diverse inherits the same
+    // one-row sidecar from bm25TopKFromBundle (identical class)
     val boundedLoop = Set("sim_topk", "sim_hard_negatives", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq",
-      "ret_bm25", "ret_tfidf", "ret_bm25_serve", "ret_tfidf_serve")
+      "ret_bm25", "ret_tfidf", "ret_bm25_serve", "ret_tfidf_serve",
+      "ret_bm25_diverse")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -96,7 +98,16 @@ class PlanContractSpec extends AnyFunSuite {
       // distributionDrift's window reads the groups×buckets histogram
       // frame (bounded by the bucket codomain; SnapshotAuditSpec pins
       // every window spec partitions by the group column)
-      "audit_dist_drift")
+      "audit_dist_drift",
+      // quantileNormalizeBoundedDomain's CDF window reads the
+      // DISTINCT-rounded-score frame — bounded by the score codomain,
+      // never the corpus (same argued class as o11_global_rank;
+      // RanksSpec pins ≡ the naive percent_rank window)
+      "text_quantile_norm",
+      // a22's two windows (last-h split + naive-error lag) both
+      // partition by the entity — bounded by one series' length, the
+      // w1/w3 class
+      "a22_forecast_metrics")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
