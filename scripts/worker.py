@@ -21,7 +21,7 @@ The Arrow data plane ("data_files") needs pyarrow: each file is a
 self-contained IPC stream (schema preamble + one record batch) written
 by the Spark executors — the JVM driver never materializes the rows.
 
-Two model families, chosen by argv:
+Three model families, chosen by argv:
   (default)  per-numeric-column Gaussian (mean, population std) — pure
              stdlib, no third-party imports;
   "ar"       per-numeric-column AR(2) fitted with numpy.linalg.lstsq on
@@ -29,7 +29,19 @@ Two model families, chosen by argv:
              ordered by tsCol; lags never bleed across entities) — a
              genuinely foreign numeric runtime standing where the
              reference's TF/Torch model libraries stand behind its
-             adapters.
+             adapters;
+  "par"      PAR-style conditional sequence model (the SDV PARSynthesizer
+             shape the reference wraps in sdv_adapter.py:94-130): the
+             itemIdCols are CONTEXT columns, each fitted context carries
+             its per-column level (mean) and init tail, and the temporal
+             dynamics are a SHARED AR(order) on deviations from the
+             context level, fitted with numpy lstsq across all entities.
+             generate REQUIRES a "context" field in the request (one
+             sequence per context row), mirroring the reference's
+             "Missing context dataframe" ValueError
+             (sdv_adapter.py:68 / tests/test_par.py:43-45); an EMPTY
+             context list means "cycle the fitted contexts for n
+             sequences" (the generation_arguments convenience).
 
 Both carry a seeded PRNG in the model blob, so the same model produces
 bit-identical sequences across fresh worker processes. The generate op
@@ -124,6 +136,118 @@ def _generate_ar(req):
     return {"ok": True, "rows": rows}
 
 
+def _group_series(schema, rows):
+    """rows -> {context key tuple: {col: ordered value list}} (ordered by
+    tsCol within each context; contexts are the itemIdCols tuple)."""
+    cols = schema["numericCols"]
+    ids = schema.get("itemIdCols") or []
+    ts = schema.get("tsCol")
+    ordered = sorted(rows, key=lambda r: (
+        tuple(str(r.get(c)) for c in ids),
+        (r.get(ts),) if ts else ()))
+    series = {}
+    for r in ordered:
+        key = tuple(str(r.get(c)) for c in ids)
+        ent = series.setdefault(key, {})
+        for c in cols:
+            v = r.get(c)
+            if isinstance(v, (int, float)):
+                ent.setdefault(c, []).append(float(v))
+    return series
+
+
+def _fit_par(schema, rows, order=1):
+    """PAR-style fit: per-CONTEXT level + init tail, SHARED AR(order)
+    dynamics on deviations from the level (lstsq pooled across entities,
+    no intercept — deviations are centered per entity)."""
+    import numpy as np
+    cols = schema["numericCols"]
+    ids = schema.get("itemIdCols") or []
+    if not ids:
+        return {"ok": False,
+                "error": "Missing context dataframe: PAR requires "
+                         "itemIdCols as context columns"}
+    series = _group_series(schema, rows)
+    contexts = []
+    for key in sorted(series):
+        stats = {}
+        for c in cols:
+            vs = series[key].get(c, [])
+            mean = sum(vs) / len(vs) if vs else 0.0
+            init = (vs[-order:] if len(vs) >= order
+                    else [mean] * (order - len(vs)) + vs)
+            stats[c] = {"mean": mean, "init": init}
+        contexts.append({"key": list(key), "stats": stats})
+    dyn = {}
+    for c in cols:
+        X, y = [], []
+        for key, ent in series.items():
+            vs = ent.get(c, [])
+            if len(vs) <= order:
+                continue
+            m = sum(vs) / len(vs)
+            dev = [v - m for v in vs]
+            for t in range(order, len(dev)):
+                X.append([dev[t - 1 - j] for j in range(order)])
+                y.append(dev[t])
+        if len(y) > order:
+            Xa, ya = np.asarray(X), np.asarray(y)
+            beta, _, _, _ = np.linalg.lstsq(Xa, ya, rcond=None)
+            resid = ya - Xa @ beta
+            sigma = float(np.sqrt(float(np.mean(resid ** 2))))
+            phis = [float(b) for b in beta]
+        else:
+            phis, sigma = [0.0] * order, 0.0
+        dyn[c] = {"phi": phis, "sigma": sigma}
+    return {"ok": True,
+            "model": {"type": "par", "seed": 20260815, "order": order,
+                      "context_columns": ids, "contexts": contexts,
+                      "dyn": dyn}}
+
+
+def _generate_par(req):
+    model = req["model"]
+    if "context" not in req:
+        # the reference's error path: ParGenerator.generate without a
+        # context frame raises ValueError (sdv_adapter.py:68)
+        return {"ok": False, "error": "Missing context dataframe"}
+    fitted = model["contexts"]
+    if not fitted:
+        return {"ok": False, "error": "model has no fitted contexts"}
+    ids = model["context_columns"]
+    ctx = req["context"]
+    if not ctx:  # empty frame: cycle fitted contexts for n sequences
+        n = int(req.get("n", 0))
+        ctx = [dict(zip(ids, fitted[i % len(fitted)]["key"]))
+               for i in range(n)]
+    by_key = {tuple(c["key"]): c["stats"] for c in fitted}
+    rng = random.Random(int(model.get("seed", 0)))
+    order = int(model.get("order", 1))
+    cols = sorted(model["dyn"])
+    rows = []
+    for s, c_row in enumerate(ctx):
+        key = tuple(str(c_row.get(c)) for c in ids)
+        stats = by_key.get(key)
+        if stats is None:
+            return {"ok": False,
+                    "error": "unknown context %r (not in fit data)" % (key,)}
+        state = {c: [v - stats[c]["mean"] for v in stats[c]["init"]]
+                 for c in cols}
+        for t in range(int(req["seqLen"])):
+            row = {"seq_id": s, "step": t}
+            for i, c in enumerate(ids):
+                row[c] = c_row.get(c)
+            for c in cols:
+                d = model["dyn"][c]
+                dev = sum(d["phi"][j] * state[c][-1 - j]
+                          for j in range(order))
+                dev += d["sigma"] * rng.gauss(0.0, 1.0)
+                state[c] = (state[c] + [dev])[-order:]
+                row[c] = stats[c]["mean"] + dev
+            rows.append(row)
+    return {"ok": True, "rows": rows}
+
+
 def handle(req):
     op = req.get("op")
     if op == "fit":
@@ -132,6 +256,8 @@ def handle(req):
             rows = _arrow_rows(req["data_files"])
         else:
             rows = req["data"]
+        if "par" in sys.argv[1:]:
+            return _fit_par(req["schema"], rows)
         if "ar" in sys.argv[1:]:
             return _fit_ar(req["schema"], rows)
         stats = {}
@@ -145,6 +271,8 @@ def handle(req):
         return {"ok": True,
                 "model": {"seed": 20260812, "stats": stats}}
     if op == "generate":
+        if req["model"].get("type") == "par":
+            return _generate_par(req)
         if req["model"].get("type") == "ar":
             return _generate_ar(req)
         model = req["model"]

@@ -724,6 +724,44 @@ object ScaleSmoke {
         .count()
     }
 
+    // ——— interval-overlap join under pathological skew ———
+    // the granule decomposition's two failure shapes AT ONCE: a handful
+    // of VERY LONG intervals (per-row fan-out = span/width granules) and
+    // one HOT granule every right interval covers (one (key, granule)
+    // bucket holds the whole right side — the shape the scaladoc's
+    // salting note is about; at this scale one in-task hash join absorbs
+    // it, beyond it the caller salts upstream). Assertions pin BOTH the
+    // arithmetic fan-out contract (explode is per-GRANULE, not per axis
+    // unit — a regression to per-unit explode blows the bound 10x) and
+    // the exact overlap-pair count (2.2M, keep-once granule semantics).
+    timed("interval join skew 300k") {
+      val width = 10L
+      val left = spark.range(100000L).select(
+          col("id").as("l_id"),
+          (col("id") * 10).as("l_start"),
+          (col("id") * 10 + 8).as("l_end"))
+        .unionByName(spark.range(10L).select(
+          (col("id") + 1000000L).as("l_id"),
+          lit(0L).as("l_start"), lit(100000L).as("l_end")))
+      val right = spark.range(200000L).select(
+        col("id").as("r_id"),
+        (col("id") % 6).as("r_start"),
+        ((col("id") % 6) + 4).as("r_end"))
+      val lFan = left.agg(sum(
+          floor((col("l_end") - 1) / width) - floor(col("l_start") / width)
+            + lit(1L))).head().getLong(0)
+      assert(lFan == 200000L,
+        s"left granule fan-out $lFan != 200000 — per-granule contract broken")
+      val pairs = graft.ops.IntervalJoin.overlapJoin(
+        left, right, Nil, "l_start", "l_end", "r_start", "r_end", width)
+      val n = pairs.count()
+      // 10 long intervals x 200k (all overlap) + l_id 0 [0,8) x 200k
+      // (every right starts < 8); every other typical interval starts at
+      // >= 10 > max(r_end) = 9
+      assert(n == 2200000L, s"overlap pair count $n != 2200000")
+      n
+    }
+
     // ——— external Arrow embedding worker throughput ———
     // one numpy worker process per IPC batch (scripts/embed_worker.py,
     // bit-identical to stubEmbed — MultimodalSpec pins it); the number to

@@ -277,6 +277,30 @@ object SparkEntry {
       .select(col("user_id"), col("horizon_ts").cast("date").as("h_day"))
       .orderBy(col("user_id"), col("h_day"))
 
+  /** A22 — forecast-accuracy metrics RMSE/sMAPE/MASE beside A9's MAE
+    * (univariate_metrics.py:136-166 `forecasting_evaluation_metric`
+    * surface, engine-side): per-entity mean forecast over the last-3
+    * horizon, MASE scaled by the train slice's 1-step naive error. */
+  private def a22ForecastMetrics(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    val h = 3
+    val train = Ts.sliceByTimestep(ev, "user_id", "event_id", h)
+    val test = ev
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
+      .filter(col("__rn") <= h).drop("__rn")
+    val pred = train.groupBy(col("user_id")).agg(avg(col("value")).as("pred"))
+    graft.metrics.Metrics.forecastAccuracyByEntity(
+        pred, test, train, "user_id", "event_id", "pred", "value", "value")
+      .select(col("user_id"),
+        round(col("mae"), 4).as("mae"),
+        round(col("rmse"), 4).as("rmse"),
+        round(col("smape"), 4).as("smape"),
+        round(col("mase"), 4).as("mase"))
+      .orderBy(col("user_id"))
+  }
+
   /** P5 — dedup keep-first (univariate_metrics.py:69-71). */
   private def p5Dedup(s: SparkSession, dir: String): DataFrame =
     Ts.dedupKeepFirst(T(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
@@ -2758,6 +2782,7 @@ object SparkEntry {
     "w5_split" -> (w5Split _),
     "w6_weekend" -> (w6Weekend _),
     "w7_horizon" -> (w7Horizon _),
+    "a22_forecast_metrics" -> (a22ForecastMetrics _),
     "p5_dedup_first" -> (p5Dedup _),
     "u1_union" -> (u1Union _),
     "u2_anti" -> (u2Anti _),
@@ -3670,6 +3695,28 @@ object SparkEntry {
         |SELECT user_id, CAST(unnest(generate_series(d + INTERVAL 1 DAY,
         |  d + INTERVAL 3 DAY, INTERVAL 1 DAY)) AS DATE) AS h_day
         |FROM m ORDER BY 1,2""".stripMargin,
+    "a22_forecast_metrics" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |train AS (SELECT user_id, event_id, value FROM r WHERE rn > 3),
+        |test  AS (SELECT user_id, event_id, value FROM r WHERE rn <= 3),
+        |pred  AS (SELECT user_id, avg(value) AS pred FROM train GROUP BY 1),
+        |lagged AS (SELECT user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM train),
+        |scale AS (SELECT user_id, avg(abs(value - prev)) AS s
+        |  FROM lagged WHERE prev IS NOT NULL GROUP BY 1 HAVING avg(abs(value - prev)) > 0),
+        |errs AS (SELECT t.user_id,
+        |    avg(abs(t.value - p.pred)) AS mae_e,
+        |    sqrt(avg((t.value - p.pred)*(t.value - p.pred))) AS rmse_e,
+        |    avg(CASE WHEN abs(t.value) + abs(p.pred) = 0 THEN 0.0
+        |        ELSE 2*abs(t.value - p.pred)/(abs(t.value)+abs(p.pred)) END) AS smape_e
+        |  FROM test t JOIN pred p USING (user_id) GROUP BY 1)
+        |SELECT e.user_id, round(e.mae_e, 4) AS mae, round(e.rmse_e, 4) AS rmse,
+        | round(e.smape_e, 4) AS smape, round(e.mae_e / sc.s, 4) AS mase
+        |FROM errs e JOIN scale sc USING (user_id)
+        |ORDER BY 1""".stripMargin,
     "p5_dedup_first" ->
       """WITH r AS (SELECT user_id, event_type, event_id, value,
         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn

@@ -110,12 +110,16 @@ object QualityClassifier {
 
   /** Engine-portable linear gate: appends `logit` = b + Σ w_t·tf_t over
     * the marker terms and `prob` = σ(logit), both rounded to `roundTo` dp
-    * (per-term products sum in deterministic map order — the weights
-    * frame is a literal — so both engines agree). Map-only: one
-    * [[graft.functions.CountInSet]] kernel eval per marker term, no
-    * explode, no join, no shuffle. Marker sets are interpretable and
-    * small by design (a distilled linear model's top terms); for opaque
-    * hashed models use [[score]].
+    * (per-term products sum in deterministic declared weight order — the
+    * weights frame is a literal — so both engines agree). Map-only: ONE
+    * [[graft.functions.VocabTfs]] kernel eval per row — a single UTF-8
+    * byte pass counts every marker term's tf at once (the previous
+    * per-term [[graft.functions.CountInSet]] form re-split the text into
+    * a token array once per term — 4 markers = 4 tokenizations; value-
+    * identical, QualityClassifierSpec pins the closed form). No explode,
+    * no join, no shuffle. Marker sets are interpretable and small by
+    * design (a distilled linear model's top terms); for opaque hashed
+    * models use [[score]].
     */
   def markerLogit(
       df: DataFrame, textCol: String, weights: Seq[(String, Double)],
@@ -124,16 +128,23 @@ object QualityClassifier {
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate marker term in weights")
     import org.apache.spark.sql.GraftColumnBridge
-    val toks = TextAnalysis.tokens(col(textCol))
-    def tf(t: String): Column = GraftColumnBridge.column(
-      graft.functions.CountInSet(
-        GraftColumnBridge.expression(toks), Seq(t))).cast("double")
-    // deterministic left-to-right sum in declared weight order
-    val logit = weights.foldLeft(lit(bias)) { case (acc, (t, w)) =>
-      acc + lit(w) * tf(t)
+    // the kernel lands in its OWN projection: its array is consumed once
+    // per term, and CollapseProject never inlines a non-cheap expression
+    // into multiple consumers, so exactly one kernel eval per row
+    // survives optimization
+    val tfs = GraftColumnBridge.column(graft.functions.VocabTfs(
+      GraftColumnBridge.expression(col(textCol)),
+      weights.map(_._1))).getField("tfs")
+    // deterministic left-to-right sum in declared weight order; integer
+    // tf × dyadic weight keeps every term exact in double
+    val logit = weights.zipWithIndex.foldLeft(lit(bias)) {
+      case (acc, ((_, w), i)) =>
+        acc + lit(w) * element_at(col("__tfs"), i + 1).cast("double")
     }
-    df.withColumn("logit", round(logit, roundTo))
+    df.withColumn("__tfs", tfs)
+      .withColumn("logit", round(logit, roundTo))
       .withColumn("prob",
         round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), roundTo))
+      .drop("__tfs")
   }
 }

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Metric bookkeeping as a DataFrame — the reference's `MetricManager`
@@ -62,4 +62,92 @@ object Metrics {
       .join(labels, keyCols)
       .agg(avg(abs(col(predCol) - col(labelCol))).as("mae"))
       .head().getDouble(0)
+
+  /** Root-mean-squared error — the reference's "RMSE"
+    * `forecasting_evaluation_metric` string, engine-side
+    * (univariate_metrics.py:136-166 passes it to AutoGluon; here it is an
+    * order-independent aggregate like [[mae]]). */
+  def rmse(
+      predictions: DataFrame,
+      labels: DataFrame,
+      keyCols: Seq[String],
+      predCol: String,
+      labelCol: String): Double =
+    predictions
+      .join(labels, keyCols)
+      .agg(sqrt(avg(pow(col(predCol) - col(labelCol), 2))).as("rmse"))
+      .head().getDouble(0)
+
+  /** One sMAPE term: `2|y-ŷ| / (|y|+|ŷ|)` with the 0/0 cell defined as 0
+    * (both sides zero = a perfect forecast of zero, the convention that
+    * keeps the aggregate total; gluonts leaves it NaN, which would poison
+    * the mean). Range [0, 2]. */
+  def smapeTerm(pred: Column, label: Column): Column = {
+    val denom = abs(label) + abs(pred)
+    when(denom === 0d, 0d).otherwise(lit(2d) * abs(label - pred) / denom)
+  }
+
+  /** Symmetric mean absolute percentage error — the reference's "sMAPE"
+    * metric string, engine-side (see [[smapeTerm]] for the 0/0
+    * convention). */
+  def smape(
+      predictions: DataFrame,
+      labels: DataFrame,
+      keyCols: Seq[String],
+      predCol: String,
+      labelCol: String): Double =
+    predictions
+      .join(labels, keyCols)
+      .agg(avg(smapeTerm(col(predCol), col(labelCol))).as("smape"))
+      .head().getDouble(0)
+
+  /** Per-entity forecast-accuracy frame — MAE, RMSE, sMAPE over the
+    * (prediction ⋈ label) horizon plus MASE scaled by the TRAIN slice's
+    * mean |v_t − v_{t−seasonality}| (the m-step naive error, the
+    * "MASE" metric string's denominator). One row per entity that has
+    * both horizon labels and a positive scale; entities whose train
+    * series is shorter than `seasonality`+1 rows (no naive error exists)
+    * or constant (scale 0 — MASE undefined) are dropped, matching the
+    * convention of skipping undefined per-item terms.
+    *
+    * Scale posture: the label join shuffles on (entity, order); the
+    * naive-error lag is a per-entity window over the TRAIN slice —
+    * bounded by one series' length, the [[graft.ops.TimeSeriesOps]]
+    * window class, never a global sort. Both aggregates are
+    * partial→final.
+    */
+  def forecastAccuracyByEntity(
+      predictions: DataFrame,
+      labels: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      orderCol: String,
+      predCol: String,
+      labelCol: String,
+      trainValueCol: String,
+      seasonality: Int = 1): DataFrame = {
+    require(seasonality >= 1, s"seasonality must be >= 1, got $seasonality")
+    val joinKeys =
+      if (predictions.columns.contains(orderCol)) Seq(idCol, orderCol)
+      else Seq(idCol) // constant-per-entity forecasts carry no order col
+    val errs = predictions
+      .join(labels, joinKeys)
+      .groupBy(col(idCol))
+      .agg(
+        avg(abs(col(labelCol) - col(predCol))).as("mae"),
+        sqrt(avg(pow(col(labelCol) - col(predCol), 2))).as("rmse"),
+        avg(smapeTerm(col(predCol), col(labelCol))).as("smape"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(orderCol))
+    val scale = train
+      .withColumn("__prev", lag(col(trainValueCol), seasonality).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col(idCol))
+      .agg(avg(abs(col(trainValueCol) - col("__prev"))).as("__scale"))
+      .filter(col("__scale") > 0d)
+    errs
+      .join(scale, idCol)
+      .select(col(idCol), col("mae"), col("rmse"), col("smape"),
+        (col("mae") / col("__scale")).as("mase"))
+  }
 }

@@ -63,6 +63,13 @@ import graft.core.TsSchema
   *                Arrow plane is selected. Default 1 MB — inline JSON
   *                expands rows ~3-5x as text, so this caps the driver's
   *                request line at a few MB.
+  * @param generateArgs extra JSON fields merged into EVERY generate
+  *                request — the reference's `generation_arguments` dict
+  *                (univariate_metrics.py:141 passes one into its scorer).
+  *                E.g. a PAR worker demands a "context" field; passing
+  *                `("context" -> JArray(Nil))` here lets context-free
+  *                callers (the evaluation pipeline's `generate(n, len)`)
+  *                run with the worker's cycled-fitted-contexts default.
   */
 final class ProcessProvider(
     command: Seq[String],
@@ -70,7 +77,8 @@ final class ProcessProvider(
     timeoutSec: Long = 300,
     dataPlane: ProcessProvider.DataPlane = ProcessProvider.Auto,
     arrowDir: Option[String] = None,
-    autoArrowMinBytes: Long = 1L << 20) extends GeneratorProvider {
+    autoArrowMinBytes: Long = 1L << 20,
+    generateArgs: JValue = JObject(Nil)) extends GeneratorProvider {
   require(command.nonEmpty, "worker command must be non-empty")
 
   /** The Arrow plane is only usable when the executor-written IPC files
@@ -151,10 +159,28 @@ final class ProcessProvider(
     * generate call. Exposed for the model store (S4/S5) — the blob IS the
     * persistable state. */
   final class ProcessFitted(val modelJson: JValue) extends FittedGenerator {
-    def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame = {
-      val resp = call(
-        ("op" -> "generate") ~ ("model" -> modelJson) ~ ("n" -> n) ~
-        ("seqLen" -> seqLen))
+    def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame =
+      generateReq(spark,
+        (("op" -> "generate") ~ ("model" -> modelJson) ~ ("n" -> n) ~
+          ("seqLen" -> seqLen)) merge generateArgs)
+
+    /** Conditional generation — one sequence per `context` row (the
+      * reference's `generate(context_dataframe)`, sdv_adapter.py:125-130).
+      * The context frame is per-SEQUENCE (API-bounded, n rows), so the
+      * driver-side collect here is the same bounded class as the
+      * reference's pandas context frame, never corpus data. */
+    def generateWithContext(
+        spark: SparkSession, context: DataFrame, seqLen: Int): DataFrame = {
+      val ctxRows: Seq[JValue] =
+        context.toJSON.collect().toSeq.map(parse(_))
+      generateReq(spark,
+        ("op" -> "generate") ~ ("model" -> modelJson) ~
+          ("n" -> ctxRows.size) ~ ("seqLen" -> seqLen) ~
+          ("context" -> ctxRows))
+    }
+
+    private def generateReq(spark: SparkSession, req: JValue): DataFrame = {
+      val resp = call(req)
       val rows = resp \ "rows" match {
         case JArray(rs) => rs
         case _ => fail("generate response has no 'rows' array")

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+import graft.ext.Dedup
+
+/** Streaming incremental-ingest dedup — the crawl-ingest composition of
+  * [[graft.ext.Dedup.dedupIncrement]] with a `readStream` source: each
+  * micro-batch is one ingest increment, deduped against the PERSISTED
+  * signature index (history is touched only through its KB-per-million-docs
+  * signature rows — its text is never re-shingled) plus within the batch,
+  * and the survivors roll the index forward for the next batch.
+  *
+  * Semantics are the batch incremental-ingest family's, applied per
+  * increment: FIRST ARRIVAL WINS. A later near-duplicate of an already
+  * ingested document is dropped regardless of id order, exactly like
+  * re-crawling a page that is already in the corpus — so the streaming
+  * survivor set equals the sequential batch fold of `dedupIncrement`
+  * over the same increments in arrival order (StreamingSpec pins this),
+  * NOT a single all-at-once `dedupIncrement` over the concatenated
+  * increments (whose within-shard tie-break is id order, not arrival
+  * order).
+  *
+  * Restart safety mirrors [[DriftGate]]: both the survivor output and the
+  * signature increment land under `batch_<batchId>` with mode=overwrite,
+  * so a Structured Streaming retry REWRITES its own directories rather
+  * than duplicating; [[signaturePaths]] reads only `_SUCCESS`-committed
+  * directories and EXCLUDES the in-flight batch's own id (a retried
+  * batch must not see its own half-rolled signatures and drop every doc
+  * as a self-duplicate).
+  *
+  * Scale posture: per batch, one signature pass over the increment (the
+  * small side by definition) and the banded shuffle-hash join against the
+  * index — the [[graft.ext.Dedup.minHashCrossPairsFromSignatures]] plan.
+  * The index accumulates one parquet directory per batch; compact it
+  * offline with [[graft.ext.Dedup.writeSignatures]] over the survivor
+  * corpus when the directory count grows (the same hygiene as any
+  * streaming sink).
+  */
+object IngestDedupGate {
+
+  /** Committed signature directories under `indexBase` (sorted for
+    * determinism): any `_SUCCESS`-marked subdirectory counts, so a
+    * pre-seeded history index (e.g. `indexBase/history` written by
+    * [[graft.ext.Dedup.writeSignatures]]) joins the `batch_*` increments
+    * uniformly. `excludeBatchId` drops that batch's own directory — the
+    * retry-self-match guard. */
+  def signaturePaths(
+      spark: SparkSession,
+      indexBase: String,
+      excludeBatchId: Long = -1L): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(indexBase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory
+        && s.getPath.getName != s"batch_$excludeBatchId"
+        && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** `foreachBatch` body: dedup the micro-batch against the rolling index
+    * (plus within itself), write survivors to `outBase/batch_<batchId>`
+    * and their signatures to `indexBase/batch_<batchId>`. */
+  def survivorWriter(
+      idCol: String,
+      textCol: String,
+      indexBase: String,
+      outBase: String,
+      threshold: Double = 0.7,
+      shingleLen: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val paths = signaturePaths(spark, indexBase, excludeBatchId = batchId)
+    val index =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, batch.schema(idCol).dataType),
+          StructField("sig", ArrayType(LongType)))))
+    val survivors = Dedup.dedupIncrement(batch, index, idCol, idCol,
+      textCol, "sig", threshold, shingleLen, numHashes, bands).persist()
+    try {
+      survivors.write.mode("overwrite").parquet(s"$outBase/batch_$batchId")
+      Dedup.writeSignatures(survivors, idCol, textCol,
+        s"$indexBase/batch_$batchId", shingleLen, numHashes)
+    } finally {
+      survivors.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Everything ingested and kept so far (the committed `batch_*` survivor
+    * directories under `outBase`, merged). */
+  def survivors(spark: SparkSession, outBase: String): DataFrame = {
+    val paths = signaturePaths(spark, outBase) // same listing discipline
+    require(paths.nonEmpty, s"no committed survivor batches under $outBase")
+    spark.read.parquet(paths: _*)
+  }
+}

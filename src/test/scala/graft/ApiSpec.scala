@@ -368,4 +368,70 @@ class ApiSpec extends AnyFunSuite {
       .select("value").collect().map(_.getDouble(0)).toSeq
     assert(scores.length == 2 && scores.forall(s => s >= 0 && !s.isNaN))
   }
+
+  // ——— numpy PAR worker: context columns + per-entity sequence model,
+  // the sdv_adapter.py:94-130 shape behind the same process seam ———
+
+  test("numpy PAR worker: context-conditioned levels, the reference's " +
+      "missing-context and unknown-context error paths, seed determinism") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    // two entities with far-apart levels and identical small dynamics:
+    // a context-blind model cannot place item_b sequences near 200
+    val rows = for (ent <- Seq("item_a", "item_b"); t <- 0 until 20) yield
+      (ent, t.toLong, (if (ent == "item_a") 10.0 else 200.0) + (t % 3), 1.0)
+    val df = rows.toDF("item_id", "ts", "m1", "m2")
+    val p = new ProcessProvider(pythonWorker("par").get, name = "py_par")
+    val fitted = p.fit(df, schema).asInstanceOf[ProcessProvider#ProcessFitted]
+    // generate without a context frame = the reference's ValueError
+    // (tests/test_par.py:43-45)
+    val e = intercept[IllegalStateException](fitted.generate(spark, 1, 3))
+    assert(e.getMessage.contains("Missing context dataframe"))
+    // context-conditioned: a item_b sequence lives at item_b's level
+    val ctx = Seq("item_b").toDF("item_id")
+    val out = fitted.generateWithContext(spark, ctx, 4)
+      .orderBy("step").collect()
+    assert(out.length == 4)
+    val m1 = out.map(r => r.getDouble(r.fieldIndex("m1"))).toSeq
+    assert(m1.forall(v => math.abs(v - 201) < 30),
+      s"item_b sequence $m1 not near its 200 level")
+    // the context column rides along, constant per sequence
+    assert(out.forall(r => r.getString(r.fieldIndex("item_id")) == "item_b"))
+    // fresh worker process, same blob -> bit-identical (seed in blob)
+    val again = fitted.generateWithContext(spark, ctx, 4)
+      .orderBy("step").collect().map(r => r.getDouble(r.fieldIndex("m1"))).toSeq
+    assert(m1 == again)
+    // unknown context fails loudly, never silently generates garbage
+    val e2 = intercept[IllegalStateException](
+      fitted.generateWithContext(spark, Seq("item_zz").toDF("item_id"), 2))
+    assert(e2.getMessage.contains("unknown context"))
+  }
+
+  test("numpy PAR worker: cross-language TSTR via EvaluationPipeline, " +
+      "deterministic under seed (generation_arguments cycle the contexts)") {
+    import org.json4s.JsonDSL._
+    import graft.providers.ProcessProvider
+    import graft.pipeline.{EvaluationPipeline, RegressionScorer}
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    // generation_arguments (univariate_metrics.py:141 shape): an empty
+    // context frame tells the worker to cycle its fitted contexts, so the
+    // pipeline's context-free generate(n, len) calls just work
+    val p = new ProcessProvider(pythonWorker("par").get, name = "py_par_pipe",
+      generateArgs = ("context" -> List.empty[String]))
+    def run() = {
+      val pipeline = new EvaluationPipeline(
+        Map("py_par" -> p),
+        new RegressionScorer(seqLen = 5, numSequences = 6), iterations = 2)
+      val result = pipeline.fit(data, schema)
+      assert(result.bestGenerator.contains("py_par"))
+      result.metrics.select("value").collect().map(_.getDouble(0)).toSeq
+    }
+    val first = run()
+    assert(first.length == 2 && first.forall(s => s >= 0 && !s.isNaN))
+    // the whole TSTR chain (python fit -> python generate -> normal-
+    // equations regressor -> MAE) is a pure function of the seed
+    assert(run() == first)
+  }
 }

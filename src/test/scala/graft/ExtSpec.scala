@@ -206,6 +206,40 @@ class ExtSpec extends AnyFunSuite {
     assert(first.getDouble(0) == 0.0 && first.getDouble(2) == 23.0)
   }
 
+  test("DataPlots: plot_and_compare / plot_predictions prep twins (golden)") {
+    import graft.ops.DataPlots
+    val real = Seq((0L, 0, 1.0, 10.0), (0L, 1, 2.0, 20.0))
+      .toDF("seq_id", "step", "m1", "m2")
+    val synth = Seq((0L, 0, 1.5, 11.0), (0L, 1, 2.5, 21.0), (0L, 2, 3.5, 31.0))
+      .toDF("seq_id", "step", "m1", "m2")
+    val cmp = DataPlots.comparisonFrame(
+        real, synth, Seq("seq_id"), "step", Seq("m1", "m2"))
+      .orderBy("step", "column")
+      .select("step", "column", "real", "synthetic")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq
+    assert(cmp == Seq(
+      (0, "m1", Some(1.0), Some(1.5)), (0, "m2", Some(10.0), Some(11.0)),
+      (1, "m1", Some(2.0), Some(2.5)), (1, "m2", Some(20.0), Some(21.0)),
+      // the synthetic tail past the real length survives as real=null
+      (2, "m1", None, Some(3.5)), (2, "m2", None, Some(31.0))))
+
+    val labels = Seq((0, 1.0), (1, 2.0)).toDF("step", "y")
+    val predA = Seq((0, 1.1), (1, 2.1)).toDF("step", "y")
+    val predB = Seq((0, 0.9), (1, 1.9)).toDF("step", "y")
+    val pf = DataPlots.predictionsFrame(
+        labels, Seq("lstm" -> predA, "ar" -> predB), "step", "y")
+      .orderBy("step", "series")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(pf == Seq(
+      (0, "Label", 1.0), (0, "ar", 0.9), (0, "lstm", 1.1),
+      (1, "Label", 2.0), (1, "ar", 1.9), (1, "lstm", 2.1)))
+    intercept[IllegalArgumentException](DataPlots.predictionsFrame(
+      labels, Seq("Label" -> predA), "step", "y"))
+  }
+
   // ——— Similarity ———
 
   test("cosine: parallel = 1, orthogonal = 0") {
@@ -395,6 +429,42 @@ class ExtSpec extends AnyFunSuite {
     val preds = Seq((1, 10.0), (2, 20.0)).toDF("k", "p")
     val labels = Seq((1, 12.0), (2, 16.0)).toDF("k", "y")
     assert(Metrics.mae(preds, labels, Seq("k"), "p", "y") == 3.0)
+  }
+
+  test("Metrics.rmse / smape (A22 scalar forms, hand-computed)") {
+    import graft.metrics.Metrics
+    val preds = Seq((1, 10.0), (2, 20.0), (3, 0.0)).toDF("k", "p")
+    val labels = Seq((1, 12.0), (2, 16.0), (3, 0.0)).toDF("k", "y")
+    // rmse = sqrt((4 + 16 + 0) / 3)
+    assert(math.abs(Metrics.rmse(preds, labels, Seq("k"), "p", "y")
+      - math.sqrt(20.0 / 3)) < 1e-12)
+    // smape terms: 2*2/22, 2*4/36, 0/0 -> 0 (defined-zero convention)
+    val expected = (4.0 / 22 + 8.0 / 36 + 0.0) / 3
+    assert(math.abs(Metrics.smape(preds, labels, Seq("k"), "p", "y")
+      - expected) < 1e-12)
+  }
+
+  test("Metrics.forecastAccuracyByEntity: MASE vs hand model; " +
+      "constant/short train entities dropped") {
+    import graft.metrics.Metrics
+    // entity 1: train values 1,3,2 (naive errs 2,1 -> scale 1.5);
+    //   horizon labels 4,6 with constant pred 2 -> mae 3, mase 2
+    // entity 2: constant train (scale 0) -> dropped
+    // entity 3: one train row (no lag) -> dropped
+    val train = Seq((1L, 0L, 1.0), (1L, 1L, 3.0), (1L, 2L, 2.0),
+      (2L, 0L, 5.0), (2L, 1L, 5.0), (3L, 0L, 7.0))
+      .toDF("id", "pos", "v")
+    val labels = Seq((1L, 3L, 4.0), (1L, 4L, 6.0),
+      (2L, 2L, 5.0), (3L, 1L, 7.0)).toDF("id", "pos", "y")
+    val pred = Seq((1L, 2.0), (2L, 5.0), (3L, 7.0)).toDF("id", "p")
+    val out = Metrics.forecastAccuracyByEntity(
+      pred, labels, train, "id", "pos", "p", "y", "v").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-12)           // mae
+    assert(math.abs(r.getDouble(2) - math.sqrt(10.0)) < 1e-12) // rmse
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-12)           // mase
   }
 
   test("langId picks the marker-scored language with alphabetical tie-break") {

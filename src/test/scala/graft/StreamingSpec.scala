@@ -728,4 +728,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty)
   }
+
+  test("streaming incremental dedup == sequential batch fold of " +
+      "dedupIncrement (first arrival wins across micro-batches)") {
+    def uniq(i: Int) = s"totally distinct document number $i " +
+      s"with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"
+    val history = Seq((1L, uniq(1)), (2L, uniq(2)), (3L, uniq(3)))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("graft-ingest-idx").toString
+    val out = Files.createTempDirectory("graft-ingest-out").toString
+    graft.ext.Dedup.writeSignatures(history, "doc_id", "text", s"$idx/history")
+
+    // batch0: NEW doc 900, a within-batch dup pair (101 < 102 -> 102
+    // dropped), and a dup of history doc 1 (110 dropped).
+    // batch1: doc 100 duplicates 900 with a SMALLER id but a LATER
+    // arrival — the stream must drop it (first arrival wins; an
+    // all-at-once dedupIncrement over inc0 ∪ inc1 would instead keep
+    // 100 and drop 900 by id order).
+    val inc0 = Seq((900L, uniq(9)), (101L, uniq(4)), (102L, uniq(4)),
+      (110L, uniq(1))).toDF("doc_id", "text")
+    val inc1 = Seq((100L, uniq(9)), (200L, uniq(5)), (210L, uniq(2)))
+      .toDF("doc_id", "text")
+    val inDir = Files.createTempDirectory("graft-ingest-in").toString
+    inc0.coalesce(1).write.parquet(s"$inDir/part0")
+    Thread.sleep(80) // distinct mtimes pin the file-source batch order
+    inc1.coalesce(1).write.parquet(s"$inDir/part1")
+
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part*")
+    val q = stream.writeStream
+      .foreachBatch(graft.streaming.IngestDedupGate.survivorWriter(
+        "doc_id", "text", idx, out))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = graft.streaming.IngestDedupGate.survivors(spark, out)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(101L, 200L, 900L))
+
+    // sequential batch fold of dedupIncrement over the same increments
+    val idx2 = Files.createTempDirectory("graft-ingest-idx2").toString
+    graft.ext.Dedup.writeSignatures(history, "doc_id", "text", s"$idx2/history")
+    var acc = Seq.empty[Long]
+    Seq(inc0, inc1).zipWithIndex.foreach { case (inc, i) =>
+      val paths = graft.streaming.IngestDedupGate.signaturePaths(spark, idx2)
+      val surv = graft.ext.Dedup.dedupIncrement(
+        inc, spark.read.parquet(paths: _*), "doc_id", "doc_id", "text")
+      acc = acc ++ surv.select("doc_id").as[Long].collect().toSeq
+      graft.ext.Dedup.writeSignatures(surv, "doc_id", "text", s"$idx2/batch_$i")
+    }
+    assert(got == acc.sorted)
+
+    // the rolled-forward index covers exactly history + survivors
+    val idxIds = spark.read.parquet(
+        graft.streaming.IngestDedupGate.signaturePaths(spark, idx): _*)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(idxIds == Seq(1L, 2L, 3L, 101L, 200L, 900L).sorted)
+  }
 }
