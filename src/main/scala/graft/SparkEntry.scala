@@ -1346,7 +1346,8 @@ object SparkEntry {
 
   private def textQualityPrune(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.pruneBottomQuantile(
-        T(s, dir, "documents"), "text", 0.25, Seq("doc_id", "lang"))
+        T(s, dir, "documents"), "text", 0.25, Seq("doc_id", "lang"),
+        materialize = false)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"),
         round(min(col("quality_score")), 6).as("min_score"))
@@ -2718,7 +2719,11 @@ object SparkEntry {
       // while their narrow/posting frames checkpointed; the bench queries
       // now pass materialize=false — fully declarative plans, nothing a
       // cloned repetition could illegitimately reuse)
-      "sim_ivf_portable", "text_quality_prune",
+      // (text_quality_prune left this set with the materialize=false
+      // bench posture — fully declarative, nothing a cloned repetition
+      // could illegitimately reuse; the default materialize=true
+      // checkpoint posture stays contract-pinned in PlanContractSpec)
+      "sim_ivf_portable",
       "text_lm_quality", "text_lm_buckets",
       "text_lm_bigram", // two model-fit passes at construction
       "text_lm_ngram", // hashed n-gram fit (collect jobs) at construction

@@ -83,20 +83,32 @@ object SnapshotAudit {
     * standard 0·ln(0/x) = 0 convention. Output: one row per group —
     * `js_divergence` (rounded), `n_old`, `n_new`.
     *
-    * Plan: one (group, bucket) count aggregate per side (map-side
-    * partial combine — the ONLY corpus-scale stage on each side), a
-    * full-outer join of the two groups×buckets-sized histogram frames,
-    * per-group totals via a window over that tiny frame, then the JS
-    * reduction as a second tiny aggregate. Nothing corpus-sized crosses
-    * a second exchange; no driver state.
+    * Plan: ONE side-tagged (group, bucket) aggregate over the union of
+    * both snapshots (side-conditional sums combine map-side exactly like
+    * plain counts — the only corpus-scale stage, one exchange where the
+    * former per-side-histogram + full-outer-join shape paid three),
+    * per-group totals via a window over the groups×buckets-sized frame,
+    * then the JS reduction as a second tiny aggregate. Nothing
+    * corpus-sized crosses a second exchange; no driver state.
     */
   def distributionDrift(
       oldSnap: DataFrame, newSnap: DataFrame,
       groupCol: String, bucket: Column,
-      roundTo: Int = 6): DataFrame =
-    jsDivergence(
-      histogram(oldSnap, groupCol, bucket),
-      histogram(newSnap, groupCol, bucket), groupCol, roundTo)
+      roundTo: Int = 6): DataFrame = {
+    // ONE side-tagged aggregate builds both sides' histograms in a single
+    // (group, bucket) exchange — the per-side histogram + full_outer join
+    // shape this replaces paid three exchanges for the same counts
+    // (side-conditional sums combine map-side exactly like plain counts)
+    val tagged = oldSnap
+      .select(col(groupCol), bucket.as("__b"), lit(1).as("__side"))
+      .unionByName(newSnap
+        .select(col(groupCol), bucket.as("__b"), lit(0).as("__side")))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__co"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__cn"))
+    jsDivergence(tagged, groupCol, roundTo)
+  }
 
   /** The (group, bucket) count histogram of one snapshot — ONE aggregate
     * with map-side partial combine (the only corpus-scale stage of the
@@ -130,28 +142,31 @@ object SnapshotAudit {
       groupCol: String, roundTo: Int = 6): DataFrame = {
     require(oldPaths.nonEmpty && newPaths.nonEmpty,
       "need at least one histogram state path per side")
-    def merged(paths: Seq[String]) =
+    // same one-exchange side-tagged merge as [[distributionDrift]]
+    def tagged(paths: Seq[String], side: Int) =
       paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
-        .groupBy(col(groupCol), col("b").as("__b"))
-        .agg(sum(col("n")).as("__n"))
-    jsDivergence(merged(oldPaths), merged(newPaths), groupCol, roundTo)
+        .select(col(groupCol), col("b").as("__b"), col("n"),
+          lit(side).as("__side"))
+    val hist = tagged(oldPaths, 1).unionByName(tagged(newPaths, 0))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(
+        sum(when(col("__side") === 1, col("n")).otherwise(0L)).as("__co"),
+        sum(when(col("__side") === 0, col("n")).otherwise(0L)).as("__cn"))
+    jsDivergence(hist, groupCol, roundTo)
   }
 
+  /** JS divergence per group from the two-sided histogram frame
+    * `(groupCol, __b, __co, __cn)` — one row per (group, bucket) with
+    * both sides' counts already merged (zero where a side misses the
+    * bucket, exactly what the side-conditional sums produce). */
   private def jsDivergence(
-      histOld: DataFrame, histNew: DataFrame,
-      groupCol: String, roundTo: Int): DataFrame = {
+      hist: DataFrame, groupCol: String, roundTo: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = histOld.withColumnRenamed("__n", "__c_old")
-      .join(histNew.withColumnRenamed("__n", "__c_new"),
-        Seq(groupCol, "__b"), "full_outer")
-      .select(col(groupCol), col("__b"),
-        coalesce(col("__c_old"), lit(0L)).as("__co"),
-        coalesce(col("__c_new"), lit(0L)).as("__cn"))
     // per-group totals: a window over the histogram frame — bounded by
     // the bucket codomain per group, never corpus-sized
     val wg = Window.partitionBy(col(groupCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withTotals = joined
+    val withTotals = hist
       .select(col(groupCol), col("__co"), col("__cn"),
         sum(col("__co")).over(wg).as("__to"),
         sum(col("__cn")).over(wg).as("__tn"))

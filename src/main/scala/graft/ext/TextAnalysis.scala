@@ -137,16 +137,40 @@ object TextAnalysis {
     */
   def pruneBottomQuantile(
       df: DataFrame, textCol: String, quantile: Double,
-      keepCols: Seq[String]): DataFrame = {
+      keepCols: Seq[String], materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.ScalarSubquery
-    val scored = qualityFeatures(df, textCol)
+    // materialize=true (default, the corpus-scale posture): score ONCE
+    // into the lazy narrow checkpoint; both the threshold SUBQUERY and
+    // the filter re-read the materialized blocks — the text is scanned
+    // exactly once. materialize=false: fully declarative — each branch
+    // re-runs the map-only scoring kernel (the
+    // pruneBottomQuantilePerGroup trade-off note applies verbatim), and
+    // the ONE-ROW threshold rides an in-plan broadcast instead of a
+    // subquery (a pure plan; a scalar subquery's result is cached by its
+    // SubqueryExec, which a repetition harness's plan clones would
+    // silently reuse — the ret_bm25 one-row stats-sidecar class).
+    // Identical rows either way (QualityPruneSpec pins it).
+    val base = qualityFeatures(df, textCol)
       .select(keepCols.map(col) :+ col("quality_score"): _*)
-      .localCheckpoint(eager = false) // materialized by the subquery job
-    val thr = scored.agg(
-      expr(s"percentile(quality_score, ${quantile}D)").as("__thr"))
-    scored.filter(col("quality_score") >= GraftColumnBridge.column(
-      ScalarSubquery(thr.queryExecution.analyzed)))
+    if (materialize) {
+      val scored = base.localCheckpoint(eager = false)
+      val thr = scored.agg(
+        expr(s"percentile(quality_score, ${quantile}D)").as("__thr"))
+      scored.filter(col("quality_score") >= GraftColumnBridge.column(
+        ScalarSubquery(thr.queryExecution.analyzed)))
+    } else {
+      val thr = base.agg(
+        expr(s"percentile(quality_score, ${quantile}D)").as("__thr"))
+      // coalesce makes the compared value NON-NULLABLE (scores are ≥ 0,
+      // so -1 never passes — null-score docs drop exactly like the
+      // subquery path): otherwise the join condition infers
+      // isnotnull(quality_score), which pushes below the Project and
+      // re-inlines the scoring kernel THREE more times into the filter
+      base.join(broadcast(thr))
+        .filter(coalesce(col("quality_score"), lit(-1.0)) >= col("__thr"))
+        .drop("__thr")
+    }
   }
 
   /** Per-GROUP bottom-quantile prune — the source-fair quality gate:

@@ -71,7 +71,7 @@ object IntervalJoin {
     }
     val rs = col(s"$rightPrefix$rStart")
     val re = col(s"$rightPrefix$rEnd")
-    l.join(r, keyCols :+ "__g")
+    l.join(r.hint("shuffle_hash"), keyCols :+ "__g")
       // overlap residual + the keep-once granule: both sides cover the
       // granule of the later start, and only there does the pair emit
       .filter(col(lStart) < re && rs < col(lEnd)

@@ -113,4 +113,29 @@ class PipelineSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](GeneratorProvider.forName("nope"))
     assert(e.getMessage.contains("not supported"))
   }
+
+  test("forecasting_evaluation_metric strings select the TSTR error " +
+      "aggregate (RMSE/sMAPE/MASE beside MAE); unknown strings rejected") {
+    import graft.pipeline.RegressionScorer
+    val model = StatisticalProvider.fit(sampleData, schema)
+    def run(m: String) =
+      new RegressionScorer(seqLen = 5, numSequences = 16, metric = m)
+        .score(sampleData, model, schema)
+    val mae = run("mean_absolute_error")
+    val rmse = run("RMSE")
+    val smape = run("sMAPE")
+    val mase = run("MASE")
+    assert(Seq(mae, rmse, smape, mase).forall(v => v >= 0 && v.isFinite))
+    // RMSE >= MAE always (Jensen); sMAPE is bounded by 2 by construction
+    assert(rmse >= mae)
+    assert(smape <= 2.0)
+    // same predictions either way: MASE is MAE over the series' naive
+    // error, so the two metrics are proportional per column — with two
+    // columns only positivity is guaranteed, but determinism holds
+    assert(run("MASE") == mase)
+    val e = intercept[IllegalArgumentException](run("MAPE_TYPO"))
+    assert(e.getMessage.contains("not supported"))
+    // metricKey mirrors the string, so MetricManager rows keep the name
+    assert(new RegressionScorer(metric = "RMSE").metricKey == "RMSE")
+  }
 }

@@ -33,10 +33,14 @@ class PlanContractSpec extends AnyFunSuite {
     // the literal __one key constant-folds away and the join planizes
     // as a nested loop over one row; ret_bm25_diverse inherits the same
     // one-row sidecar from bm25TopKFromBundle (identical class)
+    // text_quality_prune's declarative bench posture attaches its
+    // ONE-ROW percentile-threshold frame the same way (in-plan broadcast
+    // instead of a subquery, whose SubqueryExec-cached result a plan
+    // clone would silently reuse)
     val boundedLoop = Set("sim_topk", "sim_hard_negatives", "j5_band_join",
       "o10_keyset", "j2_calendar_fill", "a4_asfreq",
       "ret_bm25", "ret_tfidf", "ret_bm25_serve", "ret_tfidf_serve",
-      "ret_bm25_diverse")
+      "ret_bm25_diverse", "text_quality_prune")
     plans.foreach { case (name, p) =>
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
@@ -253,20 +257,35 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
-  test("text_quality_prune scores the corpus exactly once") {
-    // Both the percentile threshold (a scalar subquery) and the filter
-    // consume the SAME lazily-checkpointed narrow score frame: the final
-    // plan scans a materialized RDD and contains NO scoring expression —
-    // the tokenizing kernel pass lives once, inside the checkpointed
-    // lineage. A regression to the old two-consumer shape would re-surface
-    // regexp_count (the punctuation counter) in this plan.
+  test("quality prune: bench posture is declarative (one kernel per " +
+      "branch, no join); default posture scores the corpus exactly once") {
+    // bench query (materialize=false): fully declarative — the threshold
+    // branch and the filter branch each run ONE QualityStats kernel eval
+    // (two total, map-only), no checkpoint, and the one-row threshold
+    // attaches via the in-plan broadcast (re-executed by every plan
+    // clone, unlike a SubqueryExec-cached scalar subquery)
     val p = plans("text_quality_prune")
-    assert(p.contains("Scan ExistingRDD"),
-      s"text_quality_prune no longer reads a materialized score frame:\n$p")
-    assert(!p.contains("regexp_count"),
-      s"text_quality_prune re-scores the corpus in its final plan:\n$p")
-    assert(!p.toLowerCase.contains("join"),
-      s"text_quality_prune grew a threshold join back:\n$p")
+    assert("qualitystats".r.findAllIn(p.toLowerCase).length == 2,
+      s"text_quality_prune kernel count changed (one per branch):\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"text_quality_prune bench posture grew a checkpoint back:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"text_quality_prune lost its one-row threshold broadcast:\n$p")
+    // default posture (materialize=true, the corpus-scale choice): both
+    // consumers read the SAME lazily-checkpointed narrow score frame —
+    // the final plan scans a materialized RDD and contains NO scoring
+    // kernel; the text is scanned exactly once, inside the checkpointed
+    // lineage
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dp = graft.ext.TextAnalysis.pruneBottomQuantile(
+        docs, "text", 0.25, Seq("doc_id", "lang"))
+      .queryExecution.executedPlan.toString
+    assert(dp.contains("Scan ExistingRDD"),
+      s"default pruneBottomQuantile no longer reads a materialized score frame:\n$dp")
+    assert(!dp.toLowerCase.contains("qualitystats"),
+      s"default pruneBottomQuantile re-scores the corpus in its final plan:\n$dp")
+    assert(!dp.toLowerCase.contains("join"),
+      s"default pruneBottomQuantile grew a threshold join:\n$dp")
   }
 
   test("URL curation: blocklist anti-join broadcasts; host cap uses the bounded heap") {

@@ -98,6 +98,39 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(kept.subsetOf((0 until n).map(_.toLong).toSet))
   }
 
+  test("fuzz: VocabTfs-fused markerLogit == split/count driver model " +
+      "(100 cases, adversarial whitespace)") {
+    val weights = Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+      ("the", -0.125))
+    val bias = -0.25
+    val vocab = Array("data", "slow", "spark", "the", "DATA", "spar",
+      "sparkk", "", "a")
+    val rnd = new scala.util.Random(77)
+    val ws = Array(" ", "  ", "\t", "\n", "\r", "", "\f")
+    val texts = (0 until 100).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ =>
+        vocab(rnd.nextInt(vocab.length)) + ws(rnd.nextInt(ws.length)))
+        .mkString + (if (rnd.nextBoolean()) "data" else ""))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = QualityClassifier.markerLogit(df, "text", weights, bias)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    def model(text: String): Double = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      // left-to-right in declared weight order, like the column fold
+      weights.foldLeft(bias) { case (acc, (t, w)) =>
+        acc + w * toks.count(_ == t)
+      }
+    }
+    texts.foreach { case (id, text) =>
+      val want = BigDecimal(model(text))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == want, s"doc $id: got ${got(id)}, want $want " +
+        s"for text '${text.take(60)}'")
+    }
+  }
+
   test("markerLogit rejects duplicate marker terms") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

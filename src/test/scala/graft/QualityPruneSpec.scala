@@ -36,6 +36,18 @@ class QualityPruneSpec extends AnyFunSuite {
     assert(keep == meta)
   }
 
+  test("materialize=false (declarative bench posture) == materialize=true " +
+      "(checkpointed), row for row") {
+    val a = TextAnalysis.pruneBottomQuantile(docs, "text", 0.25,
+        Seq("doc_id", "lang"))
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    val b = TextAnalysis.pruneBottomQuantile(docs, "text", 0.25,
+        Seq("doc_id", "lang"), materialize = false)
+      .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("rescore strategy: the corpus never shuffles (no Exchange outside " +
       "the threshold subquery)") {
     val df = TextAnalysis.pruneBottomQuantileKeep(docs, "text", 0.25, "doc_id")
