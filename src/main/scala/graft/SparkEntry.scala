@@ -301,6 +301,16 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** A23 — box-plot statistics frame ([[ops.DataPlots.metricsBoxFrame]],
+    * the plot_metrics twin, data_plots.py:97-110): exact quartiles,
+    * 1.5·IQR whiskers clamped to data, outlier count per group. */
+  private def a23MetricBox(s: SparkSession, dir: String): DataFrame =
+    ops.DataPlots.metricsBoxFrame(
+        T(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice")
+      .orderBy(col("o_orderpriority"))
+
   /** P5 — dedup keep-first (univariate_metrics.py:69-71). */
   private def p5Dedup(s: SparkSession, dir: String): DataFrame =
     Ts.dedupKeepFirst(T(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
@@ -2788,6 +2798,7 @@ object SparkEntry {
     "w6_weekend" -> (w6Weekend _),
     "w7_horizon" -> (w7Horizon _),
     "a22_forecast_metrics" -> (a22ForecastMetrics _),
+    "a23_metric_box" -> (a23MetricBox _),
     "p5_dedup_first" -> (p5Dedup _),
     "u1_union" -> (u1Union _),
     "u2_anti" -> (u2Anti _),
@@ -3722,6 +3733,29 @@ object SparkEntry {
         | round(e.smape_e, 4) AS smape, round(e.mae_e / sc.s, 4) AS mase
         |FROM errs e JOIN scale sc USING (user_id)
         |ORDER BY 1""".stripMargin,
+    "a23_metric_box" ->
+      """WITH q AS (SELECT o_orderpriority,
+        |    CAST(count(o_totalprice) AS BIGINT) AS nv,
+        |    quantile_cont(o_totalprice, 0.25) AS q1r,
+        |    quantile_cont(o_totalprice, 0.5)  AS q2r,
+        |    quantile_cont(o_totalprice, 0.75) AS q3r
+        |  FROM orders GROUP BY 1),
+        |f AS (SELECT o.o_orderpriority, o.o_totalprice, q.nv, q.q1r, q.q2r, q.q3r,
+        |    q.q1r - 1.5*(q.q3r - q.q1r) AS lo,
+        |    q.q3r + 1.5*(q.q3r - q.q1r) AS hi
+        |  FROM orders o JOIN q USING (o_orderpriority))
+        |SELECT o_orderpriority,
+        | max(nv) AS n_values,
+        | round(max(q1r), 6) AS q1,
+        | round(max(q2r), 6) AS median,
+        | round(max(q3r), 6) AS q3,
+        | round(min(CASE WHEN o_totalprice >= lo THEN o_totalprice END), 6)
+        |   AS whisker_lo,
+        | round(max(CASE WHEN o_totalprice <= hi THEN o_totalprice END), 6)
+        |   AS whisker_hi,
+        | CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "p5_dedup_first" ->
       """WITH r AS (SELECT user_id, event_type, event_id, value,
         |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn

@@ -84,6 +84,52 @@ object DataPlots {
         :+ col("__m.synthetic"): _*)
   }
 
+  /** `plot_metrics` prep twin (data_plots.py:97-110, the per-generator
+    * metric box plot): per group, the exact statistics `plt.boxplot`
+    * derives from the raw values — linear-interpolated quartiles
+    * (matplotlib/numpy type-7, Spark `percentile`'s convention), the
+    * 1.5·IQR whiskers CLAMPED TO DATA (lowest/highest observation inside
+    * the fences, matplotlib semantics — not the raw fence values), and
+    * the outlier count. One quartile aggregate over the metric frame,
+    * one broadcast-back, one conditional aggregate — only KBs of box
+    * statistics ever reach the plotting client.
+    */
+  def metricsBoxFrame(
+      metrics: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      whiskerIqr: Double = 1.5,
+      roundTo: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(whiskerIqr >= 0, s"whiskerIqr must be >= 0, got $whiskerIqr")
+    val v = col(valueCol).cast("double")
+    val q = metrics.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        count(v).as("n_values"))
+      .select(groupCols.map(col) :+ col("n_values") :+
+        element_at(col("__q"), 1).as("__q1") :+
+        element_at(col("__q"), 2).as("__q2") :+
+        element_at(col("__q"), 3).as("__q3"): _*)
+    val fenced = metrics
+      .join(broadcast(q), groupCols)
+      .withColumn("__lo_fence",
+        col("__q1") - lit(whiskerIqr) * (col("__q3") - col("__q1")))
+      .withColumn("__hi_fence",
+        col("__q3") + lit(whiskerIqr) * (col("__q3") - col("__q1")))
+    fenced.groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("n_values")).as("n_values"),
+        round(first(col("__q1")), roundTo).as("q1"),
+        round(first(col("__q2")), roundTo).as("median"),
+        round(first(col("__q3")), roundTo).as("q3"),
+        round(min(when(v >= col("__lo_fence"), v)), roundTo)
+          .as("whisker_lo"),
+        round(max(when(v <= col("__hi_fence"), v)), roundTo)
+          .as("whisker_hi"),
+        sum(when(v < col("__lo_fence") || v > col("__hi_fence"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** `plot_predictions` prep twin (data_plots.py:70-94): labels plus any
     * number of named prediction series melted to one long frame
     * `(orderCol, series, value)` with the label series named "Label"

@@ -100,4 +100,39 @@ object IngestDedupGate {
     require(paths.nonEmpty, s"no committed survivor batches under $outBase")
     spark.read.parquet(paths: _*)
   }
+
+  /** Compact the rolling index: merge every committed directory under
+    * `indexBase` into ONE `compact_<k>` directory and delete the merged
+    * inputs — the directory-count hygiene a long-running ingest needs
+    * (every [[drift]]-style listing and [[Dedup.dedupIncrement]] read
+    * otherwise opens one parquet footer per batch ever ingested).
+    *
+    * Crash-safe ordering: the compacted directory is FULLY committed
+    * (`_SUCCESS`) before any input is deleted. A crash between the two
+    * steps leaves duplicate signature rows (compact + not-yet-deleted
+    * inputs) — harmless to `dedupIncrement` (duplicate index rows only
+    * produce duplicate pair candidates; survivors come from an
+    * anti-join) — and the next compact() merges them away. Safe to run
+    * while the stream is live: a batch directory committed AFTER the
+    * listing snapshot is neither merged nor deleted.
+    *
+    * @return the compacted directory path */
+  def compactIndex(
+      spark: SparkSession, indexBase: String, numFiles: Int = 1): String = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val paths = signaturePaths(spark, indexBase)
+    require(paths.nonEmpty, s"nothing to compact under $indexBase")
+    val ordinal = 1 + paths.map(new org.apache.hadoop.fs.Path(_).getName)
+      .filter(_.startsWith("compact_"))
+      .map(_.stripPrefix("compact_").toLong)
+      .foldLeft(0L)(math.max)
+    val target = s"$indexBase/compact_$ordinal"
+    spark.read.parquet(paths: _*)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(target)
+    val fs = new org.apache.hadoop.fs.Path(indexBase)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    target
+  }
 }

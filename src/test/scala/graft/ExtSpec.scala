@@ -240,6 +240,26 @@ class ExtSpec extends AnyFunSuite {
       labels, Seq("Label" -> predA), "step", "y"))
   }
 
+  test("DataPlots.metricsBoxFrame: quartiles + clamped whiskers + " +
+      "outlier count vs hand model (plot_metrics twin)") {
+    import graft.ops.DataPlots
+    // group g: 1..9 plus outlier 100 — q1=3.25, med=5.5, q3=7.75
+    // (type-7), iqr=4.5, fences [-3.5, 14.5]: whiskers clamp to 1 and 9,
+    // one outlier. group h: constant — iqr 0, whiskers = value, 0 outliers
+    val vals = ((1 to 9).map(v => ("g", v.toDouble)) :+ ("g", 100.0)) ++
+      Seq(("h", 5.0), ("h", 5.0))
+    val out = DataPlots.metricsBoxFrame(
+        vals.toDF("grp", "v"), Seq("grp"), "v")
+      .orderBy("grp")
+      .select("grp", "n_values", "q1", "median", "q3",
+        "whisker_lo", "whisker_hi", "n_outliers")
+      .as[(String, Long, Double, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("g", 10L, 3.25, 5.5, 7.75, 1.0, 9.0, 1L),
+      ("h", 2L, 5.0, 5.0, 5.0, 5.0, 5.0, 0L)))
+  }
+
   // ——— Similarity ———
 
   test("cosine: parallel = 1, orthogonal = 0") {

@@ -786,5 +786,21 @@ class StreamingSpec extends AnyFunSuite {
         graft.streaming.IngestDedupGate.signaturePaths(spark, idx): _*)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(idxIds == Seq(1L, 2L, 3L, 101L, 200L, 900L).sorted)
+
+    // compaction: one directory, same signature rows, and the NEXT
+    // increment dedups against the compacted index identically
+    val target = graft.streaming.IngestDedupGate.compactIndex(spark, idx)
+    val after = graft.streaming.IngestDedupGate.signaturePaths(spark, idx)
+    // the listing returns fs-qualified URIs (file:/...); compare suffixes
+    assert(after.size == 1 && after.head.endsWith("/compact_1"),
+      s"expected exactly the compacted dir, got $after")
+    val compIds = spark.read.parquet(target)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(compIds == idxIds)
+    val inc2 = Seq((300L, uniq(6)), (310L, uniq(5))).toDF("doc_id", "text")
+    val surv2 = graft.ext.Dedup.dedupIncrement(
+        inc2, spark.read.parquet(after: _*), "doc_id", "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv2 == Seq(300L)) // 310 duplicates survivor 200's text
   }
 }
