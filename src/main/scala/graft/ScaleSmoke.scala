@@ -759,6 +759,13 @@ object ScaleSmoke {
       // (every right starts < 8); every other typical interval starts at
       // >= 10 > max(r_end) = 9
       assert(n == 2200000L, s"overlap pair count $n != 2200000")
+      // built-in two-level salting splits the one hot bucket 32 ways
+      // (left coverers replicate x32, cold buckets pay nothing) —
+      // identical pair count, hot-task work divided
+      val nSalted = graft.ops.IntervalJoin.overlapJoin(
+        left, right, Nil, "l_start", "l_end", "r_start", "r_end", width,
+        saltHotBuckets = 32, hotThreshold = 10000L).count()
+      assert(nSalted == n, s"salted pair count $nSalted != $n")
       n
     }
 

@@ -17,6 +17,12 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); surface as long, converted
       // back to µs timestamps in sources.Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default off (deterministic plans for the hash compare); the
+      // AQE-on robustness sweep (SPARK_GRAFT_AQE=true) proves every
+      // query's VALUES survive adaptive re-planning — runtime join-
+      // strategy swaps, partition coalescing, skew splits
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * convention for null predicates). Pick `granuleWidth` near the TYPICAL
   * interval length: per-interval fan-out is `span/width + 1` rows
   * (⌈typical/width⌉ ≈ 1-2), and each (key, granule) bucket joins
-  * hash-locally. Skewed hot granules salt upstream like any hot join
-  * key.
+  * hash-locally. Skewed hot granules have a built-in two-level
+  * mitigation: `saltHotBuckets` (see the param doc) splits only the
+  * buckets a narrow counting pass proves hot, with the left side
+  * replicating only into those buckets' salt slices.
   */
 object IntervalJoin {
 
@@ -38,6 +40,18 @@ object IntervalJoin {
     *                 partition the work)
     * @param rightPrefix every right column is emitted as
     *                 `rightPrefix + name` (keys excluded — carried once)
+    * @param saltHotBuckets two-level skew mitigation, off at the default
+    *                 1: a first narrow pass counts RIGHT rows per
+    *                 (keys, granule); buckets over `hotThreshold` rows
+    *                 are salted `saltHotBuckets` ways on the right and
+    *                 the LEFT replicates only into hot buckets' salt
+    *                 slices (cold buckets pay nothing — salt 0 both
+    *                 sides). Each right row lands in exactly one salt
+    *                 slice, so pairs still emit exactly once. The hot
+    *                 set rides a broadcast (one row per HOT bucket —
+    *                 few by definition), never a driver collect.
+    * @param hotThreshold right-rows-per-bucket above which a bucket is
+    *                 salted (only read when saltHotBuckets > 1)
     */
   def overlapJoin(
       left: DataFrame, right: DataFrame,
@@ -45,9 +59,14 @@ object IntervalJoin {
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
       granuleWidth: Long,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      saltHotBuckets: Int = 1,
+      hotThreshold: Long = 1000000L): DataFrame = {
     require(granuleWidth >= 1, s"granuleWidth must be >= 1, got $granuleWidth")
-    Seq("__g", "__gmin", "__gmax").foreach(c =>
+    require(saltHotBuckets >= 1,
+      s"saltHotBuckets must be >= 1, got $saltHotBuckets")
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    Seq("__g", "__gmin", "__gmax", "__salt", "__hot").foreach(c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"input column '$c' collides with overlapJoin internals"))
     // prefixed right columns must not shadow a left column (a left frame
@@ -63,19 +82,52 @@ object IntervalJoin {
         .withColumn("__gmax", floor((col(e) - 1) / granuleWidth))
         .withColumn("__g", explode(sequence(col("__gmin"), col("__gmax"))))
         .drop("__gmin", "__gmax")
-    val l = granulated(left, lStart, lEnd)
+    val l0 = granulated(left, lStart, lEnd)
     val rg = granulated(right, rStart, rEnd)
-    val r = rg.columns.foldLeft(rg) { (d, c) =>
-      if (keyCols.contains(c) || c == "__g") d
+    val bucketCols = keyCols :+ "__g"
+    val (l, rSalted, joinKeys) =
+      if (saltHotBuckets == 1) (l0, rg, bucketCols)
+      else {
+        // pass 1 (narrow): which (keys, granule) buckets are hot on the
+        // right. One row PER HOT BUCKET — broadcast-sized by definition
+        // of "hot" (few buckets hold most rows)
+        val hot = rg.groupBy(bucketCols.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > hotThreshold)
+          .select(bucketCols.map(col) :+ lit(true).as("__hot"): _*)
+        // right rows in a hot bucket spread over the salt slices by an
+        // endpoint hash (deterministic — safe under task retry, unlike a
+        // random/monotonic id; a hot bucket made of ONE identical
+        // interval repeated stays unsplit, the irreducible case); cold
+        // rows take slice 0
+        val rs0 = rg.join(broadcast(hot), bucketCols, "left")
+          .withColumn("__salt", when(col("__hot").isNotNull,
+              pmod(xxhash64(keyCols.map(col) :+ col(rStart) :+ col(rEnd): _*),
+                lit(saltHotBuckets.toLong)).cast("int"))
+            .otherwise(lit(0)))
+          .drop("__hot")
+        // left rows replicate into EVERY salt slice of a hot bucket
+        // (cold buckets replicate nothing — one row, slice 0)
+        val ls = l0.join(broadcast(hot), bucketCols, "left")
+          .withColumn("__salt", explode(when(col("__hot").isNotNull,
+              sequence(lit(0), lit(saltHotBuckets - 1)))
+            .otherwise(sequence(lit(0), lit(0)))))
+          .drop("__hot")
+        (ls, rs0, bucketCols :+ "__salt")
+      }
+    val r = rSalted.columns.foldLeft(rSalted) { (d, c) =>
+      if (keyCols.contains(c) || c == "__g" || c == "__salt") d
       else d.withColumnRenamed(c, s"$rightPrefix$c")
     }
     val rs = col(s"$rightPrefix$rStart")
     val re = col(s"$rightPrefix$rEnd")
-    l.join(r.hint("shuffle_hash"), keyCols :+ "__g")
+    l.join(r.hint("shuffle_hash"), joinKeys)
       // overlap residual + the keep-once granule: both sides cover the
       // granule of the later start, and only there does the pair emit
+      // (each right row lives in exactly ONE salt slice, so salting
+      // never duplicates a pair)
       .filter(col(lStart) < re && rs < col(lEnd)
         && col("__g") === floor(greatest(col(lStart), rs) / granuleWidth))
-      .drop("__g")
+      .drop(joinKeys.filterNot(keyCols.contains): _*)
   }
 }

@@ -65,6 +65,36 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L), (2L, 2L), (1L, 2L), (2L, 1L)))
   }
 
+  test("hot-bucket salting: identical pairs to the unsalted join on a " +
+      "pathological all-one-granule fixture; cold path untouched") {
+    // 400 right intervals ALL inside granule 0 (one hot bucket) + a cold
+    // key; left has coverers of the hot granule and cold rows
+    val right = ((0 until 400).map(i =>
+        ("hot", 1000L + i, (i % 5).toLong, (i % 5 + 3).toLong)) ++
+      Seq(("cold", 2000L, 50L, 55L)))
+      .toDF("k", "rid", "s", "e")
+    val left = Seq(("hot", 1L, 0L, 9L), ("hot", 2L, 100L, 110L),
+      ("cold", 3L, 52L, 60L)).toDF("k", "lid", "s", "e")
+    def run(salt: Int) = IntervalJoin.overlapJoin(
+        left, right, Seq("k"), "s", "e", "s", "e", granuleWidth = 10,
+        saltHotBuckets = salt, hotThreshold = 100)
+      .select(col("lid"), col("r_rid")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    val unsalted = run(1)
+    val salted = run(8)
+    assert(salted == unsalted)
+    assert(unsalted.count(_._1 == 1L) == 400) // every hot right row, once
+    assert(unsalted.contains((3L, 2000L)))    // cold path intact
+    // the salted plan still equi-joins (no nested loop), now on the
+    // salt-extended key
+    val p = IntervalJoin.overlapJoin(left, right, Seq("k"), "s", "e",
+        "s", "e", 10, saltHotBuckets = 8, hotThreshold = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("__salt"), s"salted join key missing from plan:\n$p")
+  }
+
   test("plan: equi-join on (keys, granule), no nested loop / cartesian") {
     val df = (0L until 50L).map(i => (i, s"k${i % 3}", i % 40, i % 40 + 5))
       .toDF("id", "k", "s", "e")
