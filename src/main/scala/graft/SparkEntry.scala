@@ -1946,7 +1946,8 @@ object SparkEntry {
   private def retTfidf(s: SparkSession, dir: String): DataFrame =
     ext.Retrieval.tfidfForVocab(
         T(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "customer", "vector", "merge"))
+        Seq("spark", "customer", "vector", "merge"),
+        materialize = false) // declarative bench posture (clone-honest)
       .orderBy(col("doc_id"), col("term"))
 
   /** TF-IDF served from the SAME persisted bundle as [[retBm25Serve]]
@@ -2745,11 +2746,8 @@ object SparkEntry {
       "text_dsir",
       // lazily-checkpointed gram stream (the text_quality_prune class)
       "dedup_edit_pairs",
-      // ret_tfidf's posting frame is a lazily-materialized checkpoint
-      // (the text_quality_prune class): a memoized plan's second run
-      // would re-read the persisted postings while the oracle
-      // re-tokenizes per run
-      "ret_tfidf",
+      // (ret_tfidf left this set with tfidfForVocab(materialize=false) —
+      // fully declarative, the mixtures/quality-prune posture)
       // narrow domain-gate checkpoint (the text_quality_prune class)
       "url_domain_gate",
       // Lloyd training runs jobs at construction (the sim_ivf class)

@@ -389,7 +389,8 @@ object Retrieval {
     */
   def tfidfForVocab(
       corpus: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[String], roundTo: Int = 4): DataFrame = {
+      vocab: Seq[String], roundTo: Int = 4,
+      materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     require(vocab.nonEmpty, "vocab must be non-empty")
     requireNotReserved(idCol)
@@ -398,34 +399,44 @@ object Retrieval {
     // the per-doc frame is (id, has_tok, |vocab| counts) — the full
     // posting stream (every distinct term × every doc) that the previous
     // form materialized only to keep |vocab| terms of it never exists.
-    // The lazy checkpoint is doc-grain narrow rows; both consumers
-    // (collection stats + the tf branch) re-read it, the text is
-    // tokenized exactly once.
-    val narrow = graft.ops.Par.fanOutSmallScan(corpus)
+    // materialize=true (default, the corpus-scale posture): the narrow
+    // frame lazily checkpoints and every consumer (collection stats, the
+    // df build, the tf stream) re-reads the blocks — the text is
+    // tokenized exactly once. materialize=false: fully declarative —
+    // each consumer branch re-runs the kernel pass (three at bench
+    // scale), but the plan is pure and a repetition harness's clones
+    // re-pay every pass like the oracle engine does (the
+    // pruneBottomQuantile posture note applies verbatim).
+    val narrowBase = graft.ops.Par.fanOutSmallScan(corpus)
       .select(col(idCol), GraftColumnBridge.column(graft.functions.VocabTfs(
         GraftColumnBridge.expression(col(textCol)), vs)).as("__v"))
-      .localCheckpoint(eager = false)
-    // N = docs with ≥1 kept token, same collection-statistics choice as
-    // bm25TopK (one sum over the checkpoint, one row out)
+    val narrow =
+      if (materialize) narrowBase.localCheckpoint(eager = false)
+      else narrowBase
+    // ONE collection-statistics aggregate carries BOTH N (docs with ≥1
+    // kept token, same choice as bm25TopK) and the per-term document
+    // frequencies as a |vocab|-length array — a single one-row broadcast
+    // replaces the former term-keyed dfFrame join + separate stats
+    // attach (two broadcast builds → one; the posting stream indexes the
+    // array by its own explode position)
     val stats = narrow.agg(
       sum(when(col("__v.has_tok"), 1L).otherwise(0L))
-        .cast("double").as("__N"))
+        .cast("double").as("__N"),
+      array(vs.indices.map(i =>
+        sum(when(element_at(col("__v.tfs"), i + 1) > 0L, 1L)
+          .otherwise(0L))): _*).as("__dfs"))
     val sub = narrow
       .select(col(idCol), posexplode(col("__v.tfs")))
       .filter(col("col") > 0)
+    val dfc = element_at(col("__dfs"), col("pos") + 1)
+    sub.withColumn("__one", lit(1))
+      .join(broadcast(stats.withColumn("__one", lit(1))), Seq("__one"))
       .select(col(idCol),
         element_at(typedLit(vs), col("pos") + 1).as("term"),
-        col("col").as("tf"))
-    val dfFrame = sub.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // df (vocab-sized) must broadcast onto the corpus-sized sub; the
-    // one-row stats attach joins on a literal key instead of a nested
-    // broadcast cross (one fewer broadcast-build job, same values)
-    sub.join(broadcast(dfFrame), Seq("term"))
-      .withColumn("__one", lit(1))
-      .join(broadcast(stats.withColumn("__one", lit(1))), Seq("__one"))
-      .select(col(idCol), col("term"), col("tf"), col("df"),
-        round(col("tf") * log(lit(1.0)
-          + (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5))),
+        col("col").as("tf"),
+        dfc.as("df"),
+        round(col("col") * log(lit(1.0)
+          + (col("__N") - dfc + lit(0.5)) / (dfc + lit(0.5))),
           roundTo).as("tfidf"))
   }
 
