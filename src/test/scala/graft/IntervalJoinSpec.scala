@@ -95,6 +95,15 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(p.contains("__salt"), s"salted join key missing from plan:\n$p")
   }
 
+  test("prefixed right columns must not shadow left columns (advice r14)") {
+    // left already holds "r_s" — the prefixed right "s" would collide
+    val left = Seq((1L, 0L, 5L, 99L)).toDF("lid", "s", "e", "r_s")
+    val right = Seq((2L, 1L, 4L)).toDF("rid", "s", "e")
+    val ex = intercept[IllegalArgumentException](IntervalJoin.overlapJoin(
+      left, right, Nil, "s", "e", "s", "e", granuleWidth = 4))
+    assert(ex.getMessage.contains("r_s"))
+  }
+
   test("plan: equi-join on (keys, granule), no nested loop / cartesian") {
     val df = (0L until 50L).map(i => (i, s"k${i % 3}", i % 40, i % 40 + 5))
       .toDF("id", "k", "s", "e")

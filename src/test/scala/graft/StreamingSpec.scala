@@ -719,6 +719,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.DriftGate
       .incrementPaths(spark, s"$base/inc").size > 1,
       "fixture should exercise more than one micro-batch")
+    // a partially-written increment (no _SUCCESS) must be invisible to
+    // the merge until its retried batch overwrites it (advice r14)
+    val committed = graft.streaming.DriftGate.incrementPaths(spark, s"$base/inc")
+    val partial = new java.io.File(s"$base/inc/batch_999")
+    partial.mkdirs()
+    java.nio.file.Files.write(partial.toPath.resolve("part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(graft.streaming.DriftGate.incrementPaths(spark, s"$base/inc")
+      == committed, "uncommitted increment directory leaked into the merge")
     val got = graft.streaming.DriftGate.drift(
         spark, Seq(s"$base/ref"), s"$base/inc", "source")
       .as[(String, Double, Long, Long)].collect().sortBy(_._1).toSeq
