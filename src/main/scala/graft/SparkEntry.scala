@@ -281,25 +281,17 @@ object SparkEntry {
     * (univariate_metrics.py:136-166 `forecasting_evaluation_metric`
     * surface, engine-side): per-entity mean forecast over the last-3
     * horizon, MASE scaled by the train slice's 1-step naive error. */
-  private def a22ForecastMetrics(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("value"))
-    val h = 3
-    val train = Ts.sliceByTimestep(ev, "user_id", "event_id", h)
-    val test = ev
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)))
-      .filter(col("__rn") <= h).drop("__rn")
-    val pred = train.groupBy(col("user_id")).agg(avg(col("value")).as("pred"))
-    graft.metrics.Metrics.forecastAccuracyByEntity(
-        pred, test, train, "user_id", "event_id", "pred", "value", "value")
+  private def a22ForecastMetrics(s: SparkSession, dir: String): DataFrame =
+    graft.metrics.Metrics.meanBaselineAccuracyByEntity(
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value")),
+        "user_id", "event_id", "value", horizon = 3)
       .select(col("user_id"),
         round(col("mae"), 4).as("mae"),
         round(col("rmse"), 4).as("rmse"),
         round(col("smape"), 4).as("smape"),
         round(col("mase"), 4).as("mase"))
       .orderBy(col("user_id"))
-  }
 
   /** A23 — box-plot statistics frame ([[ops.DataPlots.metricsBoxFrame]],
     * the plot_metrics twin, data_plots.py:97-110): exact quartiles,

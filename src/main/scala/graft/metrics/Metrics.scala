@@ -150,4 +150,49 @@ object Metrics {
       .select(col(idCol), col("mae"), col("rmse"), col("smape"),
         (col("mae") / col("__scale")).as("mase"))
   }
+
+  /** The FUSED form of the standard mean-baseline evaluation over one
+    * series frame: per entity, hold out the last `horizon` observations,
+    * forecast the train mean, and emit MAE/RMSE/sMAPE/MASE — value-
+    * identical to composing the split + mean forecast +
+    * [[forecastAccuracyByEntity]] (spec-pinned), but ONE entity-keyed
+    * exchange instead of three scan+window branches and two joins: the
+    * split flag, the train-mean, and the seasonal lag are all windows
+    * over the SAME partitioning, and the final aggregate reuses it.
+    * Entities whose train slice is shorter than `seasonality`+1 rows or
+    * constant are dropped (MASE undefined), like the general form. */
+  def meanBaselineAccuracyByEntity(
+      series: DataFrame,
+      idCol: String,
+      orderCol: String,
+      valueCol: String,
+      horizon: Int,
+      seasonality: Int = 1): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    require(seasonality >= 1, s"seasonality must be >= 1, got $seasonality")
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.partitionBy(col(idCol)).orderBy(col(orderCol).desc)
+    val wAsc = Window.partitionBy(col(idCol)).orderBy(col(orderCol))
+    val wAll = Window.partitionBy(col(idCol))
+    val v = col(valueCol)
+    val tagged = series
+      .withColumn("__test", row_number().over(wDesc) <= horizon)
+      // null on test rows, so the train mean and the ignore-nulls lag
+      // both see ONLY train values
+      .withColumn("__trainv", when(!col("__test"), v))
+      .withColumn("__pred", avg(col("__trainv")).over(wAll))
+      .withColumn("__prev",
+        lag(col("__trainv"), seasonality, null, ignoreNulls = true)
+          .over(wAsc))
+    tagged.groupBy(col(idCol))
+      .agg(
+        avg(when(col("__test"), abs(v - col("__pred")))).as("mae"),
+        sqrt(avg(when(col("__test"), pow(v - col("__pred"), 2))))
+          .as("rmse"),
+        avg(when(col("__test"), smapeTerm(col("__pred"), v))).as("smape"),
+        avg(when(!col("__test"), abs(v - col("__prev")))).as("__scale"))
+      .filter(col("__scale") > 0d)
+      .select(col(idCol), col("mae"), col("rmse"), col("smape"),
+        (col("mae") / col("__scale")).as("mase"))
+  }
 }

@@ -206,6 +206,42 @@ class ExtSpec extends AnyFunSuite {
     assert(first.getDouble(0) == 0.0 && first.getDouble(2) == 23.0)
   }
 
+  test("fused meanBaselineAccuracyByEntity == split + mean forecast + " +
+      "forecastAccuracyByEntity composition (randomized)") {
+    import graft.metrics.Metrics
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(13)
+    // entity lengths 0..9 cover the degenerate tails (no train, short
+    // train, constant train)
+    val rows = (0 until 12).flatMap { e =>
+      val n = e % 10
+      (0 until n).map(t => (e.toLong, t.toLong,
+        if (e % 5 == 0) 7.0 else rnd.nextInt(20).toDouble))
+    }
+    val df = rows.toDF("id", "pos", "v")
+    val h = 3
+    val fused = Metrics.meanBaselineAccuracyByEntity(
+        df, "id", "pos", "v", h)
+      .orderBy("id")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    val train = graft.ops.TimeSeriesOps.sliceByTimestep(df, "id", "pos", h)
+    val test = df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("pos").desc)))
+      .filter(col("__rn") <= h).drop("__rn")
+    val pred = train.groupBy(col("id")).agg(avg(col("v")).as("p"))
+    val composed = Metrics.forecastAccuracyByEntity(
+        pred, test, train, "id", "pos", "p", "v", "v")
+      .orderBy("id")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(fused.map(_._1) == composed.map(_._1))
+    fused.zip(composed).foreach { case (f, c) =>
+      Seq(f._2 -> c._2, f._3 -> c._3, f._4 -> c._4, f._5 -> c._5)
+        .foreach { case (a, b) => assert(math.abs(a - b) < 1e-9,
+          s"entity ${f._1}: fused $f vs composed $c") }
+    }
+    assert(fused.nonEmpty)
+  }
+
   test("DataPlots: plot_and_compare / plot_predictions prep twins (golden)") {
     import graft.ops.DataPlots
     val real = Seq((0L, 0, 1.0, 10.0), (0L, 1, 2.0, 20.0))
