@@ -41,7 +41,18 @@ Three model families, chosen by argv:
              "Missing context dataframe" ValueError
              (sdv_adapter.py:68 / tests/test_par.py:43-45); an EMPTY
              context list means "cycle the fitted contexts for n
-             sequences" (the generation_arguments convenience).
+             sequences" (the generation_arguments convenience);
+  "dgan"     DoppleGANger-style attribute/feature split (the synthcity
+             shape the reference wraps in synthcity_adapter.py:109-155;
+             doppleganger.py:39-41 — ATTRIBUTES are per-sequence
+             constants drawn from a static distribution, FEATURES are
+             the conditioned dynamics): fit learns the empirical
+             attribute-tuple distribution over the catCols plus
+             per-tuple numeric levels and a shared lstsq AR(1) on
+             deviations; generate samples a seeded attribute tuple per
+             sequence and emits the tuple's columns alongside the
+             conditioned series — no context frame needed (the static
+             model IS the context distribution).
 
 Both carry a seeded PRNG in the model blob, so the same model produces
 bit-identical sequences across fresh worker processes. The generate op
@@ -248,6 +259,113 @@ def _generate_par(req):
     return {"ok": True, "rows": rows}
 
 
+def _fit_dgan(schema, rows, order=1):
+    """DoppleGANger-style fit: empirical attribute-tuple distribution
+    (catCols, constant per entity) + per-tuple numeric levels + shared
+    lstsq AR(order) dynamics on deviations from the tuple level."""
+    import numpy as np
+    cols = schema["numericCols"]
+    ids = schema.get("itemIdCols") or []
+    cats = schema.get("catCols") or []
+    if not cats:
+        return {"ok": False,
+                "error": "dgan requires catCols as the attribute columns"}
+    series = _group_series(schema, rows)
+    # entity -> attribute tuple (first row's catCols; constants per
+    # entity by the DoppleGANger contract)
+    ts = schema.get("tsCol")
+    ordered = sorted(rows, key=lambda r: (
+        tuple(str(r.get(c)) for c in ids), (r.get(ts),) if ts else ()))
+    ent_attrs = {}
+    for r in ordered:
+        key = tuple(str(r.get(c)) for c in ids)
+        if key not in ent_attrs:
+            ent_attrs[key] = tuple(
+                "" if r.get(c) is None else str(r.get(c)) for c in cats)
+    n_ent = len(ent_attrs) or 1
+    # attribute distribution + per-tuple numeric levels
+    tuples = {}
+    for key, attr in ent_attrs.items():
+        t = tuples.setdefault(attr, {"n": 0, "vals": {c: [] for c in cols}})
+        t["n"] += 1
+        for c in cols:
+            t["vals"][c].extend(series.get(key, {}).get(c, []))
+    attrs = []
+    for attr in sorted(tuples):
+        t = tuples[attr]
+        stats = {}
+        for c in cols:
+            vs = t["vals"][c]
+            m = sum(vs) / len(vs) if vs else 0.0
+            stats[c] = {"mean": m}
+        attrs.append({"attr": list(attr), "p": t["n"] / n_ent,
+                      "stats": stats})
+    # shared dynamics: pooled AR(order) on deviations from the TUPLE level
+    dyn = {}
+    for c in cols:
+        X, y = [], []
+        for key, ent in series.items():
+            vs = ent.get(c, [])
+            if len(vs) <= order:
+                continue
+            # tuple level for this entity's column
+            mu = 0.0
+            for a in attrs:
+                if tuple(a["attr"]) == ent_attrs[key]:
+                    mu = a["stats"][c]["mean"]
+                    break
+            dev = [v - mu for v in vs]
+            for t in range(order, len(dev)):
+                X.append([dev[t - 1 - j] for j in range(order)])
+                y.append(dev[t])
+        if len(y) > order:
+            Xa, ya = np.asarray(X), np.asarray(y)
+            beta, _, _, _ = np.linalg.lstsq(Xa, ya, rcond=None)
+            resid = ya - Xa @ beta
+            sigma = float(np.sqrt(float(np.mean(resid ** 2))))
+            phis = [float(b) for b in beta]
+        else:
+            phis, sigma = [0.0] * order, 0.0
+        dyn[c] = {"phi": phis, "sigma": sigma}
+    return {"ok": True,
+            "model": {"type": "dgan", "seed": 20260816, "order": order,
+                      "cat_columns": cats, "attrs": attrs, "dyn": dyn}}
+
+
+def _generate_dgan(req):
+    model = req["model"]
+    rng = random.Random(int(model.get("seed", 0)))
+    order = int(model.get("order", 1))
+    cats = model["cat_columns"]
+    attrs = model["attrs"]
+    if not attrs:
+        return {"ok": False, "error": "model has no fitted attributes"}
+    cols = sorted(model["dyn"])
+    rows = []
+    for s in range(int(req["n"])):
+        u = rng.random()
+        acc, pick = 0.0, attrs[-1]
+        for a in attrs:
+            acc += a["p"]
+            if u < acc:
+                pick = a
+                break
+        state = {c: [0.0] * order for c in cols}
+        for t in range(int(req["seqLen"])):
+            row = {"seq_id": s, "step": t}
+            for i, c in enumerate(cats):
+                row[c] = pick["attr"][i]
+            for c in cols:
+                d = model["dyn"][c]
+                dev = sum(d["phi"][j] * state[c][-1 - j]
+                          for j in range(order))
+                dev += d["sigma"] * rng.gauss(0.0, 1.0)
+                state[c] = (state[c] + [dev])[-order:]
+                row[c] = pick["stats"][c]["mean"] + dev
+            rows.append(row)
+    return {"ok": True, "rows": rows}
+
+
 def handle(req):
     op = req.get("op")
     if op == "fit":
@@ -256,6 +374,8 @@ def handle(req):
             rows = _arrow_rows(req["data_files"])
         else:
             rows = req["data"]
+        if "dgan" in sys.argv[1:]:
+            return _fit_dgan(req["schema"], rows)
         if "par" in sys.argv[1:]:
             return _fit_par(req["schema"], rows)
         if "ar" in sys.argv[1:]:
@@ -271,6 +391,8 @@ def handle(req):
         return {"ok": True,
                 "model": {"seed": 20260812, "stats": stats}}
     if op == "generate":
+        if req["model"].get("type") == "dgan":
+            return _generate_dgan(req)
         if req["model"].get("type") == "par":
             return _generate_par(req)
         if req["model"].get("type") == "ar":

@@ -724,6 +724,15 @@ object ScaleSmoke {
         .count()
     }
 
+    // ——— fused forecast evaluation at 1M rows ———
+    // the one-exchange shape: split flag, train-mean and seasonal lag
+    // are windows over the SAME entity partitioning, the aggregate
+    // reuses it — per-entity state bounded by one series' length
+    timed("forecast metrics 1M events") {
+      graft.metrics.Metrics.meanBaselineAccuracyByEntity(
+        bigEvents, "user_id", "event_id", "value", horizon = 3).count()
+    }
+
     // ——— interval-overlap join under pathological skew ———
     // the granule decomposition's two failure shapes AT ONCE: a handful
     // of VERY LONG intervals (per-row fan-out = span/width granules) and

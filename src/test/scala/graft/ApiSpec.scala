@@ -369,6 +369,48 @@ class ApiSpec extends AnyFunSuite {
     assert(scores.length == 2 && scores.forall(s => s >= 0 && !s.isNaN))
   }
 
+  // ——— numpy DGAN worker: the synthcity DoppleGANger shape — static
+  // per-sequence ATTRIBUTES + conditioned dynamic FEATURES
+  // (synthcity_adapter.py:109-155, doppleganger.py:39-41) ———
+
+  test("numpy DGAN worker: sampled attributes follow the fitted " +
+      "distribution; features condition on the attribute; deterministic") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    // 3 entities carry attribute A (level ~10), 1 carries B (level ~200)
+    val rows = for (
+      (ent, grp, base) <- Seq(("e0", "A", 10.0), ("e1", "A", 10.0),
+        ("e2", "A", 10.0), ("e3", "B", 200.0));
+      t <- 0 until 12
+    ) yield (ent, grp, t.toLong, base + (t % 3) - 1)
+    val df = rows.toDF("item_id", "grp", "ts", "m1")
+    val dganSchema = TsSchema(Seq("item_id"), "ts", Seq("m1"), Seq("grp"))
+    val p = new ProcessProvider(pythonWorker("dgan").get, name = "py_dgan")
+    val fitted = p.fit(df, dganSchema)
+    val out = fitted.generate(spark, 16, 3).collect()
+    assert(out.length == 48)
+    // the attribute column rides along, CONSTANT per sequence, and only
+    // fitted attribute values appear
+    val perSeq = out.groupBy(_.getLong(0)).values.map(_.map(r =>
+      r.getString(r.fieldIndex("grp"))).toSet)
+    assert(perSeq.forall(s => s.size == 1 && (s == Set("A") || s == Set("B"))))
+    // features condition on the attribute: every A value near 10, B near 200
+    out.foreach { r =>
+      val g = r.getString(r.fieldIndex("grp"))
+      val v = r.getDouble(r.fieldIndex("m1"))
+      if (g == "A") assert(math.abs(v - 10) < 30, s"A value $v far from level")
+      else assert(math.abs(v - 200) < 30, s"B value $v far from level")
+    }
+    // seeded: a fresh worker process regenerates bit-identically
+    val again = fitted.generate(spark, 16, 3).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // attributes REQUIRE catCols (doppleganger.py:39-41 contract)
+    val e = intercept[IllegalStateException](
+      p.fit(df, TsSchema(Seq("item_id"), "ts", Seq("m1"))))
+    assert(e.getMessage.contains("catCols"))
+  }
+
   // ——— numpy PAR worker: context columns + per-entity sequence model,
   // the sdv_adapter.py:94-130 shape behind the same process seam ———
 
