@@ -270,6 +270,11 @@ def _fit_dgan(schema, rows, order=1):
     if not cats:
         return {"ok": False,
                 "error": "dgan requires catCols as the attribute columns"}
+    if not ids:
+        # without entity keys every row collapses into one pseudo-entity
+        # and only the first row's attribute tuple would ever be fitted
+        return {"ok": False,
+                "error": "dgan requires itemIdCols (entity keys)"}
     series = _group_series(schema, rows)
     # entity -> attribute tuple (first row's catCols; constants per
     # entity by the DoppleGANger contract)

@@ -1900,9 +1900,16 @@ object Dedup {
       shingleLen: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    // a document never duplicates ITSELF: an id present on both sides is
+    // the same document re-presented (a replayed micro-batch after its
+    // signatures were already rolled into the index, a re-crawled source
+    // re-shipping yesterday's file) — dropping it would turn every replay
+    // into silent data loss, and ids are unique by the ingest contract,
+    // so an id-equal pair can never be a genuine cross-document dup
     val vsHistory = minHashCrossPairsFromSignatures(newDocs, signatures,
         idCol, sigIdCol, textCol, sigCol, threshold, shingleLen, numHashes,
         bands)
+      .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a").as(idCol))
     val within = minHashNearDuplicates(newDocs, idCol, textCol, threshold,
         shingleLen, numHashes, bands)

@@ -127,6 +127,8 @@ object QualityClassifier {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate marker term in weights")
+    require(!df.columns.contains("__tfs"),
+      "input column '__tfs' collides with markerLogit internals")
     import org.apache.spark.sql.GraftColumnBridge
     // the kernel lands in its OWN projection: its array is consumed once
     // per term, and CollapseProject never inlines a non-cheap expression

@@ -77,7 +77,12 @@ object SnapshotAudit {
     * `bucket` must be a deterministic finite-codomain expression over a
     * snapshot row (e.g. a clamped length decile); groups present in only
     * one snapshot get divergence over the half-empty distribution
-    * (JS is finite there by construction, ≤ ln 2).
+    * (JS is finite there by construction, ≤ ln 2). A NULL bucket (or
+    * group) value is ONE histogram cell, equal to itself across both
+    * snapshots — GROUP BY semantics, so two identical null-holding
+    * snapshots diverge by exactly 0 (the pre-r15 per-side-join form
+    * treated null keys as never-matching and reported phantom drift
+    * there; SnapshotAuditSpec pins the fixed behavior).
     *
     * JS(p, q) = ½·KL(p‖m) + ½·KL(q‖m), m = ½(p+q), natural log, with the
     * standard 0·ln(0/x) = 0 convention. Output: one row per group —

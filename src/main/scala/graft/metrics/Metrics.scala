@@ -177,13 +177,15 @@ object Metrics {
     val v = col(valueCol)
     val tagged = series
       .withColumn("__test", row_number().over(wDesc) <= horizon)
-      // null on test rows, so the train mean and the ignore-nulls lag
-      // both see ONLY train values
+      // null on test rows, so the train mean sees ONLY train values
       .withColumn("__trainv", when(!col("__test"), v))
       .withColumn("__pred", avg(col("__trainv")).over(wAll))
-      .withColumn("__prev",
-        lag(col("__trainv"), seasonality, null, ignoreNulls = true)
-          .over(wAsc))
+      // PLAIN row lag, not ignoreNulls: train is a contiguous prefix, so
+      // for a train row the s-rows-earlier row IS the s-train-rows-
+      // earlier value — exactly the composed form's lag over the train
+      // slice, including its null-value semantics (a null train value
+      // breaks the naive-error chain rather than being skipped)
+      .withColumn("__prev", lag(col("__trainv"), seasonality).over(wAsc))
     tagged.groupBy(col(idCol))
       .agg(
         avg(when(col("__test"), abs(v - col("__pred")))).as("mae"),

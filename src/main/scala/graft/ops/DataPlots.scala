@@ -102,9 +102,14 @@ object DataPlots {
       roundTo: Int = 6): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(whiskerIqr >= 0, s"whiskerIqr must be >= 0, got $whiskerIqr")
+    // the percentile call goes through a SQL string — backtick-quote the
+    // column so names with spaces/dots work like everywhere else
+    require(!valueCol.contains("`"),
+      s"valueCol must not contain a backtick: $valueCol")
     val v = col(valueCol).cast("double")
     val q = metrics.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(0.25D, 0.5D, 0.75D))").as("__q"),
+      .agg(expr(s"percentile(`$valueCol`, array(0.25D, 0.5D, 0.75D))")
+          .as("__q"),
         count(v).as("n_values"))
       .select(groupCols.map(col) :+ col("n_values") :+
         element_at(col("__q"), 1).as("__q1") :+

@@ -52,6 +52,15 @@ object IntervalJoin {
     *                 few by definition), never a driver collect.
     * @param hotThreshold right-rows-per-bucket above which a bucket is
     *                 salted (only read when saltHotBuckets > 1)
+    * @param pinShuffleHash pin the pair join `shuffle_hash` (default):
+    *                 under the granule explode Catalyst's size estimate
+    *                 can collapse and BROADCAST a corpus-sized side (the
+    *                 banded-dedup-join hazard). The trade: a
+    *                 shuffled-hash build holds one partition's right
+    *                 rows in memory — bounded by granuleWidth tuning +
+    *                 salting; pass false to let the planner choose
+    *                 (spill-safe sort-merge / broadcast by its own
+    *                 estimate) when the right side's stats are reliable.
     */
   def overlapJoin(
       left: DataFrame, right: DataFrame,
@@ -61,7 +70,8 @@ object IntervalJoin {
       granuleWidth: Long,
       rightPrefix: String = "r_",
       saltHotBuckets: Int = 1,
-      hotThreshold: Long = 1000000L): DataFrame = {
+      hotThreshold: Long = 1000000L,
+      pinShuffleHash: Boolean = true): DataFrame = {
     require(granuleWidth >= 1, s"granuleWidth must be >= 1, got $granuleWidth")
     require(saltHotBuckets >= 1,
       s"saltHotBuckets must be >= 1, got $saltHotBuckets")
@@ -121,7 +131,7 @@ object IntervalJoin {
     }
     val rs = col(s"$rightPrefix$rStart")
     val re = col(s"$rightPrefix$rEnd")
-    l.join(r.hint("shuffle_hash"), joinKeys)
+    l.join(if (pinShuffleHash) r.hint("shuffle_hash") else r, joinKeys)
       // overlap residual + the keep-once granule: both sides cover the
       // granule of the later start, and only there does the pair emit
       // (each right row lives in exactly ONE salt slice, so salting

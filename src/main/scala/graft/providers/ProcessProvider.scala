@@ -159,24 +159,28 @@ final class ProcessProvider(
     * generate call. Exposed for the model store (S4/S5) — the blob IS the
     * persistable state. */
   final class ProcessFitted(val modelJson: JValue) extends FittedGenerator {
+    // generateArgs merge on the LEFT: the per-call fields (op, model, n,
+    // seqLen, an explicit context) always win over the provider-level
+    // defaults — args supply what the call does not
     def generate(spark: SparkSession, n: Int, seqLen: Int): DataFrame =
       generateReq(spark,
-        (("op" -> "generate") ~ ("model" -> modelJson) ~ ("n" -> n) ~
-          ("seqLen" -> seqLen)) merge generateArgs)
+        generateArgs merge (("op" -> "generate") ~ ("model" -> modelJson) ~
+          ("n" -> n) ~ ("seqLen" -> seqLen)))
 
     /** Conditional generation — one sequence per `context` row (the
       * reference's `generate(context_dataframe)`, sdv_adapter.py:125-130).
       * The context frame is per-SEQUENCE (API-bounded, n rows), so the
       * driver-side collect here is the same bounded class as the
-      * reference's pandas context frame, never corpus data. */
+      * reference's pandas context frame, never corpus data. The explicit
+      * context overrides any `generateArgs` context default. */
     def generateWithContext(
         spark: SparkSession, context: DataFrame, seqLen: Int): DataFrame = {
       val ctxRows: Seq[JValue] =
         context.toJSON.collect().toSeq.map(parse(_))
       generateReq(spark,
-        ("op" -> "generate") ~ ("model" -> modelJson) ~
+        generateArgs merge (("op" -> "generate") ~ ("model" -> modelJson) ~
           ("n" -> ctxRows.size) ~ ("seqLen" -> seqLen) ~
-          ("context" -> ctxRows))
+          ("context" -> ctxRows)))
     }
 
     private def generateReq(spark: SparkSession, req: JValue): DataFrame = {

@@ -38,7 +38,11 @@ object DriftGate {
     * determinism). Only directories carrying the Hadoop committer's
     * `_SUCCESS` marker count: a mid-write crash leaves a partial
     * directory that the retried batch overwrites — until then it must
-    * not skew the merged histogram. */
+    * not skew the merged histogram. Deployments that disable markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common
+    * on object stores) must leave them ON for the increment path — the
+    * writes come from [[histogramWriter]]'s own Spark jobs, so the
+    * setting is under this pipeline's control. */
   def incrementPaths(spark: SparkSession, base: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -112,9 +112,19 @@ object IngestDedupGate {
     * steps leaves duplicate signature rows (compact + not-yet-deleted
     * inputs) — harmless to `dedupIncrement` (duplicate index rows only
     * produce duplicate pair candidates; survivors come from an
-    * anti-join) — and the next compact() merges them away. Safe to run
-    * while the stream is live: a batch directory committed AFTER the
-    * listing snapshot is neither merged nor deleted.
+    * anti-join) — and the next compact() merges them away.
+    *
+    * Replay safety: compaction moves a batch's signatures where
+    * [[signaturePaths]]' own-batch exclusion can no longer mask them,
+    * but a replayed micro-batch still survives intact because
+    * [[graft.ext.Dedup.dedupIncrement]] never drops an id-equal pair (a
+    * document is not a duplicate of itself — StreamingSpec pins the
+    * replay-after-compaction survivor set). Concurrency: a batch
+    * directory committed AFTER the listing snapshot is neither merged
+    * nor deleted, but an IN-FLIGHT micro-batch that already planned its
+    * index read over the merged inputs will fail on the deleted files
+    * and be retried by the stream (idempotently, per the above) — run
+    * compaction between batches to avoid the spurious retry.
     *
     * @return the compacted directory path */
   def compactIndex(

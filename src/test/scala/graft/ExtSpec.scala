@@ -212,11 +212,15 @@ class ExtSpec extends AnyFunSuite {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(13)
     // entity lengths 0..9 cover the degenerate tails (no train, short
-    // train, constant train)
+    // train, constant train); ~10% null values pin the null-chain
+    // semantics (a null train value breaks the naive-error lag in BOTH
+    // forms rather than being skipped)
     val rows = (0 until 12).flatMap { e =>
       val n = e % 10
       (0 until n).map(t => (e.toLong, t.toLong,
-        if (e % 5 == 0) 7.0 else rnd.nextInt(20).toDouble))
+        if (rnd.nextInt(10) == 0) null
+        else if (e % 5 == 0) java.lang.Double.valueOf(7.0)
+        else java.lang.Double.valueOf(rnd.nextInt(20).toDouble)))
     }
     val df = rows.toDF("id", "pos", "v")
     val h = 3

@@ -85,6 +85,26 @@ class SnapshotAuditSpec extends AnyFunSuite {
     assert(math.abs(d("s")._1 - math.log(2.0)) < 2e-6)
   }
 
+  test("distributionDrift: a NULL bucket is ONE cell equal to itself " +
+      "across snapshots (identical null-holding snapshots diverge 0)") {
+    def driftNullable(old: Seq[(String, java.lang.Long)],
+        nw: Seq[(String, java.lang.Long)]) =
+      SnapshotAudit.distributionDrift(
+          old.toDF("g", "v"), nw.toDF("g", "v"), "g",
+          least(col("v"), lit(9)).cast("int"))
+        .as[(String, Double, Long, Long)].collect()
+        .map(r => r._1 -> r._2).toMap
+    val withNulls: Seq[(String, java.lang.Long)] =
+      Seq("s" -> 1L, "s" -> null, "s" -> null, "s" -> 5L)
+    // the pre-r15 per-side-join form never matched null keys and
+    // reported phantom drift here
+    assert(driftNullable(withNulls, withNulls)("s") == 0.0)
+    // and a genuine null-share shift IS drift
+    val shifted: Seq[(String, java.lang.Long)] =
+      Seq("s" -> 1L, "s" -> 1L, "s" -> 1L, "s" -> 5L)
+    assert(driftNullable(withNulls, shifted)("s") > 0.0)
+  }
+
   test("distributionDrift == driver-side reference on random data; " +
       "one-sided group is finite with n=0") {
     val r = new scala.util.Random(0xd21f7)

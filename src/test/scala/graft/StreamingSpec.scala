@@ -811,5 +811,16 @@ class StreamingSpec extends AnyFunSuite {
         inc2, spark.read.parquet(after: _*), "doc_id", "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(surv2 == Seq(300L)) // 310 duplicates survivor 200's text
+
+    // replay-after-compaction: batch 1's docs re-presented AFTER their
+    // signatures moved into compact_1 (own-batch exclusion can no longer
+    // mask them) must survive — a document is not a duplicate of itself
+    val replayed = graft.ext.Dedup.dedupIncrement(
+        inc1, spark.read.parquet(after: _*), "doc_id", "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 100 still drops (true dup of 900's text, different id); the
+    // batch's own survivors 200 and 210's history-dup verdicts replay
+    // identically (210 dups history doc 2)
+    assert(replayed == Seq(200L))
   }
 }
