@@ -37,6 +37,18 @@ class IntervalJoinSpec extends AnyFunSuite {
           .as[(Long, Long)].collect().toSet
         assert(got == naive(rows), s"trial $trial width $w")
       }
+      // salting is pair-set-invariant at ANY aggressive setting: a tiny
+      // hotThreshold makes nearly every bucket salt on random data —
+      // and emits each pair EXACTLY once (a right row lives in one
+      // salt slice; left replicas cover disjoint slices)
+      val salted = IntervalJoin.overlapJoin(
+          df, df, Seq("k"), "s", "e", "s", "e", granuleWidth = 7,
+          saltHotBuckets = 5, hotThreshold = 2)
+        .select(col("id"), col("r_id"))
+        .as[(Long, Long)].collect().toSeq
+      assert(salted.size == salted.distinct.size,
+        s"trial $trial: salting duplicated a pair")
+      assert(salted.toSet == naive(rows), s"trial $trial salted")
     }
   }
 

@@ -738,6 +738,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("classifier quality gate (markerLogit + noisyThresholdGate) runs " +
+      "unchanged on a stream, matching batch") {
+    // both halves are stateless map/filter work — one VocabTfs kernel
+    // eval + a deterministic hash-derived Pareto draw — so the SAME
+    // calls run on readStream with no state, watermark or fit step
+    val dir = Files.createTempDirectory("graft-stream-clf").toFile
+    dir.deleteOnExit()
+    // 40 high-prob docs (the ~29% deterministic keep rate makes an
+    // all-dropped outcome impossible at this size) + low-prob spam
+    val docs = ((0L until 40L).map(i => (i, "data data spark pipeline"))
+      ++ Seq((100L, "slow slow slow the the"), (101L, "")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.QualityClassifier.noisyThresholdGate(
+        graft.ext.QualityClassifier.markerLogit(df, "text",
+          Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5),
+            ("the", -0.125)), bias = -0.25),
+        "doc_id", "prob")
+    val q = stage(stream).writeStream.outputMode("append")
+      .format("memory").queryName("graft_stream_clf").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, prob, pareto_draw FROM graft_stream_clf ORDER BY 1")
+        .as[(Long, Double, Double)].collect().toSeq
+      val batch = stage(docs).select("doc_id", "prob", "pareto_draw")
+        .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+      assert(got == batch)
+      assert(batch.nonEmpty && batch.size < 42, // the gate actually gates
+        s"fixture should keep some and drop some, kept ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup == sequential batch fold of " +
       "dedupIncrement (first arrival wins across micro-batches)") {
     def uniq(i: Int) = s"totally distinct document number $i " +
