@@ -1850,6 +1850,18 @@ object SparkEntry {
         round(col("containment_b"), 6).as("containment_b"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** KMV corpus-pair overlap estimate ([[Dedup.corpusOverlapEstimate]]):
+    * Jaccard + directional containments of two corpus halves' shingle
+    * sets from the k smallest union hashes — no pair join anywhere; the
+    * oracle replays the md5-prefix sketch value-for-value. */
+  private def dedupCorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dedup.corpusOverlapEstimate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text", "text", shingleLen = 3, k = 256)
+  }
+
   /** Fixed retrieval queries for ret_bm25 — vocabulary terms the synthetic
     * corpus actually contains, plus one deliberate OOV term ("shuffle") to
     * exercise the query-term-not-in-corpus path (contributes zero in both
@@ -2823,6 +2835,7 @@ object SparkEntry {
     "dedup_simhash_pairs_portable" -> (dedupSimhashPairsPortable _),
     "dedup_minhash_pairs_portable" -> (dedupMinhashPairsPortable _),
     "dedup_cross_minhash" -> (dedupCrossMinhash _),
+    "dedup_corpus_overlap" -> (dedupCorpusOverlap _),
     "text_decontaminate_fuzzy" -> (textDecontaminateFuzzy _),
     "dedup_spans" -> (dedupSpans _),
     "text_span_dedup" -> (textSpanDedup _),
@@ -4100,6 +4113,33 @@ object SparkEntry {
     // naive corpus (even) × benchmark (odd) pairwise replay of the banded
     // cross-corpus candidates — the unused portable_pairs tail of the
     // shared CTE chain is never evaluated
+    "dedup_corpus_overlap" ->
+      """WITH ta AS (SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT string_split_regex(text, '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ga AS (SELECT CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)])
+        |  ELSE [] END AS grams FROM ta),
+        |gb AS (SELECT CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)])
+        |  ELSE [] END AS grams FROM tb),
+        |ha AS (SELECT DISTINCT CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) AS h
+        |  FROM (SELECT unnest(grams) AS x FROM ga)),
+        |hb AS (SELECT DISTINCT CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) AS h
+        |  FROM (SELECT unnest(grams) AS x FROM gb)),
+        |u AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT h, 1 AS ia, 0 AS ib FROM ha
+        |    UNION ALL SELECT h, 0, 1 FROM hb) GROUP BY h),
+        |kk AS (SELECT * FROM u ORDER BY h LIMIT 256)
+        |SELECT CAST(count(*) AS BIGINT) AS k_used,
+        | CAST(sum(ia*ib) AS BIGINT) AS n_both,
+        | round(sum(ia*ib) / CAST(count(*) AS DOUBLE), 6) AS jaccard_estimate,
+        | round(sum(ia*ib) / CAST(sum(ia) AS DOUBLE), 6) AS containment_a,
+        | round(sum(ia*ib) / CAST(sum(ib) AS DOUBLE), 6) AS containment_b
+        |FROM kk""".stripMargin,
     "dedup_cross_minhash" ->
       s"""WITH ${portablePairsCtes()}
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

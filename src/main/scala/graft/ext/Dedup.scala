@@ -1178,6 +1178,60 @@ object Dedup {
     * with n_common ≥ 1, source_a < source_b (binary string order —
     * sources compare and report as strings). Null-source rows drop.
     */
+  /** K-minimum-values (KMV) corpus-pair overlap estimate — the Jaccard
+    * similarity of two corpora's SHINGLE SETS from one narrow pass per
+    * corpus, with NO pair join and no text exchange: the sketch answer
+    * to "how much does crawl B overlap crawl A" before paying for real
+    * cross-corpus dedup. Over the `k` smallest distinct shingle hashes
+    * of A ∪ B (a uniform union sample under the hash order), the
+    * fraction present in both sides estimates J(A, B); dividing by each
+    * side's sample presence estimates the directional containments.
+    * Standard error ≈ sqrt(J(1−J)/k).
+    *
+    * Plan: per corpus one scan→shingle→hash map pass into a tagged
+    * union, ONE hash-keyed presence aggregate (map-side combine; the
+    * exchange carries (hash, flag, flag) rows only), the bounded-heap
+    * bottom-k (k rows, never the hash universe, no Window/sort), and a
+    * one-row reduction. Hashes are the portable 7-hex md5 prefix, so
+    * the DuckDB oracle replays the sketch value-for-value
+    * (`dedup_corpus_overlap`).
+    *
+    * Returns ONE row: (k_used, n_both, jaccard_estimate, containment_a,
+    * containment_b), rounded to `roundTo`. `k_used` < k means the union
+    * has fewer than k distinct shingles — the estimate is then exact. */
+  def corpusOverlapEstimate(
+      a: DataFrame,
+      b: DataFrame,
+      textColA: String,
+      textColB: String,
+      shingleLen: Int = 3,
+      k: Int = 256,
+      roundTo: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.GraftColumnBridge
+    def sideHashes(df: DataFrame, tc: String, inA: Int): DataFrame =
+      df.select(explode(GraftColumnBridge.column(graft.functions.Md5Prefix(
+          GraftColumnBridge.expression(wordNgrams(col(tc), shingleLen)),
+          7))).as("__h"))
+        .select(col("__h"), lit(inA).as("__ia"), lit(1 - inA).as("__ib"))
+    val flags = sideHashes(a, textColA, 1)
+      .unionByName(sideHashes(b, textColB, 0))
+      .groupBy(col("__h"))
+      .agg(max(col("__ia")).as("__ia"), max(col("__ib")).as("__ib"))
+    graft.ops.TopK.perGroup(
+        flags.withColumn("__g", lit(0)), Seq("__g"),
+        Seq(col("__h").asc), k)
+      .agg(
+        count(lit(1)).as("k_used"),
+        sum(col("__ia") * col("__ib")).as("n_both"),
+        round(sum(col("__ia") * col("__ib")).cast("double")
+          / count(lit(1)), roundTo).as("jaccard_estimate"),
+        round(sum(col("__ia") * col("__ib")).cast("double")
+          / sum(col("__ia")), roundTo).as("containment_a"),
+        round(sum(col("__ia") * col("__ib")).cast("double")
+          / sum(col("__ib")), roundTo).as("containment_b"))
+  }
+
   def sourceOverlap(
       df: DataFrame,
       textCol: String,

@@ -206,6 +206,35 @@ class ExtSpec extends AnyFunSuite {
     assert(first.getDouble(0) == 0.0 && first.getDouble(2) == 23.0)
   }
 
+  test("KMV corpus-overlap estimate: exact when k covers the union; " +
+      "k_used caps at k otherwise") {
+    // A: shingles {abc, bcd, cde}; B: {cde, def, efg} — union 5,
+    // intersection {cde}: J = 0.2, both containments = 1/3
+    val a = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val b = Seq((2L, "c d e f g")).toDF("doc_id", "text")
+    val exact = graft.ext.Dedup.corpusOverlapEstimate(
+        a, b, "text", "text", shingleLen = 3, k = 256)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(exact == ((5L, 1L, 0.2, 0.333333, 0.333333)))
+    val sampled = graft.ext.Dedup.corpusOverlapEstimate(
+        a, b, "text", "text", shingleLen = 3, k = 3)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(sampled._1 == 3L && sampled._3 >= 0.0 && sampled._3 <= 1.0)
+    // sketch accuracy on a larger fixture: 200 shared + 200 + 200
+    // unique shingle-bearing docs -> true J ~ 1/3; k=256 keeps the
+    // estimate within ~4 standard errors (deterministic — md5 order)
+    def mk(pre: String, n: Int, off: Int) = (0 until n).map(i =>
+      ((off + i).toLong, s"$pre${i}x $pre${i}y $pre${i}z"))
+    val bigA = (mk("sh", 200, 0) ++ mk("ua", 200, 1000)).toDF("doc_id", "text")
+    val bigB = (mk("sh", 200, 0) ++ mk("ub", 200, 2000)).toDF("doc_id", "text")
+    val est = graft.ext.Dedup.corpusOverlapEstimate(
+        bigA, bigB, "text", "text", shingleLen = 3, k = 256)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val se = math.sqrt((1.0 / 3) * (2.0 / 3) / 256)
+    assert(math.abs(est._3 - 1.0 / 3) < 4 * se,
+      s"KMV estimate ${est._3} too far from 1/3 (se=$se)")
+  }
+
   test("fused meanBaselineAccuracyByEntity == split + mean forecast + " +
       "forecastAccuracyByEntity composition (randomized)") {
     import graft.metrics.Metrics
