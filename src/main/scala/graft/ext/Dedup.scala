@@ -1198,7 +1198,14 @@ object Dedup {
     *
     * Returns ONE row: (k_used, n_both, jaccard_estimate, containment_a,
     * containment_b), rounded to `roundTo`. `k_used` < k means the union
-    * has fewer than k distinct shingles — the estimate is then exact. */
+    * has fewer than k distinct shingles — the estimate is then exact
+    * (under EITHER hash: with the whole union sampled, the hash order
+    * is irrelevant).
+    *
+    * `portable=true` (default) hashes with the 7-hex md5 prefix the
+    * DuckDB oracle replays; `portable=false` is the production path —
+    * one xxhash64 per shingle (no md5, no hex parse), a different but
+    * equally valid sketch order. */
   def corpusOverlapEstimate(
       a: DataFrame,
       b: DataFrame,
@@ -1206,14 +1213,18 @@ object Dedup {
       textColB: String,
       shingleLen: Int = 3,
       k: Int = 256,
-      roundTo: Int = 6): DataFrame = {
+      roundTo: Int = 6,
+      portable: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.GraftColumnBridge
-    def sideHashes(df: DataFrame, tc: String, inA: Int): DataFrame =
-      df.select(explode(GraftColumnBridge.column(graft.functions.Md5Prefix(
-          GraftColumnBridge.expression(wordNgrams(col(tc), shingleLen)),
-          7))).as("__h"))
+    def sideHashes(df: DataFrame, tc: String, inA: Int): DataFrame = {
+      val grams = GraftColumnBridge.expression(wordNgrams(col(tc), shingleLen))
+      val hashes =
+        if (portable) graft.functions.Md5Prefix(grams, 7)
+        else graft.functions.XxHash64Array(grams)
+      df.select(explode(GraftColumnBridge.column(hashes)).as("__h"))
         .select(col("__h"), lit(inA).as("__ia"), lit(1 - inA).as("__ib"))
+    }
     val flags = sideHashes(a, textColA, 1)
       .unionByName(sideHashes(b, textColB, 0))
       .groupBy(col("__h"))
