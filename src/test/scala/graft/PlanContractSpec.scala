@@ -54,9 +54,12 @@ class PlanContractSpec extends AnyFunSuite {
     // o6_topk_group is deliberately the declarative rank().over(window)
     // BASELINE that o8/o9 twin natively — it is exempt here and belongs
     // to the window family below
+    // dedup_corpus_overlap's bottom-k is the same bounded-heap contract:
+    // k rows survive the heap, the hash universe never sorts
     Seq("sim_topk", "sim_hard_negatives", "sim_lsh_topk",
         "sim_lsh_portable", "sim_ivf_topk",
-        "sim_ivf_portable", "o8_topk_native", "o9_topk_ranked")
+        "sim_ivf_portable", "o8_topk_native", "o9_topk_ranked",
+        "dedup_corpus_overlap")
       .foreach { name =>
         assert(plans(name).contains("TopKPerGroup"),
           s"$name lost its TopKPerGroup operator")
