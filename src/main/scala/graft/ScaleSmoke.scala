@@ -762,7 +762,8 @@ object ScaleSmoke {
       assert(lFan == 200000L,
         s"left granule fan-out $lFan != 200000 — per-granule contract broken")
       val pairs = graft.ops.IntervalJoin.overlapJoin(
-        left, right, Nil, "l_start", "l_end", "r_start", "r_end", width)
+        left, right, Nil, "l_start", "l_end", "r_start", "r_end", width,
+        pinShuffleHash = true)
       val n = pairs.count()
       // 10 long intervals x 200k (all overlap) + l_id 0 [0,8) x 200k
       // (every right starts < 8); every other typical interval starts at
@@ -773,7 +774,8 @@ object ScaleSmoke {
       // identical pair count, hot-task work divided
       val nSalted = graft.ops.IntervalJoin.overlapJoin(
         left, right, Nil, "l_start", "l_end", "r_start", "r_end", width,
-        saltHotBuckets = 32, hotThreshold = 10000L).count()
+        saltHotBuckets = 32, hotThreshold = 10000L,
+        pinShuffleHash = true).count()
       assert(nSalted == n, s"salted pair count $nSalted != $n")
       n
     }

@@ -2349,7 +2349,8 @@ object SparkEntry {
       .withColumn("end_d",
         col("start_d") + 1L + pmod(col("o_orderkey"), lit(30L)))
     ops.IntervalJoin.overlapJoin(o, o, Seq("o_custkey"),
-        "start_d", "end_d", "start_d", "end_d", granuleWidth = 32)
+        "start_d", "end_d", "start_d", "end_d", granuleWidth = 32,
+        pinShuffleHash = true)
       .filter(col("o_orderkey") < col("r_o_orderkey"))
       .groupBy(col("o_year"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -4137,8 +4138,10 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS k_used,
         | CAST(sum(ia*ib) AS BIGINT) AS n_both,
         | round(sum(ia*ib) / CAST(count(*) AS DOUBLE), 6) AS jaccard_estimate,
-        | round(sum(ia*ib) / CAST(sum(ia) AS DOUBLE), 6) AS containment_a,
-        | round(sum(ia*ib) / CAST(sum(ib) AS DOUBLE), 6) AS containment_b
+        | coalesce(round(sum(ia*ib) / CAST(sum(ia) AS DOUBLE), 6), 0.0)
+        |   AS containment_a,
+        | coalesce(round(sum(ia*ib) / CAST(sum(ib) AS DOUBLE), 6), 0.0)
+        |   AS containment_b
         |FROM kk""".stripMargin,
     "dedup_cross_minhash" ->
       s"""WITH ${portablePairsCtes()}

@@ -1200,7 +1200,9 @@ object Dedup {
     * containment_b), rounded to `roundTo`. `k_used` < k means the union
     * has fewer than k distinct shingles — the estimate is then exact
     * (under EITHER hash: with the whole union sampled, the hash order
-    * is irrelevant).
+    * is irrelevant). A side that contributes no shingles at all (empty
+    * or all-shorter-than-`shingleLen` corpus) gets containment 0.0, not
+    * null — its 0/0 is coalesced, since n_both is necessarily 0.
     *
     * `portable=true` (default) hashes with the 7-hex md5 prefix the
     * DuckDB oracle replays; `portable=false` is the production path —
@@ -1237,10 +1239,13 @@ object Dedup {
         sum(col("__ia") * col("__ib")).as("n_both"),
         round(sum(col("__ia") * col("__ib")).cast("double")
           / count(lit(1)), roundTo).as("jaccard_estimate"),
-        round(sum(col("__ia") * col("__ib")).cast("double")
-          / sum(col("__ia")), roundTo).as("containment_a"),
-        round(sum(col("__ia") * col("__ib")).cast("double")
-          / sum(col("__ib")), roundTo).as("containment_b"))
+        // a side contributing NO shingles to the bottom-k (empty or
+        // all-short-text corpus) makes its containment 0/0 → coalesce to
+        // 0.0 (n_both is necessarily 0 then) so callers never see a null
+        coalesce(round(sum(col("__ia") * col("__ib")).cast("double")
+          / sum(col("__ia")), roundTo), lit(0.0)).as("containment_a"),
+        coalesce(round(sum(col("__ia") * col("__ib")).cast("double")
+          / sum(col("__ib")), roundTo), lit(0.0)).as("containment_b"))
   }
 
   def sourceOverlap(

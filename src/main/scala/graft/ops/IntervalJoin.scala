@@ -52,15 +52,16 @@ object IntervalJoin {
     *                 few by definition), never a driver collect.
     * @param hotThreshold right-rows-per-bucket above which a bucket is
     *                 salted (only read when saltHotBuckets > 1)
-    * @param pinShuffleHash pin the pair join `shuffle_hash` (default):
-    *                 under the granule explode Catalyst's size estimate
-    *                 can collapse and BROADCAST a corpus-sized side (the
-    *                 banded-dedup-join hazard). The trade: a
+    * @param pinShuffleHash pin the pair join `shuffle_hash` (OFF by
+    *                 default): the planner's default (spill-safe
+    *                 sort-merge, or broadcast by its own estimate) never
+    *                 changes a caller's memory posture. Opt IN when the
+    *                 granule explode makes Catalyst's size estimate
+    *                 collapse and BROADCAST a corpus-sized side (the
+    *                 banded-dedup-join hazard) — the trade being that a
     *                 shuffled-hash build holds one partition's right
-    *                 rows in memory — bounded by granuleWidth tuning +
-    *                 salting; pass false to let the planner choose
-    *                 (spill-safe sort-merge / broadcast by its own
-    *                 estimate) when the right side's stats are reliable.
+    *                 rows in memory, bounded by granuleWidth tuning +
+    *                 salting (an un-salted hot partition can OOM).
     */
   def overlapJoin(
       left: DataFrame, right: DataFrame,
@@ -71,7 +72,7 @@ object IntervalJoin {
       rightPrefix: String = "r_",
       saltHotBuckets: Int = 1,
       hotThreshold: Long = 1000000L,
-      pinShuffleHash: Boolean = true): DataFrame = {
+      pinShuffleHash: Boolean = false): DataFrame = {
     require(granuleWidth >= 1, s"granuleWidth must be >= 1, got $granuleWidth")
     require(saltHotBuckets >= 1,
       s"saltHotBuckets must be >= 1, got $saltHotBuckets")

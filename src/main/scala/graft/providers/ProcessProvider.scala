@@ -177,8 +177,16 @@ final class ProcessProvider(
         spark: SparkSession, context: DataFrame, seqLen: Int): DataFrame = {
       val ctxRows: Seq[JValue] =
         context.toJSON.collect().toSeq.map(parse(_))
+      // json4s `merge` CONCATENATES JArrays, so a non-empty "context"
+      // default in generateArgs would be appended to the explicit rows and
+      // the worker would generate for both while `n` counts only ctxRows.
+      // Strip the default so the per-call context is the only one sent.
+      val baseArgs = generateArgs removeField {
+        case ("context", _) => true
+        case _ => false
+      }
       generateReq(spark,
-        generateArgs merge (("op" -> "generate") ~ ("model" -> modelJson) ~
+        baseArgs merge (("op" -> "generate") ~ ("model" -> modelJson) ~
           ("n" -> ctxRows.size) ~ ("seqLen" -> seqLen) ~
           ("context" -> ctxRows)))
     }

@@ -47,10 +47,24 @@ object DriftGate {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_")
-        && fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.toString).sorted
+    else {
+      val batchDirs = fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      val committed = batchDirs
+        .filter(s =>
+          fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.toString).sorted
+      // batch dirs exist but NONE carry the marker: almost certainly a
+      // marker-disabled deployment (marksuccessfuljobs=false), not a crash
+      // mid-first-batch. Fail loudly — silently merging zero increments
+      // would report an empty/skewed drift with no hint why.
+      require(batchDirs.isEmpty || committed.nonEmpty,
+        s"${batchDirs.size} batch_* director${if (batchDirs.size == 1) "y"
+          else "ies"} under $base but none carries a _SUCCESS marker — " +
+          "is mapreduce.fileoutputcommitter.marksuccessfuljobs=false? The " +
+          "increment path requires committer markers (see scaladoc)")
+      committed
+    }
   }
 
   /** Current drift of everything streamed so far vs the reference

@@ -132,9 +132,12 @@ object IngestDedupGate {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val paths = signaturePaths(spark, indexBase)
     require(paths.nonEmpty, s"nothing to compact under $indexBase")
+    // only compact_<digits> names feed the ordinal — a foreign committed
+    // directory like compact_tmp is still MERGED as an input (it's in
+    // `paths`) but must not abort compaction with a NumberFormatException
+    val compactName = "compact_(\\d+)".r
     val ordinal = 1 + paths.map(new org.apache.hadoop.fs.Path(_).getName)
-      .filter(_.startsWith("compact_"))
-      .map(_.stripPrefix("compact_").toLong)
+      .collect { case compactName(n) => n.toLong }
       .foldLeft(0L)(math.max)
     val target = s"$indexBase/compact_$ordinal"
     spark.read.parquet(paths: _*)

@@ -448,6 +448,18 @@ class ApiSpec extends AnyFunSuite {
     val e2 = intercept[IllegalStateException](
       fitted.generateWithContext(spark, Seq("item_zz").toDF("item_id"), 2))
     assert(e2.getMessage.contains("unknown context"))
+    // a non-empty "context" DEFAULT in generateArgs must be REPLACED by
+    // the explicit frame, not concatenated to it (json4s merge appends
+    // JArrays — advice r15): exactly ctxRows.size sequences come back
+    import org.json4s.JsonDSL._
+    val pDflt = new ProcessProvider(pythonWorker("par").get,
+      name = "py_par_dflt",
+      generateArgs = ("context" -> List(Map("item_id" -> "item_a"))))
+    val fittedD =
+      pDflt.fit(df, schema).asInstanceOf[ProcessProvider#ProcessFitted]
+    val outD = fittedD.generateWithContext(spark, ctx, 4).collect()
+    assert(outD.length == 4, s"default context leaked: ${outD.length} rows")
+    assert(outD.forall(r => r.getString(r.fieldIndex("item_id")) == "item_b"))
   }
 
   test("numpy PAR worker: cross-language TSTR via EvaluationPipeline, " +

@@ -246,6 +246,13 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double, Double)].head()
     assert(math.abs(estProd._3 - 1.0 / 3) < 4 * se,
       s"production KMV estimate ${estProd._3} too far from 1/3")
+    // a side with no shingles (all texts shorter than shingleLen) must
+    // coalesce its 0/0 containment to 0.0, never a null (advice r15)
+    val emptySide = Seq((9L, "too short")).toDF("doc_id", "text")
+    val nullFree = graft.ext.Dedup.corpusOverlapEstimate(
+        a, emptySide, "text", "text", shingleLen = 3, k = 256)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(nullFree == ((3L, 0L, 0.0, 0.0, 0.0)))
   }
 
   test("fused meanBaselineAccuracyByEntity == split + mean forecast + " +

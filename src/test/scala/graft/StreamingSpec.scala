@@ -738,6 +738,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("DriftGate fails loudly when batch_* dirs exist but none is " +
+      "committed (marker-disabled deployment, advice r15)") {
+    val base = Files.createTempDirectory("graft-drift-nomark").toString
+    // empty base: fine, no increments yet
+    assert(graft.streaming.DriftGate.incrementPaths(spark, base).isEmpty)
+    // batch dirs without _SUCCESS: the whole history would silently
+    // vanish from the merge — must surface as an error instead
+    new java.io.File(s"$base/batch_0").mkdirs()
+    new java.io.File(s"$base/batch_1").mkdirs()
+    val ex = intercept[IllegalArgumentException](
+      graft.streaming.DriftGate.incrementPaths(spark, base))
+    assert(ex.getMessage.contains("_SUCCESS"))
+    // one committed marker restores normal partial-filtering behavior
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$base/batch_1/_SUCCESS"))
+    assert(graft.streaming.DriftGate.incrementPaths(spark, base)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("batch_1"))
+  }
+
   test("classifier quality gate (markerLogit + noisyThresholdGate) runs " +
       "unchanged on a stream, matching batch") {
     // both halves are stateless map/filter work — one VocabTfs kernel
@@ -859,5 +878,19 @@ class StreamingSpec extends AnyFunSuite {
     // batch's own survivors 200 and 210's history-dup verdicts replay
     // identically (210 dups history doc 2)
     assert(replayed == Seq(200L))
+
+    // a foreign committed dir named compact_tmp must not abort the next
+    // compaction's ordinal parse (advice r15): it is merged as an input
+    // (it holds signature rows) but excluded from ordinal derivation
+    graft.ext.Dedup.writeSignatures(
+      Seq((999L, uniq(9))).toDF("doc_id", "text"), "doc_id", "text",
+      s"$idx/compact_tmp")
+    val target2 = graft.streaming.IngestDedupGate.compactIndex(spark, idx)
+    assert(target2.endsWith("/compact_2"),
+      s"ordinal must skip compact_tmp, got $target2")
+    val ids2 = spark.read.parquet(target2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids2.contains(999L) && ids2.containsSlice(Seq(1L, 2L, 3L)),
+      s"compact_tmp rows must be merged, got $ids2")
   }
 }
