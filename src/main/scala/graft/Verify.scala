@@ -40,12 +40,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the dump (builder-side
+    // targeted drives); the driver sets no env, so its runs stay full
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // self-oracle for the queries DuckDB cannot replay (engine-specific
     // hash kernels): content hash vs committed golden → golden_check.json
@@ -54,7 +60,7 @@ object Verify {
     // into resources/graft/golden_hashes.txt after an intended change.
     val sfKey = Paths.get(sfDir).getFileName.toString
     var goldenFailures = 0
-    val goldenRows = GoldenHashes.queries.flatMap { name =>
+    val goldenRows = GoldenHashes.queries.filter(selected).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val (hash, exp, ok) = GoldenHashes.check(name, sfKey, fn(spark, sfDir))
         val status =

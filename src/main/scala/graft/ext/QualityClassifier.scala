@@ -73,14 +73,16 @@ object QualityClassifier {
     val hashed = clf.hasher.transform(
       df.withColumn("__toks",
         filter(TextAnalysis.tokens(col(textCol)), t => length(t) > 0)))
-    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     // copy() — setFeaturesCol/setProbabilityCol on the shared model would
     // mutate the caller's classifier in place (advisor round-8)
     clf.model.copy(new org.apache.spark.ml.param.ParamMap()
         .put(clf.model.featuresCol, "__features")
         .put(clf.model.probabilityCol, "__prob"))
       .transform(hashed)
-      .withColumn("quality_prob", probOf(col("__prob")))
+      // vector_to_array + element_at stay inside codegen — a closure UDF
+      // here would box every row on the per-document scoring hot path
+      .withColumn("quality_prob", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("__prob")), 2))
       .drop("__toks", "__features", "__prob", "rawPrediction", "prediction")
   }
 
