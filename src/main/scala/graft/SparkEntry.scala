@@ -764,6 +764,28 @@ object SparkEntry {
     curated.select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** The SAME composed curation chain with the one engine-specific hash
+    * swapped for the portable MinHash variant
+    * (`curate(portableNearDup = true)`): every stage's DROP decision —
+    * NFC → langId/quality rule gate → URL blocklist + host cap → exact
+    * dedup → portable MinHash-LSH clusters → embedding sweep →
+    * benchmark decontamination — replays in the DuckDB oracle, so the
+    * COMPOSITION (gate ordering, drop interactions) is cross-engine
+    * checked, not just each stage in isolation. The production
+    * `pipeline_curate` twin differs only in the near-dup signature hash
+    * (xxhash64/32-perm vs md5-prefix/4-perm) and stays golden-pinned. */
+  private def pipelineCuratePortable(s: SparkSession, dir: String): DataFrame = {
+    val docs = seedUrls(T(s, dir, "documents"))
+    val emb = T(s, dir, "embeddings")
+    val (curated, _, _) = examples.DataPipeline.curate(
+      docs, emb,
+      benchmark = Some(docs.filter(col("doc_id") % 97 === 3)),
+      blockedDomains = Seq("site3.com"),
+      maxDocsPerHost = 200,
+      portableNearDup = true)
+    curated.select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Per-benchmark-document contamination attribution: which eval docs
     * leak into the corpus, how many corpus docs carry ≥50% of their
     * grams, and the worst overlap — the report a decontamination run
@@ -2758,7 +2780,7 @@ object SparkEntry {
       // Lloyd training runs jobs at construction (the sim_ivf class)
       "dedup_semantic",
       // composed chain: duplicateClusters iterates at construction
-      "pipeline_curate",
+      "pipeline_curate", "pipeline_curate_portable",
       // duplicateClusters labels built at construction (dedup_clusters
       // class)
       "dedup_soft_weights", "dedup_cluster_stats",
@@ -2824,6 +2846,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgram _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_curate_portable" -> (pipelineCuratePortable _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk" -> (simTopK _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -3901,6 +3924,122 @@ object SparkEntry {
         |SELECT d.lang, count(*) AS n_kept
         |FROM documents d JOIN k ON d.doc_id = k.keep_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full curation-chain replay (pipelineCuratePortable): NFC → rule
+    // gate → URL blocklist + host cap → exact dedup → portable-MinHash
+    // clusters → embedding sweep → benchmark decontamination → kept ids.
+    // Each fragment is the proven per-stage oracle (text_quality,
+    // url_blocklist/url_host_cap, dedup_exact, dedup_clusters'
+    // portablePairsCtes, dedup_embedding, text_contamination) with CTE
+    // names uniquified; what this row adds is the COMPOSITION check.
+    "pipeline_curate_portable" ->
+      """WITH RECURSIVE
+        |pu AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 11 = 0 THEN ''
+        |        WHEN doc_id % 2 = 0 THEN 'https:' ELSE 'http:' END) ||
+        |  '//' ||
+        |  (CASE WHEN doc_id % 13 = 0
+        |        THEN 'u' || CAST(doc_id AS VARCHAR) || ':pw@' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'cdn.'
+        |        WHEN doc_id % 4 = 1 THEN 'www.' ELSE '' END) ||
+        |  'site' || CAST(doc_id % 17 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '.co.uk' ELSE '.com' END) ||
+        |  (CASE WHEN doc_id % 9 = 0 THEN ':8443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |ph AS (SELECT doc_id, nullif(lower(regexp_extract(url,
+        |  '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/@?#]*@)?([^/:?#]+)', 1)), '')
+        |  AS host FROM pu),
+        |pr AS (SELECT doc_id, host, CASE
+        |    WHEN host IS NULL THEN NULL
+        |    WHEN len(string_split(host, '.')) >= 3
+        |      AND array_to_string(list_slice(string_split(host, '.'),
+        |        len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+        |      IN ('co.uk','ac.uk','gov.uk','org.uk','com.au','net.au','co.jp',
+        |          'co.in','com.br','com.cn','co.kr','com.mx')
+        |      THEN array_to_string(list_slice(string_split(host, '.'),
+        |        len(string_split(host, '.')) - 2, len(string_split(host, '.'))), '.')
+        |    WHEN len(string_split(host, '.')) >= 2
+        |      THEN array_to_string(list_slice(string_split(host, '.'),
+        |        len(string_split(host, '.')) - 1, len(string_split(host, '.'))), '.')
+        |    ELSE host END AS domain
+        |  FROM ph),
+        |pb AS (SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+        |pt AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM pb),
+        |pf AS (SELECT doc_id, len(toks) AS n_words,
+        |  len([t for t in toks
+        |    if t in ('the','a','an','of','and','to','in','is')]) AS n_stop
+        |  FROM pt),
+        |pg1 AS (SELECT doc_id FROM pf WHERE n_words >= 5
+        |  AND n_stop / n_words <= 0.9
+        |  AND least(n_words, 200) / 400.0 + (n_stop / n_words) / 2.0 > 0.2),
+        |pg2 AS (SELECT pg1.doc_id, pr.host FROM pg1
+        |  JOIN pr ON pg1.doc_id = pr.doc_id
+        |  WHERE pr.domain IS NULL OR pr.domain <> 'site3.com'),
+        |pg3 AS (SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY host
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        |    FROM pg2 WHERE host IS NOT NULL)
+        |  WHERE rk <= 200
+        |  UNION ALL SELECT doc_id FROM pg2 WHERE host IS NULL),
+        |pex AS (SELECT min(pb.doc_id) AS doc_id FROM pb
+        |  JOIN pg3 USING (doc_id) GROUP BY pb.text),
+        |pd AS (SELECT pt.doc_id, pt.toks FROM pt JOIN pex USING (doc_id)),
+        |pgm AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)])
+        |  ELSE [] END AS grams FROM pd),
+        |phs AS (SELECT doc_id,
+        |  [CAST('0x' || substr(md5(x), 1, 7) AS BIGINT) % 2147483647
+        |    for x in grams] AS hs FROM pgm),
+        |ps AS (SELECT doc_id,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1103515245 + 12345) % 2147483647 for h in hs]) END AS m0,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*214013 + 2531011) % 2147483647 for h in hs]) END AS m1,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*69069 + 362437) % 2147483647 for h in hs]) END AS m2,
+        | CASE WHEN len(hs) = 0 THEN 2147483647 ELSE
+        |  list_min([(h*1664525 + 1013904223) % 2147483647 for h in hs]) END AS m3
+        | FROM phs),
+        |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ps a JOIN ps b ON a.doc_id < b.doc_id
+        |  WHERE ((a.m0=b.m0 AND a.m1=b.m1) OR (a.m2=b.m2 AND a.m3=b.m3))
+        |    AND ((a.m0=b.m0)::INT + (a.m1=b.m1)::INT
+        |     + (a.m2=b.m2)::INT + (a.m3=b.m3)::INT) / 4.0 >= 0.5),
+        |pedges AS (SELECT id_a AS src, id_b AS dst FROM pp
+        |  UNION SELECT id_b, id_a FROM pp),
+        |preach(id, rt) AS (
+        |  SELECT DISTINCT src, src FROM pedges
+        |  UNION
+        |  SELECT e.src, preach.rt FROM pedges e JOIN preach ON e.dst = preach.id),
+        |plab AS (SELECT id, min(rt) AS cluster_id FROM preach GROUP BY id),
+        |pnd AS (SELECT doc_id FROM pex
+        |  WHERE doc_id NOT IN (SELECT id FROM plab WHERE cluster_id <> id)),
+        |pev AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings e JOIN pnd ON e.vec_id = pnd.doc_id),
+        |pel AS (SELECT DISTINCT b.vec_id AS doc_id FROM pev a JOIN pev b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.995),
+        |psw AS (SELECT doc_id FROM pnd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM pel)),
+        |pbg AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 3 THEN
+        |    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |      for i in generate_series(1, len(toks)-2)] ELSE [] END) AS gram
+        |  FROM (SELECT string_split_regex(text, '\s+') AS toks
+        |    FROM documents WHERE doc_id % 97 = 3)),
+        |pcg AS (SELECT DISTINCT pt.doc_id, unnest(CASE WHEN len(pt.toks) >= 3 THEN
+        |    [pt.toks[i] || ' ' || pt.toks[i+1] || ' ' || pt.toks[i+2]
+        |      for i in generate_series(1, len(pt.toks)-2)] ELSE [] END) AS gram
+        |  FROM pt JOIN psw USING (doc_id)),
+        |pcs AS (SELECT pcg.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN pbg.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+        |  FROM pcg LEFT JOIN pbg ON pcg.gram = pbg.gram GROUP BY 1),
+        |pdrop AS (SELECT doc_id FROM pcs
+        |  WHERE round(CAST(n_cont AS DOUBLE) / n_grams, 6) >= 0.5)
+        |SELECT doc_id FROM psw
+        |WHERE doc_id NOT IN (SELECT doc_id FROM pdrop)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
         |  FROM documents WHERE doc_id % 4 = 0),

@@ -75,7 +75,16 @@ object DataPipeline {
     * @param spanDedupWindow remove every repeated ≥this-many-token span
     *                  except its corpus-first occurrence (stage 2.5,
     *                  ExactSubstr policy — Lee et al. 2022 use 50;
-    *                  0 skips) */
+    *                  0 skips)
+    * @param portableNearDup stage 3 uses the cross-engine-portable
+    *                  MinHash variant ([[Dedup.minHashNearDuplicatesPortable]],
+    *                  md5-prefix shingles, 4 permutations mod 2³¹−1,
+    *                  threshold 0.5) instead of the production xxhash64
+    *                  signatures — the SAME composition, with the one
+    *                  engine-specific hash swapped for one DuckDB can
+    *                  replay value-for-value, so the WHOLE chain's kept-id
+    *                  decision surface is cross-engine checkable
+    *                  (`pipeline_curate_portable`) */
   def curate(
       docs: DataFrame,
       embeddings: DataFrame,
@@ -88,7 +97,8 @@ object DataPipeline {
       noisyQualityGate: Boolean = false,
       semanticCells: Int = 0,
       fuzzyDecontaminationThreshold: Option[Double] = None,
-      spanDedupWindow: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+      spanDedupWindow: Int = 0,
+      portableNearDup: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     // 0. structural cleanup BEFORE anything hashes or scores the text:
     //    boilerplate-line removal needs the raw line structure (it runs
     //    first), then NFC canonicalization so visually-identical byte
@@ -170,8 +180,11 @@ object DataPipeline {
 
     // 3. near-dup clusters via MinHash-LSH; keep the smallest doc_id of
     //    each cluster (duplicateClusters labels every clustered doc)
-    val pairs = Dedup.minHashNearDuplicates(
-      exact, "doc_id", "text", threshold = 0.7)
+    val pairs =
+      if (portableNearDup) Dedup.minHashNearDuplicatesPortable(
+        exact, "doc_id", "text", threshold = 0.5)
+      else Dedup.minHashNearDuplicates(
+        exact, "doc_id", "text", threshold = 0.7)
     val clusters = Dedup.duplicateClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as("doc_id"))
