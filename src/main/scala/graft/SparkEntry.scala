@@ -2724,6 +2724,32 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL-codec decode over synthesized real-format payloads: each doc
+    * becomes an actual WAV (odd ids) or BMP (even ids) whose samples are
+    * modular functions of (doc_id, n_chars), the bytes are ENCODED and
+    * then DECODED by [[Multimodal.decodeReal]] (BGR flip, row padding,
+    * RIFF chunk walk included) — while the DuckDB oracle computes the
+    * decoded features in CLOSED FORM without ever touching bytes, so any
+    * encode/decode defect (padding, endianness, channel order, chunk
+    * arithmetic) breaks the hash match. The external numpy worker twin of
+    * this decode is parity-pinned in MultimodalSpec. */
+  private def mmFeaturesReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+    val media = docs.as[(Long, Long)].map { case (id, nc) =>
+      val payload =
+        if (id % 2 == 1) Multimodal.synthWav(id, nc)
+        else Multimodal.synthBmp(id, nc)
+      Multimodal.MediaItem(id, payload, "", "synth")
+    }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("sample_rate"), col("n_samples"),
+        round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   // ——— registry ————————————————————————————————————————————————————————
 
   /** Built-query memo per session (bounded LRU, see
@@ -2898,6 +2924,7 @@ object SparkEntry {
     "text_lm_buckets" -> (textLmBuckets _),
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
+    "mm_features_real" -> (mmFeaturesReal _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5193,5 +5220,38 @@ object SparkEntry {
         | CAST(strlen(text) % 640 + 16 AS INT) AS width,
         | CAST((strlen(text) // 640) % 480 + 16 AS INT) AS height
         |FROM documents WHERE doc_id % 9 = 0 ORDER BY 1""".stripMargin,
+    // closed-form replay of the synth->encode->decode chain: the oracle
+    // never builds bytes — the decoded features must equal the modular
+    // functions the samples were synthesized from (mm_features_real doc)
+    "mm_features_real" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |wv AS (SELECT doc_id, CAST(nc % 50 + 10 AS BIGINT) AS n
+        |  FROM md WHERE doc_id % 2 = 1),
+        |wi AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM wv),
+        |wq AS (SELECT doc_id, n,
+        |  sum(((doc_id*31 + i*7) % 65536 - 32768)
+        |    * ((doc_id*31 + i*7) % 65536 - 32768)) AS sq
+        |  FROM wi GROUP BY 1, 2),
+        |wr AS (SELECT doc_id AS media_id, 'audio/wav' AS format,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        |  n AS n_samples,
+        |  round(sqrt(CAST(sq AS DOUBLE) / n) / 32768.0, 6) AS mean_value
+        |  FROM wq),
+        |bm AS (SELECT doc_id, CAST(nc % 30 + 1 AS BIGINT) AS w
+        |  FROM md WHERE doc_id % 2 = 0),
+        |bi AS (SELECT doc_id, w, unnest(generate_series(0, w*9 - 1)) AS j
+        |  FROM bm),
+        |bq AS (SELECT doc_id, w, sum((doc_id*7 + j*13) % 256) AS s
+        |  FROM bi GROUP BY 1, 2),
+        |br AS (SELECT doc_id AS media_id, 'image/bmp' AS format,
+        |  CAST(w AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+        |  CAST(w*3 AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / (w*9), 6) AS mean_value FROM bq)
+        |SELECT * FROM wr UNION ALL SELECT * FROM br
+        |ORDER BY media_id""".stripMargin,
   )
 }

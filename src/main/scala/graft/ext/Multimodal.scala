@@ -103,7 +103,8 @@ object Multimodal {
     // RIFF is a container: the subtype tag at bytes 9-12 distinguishes
     // WAVE audio from WEBP images and AVI video
     val riffTag = hex(substring(payload, 9, 4))
-    when(p8.startsWith("89504E47"), "image/png")
+    when(p8.startsWith("424D"), "image/bmp")
+      .when(p8.startsWith("89504E47"), "image/png")
       .when(p8.startsWith("FFD8FF"), "image/jpeg")
       .when(p8.startsWith("474946383"), "image/gif")
       .when(p8.startsWith("52494646") && riffTag === "57415645", "audio/wav")
@@ -294,6 +295,275 @@ object Multimodal {
     transformViaArrow(
       media.select(col("media_id"), col("payload")),
       pipeThroughWorker(cmd), Some(outSchema))
+  }
+
+  // ——— REAL codecs: BMP (24bpp uncompressed) + WAV (PCM16) ———
+  // Both formats are header + raw samples, so a complete, correct decoder
+  // needs no external library — this is the promised "real codec behind
+  // the batch seam", not a stub: BGR→RGB conversion, bottom-up row flip,
+  // 4-byte row padding, RIFF chunk walking and PCM16 extraction are all
+  // the genuine format semantics. Anything else (PNG/JPEG — entropy-coded,
+  // codec libs absent in this container) still routes to the disclosed
+  // byte-stats fallback.
+
+  /** Decoded real-media features — integer-exact accumulation everywhere
+    * (byte sums / sample square-sums in Long), so the external numpy
+    * worker reproduces `mean_value` BIT-for-bit: both engines divide the
+    * same exact integer by the same count and round the same IEEE double.
+    * BMP: width×height, channels=3, n_samples=pixel count, mean_value =
+    * mean pixel-byte (0–255). WAV: channels/sample_rate from fmt,
+    * n_samples=frames per channel, mean_value = RMS of normalized samples.
+    * Other payloads: format `application/octet-stream`, n_samples=byte
+    * length, mean_value = mean byte. */
+  final case class RealMediaFeatures(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sample_rate: Int,
+      n_samples: Long,
+      mean_value: Double)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    u16(b, off).toLong | (u16(b, off + 2).toLong << 16)
+  private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+  /** Full BMP pixel decode: (width, height, top-down RGB bytes).
+    * Supports the ubiquitous BITMAPINFOHEADER 24bpp uncompressed
+    * bottom-up form; anything else fails loudly (a silent wrong decode
+    * poisons every downstream feature). Handles the two REAL format
+    * quirks a naive reader gets wrong: rows are stored bottom-up and
+    * padded to 4 bytes, and pixels are BGR, not RGB. */
+  def bmpPixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+      s"not a BMP payload (${b.length} bytes)")
+    val dataOff = u32(b, 10).toInt
+    val hdrSize = u32(b, 14)
+    require(hdrSize >= 40, s"unsupported BMP core-header size $hdrSize")
+    val w = i32(b, 18)
+    val h = i32(b, 22)
+    require(w > 0 && h > 0, s"unsupported BMP dimensions ${w}x$h " +
+      "(top-down negative-height BMPs not supported)")
+    val planes = u16(b, 26); val bpp = u16(b, 28); val comp = u32(b, 30)
+    require(planes == 1 && bpp == 24 && comp == 0,
+      s"unsupported BMP variant: planes=$planes bpp=$bpp compression=$comp " +
+        "(only 24bpp uncompressed)")
+    val rowBytes = w * 3
+    val rowStride = (rowBytes + 3) & ~3
+    require(b.length.toLong >= dataOff.toLong + rowStride.toLong * (h - 1) + rowBytes,
+      s"truncated BMP: ${b.length} bytes < pixel data for ${w}x$h")
+    val out = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val srcBase = dataOff + (h - 1 - r) * rowStride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val s = srcBase + x * 3
+        val d = (r * w + x) * 3
+        out(d) = b(s + 2) // B,G,R on disk -> R,G,B out
+        out(d + 1) = b(s + 1)
+        out(d + 2) = b(s)
+        x += 1
+      }
+      r += 1
+    }
+    (w, h, out)
+  }
+
+  /** Full WAV decode: (channels, sampleRate, interleaved PCM16 samples).
+    * Walks RIFF chunks properly (fmt may be followed by LIST/fact before
+    * data; chunk sizes pad to even) — PCM16 only, loud failure otherwise. */
+  def wavSamples(b: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
+        && b(11) == 'E',
+      s"not a RIFF/WAVE payload (${b.length} bytes)")
+    var off = 12
+    var channels = -1; var sampleRate = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val cid = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = u32(b, off + 4).toInt
+      if (cid == "fmt ") {
+        require(clen >= 16 && off + 8 + 16 <= b.length, "truncated fmt chunk")
+        val audioFormat = u16(b, off + 8)
+        channels = u16(b, off + 10)
+        sampleRate = u32(b, off + 12).toInt
+        val bits = u16(b, off + 22)
+        require(audioFormat == 1 && bits == 16,
+          s"unsupported WAV variant: format=$audioFormat bits=$bits " +
+            "(only PCM16)")
+      } else if (cid == "data") {
+        dataOff = off + 8; dataLen = clen
+      }
+      off += 8 + clen + (clen & 1) // RIFF chunks pad to even length
+    }
+    require(channels > 0 && sampleRate > 0, "WAV has no fmt chunk")
+    require(dataOff >= 0, "WAV has no data chunk")
+    require(dataOff + dataLen <= b.length,
+      s"truncated WAV: data chunk claims $dataLen bytes past payload end")
+    val n = dataLen / 2
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(dataOff + 2 * i) & 0xff)
+        | ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+      i += 1
+    }
+    (channels, sampleRate, out)
+  }
+
+  /** Dispatch on magic bytes: real BMP/WAV decode, byte-stats fallback
+    * for everything else. Pure function — safe inside `mapPartitions`. */
+  def decodeReal(item: MediaItem): RealMediaFeatures = {
+    val b = item.payload
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
+      val (w, h, px) = bmpPixels(b)
+      var sum = 0L; var i = 0
+      while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+      RealMediaFeatures(item.media_id, "image/bmp", w, h, 3, 0,
+        w.toLong * h, sum.toDouble / px.length)
+    } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
+        && b(11) == 'E') {
+      val (ch, sr, samples) = wavSamples(b)
+      var sq = 0L; var i = 0
+      while (i < samples.length) {
+        sq += samples(i).toLong * samples(i); i += 1
+      }
+      val rms =
+        if (samples.isEmpty) 0.0
+        else math.sqrt(sq.toDouble / samples.length) / 32768.0
+      RealMediaFeatures(item.media_id, "audio/wav", 0, 0, ch, sr,
+        samples.length.toLong / math.max(ch, 1), rms)
+    } else {
+      var sum = 0L; var i = 0
+      while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
+      RealMediaFeatures(item.media_id, "application/octet-stream", 0, 0, 0, 0,
+        b.length.toLong, if (b.isEmpty) 0.0 else sum.toDouble / b.length)
+    }
+  }
+
+  /** [[decodeReal]] over a media Dataset, partition-wise — the same batch
+    * path as the stub [[decode]], now with a real codec in the body. */
+  def decodeRealMedia(items: Dataset[MediaItem]): Dataset[RealMediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(decodeReal))
+  }
+
+  /** External twin of [[decodeRealMedia]] over the Arrow IPC seam: the
+    * pure-numpy worker (`scripts/media_worker.py`) decodes the same BMP/
+    * WAV formats from the raw bytes and must agree BIT-for-bit
+    * (MultimodalSpec) — the proof that a real out-of-process codec drops
+    * into [[transformViaArrow]] without touching the Spark side. */
+  def decodeViaWorker(media: DataFrame, cmd: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("mean_value", DoubleType)))
+    transformViaArrow(
+      media.select(col("media_id"), col("payload")),
+      pipeThroughWorker(cmd), Some(outSchema))
+  }
+
+  // ——— real-format ENCODERS (the fixtures' and oracle query's source) ———
+
+  /** Encode top-down RGB bytes as a 24bpp uncompressed BMP — the exact
+    * inverse of [[bmpPixels]] (row flip, RGB→BGR, 4-byte padding). */
+  def buildBmp(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(rgbTopDown.length == w * h * 3,
+      s"need ${w * h * 3} RGB bytes, got ${rgbTopDown.length}")
+    val rowBytes = w * 3
+    val rowStride = (rowBytes + 3) & ~3
+    val dataSize = rowStride * h
+    val out = new Array[Byte](54 + dataSize)
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(off: Int, v: Long): Unit = {
+      put16(off, (v & 0xffff).toInt); put16(off + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length.toLong); put32(10, 54L)
+    put32(14, 40L); put32(18, w.toLong); put32(22, h.toLong)
+    put16(26, 1); put16(28, 24); put32(30, 0L); put32(34, dataSize.toLong)
+    var r = 0
+    while (r < h) {
+      val dstBase = 54 + (h - 1 - r) * rowStride
+      var x = 0
+      while (x < w) {
+        val s = (r * w + x) * 3
+        val d = dstBase + x * 3
+        out(d) = rgbTopDown(s + 2); out(d + 1) = rgbTopDown(s + 1)
+        out(d + 2) = rgbTopDown(s)
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Encode interleaved PCM16 samples as a canonical WAV. */
+  def buildWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(off: Int, v: Long): Unit = {
+      put16(off, (v & 0xffff).toInt); put16(off + 2, ((v >> 16) & 0xffff).toInt)
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+    putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, channels)
+    put32(24, sampleRate.toLong)
+    put32(28, sampleRate.toLong * channels * 2) // byte rate
+    put16(32, channels * 2); put16(34, 16)      // block align, bits
+    putTag(36, "data"); put32(40, dataLen.toLong)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + 2 * i, samples(i) & 0xffff); i += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic WAV from (id, nChars) — modular-arithmetic
+    * samples so the DuckDB oracle computes the DECODED features in closed
+    * form without ever seeing the bytes (`mm_features_real`). */
+  def synthWav(id: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 50 + 10).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((id * 31 + i * 7) % 65536 - 32768).toShort
+      i += 1
+    }
+    buildWav(1, 8000, samples)
+  }
+
+  /** Deterministic synthetic BMP from (id, nChars) — same closed-form
+    * contract as [[synthWav]] (byte mean is permutation-invariant, so the
+    * encoder's BGR flip + row order never reaches the oracle). */
+  def synthBmp(id: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 30 + 1).toInt
+    val h = 3
+    val px = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < px.length) {
+      px(j) = ((id * 7 + j * 13) % 256).toByte; j += 1
+    }
+    buildBmp(w, h, px)
   }
 
   /** Build a media table from any table with a string column, for tests and

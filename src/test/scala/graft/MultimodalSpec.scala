@@ -135,6 +135,109 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ann(worker) == ann(jvmDf))
   }
 
+  // — REAL codecs (round-15 ask): BMP + WAV decode for real, committed
+  // binary fixtures byte-exact, numpy worker parity over the Arrow seam —
+
+  private def readResource(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    assert(in != null, s"missing test resource $path")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("REAL BMP codec: committed fixture decodes byte-exact " +
+      "(BGR->RGB, bottom-up rows, 4-byte padding)") {
+    val b = readResource("/graft/tiny.bmp")
+    val (w, h, px) = Multimodal.bmpPixels(b)
+    assert((w, h) == ((3, 2)))
+    // the fixture was written by an independent encoder (python struct):
+    // top-down RGB pixel bytes must come back exactly
+    assert(px.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255,
+      10, 20, 30, 40, 50, 60, 70, 80, 90))
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(1L, b, "", "fix"))
+    assert(f == Multimodal.RealMediaFeatures(
+      1L, "image/bmp", 3, 2, 3, 0, 6L, 1215.0 / 18))
+    // truncated pixel data fails loudly, never silently mis-decodes
+    val e = intercept[IllegalArgumentException](
+      Multimodal.bmpPixels(b.take(60)))
+    assert(e.getMessage.contains("truncated BMP"))
+    // encode -> decode round-trip is the identity on pixels
+    val (w2, h2, px2) = Multimodal.bmpPixels(Multimodal.buildBmp(w, h, px))
+    assert(w2 == w && h2 == h && px2.toSeq == px.toSeq)
+  }
+
+  test("REAL WAV codec: committed fixture decodes byte-exact " +
+      "(RIFF chunk walk, PCM16 little-endian)") {
+    val b = readResource("/graft/tiny.wav")
+    val (ch, sr, samples) = Multimodal.wavSamples(b)
+    assert(ch == 1 && sr == 8000)
+    assert(samples.toSeq ==
+      Seq[Short](0, 1000, -1000, 32767, -32768, 5, -5, 12345))
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(2L, b, "", "fix"))
+    val sq = samples.map(s => s.toLong * s).sum
+    assert(f == Multimodal.RealMediaFeatures(2L, "audio/wav", 0, 0, 1, 8000,
+      8L, math.sqrt(sq.toDouble / 8) / 32768.0))
+    // encode -> decode round-trip is the identity on samples
+    val (ch2, sr2, s2) =
+      Multimodal.wavSamples(Multimodal.buildWav(ch, sr, samples))
+    assert(ch2 == ch && sr2 == sr && s2.toSeq == samples.toSeq)
+    // a PCM16 claim with a float fmt tag fails loudly
+    val bad = b.clone(); bad(20) = 3 // WAVE_FORMAT_IEEE_FLOAT
+    val e = intercept[IllegalArgumentException](Multimodal.wavSamples(bad))
+    assert(e.getMessage.contains("unsupported WAV variant"))
+  }
+
+  test("synth payloads decode to their closed-form features " +
+      "(the mm_features_real oracle contract)") {
+    val id = 39L; val nc = 123L
+    val fw = Multimodal.decodeReal(
+      Multimodal.MediaItem(id, Multimodal.synthWav(id, nc), "", "s"))
+    val n = (nc % 50 + 10).toInt
+    val sq = (0 until n).map { i =>
+      val s = (id * 31 + i * 7) % 65536 - 32768; s * s
+    }.sum
+    assert(fw == Multimodal.RealMediaFeatures(id, "audio/wav", 0, 0, 1, 8000,
+      n.toLong, math.sqrt(sq.toDouble / n) / 32768.0))
+    val id2 = 26L
+    val fb = Multimodal.decodeReal(
+      Multimodal.MediaItem(id2, Multimodal.synthBmp(id2, nc), "", "s"))
+    val wpx = (nc % 30 + 1).toInt
+    val bsum = (0 until wpx * 9).map(j => (id2 * 7 + j * 13) % 256).sum
+    assert(fb == Multimodal.RealMediaFeatures(id2, "image/bmp", wpx, 3, 3, 0,
+      wpx.toLong * 3, bsum.toDouble / (wpx * 9)))
+  }
+
+  test("external numpy media worker == in-JVM decodeReal bit-for-bit " +
+      "over BMP, WAV and fallback payloads (Arrow seam)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
+        col("text"))
+    val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
+      val payload = (id % 3) match {
+        case 0 => Multimodal.synthBmp(id, nc)
+        case 1 => Multimodal.synthWav(id, nc)
+        case _ =>
+          Option(text).getOrElse("").getBytes("UTF-8") // fallback route
+      }
+      Multimodal.MediaItem(id, payload, "", "spec")
+    }
+    val jvm = Multimodal.decodeRealMedia(items).collect()
+      .map(f => (f.media_id, f.format, f.width, f.height, f.channels,
+        f.sample_rate, f.n_samples, f.mean_value)).sortBy(_._1)
+    val ext = Multimodal.decodeViaWorker(items.toDF(),
+        Seq("python3", "scripts/media_worker.py"))
+      .as[(Long, String, Int, Int, Int, Int, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(ext.length == jvm.length && ext.length > 10)
+    jvm.zip(ext).foreach { case (j, e) =>
+      assert(j == e, s"worker decode diverges for media_id ${j._1}")
+    }
+    assert(jvm.map(_._2).distinct.sorted.toSeq == Seq(
+      "application/octet-stream", "audio/wav", "image/bmp"))
+  }
+
   // — worker-pipe robustness (round-13 advice, medium): a chatty worker
   // must never deadlock the task, stderr capture is capped, and a worker
   // that hangs after stdout EOF hits the bounded wait —
