@@ -789,20 +789,27 @@ object SparkEntry {
   /** Per-benchmark-document contamination attribution: which eval docs
     * leak into the corpus, how many corpus docs carry ≥50% of their
     * grams, and the worst overlap — the report a decontamination run
-    * ships with its gate. */
+    * ships with its gate.
+    *
+    * A decontamination report's benchmark is an EVAL SUITE — bounded by
+    * nature — so the query uses the single-pass kernel form
+    * ([[Dedup.contaminationAttributionCompact]]): the posting table folds
+    * into one [[graft.functions.BenchOverlap]] eval per corpus doc, and
+    * the gram join + corpus×bench pair exchange disappear (round-16).
+    * The guarded posting collect happens at construction, so the query is
+    * nonMemoizable — every bench rep re-pays the posting build DuckDB
+    * re-runs. The held-out corpus-split posture
+    * (a genuinely unbounded "benchmark") stays on
+    * `contaminationAttribution(broadcastBenchmark = false)`, value-pinned
+    * in ContaminationReportSpec and plan-pinned in PlanContractSpec. */
   private def textContaminationReport(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     // even/odd split (the fuzzy-decontamination fixture): near-dup pairs
     // cross the parity line, so real >=50% leaks exist at every test SF
-    Dedup.contaminationAttribution(
+    Dedup.contaminationAttributionCompact(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),
-        "doc_id", "doc_id", "text", "text",
-        // the "benchmark" here IS a held-out corpus split (half the table),
-        // the documented corpus-scale case: shuffle-hash the gram join
-        // instead of broadcasting an exploded corpus-half; its ids are the
-        // corpus's own unique key, so the zero-exchange size path applies
-        broadcastBenchmark = false, assumeUniqueBenchIds = true)
+        "doc_id", "doc_id", "text", "text")
       .orderBy(col("bench_id"))
   }
 
@@ -2797,6 +2804,9 @@ object SparkEntry {
       "text_boilerplate",
       // two hashed-gram model fits (collect jobs) at construction
       "text_dsir",
+      // guarded benchmark-posting collect at construction (the text_dsir
+      // class): every rep re-pays the posting build DuckDB re-runs
+      "text_contamination_report",
       // lazily-checkpointed gram stream (the text_quality_prune class)
       "dedup_edit_pairs",
       // (ret_tfidf left this set with tfidfForVocab(materialize=false) —

@@ -1765,6 +1765,147 @@ object Dedup {
     attributionFromHits(hits, minFraction)
   }
 
+  /** [[contaminationAttribution]] for BOUNDED benchmarks (eval suites —
+    * the reference's decontamination-report posture) via one single-pass
+    * kernel eval per corpus document ([[graft.functions.BenchOverlap]]):
+    * the benchmark's (gram → bench) posting table folds into the plan as
+    * constant arrays, every (doc, bench) overlap completes inside the
+    * doc's own row, and the ONLY exchange left is the |bench|-bounded
+    * final aggregate — the gram-level join and the corpus×bench pair
+    * shuffle are gone entirely.
+    *
+    * Boundedness contract (same class as
+    * [[graft.streaming.ContaminationGate.withScore]]): the posting
+    * collect is guarded by `maxBenchmarkPostings` and fails loudly with
+    * the argument-swap diagnostic — a corpus-sized "benchmark" (held-out
+    * split audits) must use [[contaminationAttribution]] with
+    * `broadcastBenchmark = false`, which never materializes the
+    * benchmark anywhere.
+    *
+    * Value-identical to the join forms (ContaminationReportSpec):
+    * duplicate `benchIdCol` rows contribute the UNION of their gram sets
+    * (the posting distinct performs it for free). Requires bigint bench
+    * ids (the engine's doc-id convention) so the output schema matches
+    * the join form exactly. */
+  def contaminationAttributionCompact(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 3,
+      minFraction: Double = 0.5,
+      maxBenchmarkPostings: Long = 32L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    requireNotAttributionReserved(idCol)
+    if (benchIdCol != "bench_id") requireNotAttributionReserved(benchIdCol)
+    require(maxBenchmarkPostings > 0 && maxBenchmarkPostings < Int.MaxValue,
+      s"maxBenchmarkPostings must be in (0, Int.MaxValue): $maxBenchmarkPostings")
+    require(benchmark.schema(benchIdCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"compact attribution requires a bigint '$benchIdCol' (got " +
+        s"${benchmark.schema(benchIdCol).dataType.simpleString}) — use " +
+        "contaminationAttribution for other id types")
+    def gramHashes(c: Column): Column = GraftColumnBridge.column(
+      graft.functions.XxHash64Array(
+        GraftColumnBridge.expression(wordNgrams(c, n))))
+    // guarded posting collect: one PACKED gram ARRAY per benchmark row —
+    // no explode rows and no distinct exchange reach the cluster; the
+    // guard sums array lengths before any structure is built. (An
+    // all-in-plan one-row-sidecar variant was A/B-measured SLOWER
+    // end-to-end — its distinct + size-join + one-row-fold chain costs 6
+    // extra stages per run; see PLANS.md round 16.)
+    val perRow = graft.ops.Par.fanOutSmallScan(benchmark)
+      .select(col(benchIdCol).as("bench_id"),
+        gramHashes(col(benchTextCol)).as("__gs"))
+      .collect()
+    var totalPostings = 0L
+    perRow.foreach(r =>
+      if (!r.isNullAt(1)) totalPostings += r.getSeq[Long](1).length)
+    if (totalPostings > maxBenchmarkPostings)
+      throw new IllegalArgumentException(
+        s"contaminationAttributionCompact: benchmark side has " +
+          s"$totalPostings (id, gram) postings > cap $maxBenchmarkPostings " +
+          "— too large for the single-pass kernel. Did you swap the " +
+          "corpus and benchmark arguments? For a corpus-sized benchmark " +
+          "use contaminationAttribution(broadcastBenchmark = false).")
+    // normalize to one (id, distinct grams) entry per bench id. Fast path
+    // (unique ids — the eval-suite norm): per-row arrays are already
+    // distinct, copy primitively. Duplicate ids (a benchmark stored one
+    // example per row under a shared task id) take the boxed union path.
+    val entries: Array[(Long, Array[Long])] = {
+      val raw = perRow.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Array.empty[Long]
+        else r.getSeq[Long](1).toArray))
+      if (raw.map(_._1).distinct.length == raw.length) raw.sortBy(_._1)
+      else {
+        val byId = new java.util.TreeMap[java.lang.Long, java.util.HashSet[java.lang.Long]]()
+        raw.foreach { case (id, gs) =>
+          val set = byId.computeIfAbsent(id,
+            _ => new java.util.HashSet[java.lang.Long]())
+          gs.foreach(g => set.add(g))
+        }
+        val out = new Array[(Long, Array[Long])](byId.size)
+        var i = 0
+        val it = byId.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val set = e.getValue
+          val a = new Array[Long](set.size)
+          var j = 0
+          val sit = set.iterator()
+          while (sit.hasNext) { a(j) = sit.next(); j += 1 }
+          out(i) = (e.getKey, a); i += 1
+        }
+        out
+      }
+    }
+    val benchIds = entries.map(_._1)
+    val nb = entries.map(_._2.length)
+    val nFlat = nb.sum
+    val flatG = new Array[Long](nFlat)
+    val flatB = new Array[Int](nFlat)
+    locally {
+      var p = 0; var i = 0
+      while (i < entries.length) {
+        val gs = entries(i)._2
+        System.arraycopy(gs, 0, flatG, p, gs.length)
+        java.util.Arrays.fill(flatB, p, p + gs.length, i)
+        p += gs.length; i += 1
+      }
+      // primitive dual-array quicksort by gram (ties' bench order is
+      // irrelevant to the kernel's run walk)
+      def sort(lo: Int, hi: Int): Unit = if (lo < hi) {
+        val pivot = flatG((lo + hi) >>> 1)
+        var l = lo; var r = hi
+        while (l <= r) {
+          while (flatG(l) < pivot) l += 1
+          while (flatG(r) > pivot) r -= 1
+          if (l <= r) {
+            val tg = flatG(l); flatG(l) = flatG(r); flatG(r) = tg
+            val tb = flatB(l); flatB(l) = flatB(r); flatB(r) = tb
+            l += 1; r -= 1
+          }
+        }
+        sort(lo, r); sort(l, hi)
+      }
+      sort(0, nFlat - 1)
+    }
+    // broadcast, not plan constants: multi-MB reference objects would
+    // re-serialize into every job's task binary and deserialize per task
+    val table = corpus.sparkSession.sparkContext.broadcast(
+      graft.functions.BenchOverlap.PostingTable(flatG, flatB, benchIds, nb))
+    val kernel = graft.functions.BenchOverlap(
+      GraftColumnBridge.expression(gramHashes(col(textCol))),
+      table, minFraction)
+    graft.ops.Par.fanOutSmallScan(corpus)
+      .select(explode(GraftColumnBridge.column(kernel)).as("__hit"))
+      .groupBy(col("__hit.bench_id").as("bench_id"))
+      .agg(count(lit(1)).as("n_contaminated_docs"),
+        round(max(col("__hit.overlap")), 6).as("max_overlap"))
+  }
+
   /** Internal/output names of the contamination-attribution machinery —
     * a user id column sharing one would be silently clobbered by the
     * internal selects instead of erroring loudly (same guard class as

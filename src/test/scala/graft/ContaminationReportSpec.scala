@@ -55,6 +55,42 @@ class ContaminationReportSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationAttributionCompact (single-pass kernel) == join-form " +
+      "attribution, incl. duplicate bench ids and zero-gram edges") {
+    for (seed <- Seq(3, 11, 42)) {
+      val docs = corpusOf(seed, 60)
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      // duplicate bench ids: two rows share id 999 — the union semantics
+      // the default join path implements with its groupBy
+      val bench = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(Seq((999L, "the quick brown fox"),
+          (999L, "fox jumps over lazy")).toDF("doc_id", "text"))
+      val exp = Dedup.contaminationAttribution(
+        corpus, bench, "doc_id", "doc_id", "text", "text")
+      val got = Dedup.contaminationAttributionCompact(
+        corpus, bench, "doc_id", "doc_id", "text", "text")
+      assert(got.columns.toSeq == exp.columns.toSeq)
+      assert(rows(got) == rows(exp), s"compact mismatch (seed=$seed)")
+    }
+    // empty benchmark gram side: empty result, correct schema
+    val corpus = Seq((0L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val bench = Seq((1L, "xx")).toDF("doc_id", "text") // < n tokens
+    val got = Dedup.contaminationAttributionCompact(
+      corpus, bench, "doc_id", "doc_id", "text", "text")
+    assert(got.columns.toSeq ==
+      Seq("bench_id", "n_contaminated_docs", "max_overlap"))
+    assert(got.count() == 0)
+    // oversized benchmark fails at RUN time with the argument-swap
+    // diagnostic (the guard is in-plan raise_error, so it fires on every
+    // posture that executes the plan, streaming reuse included)
+    val big = corpusOf(7, 200)
+    val e = intercept[Exception](
+      Dedup.contaminationAttributionCompact(
+        big, big, "doc_id", "doc_id", "text", "text",
+        maxBenchmarkPostings = 10).collect())
+    assert(e.getMessage.contains("swap"), s"unexpected: ${e.getMessage}")
+  }
+
   test("report handles a benchmark with zero overlap and empty docs") {
     val corpus = Seq((0L, "aa bb cc dd ee"), (2L, ""), (4L, "one two")).toDF("doc_id", "text")
     val bench = Seq((1L, "xx yy zz ww vv"), (3L, "")).toDF("doc_id", "text")
