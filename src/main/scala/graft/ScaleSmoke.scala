@@ -733,6 +733,44 @@ object ScaleSmoke {
         bigEvents, "user_id", "event_id", "value", horizon = 3).count()
     }
 
+    // ——— round-16 additions: KMV overlap, box stats, compact attribution ———
+    timed("KMV corpus overlap 50k docs") {
+      // production hash path (one xxhash64 per shingle); the exchange
+      // carries (hash, flag, flag) rows only and the bottom-k is the
+      // bounded heap (plan-contract-pinned: never a Window/sort of the
+      // hash universe). Driver state = ONE row; k_used caps at k no
+      // matter the corpus size.
+      val r = graft.ext.Dedup.corpusOverlapEstimate(
+          bigDocs.filter(col("doc_id") % 2 === 0),
+          bigDocs.filter(col("doc_id") % 2 === 1),
+          "text", "text", k = 256, portable = false)
+        .head()
+      assert(r.getLong(0) <= 256L,
+        s"KMV sketch k_used ${r.getLong(0)} exceeds k — unbounded state")
+      1L
+    }
+    timed("metric box stats 1M events") {
+      // exact per-group quartiles: the percentile aggregate holds ONE
+      // group's values, the output is ONE row per group (20 entities x
+      // 10 replicas = bounded), and the whisker pass re-reads the data
+      // against a BROADCAST quartile frame — no second wide exchange
+      val box = graft.ops.DataPlots.metricsBoxFrame(
+        bigEvents.select(pmod(col("user_id"), lit(200L)).as("grp"),
+          col("value")), Seq("grp"), "value")
+      val n = box.count()
+      assert(n <= 200L, s"box frame emitted $n rows for <=200 groups")
+      n
+    }
+    timed("compact attribution 50k docs") {
+      // bounded-benchmark single-pass kernel at x10 corpus: the posting
+      // collect sees only the 500-doc eval suite (guarded), the corpus
+      // side is ONE kernel map pass — no gram join, no corpus x bench
+      // pair exchange at any corpus size
+      graft.ext.Dedup.contaminationAttributionCompact(
+        bigDocs, docs.filter(col("doc_id") % 97 === 3).limit(500),
+        "doc_id", "doc_id", "text", "text").count()
+    }
+
     // ——— interval-overlap join under pathological skew ———
     // the granule decomposition's two failure shapes AT ONCE: a handful
     // of VERY LONG intervals (per-row fan-out = span/width granules) and
