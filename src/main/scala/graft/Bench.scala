@@ -86,6 +86,8 @@ object Bench {
         (r, () => fresh.foreach(_.unpersist(blocking = false)))
       }
     val results = selected.map { case (name, fn) =>
+      // attribute this query's capped-operator drops in the round table
+      graft.ext.DropMetrics.setContext(name)
       val tCold0 = System.nanoTime()
       var coldReclaim: () => Unit = () => ()
       val coldOk = try {
@@ -225,6 +227,7 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         System.gc()
         selected.map { case (name, fn) =>
+          graft.ext.DropMetrics.setContext(name)
           val t0 = System.nanoTime()
           var reclaim: () => Unit = () => ()
           val ok = try {
@@ -262,11 +265,34 @@ object Bench {
       if (aqeQueries.isEmpty) ""
       else s""","total_aqe":${aqeQueries.values.sum},""" +
         s""""queries_aqe":${jsonMap(aqeQueries)}"""
+    // round-level "rows dropped by caps" table (no-silent-caps audit):
+    // flush the async listener bus first so every execution's observed
+    // metrics have landed. Totals span ALL of a query's executions this
+    // run (warmup + reps + audits) — an order-of-magnitude lens, not a
+    // per-run ledger (each execution's exact counts are in the WARN log).
+    // flush BEFORE clearing: listener delivery is async, so a clear that
+    // races the last query's events would drop their attribution
+    try org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] listener-bus flush failed: ${e.getMessage}")
+    }
+    graft.ext.DropMetrics.clearContext()
+    val dropTable = graft.ext.DropMetrics.drainTotals()
+    if (dropTable.isEmpty)
+      System.err.println(
+        "[bench] rows dropped by caps: none observed this run")
+    else dropTable.foreach { case (q, n) =>
+      System.err.println(s"[bench] rows dropped by caps: $q total=$n")
+    }
+    val dropsJson =
+      if (dropTable.isEmpty) ""
+      else dropTable.map { case (q, n) => s"\"$q\":$n" }
+        .mkString(""","drops":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_cold":$totalCold,"queries_cold":$qsCold,""" +
         s""""queries_jobs":$qsJobs$batchedJson""" +
-        s"""$aqeJson,"sf":"$sfDir"}"""
+        s"""$aqeJson$dropsJson,"sf":"$sfDir"}"""
     println(line)
     // also land the result as a file: the driver's log tail truncates long
     // lines, which made BENCH_r02.json unparseable mid-JSON

@@ -46,12 +46,14 @@ object Verify {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
+        graft.ext.DropMetrics.setContext(name)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      }
     }
     // self-oracle for the queries DuckDB cannot replay (engine-specific
     // hash kernels): content hash vs committed golden → golden_check.json
@@ -62,6 +64,7 @@ object Verify {
     var goldenFailures = 0
     val goldenRows = GoldenHashes.queries.filter(selected).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        graft.ext.DropMetrics.setContext(name)
         val (hash, exp, ok) = GoldenHashes.check(name, sfKey, fn(spark, sfDir))
         val status =
           if (exp.isEmpty) "no_golden" else if (ok) "pass" else "FAIL"
@@ -78,6 +81,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // round-level "rows dropped by caps" table (no-silent-caps audit) —
+    // flush the async listener bus BEFORE clearing the context so every
+    // execution's metrics land attributed
+    try org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] listener-bus flush failed: ${e.getMessage}")
+    }
+    graft.ext.DropMetrics.clearContext()
+    val dropTable = graft.ext.DropMetrics.drainTotals()
+    if (dropTable.isEmpty)
+      println("DROPS none (no capped-operator drops observed this run)")
+    else dropTable.foreach { case (name, n) => println(s"DROPS $name: $n") }
     spark.stop()
     // a golden mismatch is a VALUE regression in a production hash path —
     // fail the artifact (rc != 0), not just the log, so the driver's gate

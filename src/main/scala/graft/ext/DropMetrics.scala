@@ -28,6 +28,32 @@ object DropMetrics {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  // ——— round-level drop table (Bench/Verify auditability) ———
+  // Per-context (= per running query) totals of every observed non-zero
+  // drop count, so a harness run can print ONE "rows dropped by caps"
+  // table instead of scattering WARN lines through the log. Listener
+  // delivery is async and the Bench body executes each query several
+  // times (warmup + reps + audits), so the table is an audit LENS —
+  // zero-vs-nonzero and order of magnitude — not an exact per-run ledger.
+  private val totals =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]()
+  @volatile private var currentContext: String = null
+
+  /** Attribute subsequently observed drops to `name`. */
+  def setContext(name: String): Unit = currentContext = name
+  def clearContext(): Unit = currentContext = null
+
+  /** Snapshot and reset the per-context drop totals (sorted by context). */
+  def drainTotals(): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val it = totals.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out += ((e.getKey, e.getValue.get()))
+    }
+    totals.clear()
+    out.sortBy(_._1).toSeq
+  }
+
   /** Attach drop metrics to `df` under a unique `graft_drops_<tag>_<n>`
     * observation and ensure the logging listener is installed. The first
     * metric column should be the drop count; all are logged on >0 drops. */
@@ -48,6 +74,10 @@ object DropMetrics {
               val detail = row.schema.fieldNames.zipWithIndex
                 .map { case (f, i) => s"$f=${row.get(i)}" }.mkString(", ")
               log.warn(s"[$name] capped operator dropped rows: $detail")
+              val ctx = currentContext
+              if (ctx != null)
+                totals.computeIfAbsent(ctx, _ => new AtomicLong())
+                  .addAndGet(row.getLong(0))
             }
           }
         override def onFailure(funcName: String, qe: QueryExecution,

@@ -34,6 +34,12 @@ object GraftColumnBridge {
     case other => String.valueOf(System.identityHashCode(other))
   }
 
+  /** Drain the listener bus (`listenerBus` is `private[spark]`): harness
+    * mains flush it before reading [[graft.ext.DropMetrics]]' async
+    * per-query totals, so the printed drop table covers every execution. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Build a DataFrame over a custom logical plan node (the (c)-ladder
     * entry point: `Dataset.ofRows` is `private[sql]`). */
   def ofRows(

@@ -9,6 +9,30 @@ class ExtSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // ——— DropMetrics round table ———
+
+  test("DropMetrics attributes observed drops to the active context and " +
+      "drains a per-query total (the bench/verify drop table)") {
+    import graft.ext.DropMetrics
+    DropMetrics.drainTotals() // isolate from any earlier suite's drops
+    DropMetrics.setContext("q_spec_drops")
+    // a capped operator's observe shape: first metric = drop count
+    val df = DropMetrics.observe(
+      (1 to 7).toDF("v"), "spec",
+      Seq(sum(when(col("v") > 4, 1L).otherwise(0L)).as("dropped_rows"),
+        count(lit(1)).as("n")))
+    assert(df.count() == 7) // observe never changes the data
+    df.count() // second execution accumulates again
+    // flush BEFORE clearing: listener delivery is async, so a clear that
+    // races the last event would drop its attribution
+    org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark)
+    DropMetrics.clearContext()
+    val table = DropMetrics.drainTotals().toMap
+    assert(table.get("q_spec_drops").contains(6L), s"got $table") // 3 + 3
+    // drained: the next snapshot is empty
+    assert(DropMetrics.drainTotals().isEmpty)
+  }
+
   // ——— Dedup ———
 
   test("wordNgrams builds distinct word trigrams; short texts get none") {
