@@ -72,7 +72,11 @@ def decode_wav(b):
     samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
                             offset=data_off).astype(np.int64)
     n = len(samples)
-    rms = 0.0 if n == 0 else math.sqrt(int((samples * samples).sum()) / n) / 32768.0
+    # float(sq) BEFORE the divide mirrors the JVM's sq.toDouble / n
+    # exactly — a direct int/int true-division is correctly rounded and
+    # can differ by 1 ulp once sq exceeds 2^53 (hours-long PCM)
+    rms = (0.0 if n == 0
+           else math.sqrt(float(int((samples * samples).sum())) / n) / 32768.0)
     return ("audio/wav", 0, 0, channels, sample_rate,
             n // max(channels, 1), rms)
 

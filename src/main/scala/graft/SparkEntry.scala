@@ -805,7 +805,11 @@ object SparkEntry {
   private def textContaminationReport(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     // even/odd split (the fuzzy-decontamination fixture): near-dup pairs
-    // cross the parity line, so real >=50% leaks exist at every test SF
+    // cross the parity line, so real >=50% leaks exist at every test SF.
+    // The odd half STANDS IN for the eval suite and is bounded at every
+    // test SF (<= 250k postings vs the 32M cap); the compact operator's
+    // distributed pre-count fails loudly long before a genuinely
+    // corpus-sized side could reach the driver.
     Dedup.contaminationAttributionCompact(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1),

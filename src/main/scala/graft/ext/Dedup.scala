@@ -1784,9 +1784,13 @@ object Dedup {
     *
     * Value-identical to the join forms (ContaminationReportSpec):
     * duplicate `benchIdCol` rows contribute the UNION of their gram sets
-    * (the posting distinct performs it for free). Requires bigint bench
-    * ids (the engine's doc-id convention) so the output schema matches
-    * the join form exactly. */
+    * (the driver build unions them). Requires bigint bench ids (the
+    * engine's doc-id convention) so the output schema matches the join
+    * form exactly. CORPUS ids must be UNIQUE (the doc-id convention,
+    * same contract class as `assumeUniqueBenchIds`): the kernel scores
+    * each corpus ROW independently, while the join form first merges a
+    * duplicated id's gram hits — two half-covering rows under one id
+    * would count once there and twice here. */
   def contaminationAttributionCompact(
       corpus: DataFrame,
       benchmark: DataFrame,
@@ -1811,18 +1815,23 @@ object Dedup {
       graft.functions.XxHash64Array(
         GraftColumnBridge.expression(wordNgrams(c, n))))
     // guarded posting collect: one PACKED gram ARRAY per benchmark row —
-    // no explode rows and no distinct exchange reach the cluster; the
-    // guard sums array lengths before any structure is built. (An
-    // all-in-plan one-row-sidecar variant was A/B-measured SLOWER
-    // end-to-end — its distinct + size-join + one-row-fold chain costs 6
-    // extra stages per run; see PLANS.md round 16.)
-    val perRow = graft.ops.Par.fanOutSmallScan(benchmark)
+    // no explode rows and no distinct exchange reach the cluster. The
+    // guard is a DISTRIBUTED pre-count that runs BEFORE the collect: an
+    // argument swap must fail with the diagnostic before anything
+    // corpus-sized can reach the driver, not after (a post-collect check
+    // would OOM first at a large-enough benchmark). (An all-in-plan
+    // one-row-sidecar variant was A/B-measured SLOWER end-to-end — its
+    // distinct + size-join + one-row-fold chain costs 6 extra stages per
+    // run; see PLANS.md round 16.)
+    val benchGramArrays = graft.ops.Par.fanOutSmallScan(benchmark)
       .select(col(benchIdCol).as("bench_id"),
         gramHashes(col(benchTextCol)).as("__gs"))
-      .collect()
-    var totalPostings = 0L
-    perRow.foreach(r =>
-      if (!r.isNullAt(1)) totalPostings += r.getSeq[Long](1).length)
+    val totalPostings = benchGramArrays
+      .agg(sum(coalesce(size(col("__gs")), lit(0))).as("n"))
+      .head() match {
+        case r if r.isNullAt(0) => 0L // empty benchmark
+        case r => r.getLong(0)
+      }
     if (totalPostings > maxBenchmarkPostings)
       throw new IllegalArgumentException(
         s"contaminationAttributionCompact: benchmark side has " +
@@ -1830,6 +1839,7 @@ object Dedup {
           "— too large for the single-pass kernel. Did you swap the " +
           "corpus and benchmark arguments? For a corpus-sized benchmark " +
           "use contaminationAttribution(broadcastBenchmark = false).")
+    val perRow = benchGramArrays.collect()
     // normalize to one (id, distinct grams) entry per bench id. Fast path
     // (unique ids — the eval-suite norm): per-row arrays are already
     // distinct, copy primitively. Duplicate ids (a benchmark stored one

@@ -381,18 +381,22 @@ object Multimodal {
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
         && b(11) == 'E',
       s"not a RIFF/WAVE payload (${b.length} bytes)")
-    var off = 12
+    // chunk offsets/lengths in Long: a malformed 32-bit length near
+    // 2^32 would Int-truncate NEGATIVE and stall the walk (off += 0) —
+    // an adversarial document must error, never wedge an executor task
+    var off = 12L
     var channels = -1; var sampleRate = -1
-    var dataOff = -1; var dataLen = -1
+    var dataOff = -1L; var dataLen = -1L
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
-      val cid = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val clen = u32(b, off + 4).toInt
+      val cid = new String(b, off.toInt, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val clen = u32(b, off.toInt + 4) // unsigned, 0..2^32-1
       if (cid == "fmt ") {
         require(clen >= 16 && off + 8 + 16 <= b.length, "truncated fmt chunk")
-        val audioFormat = u16(b, off + 8)
-        channels = u16(b, off + 10)
-        sampleRate = u32(b, off + 12).toInt
-        val bits = u16(b, off + 22)
+        val audioFormat = u16(b, off.toInt + 8)
+        channels = u16(b, off.toInt + 10)
+        sampleRate = u32(b, off.toInt + 12).toInt
+        val bits = u16(b, off.toInt + 22)
         require(audioFormat == 1 && bits == 16,
           s"unsupported WAV variant: format=$audioFormat bits=$bits " +
             "(only PCM16)")
@@ -405,12 +409,13 @@ object Multimodal {
     require(dataOff >= 0, "WAV has no data chunk")
     require(dataOff + dataLen <= b.length,
       s"truncated WAV: data chunk claims $dataLen bytes past payload end")
-    val n = dataLen / 2
+    val dataOffI = dataOff.toInt
+    val n = (dataLen / 2).toInt
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
-      out(i) = ((b(dataOff + 2 * i) & 0xff)
-        | ((b(dataOff + 2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = ((b(dataOffI + 2 * i) & 0xff)
+        | ((b(dataOffI + 2 * i + 1) & 0xff) << 8)).toShort
       i += 1
     }
     (channels, sampleRate, out)
@@ -419,7 +424,10 @@ object Multimodal {
   /** Dispatch on magic bytes: real BMP/WAV decode, byte-stats fallback
     * for everything else. Pure function — safe inside `mapPartitions`. */
   def decodeReal(item: MediaItem): RealMediaFeatures = {
-    val b = item.payload
+    // null payload = empty octet-stream row, matching the numpy worker's
+    // explicit None handling (a crash here would break the bit-for-bit
+    // twin contract on exactly the input the worker tolerates)
+    val b = if (item.payload == null) Array.emptyByteArray else item.payload
     if (b.length >= 54 && b(0) == 'B' && b(1) == 'M') {
       val (w, h, px) = bmpPixels(b)
       var sum = 0L; var i = 0
@@ -477,6 +485,16 @@ object Multimodal {
 
   // ——— real-format ENCODERS (the fixtures' and oracle query's source) ———
 
+  // little-endian writers shared by both encoders (the mirror of the
+  // decoders' u16/u32 readers)
+  private def put16(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def put32(out: Array[Byte], off: Int, v: Long): Unit = {
+    put16(out, off, (v & 0xffff).toInt)
+    put16(out, off + 2, ((v >> 16) & 0xffff).toInt)
+  }
+
   /** Encode top-down RGB bytes as a 24bpp uncompressed BMP — the exact
     * inverse of [[bmpPixels]] (row flip, RGB→BGR, 4-byte padding). */
   def buildBmp(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
@@ -486,12 +504,8 @@ object Multimodal {
     val rowStride = (rowBytes + 3) & ~3
     val dataSize = rowStride * h
     val out = new Array[Byte](54 + dataSize)
-    def put16(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def put32(off: Int, v: Long): Unit = {
-      put16(off, (v & 0xffff).toInt); put16(off + 2, ((v >> 16) & 0xffff).toInt)
-    }
+    def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
+    def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     out(0) = 'B'; out(1) = 'M'
     put32(2, out.length.toLong); put32(10, 54L)
     put32(14, 40L); put32(18, w.toLong); put32(22, h.toLong)
@@ -516,12 +530,8 @@ object Multimodal {
   def buildWav(channels: Int, sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
     val out = new Array[Byte](44 + dataLen)
-    def put16(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-    }
-    def put32(off: Int, v: Long): Unit = {
-      put16(off, (v & 0xffff).toInt); put16(off + 2, ((v >> 16) & 0xffff).toInt)
-    }
+    def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
+    def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     def putTag(off: Int, s: String): Unit =
       s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
         .zipWithIndex.foreach { case (c, i) => out(off + i) = c }

@@ -180,10 +180,12 @@ final class ProcessProvider(
       // json4s `merge` CONCATENATES JArrays, so a non-empty "context"
       // default in generateArgs would be appended to the explicit rows and
       // the worker would generate for both while `n` counts only ctxRows.
-      // Strip the default so the per-call context is the only one sent.
-      val baseArgs = generateArgs removeField {
-        case ("context", _) => true
-        case _ => false
+      // Strip the TOP-LEVEL default so the per-call context is the only
+      // one sent (removeField recurses — it would also delete a nested
+      // worker option that happens to be named "context").
+      val baseArgs = generateArgs match {
+        case JObject(fields) => JObject(fields.filterNot(_._1 == "context"))
+        case other => other
       }
       generateReq(spark,
         baseArgs merge (("op" -> "generate") ~ ("model" -> modelJson) ~

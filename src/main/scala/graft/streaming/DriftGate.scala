@@ -54,14 +54,16 @@ object DriftGate {
         .filter(s =>
           fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
         .map(_.getPath.toString).sorted
-      // batch dirs exist but NONE carry the marker: almost certainly a
-      // marker-disabled deployment (marksuccessfuljobs=false), not a crash
-      // mid-first-batch. Fail loudly — silently merging zero increments
-      // would report an empty/skewed drift with no hint why.
-      require(batchDirs.isEmpty || committed.nonEmpty,
-        s"${batchDirs.size} batch_* director${if (batchDirs.size == 1) "y"
-          else "ies"} under $base but none carries a _SUCCESS marker — " +
-          "is mapreduce.fileoutputcommitter.marksuccessfuljobs=false? The " +
+      // MULTIPLE batch dirs but NONE carries the marker: a marker-disabled
+      // deployment (marksuccessfuljobs=false), not a crash — fail loudly,
+      // since silently merging zero increments would report an empty/
+      // skewed drift with no hint why. Exactly ONE unmarked dir is the
+      // benign first-batch-in-flight race (the committer hasn't placed
+      // _SUCCESS yet) and stays "no increments yet".
+      require(batchDirs.size < 2 || committed.nonEmpty,
+        s"${batchDirs.size} batch_* directories under $base but none " +
+          "carries a _SUCCESS marker — is " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs=false? The " +
           "increment path requires committer markers (see scaladoc)")
       committed
     }

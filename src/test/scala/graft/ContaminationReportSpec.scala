@@ -80,14 +80,14 @@ class ContaminationReportSpec extends AnyFunSuite {
     assert(got.columns.toSeq ==
       Seq("bench_id", "n_contaminated_docs", "max_overlap"))
     assert(got.count() == 0)
-    // oversized benchmark fails at RUN time with the argument-swap
-    // diagnostic (the guard is in-plan raise_error, so it fires on every
-    // posture that executes the plan, streaming reuse included)
+    // oversized benchmark fails AT CONSTRUCTION with the argument-swap
+    // diagnostic — and via a distributed pre-count, so the failure comes
+    // BEFORE any corpus-sized collect can reach the driver
     val big = corpusOf(7, 200)
-    val e = intercept[Exception](
+    val e = intercept[IllegalArgumentException](
       Dedup.contaminationAttributionCompact(
         big, big, "doc_id", "doc_id", "text", "text",
-        maxBenchmarkPostings = 10).collect())
+        maxBenchmarkPostings = 10))
     assert(e.getMessage.contains("swap"), s"unexpected: ${e.getMessage}")
   }
 

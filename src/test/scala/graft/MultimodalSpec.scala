@@ -185,6 +185,21 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = b.clone(); bad(20) = 3 // WAVE_FORMAT_IEEE_FLOAT
     val e = intercept[IllegalArgumentException](Multimodal.wavSamples(bad))
     assert(e.getMessage.contains("unsupported WAV variant"))
+    // a malformed chunk length near 2^32 must ERROR, never stall the
+    // chunk walk (Int truncation would make the offset advance by zero
+    // and wedge the executor task forever)
+    val loop = b.clone()
+    // overwrite the fmt chunk id with junk and its length with 0xFFFFFFF8
+    loop(12) = 'J'; loop(13) = 'U'; loop(14) = 'N'; loop(15) = 'K'
+    loop(16) = 0xF8.toByte; loop(17) = 0xFF.toByte
+    loop(18) = 0xFF.toByte; loop(19) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException](Multimodal.wavSamples(loop))
+    assert(e2.getMessage.contains("WAV"))
+    // null payload = empty octet-stream features, matching the numpy
+    // worker's explicit None handling
+    val fNull = Multimodal.decodeReal(Multimodal.MediaItem(3L, null, "", "f"))
+    assert(fNull == Multimodal.RealMediaFeatures(
+      3L, "application/octet-stream", 0, 0, 0, 0, 0L, 0.0))
   }
 
   test("synth payloads decode to their closed-form features " +

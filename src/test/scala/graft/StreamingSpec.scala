@@ -743,9 +743,12 @@ class StreamingSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft-drift-nomark").toString
     // empty base: fine, no increments yet
     assert(graft.streaming.DriftGate.incrementPaths(spark, base).isEmpty)
-    // batch dirs without _SUCCESS: the whole history would silently
-    // vanish from the merge — must surface as an error instead
+    // exactly ONE unmarked dir = the benign first-batch-in-flight race
+    // (committer hasn't placed _SUCCESS yet): still "no increments yet"
     new java.io.File(s"$base/batch_0").mkdirs()
+    assert(graft.streaming.DriftGate.incrementPaths(spark, base).isEmpty)
+    // TWO+ unmarked dirs = marker-disabled deployment: the whole history
+    // would silently vanish from the merge — must surface as an error
     new java.io.File(s"$base/batch_1").mkdirs()
     val ex = intercept[IllegalArgumentException](
       graft.streaming.DriftGate.incrementPaths(spark, base))
