@@ -200,6 +200,21 @@ class MultimodalSpec extends AnyFunSuite {
     val fNull = Multimodal.decodeReal(Multimodal.MediaItem(3L, null, "", "f"))
     assert(fNull == Multimodal.RealMediaFeatures(
       3L, "application/octet-stream", 0, 0, 0, 0, 0L, 0.0))
+    // real-world WAVs carry LIST/INFO metadata chunks between fmt and
+    // data (often with an ODD length, exercising the even-padding rule):
+    // splice one in and the walk must skip it to the same samples
+    val info = "INFO TAG!".getBytes("US-ASCII") // 9 bytes — odd
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte]((info.length & 0xff).toByte, 0, 0, 0) ++ info ++
+      Array[Byte](0) // even-length pad byte
+    val spliced = b.slice(0, 36) ++ listChunk ++ b.slice(36, b.length)
+    // fix the RIFF size field (bytes 4-7) for the inserted chunk
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    val (ch3, sr3, s3) = Multimodal.wavSamples(spliced)
+    assert(ch3 == ch && sr3 == sr && s3.toSeq == samples.toSeq,
+      "LIST chunk between fmt and data changed the decoded samples")
   }
 
   test("synth payloads decode to their closed-form features " +
@@ -229,10 +244,14 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("doc_id") < 40)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
         col("text"))
+    val fixtureBmp = readResource("/graft/tiny.bmp")
+    val fixtureWav = readResource("/graft/tiny.wav")
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
-      val payload = (id % 3) match {
+      val payload = (id % 5) match {
         case 0 => Multimodal.synthBmp(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
+        case 2 => fixtureBmp // independently-encoded committed fixtures
+        case 3 => fixtureWav
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
