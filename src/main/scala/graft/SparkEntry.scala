@@ -1658,6 +1658,37 @@ object SparkEntry {
       when(pmod(col("doc_id"), lit(9)) === 0, lit(":8443")).otherwise(lit("")),
       lit("/p/"), col("doc_id").cast("string")))
 
+  /** Crawl-grain canonical-URL dedup ([[ext.UrlOps.dedupByCanonicalUrl]]):
+    * tracker params (`utm_*`, gclid), scheme/host case, default ports and
+    * param order all collapse, then keep-first per canonical URL. The
+    * seeding fans each logical page (`/p/<doc_id%40>` on `site<doc_id%17>`)
+    * into case/port/tracker variants, so real cross-document collisions
+    * exist at every SF; the oracle derives the canonical form
+    * independently in closed form — any canonicalization defect (port not
+    * stripped, params unsorted, tracker kept) breaks the hash. */
+  private def urlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val seeded = T(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS:"))
+          .otherwise(lit("https:")),
+        lit("//"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("WWW."))
+          .otherwise(lit("www.")),
+        lit("site"), pmod(col("doc_id"), lit(17)).cast("string"),
+        lit(".com"),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/p/"), pmod(col("doc_id"), lit(40)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("?utm_source=feed&b=2&a=1"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            lit("?a=1&b=2&gclid=xyz"))
+          .otherwise(lit("?b=2&a=1"))).as("url"))
+    ext.UrlOps.dedupByCanonicalUrl(seeded, "url", "doc_id")
+      .select(col("doc_id"), col("canonical_url"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-registered-domain corpus stats: docs, distinct hosts, tokens.
     * Extraction is map-only; only (domain, host, n) rows reach the one
     * domain-keyed exchange — the text never shuffles. */
@@ -2995,6 +3026,7 @@ object SparkEntry {
     "text_c4" -> (textC4 _),
     "text_mixture_temp" -> (textMixtureTemp _),
     "url_domain_gate" -> (urlDomainGate _),
+    "url_canonical_dedup" -> (urlCanonicalDedup _),
     "dedup_containment" -> (dedupContainment _),
     "ret_bm25" -> (retBm25 _),
     "ret_bm25_serve" -> (retBm25Serve _),
@@ -3352,6 +3384,17 @@ object SparkEntry {
         |WHERE domain NOT IN
         |  ('site3.com', 'site7.co.uk', 'site11.com', 'site5.co.uk')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // independent closed-form derivation of the canonical URL (never
+    // parses the messy variant string): scheme/host case, :443, tracker
+    // params and param order must all collapse on the Spark side to match
+    "url_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  'https://www.site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2' AS canonical_url
+        |  FROM documents),
+        |k AS (SELECT canonical_url, min(doc_id) AS doc_id FROM c
+        |  GROUP BY 1)
+        |SELECT doc_id, canonical_url FROM k ORDER BY doc_id""".stripMargin,
     "url_host_cap" ->
       s"""WITH $urlSeedCtes,
         |b AS (SELECT doc_id,

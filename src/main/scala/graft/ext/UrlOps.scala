@@ -63,6 +63,77 @@ object UrlOps {
       .otherwise(hostCol)
   }
 
+  /** Query-parameter keys dropped by [[canonicalUrl]] (click/campaign
+    * trackers that fan one logical page into many crawl URLs); any key
+    * starting with `utm_` is dropped as well. */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "ref", "ref_src")
+
+  /** Canonical form of a URL for crawl-grain dedup — the normalization a
+    * web pipeline applies BEFORE any content pass, so the same logical
+    * page fetched under tracker/case/port variants collapses to one row:
+    *
+    *  - scheme and host lowercase; userinfo stripped
+    *  - default ports dropped (`:80` for http, `:443` for https)
+    *  - fragment dropped; empty path becomes `/`
+    *  - query parameters: tracking keys removed (`utm_*` +
+    *    `trackingParams`), survivors sorted byte-lexicographically and
+    *    re-joined (param ORDER is presentation, not identity)
+    *
+    * Map-only: four RE2/Java-portable `regexp_extract`s plus array
+    * filter/sort over the handful of params — no UDF, no shuffle, and the
+    * DuckDB oracle replays the same surgery. Non-URL text (no `//host`)
+    * yields NULL — a dedup caller must keep such rows (only drop what you
+    * can attribute). */
+  def canonicalUrl(
+      url: Column,
+      trackingParams: Seq[String] = DefaultTrackingParams): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    val h = host(url)
+    val port = regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/@?#]*@)?[^/:?#]+:(\\d+)", 1)
+    val rawPath = regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//(?:[^/@?#]*@)?[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val keptParams = array_sort(filter(split(query, "&"), p => {
+      val key = lower(substring_index(p, "=", 1))
+      length(p) > 0 && !key.startsWith("utm_") &&
+        !key.isin(trackingParams: _*)
+    }))
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathPart = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val queryPart = when(size(keptParams) > 0,
+        concat(lit("?"), array_join(keptParams, "&")))
+      .otherwise(lit(""))
+    when(h.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        when(scheme === "", lit("")).otherwise(concat(scheme, lit(":"))),
+        lit("//"), h, portPart, pathPart, queryPart))
+  }
+
+  /** Crawl-grain dedup: keep the first row (by `orderCol`) per
+    * [[canonicalUrl]]; rows whose URL does not parse are KEPT untouched
+    * (the blocklist/cap attribution principle). Appends `canonical_url`.
+    * One hash exchange on the canonical key — the text never shuffles
+    * when callers project it out first, and at crawl scale this runs
+    * BEFORE content dedup so every downstream stage sees fewer rows. */
+  def dedupByCanonicalUrl(
+      df: DataFrame, urlCol: String, orderCol: String,
+      trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
+    require(!df.columns.contains("canonical_url"),
+      "dedupByCanonicalUrl appends 'canonical_url' — input already has one")
+    val withC = df.withColumn(
+      "canonical_url", canonicalUrl(col(urlCol), trackingParams))
+    graft.ops.TimeSeriesOps.dedupKeepFirst(
+        withC.filter(col("canonical_url").isNotNull),
+        Seq("canonical_url"), orderCol)
+      .unionByName(withC.filter(col("canonical_url").isNull))
+  }
+
   /** Appends `host` and `domain` columns derived from `urlCol` — the
     * map-only extraction stage the other operators build on. */
   def withUrlParts(

@@ -179,4 +179,43 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       UrlOps.capPerHost(hasHost, "url", "doc_id", 1)).getMessage.contains("host"))
   }
+
+  test("canonicalUrl: case, default ports, userinfo, fragment, tracker " +
+      "params and param order all collapse; the rest is preserved") {
+    val cases = Seq(
+      // case + default https port + tracker + unsorted params + fragment
+      ("HTTPS://WWW.Example.COM:443/A/b?z=1&utm_source=x&a=2#frag",
+        "https://www.example.com/A/b?a=2&z=1"),
+      // http default port; userinfo stripped; empty path -> /
+      ("http://u:pw@site.org:80?b=1", "http://site.org/?b=1"),
+      // NON-default port preserved; gclid dropped; all-tracker query
+      // drops the '?' entirely
+      ("https://h.net:8443/p?gclid=abc&utm_campaign=c", "https://h.net:8443/p"),
+      // scheme-relative stays scheme-relative
+      ("//cdn.site.com/x?a=1", "//cdn.site.com/x?a=1"),
+      // ref is a tracking key; REF= matches case-insensitively
+      ("https://a.io/p?REF=home&k=v", "https://a.io/p?k=v"),
+      // path case and duplicate params are PRESERVED (identity, not
+      // content, must be conservative)
+      ("https://a.io/P?x=2&x=1", "https://a.io/P?x=1&x=2"),
+      // unparseable -> null
+      ("not a url", null))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlOps.canonicalUrl(col("url"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("dedupByCanonicalUrl keeps first per canonical form and passes " +
+      "unparseable-URL rows through untouched") {
+    val df = Seq(
+      (1L, "https://s.com/p?utm_source=a"),
+      (2L, "HTTPS://S.COM:443/p"),      // same canonical as 1 -> dropped
+      (3L, "https://s.com/q"),
+      (4L, "garbage"),                   // unparseable: kept
+      (5L, "more garbage")               // unparseable: kept
+    ).toDF("doc_id", "url")
+    val got = UrlOps.dedupByCanonicalUrl(df, "url", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 4L, 5L))
+  }
 }
