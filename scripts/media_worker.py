@@ -81,12 +81,85 @@ def decode_wav(b):
             n // max(channels, 1), rms)
 
 
+def decode_avi(b):
+    """Uncompressed-AVI twin of Multimodal.aviFrames + the video branch of
+    decodeReal: nested LIST walk (strl scoping, movi/rec frames, even
+    padding), geometry from the vids strf, integer-exact pixel mean."""
+    w = h = bpp = -1
+    comp = rate = scale = -1
+    total = 0
+    n_frames = 0
+    n_px_bytes = 0
+    arr = np.frombuffer(b, dtype=np.uint8)
+
+    def parse_strl(off, end):
+        nonlocal w, h, bpp, comp, rate, scale
+        vids = False
+        while off + 8 <= end:
+            cid = b[off:off + 4]
+            clen, = struct.unpack_from("<I", b, off + 4)
+            if off + 8 + clen > end:
+                raise ValueError("AVI chunk overruns strl")
+            if cid == b"strh":
+                vids = b[off + 8:off + 12] == b"vids"
+                if vids:
+                    scale, rate = struct.unpack_from("<II", b, off + 8 + 20)
+            elif cid == b"strf" and vids:
+                w, h = struct.unpack_from("<ii", b, off + 8 + 4)
+                bpp, = struct.unpack_from("<H", b, off + 8 + 14)
+                comp, = struct.unpack_from("<I", b, off + 8 + 16)
+            off += 8 + clen + (clen & 1)
+
+    def walk(off, end, in_movi):
+        nonlocal total, n_frames, n_px_bytes
+        while off + 8 <= end:
+            cid = b[off:off + 4]
+            clen, = struct.unpack_from("<I", b, off + 4)
+            if off + 8 + clen > end:
+                raise ValueError("AVI chunk overruns its parent")
+            if cid == b"LIST":
+                ltype = b[off + 8:off + 12]
+                if ltype == b"strl":
+                    parse_strl(off + 12, off + 8 + clen)
+                elif ltype in (b"hdrl", b"movi", b"rec "):
+                    walk(off + 12, off + 8 + clen,
+                         in_movi or ltype == b"movi")
+            elif (in_movi and cid[:2].isdigit()
+                    and (cid[2:] == b"db" or (cid[2:] == b"dc" and clen))):
+                if w <= 0 or h <= 0:
+                    raise ValueError("AVI frame before vids strf")
+                row_bytes = w * 3
+                row_stride = (row_bytes + 3) & ~3
+                if clen < row_stride * (h - 1) + row_bytes:
+                    raise ValueError("truncated AVI frame chunk")
+                # unpadded DIB rows only — same multiset of bytes as the
+                # JVM's unpacked RGB, so the integer sums agree exactly
+                for r in range(h):
+                    base = off + 8 + r * row_stride
+                    total += int(arr[base:base + row_bytes]
+                                 .astype(np.int64).sum())
+                n_frames += 1
+                n_px_bytes += row_bytes * h
+            off += 8 + clen + (clen & 1)
+
+    walk(12, len(b), False)
+    if w <= 0 or h <= 0 or bpp != 24 or comp != 0 or scale <= 0 or rate <= 0:
+        raise ValueError("unsupported AVI variant")
+    # floor(x+0.5) mirrors the JVM's Math.round (half-UP; python's round
+    # is half-to-even — a rate/scale like 5/2 would diverge)
+    fps = int(math.floor(rate / scale + 0.5))
+    mean = 0.0 if n_px_bytes == 0 else total / n_px_bytes
+    return ("video/avi", w, h, 3, fps, n_frames, mean)
+
+
 def decode_one(b):
     b = b if b is not None else b""
     if len(b) >= 54 and b[:2] == b"BM":
         return decode_bmp(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         return decode_wav(b)
+    if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "):
+        return decode_avi(b)
     n = len(b)
     mean = 0.0 if n == 0 else int(np.frombuffer(b, dtype=np.uint8)
                                   .astype(np.int64).sum()) / n

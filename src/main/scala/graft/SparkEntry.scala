@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2792,6 +2792,48 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL video decode over synthesized uncompressed AVIs: each doc
+    * becomes an actual RIFF/AVI container (nested hdrl/strl/movi LISTs,
+    * `00db` DIB frames with bottom-up BGR padded rows) whose pixel bytes
+    * are modular functions of (doc_id, frame, offset); the bytes are
+    * ENCODED then DECODED by [[Multimodal.decodeReal]]'s container walk
+    * while the DuckDB oracle computes the decoded features in CLOSED FORM
+    * — any container-arithmetic defect (LIST nesting, chunk padding,
+    * strf geometry, frame truncation) breaks the hash. */
+  private def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeRealMedia(synthAviMedia(s, dir)).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("channels"), col("sample_rate"), col("n_samples"),
+        round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL frame sampling ([[Multimodal.sampleVideoFrames]], stride 2):
+    * every other decoded frame of each synthetic AVI, with its
+    * integer-exact pixel mean — the per-frame twin of [[mmVideo]], so the
+    * oracle checks frame INDEXING (which frames were kept, in order) on
+    * top of the per-frame pixel decode. */
+  private def mmVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleVideoFrames(synthAviMedia(s, dir), stride = 2).toDF()
+      .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+        round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Shared seeding for the video queries: one synthetic AVI per
+    * `doc_id % 11 == 0` document ([[Multimodal.synthAvi]]). */
+  private def synthAviMedia(
+      s: SparkSession, dir: String): Dataset[Multimodal.MediaItem] = {
+    import s.implicits._
+    T(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthAvi(id, nc), "", "synth")
+      }
+  }
+
   // ——— registry ————————————————————————————————————————————————————————
 
   /** Built-query memo per session (bounded LRU, see
@@ -2970,6 +3012,8 @@ object SparkEntry {
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
     "mm_features_real" -> (mmFeaturesReal _),
+    "mm_video" -> (mmVideo _),
+    "mm_video_frames" -> (mmVideoFrames _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5310,5 +5354,44 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / (w*9), 6) AS mean_value FROM bq)
         |SELECT * FROM wr UNION ALL SELECT * FROM br
         |ORDER BY media_id""".stripMargin,
+    // closed-form replay of the synth->buildAvi->aviFrames chain: frame
+    // f's pixel byte j is (id*7 + f*11 + j*13) % 256 over w*2*3 bytes,
+    // so the decoded per-video mean never requires the oracle to touch
+    // container bytes (mm_video doc)
+    "mm_video" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT doc_id, CAST(nc % 14 + 1 AS BIGINT) AS w,
+        |  CAST(nc % 6 + 2 AS BIGINT) AS n FROM md),
+        |fj AS (SELECT doc_id, w, n, unnest(generate_series(0, n - 1)) AS f
+        |  FROM p),
+        |pj AS (SELECT doc_id, w, n, f,
+        |  unnest(generate_series(0, w*6 - 1)) AS j FROM fj),
+        |sm AS (SELECT doc_id, w, n,
+        |  sum((doc_id*7 + f*11 + j*13) % 256) AS s FROM pj GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, 'video/avi' AS format,
+        |  CAST(w AS INT) AS width, CAST(2 AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(10 AS INT) AS sample_rate,
+        |  n AS n_samples,
+        |  round(CAST(s AS DOUBLE) / (n*w*6), 6) AS mean_value
+        |FROM sm ORDER BY media_id""".stripMargin,
+    // per-frame twin: stride-2 sampling keeps frames 0,2,4,... — the
+    // oracle re-derives which frames survive AND each one's pixel mean
+    "mm_video_frames" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT doc_id, CAST(nc % 14 + 1 AS BIGINT) AS w,
+        |  CAST(nc % 6 + 2 AS BIGINT) AS n FROM md),
+        |fj AS (SELECT doc_id, w, n, unnest(generate_series(0, n - 1)) AS f
+        |  FROM p),
+        |sf AS (SELECT doc_id, w, f FROM fj WHERE f % 2 = 0),
+        |pj AS (SELECT doc_id, w, f,
+        |  unnest(generate_series(0, w*6 - 1)) AS j FROM sf),
+        |sm AS (SELECT doc_id, w, f,
+        |  sum((doc_id*7 + f*11 + j*13) % 256) AS s FROM pj GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(2 AS INT) AS height,
+        |  round(CAST(s AS DOUBLE) / (w*6), 6) AS mean_value
+        |FROM sm ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

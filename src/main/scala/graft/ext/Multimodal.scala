@@ -313,6 +313,8 @@ object Multimodal {
     * BMP: width×height, channels=3, n_samples=pixel count, mean_value =
     * mean pixel-byte (0–255). WAV: channels/sample_rate from fmt,
     * n_samples=frames per channel, mean_value = RMS of normalized samples.
+    * AVI: width×height from the vids strf, channels=3, sample_rate=fps,
+    * n_samples=frame count, mean_value = mean pixel-byte over all frames.
     * Other payloads: format `application/octet-stream`, n_samples=byte
     * length, mean_value = mean byte. */
   final case class RealMediaFeatures(
@@ -351,10 +353,21 @@ object Multimodal {
     require(planes == 1 && bpp == 24 && comp == 0,
       s"unsupported BMP variant: planes=$planes bpp=$bpp compression=$comp " +
         "(only 24bpp uncompressed)")
+    val rowStride = (w * 3 + 3) & ~3
+    require(b.length.toLong >= dataOff.toLong + rowStride.toLong * (h - 1) + w * 3,
+      s"truncated BMP: ${b.length} bytes < pixel data for ${w}x$h")
+    (w, h, unpackDib(b, dataOff, w, h))
+  }
+
+  /** Unpack a DIB pixel block (bottom-up BGR rows, 4-byte-padded) into
+    * top-down RGB — the pixel layout BMP files and uncompressed-AVI
+    * `00db` frames share, factored out so both codecs decode the same
+    * genuine format semantics through one loop. */
+  private def unpackDib(b: Array[Byte], dataOff: Int, w: Int, h: Int): Array[Byte] = {
     val rowBytes = w * 3
     val rowStride = (rowBytes + 3) & ~3
     require(b.length.toLong >= dataOff.toLong + rowStride.toLong * (h - 1) + rowBytes,
-      s"truncated BMP: ${b.length} bytes < pixel data for ${w}x$h")
+      s"truncated DIB: ${b.length} bytes < pixel data for ${w}x$h at $dataOff")
     val out = new Array[Byte](w * h * 3)
     var r = 0
     while (r < h) {
@@ -370,7 +383,32 @@ object Multimodal {
       }
       r += 1
     }
-    (w, h, out)
+    out
+  }
+
+  /** Pack top-down RGB into a DIB pixel block (bottom-up BGR,
+    * 4-byte-padded rows) — the exact inverse of [[unpackDib]], shared by
+    * the BMP and AVI encoders. */
+  private def packDib(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(rgbTopDown.length == w * h * 3,
+      s"need ${w * h * 3} RGB bytes, got ${rgbTopDown.length}")
+    val rowBytes = w * 3
+    val rowStride = (rowBytes + 3) & ~3
+    val out = new Array[Byte](rowStride * h)
+    var r = 0
+    while (r < h) {
+      val dstBase = (h - 1 - r) * rowStride
+      var x = 0
+      while (x < w) {
+        val s = (r * w + x) * 3
+        val d = dstBase + x * 3
+        out(d) = rgbTopDown(s + 2); out(d + 1) = rgbTopDown(s + 1)
+        out(d + 2) = rgbTopDown(s)
+        x += 1
+      }
+      r += 1
+    }
+    out
   }
 
   /** Full WAV decode: (channels, sampleRate, interleaved PCM16 samples).
@@ -421,6 +459,101 @@ object Multimodal {
     (channels, sampleRate, out)
   }
 
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** A decoded uncompressed AVI: frame pixels are top-down RGB (one
+    * `width*height*3` array per frame, same layout as [[bmpPixels]]). */
+  final case class AviVideo(
+      width: Int, height: Int, fps: Int, frames: Vector[Array[Byte]])
+
+  /** Full uncompressed-AVI decode. Walks the real container structure —
+    * nested RIFF LISTs (`hdrl` → `avih` + per-stream `strl`(`strh`+`strf`),
+    * `movi` holding `NNdb` DIB frames, optionally grouped under `rec `
+    * LISTs), even-length chunk padding, trailing `idx1` skipped — and
+    * unpacks each frame's DIB block (bottom-up BGR, padded rows) via the
+    * same loop as the BMP codec. Only the 24bpp uncompressed `vids`
+    * stream form decodes; compressed frames (`NNdc` with data) and other
+    * variants fail loudly — a silent wrong decode poisons every
+    * downstream feature. Frame geometry comes from the vids stream's
+    * BITMAPINFOHEADER (`strf`), the authoritative source (the `avih`
+    * width/height are advisory and real muxers disagree with it). */
+  def aviFrames(b: Array[Byte]): AviVideo = {
+    require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
+      s"not a RIFF/AVI payload (${b.length} bytes)")
+    var w = -1; var h = -1; var bpp = -1; var comp = -1L
+    var rate = -1L; var scale = -1L
+    val frames = Vector.newBuilder[Array[Byte]]
+    // one strl LIST per stream: only the vids stream's strf sets geometry
+    def parseStrl(from: Long, to: Long): Unit = {
+      var off = from
+      var vids = false
+      while (off + 8 <= to) {
+        val cid = fourcc(b, off.toInt)
+        val clen = u32(b, off.toInt + 4) // unsigned Long: see wavSamples
+        require(off + 8 + clen <= to, s"AVI chunk '$cid' overruns strl")
+        if (cid == "strh") {
+          require(clen >= 28, "truncated strh chunk")
+          vids = fourcc(b, off.toInt + 8) == "vids"
+          if (vids) {
+            scale = u32(b, off.toInt + 8 + 20)
+            rate = u32(b, off.toInt + 8 + 24)
+          }
+        } else if (cid == "strf" && vids) {
+          require(clen >= 40, "truncated vids strf (BITMAPINFOHEADER)")
+          w = i32(b, off.toInt + 8 + 4)
+          h = i32(b, off.toInt + 8 + 8)
+          bpp = u16(b, off.toInt + 8 + 14)
+          comp = u32(b, off.toInt + 8 + 16)
+        }
+        off += 8 + clen + (clen & 1)
+      }
+    }
+    def walk(from: Long, to: Long, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val cid = fourcc(b, off.toInt)
+        val clen = u32(b, off.toInt + 4)
+        require(off + 8 + clen <= to, s"AVI chunk '$cid' overruns its parent")
+        if (cid == "LIST") {
+          require(clen >= 4, "LIST chunk too short")
+          val ltype = fourcc(b, off.toInt + 8)
+          if (ltype == "strl") parseStrl(off + 12, off + 8 + clen)
+          else if (ltype == "hdrl" || ltype == "movi" || ltype == "rec ")
+            walk(off + 12, off + 8 + clen, inMovi || ltype == "movi")
+          // other LISTs (INFO metadata etc.) are skipped, like WAV's
+        } else if (inMovi && cid.length == 4 && cid(0).isDigit
+            && cid(1).isDigit) {
+          val kind = cid.substring(2)
+          if (kind == "db" || (kind == "dc" && clen > 0)) {
+            // 00db is the uncompressed-DIB tag; some muxers write 00dc
+            // with biCompression=0 — honor that only when the stream
+            // header says uncompressed (a true compressed frame under a
+            // bpp!=24/comp!=0 header fails the post-walk require below)
+            require(w > 0 && h > 0,
+              "AVI movi frame before the vids strf header")
+            // the frame must fit ITS OWN chunk — unpackDib's payload-wide
+            // bound would let a short chunk silently read the next one
+            val rowStride = (w * 3 + 3) & ~3
+            require(clen >= rowStride.toLong * (h - 1) + w * 3,
+              s"truncated AVI frame chunk '$cid': $clen bytes < ${w}x$h DIB")
+            frames += unpackDib(b, off.toInt + 8, w, h)
+          }
+          // NNwb audio chunks are skipped: this decoder extracts video
+        }
+        off += 8 + clen + (clen & 1) // RIFF chunks pad to even length
+      }
+    }
+    walk(12, b.length.toLong, inMovi = false)
+    require(w > 0 && h > 0, "AVI has no vids stream geometry")
+    require(bpp == 24 && comp == 0,
+      s"unsupported AVI variant: bpp=$bpp compression=$comp " +
+        "(only 24bpp uncompressed)")
+    require(scale > 0 && rate > 0,
+      s"AVI vids stream has no rate/scale (rate=$rate scale=$scale)")
+    AviVideo(w, h, math.round(rate.toDouble / scale).toInt, frames.result())
+  }
+
   /** Dispatch on magic bytes: real BMP/WAV decode, byte-stats fallback
     * for everything else. Pure function — safe inside `mapPartitions`. */
   def decodeReal(item: MediaItem): RealMediaFeatures = {
@@ -447,6 +580,19 @@ object Multimodal {
         else math.sqrt(sq.toDouble / samples.length) / 32768.0
       RealMediaFeatures(item.media_id, "audio/wav", 0, 0, ch, sr,
         samples.length.toLong / math.max(ch, 1), rms)
+    } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I'
+        && b(11) == ' ') {
+      val v = aviFrames(b)
+      var sum = 0L; var n = 0L
+      v.frames.foreach { px =>
+        var i = 0
+        while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+        n += px.length
+      }
+      RealMediaFeatures(item.media_id, "video/avi", v.width, v.height, 3,
+        v.fps, v.frames.size.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n)
     } else {
       var sum = 0L; var i = 0
       while (i < b.length) { sum += (b(i) & 0xff); i += 1 }
@@ -460,6 +606,36 @@ object Multimodal {
   def decodeRealMedia(items: Dataset[MediaItem]): Dataset[RealMediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map(decodeReal))
+  }
+
+  /** One REAL decoded video frame: `rgb` is the top-down RGB pixel block
+    * ([[bmpPixels]] layout), `mean_value` its integer-exact byte mean. */
+  final case class VideoFrame(
+      media_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_value: Double, rgb: Array[Byte])
+
+  /** REAL frame sampling: decode each AVI payload and keep every
+    * `stride`-th frame — the production form of the [[sampleFrames]]
+    * plumbing (which slices raw byte ranges without decoding). Map-only
+    * flatMap: each row fans out to ceil(frames/stride) frame rows inside
+    * its own task, no shuffle, so at 100 TB the stage parallelism is the
+    * scan's and downstream per-frame featurization starts from decoded
+    * pixels. Non-AVI payloads fail loudly (filter by [[sniffFormat]]
+    * first — only sample what you can attribute as video). */
+  def sampleVideoFrames(
+      items: Dataset[MediaItem], stride: Int): Dataset[VideoFrame] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      val v = aviFrames(item.payload)
+      Iterator.range(0, v.frames.size, stride).map { f =>
+        val px = v.frames(f)
+        var sum = 0L; var i = 0
+        while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+        VideoFrame(item.media_id, f, v.width, v.height,
+          if (px.isEmpty) 0.0 else sum.toDouble / px.length, px)
+      }
+    })
   }
 
   /** External twin of [[decodeRealMedia]] over the Arrow IPC seam: the
@@ -498,31 +674,15 @@ object Multimodal {
   /** Encode top-down RGB bytes as a 24bpp uncompressed BMP — the exact
     * inverse of [[bmpPixels]] (row flip, RGB→BGR, 4-byte padding). */
   def buildBmp(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
-    require(rgbTopDown.length == w * h * 3,
-      s"need ${w * h * 3} RGB bytes, got ${rgbTopDown.length}")
-    val rowBytes = w * 3
-    val rowStride = (rowBytes + 3) & ~3
-    val dataSize = rowStride * h
-    val out = new Array[Byte](54 + dataSize)
+    val dib = packDib(w, h, rgbTopDown)
+    val out = new Array[Byte](54 + dib.length)
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     out(0) = 'B'; out(1) = 'M'
     put32(2, out.length.toLong); put32(10, 54L)
     put32(14, 40L); put32(18, w.toLong); put32(22, h.toLong)
-    put16(26, 1); put16(28, 24); put32(30, 0L); put32(34, dataSize.toLong)
-    var r = 0
-    while (r < h) {
-      val dstBase = 54 + (h - 1 - r) * rowStride
-      var x = 0
-      while (x < w) {
-        val s = (r * w + x) * 3
-        val d = dstBase + x * 3
-        out(d) = rgbTopDown(s + 2); out(d + 1) = rgbTopDown(s + 1)
-        out(d + 2) = rgbTopDown(s)
-        x += 1
-      }
-      r += 1
-    }
+    put16(26, 1); put16(28, 24); put32(30, 0L); put32(34, dib.length.toLong)
+    System.arraycopy(dib, 0, out, 54, dib.length)
     out
   }
 
@@ -546,6 +706,88 @@ object Multimodal {
       put16(44 + 2 * i, samples(i) & 0xffff); i += 1
     }
     out
+  }
+
+  /** Encode top-down RGB frames as a single-stream uncompressed AVI —
+    * the exact inverse of [[aviFrames]]: RIFF(`AVI `) holding
+    * LIST(`hdrl`) = `avih` + LIST(`strl`) = `strh`(vids/DIB, rate=fps,
+    * scale=1) + `strf`(BITMAPINFOHEADER 24bpp), then LIST(`movi`) of
+    * `00db` DIB frames (bottom-up BGR, 4-byte-padded rows). */
+  def buildAvi(
+      w: Int, h: Int, fps: Int, framesRgbTopDown: Seq[Array[Byte]]): Array[Byte] = {
+    require(fps >= 1, s"fps must be >= 1, got $fps")
+    val dibs = framesRgbTopDown.map(packDib(w, h, _))
+    val frameSize = ((w * 3 + 3) & ~3) * h
+    val n = dibs.size
+    // hdrl = avih(56) + strl LIST(strh(56) + strf(40) = 4 + 8+56 + 8+40)
+    val strlLen = 4 + 8 + 56 + 8 + 40
+    val hdrlLen = 4 + 8 + 56 + 8 + strlLen
+    val moviLen = 4 + n * (8 + frameSize) // DIB stride*h is always even
+    val out = new Array[Byte](12 + 8 + hdrlLen + 8 + moviLen)
+    def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
+    def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+    putTag(0, "RIFF"); put32(4, out.length.toLong - 8); putTag(8, "AVI ")
+    var o = 12
+    putTag(o, "LIST"); put32(o + 4, hdrlLen.toLong); putTag(o + 8, "hdrl")
+    o += 12
+    putTag(o, "avih"); put32(o + 4, 56L)
+    put32(o + 8, 1000000L / fps)                 // dwMicroSecPerFrame
+    put32(o + 12, fps.toLong * frameSize)        // dwMaxBytesPerSec
+    put32(o + 24, n.toLong)                      // dwTotalFrames
+    put32(o + 32, 1L)                            // dwStreams
+    put32(o + 36, frameSize.toLong)              // dwSuggestedBufferSize
+    put32(o + 40, w.toLong); put32(o + 44, h.toLong)
+    o += 8 + 56
+    putTag(o, "LIST"); put32(o + 4, strlLen.toLong); putTag(o + 8, "strl")
+    o += 12
+    putTag(o, "strh"); put32(o + 4, 56L)
+    putTag(o + 8, "vids"); putTag(o + 12, "DIB ")
+    put32(o + 28, 1L)                            // dwScale
+    put32(o + 32, fps.toLong)                    // dwRate
+    put32(o + 40, n.toLong)                      // dwLength
+    put32(o + 44, frameSize.toLong)              // dwSuggestedBufferSize
+    put16(o + 60, w); put16(o + 62, h)           // rcFrame right/bottom
+    o += 8 + 56
+    putTag(o, "strf"); put32(o + 4, 40L)
+    put32(o + 8, 40L)                            // biSize
+    put32(o + 12, w.toLong); put32(o + 16, h.toLong)
+    put16(o + 20, 1); put16(o + 22, 24)          // biPlanes, biBitCount
+    put32(o + 24, 0L)                            // biCompression = BI_RGB
+    put32(o + 28, frameSize.toLong)              // biSizeImage
+    o += 8 + 40
+    putTag(o, "LIST"); put32(o + 4, moviLen.toLong); putTag(o + 8, "movi")
+    o += 12
+    dibs.foreach { d =>
+      putTag(o, "00db"); put32(o + 4, d.length.toLong)
+      System.arraycopy(d, 0, out, o + 8, d.length)
+      o += 8 + d.length
+    }
+    out
+  }
+
+  /** Deterministic synthetic AVI from (id, nChars) — same closed-form
+    * oracle contract as [[synthBmp]]/[[synthWav]]: frame `f`'s pixel
+    * byte `j` is `(id*7 + f*11 + j*13) % 256`, so both the per-video
+    * mean (`mm_video`) and each sampled frame's mean (`mm_video_frames`)
+    * are computable in DuckDB without ever building bytes (byte means
+    * are permutation-invariant, so the encoder's BGR flip + bottom-up
+    * rows never reach the oracle). */
+  def synthAvi(id: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 14 + 1).toInt
+    val h = 2
+    val n = (nChars % 6 + 2).toInt
+    val frames = (0 until n).map { f =>
+      val px = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < px.length) {
+        px(j) = ((id * 7 + f * 11 + j * 13) % 256).toByte; j += 1
+      }
+      px
+    }
+    buildAvi(w, h, fps = 10, frames)
   }
 
   /** Deterministic synthetic WAV from (id, nChars) — modular-arithmetic

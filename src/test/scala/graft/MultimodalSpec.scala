@@ -217,6 +217,87 @@ class MultimodalSpec extends AnyFunSuite {
       "LIST chunk between fmt and data changed the decoded samples")
   }
 
+  test("REAL AVI codec: committed fixture decodes byte-exact " +
+      "(nested LISTs, rec grouping, INFO skip, idx1 skip, DIB frames)") {
+    val b = readResource("/graft/tiny.avi")
+    val v = Multimodal.aviFrames(b)
+    assert(v.width == 3 && v.height == 2 && v.fps == 15)
+    assert(v.frames.size == 2)
+    // frame 0 mirrors tiny.bmp's pixels; the fixture was written by an
+    // independent encoder (python struct), frame 1 sits inside a `rec `
+    // LIST and an odd-length LIST/INFO chunk precedes movi — the walk
+    // must skip/descend all of it to exactly these top-down RGB bytes
+    assert(v.frames(0).map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255,
+      10, 20, 30, 40, 50, 60, 70, 80, 90))
+    assert(v.frames(1).map(_ & 0xff).toSeq == Seq(
+      5, 10, 15, 20, 25, 30, 35, 40, 45,
+      50, 55, 60, 65, 70, 75, 80, 85, 90))
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(4L, b, "", "fix"))
+    val sum = (v.frames(0) ++ v.frames(1)).map(_ & 0xff).map(_.toLong).sum
+    assert(f == Multimodal.RealMediaFeatures(
+      4L, "video/avi", 3, 2, 3, 15, 2L, sum.toDouble / 36))
+    // encode -> decode round-trip is the identity on frames
+    val rt = Multimodal.aviFrames(
+      Multimodal.buildAvi(v.width, v.height, v.fps, v.frames))
+    assert(rt.width == 3 && rt.height == 2 && rt.fps == 15)
+    assert(rt.frames.map(_.toSeq) == v.frames.map(_.toSeq))
+    // a compressed-stream claim fails loudly (biCompression in the vids
+    // strf lives at fixture offset: find strf and tamper its comp field)
+    val strfOff = {
+      var i = 0
+      while (!(b(i) == 's' && b(i + 1) == 't' && b(i + 2) == 'r'
+          && b(i + 3) == 'f')) i += 1
+      i
+    }
+    val bad = b.clone(); bad(strfOff + 8 + 16) = 1 // BI_RLE8
+    val e = intercept[IllegalArgumentException](Multimodal.aviFrames(bad))
+    assert(e.getMessage.contains("unsupported AVI variant"))
+    // a frame chunk shorter than its DIB must ERROR, never read the next
+    // chunk's bytes: shrink the first 00db length in place
+    val short = b.clone()
+    val dbOff = {
+      var i = 0
+      while (!(short(i) == '0' && short(i + 1) == '0'
+          && short(i + 2) == 'd' && short(i + 3) == 'b')) i += 1
+      i
+    }
+    short(dbOff + 4) = 10 // 24-byte DIB claims 10
+    val e2 = intercept[IllegalArgumentException](Multimodal.aviFrames(short))
+    assert(e2.getMessage.contains("truncated AVI frame"))
+    // sampleVideoFrames stride 2 keeps frame 0 only, with its exact mean
+    val sampled = Multimodal.sampleVideoFrames(
+      Seq(Multimodal.MediaItem(9L, b, "", "fix")).toDS(), stride = 2)
+      .collect()
+    assert(sampled.length == 1)
+    val s0 = sampled(0)
+    val m0 = v.frames(0).map(_ & 0xff).map(_.toLong).sum.toDouble / 18
+    assert(s0.media_id == 9L && s0.frame_idx == 0 && s0.width == 3
+      && s0.height == 2 && s0.mean_value == m0
+      && s0.rgb.toSeq == v.frames(0).toSeq)
+  }
+
+  test("synth AVI decodes to its closed-form features " +
+      "(the mm_video / mm_video_frames oracle contract)") {
+    val id = 33L; val nc = 123L
+    val w = (nc % 14 + 1).toInt; val n = (nc % 6 + 2).toInt
+    val fv = Multimodal.decodeReal(
+      Multimodal.MediaItem(id, Multimodal.synthAvi(id, nc), "", "s"))
+    val total = (for (f <- 0 until n; j <- 0 until w * 6)
+      yield (id * 7 + f * 11 + j * 13) % 256).sum
+    assert(fv == Multimodal.RealMediaFeatures(id, "video/avi", w, 2, 3, 10,
+      n.toLong, total.toDouble / (n * w * 6)))
+    val frames = Multimodal.sampleVideoFrames(
+      Seq(Multimodal.MediaItem(id, Multimodal.synthAvi(id, nc), "", "s"))
+        .toDS(), stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == (0 until n by 2).toSeq)
+    frames.foreach { fr =>
+      val m = (0 until w * 6).map(j =>
+        (id * 7 + fr.frame_idx * 11 + j * 13) % 256).sum.toDouble / (w * 6)
+      assert(fr.mean_value == m, s"frame ${fr.frame_idx} mean diverges")
+    }
+  }
+
   test("synth payloads decode to their closed-form features " +
       "(the mm_features_real oracle contract)") {
     val id = 39L; val nc = 123L
@@ -238,20 +319,23 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("external numpy media worker == in-JVM decodeReal bit-for-bit " +
-      "over BMP, WAV and fallback payloads (Arrow seam)") {
+      "over BMP, WAV, AVI and fallback payloads (Arrow seam)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-      .filter(col("doc_id") < 40)
+      .filter(col("doc_id") < 56)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"),
         col("text"))
     val fixtureBmp = readResource("/graft/tiny.bmp")
     val fixtureWav = readResource("/graft/tiny.wav")
+    val fixtureAvi = readResource("/graft/tiny.avi")
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
-      val payload = (id % 5) match {
+      val payload = (id % 7) match {
         case 0 => Multimodal.synthBmp(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
         case 2 => fixtureBmp // independently-encoded committed fixtures
         case 3 => fixtureWav
+        case 4 => Multimodal.synthAvi(id, nc)
+        case 5 => fixtureAvi
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
@@ -269,7 +353,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(j == e, s"worker decode diverges for media_id ${j._1}")
     }
     assert(jvm.map(_._2).distinct.sorted.toSeq == Seq(
-      "application/octet-stream", "audio/wav", "image/bmp"))
+      "application/octet-stream", "audio/wav", "image/bmp", "video/avi"))
   }
 
   // — worker-pipe robustness (round-13 advice, medium): a chatty worker
