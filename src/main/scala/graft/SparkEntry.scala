@@ -2822,6 +2822,61 @@ object SparkEntry {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Perceptual image dHash over synthesized BMPs ([[Multimodal.dHash64]]:
+    * integer luma → 9×8 area-average grid → 64 gradient bits), exposed as
+    * two 32-bit halves (DuckDB BIGINT can't hold bit 63 via `1<<63`). The
+    * oracle replays the ENTIRE pipeline — luma weights, truncating
+    * divisions, floor grid boundaries, bit packing — in closed form over
+    * the same pixel formula, so any pooling/ordering defect breaks the
+    * hash-of-hashes. */
+  private def mmImageDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageDHash(synthImageMedia(s, dir))
+      .select(col("media_id"),
+        shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+        col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+      .orderBy(col("media_id"))
+
+  /** Image near-duplicate pairs ([[Multimodal.imageNearDuplicates]]:
+    * pigeonhole Hamming banding over dHashes, exact bit_count verify).
+    * The seeding plants REAL near-dups — each base image has a
+    * sparse-noise variant (a few bytes +40) and a brightness-shift
+    * variant (every byte +9), both of which dHash maps within a few bits
+    * of the base — and the DuckDB oracle re-derives the same pairs from
+    * the closed-form hashes (its band equi-join is the same candidate
+    * superset, pruned by the same exact Hamming filter). */
+  private def mmImageNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDuplicates(synthImageMedia(s, dir), maxDistance = 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Shared seeding for the image-dedup queries: groups of three
+    * `doc_id % 7 == 0` documents (base `doc_id - doc_id % 21`) become a
+    * base BMP, a sparse-noise variant and a brightness-shift variant,
+    * with per-group geometry/stride so unrelated groups hash apart. */
+  private def synthImageMedia(
+      s: SparkSession, dir: String): Dataset[Multimodal.MediaItem] = {
+    import s.implicits._
+    T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")).as[Long].map { id =>
+        val base = id - id % 21
+        val v = (id % 21) / 7
+        val w = (9 + base % 16).toInt
+        val h = (8 + base % 8).toInt
+        val stride = 13 + base % 11
+        val px = new Array[Byte](w * h * 3)
+        var j = 0
+        while (j < px.length) {
+          val p =
+            if (v == 1 && j % 89 == 0) 40L
+            else if (v == 2) 9L
+            else 0L
+          px(j) = ((base * 7 + j * stride + p) % 256).toByte
+          j += 1
+        }
+        Multimodal.MediaItem(id, Multimodal.buildBmp(w, h, px), "", "synth")
+      }
+  }
+
   /** Shared seeding for the video queries: one synthetic AVI per
     * `doc_id % 11 == 0` document ([[Multimodal.synthAvi]]). */
   private def synthAviMedia(
@@ -3014,6 +3069,8 @@ object SparkEntry {
     "mm_features_real" -> (mmFeaturesReal _),
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
+    "mm_image_dhash" -> (mmImageDhash _),
+    "mm_image_neardup" -> (mmImageNeardup _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -3168,6 +3225,51 @@ object SparkEntry {
       |  unnest([array_to_string(list_slice(toks, i, i + $w), ' ')
       |    for i in generate_series(1, len(toks) - $w)]) AS g
       |  FROM sd)""".stripMargin
+  }
+
+  /** Shared CTE for the image-dHash oracles: closed-form replay of the
+    * synth pixel formula → integer luma → 9×8 floor-boundary area pooling
+    * → 64 gradient bits packed as two 32-bit halves (DuckDB's BIGINT
+    * `<<` errors at bit 63), mirroring [[graft.ext.Multimodal.dHash64]]
+    * over [[synthImageMedia]]'s seeding bit-for-bit. */
+  private val dhashCte: String = {
+    // pixel byte value at flat RGB offset J for variant v of a base image
+    def byteAt(j: String): String =
+      s"""(base*7 + ($j)*(13 + base % 11)
+         |      + CASE WHEN v = 1 AND ($j) % 89 = 0 THEN 40
+         |             WHEN v = 2 THEN 9 ELSE 0 END) % 256""".stripMargin
+    s"""WITH md AS (SELECT doc_id, doc_id - doc_id % 21 AS base,
+       |  (doc_id % 21) // 7 AS v
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |dims AS (SELECT doc_id, base, v, CAST(9 + base % 16 AS BIGINT) AS w,
+       |  CAST(8 + base % 8 AS BIGINT) AS h FROM md),
+       |cells AS (SELECT doc_id, base, v, w, h, gr, gc
+       |  FROM dims, (SELECT unnest(generate_series(0, 7)) AS gr),
+       |       (SELECT unnest(generate_series(0, 8)) AS gc)),
+       |xs AS (SELECT doc_id, base, v, w, h, gr, gc,
+       |  unnest(generate_series(gc*w // 9, (gc+1)*w // 9 - 1)) AS x
+       |  FROM cells),
+       |ys AS (SELECT doc_id, base, v, w, gr, gc, x,
+       |  unnest(generate_series(gr*h // 8, (gr+1)*h // 8 - 1)) AS y
+       |  FROM xs),
+       |lum AS (SELECT doc_id, gr, gc,
+       |  (299*(${byteAt("3*(y*w+x)+0")})
+       |  + 587*(${byteAt("3*(y*w+x)+1")})
+       |  + 114*(${byteAt("3*(y*w+x)+2")})) // 1000 AS luma
+       |  FROM ys),
+       |ca AS (SELECT doc_id, gr, gc, sum(luma) // count(*) AS avgv
+       |  FROM lum GROUP BY 1, 2, 3),
+       |bits AS (SELECT l.doc_id, l.gr*8 + l.gc AS k,
+       |  CASE WHEN l.avgv < r.avgv THEN 1 ELSE 0 END AS bit
+       |  FROM ca l JOIN ca r ON l.doc_id = r.doc_id AND l.gr = r.gr
+       |    AND r.gc = l.gc + 1
+       |  WHERE l.gc < 8),
+       |hs AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+       |    ELSE 0 END) AS BIGINT) AS dhash_hi,
+       |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+       |    ELSE 0 END) AS BIGINT) AS dhash_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
   }
 
   /** Shared CTE for the portable-simhash oracles: 32 per-bit conditional
@@ -5393,5 +5495,28 @@ object SparkEntry {
         |  CAST(w AS INT) AS width, CAST(2 AS INT) AS height,
         |  round(CAST(s AS DOUBLE) / (w*6), 6) AS mean_value
         |FROM sm ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_image_dhash" ->
+      s"""$dhashCte
+        |SELECT doc_id AS media_id, dhash_hi, dhash_lo FROM hs
+        |ORDER BY media_id""".stripMargin,
+    // band equi-join = the same pigeonhole candidate superset the Spark
+    // side shuffles on; the exact Hamming filter prunes both identically
+    "mm_image_neardup" ->
+      s"""$dhashCte,
+        |bands AS (SELECT doc_id, ch,
+        |  CASE ch WHEN 0 THEN dhash_lo % 65536 WHEN 1 THEN dhash_lo // 65536
+        |          WHEN 2 THEN dhash_hi % 65536 ELSE dhash_hi // 65536
+        |  END AS cv
+        |  FROM hs, (SELECT unnest(generate_series(0, 3)) AS ch)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |  ON a.ch = b.ch AND a.cv = b.cv AND a.doc_id < b.doc_id),
+        |pr AS (SELECT c.id_a, c.id_b,
+        |  bit_count(xor(x.dhash_hi, y.dhash_hi))
+        |    + bit_count(xor(x.dhash_lo, y.dhash_lo)) AS hamming
+        |  FROM cand c JOIN hs x ON x.doc_id = c.id_a
+        |  JOIN hs y ON y.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pr
+        |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
   )
 }

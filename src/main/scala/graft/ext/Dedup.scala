@@ -272,31 +272,49 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val chunks = maxDistance + 1
-    val bitsPer = 64 / chunks
+      maxBucketSize: Int = 10000): DataFrame =
     // the self-join reuses the signature aggregate via ReuseExchange —
     // no explicit persist (measured slower: it breaks stage pipelining)
-    val sigs = simHash(df, idCol, textCol)
+    hammingNearDuplicates(simHash(df, idCol, textCol), idCol, "simhash",
+      maxDistance, maxBucketSize, tag = "simhash_lsh")
+
+  /** Near-dup pairs at Hamming distance ≤ `maxDistance` over ANY 64-bit
+    * signature column (SimHash text sigs, perceptual image dHashes, …),
+    * via the pigeonhole band trick: split the signature into
+    * `maxDistance+1` chunks; any pair within distance must agree exactly
+    * on ≥1 chunk, so candidates come from equi-joins on (chunk index,
+    * chunk value) — never a full cross join. When the chunk count does
+    * not divide 64 the top bits belong to no chunk — candidates are then
+    * a superset (uncovered-bit differences never separate a bucket) and
+    * the exact `bit_count` filter restores the distance bound. */
+  def hammingNearDuplicates(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000,
+      tag: String = "hamming_lsh"): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
     val banded = sigs.withColumn(
       "__chunk",
       explode(array((0 until chunks).map(c =>
         struct(
           lit(c).as("chunk_idx"),
-          shiftright(col("simhash"), c * bitsPer)
+          shiftright(col(sigCol), c * bitsPer)
             .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
-      .select(col(idCol), col("simhash"), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
+      .select(col(idCol), col(sigCol), col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
     // shuffle-hash: the size estimate under the explode is tiny, so Spark
     // would broadcast one side — losing ReuseExchange and re-running the
-    // 64-sum signature aggregate twice (and a broadcast of the banded
-    // corpus is fatal at scale). With both sides as the same shuffle, the
-    // aggregate runs once.
+    // signature computation twice (and a broadcast of the banded corpus
+    // is fatal at scale). With both sides as the same shuffle, the
+    // upstream signature stage runs once.
     val capped = capBuckets(banded, Seq("chunk_idx", "chunk_val"),
-      maxBucketSize, "simhash_lsh")
+      maxBucketSize, tag)
     val a = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
-      col(idCol).as("id_a"), col("simhash").as("sig_a"))
+      col(idCol).as("id_a"), col(sigCol).as("sig_a"))
     val b = capped.hint("shuffle_hash").select(col("chunk_idx"), col("chunk_val"),
-      col(idCol).as("id_b"), col("simhash").as("sig_b"))
+      col(idCol).as("id_b"), col(sigCol).as("sig_b"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

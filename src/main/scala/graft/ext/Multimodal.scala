@@ -659,6 +659,82 @@ object Multimodal {
       pipeThroughWorker(cmd), Some(outSchema))
   }
 
+  // ——— perceptual image hashing (dHash) ———
+
+  /** 64-bit perceptual difference hash of a decoded image: integer luma
+    * (`(299R + 587G + 114B) / 1000`) area-averaged onto a 9×8 grid, bit
+    * `r*8+c` set iff cell (r,c) is darker than its right neighbor — the
+    * standard dHash gradient signature. Near-identical images (small
+    * crops, brightness-preserving noise, re-encodes) land within a few
+    * bits, so Hamming-banded pairing finds them without a cross join.
+    * EVERY accumulation is integer-exact (Long sums, truncating division)
+    * so the DuckDB oracle replays the identical value; grid cell
+    * boundaries are `floor(c*w/9)` — images must be at least 9×8. */
+  def dHash64(px: Array[Byte], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    require(px.length == w * h * 3,
+      s"need ${w * h * 3} RGB bytes for ${w}x$h, got ${px.length}")
+    val grid = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * w + x) * 3
+            sum += (299L * (px(p) & 0xff) + 587L * (px(p + 1) & 0xff)
+              + 114L * (px(p + 2) & 0xff)) / 1000L
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        grid(r)(c) = sum / n
+        c += 1
+      }
+      r += 1
+    }
+    var hash = 0L
+    var k = 0
+    var rr = 0
+    while (rr < 8) {
+      var cc = 0
+      while (cc < 8) {
+        if (grid(rr)(cc) < grid(rr)(cc + 1)) hash |= (1L << k)
+        k += 1; cc += 1
+      }
+      rr += 1
+    }
+    hash
+  }
+
+  /** [[dHash64]] over a BMP media Dataset — map-only (decode + hash
+    * inside each task, 8 bytes out per image; the pixels never shuffle).
+    * Non-BMP payloads fail loudly: route by [[sniffFormat]] first. */
+  def imageDHash(items: Dataset[MediaItem]): DataFrame = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { item =>
+      val (w, h, px) = bmpPixels(item.payload)
+      (item.media_id, dHash64(px, w, h))
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs at Hamming distance ≤ `maxDistance` over
+    * [[imageDHash]] signatures — LAION-style perceptual image dedup:
+    * map-only hashing, then [[Dedup.hammingNearDuplicates]]' pigeonhole
+    * banding (capped buckets, exact bit_count verify, no cross join). */
+  def imageNearDuplicates(
+      items: Dataset[MediaItem],
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame =
+    Dedup.hammingNearDuplicates(imageDHash(items), "media_id", "dhash",
+      maxDistance, maxBucketSize, tag = "image_dhash_lsh")
+
   // ——— real-format ENCODERS (the fixtures' and oracle query's source) ———
 
   // little-endian writers shared by both encoders (the mirror of the

@@ -298,6 +298,64 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual dHash: dedup invariances and the banding contract") {
+    def img(w: Int, h: Int, f: Int => Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(j => f(j).toByte)
+    val base = img(16, 12, j => (j * 17 + 3) % 256)
+    val hBase = Multimodal.dHash64(base, 16, 12)
+    // identical pixels → identical hash
+    assert(Multimodal.dHash64(base.clone(), 16, 12) == hBase)
+    // a global brightness shift barely moves the GRADIENT hash (only
+    // mod-256 wraps can flip a cell comparison) — the property that makes
+    // dHash a near-dup key where a content hash sees a new image
+    val bright = img(16, 12, j => ((j * 17 + 3) % 256 + 9) % 256)
+    val dBright = java.lang.Long.bitCount(
+      Multimodal.dHash64(bright, 16, 12) ^ hBase)
+    // this sawtooth wraps mod-256 every 16 pixels — near worst case for
+    // a brightness shift; a smooth image moves 0-3 bits
+    assert(dBright <= 10, s"brightness shift moved dHash by $dBright bits")
+    // sparse byte noise stays within a few bits
+    val noisy = base.clone()
+    noisy(5) = (((noisy(5) & 0xff) + 40) % 256).toByte
+    noisy(200) = (((noisy(200) & 0xff) + 40) % 256).toByte
+    val dNoise = java.lang.Long.bitCount(
+      Multimodal.dHash64(noisy, 16, 12) ^ hBase)
+    assert(dNoise <= 4, s"2-byte noise moved dHash by $dNoise bits")
+    // a structurally different image lands far away
+    val other = img(16, 12, j => (j * j * 31 + 7) % 256)
+    val dOther = java.lang.Long.bitCount(
+      Multimodal.dHash64(other, 16, 12) ^ hBase)
+    assert(dOther > 6, s"different image landed $dOther bits away")
+    // sub-grid images fail loudly
+    val e = intercept[IllegalArgumentException](
+      Multimodal.dHash64(img(8, 8, _ => 0), 8, 8))
+    assert(e.getMessage.contains("dHash needs"))
+
+    // end-to-end: banded imageNearDuplicates == brute-force over hashes
+    // (pigeonhole candidates are a superset; exact filter must equalize)
+    val items = (0 until 40).map { i =>
+      val px =
+        if (i % 2 == 1) // odd = brightness variant of i-1
+          img(16, 12, j => ((j * (11 + (i / 2) % 7) + i / 2) % 256 + 9) % 256)
+        else img(16, 12, j => (j * (11 + (i / 2) % 7) + i / 2) % 256)
+      Multimodal.MediaItem(i.toLong, Multimodal.buildBmp(16, 12, px), "", "t")
+    }
+    val ds = spark.createDataset(items)
+    val banded = Multimodal.imageNearDuplicates(ds, maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val hashes = Multimodal.imageDHash(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d)).sortBy(x => (x._1, x._2)).toSeq
+    assert(banded == brute, "banded pairs != brute-force pairs")
+    assert(brute.nonEmpty, "seeding planted no near-dup pairs")
+  }
+
   test("synth payloads decode to their closed-form features " +
       "(the mm_features_real oracle contract)") {
     val id = 39L; val nc = 123L
