@@ -771,6 +771,46 @@ object ScaleSmoke {
         "doc_id", "doc_id", "text", "text").count()
     }
 
+    // ——— real codecs at x10: video decode fan-out, image dedup ———
+    timed("AVI decode+sample 50k") {
+      // encode→decode→frame-sample entirely inside each task: the only
+      // job structure is scan → mapPartitions → count (no exchange —
+      // frame fan-out multiplies rows WITHIN the task, so at 100 TB the
+      // stage parallelism is the scan's)
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.synthAvi(id, nc), "", "smoke")
+        }
+      val frames = graft.ext.Multimodal.sampleVideoFrames(media, stride = 2)
+      val n = frames.count()
+      assert(n >= 50000L, s"frame sampling lost rows: $n")
+      n
+    }
+    timed("image dHash near-dup 50k") {
+      // 50k images -> 8-byte signatures map-side; the ONLY exchanges are
+      // the 4-chunk banding shuffle and the thin pair dedup — bucket
+      // caps bound any degenerate chunk, pairs verified by bit_count.
+      // This seeding deliberately produces same-hash CLIQUES (constant-
+      // offset gradients collide), so the ~500k-pair output is the
+      // correct quadratic-output-linear-work LSH contract under mass
+      // duplication — the shape a crawl's identical-logo corpus takes
+      // (clique consumers should cluster/keep-first, not enumerate)
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id")).as[Long].map { id =>
+          val w = (9 + id % 16).toInt; val h = (8 + id % 8).toInt
+          val px = Array.tabulate(w * h * 3)(j =>
+            ((id * 7 + j * (13 + id % 11)) % 256).toByte)
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.buildBmp(w, h, px), "", "smoke")
+        }
+      graft.ext.Multimodal.imageNearDuplicates(
+        media, maxDistance = 3, maxBucketSize = 2000).count()
+    }
+
     // ——— interval-overlap join under pathological skew ———
     // the granule decomposition's two failure shapes AT ONCE: a handful
     // of VERY LONG intervals (per-row fan-out = span/width granules) and
