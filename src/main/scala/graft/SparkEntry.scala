@@ -2877,6 +2877,44 @@ object SparkEntry {
       }
   }
 
+  /** Frame-grain video near-duplicates
+    * ([[Multimodal.videoNearDuplicates]]): two videos pair when they
+    * share ≥2 distinct perceptual frame hashes — the re-encode/trim
+    * detector. The seeding plants real trim-pairs (each odd variant is
+    * its base video with the first scene dropped and a new one appended,
+    * so n−1 scenes coincide); the oracle replays frame pixels → dHash →
+    * distinct (video, hash) → hash-bucket pair counts in closed form. */
+  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDuplicates(
+        synthVideoDedupMedia(s, dir), stride = 1, minSharedFrames = 2)
+      .select(col("id_a"), col("id_b"), col("shared_frames"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Seeding for [[mmVideoDedup]]: pairs of `doc_id % 13 == 0` documents
+    * (base `doc_id - doc_id % 26`) become a base video of `3 + base%4`
+    * scenes and a trimmed-and-extended variant (scenes shifted by one);
+    * scene pixels are closed-form so DuckDB re-derives every hash. */
+  private def synthVideoDedupMedia(
+      s: SparkSession, dir: String): Dataset[Multimodal.MediaItem] = {
+    import s.implicits._
+    T(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id")).as[Long].map { id =>
+        val base = id - id % 26
+        val v = ((id % 26) / 13).toInt
+        val w = (9 + base % 8).toInt
+        val h = 8
+        val n = (3 + base % 4).toInt
+        val stride = 11 + base % 7
+        val frames = (0 until n).map { f =>
+          val scene = f + v
+          Array.tabulate(w * h * 3)(j =>
+            ((base * 5 + scene * 17 + j * stride) % 256).toByte)
+        }
+        Multimodal.MediaItem(
+          id, Multimodal.buildAvi(w, h, 10, frames), "", "synth")
+      }
+  }
+
   /** Shared seeding for the video queries: one synthetic AVI per
     * `doc_id % 11 == 0` document ([[Multimodal.synthAvi]]). */
   private def synthAviMedia(
@@ -3071,6 +3109,7 @@ object SparkEntry {
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
+    "mm_video_dedup" -> (mmVideoDedup _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5518,5 +5557,53 @@ object SparkEntry {
         |  JOIN hs y ON y.doc_id = c.id_b)
         |SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pr
         |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+    // closed-form replay of frame-grain video dedup: scene pixels →
+    // luma → 9x8 pooling → per-frame dHash halves → distinct
+    // (video, hash) → hash-bucket pair counts >= 2
+    "mm_video_dedup" ->
+      """WITH md AS (SELECT doc_id, doc_id - doc_id % 26 AS base,
+        |  (doc_id % 26) // 13 AS v
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |dims AS (SELECT doc_id, base, v, CAST(9 + base % 8 AS BIGINT) AS w,
+        |  CAST(8 AS BIGINT) AS h, CAST(3 + base % 4 AS BIGINT) AS n
+        |  FROM md),
+        |fr AS (SELECT doc_id, base, w, h,
+        |  unnest(generate_series(0, n - 1)) + v AS scene FROM dims),
+        |cells AS (SELECT doc_id, base, w, h, scene, gr, gc
+        |  FROM fr, (SELECT unnest(generate_series(0, 7)) AS gr),
+        |       (SELECT unnest(generate_series(0, 8)) AS gc)),
+        |xs AS (SELECT doc_id, base, w, h, scene, gr, gc,
+        |  unnest(generate_series(gc*w // 9, (gc+1)*w // 9 - 1)) AS x
+        |  FROM cells),
+        |ys AS (SELECT doc_id, base, w, scene, gr, gc, x,
+        |  unnest(generate_series(gr*h // 8, (gr+1)*h // 8 - 1)) AS y
+        |  FROM xs),
+        |lum AS (SELECT doc_id, scene, gr, gc,
+        |  (299*((base*5 + scene*17 + (3*(y*w+x)+0)*(11 + base % 7)) % 256)
+        |  + 587*((base*5 + scene*17 + (3*(y*w+x)+1)*(11 + base % 7)) % 256)
+        |  + 114*((base*5 + scene*17 + (3*(y*w+x)+2)*(11 + base % 7)) % 256))
+        |    // 1000 AS luma
+        |  FROM ys),
+        |ca AS (SELECT doc_id, scene, gr, gc, sum(luma) // count(*) AS avgv
+        |  FROM lum GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT l.doc_id, l.scene, l.gr*8 + l.gc AS k,
+        |  CASE WHEN l.avgv < r.avgv THEN 1 ELSE 0 END AS bit
+        |  FROM ca l JOIN ca r ON l.doc_id = r.doc_id AND l.scene = r.scene
+        |    AND l.gr = r.gr AND r.gc = l.gc + 1
+        |  WHERE l.gc < 8),
+        |hs AS (SELECT doc_id, scene,
+        |  CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+        |    ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+        |    ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2),
+        |dh AS (SELECT DISTINCT doc_id, hi, lo FROM hs),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  count(*) AS shared_frames
+        |  FROM dh a JOIN dh b ON a.hi = b.hi AND a.lo = b.lo
+        |    AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared_frames FROM pr WHERE shared_frames >= 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -735,6 +735,50 @@ object Multimodal {
     Dedup.hammingNearDuplicates(imageDHash(items), "media_id", "dhash",
       maxDistance, maxBucketSize, tag = "image_dhash_lsh")
 
+  /** Per-frame perceptual hashes of AVI payloads: decode + sample every
+    * `stride`-th frame + [[dHash64]] each, all inside the scan task —
+    * (video, frame, 8-byte signature) rows are the ONLY thing that ever
+    * leaves the operator, so downstream video dedup shuffles long
+    * triples, never pixels. Frames must be at least 9×8 ([[dHash64]]). */
+  def videoFrameDHash(
+      items: Dataset[MediaItem], stride: Int = 1): DataFrame = {
+    import items.sparkSession.implicits._
+    sampleVideoFrames(items, stride).mapPartitions(_.map(f =>
+      (f.media_id, f.frame_idx, dHash64(f.rgb, f.width, f.height))))
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Frame-grain video near-duplicates: two videos pair when they share
+    * at least `minSharedFrames` DISTINCT perceptual frame hashes — the
+    * re-encode/trim/re-mux detector (a shared scene keeps its dHashes
+    * even when containers and neighboring frames differ). Same posture
+    * as every other candidate generator here: exact-hash buckets with
+    * [[Dedup.capBuckets]] + `DropMetrics` on degenerate frames (a black
+    * frame present in every video would otherwise pair the whole
+    * corpus), shuffle-hash pinned both sides so the hash stage runs
+    * once, and the pair exchange moves (long, long) rows only. */
+  def videoNearDuplicates(
+      items: Dataset[MediaItem],
+      stride: Int = 1,
+      minSharedFrames: Int = 2,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val fh = videoFrameDHash(items, stride)
+      .select(col("media_id"), col("dhash")).distinct()
+    val capped = Dedup.capBuckets(fh, Seq("dhash"), maxBucketSize,
+      "video_dhash")
+    val a = capped.hint("shuffle_hash")
+      .select(col("dhash"), col("media_id").as("id_a"))
+    val b = capped.hint("shuffle_hash")
+      .select(col("dhash"), col("media_id").as("id_b"))
+    a.join(b, Seq("dhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   // ——— real-format ENCODERS (the fixtures' and oracle query's source) ———
 
   // little-endian writers shared by both encoders (the mirror of the

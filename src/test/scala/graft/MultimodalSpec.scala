@@ -356,6 +356,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "seeding planted no near-dup pairs")
   }
 
+  test("videoNearDuplicates: trim-pair detection via shared frame hashes") {
+    def frame(scene: Int): Array[Byte] =
+      Array.tabulate(12 * 8 * 3)(j => (scene * 17 + j * 11).toByte)
+    def avi(scenes: Seq[Int]): Array[Byte] =
+      Multimodal.buildAvi(12, 8, 10, scenes.map(frame))
+    val items = spark.createDataset(Seq(
+      Multimodal.MediaItem(1L, avi(Seq(0, 1, 2, 3)), "", "t"),
+      Multimodal.MediaItem(2L, avi(Seq(1, 2, 3, 4)), "", "t"), // trim of 1
+      Multimodal.MediaItem(3L, avi(Seq(3, 9, 9)), "", "t"),    // 1 shared
+      Multimodal.MediaItem(4L, avi(Seq(20, 21)), "", "t")))    // disjoint
+    // per-frame hashes: repeated scene 9 in video 3 counts ONCE (distinct)
+    val fh = Multimodal.videoFrameDHash(items).collect()
+    assert(fh.length == 13)
+    val pairs = Multimodal.videoNearDuplicates(items, minSharedFrames = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 3L)),
+      s"expected the trim pair (1,2,3 shared), got ${pairs.toList}")
+    // minSharedFrames=1 also surfaces the single-scene overlaps
+    val loose = Multimodal.videoNearDuplicates(items, minSharedFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(loose == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // a degenerate frame present in EVERY video is capped out instead of
+    // pairing the whole corpus (maxBucketSize below the corpus size)
+    val common = (0 until 8).map(i =>
+      Multimodal.MediaItem(10L + i, avi(Seq(50, 100 + i)), "", "t"))
+    val capped = Multimodal.videoNearDuplicates(
+      spark.createDataset(common), minSharedFrames = 1, maxBucketSize = 4)
+      .count()
+    assert(capped == 0L, "capped bucket still produced pairs")
+  }
+
   test("synth payloads decode to their closed-form features " +
       "(the mm_features_real oracle contract)") {
     val id = 39L; val nc = 123L
