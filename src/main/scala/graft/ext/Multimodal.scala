@@ -724,6 +724,17 @@ object Multimodal {
     }).toDF("media_id", "dhash")
   }
 
+  /** Column form of [[dHash64]] over BMP payload bytes — a native
+    * Catalyst expression ([[graft.functions.ImageDHash]]), so the
+    * perceptual key composes anywhere a `Column` does: streaming dedup
+    * keys, groupBy, filters — no UDF, no typed detour, NULL in → NULL
+    * out (MultimodalSpec pins column ≡ Dataset-path values). */
+  def imageDHashCol(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.ImageDHash(
+      GraftColumnBridge.expression(payload)))
+  }
+
   /** Image near-duplicate pairs at Hamming distance ≤ `maxDistance` over
     * [[imageDHash]] signatures — LAION-style perceptual image dedup:
     * map-only hashing, then [[Dedup.hammingNearDuplicates]]' pigeonhole

@@ -134,6 +134,25 @@ object StreamingResample {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming perceptual image dedup — the streaming twin of
+    * `ext.Multimodal.imageNearDuplicates`' exact-collision grain: derive
+    * the 8-byte dHash key map-side (native expression, stateless, so the
+    * pixels never enter streaming state) and keep the first arrival per
+    * perceptual key within the watermark horizon. Crops/re-encodes that
+    * land on the SAME dHash dedup here at ingest; Hamming-1+ neighbors
+    * remain the batch pass's job (banding needs a shuffle the streaming
+    * grain deliberately avoids). State is bounded by (distinct hashes
+    * per horizon) × 8 bytes — ingest-safe at any stream rate. */
+  def dedupImageStream(
+      df: DataFrame,
+      payloadCol: String,
+      tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    dedupStream(
+      df.withColumn("dhash",
+        graft.ext.Multimodal.imageDHashCol(col(payloadCol))),
+      Seq("dhash"), tsCol, watermark)
+
   /** Session windows: activity bursts separated by ≥ `gap` of silence. */
   def sessionCount(
       df: DataFrame,

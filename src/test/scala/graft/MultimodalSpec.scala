@@ -356,6 +356,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "seeding planted no near-dup pairs")
   }
 
+  test("imageDHashCol (native expression) == Dataset-path dHash values; " +
+      "NULL payload -> NULL key") {
+    val items = (0 until 12).map { i =>
+      val px = Array.tabulate(10 * 9 * 3)(j => (i * 31 + j * 7).toByte)
+      Multimodal.MediaItem(i.toLong, Multimodal.buildBmp(10, 9, px), "", "t")
+    }
+    val ds = spark.createDataset(items)
+    val viaDs = Multimodal.imageDHash(ds).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val viaCol = ds.toDF()
+      .select(col("media_id"), Multimodal.imageDHashCol(col("payload")).as("dhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(viaCol == viaDs)
+    val nullRow = spark.sql("SELECT CAST(NULL AS BINARY) AS payload")
+      .select(Multimodal.imageDHashCol(col("payload")).as("dhash"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0), "NULL payload must yield NULL key")
+    // non-BMP bytes fail loudly through the expression path too
+    val e = intercept[Exception] {
+      spark.sql("SELECT encode('not a bmp', 'UTF-8') AS payload")
+        .select(Multimodal.imageDHashCol(col("payload"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("videoNearDuplicates: trim-pair detection via shared frame hashes") {
     def frame(scene: Int): Array[Byte] =
       Array.tabulate(12 * 8 * 3)(j => (scene * 17 + j * 11).toByte)

@@ -155,6 +155,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image dedup (perceptual key) == batch keep-one-per-hash") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft-imgdedup-stream").toFile
+    dir.deleteOnExit()
+    def bmp(seed: Int): Array[Byte] =
+      Multimodal.buildBmp(10, 9,
+        Array.tabulate(10 * 9 * 3)(j => (seed * 31 + j * 7).toByte))
+    // media 1 and 2 are byte-identical images (same dHash); 3 differs
+    val df = Seq(
+      (1L, bmp(5), "2024-01-01 01:00:00"),
+      (2L, bmp(5), "2024-01-01 01:05:00"),
+      (3L, bmp(9), "2024-01-01 01:10:00"))
+      .toDF("media_id", "payload", "s")
+      .withColumn("ts", to_timestamp(col("s"))).drop("s")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType),
+      StructField("ts", TimestampType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val q = graft.streaming.StreamingResample
+      .dedupImageStream(stream, "payload", "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_img_dedup").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT dhash, count(*) FROM graft_img_dedup GROUP BY 1")
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      // batch twin: one survivor per distinct perceptual hash
+      val batch = df
+        .select(Multimodal.imageDHashCol(col("payload")).as("dhash"))
+        .distinct().as[Long].collect().toSeq.sorted
+      assert(got.map(_._2).forall(_ == 1L),
+        s"stream kept a duplicate per hash: $got")
+      assert(got.map(_._1) == batch, "stream hash set != batch hash set")
+      assert(batch.length == 2)
+    } finally q.stop()
+  }
+
   test("session windows group activity bursts") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     dir.deleteOnExit()
