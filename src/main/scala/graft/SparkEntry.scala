@@ -2877,6 +2877,37 @@ object SparkEntry {
       }
   }
 
+  /** Audio curation gates ([[Multimodal.audioQuality]]): RMS loudness,
+    * per-channel zero-crossing rate, clipping and silence ratios — the
+    * drop-before-transcription filters of a speech pipeline, decoded
+    * from REAL PCM16 WAVs while the oracle recomputes every count from
+    * the closed-form sample formula. */
+  private def mmAudioQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // oscillating seeding (stride 4001..10001 wraps every few samples)
+    // so crossings/clip/silence all take nonzero, doc-varying values —
+    // synthWav's ramp would leave the counts degenerately zero
+    val media = T(s, dir, "documents").filter(col("doc_id") % 15 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        val n = (nc % 50 + 10).toInt
+        val stride = 4001L + (id % 7) * 1000L
+        val samples = Array.tabulate(n)(i =>
+          ((id * 31 + i * stride) % 65536 - 32768).toShort)
+        Multimodal.MediaItem(
+          id, Multimodal.buildWav(1, 8000, samples), "", "synth")
+      }
+    Multimodal.audioQuality(media, clipLevel = 30000, silenceLevel = 3000)
+      .toDF()
+      .select(col("media_id"), col("channels"), col("sample_rate"),
+        col("n_frames"),
+        round(col("rms"), 6).as("rms"),
+        round(col("zero_cross_rate"), 6).as("zero_cross_rate"),
+        round(col("clip_ratio"), 6).as("clip_ratio"),
+        round(col("silence_ratio"), 6).as("silence_ratio"))
+      .orderBy(col("media_id"))
+  }
+
   /** Frame-grain video near-duplicates
     * ([[Multimodal.videoNearDuplicates]]): two videos pair when they
     * share ≥2 distinct perceptual frame hashes — the re-encode/trim
@@ -3110,6 +3141,7 @@ object SparkEntry {
     "mm_image_dhash" -> (mmImageDhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
     "mm_video_dedup" -> (mmVideoDedup _),
+    "mm_audio_quality" -> (mmAudioQuality _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5605,5 +5637,32 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b, shared_frames FROM pr WHERE shared_frames >= 2
         |ORDER BY 1, 2""".stripMargin,
+    // closed-form replay of synthWav -> decode -> audio gates: every
+    // count (sign transitions, clip, silence) recomputed from the
+    // sample formula, integer-exact
+    "mm_audio_quality" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 15 = 0),
+        |p AS (SELECT doc_id, CAST(nc % 50 + 10 AS BIGINT) AS n FROM md),
+        |si AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM p),
+        |sv AS (SELECT doc_id, n, i,
+        |  (doc_id*31 + i*(4001 + doc_id % 7 * 1000)) % 65536 - 32768 AS s
+        |  FROM si),
+        |ag AS (SELECT doc_id, n, sum(s*s) AS sq,
+        |  sum(CASE WHEN abs(s) >= 30000 THEN 1 ELSE 0 END) AS clip,
+        |  sum(CASE WHEN abs(s) <= 3000 THEN 1 ELSE 0 END) AS silent,
+        |  sum(CASE WHEN i >= 1 AND
+        |    ((((doc_id*31 + (i-1)*(4001 + doc_id % 7 * 1000)) % 65536
+        |       - 32768) >= 0) <> (s >= 0))
+        |    THEN 1 ELSE 0 END) AS crossings
+        |  FROM sv GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(1 AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate, n AS n_frames,
+        |  round(sqrt(CAST(sq AS DOUBLE) / n) / 32768.0, 6) AS rms,
+        |  round(CAST(crossings AS DOUBLE) / (n - 1), 6) AS zero_cross_rate,
+        |  round(CAST(clip AS DOUBLE) / n, 6) AS clip_ratio,
+        |  round(CAST(silent AS DOUBLE) / n, 6) AS silence_ratio
+        |FROM ag ORDER BY media_id""".stripMargin,
   )
 }

@@ -659,6 +659,53 @@ object Multimodal {
       pipeThroughWorker(cmd), Some(outSchema))
   }
 
+  // ——— audio quality features (speech-data curation gates) ———
+
+  /** Audio curation features, all integer-exact so the DuckDB oracle
+    * replays them: `zero_cross_rate` = per-channel sign transitions over
+    * `channels*(frames-1)` opportunities (sign = `sample >= 0`; the
+    * voiced/unvoiced + noisiness proxy), `clip_ratio` = |sample| ≥
+    * `clipLevel` fraction (distorted-capture detector), `silence_ratio`
+    * = |sample| ≤ `silenceLevel` fraction (dead-air detector), plus the
+    * RMS loudness [[decodeReal]] computes. A speech pipeline drops
+    * clips with extreme values BEFORE any expensive transcription. */
+  final case class AudioQuality(
+      media_id: Long, channels: Int, sample_rate: Int, n_frames: Long,
+      rms: Double, zero_cross_rate: Double, clip_ratio: Double,
+      silence_ratio: Double)
+
+  /** [[AudioQuality]] over PCM16 WAV payloads — map-only: decode +
+    * feature inside each task, one thin row out per clip; non-WAV
+    * payloads fail loudly (route by [[sniffFormat]] first). */
+  def audioQuality(
+      items: Dataset[MediaItem],
+      clipLevel: Int = 32700,
+      silenceLevel: Int = 512): Dataset[AudioQuality] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map { item =>
+      val (ch, sr, s) = wavSamples(item.payload)
+      val frames = s.length / math.max(ch, 1)
+      var sq = 0L; var clip = 0L; var silent = 0L; var cross = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toInt
+        sq += v.toLong * v
+        if (math.abs(v) >= clipLevel) clip += 1
+        if (math.abs(v) <= silenceLevel) silent += 1
+        // sign transition vs the PREVIOUS frame of the same channel
+        if (i >= ch && ((s(i - ch) >= 0) != (s(i) >= 0))) cross += 1
+        i += 1
+      }
+      val n = s.length
+      val crossDen = ch.toLong * (frames - 1)
+      AudioQuality(item.media_id, ch, sr, frames,
+        if (n == 0) 0.0 else math.sqrt(sq.toDouble / n) / 32768.0,
+        if (crossDen <= 0) 0.0 else cross.toDouble / crossDen,
+        if (n == 0) 0.0 else clip.toDouble / n,
+        if (n == 0) 0.0 else silent.toDouble / n)
+    })
+  }
+
   // ——— perceptual image hashing (dHash) ———
 
   /** 64-bit perceptual difference hash of a decoded image: integer luma

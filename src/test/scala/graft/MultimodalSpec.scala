@@ -356,6 +356,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "seeding planted no near-dup pairs")
   }
 
+  test("audioQuality: per-channel crossings, clip and silence gates") {
+    // stereo: L alternates sign every frame (3 crossings over 4 frames),
+    // R stays positive (0 crossings); one clipped L sample, one silent R
+    val samples = Array[Short](
+      1000, 5000,   // frame 0: L+, R+
+      -32760, 4000, // frame 1: L- (clipped), R+
+      2000, 100,    // frame 2: L+, R+ (silent at level 512)
+      -700, 900)    // frame 3: L-, R+
+    val item = Multimodal.MediaItem(
+      5L, Multimodal.buildWav(2, 16000, samples), "", "t")
+    val q = Multimodal.audioQuality(
+        spark.createDataset(Seq(item)), clipLevel = 32700, silenceLevel = 512)
+      .collect()(0)
+    assert(q.media_id == 5L && q.channels == 2 && q.sample_rate == 16000
+      && q.n_frames == 4L)
+    // L crosses at frames 1,2,3; R never: 3 of 2*(4-1)=6 opportunities
+    assert(q.zero_cross_rate == 3.0 / 6)
+    assert(q.clip_ratio == 1.0 / 8)
+    assert(q.silence_ratio == 1.0 / 8)
+    val sq = samples.map(s => s.toLong * s).sum
+    assert(q.rms == math.sqrt(sq.toDouble / 8) / 32768.0)
+    // zero-length audio yields all-zero features, not NaN
+    val empty = Multimodal.audioQuality(spark.createDataset(Seq(
+      Multimodal.MediaItem(6L, Multimodal.buildWav(1, 8000, Array.empty),
+        "", "t")))).collect()(0)
+    assert(empty.n_frames == 0L && empty.rms == 0.0
+      && empty.zero_cross_rate == 0.0 && empty.clip_ratio == 0.0
+      && empty.silence_ratio == 0.0)
+  }
+
   test("imageDHashCol (native expression) == Dataset-path dHash values; " +
       "NULL payload -> NULL key") {
     val items = (0 until 12).map { i =>
