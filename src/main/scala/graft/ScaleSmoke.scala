@@ -789,6 +789,18 @@ object ScaleSmoke {
       assert(n >= 50000L, s"frame sampling lost rows: $n")
       n
     }
+    timed("audio gates 50k clips") {
+      // decode + all four gates inside the scan task, one thin row per
+      // clip — same map-only contract as the AVI path
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.synthWav(id, nc), "", "smoke")
+        }
+      graft.ext.Multimodal.audioQuality(media).count()
+    }
     timed("image dHash near-dup 50k") {
       // 50k images -> 8-byte signatures map-side; the ONLY exchanges are
       // the 4-chunk banding shuffle and the thin pair dedup — bucket
