@@ -1886,6 +1886,20 @@ object SparkEntry {
     * ([[UrlOps.dropLowQualityDomains]], which must return the text) is
     * the wrong tool here. Text never shuffles and never materializes.
     * Survivors audited per language. */
+  /** Leakage-free split at domain grain ([[ext.UrlOps.domainSplit]]):
+    * every page of a registered domain must land in ONE of
+    * train/val/test, assigned by a portable md5 bucket of the domain —
+    * the oracle re-derives host → registered domain → bucket → label
+    * independently, so a grouping or hashing defect (per-doc assignment,
+    * suffix mislabeling, seed drift) breaks the hash. Summarized per
+    * (split, domain) so the co-assignment invariant is directly visible
+    * in the output: each domain appears under exactly one split. */
+  private def urlSplit(s: SparkSession, dir: String): DataFrame =
+    ext.UrlOps.domainSplit(seedUrls(T(s, dir, "documents")), "url")
+      .groupBy(col("split"), col("split_unit"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"), col("split_unit"))
+
   private def urlDomainGate(s: SparkSession, dir: String): DataFrame = {
     val scored = TextAnalysis.qualityFeatures(
       seedUrls(T(s, dir, "documents")), "text")
@@ -3199,6 +3213,7 @@ object SparkEntry {
     "text_mixture_temp" -> (textMixtureTemp _),
     "url_domain_gate" -> (urlDomainGate _),
     "url_canonical_dedup" -> (urlCanonicalDedup _),
+    "url_split" -> (urlSplit _),
     "dedup_containment" -> (dedupContainment _),
     "ret_bm25" -> (retBm25 _),
     "ret_bm25_serve" -> (retBm25Serve _),
@@ -3612,6 +3627,19 @@ object SparkEntry {
         |k AS (SELECT canonical_url, min(doc_id) AS doc_id FROM c
         |  GROUP BY 1)
         |SELECT doc_id, canonical_url FROM k ORDER BY doc_id""".stripMargin,
+    // independent replay: host -> registered domain -> md5 bucket ->
+    // split label; the group-by makes co-assignment (one split per
+    // domain) directly visible in the compared rows
+    "url_split" ->
+      s"""WITH $urlSeedCtes,
+        |su AS (SELECT doc_id, coalesce(domain, url) AS unit FROM r),
+        |bk AS (SELECT doc_id, unit,
+        |  CAST('0x' || substr(md5(unit || ':split'), 1, 8) AS BIGINT) % 100
+        |    AS b FROM su)
+        |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  unit AS split_unit, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "url_host_cap" ->
       s"""WITH $urlSeedCtes,
         |b AS (SELECT doc_id,

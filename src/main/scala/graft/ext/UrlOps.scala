@@ -134,6 +134,37 @@ object UrlOps {
       .unionByName(withC.filter(col("canonical_url").isNull))
   }
 
+  /** Leakage-free train/val/test split at REGISTERED-DOMAIN grain: every
+    * row's assignment is a deterministic hash of its domain — never of
+    * the document — so all pages of a site land in ONE split and
+    * near-duplicate pages (boilerplate variants, mirrored articles)
+    * cannot straddle the train/eval boundary. Rows whose URL yields no
+    * host fall back to hashing the raw URL string (still deterministic;
+    * each such row is its own unit). Appends `split_unit` (the grouping
+    * identity) and `split` ('train'/'val'/'test'); shares are
+    * `trainPct` / `valPct` / the remainder, in EXPECTATION over domains
+    * — actual row shares follow the domain-size distribution, the price
+    * of leakage safety. Map-only: one md5 per row, no shuffle — the
+    * split column is then a partition-pruning friendly write key. */
+  def domainSplit(
+      df: DataFrame,
+      urlCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      seed: String = "split",
+      multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split shares: train=$trainPct val=$valPct")
+    val unit = coalesce(
+      registeredDomain(host(col(urlCol)), multiLabelSuffixes), col(urlCol))
+    val b = graft.ops.Sampling.portableBucket(unit, seed)
+    df.withColumn("split_unit", unit)
+      .withColumn("split",
+        when(b < trainPct, lit("train"))
+          .when(b < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Appends `host` and `domain` columns derived from `urlCol` — the
     * map-only extraction stage the other operators build on. */
   def withUrlParts(

@@ -44,6 +44,19 @@ object Sampling {
   def hashSamplePortable(df: DataFrame, keyCol: Column, percent: Int): DataFrame =
     df.filter(portableGate(keyCol) < percent)
 
+  /** Cross-engine-portable 0..99 bucket for a (key, seed): first 8 md5
+    * hex digits of `key:seed` mod 100 — the shared gate behind sampling
+    * percentages and grouped splits, replayable in any engine with md5
+    * (`CAST('0x' || substr(md5(k || ':' || seed), 1, 8) AS BIGINT) %
+    * 100`). Deterministic across runs, engines and cluster layouts;
+    * reseed to draw an independent assignment. */
+  def portableBucket(keyCol: Column, seed: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.Md5PrefixLong(
+      GraftColumnBridge.expression(
+        concat(keyCol.cast("string"), lit(":" + seed))), 8)) % 100
+  }
+
   private def portableGate(keyCol: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge
     // native kernel ≡ conv(substring(md5(s), 1, 8), 16, 10) — same md5

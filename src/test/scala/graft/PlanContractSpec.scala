@@ -170,6 +170,17 @@ class PlanContractSpec extends AnyFunSuite {
           s"$name within-block pair join is no longer shuffle-hash:\n" +
             plans(name))
       }
+    // perceptual media dedup inherits the same contract: the banded/
+    // bucketed pair joins shuffle 8-byte signatures (the pinned hint in
+    // hammingNearDuplicates / videoNearDuplicates), never broadcast a
+    // corpus-sized side, and the pixels stay inside the decode map stage
+    Seq("mm_image_neardup", "mm_video_dedup").foreach { name =>
+      assert(plans(name).contains("ShuffledHashJoin"),
+        s"$name signature pair join is no longer shuffle-hash:\n" +
+          plans(name))
+      assert(!plans(name).contains("BroadcastHashJoin"),
+        s"$name broadcasts a corpus-derived side:\n${plans(name)}")
+    }
   }
 
   test("fuzzy decontamination broadcasts the benchmark; corpus reaches the " +

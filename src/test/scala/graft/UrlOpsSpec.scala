@@ -205,6 +205,42 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == cases.map(_._2), s"got $got")
   }
 
+  test("domainSplit: all pages of a domain co-assign; unparseable URLs " +
+      "fall back to per-row units; reseeding redraws") {
+    val df = (0 until 400).map { i =>
+      (i.toLong, s"https://sub$i.site${i % 20}.com/page/$i")
+    }.toDF("doc_id", "url")
+    val split = UrlOps.domainSplit(df, "url")
+    // leakage invariant: one split per registered domain, over ALL rows
+    val perDomain = split.groupBy("split_unit")
+      .agg(countDistinct(col("split")).as("n"))
+      .select("n").as[Long].collect()
+    assert(perDomain.forall(_ == 1L),
+      "a domain straddles the train/eval boundary")
+    assert(split.select("split_unit").distinct().count() == 20)
+    // every label present somewhere across reseeds; default seed is
+    // deterministic run-to-run
+    val a = split.select("doc_id", "split").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val b = UrlOps.domainSplit(df, "url").select("doc_id", "split")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b, "same seed must reproduce the assignment")
+    val re = UrlOps.domainSplit(df, "url", seed = "epoch2")
+      .select("doc_id", "split").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(re != a, "reseeding should redraw the domain assignment")
+    // unparseable URLs: each row is its own unit, still deterministic
+    val junk = Seq((1L, "garbage"), (2L, "garbage"), (3L, "other junk"))
+      .toDF("doc_id", "url")
+    val j = UrlOps.domainSplit(junk, "url")
+      .select("doc_id", "split_unit").as[(Long, String)].collect().toMap
+    assert(j(1L) == "garbage" && j(2L) == "garbage" && j(3L) == "other junk")
+    // share sanity at domain grain: train strictly largest at 80/10/10
+    val counts = split.select("split_unit", "split").distinct()
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L))
+  }
+
   test("dedupByCanonicalUrl keeps first per canonical form and passes " +
       "unparseable-URL rows through untouched") {
     val df = Seq(
