@@ -2896,12 +2896,14 @@ object SparkEntry {
     * drop-before-transcription filters of a speech pipeline, decoded
     * from REAL PCM16 WAVs while the oracle recomputes every count from
     * the closed-form sample formula. */
-  private def mmAudioQuality(s: SparkSession, dir: String): DataFrame = {
+  /** Oscillating WAV seeding (stride 4001..10001 wraps every few
+    * samples) so crossings/clip/silence all take nonzero, doc-varying
+    * values — synthWav's ramp would leave the counts degenerately
+    * zero. Shared by [[mmAudioQuality]] and [[pipelineMediaCurate]]. */
+  private def synthAudioMedia(
+      s: SparkSession, dir: String): Dataset[Multimodal.MediaItem] = {
     import s.implicits._
-    // oscillating seeding (stride 4001..10001 wraps every few samples)
-    // so crossings/clip/silence all take nonzero, doc-varying values —
-    // synthWav's ramp would leave the counts degenerately zero
-    val media = T(s, dir, "documents").filter(col("doc_id") % 15 === 0)
+    T(s, dir, "documents").filter(col("doc_id") % 15 === 0)
       .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
       .as[(Long, Long)].map { case (id, nc) =>
         val n = (nc % 50 + 10).toInt
@@ -2911,7 +2913,11 @@ object SparkEntry {
         Multimodal.MediaItem(
           id, Multimodal.buildWav(1, 8000, samples), "", "synth")
       }
-    Multimodal.audioQuality(media, clipLevel = 30000, silenceLevel = 3000)
+  }
+
+  private def mmAudioQuality(s: SparkSession, dir: String): DataFrame = {
+    Multimodal.audioQuality(synthAudioMedia(s, dir),
+        clipLevel = 30000, silenceLevel = 3000)
       .toDF()
       .select(col("media_id"), col("channels"), col("sample_rate"),
         col("n_frames"),
@@ -2920,6 +2926,28 @@ object SparkEntry {
         round(col("clip_ratio"), 6).as("clip_ratio"),
         round(col("silence_ratio"), 6).as("silence_ratio"))
       .orderBy(col("media_id"))
+  }
+
+  /** Composed multimodal curation ([[Multimodal.imageDHash]] +
+    * [[Multimodal.audioQuality]]): the image arm keeps ONE survivor per
+    * exact perceptual hash (crop/re-encode collapse), the audio arm
+    * drops clips failing the silence/clipping gates — the
+    * drop-before-featurize pass of a media training pipeline. Both arms
+    * are map-only feature extraction; the only exchange is the 8-byte
+    * hash keep-first aggregate. The oracle replays BOTH closed-form
+    * feature derivations and the same gates, so a defect anywhere in
+    * decode → feature → gate → keep-first breaks the hash. */
+  private def pipelineMediaCurate(s: SparkSession, dir: String): DataFrame = {
+    val imgSurvivors = Multimodal.imageDHash(synthImageMedia(s, dir))
+      .groupBy(col("dhash")).agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"), lit("image").as("kind"))
+    val audioSurvivors = Multimodal.audioQuality(synthAudioMedia(s, dir),
+        clipLevel = 30000, silenceLevel = 3000)
+      .toDF()
+      .filter(col("silence_ratio") <= 0.1 && col("clip_ratio") <= 0.11)
+      .select(col("media_id"), lit("audio").as("kind"))
+    imgSurvivors.unionByName(audioSurvivors)
+      .orderBy(col("kind"), col("media_id"))
   }
 
   /** Frame-grain video near-duplicates
@@ -3156,6 +3184,7 @@ object SparkEntry {
     "mm_image_neardup" -> (mmImageNeardup _),
     "mm_video_dedup" -> (mmVideoDedup _),
     "mm_audio_quality" -> (mmAudioQuality _),
+    "pipeline_media_curate" -> (pipelineMediaCurate _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5692,5 +5721,31 @@ object SparkEntry {
         |  round(CAST(clip AS DOUBLE) / n, 6) AS clip_ratio,
         |  round(CAST(silent AS DOUBLE) / n, 6) AS silence_ratio
         |FROM ag ORDER BY media_id""".stripMargin,
+    // composed multimodal curation: the image arm replays the full dHash
+    // derivation and keeps min(doc_id) per exact hash; the audio arm
+    // replays the gate counts and applies the same thresholds on the
+    // same exact divisions — both arms' closed forms compose
+    "pipeline_media_curate" ->
+      s"""$dhashCte,
+        |img AS (SELECT min(doc_id) AS media_id FROM hs
+        |  GROUP BY dhash_hi, dhash_lo),
+        |amd AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 15 = 0),
+        |ap AS (SELECT doc_id, CAST(nc % 50 + 10 AS BIGINT) AS n FROM amd),
+        |asi AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        |  FROM ap),
+        |asv AS (SELECT doc_id, n, i,
+        |  (doc_id*31 + i*(4001 + doc_id % 7 * 1000)) % 65536 - 32768 AS s
+        |  FROM asi),
+        |aag AS (SELECT doc_id, n,
+        |  sum(CASE WHEN abs(s) >= 30000 THEN 1 ELSE 0 END) AS clip,
+        |  sum(CASE WHEN abs(s) <= 3000 THEN 1 ELSE 0 END) AS silent
+        |  FROM asv GROUP BY 1, 2),
+        |aud AS (SELECT doc_id AS media_id FROM aag
+        |  WHERE CAST(silent AS DOUBLE) / n <= 0.1
+        |    AND CAST(clip AS DOUBLE) / n <= 0.11)
+        |SELECT media_id, 'image' AS kind FROM img
+        |UNION ALL SELECT media_id, 'audio' AS kind FROM aud
+        |ORDER BY kind, media_id""".stripMargin,
   )
 }
