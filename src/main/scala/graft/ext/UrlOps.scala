@@ -140,7 +140,10 @@ object UrlOps {
     * near-duplicate pages (boilerplate variants, mirrored articles)
     * cannot straddle the train/eval boundary. Rows whose URL yields no
     * host fall back to hashing the raw URL string (still deterministic;
-    * each such row is its own unit). Appends `split_unit` (the grouping
+    * each such row is its own unit); a NULL url yields a NULL unit and
+    * lands in 'test' — the conservative side of the boundary (a row you
+    * cannot attribute must never leak into training). Appends
+    * `split_unit` (the grouping
     * identity) and `split` ('train'/'val'/'test'); shares are
     * `trainPct` / `valPct` / the remainder, in EXPECTATION over domains
     * — actual row shares follow the domain-size distribution, the price

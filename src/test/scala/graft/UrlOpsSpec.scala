@@ -230,11 +230,17 @@ class UrlOpsSpec extends AnyFunSuite {
       .collect().sortBy(_._1).toSeq
     assert(re != a, "reseeding should redraw the domain assignment")
     // unparseable URLs: each row is its own unit, still deterministic
-    val junk = Seq((1L, "garbage"), (2L, "garbage"), (3L, "other junk"))
+    val junk = Seq((1L, Some("garbage")), (2L, Some("garbage")),
+      (3L, Some("other junk")), (4L, None))
       .toDF("doc_id", "url")
     val j = UrlOps.domainSplit(junk, "url")
-      .select("doc_id", "split_unit").as[(Long, String)].collect().toMap
-    assert(j(1L) == "garbage" && j(2L) == "garbage" && j(3L) == "other junk")
+      .select("doc_id", "split_unit", "split")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+      .toMap
+    assert(j(1L)._1 == "garbage" && j(2L)._1 == "garbage"
+      && j(3L)._1 == "other junk")
+    // NULL url: conservative side of the boundary, never into training
+    assert(j(4L) == ((null, "test")))
     // share sanity at domain grain: train strictly largest at 80/10/10
     val counts = split.select("split_unit", "split").distinct()
       .groupBy("split").count().as[(String, Long)].collect().toMap
