@@ -72,6 +72,31 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq(0))
   }
 
+  test("hammingNearDuplicates == brute force when the chunk count does " +
+      "not divide 64 (uncovered top bits: candidate superset, exact filter)") {
+    // maxDistance=2 -> 3 chunks x 21 bits, bit 63 in NO chunk; plant
+    // sigs differing ONLY in the top bit (distance 1 — must pair), plus
+    // random-ish signatures fuzzing the general contract
+    val rnd = new scala.util.Random(7)
+    val planted = Seq(0x8000000000000000L ^ 0x123456789abcdefL,
+      0x123456789abcdefL)
+    val sigs = planted ++ (0 until 60).map(_ => rnd.nextLong())
+    val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "sig")
+    val got = Dedup.hammingNearDuplicates(df, "id", "sig", maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val brute = (for {
+      (a, i) <- sigs.zipWithIndex; (b, j) <- sigs.zipWithIndex
+      if i < j
+      d = java.lang.Long.bitCount(a ^ b)
+      if d <= 2
+    } yield (i.toLong, j.toLong, d)).sortBy(x => (x._1, x._2)).toSeq
+    assert(got == brute, s"banded != brute: $got vs $brute")
+    assert(brute.contains((0L, 1L, 1)),
+      "top-bit-only pair missing from the brute set — seeding broke")
+  }
+
   test("bloom prescreen overlap == exact semi-join (no false negatives; FPs verified away)") {
     val a = Seq((0L, "shared one"), (1L, "only in a"), (2L, "shared two"))
       .toDF("doc_id", "text")
