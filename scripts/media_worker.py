@@ -81,6 +81,51 @@ def decode_wav(b):
             n // max(channels, 1), rms)
 
 
+def decode_ppm(b):
+    """P6 twin of Multimodal.ppmPixels + the image branch of decodeReal:
+    whitespace/comment header walk, single-whitespace pixel boundary,
+    integer-exact byte mean."""
+    off = 2
+    ws = b" \n\r\t"
+
+    def skip_ws_comments():
+        nonlocal off
+        moved = True
+        while moved:
+            moved = False
+            while off < len(b) and b[off:off + 1] in ws:
+                off += 1
+                moved = True
+            if off < len(b) and b[off:off + 1] == b"#":
+                while off < len(b) and b[off:off + 1] != b"\n":
+                    off += 1
+                moved = True
+
+    def read_int():
+        nonlocal off
+        skip_ws_comments()
+        if off >= len(b) or not b[off:off + 1].isdigit():
+            raise ValueError("P6 header: expected digits")
+        v = 0
+        while off < len(b) and b[off:off + 1].isdigit():
+            v = v * 10 + int(b[off:off + 1])
+            off += 1
+        return v
+
+    w, h, maxval = read_int(), read_int(), read_int()
+    if w <= 0 or h <= 0 or not (1 <= maxval <= 255):
+        raise ValueError("unsupported P6 variant")
+    if off >= len(b) or b[off:off + 1] not in ws:
+        raise ValueError("P6 header: missing pixel-data whitespace")
+    off += 1
+    need = w * h * 3
+    if len(b) < off + need:
+        raise ValueError("truncated P6 pixel data")
+    arr = np.frombuffer(b, dtype=np.uint8, count=need, offset=off)
+    total = int(arr.astype(np.int64).sum())
+    return ("image/x-portable-pixmap", w, h, 3, 0, w * h, total / need)
+
+
 def decode_avi(b):
     """Uncompressed-AVI twin of Multimodal.aviFrames + the video branch of
     decodeReal: nested LIST walk (strl scoping, movi/rec frames, even
@@ -156,6 +201,8 @@ def decode_one(b):
     b = b if b is not None else b""
     if len(b) >= 54 and b[:2] == b"BM":
         return decode_bmp(b)
+    if len(b) >= 3 and b[:2] == b"P6" and b[2:3] in b" \n\r\t":
+        return decode_ppm(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         return decode_wav(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "):

@@ -2928,6 +2928,32 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Silence-split utterance segmentation
+    * ([[Multimodal.segmentBySilence]]): the seeding plants explicit
+    * silence bands (every 37th-frame window opens with `5 + id%4` zero
+    * samples) inside an oscillating carrier, so real segment structure
+    * exists per clip — and the oracle re-derives the SAME segments via
+    * gaps-and-islands over the closed-form samples, so a boundary
+    * defect (off-by-one on start/end, wrong threshold comparison,
+    * min-length filter before vs after numbering) breaks the hash. */
+  private def mmAudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 12 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        val n = (nc % 80 + 30).toInt
+        val g = (5 + id % 4).toInt
+        val samples = Array.tabulate(n)(i =>
+          if (i % 37 < g) 0.toShort
+          else ((id * 31 + i * 7919L) % 65536 - 32768).toShort)
+        Multimodal.MediaItem(
+          id, Multimodal.buildWav(1, 8000, samples), "", "synth")
+      }
+    Multimodal.segmentBySilence(media, silenceLevel = 512,
+        minSegmentFrames = 2)
+      .toDF().orderBy(col("media_id"), col("seg_idx"))
+  }
+
   /** Composed multimodal curation ([[Multimodal.imageDHash]] +
     * [[Multimodal.audioQuality]]): the image arm keeps ONE survivor per
     * exact perceptual hash (crop/re-encode collapse), the audio arm
@@ -3185,6 +3211,7 @@ object SparkEntry {
     "mm_video_dedup" -> (mmVideoDedup _),
     "mm_audio_quality" -> (mmAudioQuality _),
     "pipeline_media_curate" -> (pipelineMediaCurate _),
+    "mm_audio_segments" -> (mmAudioSegments _),
     "a15_quantiles" -> (a15Quantiles _),
     "a16_corr" -> (a16Corr _),
     "a17_cube" -> (a17Cube _),
@@ -5747,5 +5774,31 @@ object SparkEntry {
         |SELECT media_id, 'image' AS kind FROM img
         |UNION ALL SELECT media_id, 'audio' AS kind FROM aud
         |ORDER BY kind, media_id""".stripMargin,
+    // gaps-and-islands replay of silence-split segmentation: active
+    // frames from the closed-form samples, islands via i - row_number,
+    // min-length filter BEFORE segment numbering (matching seg_idx of
+    // emitted segments only)
+    "mm_audio_segments" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 12 = 0),
+        |p AS (SELECT doc_id, CAST(nc % 80 + 30 AS BIGINT) AS n,
+        |  CAST(5 + doc_id % 4 AS BIGINT) AS g FROM md),
+        |si AS (SELECT doc_id, n, g, unnest(generate_series(0, n - 1)) AS i
+        |  FROM p),
+        |sv AS (SELECT doc_id, i, CASE WHEN i % 37 < g THEN 0
+        |  ELSE (doc_id*31 + i*7919) % 65536 - 32768 END AS s FROM si),
+        |act AS (SELECT doc_id, i FROM sv WHERE abs(s) > 512),
+        |isl AS (SELECT doc_id, i,
+        |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM act),
+        |seg AS (SELECT doc_id, min(i) AS start_frame,
+        |  max(i) + 1 AS end_frame, count(*) AS n_frames
+        |  FROM isl GROUP BY doc_id, grp),
+        |kept AS (SELECT * FROM seg WHERE n_frames >= 2)
+        |SELECT doc_id AS media_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY start_frame) - 1 AS INT) AS seg_idx,
+        |  start_frame, end_frame, n_frames
+        |FROM kept ORDER BY media_id, seg_idx""".stripMargin,
   )
 }

@@ -104,6 +104,10 @@ object Multimodal {
     // WAVE audio from WEBP images and AVI video
     val riffTag = hex(substring(payload, 9, 4))
     when(p8.startsWith("424D"), "image/bmp")
+      // "P6" + whitespace (space/LF/CR/TAB) — binary NetPBM pixmap
+      .when(p8.startsWith("503620") || p8.startsWith("50360A")
+        || p8.startsWith("50360D") || p8.startsWith("503609"),
+        "image/x-portable-pixmap")
       .when(p8.startsWith("89504E47"), "image/png")
       .when(p8.startsWith("FFD8FF"), "image/jpeg")
       .when(p8.startsWith("474946383"), "image/gif")
@@ -411,6 +415,70 @@ object Multimodal {
     out
   }
 
+  /** Full binary-NetPBM (P6) decode: (width, height, top-down RGB
+    * bytes). The header is REAL NetPBM semantics — `P6`, then three
+    * ASCII integers (width, height, maxval) separated by runs of
+    * whitespace, with `#`-to-end-of-line comments allowed anywhere
+    * whitespace is, then EXACTLY ONE whitespace byte before the raw
+    * pixel block. Only maxval ≤ 255 (1-byte samples) decodes; 2-byte
+    * deep pixmaps and P1–P5 variants fail loudly. Pixels are already
+    * top-down RGB — the one format whose pixel block needs no
+    * reordering (the spec's test fixture proves the header walk, not a
+    * flip). */
+  def ppmPixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+      s"not a P6 pixmap payload (${b.length} bytes)")
+    var off = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWsAndComments(): Unit = {
+      var moved = true
+      while (moved) {
+        moved = false
+        while (off < b.length && isWs(b(off))) { off += 1; moved = true }
+        if (off < b.length && b(off) == '#') {
+          while (off < b.length && b(off) != '\n') off += 1
+          moved = true
+        }
+      }
+    }
+    def readInt(what: String): Int = {
+      skipWsAndComments()
+      require(off < b.length && b(off) >= '0' && b(off) <= '9',
+        s"P6 header: expected $what digits at offset $off")
+      var v = 0L
+      while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+        v = v * 10 + (b(off) - '0')
+        require(v <= Int.MaxValue, s"P6 header: $what overflows")
+        off += 1
+      }
+      v.toInt
+    }
+    val w = readInt("width"); val h = readInt("height")
+    val maxval = readInt("maxval")
+    require(w > 0 && h > 0, s"unsupported P6 dimensions ${w}x$h")
+    require(maxval >= 1 && maxval <= 255,
+      s"unsupported P6 maxval $maxval (only 1-byte samples)")
+    require(off < b.length && isWs(b(off)),
+      "P6 header: missing the single whitespace before pixel data")
+    off += 1 // EXACTLY one whitespace byte, per the spec
+    val need = w.toLong * h * 3
+    require(b.length.toLong >= off + need,
+      s"truncated P6: ${b.length} bytes < pixel data for ${w}x$h")
+    (w, h, java.util.Arrays.copyOfRange(b, off, off + need.toInt))
+  }
+
+  /** Encode top-down RGB as a canonical P6 pixmap (maxval 255). */
+  def buildPpm(w: Int, h: Int, rgbTopDown: Array[Byte]): Array[Byte] = {
+    require(rgbTopDown.length == w * h * 3,
+      s"need ${w * h * 3} RGB bytes, got ${rgbTopDown.length}")
+    val header = s"P6\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgbTopDown.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgbTopDown, 0, out, header.length, rgbTopDown.length)
+    out
+  }
+
   /** Full WAV decode: (channels, sampleRate, interleaved PCM16 samples).
     * Walks RIFF chunks properly (fmt may be followed by LIST/fact before
     * data; chunk sizes pad to even) — PCM16 only, loud failure otherwise. */
@@ -567,6 +635,13 @@ object Multimodal {
       while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
       RealMediaFeatures(item.media_id, "image/bmp", w, h, 3, 0,
         w.toLong * h, sum.toDouble / px.length)
+    } else if (b.length >= 3 && b(0) == 'P' && b(1) == '6'
+        && (b(2) == ' ' || b(2) == '\n' || b(2) == '\r' || b(2) == '\t')) {
+      val (w, h, px) = ppmPixels(b)
+      var sum = 0L; var i = 0
+      while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+      RealMediaFeatures(item.media_id, "image/x-portable-pixmap", w, h, 3, 0,
+        w.toLong * h, sum.toDouble / px.length)
     } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
         && b(11) == 'E') {
@@ -703,6 +778,58 @@ object Multimodal {
         if (crossDen <= 0) 0.0 else cross.toDouble / crossDen,
         if (n == 0) 0.0 else clip.toDouble / n,
         if (n == 0) 0.0 else silent.toDouble / n)
+    })
+  }
+
+  /** One silence-delimited utterance segment: frames
+    * `[start_frame, end_frame)` of the clip, `n_frames` long. */
+  final case class AudioSegment(
+      media_id: Long, seg_idx: Int, start_frame: Long, end_frame: Long,
+      n_frames: Long)
+
+  /** Silence-split segmentation — the energy-threshold splitter a speech
+    * pipeline runs before per-utterance processing: a frame is ACTIVE
+    * when any channel's |sample| exceeds `silenceLevel`; segments are
+    * maximal runs of active frames, and runs shorter than
+    * `minSegmentFrames` are dropped (`seg_idx` numbers the EMITTED
+    * segments, in frame order). Map-only flatMap: decode + one linear
+    * scan per clip inside its task, thin (id, idx, bounds) rows out —
+    * the per-utterance fan-out happens before any exchange. */
+  def segmentBySilence(
+      items: Dataset[MediaItem],
+      silenceLevel: Int = 512,
+      minSegmentFrames: Int = 1): Dataset[AudioSegment] = {
+    require(minSegmentFrames >= 1,
+      s"minSegmentFrames must be >= 1, got $minSegmentFrames")
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.flatMap { item =>
+      val (ch, _, s) = wavSamples(item.payload)
+      val frames = s.length / math.max(ch, 1)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+      var segStart = -1L
+      var idx = 0
+      var f = 0
+      while (f < frames) {
+        var active = false
+        var c = 0
+        while (c < ch && !active) {
+          if (math.abs(s(f * ch + c).toInt) > silenceLevel) active = true
+          c += 1
+        }
+        if (active && segStart < 0) segStart = f
+        else if (!active && segStart >= 0) {
+          if (f - segStart >= minSegmentFrames) {
+            segs += AudioSegment(item.media_id, idx, segStart, f, f - segStart)
+            idx += 1
+          }
+          segStart = -1
+        }
+        f += 1
+      }
+      if (segStart >= 0 && frames - segStart >= minSegmentFrames)
+        segs += AudioSegment(item.media_id, idx, segStart, frames,
+          frames - segStart)
+      segs.iterator
     })
   }
 

@@ -217,6 +217,38 @@ class MultimodalSpec extends AnyFunSuite {
       "LIST chunk between fmt and data changed the decoded samples")
   }
 
+  test("REAL P6 pixmap codec: committed fixture decodes byte-exact " +
+      "(comment/whitespace header walk, single-whitespace pixel boundary)") {
+    val b = readResource("/graft/tiny.ppm")
+    val (w, h, px) = Multimodal.ppmPixels(b)
+    assert((w, h) == ((3, 2)))
+    // same pixel values as tiny.bmp, but stored top-down RGB — the
+    // fixture's header carries comments and mixed whitespace, written by
+    // an independent encoder
+    assert(px.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255,
+      10, 20, 30, 40, 50, 60, 70, 80, 90))
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(8L, b, "", "fix"))
+    assert(f == Multimodal.RealMediaFeatures(
+      8L, "image/x-portable-pixmap", 3, 2, 3, 0, 6L, 1215.0 / 18))
+    // encode -> decode round-trip is the identity
+    val (w2, h2, px2) = Multimodal.ppmPixels(Multimodal.buildPpm(w, h, px))
+    assert(w2 == w && h2 == h && px2.toSeq == px.toSeq)
+    // a 2-byte-deep pixmap (maxval > 255) fails loudly
+    val deep = "P6\n3 2\n65535\n".getBytes("US-ASCII") ++ px ++ px
+    val e = intercept[IllegalArgumentException](Multimodal.ppmPixels(deep))
+    assert(e.getMessage.contains("maxval"))
+    // truncated pixels fail loudly
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.ppmPixels(b.dropRight(4)))
+    assert(e2.getMessage.contains("truncated P6"))
+    // sniffFormat routes it
+    val fmt = spark.createDataset(Seq(1))(org.apache.spark.sql.Encoders.scalaInt)
+      .toDF("x").select(Multimodal.sniffFormat(lit(b)).as("f"))
+      .collect()(0).getString(0)
+    assert(fmt == "image/x-portable-pixmap")
+  }
+
   test("REAL AVI codec: committed fixture decodes byte-exact " +
       "(nested LISTs, rec grouping, INFO skip, idx1 skip, DIB frames)") {
     val b = readResource("/graft/tiny.avi")
@@ -386,6 +418,46 @@ class MultimodalSpec extends AnyFunSuite {
       && empty.silence_ratio == 0.0)
   }
 
+  test("segmentBySilence: island boundaries, min-length filter, " +
+      "any-channel activity, edge segments") {
+    // stereo frames: active iff ANY channel exceeds the threshold
+    // frames: A A s A s s A A  (A=active, s=silent at level 512)
+    val samples = Array[Short](
+      1000, 0,   // f0 A (left)
+      0, 900,    // f1 A (right)
+      100, -50,  // f2 s
+      -800, 0,   // f3 A
+      0, 0,      // f4 s
+      512, -512, // f5 s (threshold is STRICTLY greater)
+      0, 513,    // f6 A
+      2000, 2000)// f7 A
+    val item = Multimodal.MediaItem(
+      3L, Multimodal.buildWav(2, 8000, samples), "", "t")
+    val all = Multimodal.segmentBySilence(
+        spark.createDataset(Seq(item)), minSegmentFrames = 1)
+      .collect().sortBy(_.seg_idx).toSeq
+    assert(all == Seq(
+      Multimodal.AudioSegment(3L, 0, 0, 2, 2),
+      Multimodal.AudioSegment(3L, 1, 3, 4, 1),
+      Multimodal.AudioSegment(3L, 2, 6, 8, 2)))
+    // min-length 2 drops the singleton; seg_idx renumbers the EMITTED
+    val kept = Multimodal.segmentBySilence(
+        spark.createDataset(Seq(item)), minSegmentFrames = 2)
+      .collect().sortBy(_.seg_idx).toSeq
+    assert(kept == Seq(
+      Multimodal.AudioSegment(3L, 0, 0, 2, 2),
+      Multimodal.AudioSegment(3L, 1, 6, 8, 2)))
+    // an all-silent clip yields no segments; an all-active clip one
+    val silent = Multimodal.MediaItem(
+      4L, Multimodal.buildWav(1, 8000, Array[Short](0, 1, -1, 0)), "", "t")
+    val loud = Multimodal.MediaItem(
+      5L, Multimodal.buildWav(1, 8000, Array[Short](5000, -5000)), "", "t")
+    val edge = Multimodal.segmentBySilence(
+        spark.createDataset(Seq(silent, loud)))
+      .collect().sortBy(_.media_id).toSeq
+    assert(edge == Seq(Multimodal.AudioSegment(5L, 0, 0, 2, 2)))
+  }
+
   test("imageDHashCol (native expression) == Dataset-path dHash values; " +
       "NULL payload -> NULL key") {
     val items = (0 until 12).map { i =>
@@ -472,14 +544,16 @@ class MultimodalSpec extends AnyFunSuite {
     val fixtureBmp = readResource("/graft/tiny.bmp")
     val fixtureWav = readResource("/graft/tiny.wav")
     val fixtureAvi = readResource("/graft/tiny.avi")
+    val fixturePpm = readResource("/graft/tiny.ppm")
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
-      val payload = (id % 7) match {
+      val payload = (id % 8) match {
         case 0 => Multimodal.synthBmp(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
         case 2 => fixtureBmp // independently-encoded committed fixtures
         case 3 => fixtureWav
         case 4 => Multimodal.synthAvi(id, nc)
         case 5 => fixtureAvi
+        case 6 => fixturePpm
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
@@ -497,7 +571,8 @@ class MultimodalSpec extends AnyFunSuite {
       assert(j == e, s"worker decode diverges for media_id ${j._1}")
     }
     assert(jvm.map(_._2).distinct.sorted.toSeq == Seq(
-      "application/octet-stream", "audio/wav", "image/bmp", "video/avi"))
+      "application/octet-stream", "audio/wav", "image/bmp",
+      "image/x-portable-pixmap", "video/avi"))
   }
 
   // — worker-pipe robustness (round-13 advice, medium): a chatty worker
