@@ -801,6 +801,36 @@ object ScaleSmoke {
         }
       graft.ext.Multimodal.audioQuality(media).count()
     }
+    timed("audio segmentation 50k clips") {
+      // decode + linear scan per clip, per-utterance fan-out INSIDE the
+      // task — scan-parallel at any corpus size, like the AVI path
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          val n = (nc % 80 + 30).toInt
+          val g = (5 + id % 4).toInt
+          val samples = Array.tabulate(n)(i =>
+            if (i % 37 < g) 0.toShort
+            else ((id * 31 + i * 7919L) % 65536 - 32768).toShort)
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.buildWav(1, 8000, samples), "", "smoke")
+        }
+      val n = graft.ext.Multimodal.segmentBySilence(media).count()
+      assert(n >= 50000L, s"segmentation lost clips: $n")
+      n
+    }
+    timed("domain split 50k urls") {
+      // one md5 per row, no shuffle: the split is a scan-stage column
+      val urls = bigDocs.select(col("doc_id"),
+        concat(lit("https://sub"), col("doc_id").cast("string"),
+          lit(".site"), pmod(col("doc_id"), lit(997)).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+      val split = graft.ext.UrlOps.domainSplit(urls, "url")
+      val counts = split.groupBy("split").count().collect()
+      assert(counts.map(_.getLong(1)).sum == 50000L)
+      counts.length.toLong
+    }
     timed("image dHash near-dup 50k") {
       // 50k images -> 8-byte signatures map-side; the ONLY exchanges are
       // the 4-chunk banding shuffle and the thin pair dedup — bucket

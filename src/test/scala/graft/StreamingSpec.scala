@@ -194,6 +194,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("segmentBySilence runs unchanged on a stream (stateless typed " +
+      "flatMap) == batch segments") {
+    import graft.ext.Multimodal
+    val dir = Files.createTempDirectory("graft-seg-stream").toFile
+    dir.deleteOnExit()
+    def wav(id: Long): Array[Byte] =
+      Multimodal.buildWav(1, 8000, Array.tabulate(60)(i =>
+        if (i % 13 < 4) 0.toShort
+        else ((id * 31 + i * 7919L) % 65536 - 32768).toShort))
+    val items = Seq(1L, 2L, 3L).map(id =>
+      (id, wav(id), "spec", "stream"))
+    items.toDF("media_id", "payload", "format", "source")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType),
+      StructField("format", StringType), StructField("source", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.getAbsolutePath).as[Multimodal.MediaItem]
+    val q = Multimodal.segmentBySilence(stream, minSegmentFrames = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_seg_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT media_id, seg_idx, start_frame, end_frame, n_frames " +
+          "FROM graft_seg_stream ORDER BY media_id, seg_idx")
+        .as[(Long, Int, Long, Long, Long)].collect().toSeq
+      val batch = Multimodal.segmentBySilence(
+          spark.createDataset(items.map(t =>
+            Multimodal.MediaItem(t._1, t._2, t._3, t._4))),
+          minSegmentFrames = 2)
+        .collect().map(s =>
+          (s.media_id, s.seg_idx, s.start_frame, s.end_frame, s.n_frames))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(got == batch && batch.nonEmpty,
+        s"stream segments != batch: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("session windows group activity bursts") {
     val dir = Files.createTempDirectory("graft-stream2").toFile
     dir.deleteOnExit()
