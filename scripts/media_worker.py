@@ -146,10 +146,18 @@ def decode_avi(b):
             if off + 8 + clen > end:
                 raise ValueError("AVI chunk overruns strl")
             if cid == b"strh":
+                # mirror the JVM's minimum-length guards: without them a
+                # short strh/strf makes unpack_from read bytes from the
+                # FOLLOWING chunk — garbage geometry where the JVM fails
+                # loudly, breaking bit-for-bit parity on malformed inputs
+                if clen < 28:
+                    raise ValueError("truncated strh chunk")
                 vids = b[off + 8:off + 12] == b"vids"
                 if vids:
                     scale, rate = struct.unpack_from("<II", b, off + 8 + 20)
             elif cid == b"strf" and vids:
+                if clen < 40:
+                    raise ValueError("truncated vids strf (BITMAPINFOHEADER)")
                 w, h = struct.unpack_from("<ii", b, off + 8 + 4)
                 bpp, = struct.unpack_from("<H", b, off + 8 + 14)
                 comp, = struct.unpack_from("<I", b, off + 8 + 16)
@@ -197,12 +205,318 @@ def decode_avi(b):
     return ("video/avi", w, h, 3, fps, n_frames, mean)
 
 
+# ——— baseline JPEG (twin of graft.ext.Jpeg.decode) ———
+# Every arithmetic step mirrors the JVM decoder exactly: the HARDCODED
+# fixed-point DCT table (never recomputed from cos), Long/int IDCT with
+# ((acc + 2^27) >> 28) + 128 rounding, 16.16 fixed-point YCbCr->RGB,
+# replication upsampling. Python ints are arbitrary-precision and >> is
+# floor division, same as Java's arithmetic shift on Long — so the
+# decoded pixels (and therefore mean_value) are bit-identical.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+_JPEG_DCT13 = [
+    [5793, 5793, 5793, 5793, 5793, 5793, 5793, 5793],
+    [8035, 6811, 4551, 1598, -1598, -4551, -6811, -8035],
+    [7568, 3135, -3135, -7568, -7568, -3135, 3135, 7568],
+    [6811, -1598, -8035, -4551, 4551, 8035, 1598, -6811],
+    [5793, -5793, -5793, 5793, 5793, -5793, -5793, 5793],
+    [4551, -8035, 1598, 6811, -6811, -1598, 8035, -4551],
+    [3135, -7568, 7568, -3135, -3135, 7568, -7568, 3135],
+    [1598, -4551, 6811, -8035, 8035, -6811, 4551, -1598]]
+
+
+class _JpegHuff:
+    def __init__(self, bits, vals):
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code = 0
+        k = 0
+        for l in range(1, 17):
+            if bits[l - 1] > 0:
+                self.valptr[l] = k
+                self.mincode[l] = code
+                code += bits[l - 1]
+                k += bits[l - 1]
+                self.maxcode[l] = code - 1
+            code <<= 1
+
+    def decode(self, r):
+        c = 0
+        for l in range(1, 17):
+            c = (c << 1) | r.next_bit()
+            if self.maxcode[l] >= 0 and c <= self.maxcode[l]:
+                return self.vals[self.valptr[l] + c - self.mincode[l]]
+        raise ValueError("corrupt JPEG: Huffman code longer than 16 bits")
+
+
+class _JpegBits:
+    def __init__(self, b, pos):
+        self.b = b
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def next_bit(self):
+        if self.nbits == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG entropy stream")
+            v = self.b[self.pos]
+            self.pos += 1
+            if v == 0xFF:
+                if self.pos >= len(self.b):
+                    raise ValueError("truncated JPEG entropy stream at FF")
+                if self.b[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside JPEG "
+                                     "entropy stream")
+                self.pos += 1
+            self.cur = v
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.next_bit()
+        return v
+
+    def restart(self):
+        self.nbits = 0
+        if self.pos + 1 >= len(self.b):
+            raise ValueError("truncated JPEG at restart marker")
+        if self.b[self.pos] != 0xFF or (self.b[self.pos + 1] & 0xF8) != 0xD0:
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v, s):
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _jpeg_idct(coef):
+    t = [0] * 64
+    for cu in range(8):
+        for y in range(8):
+            acc = 0
+            for cv in range(8):
+                acc += _JPEG_DCT13[cv][y] * coef[cv * 8 + cu]
+            t[cu * 8 + y] = acc
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            acc = 0
+            for cu in range(8):
+                acc += _JPEG_DCT13[cu][x] * t[cu * 8 + y]
+            v = ((acc + (1 << 27)) >> 28) + 128
+            out[y * 8 + x] = 0 if v < 0 else (255 if v > 255 else v)
+    return out
+
+
+def decode_jpeg(b):
+    if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        raise ValueError("not a JPEG payload")
+    quant = [None] * 4
+    dc_dec = [None] * 4
+    ac_dec = [None] * 4
+    comps = None  # list of [id, h, v, tq, dc_tab, ac_tab]
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    sos_pos = -1
+    while sos_pos < 0:
+        if pos + 1 >= len(b):
+            raise ValueError("truncated JPEG: no SOS marker")
+        if b[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            raise ValueError("corrupt JPEG: unexpected SOI/EOI")
+        if marker == 0x01:
+            continue
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError("corrupt JPEG: restart outside entropy stream")
+        if pos + 2 > len(b):
+            raise ValueError("truncated JPEG marker segment")
+        seg_len = (b[pos] << 8) | b[pos + 1]
+        if seg_len < 2 or pos + seg_len > len(b):
+            raise ValueError("truncated JPEG marker segment")
+        seg = pos + 2
+        seg_end = pos + seg_len
+        if marker in (0xC0, 0xC1):
+            if b[seg] != 8:
+                raise ValueError("unsupported JPEG precision")
+            h = (b[seg + 1] << 8) | b[seg + 2]
+            w = (b[seg + 3] << 8) | b[seg + 4]
+            if w <= 0 or h <= 0 or w * h > (64 << 20):
+                raise ValueError("unsupported JPEG dimensions")
+            nf = b[seg + 5]
+            if nf not in (1, 3):
+                raise ValueError("unsupported JPEG component count")
+            comps = []
+            for i in range(nf):
+                o = seg + 6 + 3 * i
+                hi, vi = b[o + 1] >> 4, b[o + 1] & 15
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise ValueError("unsupported sampling factor")
+                comps.append([b[o], hi, vi, b[o + 2], 0, 0])
+        elif marker == 0xC2:
+            raise ValueError("unsupported JPEG: progressive DCT")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError("unsupported JPEG SOF variant")
+        elif marker == 0xC4:
+            o = seg
+            while o < seg_end:
+                tc, th = b[o] >> 4, b[o] & 15
+                if tc > 1 or th > 3:
+                    raise ValueError("bad DHT class/id")
+                bits = list(b[o + 1:o + 17])
+                n = sum(bits)
+                if o + 17 + n > seg_end:
+                    raise ValueError("truncated DHT values")
+                vals = list(b[o + 17:o + 17 + n])
+                dec = _JpegHuff(bits, vals)
+                if tc == 0:
+                    dc_dec[th] = dec
+                else:
+                    ac_dec[th] = dec
+                o += 17 + n
+        elif marker == 0xDB:
+            o = seg
+            while o < seg_end:
+                pq, tq = b[o] >> 4, b[o] & 15
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quant table")
+                if tq > 3 or o + 65 > seg_end:
+                    raise ValueError("truncated DQT")
+                q = [0] * 64
+                for k in range(64):
+                    q[_JPEG_ZIGZAG[k]] = b[o + 1 + k]
+                quant[tq] = q
+                o += 65
+        elif marker == 0xDD:
+            if seg_len != 4:
+                raise ValueError("bad DRI length")
+            restart_interval = (b[seg] << 8) | b[seg + 1]
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
+            ns = b[seg]
+            if ns != len(comps):
+                raise ValueError("unsupported JPEG scan layout")
+            for i in range(ns):
+                cs = b[seg + 1 + 2 * i]
+                tt = b[seg + 2 + 2 * i]
+                c = next((c for c in comps if c[0] == cs), None)
+                if c is None:
+                    raise ValueError("corrupt JPEG: unknown scan component")
+                c[4], c[5] = tt >> 4, tt & 15
+            ss, se = b[seg + 1 + 2 * ns], b[seg + 2 + 2 * ns]
+            if ss != 0 or se != 63 or b[seg + 3 + 2 * ns] != 0:
+                raise ValueError("unsupported JPEG scan parameters")
+            sos_pos = seg_end
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass
+        else:
+            raise ValueError("unsupported JPEG marker 0x%02X" % marker)
+        if sos_pos < 0:
+            pos = seg_end
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [[0] * (mcus_x * 8 * c[1] * mcus_y * 8 * c[2]) for c in comps]
+    for c in comps:
+        if dc_dec[c[4]] is None or ac_dec[c[5]] is None or quant[c[3]] is None:
+            raise ValueError("corrupt JPEG: undefined table referenced")
+    r = _JpegBits(b, sos_pos)
+    pred = [0] * len(comps)
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval > 0 and mcu > 0 and mcu % restart_interval == 0:
+            r.restart()
+            pred = [0] * len(comps)
+        mx, my = mcu % mcus_x, mcu // mcus_x
+        for ci, c in enumerate(comps):
+            q = quant[c[3]]
+            dc, ac = dc_dec[c[4]], ac_dec[c[5]]
+            plane_w = mcus_x * 8 * c[1]
+            for by in range(c[2]):
+                for bx in range(c[1]):
+                    coef = [0] * 64
+                    t = dc.decode(r)
+                    if t > 11:
+                        raise ValueError("corrupt JPEG: DC size category")
+                    diff = _jpeg_extend(r.receive(t), t) if t else 0
+                    pred[ci] += diff
+                    coef[0] = pred[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = ac.decode(r)
+                        rr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rr == 15:
+                                k += 16
+                                continue
+                            break
+                        k += rr
+                        if k >= 64:
+                            raise ValueError("corrupt JPEG: AC index > 63")
+                        z = _JPEG_ZIGZAG[k]
+                        coef[z] = _jpeg_extend(r.receive(s), s) * q[z]
+                        k += 1
+                    samples = _jpeg_idct(coef)
+                    px0 = (mx * c[1] + bx) * 8
+                    py0 = (my * c[2] + by) * 8
+                    for yy in range(8):
+                        base = (py0 + yy) * plane_w + px0
+                        planes[ci][base:base + 8] = samples[yy * 8:yy * 8 + 8]
+
+    total = 0
+    y_w = mcus_x * 8 * comps[0][1]
+    if len(comps) == 1:
+        for y in range(h):
+            row = planes[0][y * y_w:y * y_w + w]
+            total += 3 * sum(row)
+    else:
+        yc, cbc, crc = comps
+        cb_w = mcus_x * 8 * cbc[1]
+        cr_w = mcus_x * 8 * crc[1]
+        for y in range(h):
+            y_y = y * yc[2] // vmax
+            cb_y = y * cbc[2] // vmax
+            cr_y = y * crc[2] // vmax
+            for x in range(w):
+                yv = planes[0][y_y * y_w + x * yc[1] // hmax]
+                cbv = planes[1][cb_y * cb_w + x * cbc[1] // hmax] - 128
+                crv = planes[2][cr_y * cr_w + x * crc[1] // hmax] - 128
+                rr = yv + ((91881 * crv + 32768) >> 16)
+                gg = yv - ((22554 * cbv + 46802 * crv + 32768) >> 16)
+                bb = yv + ((116130 * cbv + 32768) >> 16)
+                for v in (rr, gg, bb):
+                    total += 0 if v < 0 else (255 if v > 255 else v)
+    n_bytes = w * h * 3
+    return ("image/jpeg", w, h, 3, 0, w * h, total / n_bytes)
+
+
 def decode_one(b):
     b = b if b is not None else b""
     if len(b) >= 54 and b[:2] == b"BM":
         return decode_bmp(b)
     if len(b) >= 3 and b[:2] == b"P6" and b[2:3] in b" \n\r\t":
         return decode_ppm(b)
+    if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
+        return decode_jpeg(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         return decode_wav(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "):

@@ -7,6 +7,11 @@ package graft
   * production hash path. */
 object GoldenHashesData {
   val triples: Seq[(String, String, String)] = Seq(
+    // baseline JPEG decode features (DCT codec — no SQL oracle; the
+    // byte-exact fixture + numpy worker twin carry the value proof)
+    ("sf0.001", "mm_features_jpeg", "692f07167232564d1c2f27d3c7240fef"),
+    ("sf0.01", "mm_features_jpeg", "92a996b0158695030148005a28387295"),
+    ("sf0.1", "mm_features_jpeg", "6d6b212f6e23b4bd1ef82cfe1bd9613f"),
     ("sf0.001", "sim_ivfpq_topk", "8cba6e29e3180bd5f4f0b7042181b558"),
     ("sf0.01", "sim_ivfpq_topk", "a4411a350e362793ab04ca8132e252d0"),
     ("sf0.1", "sim_ivfpq_topk", "b1de463dfd9ccbad2099868f167ae078"),

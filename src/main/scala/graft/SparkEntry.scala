@@ -2806,6 +2806,26 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL entropy-coded decode ([[Jpeg.decode]] behind
+    * [[Multimodal.decodeReal]]): each sampled doc becomes a baseline
+    * JPEG (id-varying quality / 4:2:0 / restart markers / grayscale,
+    * odd dims forcing partial MCUs), ENCODED then Huffman+IDCT-DECODED
+    * in-task. No SQL oracle can replay a DCT codec — the query is
+    * golden-pinned at 3 SFs ([[GoldenHashes]]) and the pure-numpy
+    * worker twin must agree bit-for-bit (MultimodalSpec). */
+  private def mmFeaturesJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthJpeg(id, nc), "", "synth")
+      }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("n_samples"), round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL video decode over synthesized uncompressed AVIs: each doc
     * becomes an actual RIFF/AVI container (nested hdrl/strl/movi LISTs,
     * `00db` DIB frames with bottom-up BGR padded rows) whose pixel bytes
@@ -3204,6 +3224,7 @@ object SparkEntry {
     "text_contamination_report" -> (textContaminationReport _),
     "mm_features" -> (mmFeatures _),
     "mm_features_real" -> (mmFeaturesReal _),
+    "mm_features_jpeg" -> (mmFeaturesJpeg _),
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
@@ -5655,7 +5676,17 @@ object SparkEntry {
         |SELECT doc_id AS media_id, dhash_hi, dhash_lo FROM hs
         |ORDER BY media_id""".stripMargin,
     // band equi-join = the same pigeonhole candidate superset the Spark
-    // side shuffles on; the exact Hamming filter prunes both identically
+    // side shuffles on; the exact Hamming filter prunes both identically.
+    // CAP ASSUMPTION (here and mm_video_dedup): the oracle does NOT model
+    // capBuckets' maxBucketSize drop (default 10000) — it keeps every
+    // pair. The seeding makes a bucket approaching the cap impossible at
+    // ANY SF: synthImageMedia plants groups of ≤3 images with per-group
+    // geometry/stride, so a band bucket holds one group's variants plus
+    // rare 16-bit-band collisions (observed ≤ tens at sf0.1), and
+    // synthVideoDedupMedia's scene hashes collide only within a pair. If
+    // a future reseed densifies buckets, the Spark side logs the drop
+    // (DropMetrics 'image_dhash_lsh'/'video_dhash') BEFORE the hash
+    // mismatch — check that table first when this row breaks.
     "mm_image_neardup" ->
       s"""$dhashCte,
         |bands AS (SELECT doc_id, ch,

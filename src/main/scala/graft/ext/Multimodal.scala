@@ -426,10 +426,14 @@ object Multimodal {
     * reordering (the spec's test fixture proves the header walk, not a
     * flip). */
   def ppmPixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
-    require(b.length >= 2 && b(0) == 'P' && b(1) == '6',
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    // whitespace after the magic is part of the NetPBM signature: without
+    // it a direct call on "P6123 45 ..." would silently parse '123' as the
+    // width — the same gate sniffFormat/decodeReal apply, enforced here so
+    // no caller can bypass it (advisor round-16)
+    require(b.length >= 3 && b(0) == 'P' && b(1) == '6' && isWs(b(2)),
       s"not a P6 pixmap payload (${b.length} bytes)")
     var off = 2
-    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def skipWsAndComments(): Unit = {
       var moved = true
       while (moved) {
@@ -641,6 +645,16 @@ object Multimodal {
       var sum = 0L; var i = 0
       while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
       RealMediaFeatures(item.media_id, "image/x-portable-pixmap", w, h, 3, 0,
+        w.toLong * h, sum.toDouble / px.length)
+    } else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        && (b(2) & 0xff) == 0xff) {
+      // entropy-coded path: baseline JPEG through the from-scratch
+      // Huffman+IDCT decoder ([[Jpeg.decode]]); features over the
+      // DECODED pixels, integer-exact like the BMP branch
+      val (w, h, px) = Jpeg.decode(b)
+      var sum = 0L; var i = 0
+      while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+      RealMediaFeatures(item.media_id, "image/jpeg", w, h, 3, 0,
         w.toLong * h, sum.toDouble / px.length)
     } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
@@ -1093,6 +1107,29 @@ object Multimodal {
       px
     }
     buildAvi(w, h, fps = 10, frames)
+  }
+
+  /** Deterministic synthetic baseline JPEG from (id, nChars): a slowly-
+    * varying pixel ramp (JPEG-friendly content) encoded with id-varying
+    * quality / 4:2:0 subsampling / restart intervals / grayscale, so the
+    * golden query `mm_features_jpeg` exercises every encoder+decoder
+    * path (odd dims force edge-replicated partial MCUs). No closed-form
+    * DuckDB oracle exists for a DCT codec — the query is golden-pinned
+    * at 3 SFs and the numpy worker twin must agree bit-for-bit. */
+  def synthJpeg(id: Long, nChars: Long): Array[Byte] = {
+    val w = (17 + nChars % 14).toInt // 17..30: never a multiple of 16
+    val h = (10 + id % 9).toInt      // 10..18: partial MCUs both axes
+    val px = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < px.length) {
+      px(j) = ((id * 3 + j / 7) % 256).toByte
+      j += 1
+    }
+    Jpeg.encode(w, h, px,
+      quality = (55 + (id % 5) * 10).toInt,
+      subsample = id % 2 == 0,
+      restartInterval = if (id % 3 == 0) 2 else 0,
+      gray = id % 7 == 0)
   }
 
   /** Deterministic synthetic WAV from (id, nChars) — modular-arithmetic

@@ -158,6 +158,9 @@ object UrlOps {
       multiLabelSuffixes: Seq[String] = DefaultMultiLabelSuffixes): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split shares: train=$trainPct val=$valPct")
+    require(!df.columns.contains("split_unit") && !df.columns.contains("split"),
+      "domainSplit appends 'split_unit' and 'split' — input already has one " +
+        "(a silent withColumn overwrite would clobber the caller's column)")
     val unit = coalesce(
       registeredDomain(host(col(urlCol)), multiLabelSuffixes), col(urlCol))
     val b = graft.ops.Sampling.portableBucket(unit, seed)

@@ -147,11 +147,15 @@ object StreamingResample {
       df: DataFrame,
       payloadCol: String,
       tsCol: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(!df.columns.contains("dhash"),
+      "dedupImageStream appends 'dhash' — input already has one " +
+        "(a silent withColumn overwrite would clobber the caller's column)")
     dedupStream(
       df.withColumn("dhash",
         graft.ext.Multimodal.imageDHashCol(col(payloadCol))),
       Seq("dhash"), tsCol, watermark)
+  }
 
   /** Session windows: activity bursts separated by ≥ `gap` of silence. */
   def sessionCount(
