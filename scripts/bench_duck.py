@@ -42,11 +42,25 @@ def main():
         queries[name] = med
         if med >= 0:
             total += med
+    # honest-aggregate twin of graft.Bench's total_excl_naive_oracle:
+    # these oracles are declared-naive kernel replays (per-pixel dHash
+    # CTEs, per-gram LM expansion, the recursive curate CTE) — their
+    # duck time measures the replay, not a real query, and flatters any
+    # spark/duck aggregate. Keep in lockstep with
+    # SparkEntry.naiveOracleReplay.
+    naive = {"pipeline_curate_portable", "text_lm_ngram", "mm_image_dhash",
+             "mm_image_neardup", "mm_video_dedup", "pipeline_media_curate"}
+    total_honest = sum(t for q, t in queries.items()
+                       if q not in naive and t >= 0)
     out = {"metric": "duckdb_oracle_total", "value": round(total, 6),
-           "unit": "sec", "sf": sf_dir, "queries": queries}
+           "unit": "sec", "sf": sf_dir, "queries": queries,
+           "total_excl_naive_oracle": round(total_honest, 6),
+           "naive_oracle_excluded": sorted(naive & set(queries))}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps({"total": round(total, 3), "n": len(queries)}))
+    print(json.dumps({"total": round(total, 3),
+                      "total_excl_naive_oracle": round(total_honest, 3),
+                      "n": len(queries)}))
 
 
 if __name__ == "__main__":

@@ -10,7 +10,39 @@ import org.apache.spark.sql.SparkSession
   * three test SFs). Exits non-zero on any FAIL. Queries filter:
   * `SPARK_GRAFT_GOLDEN_ONLY=q1,q2`. */
 object GoldenSweep {
+
+  /** Run a git command in the repo root, None if git is unavailable. */
+  private def git(args: String*): Option[String] =
+    try {
+      val p = new ProcessBuilder(("git" +: args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+      if (p.waitFor() == 0) Some(out) else None
+    } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
+    // The certification header is GENERATED, not hand-written (two
+    // rounds of "sweep header is one evidence-hop behind HEAD" findings):
+    // the sweep resolves HEAD itself and REFUSES to certify a dirty
+    // source tree — any src/main or script diff means the hashes below
+    // would pin a tree no commit identifies. SPARK_GRAFT_ALLOW_DIRTY=1
+    // overrides for mid-development runs (the header then says DIRTY, so
+    // a pasted log can never masquerade as a certification).
+    val head = git("rev-parse", "HEAD").getOrElse("unknown")
+    val dirty = git("status", "--porcelain", "--", "src", "scripts",
+      "build.sbt").map(_.nonEmpty)
+    val allowDirty = sys.env.get("SPARK_GRAFT_ALLOW_DIRTY").contains("1")
+    if (dirty.contains(true) && !allowDirty) {
+      System.err.println("[golden-sweep] REFUSING to certify: src/scripts " +
+        "tree has uncommitted changes (commit first, or set " +
+        "SPARK_GRAFT_ALLOW_DIRTY=1 for a non-certifying run)")
+      sys.exit(4)
+    }
+    val state =
+      if (dirty.isEmpty) "git-unavailable"
+      else if (dirty.contains(true)) "DIRTY (NOT a certification)"
+      else "clean"
+    println(s"GOLDEN_SWEEP_HEAD $head tree=$state")
     val sfDirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")

@@ -323,6 +323,56 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Cross-corpus twin of [[hammingNearDuplicates]]: (left id, right id,
+    * hamming ≤ `maxDistance`) pairs BETWEEN two 64-bit signature frames
+    * via the same pigeonhole banding — the incremental-ingest shape
+    * (micro-batch dHashes × persisted index) where a self-join over the
+    * union would re-pair the whole history every batch. Both sides band
+    * map-side and cap independently ([[capBuckets]], per-side DropMetrics
+    * tags — a degenerate signature on EITHER side, e.g. all-black images
+    * in the index, would otherwise explode one bucket); the equi-join
+    * exchanges carry (16-bit chunk key, id, 8-byte sig) rows only. Pairs
+    * where the ids are equal are KEPT (caller decides — the ingest gate
+    * filters them for replay safety, mirroring [[dedupIncrement]]). */
+  def hammingCrossPairs(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String,
+      rightIdCol: String,
+      leftSigCol: String,
+      rightSigCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000,
+      tag: String = "hamming_cross"): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPer = 64 / chunks
+    def banded(df: DataFrame, id: String, sig: String): DataFrame =
+      df.withColumn(
+        "__chunk",
+        explode(array((0 until chunks).map(c =>
+          struct(
+            lit(c).as("chunk_idx"),
+            shiftright(col(sig), c * bitsPer)
+              .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))): _*)))
+        .select(col(id).as("__xid"), col(sig).as("__xsig"),
+          col("__chunk.chunk_idx"), col("__chunk.chunk_val"))
+    val a = capBuckets(banded(left, leftIdCol, leftSigCol),
+      Seq("chunk_idx", "chunk_val"), maxBucketSize, s"${tag}_left")
+    val b = capBuckets(banded(right, rightIdCol, rightSigCol),
+      Seq("chunk_idx", "chunk_val"), maxBucketSize, s"${tag}_right")
+    a.hint("shuffle_hash")
+      .select(col("chunk_idx"), col("chunk_val"),
+        col("__xid").as("id_a"), col("__xsig").as("sig_a"))
+      .join(b.hint("shuffle_hash")
+        .select(col("chunk_idx"), col("chunk_val"),
+          col("__xid").as("id_b"), col("__xsig").as("sig_b")),
+        Seq("chunk_idx", "chunk_val"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
   /** Cross-engine-portable MinHash signatures: shingle hash = first 7 hex
     * digits of md5 (28 bits), permutations mod p = 2^31−1 so products stay
     * inside signed-64 on engines where overflow errors (DuckDB). Slower
@@ -1719,6 +1769,31 @@ object Dedup {
     val hits = minHashCrossPairs(corpus, bench, idCol, benchIdCol,
         textCol, benchTextCol, threshold, shingleLen, numHashes, bands,
         broadcastBenchmark)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-engine-portable twin of [[fuzzyDecontaminate]] — the SAME
+    * composition (shingle-less-benchmark exclusion → cross-corpus banded
+    * signature pairs → distinct hit ids → anti-join) over the portable
+    * md5-prefix/4-perm kernel ([[minHashCrossPairsPortable]]), so the
+    * DuckDB oracle replays the whole gate value-for-value with a naive
+    * pairwise join (`text_decontaminate_fuzzy_portable`). The production
+    * gate differs only in the signature kernel (xxhash64/32-perm, bands
+    * of 4) and stays golden-pinned (`text_decontaminate_fuzzy`). */
+  def fuzzyDecontaminatePortable(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      benchIdCol: String,
+      textCol: String,
+      benchTextCol: String,
+      threshold: Double = 0.5,
+      shingleLen: Int = 3): DataFrame = {
+    val bench = benchmark.filter(
+      size(wordNgrams(col(benchTextCol), shingleLen)) > 0)
+    val hits = minHashCrossPairsPortable(corpus, bench, idCol, benchIdCol,
+        textCol, benchTextCol, threshold, shingleLen)
       .select(col("id_a").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti")
   }

@@ -978,6 +978,38 @@ object Multimodal {
       .filter(col("shared_frames") >= minSharedFrames)
   }
 
+  /** Batch kernel of the streaming perceptual image-ingest dedup gate
+    * ([[graft.streaming.IngestDedupGate.imageSurvivorWriter]]) — the
+    * dHash analogue of [[Dedup.dedupIncrement]]: survivors of
+    * `batchHashes` (one (id, dhash) row per incoming image) against
+    * (a) the persisted index within Hamming ≤ `maxDistance`
+    * ([[Dedup.hammingCrossPairs]] — banded, capped, never history ×
+    * history) and (b) earlier within-batch near-duplicates (greater id
+    * drops, mirroring dedupIncrement's within-shard tie-break). An
+    * id-equal cross pair never drops — a replayed micro-batch whose
+    * hashes already rolled into the index must survive intact, not be
+    * deleted as its own duplicate. FIRST ARRIVAL WINS across batches:
+    * the streaming fold equals the sequential batch fold of this kernel
+    * over the same increments in arrival order (StreamingSpec). */
+  def imageDedupIncrement(
+      batchHashes: DataFrame,
+      indexHashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val vsHistory = Dedup.hammingCrossPairs(batchHashes, indexHashes,
+        idCol, idCol, hashCol, hashCol, maxDistance, maxBucketSize,
+        tag = "image_ingest_cross")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a").as(idCol))
+    val within = Dedup.hammingNearDuplicates(batchHashes, idCol, hashCol,
+        maxDistance, maxBucketSize, tag = "image_ingest_within")
+      .select(greatest(col("id_a"), col("id_b")).as(idCol))
+    batchHashes.join(vsHistory.unionByName(within).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   // ——— real-format ENCODERS (the fixtures' and oracle query's source) ———
 
   // little-endian writers shared by both encoders (the mirror of the

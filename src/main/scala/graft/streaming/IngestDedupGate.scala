@@ -93,6 +93,55 @@ object IngestDedupGate {
     }
   }
 
+  /** `foreachBatch` body of the PERCEPTUAL IMAGE ingest gate — the
+    * pair-level multimodal twin of [[survivorWriter]]: per micro-batch,
+    * derive the 8-byte dHash map-side
+    * ([[graft.ext.Multimodal.imageDHashCol]], native expression — pixels
+    * never enter the pair machinery), drop images within Hamming ≤
+    * `maxDistance` of the persisted index or of a lower-id batch mate
+    * ([[graft.ext.Multimodal.imageDedupIncrement]] →
+    * [[graft.ext.Dedup.hammingCrossPairs]] banding), and roll survivors'
+    * (id, dhash) rows into the index. Same directory discipline as the
+    * text gate: `batch_<id>` + mode=overwrite (retry rewrites, never
+    * duplicates), `_SUCCESS`-committed reads, own-batch exclusion, and
+    * id-equal pairs never drop (replay-after-compaction safety). Where
+    * [[graft.streaming.StreamingResample.dedupImageStream]] keeps only
+    * the EXACT-collision grain in watermark-bounded state, this gate
+    * catches Hamming-1+ re-encodes against the full ingest history —
+    * the index is persisted signatures, not stream state, so the
+    * horizon is unbounded at 8 bytes/image. */
+  def imageSurvivorWriter(
+      idCol: String,
+      payloadCol: String,
+      indexBase: String,
+      outBase: String,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 10000): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val paths = signaturePaths(spark, indexBase, excludeBatchId = batchId)
+    val index =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, batch.schema(idCol).dataType),
+          StructField("dhash", LongType))))
+    val hashes = batch.select(org.apache.spark.sql.functions.col(idCol),
+      graft.ext.Multimodal.imageDHashCol(
+        org.apache.spark.sql.functions.col(payloadCol)).as("dhash"))
+    val keptIds = graft.ext.Multimodal.imageDedupIncrement(
+      hashes, index, idCol, "dhash", maxDistance, maxBucketSize).persist()
+    try {
+      batch.join(keptIds.select(org.apache.spark.sql.functions.col(idCol)),
+          Seq(idCol), "left_semi")
+        .write.mode("overwrite").parquet(s"$outBase/batch_$batchId")
+      keptIds.write.mode("overwrite").parquet(s"$indexBase/batch_$batchId")
+    } finally {
+      keptIds.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** Everything ingested and kept so far (the committed `batch_*` survivor
     * directories under `outBase`, merged). */
   def survivors(spark: SparkSession, outBase: String): DataFrame = {

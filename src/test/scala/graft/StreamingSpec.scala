@@ -974,4 +974,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids2.contains(999L) && ids2.containsSlice(Seq(1L, 2L, 3L)),
       s"compact_tmp rows must be merged, got $ids2")
   }
+
+  test("streaming perceptual image ingest dedup == sequential batch fold " +
+      "of imageDedupIncrement (dHash pairs, first arrival wins)") {
+    import graft.ext.Multimodal
+    val W = 16; val H = 12
+    // structurally distinct base images (different stride + offset) and
+    // a sparse-noise variant maker (the crop/re-encode stand-in)
+    def basePx(seed: Int): Array[Byte] = Array.tabulate(W * H * 3)(j =>
+      ((j * (17 + 2 * seed) + 3 + seed * 31) % 256).toByte)
+    def noisy(px: Array[Byte]): Array[Byte] = {
+      val c = px.clone()
+      c(5) = (((c(5) & 0xff) + 40) % 256).toByte
+      c(200) = (((c(200) & 0xff) + 40) % 256).toByte
+      c
+    }
+    def bmp(px: Array[Byte]) = Multimodal.buildBmp(W, H, px)
+    val pA = basePx(0); val pN1 = basePx(1)
+    val pN2 = basePx(2); val p4 = basePx(3)
+    // fixture preconditions: bases pairwise FAR (> maxDistance=4), each
+    // noise variant NEAR its base (≤ 4) — assert, don't hope
+    val hs = Seq(pA, pN1, pN2, p4).map(Multimodal.dHash64(_, W, H))
+    for (i <- hs.indices; k <- i + 1 until hs.size)
+      assert(java.lang.Long.bitCount(hs(i) ^ hs(k)) > 4,
+        s"fixture bases $i,$k hash too close")
+    Seq(pA, pN1, pN2, p4).zip(hs).foreach { case (p, h) =>
+      assert(java.lang.Long.bitCount(
+        Multimodal.dHash64(noisy(p), W, H) ^ h) <= 4,
+        "noise variant drifted past the gate distance")
+    }
+
+    val idx = Files.createTempDirectory("graft-imgingest-idx").toString
+    val out = Files.createTempDirectory("graft-imgingest-out").toString
+    // pre-seeded history index: image A was ingested before the stream
+    Seq((1L, bmp(pA))).toDF("media_id", "payload")
+      .select(col("media_id"),
+        Multimodal.imageDHashCol(col("payload")).as("dhash"))
+      .write.parquet(s"$idx/history")
+
+    // batch0: NEW image 900, a within-batch near-pair (101 < 102 -> 102
+    // dropped), and a re-encode of history image A (110 dropped).
+    // batch1: 100 is a near-dup of 900 with a SMALLER id but LATER
+    // arrival — the stream must drop it (first arrival wins; an
+    // all-at-once pass over inc0 ∪ inc1 would keep 100 by id order).
+    val inc0 = Seq((900L, bmp(pN1)), (101L, bmp(p4)),
+      (102L, bmp(noisy(p4))), (110L, bmp(noisy(pA))))
+      .toDF("media_id", "payload")
+    val inc1 = Seq((100L, bmp(noisy(pN1))), (200L, bmp(pN2)),
+      (210L, bmp(noisy(pA)))).toDF("media_id", "payload")
+    val inDir = Files.createTempDirectory("graft-imgingest-in").toString
+    inc0.coalesce(1).write.parquet(s"$inDir/part0")
+    Thread.sleep(80) // distinct mtimes pin the file-source batch order
+    inc1.coalesce(1).write.parquet(s"$inDir/part1")
+
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("payload", BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$inDir/part*")
+    val q = stream.writeStream
+      .foreachBatch(graft.streaming.IngestDedupGate.imageSurvivorWriter(
+        "media_id", "payload", idx, out, maxDistance = 4))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = graft.streaming.IngestDedupGate.survivors(spark, out)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(101L, 200L, 900L))
+
+    // sequential batch fold of imageDedupIncrement over the increments
+    val idx2 = Files.createTempDirectory("graft-imgingest-idx2").toString
+    Seq((1L, bmp(pA))).toDF("media_id", "payload")
+      .select(col("media_id"),
+        Multimodal.imageDHashCol(col("payload")).as("dhash"))
+      .write.parquet(s"$idx2/history")
+    var acc = Seq.empty[Long]
+    Seq(inc0, inc1).zipWithIndex.foreach { case (inc, i) =>
+      val paths = graft.streaming.IngestDedupGate.signaturePaths(spark, idx2)
+      val hashes = inc.select(col("media_id"),
+        Multimodal.imageDHashCol(col("payload")).as("dhash"))
+      val surv = Multimodal.imageDedupIncrement(hashes,
+        spark.read.parquet(paths: _*), "media_id", "dhash", maxDistance = 4)
+      acc = acc ++ surv.select("media_id").as[Long].collect().toSeq
+      surv.write.parquet(s"$idx2/batch_$i")
+    }
+    assert(got == acc.sorted)
+
+    // the rolled index covers exactly history + survivors, 8 bytes each
+    val idxRows = spark.read.parquet(
+        graft.streaming.IngestDedupGate.signaturePaths(spark, idx): _*)
+    assert(idxRows.columns.sorted.toSeq == Seq("dhash", "media_id"))
+    assert(idxRows.select("media_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 101L, 200L, 900L))
+
+    // replay safety: batch0 re-presented against the ROLLED index (its
+    // own hashes now committed) — id-equal pairs never drop, so its
+    // survivors 900/101 survive again; 102/110 drop identically
+    val replayHashes = inc0.select(col("media_id"),
+      Multimodal.imageDHashCol(col("payload")).as("dhash"))
+    val replay = Multimodal.imageDedupIncrement(replayHashes, idxRows,
+        "media_id", "dhash", maxDistance = 4)
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(replay == Seq(101L, 900L))
+  }
 }
