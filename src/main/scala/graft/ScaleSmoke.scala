@@ -852,6 +852,65 @@ object ScaleSmoke {
       graft.ext.Multimodal.imageNearDuplicates(
         media, maxDistance = 3, maxBucketSize = 2000).count()
     }
+    timed("image ingest increment 50k vs 50k index") {
+      // the streaming perceptual-ingest kernel at x10: a 50k-image batch
+      // against a 50k-hash persisted index — batch and index each band
+      // map-side (4 chunks, capped), the cross equi-join exchanges
+      // (16-bit key, id, 8-byte sig) rows only, and history x history
+      // pairs never form (the self-join over batch∪index would re-pair
+      // the whole archive every micro-batch). The index carries a
+      // brightness-shifted variant of each EVEN batch image (dHash
+      // gradient ≈ invariant → real cross-hit) and a structurally
+      // different image for odd ids. The batch seeding itself is the
+      // mass-duplication corpus (constant-offset gradients form
+      // brightness cliques per (w, h, stride) class), so the gate's
+      // within-batch arm collapses each clique to its min-id
+      // representative and the cross arm then drops representatives the
+      // index already covers — the banded survivor count proves both
+      // arms discriminate at volume (neither 0 nor 50k).
+      import spark.implicits._
+      def gradPx(id: Long, shift: Long): (Int, Int, Array[Byte]) = {
+        val w = (9 + id % 16).toInt; val h = (8 + id % 8).toInt
+        (w, h, Array.tabulate(w * h * 3)(j =>
+          ((id * 7 + shift + j * (13 + id % 11)) % 256).toByte))
+      }
+      val batch = bigDocs.select(col("doc_id")).as[Long].map { id =>
+        val (w, h, p) = gradPx(id, 0)
+        (id, graft.ext.Multimodal.dHash64(p, w, h))
+      }.toDF("media_id", "dhash")
+      val index = bigDocs.select(col("doc_id")).as[Long].map { id =>
+        val (w, h, p) =
+          if (id % 2 == 0) gradPx(id, 64) // brightness twin of batch id
+          else {
+            val w0 = (9 + id % 16).toInt; val h0 = (8 + id % 8).toInt
+            (w0, h0, Array.tabulate(w0 * h0 * 3)(j =>
+              ((id * 5 + j.toLong * j * 31 + 7) % 256).toByte)) // far
+          }
+        (id + 1000000L, graft.ext.Multimodal.dHash64(p, w, h))
+      }.toDF("media_id", "dhash")
+      val n = graft.ext.Multimodal.imageDedupIncrement(
+        batch, index, "media_id", "dhash",
+        maxDistance = 3, maxBucketSize = 2000).count()
+      assert(n > 0 && n < 50000L,
+        s"ingest gate must discriminate at volume, kept $n of 50000")
+      n
+    }
+    timed("jpeg decode 50k") {
+      // entropy-coded decode at x10: encode->Huffman/IDCT-decode entirely
+      // inside each task (map-only; the features are one thin row per
+      // image) — the stage parallelism is the scan's at any corpus size
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.synthJpeg(id, nc), "", "smoke")
+        }
+      val n = graft.ext.Multimodal.decodeRealMedia(media)
+        .filter(col("format") === "image/jpeg").count()
+      assert(n == 50000L, s"jpeg decode lost rows: $n")
+      n
+    }
 
     // ——— interval-overlap join under pathological skew ———
     // the granule decomposition's two failure shapes AT ONCE: a handful

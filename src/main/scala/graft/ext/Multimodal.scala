@@ -728,8 +728,9 @@ object Multimodal {
   }
 
   /** External twin of [[decodeRealMedia]] over the Arrow IPC seam: the
-    * pure-numpy worker (`scripts/media_worker.py`) decodes the same BMP/
-    * WAV formats from the raw bytes and must agree BIT-for-bit
+    * pure-numpy worker (`scripts/media_worker.py`) decodes the same
+    * BMP/PPM/WAV/AVI — and, since round 17, entropy-coded baseline JPEG
+    * ([[Jpeg]]) — from the raw bytes and must agree BIT-for-bit
     * (MultimodalSpec) — the proof that a real out-of-process codec drops
     * into [[transformViaArrow]] without touching the Spark side. */
   def decodeViaWorker(media: DataFrame, cmd: Seq[String]): DataFrame = {

@@ -670,7 +670,10 @@ class MultimodalSpec extends AnyFunSuite {
         case 4 => Multimodal.synthAvi(id, nc)
         case 5 => fixtureAvi
         case 6 => fixturePpm
-        case 7 => Multimodal.synthJpeg(id, nc) // entropy-coded path
+        // entropy-coded path; the id remap covers every encoder mode
+        // through the seam: 7 -> gray, 8/18 -> 4:2:0, 3/18 -> restart,
+        // 13/23 -> 4:4:4 (raw ids 7..47 are all odd = 4:4:4 only)
+        case 7 => Multimodal.synthJpeg(if (id == 7) 7L else id / 2, nc)
         case 8 => fixtureJpg
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
