@@ -509,6 +509,121 @@ def decode_jpeg(b):
     return ("image/jpeg", w, h, 3, 0, w * h, total / n_bytes)
 
 
+# ——— PNG (twin of graft.ext.Png.decode) ———
+# python's zlib does the DEFLATE half — an INDEPENDENT implementation
+# from the JVM's from-scratch Inflate, so agreement here cross-checks
+# the inflater itself, not just the filter math.
+
+def decode_png(b):
+    import zlib
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = -1
+    color_type = -1
+    palette = None
+    idat = bytearray()
+    seen_iend = False
+    while not seen_iend:
+        if pos + 8 > len(b):
+            raise ValueError("truncated PNG: no IEND chunk")
+        clen, = struct.unpack_from(">I", b, pos)
+        if pos + 12 + clen > len(b):
+            raise ValueError("truncated PNG chunk")
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + clen]
+        crc, = struct.unpack_from(">I", b, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("corrupt PNG: bad IHDR length")
+            w, h = struct.unpack_from(">II", data, 0)
+            if w <= 0 or h <= 0 or w * h > (64 << 20):
+                raise ValueError("unsupported PNG dimensions")
+            bit_depth, color_type, comp, filt, inter = data[8:13]
+            if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6):
+                raise ValueError("unsupported PNG depth/color type")
+            if comp != 0 or filt != 0 or inter != 0:
+                raise ValueError("unsupported PNG compression/interlace")
+        elif ctype == b"PLTE":
+            if clen % 3 != 0 or clen > 768:
+                raise ValueError("corrupt PNG PLTE")
+            palette = data
+        elif ctype == b"IDAT":
+            if w <= 0:
+                raise ValueError("corrupt PNG: IDAT before IHDR")
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+        elif not (ctype[0] & 0x20):
+            raise ValueError("unsupported critical PNG chunk %r" % ctype)
+        pos += 12 + clen
+    if w <= 0:
+        raise ValueError("corrupt PNG: missing IHDR")
+    if color_type == 3 and palette is None:
+        raise ValueError("corrupt PNG: palette image without PLTE")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("corrupt PNG: wrong inflated length")
+    px = bytearray(stride * h)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        src = y * (stride + 1) + 1
+        dst = y * stride
+        if ft == 0:
+            px[dst:dst + stride] = raw[src:src + stride]
+        elif ft == 1:
+            for x in range(stride):
+                a = px[dst + x - channels] if x >= channels else 0
+                px[dst + x] = (raw[src + x] + a) & 0xFF
+        elif ft == 2:
+            for x in range(stride):
+                up = px[dst - stride + x] if y > 0 else 0
+                px[dst + x] = (raw[src + x] + up) & 0xFF
+        elif ft == 3:
+            for x in range(stride):
+                a = px[dst + x - channels] if x >= channels else 0
+                up = px[dst - stride + x] if y > 0 else 0
+                px[dst + x] = (raw[src + x] + ((a + up) >> 1)) & 0xFF
+        elif ft == 4:
+            for x in range(stride):
+                a = px[dst + x - channels] if x >= channels else 0
+                up = px[dst - stride + x] if y > 0 else 0
+                c = (px[dst - stride + x - channels]
+                     if y > 0 and x >= channels else 0)
+                pp = a + up - c
+                pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                px[dst + x] = (raw[src + x] + pred) & 0xFF
+        else:
+            raise ValueError("corrupt PNG: filter type %d" % ft)
+    # expand to RGB and take the integer-exact byte sum
+    n = w * h
+    total = 0
+    if color_type == 0:
+        total = 3 * sum(px)
+    elif color_type == 2:
+        total = sum(px)
+    elif color_type == 3:
+        n_entries = len(palette) // 3
+        for p in range(n):
+            idx = px[p]
+            if idx >= n_entries:
+                raise ValueError("corrupt PNG: palette index out of range")
+            total += (palette[3 * idx] + palette[3 * idx + 1]
+                      + palette[3 * idx + 2])
+    elif color_type == 4:
+        for p in range(n):
+            total += 3 * px[2 * p]  # alpha dropped
+    else:  # 6
+        for p in range(n):
+            total += px[4 * p] + px[4 * p + 1] + px[4 * p + 2]
+    return ("image/png", w, h, 3, 0, n, total / (n * 3))
+
+
 def decode_one(b):
     b = b if b is not None else b""
     if len(b) >= 54 and b[:2] == b"BM":
@@ -517,6 +632,8 @@ def decode_one(b):
         return decode_ppm(b)
     if len(b) >= 3 and b[:3] == b"\xff\xd8\xff":
         return decode_jpeg(b)
+    if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         return decode_wav(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "):

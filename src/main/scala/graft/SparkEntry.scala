@@ -2841,6 +2841,31 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL lossless entropy-coded decode ([[Png.decode]] over the
+    * from-scratch [[graft.ext.Inflate]] DEFLATE decoder, behind
+    * [[Multimodal.decodeReal]]): each sampled doc becomes an 8-bit
+    * truecolor PNG (even ids Sub-filtered, odd ids unfiltered) that is
+    * ENCODED then chunk-walked, CRC-checked, inflated and defiltered
+    * in-task. PNG is lossless, so the decoded pixels equal the synth
+    * formula EXACTLY and the DuckDB oracle computes the features in
+    * closed form — a full oracle row where the lossy JPEG twin can
+    * only be golden-pinned. Any defect in the chunk walk, the inflater
+    * (stored blocks + Adler-32 here; Huffman paths are covered by the
+    * fixtures and the Deflater differential fuzz), the filter
+    * reconstruction or the RGB expansion breaks the hash. */
+  private def mmFeaturesPng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthPng(id, nc), "", "synth")
+      }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("n_samples"), round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL video decode over synthesized uncompressed AVIs: each doc
     * becomes an actual RIFF/AVI container (nested hdrl/strl/movi LISTs,
     * `00db` DIB frames with bottom-up BGR padded rows) whose pixel bytes
@@ -3259,6 +3284,7 @@ object SparkEntry {
     "mm_features" -> (mmFeatures _),
     "mm_features_real" -> (mmFeaturesReal _),
     "mm_features_jpeg" -> (mmFeaturesJpeg _),
+    "mm_features_png" -> (mmFeaturesPng _),
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
@@ -5653,6 +5679,24 @@ object SparkEntry {
     // closed-form replay of the synth->encode->decode chain: the oracle
     // never builds bytes — the decoded features must equal the modular
     // functions the samples were synthesized from (mm_features_real doc)
+    // PNG is lossless: decoded pixels == the synth formula, so the
+    // oracle computes the decode's features without touching bytes
+    // (mm_features_png doc); the codec arithmetic itself is covered by
+    // the python-zlib worker twin + Deflater differential fuzz
+    "mm_features_png" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |dims AS (SELECT doc_id, CAST(nc % 21 + 4 AS BIGINT) AS w,
+        |  CAST(doc_id % 7 + 3 AS BIGINT) AS h FROM md),
+        |js AS (SELECT doc_id, w, h,
+        |  unnest(generate_series(0, w*h*3 - 1)) AS j FROM dims),
+        |sums AS (SELECT doc_id, w, h, sum((doc_id*11 + j*17) % 256) AS s,
+        |  count(*) AS cnt FROM js GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, 'image/png' AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w*h AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_value
+        |FROM sums ORDER BY media_id""".stripMargin,
     "mm_features_real" ->
       """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
         |  FROM documents WHERE doc_id % 13 = 0),

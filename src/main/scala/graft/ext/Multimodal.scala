@@ -656,6 +656,20 @@ object Multimodal {
       while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
       RealMediaFeatures(item.media_id, "image/jpeg", w, h, 3, 0,
         w.toLong * h, sum.toDouble / px.length)
+    } else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P'
+        && b(2) == 'N' && b(3) == 'G' && b(4) == '\r' && b(5) == '\n'
+        && b(6) == 0x1a && b(7) == '\n') {
+      // full 8-byte signature gate, matching the worker twin's routing
+      // (a 4-byte prefix match with corrupt tail bytes must take the
+      // SAME branch on both sides — octet-stream fallback, not error)
+      // lossless entropy-coded path: PNG through the from-scratch
+      // chunk-walk + DEFLATE decoder ([[Png.decode]]); integer-exact
+      // features over the expanded top-down RGB like the other images
+      val (w, h, px) = Png.decode(b)
+      var sum = 0L; var i = 0
+      while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+      RealMediaFeatures(item.media_id, "image/png", w, h, 3, 0,
+        w.toLong * h, sum.toDouble / px.length)
     } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
         && b(11) == 'E') {
@@ -1163,6 +1177,24 @@ object Multimodal {
       subsample = id % 2 == 0,
       restartInterval = if (id % 3 == 0) 2 else 0,
       gray = id % 7 == 0)
+  }
+
+  /** Deterministic synthetic PNG from (id, nChars) — same closed-form
+    * contract as [[synthBmp]]: PNG is LOSSLESS, so the decoded pixels
+    * equal this formula exactly and the DuckDB oracle computes the
+    * features without ever seeing bytes (`mm_features_png` is a full
+    * oracle row, unlike the golden-pinned lossy JPEG twin). Even ids
+    * exercise the Sub-filter defilter path, odd ids filter 0. */
+  def synthPng(id: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 21 + 4).toInt
+    val h = (id % 7 + 3).toInt
+    val px = new Array[Byte](w * h * 3)
+    var j = 0
+    while (j < px.length) {
+      px(j) = ((id * 11 + j * 17) % 256).toByte
+      j += 1
+    }
+    Png.encode(w, h, px, filterSub = id % 2 == 0)
   }
 
   /** Deterministic synthetic WAV from (id, nChars) — modular-arithmetic

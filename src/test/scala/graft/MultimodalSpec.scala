@@ -408,6 +408,168 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e5.getMessage.contains("not a JPEG"))
   }
 
+  // chunk assembler for hand-built PNG variants (gray, gray+alpha,
+  // corrupt-by-construction) — CRC from the same from-scratch table the
+  // decoder verifies against
+  private def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val typed = ctype.getBytes("US-ASCII") ++ data
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    w32(data.length.toLong)
+    out.write(typed, 0, typed.length)
+    w32(graft.ext.Inflate.crc32(typed, 0, typed.length))
+    out.toByteArray
+  }
+  private val pngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    .map(_.toByte)
+  private def pngIhdr(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    val d = new Array[Byte](13)
+    d(0) = ((w >> 24) & 0xff).toByte; d(1) = ((w >> 16) & 0xff).toByte
+    d(2) = ((w >> 8) & 0xff).toByte; d(3) = (w & 0xff).toByte
+    d(4) = ((h >> 24) & 0xff).toByte; d(5) = ((h >> 16) & 0xff).toByte
+    d(6) = ((h >> 8) & 0xff).toByte; d(7) = (h & 0xff).toByte
+    d(8) = 8; d(9) = colorType.toByte
+    d
+  }
+
+  test("REAL PNG codec: committed python-zlib fixtures decode to exact " +
+      "pixels (chunk walk, CRC, inflate, all five filters, palette)") {
+    import graft.ext.Png
+    // tiny.png: 24x16 RGBA, filters cycling 0..4 per row, level-9
+    // dynamic-huffman zlib SPLIT ACROSS TWO IDATs, tEXt ancillary —
+    // written by python zlib (an independent DEFLATE implementation)
+    val b = readResource("/graft/tiny.png")
+    val (w, h, px) = Png.decode(b)
+    assert((w, h) == ((24, 16)))
+    // LOSSLESS: full pixel equality against the generator formula
+    // (alpha channel (x + 9y) % 256 must have been dropped)
+    val expected = Array.tabulate(24 * 16 * 3) { k =>
+      val p = k / 3; val x = p % 24; val y = p / 24
+      (k % 3 match {
+        case 0 => (x * 7 + y * 3) % 256
+        case 1 => (x * 2 + y * 11) % 256
+        case _ => (x * 13 + y * 5) % 256
+      }).toByte
+    }
+    assert(java.util.Arrays.equals(px, expected))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md.digest(px).map("%02x".format(_)).mkString ==
+      "f167f21e46e0e5850db204365a690aba")
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(12L, b, "", "fix"))
+    val sum = expected.map(_ & 0xff).map(_.toLong).sum
+    assert(f == Multimodal.RealMediaFeatures(
+      12L, "image/png", 24, 16, 3, 0, 384L, sum.toDouble / 1152))
+    // tiny_pal.png: 8x6 color-type-3 with a 5-entry PLTE, compressed
+    // with zlib Z_FIXED — the fixed-huffman inflate path — plus gAMA
+    val bp = readResource("/graft/tiny_pal.png")
+    val (wp, hp, pxp) = Png.decode(bp)
+    assert((wp, hp) == ((8, 6)))
+    val pal = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30),
+      (200, 100, 50))
+    val expPal = (0 until 6).flatMap { y =>
+      (0 until 8).flatMap { x =>
+        val (r, g, bl) = pal((x * 3 + y * 2) % 5); Seq(r, g, bl)
+      }
+    }
+    assert(pxp.map(_ & 0xff).toSeq == expPal)
+    assert(md.digest(pxp).map("%02x".format(_)).mkString ==
+      "6415225d2df52eae1f525cb1ef0bfde5")
+    // sniffFormat routes it
+    val fmt = spark.range(1).toDF("x")
+      .select(Multimodal.sniffFormat(lit(b)).as("f"))
+      .collect()(0).getString(0)
+    assert(fmt == "image/png")
+  }
+
+  test("PNG gray / gray-alpha variants, round-trip identity, and loud " +
+      "failures (CRC, interlace, 16-bit, filter type, truncation)") {
+    import graft.ext.{Inflate, Png}
+    // hand-assembled grayscale (type 0): Up filter on row 1
+    val grayRaw = Array[Byte](
+      0, 10, 20, 30,  // row 0, filter None
+      2, 5, 5, 5)     // row 1, filter Up -> 15, 25, 35
+    val gray = pngSig ++ pngChunk("IHDR", pngIhdr(3, 2, 0)) ++
+      pngChunk("IDAT", Inflate.zlibDeflateStored(grayRaw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val (gw, gh, gpx) = Png.decode(gray)
+    assert((gw, gh) == ((3, 2)))
+    assert(gpx.map(_ & 0xff).toSeq == Seq(
+      10, 10, 10, 20, 20, 20, 30, 30, 30,
+      15, 15, 15, 25, 25, 25, 35, 35, 35))
+    // gray+alpha (type 4): alpha dropped, Sub filter (bpp = 2 bytes)
+    val gaRaw = Array[Byte](1, 40, -1, 10, 0) // Sub: 40,255 then 50,255
+    val ga = pngSig ++ pngChunk("IHDR", pngIhdr(2, 1, 4)) ++
+      pngChunk("IDAT", Inflate.zlibDeflateStored(gaRaw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val (_, _, gapx) = Png.decode(ga)
+    assert(gapx.map(_ & 0xff).toSeq == Seq(40, 40, 40, 50, 50, 50))
+    // encode -> decode round-trip is the identity (both filter modes)
+    val img = Array.tabulate(17 * 9 * 3)(j => ((j * 29 + 5) % 256).toByte)
+    for (sub <- Seq(false, true)) {
+      val (rw, rh, rpx) = Png.decode(Png.encode(17, 9, img, filterSub = sub))
+      assert(rw == 17 && rh == 9 && java.util.Arrays.equals(rpx, img),
+        s"round-trip failed for filterSub=$sub")
+    }
+    // corrupt CRC fails loudly
+    val good = Png.encode(5, 4, Array.tabulate(60)(_.toByte))
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 1) = (badCrc(badCrc.length - 1) ^ 1).toByte
+    val e1 = intercept[IllegalArgumentException](Png.decode(badCrc))
+    assert(e1.getMessage.contains("CRC"))
+    // Adam7 interlace claim fails loudly (rebuild IHDR with valid CRC)
+    val ihdrI = pngIhdr(5, 4, 2); ihdrI(12) = 1
+    val interlaced = pngSig ++ pngChunk("IHDR", ihdrI) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e2 = intercept[IllegalArgumentException](Png.decode(interlaced))
+    assert(e2.getMessage.contains("Adam7"))
+    // 16-bit depth fails loudly
+    val ihdr16 = pngIhdr(5, 4, 2); ihdr16(8) = 16
+    val deep = pngSig ++ pngChunk("IHDR", ihdr16) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e3 = intercept[IllegalArgumentException](Png.decode(deep))
+    assert(e3.getMessage.contains("bit depth"))
+    // unknown CRITICAL chunk fails loudly; ancillary is skipped
+    val crit = pngSig ++ pngChunk("IHDR", pngIhdr(3, 2, 0)) ++
+      pngChunk("CrIt", Array[Byte](1)) ++
+      pngChunk("IDAT", Inflate.zlibDeflateStored(grayRaw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e4 = intercept[IllegalArgumentException](Png.decode(crit))
+    assert(e4.getMessage.contains("critical"))
+    // filter type 5 fails loudly (valid zlib, invalid filter byte)
+    val badFilt = grayRaw.clone(); badFilt(0) = 5
+    val bf = pngSig ++ pngChunk("IHDR", pngIhdr(3, 2, 0)) ++
+      pngChunk("IDAT", Inflate.zlibDeflateStored(badFilt)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+    val e5 = intercept[IllegalArgumentException](Png.decode(bf))
+    assert(e5.getMessage.contains("filter type"))
+    // truncation fails loudly
+    val e6 = intercept[IllegalArgumentException](Png.decode(good.take(40)))
+    assert(e6.getMessage.toLowerCase.contains("truncated"))
+    // 64 MP guard
+    val ihdrBig = pngIhdr(65500, 65500, 2)
+    val big = pngSig ++ pngChunk("IHDR", ihdrBig)
+    val e7 = intercept[IllegalArgumentException](Png.decode(big))
+    assert(e7.getMessage.contains("64 MP"))
+  }
+
+  test("synth PNG decodes to its closed-form features " +
+      "(the mm_features_png oracle contract; lossless => exact formula)") {
+    for (id <- 0L until 8L) {
+      val nc = id * 37 + 5
+      val fv = Multimodal.decodeReal(
+        Multimodal.MediaItem(id, Multimodal.synthPng(id, nc), "", "s"))
+      val w = (nc % 21 + 4).toInt
+      val h = (id % 7 + 3).toInt
+      val sum = (0 until w * h * 3).map(j => (id * 11 + j * 17) % 256).sum
+      assert(fv == Multimodal.RealMediaFeatures(id, "image/png", w, h, 3, 0,
+        w.toLong * h, sum.toDouble / (w * h * 3)),
+        s"synth PNG features diverged for id=$id")
+    }
+  }
+
   test("synth JPEG covers every encode path and decodeReal routes it") {
     // ids chosen to hit: 4:2:0 (even), 4:4:4 (odd), restart (id%3==0),
     // gray (id%7==0), all five quality steps (id%5)
@@ -661,8 +823,10 @@ class MultimodalSpec extends AnyFunSuite {
     val fixtureAvi = readResource("/graft/tiny.avi")
     val fixturePpm = readResource("/graft/tiny.ppm")
     val fixtureJpg = readResource("/graft/tiny.jpg")
+    val fixturePng = readResource("/graft/tiny.png")
+    val fixturePalPng = readResource("/graft/tiny_pal.png")
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
-      val payload = (id % 10) match {
+      val payload = (id % 13) match {
         case 0 => Multimodal.synthBmp(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
         case 2 => fixtureBmp // independently-encoded committed fixtures
@@ -671,10 +835,14 @@ class MultimodalSpec extends AnyFunSuite {
         case 5 => fixtureAvi
         case 6 => fixturePpm
         // entropy-coded path; the id remap covers every encoder mode
-        // through the seam: 7 -> gray, 8/18 -> 4:2:0, 3/18 -> restart,
-        // 13/23 -> 4:4:4 (raw ids 7..47 are all odd = 4:4:4 only)
-        case 7 => Multimodal.synthJpeg(if (id == 7) 7L else id / 2, nc)
+        // through the seam: 7 -> gray, 6 -> 4:2:0 + restart, 11 ->
+        // 4:4:4, 15 -> 4:4:4 + restart (raw ids ≡ 7 mod 13 would all
+        // be odd 4:4:4)
+        case 7 => Multimodal.synthJpeg(if (id == 7) 7L else id / 3, nc)
         case 8 => fixtureJpg
+        case 9 => Multimodal.synthPng(id, nc) // zlib twin inflates these
+        case 10 => fixturePng
+        case 11 => fixturePalPng
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
@@ -693,7 +861,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(jvm.map(_._2).distinct.sorted.toSeq == Seq(
       "application/octet-stream", "audio/wav", "image/bmp",
-      "image/jpeg", "image/x-portable-pixmap", "video/avi"))
+      "image/jpeg", "image/png", "image/x-portable-pixmap", "video/avi"))
   }
 
   // — worker-pipe robustness (round-13 advice, medium): a chatty worker
