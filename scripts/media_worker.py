@@ -624,6 +624,159 @@ def decode_png(b):
     return ("image/png", w, h, 3, 0, n, total / (n * 3))
 
 
+# ——— GIF (twin of graft.ext.Gif.decode) ———
+# pure-python variable-width LZW with the same early-change width
+# growth, KwKwK handling, 4096 cap with deferred-clear tolerance, and
+# 4-pass deinterlacing — bit-for-bit with the JVM decoder.
+
+def _gif_lzw(data, min_code, expected):
+    clear = 1 << min_code
+    eoi = clear + 1
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    out = bytearray(expected)
+    n = 0
+    width = min_code + 1
+    nxt = clear + 2
+    prev = -1
+    bit_pos = 0
+    total_bits = len(data) * 8
+    while n < expected:
+        if bit_pos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        code = 0
+        for i in range(width):
+            bp = bit_pos + i
+            code |= ((data[bp >> 3] >> (bp & 7)) & 1) << i
+        bit_pos += width
+        if code == clear:
+            width = min_code + 1
+            nxt = clear + 2
+            prev = -1
+        elif code == eoi:
+            break
+        else:
+            if not (code < nxt or (code == nxt and prev >= 0)):
+                raise ValueError("corrupt GIF: bad LZW code")
+            stack = []
+            c = code
+            kwk = code == nxt
+            if kwk:
+                c = prev
+                stack.append(0)  # patched with first byte below
+            while c >= clear + 2:
+                stack.append(suffix[c])
+                c = prefix[c]
+            if c >= clear:
+                raise ValueError("corrupt GIF: LZW chain")
+            first = c
+            if kwk:
+                stack[0] = first
+            if n + 1 + len(stack) > expected:
+                raise ValueError("corrupt GIF: LZW output exceeds frame")
+            out[n] = first
+            n += 1
+            for i in range(len(stack) - 1, -1, -1):
+                out[n] = stack[i]
+                n += 1
+            if prev >= 0 and nxt < 4096:
+                prefix[nxt] = prev
+                suffix[nxt] = first
+                nxt += 1
+                # EARLY CHANGE: widen one entry before the naive count
+                # (the encoder's table runs one ahead; see Gif.scala)
+                if nxt + 1 == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    if n != expected:
+        raise ValueError("corrupt GIF: LZW decoded %d of %d" % (n, expected))
+    return bytes(out)
+
+
+def decode_gif(b):
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", b, 6)
+    if w <= 0 or h <= 0 or w * h > (64 << 20):
+        raise ValueError("unsupported GIF dimensions")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        nc = 2 << (packed & 7)
+        gct = b[pos:pos + 3 * nc]
+        if len(gct) < 3 * nc:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * nc
+    total = 0
+    n_px_bytes = 0
+    n_frames = 0
+    while True:
+        if pos >= len(b):
+            raise ValueError("truncated GIF: no trailer")
+        block = b[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 2
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF extension")
+                blen = b[pos]
+                pos += 1 + blen
+                if blen == 0:
+                    break
+        elif block == 0x2C:
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            fw, fh = struct.unpack_from("<HH", b, pos + 5)
+            fp = b[pos + 9]
+            interlaced = bool(fp & 0x40)
+            pos += 10
+            ct = gct
+            if fp & 0x80:
+                nc = 2 << (fp & 7)
+                ct = b[pos:pos + 3 * nc]
+                if len(ct) < 3 * nc:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * nc
+            if ct is None:
+                raise ValueError("corrupt GIF: frame without color table")
+            if fw <= 0 or fh <= 0 or fw * fh > (64 << 20):
+                raise ValueError("unsupported GIF frame")
+            min_code = b[pos]
+            pos += 1
+            if not (2 <= min_code <= 8):
+                raise ValueError("corrupt GIF: LZW min code size")
+            data = bytearray()
+            while True:
+                if pos >= len(b):
+                    raise ValueError("truncated GIF image sub-blocks")
+                blen = b[pos]
+                if pos + 1 + blen > len(b):
+                    raise ValueError("truncated GIF image sub-blocks")
+                data.extend(b[pos + 1:pos + 1 + blen])
+                pos += 1 + blen
+                if blen == 0:
+                    break
+            idx = _gif_lzw(bytes(data), min_code, fw * fh)
+            n_colors = len(ct) // 3
+            # the byte MEAN is row-permutation-invariant, so the
+            # deinterlace mapping never changes it — palette lookup only
+            for ci in idx:
+                if ci >= n_colors:
+                    raise ValueError("corrupt GIF: color index range")
+                total += ct[3 * ci] + ct[3 * ci + 1] + ct[3 * ci + 2]
+            n_px_bytes += fw * fh * 3
+            n_frames += 1
+        else:
+            raise ValueError("corrupt GIF: unknown block 0x%02X" % block)
+    if n_frames == 0:
+        raise ValueError("corrupt GIF: no image frames")
+    mean = 0.0 if n_px_bytes == 0 else total / n_px_bytes
+    return ("image/gif", w, h, 3, 0, n_frames, mean)
+
+
 def decode_one(b):
     b = b if b is not None else b""
     if len(b) >= 54 and b[:2] == b"BM":
@@ -634,6 +787,8 @@ def decode_one(b):
         return decode_jpeg(b)
     if len(b) >= 8 and b[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(b)
+    if len(b) >= 6 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
         return decode_wav(b)
     if (len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI "):

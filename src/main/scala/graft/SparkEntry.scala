@@ -2866,6 +2866,27 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** REAL LZW decode ([[Gif.decode]] behind [[Multimodal.decodeReal]]):
+    * each sampled doc becomes a 1-3 frame palette GIF (odd frames
+    * INTERLACED — the 4-pass row reconstruction must be the identity on
+    * display-order pixels), ENCODED then LZW-decoded in-task. Palette
+    * GIF is lossless, so like [[mmFeaturesPng]] the oracle computes the
+    * decoded features (palette lookup + mean over all frames) in closed
+    * form — any LZW width/dictionary/deinterlace defect breaks the
+    * hash. */
+  private def mmFeaturesGif(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthGif(id, nc), "", "synth")
+      }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("n_samples"), round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL video decode over synthesized uncompressed AVIs: each doc
     * becomes an actual RIFF/AVI container (nested hdrl/strl/movi LISTs,
     * `00db` DIB frames with bottom-up BGR padded rows) whose pixel bytes
@@ -3285,6 +3306,7 @@ object SparkEntry {
     "mm_features_real" -> (mmFeaturesReal _),
     "mm_features_jpeg" -> (mmFeaturesJpeg _),
     "mm_features_png" -> (mmFeaturesPng _),
+    "mm_features_gif" -> (mmFeaturesGif _),
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
@@ -5695,6 +5717,35 @@ object SparkEntry {
         |SELECT doc_id AS media_id, 'image/png' AS format,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w*h AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_value
+        |FROM sums ORDER BY media_id""".stripMargin,
+    // palette GIF is lossless like PNG: the oracle replays frame-index
+    // formula -> palette lookup -> all-frames mean in closed form
+    // (mm_features_gif doc); interlacing permutes rows, and a byte mean
+    // is permutation-invariant, so the SQL never models the passes —
+    // but the SPARK side reconstructs display order and a deinterlace
+    // defect would corrupt pixels (caught by MultimodalSpec's exact-
+    // pixel assertions, while this row pins the LZW+palette arithmetic)
+    "mm_features_gif" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |dims AS (SELECT doc_id, CAST(nc % 13 + 3 AS BIGINT) AS w,
+        |  CAST(doc_id % 5 + 4 AS BIGINT) AS h,
+        |  CAST(doc_id % 3 + 1 AS BIGINT) AS nf FROM md),
+        |fs AS (SELECT doc_id, w, h, nf,
+        |  unnest(generate_series(0, nf - 1)) AS f FROM dims),
+        |ps AS (SELECT doc_id, w, h, nf, f,
+        |  unnest(generate_series(0, w*h - 1)) AS p FROM fs),
+        |cs AS (SELECT doc_id, w, h, nf,
+        |  (doc_id + f*7 + p*3) % 8 AS k FROM ps),
+        |ch AS (SELECT doc_id, w, h, nf, k,
+        |  unnest(generate_series(0, 2)) AS c FROM cs),
+        |sums AS (SELECT doc_id, w, h, nf,
+        |  sum((doc_id*29 + k*37 + c*11) % 256) AS s, count(*) AS cnt
+        |  FROM ch GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id AS media_id, 'image/gif' AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(nf AS BIGINT) AS n_samples,
         |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_value
         |FROM sums ORDER BY media_id""".stripMargin,
     "mm_features_real" ->

@@ -670,6 +670,22 @@ object Multimodal {
       while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
       RealMediaFeatures(item.media_id, "image/png", w, h, 3, 0,
         w.toLong * h, sum.toDouble / px.length)
+    } else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      // LZW path: GIF through the from-scratch variable-width decoder
+      // ([[Gif.decode]]); frames decode to their OWN rectangles (canvas
+      // compositing is a renderer concern). Features: logical-screen
+      // geometry, n_samples = frame count (the video-like grain an
+      // animation carries), mean over ALL frames' palette-expanded RGB.
+      val g = Gif.decode(b)
+      var sum = 0L; var n = 0L
+      g.frames.foreach { f =>
+        var i = 0
+        while (i < f.rgb.length) { sum += (f.rgb(i) & 0xff); i += 1 }
+        n += f.rgb.length
+      }
+      RealMediaFeatures(item.media_id, "image/gif", g.width, g.height, 3, 0,
+        g.frames.size.toLong, if (n == 0) 0.0 else sum.toDouble / n)
     } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
         && b(11) == 'E') {
@@ -1195,6 +1211,25 @@ object Multimodal {
       j += 1
     }
     Png.encode(w, h, px, filterSub = id % 2 == 0)
+  }
+
+  /** Deterministic synthetic GIF from (id, nChars) — same closed-form
+    * contract as [[synthPng]] (palette GIF is LOSSLESS): an 8-color
+    * palette and per-frame index formula, 1-3 frames with odd frames
+    * INTERLACED (the decoder's 4-pass row reconstruction must be the
+    * identity on display-order pixels for the oracle to hash-match).
+    * `mm_features_gif` replays palette lookup + mean in closed form. */
+  def synthGif(id: Long, nChars: Long): Array[Byte] = {
+    val w = (nChars % 13 + 3).toInt
+    val h = (id % 5 + 4).toInt
+    val nFrames = (id % 3 + 1).toInt
+    val palette = Array.tabulate(24)(i =>
+      ((id * 29 + (i / 3) * 37 + (i % 3) * 11) % 256).toByte)
+    val frames = (0 until nFrames).map { f =>
+      val idx = Array.tabulate(w * h)(p => ((id + f * 7 + p * 3) % 8).toByte)
+      (0, 0, w, h, f % 2 == 1, idx)
+    }
+    Gif.encode(w, h, palette, frames)
   }
 
   /** Deterministic synthetic WAV from (id, nChars) — modular-arithmetic

@@ -570,6 +570,101 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL GIF codec: committed python-LZW fixture decodes to exact " +
+      "pixels (adaptive LZW, width growth, interlace, local color table)") {
+    import graft.ext.Gif
+    // tiny.gif: GIF89a, 8-entry GCT, GCE + comment extensions, frame 0
+    // sequential (repetitive content -> real dictionary compression),
+    // frame 1 INTERLACED at offset (2,1) with a 4-entry LOCAL table —
+    // compressed by an independent python adaptive-LZW encoder
+    val b = readResource("/graft/tiny.gif")
+    val g = Gif.decode(b)
+    assert(g.width == 11 && g.height == 9 && g.frames.size == 2)
+    val f0 = g.frames(0)
+    assert((f0.left, f0.top, f0.width, f0.height, f0.interlaced) ==
+      ((0, 0, 11, 9, false)))
+    val pal = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (32, 64, 96),
+      (200, 100, 50), (1, 2, 3), (250, 251, 252), (9, 8, 7))
+    val exp0 = (0 until 9).flatMap { y =>
+      (0 until 11).flatMap { x =>
+        val (r, gr, bl) = pal((x / 3 + (y / 3) * 2) % 8); Seq(r, gr, bl)
+      }
+    }
+    assert(f0.rgb.map(_ & 0xff).toSeq == exp0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(md.digest(f0.rgb).map("%02x".format(_)).mkString ==
+      "c9e21b313d0bc8133dba1252b0298ca4")
+    val f1 = g.frames(1)
+    assert((f1.left, f1.top, f1.width, f1.height, f1.interlaced) ==
+      ((2, 1, 7, 6, true)))
+    val pal1 = Seq((10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120))
+    val exp1 = (0 until 6).flatMap { y =>
+      (0 until 7).flatMap { x =>
+        val (r, gr, bl) = pal1((x + y) % 4); Seq(r, gr, bl)
+      }
+    }
+    // DISPLAY order equality proves the 4-pass deinterlace mapping
+    assert(f1.rgb.map(_ & 0xff).toSeq == exp1)
+    assert(md.digest(f1.rgb).map("%02x".format(_)).mkString ==
+      "9a17c027c3bd7fb47eeb04282a8381b0")
+    val f = Multimodal.decodeReal(Multimodal.MediaItem(13L, b, "", "fix"))
+    assert(f == Multimodal.RealMediaFeatures(
+      13L, "image/gif", 11, 9, 3, 0, 2L, 33561.0 / 423))
+    // sniffFormat routes it
+    val fmt = spark.range(1).toDF("x")
+      .select(Multimodal.sniffFormat(lit(b)).as("f"))
+      .collect()(0).getString(0)
+    assert(fmt == "image/gif")
+    // loud failures: truncated sub-blocks, unknown block type, frame
+    // with NO color table anywhere, corrupt LZW stream
+    val e1 = intercept[IllegalArgumentException](Gif.decode(b.take(40)))
+    assert(e1.getMessage.toLowerCase.contains("truncated"))
+    val badBlock = b.clone()
+    // first byte after the 13-byte header + 24-byte GCT is the GCE 0x21
+    badBlock(13 + 24) = 0x77
+    val e2 = intercept[IllegalArgumentException](Gif.decode(badBlock))
+    assert(e2.getMessage.contains("unknown block"))
+    val noCt = graft.ext.Gif.encode(3, 2,
+      Array[Byte](1, 2, 3, 4, 5, 6),
+      Seq((0, 0, 3, 2, false, Array[Byte](0, 1, 0, 1, 0, 1))))
+    // strip the GCT-present flag and splice out the 6-byte (2-entry)
+    // table: the frame then has no color table at all
+    val stripped = noCt.clone()
+    stripped(10) = (stripped(10) & 0x7f).toByte
+    val spliced = stripped.take(13) ++ stripped.drop(13 + 6)
+    val e3 = intercept[IllegalArgumentException](Gif.decode(spliced))
+    assert(e3.getMessage.contains("color table"))
+  }
+
+  test("synth GIF decodes to its closed-form features; encode->decode " +
+      "is the identity incl. interlaced frames (mm_features_gif contract)") {
+    import graft.ext.Gif
+    for (id <- 0L until 7L) {
+      val nc = id * 41 + 3
+      val fv = Multimodal.decodeReal(
+        Multimodal.MediaItem(id, Multimodal.synthGif(id, nc), "", "s"))
+      val w = (nc % 13 + 3).toInt
+      val h = (id % 5 + 4).toInt
+      val nf = (id % 3 + 1).toInt
+      val sum = (for (fr <- 0 until nf; p <- 0 until w * h; c <- 0 until 3)
+        yield (id * 29 + ((id + fr * 7 + p * 3) % 8) * 37 + c * 11) % 256).sum
+      assert(fv == Multimodal.RealMediaFeatures(id, "image/gif", w, h, 3, 0,
+        nf.toLong, sum.toDouble / (nf * w * h * 3)),
+        s"synth GIF features diverged for id=$id")
+    }
+    // direct encode -> decode pixel identity on an interlaced frame
+    val palette = Array.tabulate(12)(i => (i * 21 + 3).toByte)
+    val idx = Array.tabulate(5 * 7)(p => (p % 4).toByte)
+    val enc = Gif.encode(5, 7, palette,
+      Seq((0, 0, 5, 7, true, idx), (0, 0, 5, 7, false, idx)))
+    val dec = Gif.decode(enc)
+    assert(dec.frames.size == 2)
+    val expRgb = idx.flatMap(i => Seq(palette(3 * i), palette(3 * i + 1),
+      palette(3 * i + 2)))
+    assert(dec.frames(0).rgb.toSeq == expRgb.toSeq, "interlaced frame")
+    assert(dec.frames(1).rgb.toSeq == expRgb.toSeq, "sequential frame")
+  }
+
   test("synth JPEG covers every encode path and decodeReal routes it") {
     // ids chosen to hit: 4:2:0 (even), 4:4:4 (odd), restart (id%3==0),
     // gray (id%7==0), all five quality steps (id%5)
@@ -825,8 +920,9 @@ class MultimodalSpec extends AnyFunSuite {
     val fixtureJpg = readResource("/graft/tiny.jpg")
     val fixturePng = readResource("/graft/tiny.png")
     val fixturePalPng = readResource("/graft/tiny_pal.png")
+    val fixtureGif = readResource("/graft/tiny.gif")
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
-      val payload = (id % 13) match {
+      val payload = (id % 15) match {
         case 0 => Multimodal.synthBmp(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
         case 2 => fixtureBmp // independently-encoded committed fixtures
@@ -834,15 +930,18 @@ class MultimodalSpec extends AnyFunSuite {
         case 4 => Multimodal.synthAvi(id, nc)
         case 5 => fixtureAvi
         case 6 => fixturePpm
-        // entropy-coded path; the id remap covers every encoder mode
-        // through the seam: 7 -> gray, 6 -> 4:2:0 + restart, 11 ->
-        // 4:4:4, 15 -> 4:4:4 + restart (raw ids ≡ 7 mod 13 would all
-        // be odd 4:4:4)
+        // entropy-coded path; the id remap covers the encoder modes
+        // through the seam: 7/22 -> gray, 37 -> 12 = 4:2:0 + restart,
+        // 52 -> 17 = 4:4:4 (raw ids ≡ 7 mod 15 would all be odd 4:4:4)
         case 7 => Multimodal.synthJpeg(if (id == 7) 7L else id / 3, nc)
         case 8 => fixtureJpg
         case 9 => Multimodal.synthPng(id, nc) // zlib twin inflates these
         case 10 => fixturePng
         case 11 => fixturePalPng
+        // id-10 -> 3-frame synth GIFs, so an INTERLACED frame (f=1)
+        // crosses the seam; 13 -> the adaptive-LZW fixture
+        case 12 => Multimodal.synthGif(id - 10, nc)
+        case 13 => fixtureGif
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
@@ -860,7 +959,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(j == e, s"worker decode diverges for media_id ${j._1}")
     }
     assert(jvm.map(_._2).distinct.sorted.toSeq == Seq(
-      "application/octet-stream", "audio/wav", "image/bmp",
+      "application/octet-stream", "audio/wav", "image/bmp", "image/gif",
       "image/jpeg", "image/png", "image/x-portable-pixmap", "video/avi"))
   }
 
