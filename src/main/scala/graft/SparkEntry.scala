@@ -2931,6 +2931,34 @@ object SparkEntry {
         col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
       .orderBy(col("media_id"))
 
+  /** CROSS-FORMAT perceptual hashing ([[Multimodal.imagePixels]] magic
+    * dispatch under [[Multimodal.imageDHash]]): the SAME pixel formula
+    * as [[mmImageDhash]], but each image ships in a container chosen by
+    * id — BMP, Sub-filtered PNG, or P6 pixmap. All three are lossless,
+    * so the dHashes (and therefore the ORACLE — identical SQL to
+    * mm_image_dhash's closed-form replay) are container-invariant: a
+    * re-encode of an image must land on the SAME perceptual key, which
+    * is what makes the dedup path catch format-shifted duplicates a
+    * content hash misses. Any container-specific decode defect breaks
+    * this row while mm_image_dhash stays green. */
+  private def mmImageDhashCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = synthImageMedia(s, dir).map { it =>
+      val (w, h, px) = Multimodal.bmpPixels(it.payload)
+      val payload = (it.media_id % 3) match {
+        case 0 => Multimodal.buildPpm(w, h, px)
+        case 1 => ext.Png.encode(w, h, px, filterSub = true)
+        case _ => it.payload // stays BMP
+      }
+      Multimodal.MediaItem(it.media_id, payload, "", "synth")
+    }
+    Multimodal.imageDHash(media)
+      .select(col("media_id"),
+        shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+        col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+      .orderBy(col("media_id"))
+  }
+
   /** Image near-duplicate pairs ([[Multimodal.imageNearDuplicates]]:
     * pigeonhole Hamming banding over dHashes, exact bit_count verify).
     * The seeding plants REAL near-dups — each base image has a
@@ -3310,6 +3338,7 @@ object SparkEntry {
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
+    "mm_image_dhash_cross" -> (mmImageDhashCross _),
     "mm_image_neardup" -> (mmImageNeardup _),
     "mm_video_dedup" -> (mmVideoDedup _),
     "mm_audio_quality" -> (mmAudioQuality _),
@@ -5818,6 +5847,15 @@ object SparkEntry {
         |  round(CAST(s AS DOUBLE) / (w*6), 6) AS mean_value
         |FROM sm ORDER BY media_id, frame_idx""".stripMargin,
     "mm_image_dhash" ->
+      s"""$dhashCte
+        |SELECT doc_id AS media_id, dhash_hi, dhash_lo FROM hs
+        |ORDER BY media_id""".stripMargin,
+    // IDENTICAL SQL to mm_image_dhash — that identity IS the claim: the
+    // Spark side decodes three different lossless containers (BMP /
+    // Sub-filtered PNG / P6) of the same pixels, and the perceptual key
+    // must be container-invariant, so the oracle never models the
+    // container at all
+    "mm_image_dhash_cross" ->
       s"""$dhashCte
         |SELECT doc_id AS media_id, dhash_hi, dhash_lo FROM hs
         |ORDER BY media_id""".stripMargin,

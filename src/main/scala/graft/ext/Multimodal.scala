@@ -932,13 +932,40 @@ object Multimodal {
     hash
   }
 
-  /** [[dHash64]] over a BMP media Dataset — map-only (decode + hash
+  /** Decode ANY supported still-image payload to (width, height,
+    * top-down RGB) by magic-byte dispatch: BMP, P6 pixmap, PNG, baseline
+    * JPEG, or GIF (FIRST frame's own rectangle — per-frame grain for
+    * animations is [[videoFrameDHash]]'s analog via [[Gif.decode]]).
+    * The shared decode seam under the perceptual-hash operators — the
+    * property that makes [[imageDHash]] a CROSS-FORMAT re-encode
+    * detector: the same pixels land on the identical dHash no matter
+    * the lossless container (BMP vs PNG vs P6; MultimodalSpec pins
+    * this), and a JPEG re-encode lands within a few bits. Non-image
+    * payloads fail loudly (route by [[sniffFormat]] first). */
+  def imagePixels(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b != null && b.length >= 8, "not an image payload (too short)")
+    if (b(0) == 'B' && b(1) == 'M') bmpPixels(b)
+    else if (b(0) == 'P' && b(1) == '6') ppmPixels(b)
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N'
+        && b(3) == 'G') Png.decode(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        && (b(2) & 0xff) == 0xff) Jpeg.decode(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+      val g = Gif.decode(b)
+      val f = g.frames.head
+      (f.width, f.height, f.rgb)
+    } else throw new IllegalArgumentException(
+      s"not a supported image payload (${b.length} bytes)")
+  }
+
+  /** [[dHash64]] over an image media Dataset — map-only (decode + hash
     * inside each task, 8 bytes out per image; the pixels never shuffle).
-    * Non-BMP payloads fail loudly: route by [[sniffFormat]] first. */
+    * Any [[imagePixels]] format decodes; other payloads fail loudly:
+    * route by [[sniffFormat]] first. */
   def imageDHash(items: Dataset[MediaItem]): DataFrame = {
     import items.sparkSession.implicits._
     items.mapPartitions(_.map { item =>
-      val (w, h, px) = bmpPixels(item.payload)
+      val (w, h, px) = imagePixels(item.payload)
       (item.media_id, dHash64(px, w, h))
     }).toDF("media_id", "dhash")
   }

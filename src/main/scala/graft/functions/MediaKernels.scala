@@ -26,7 +26,10 @@ case class ImageDHash(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    val (w, h, px) = graft.ext.Multimodal.bmpPixels(b)
+    // magic-byte dispatch (BMP/P6/PNG/JPEG/GIF) — the cross-format
+    // re-encode-dedup property lives here: lossless containers of the
+    // same pixels produce the IDENTICAL perceptual key
+    val (w, h, px) = graft.ext.Multimodal.imagePixels(b)
     graft.ext.Multimodal.dHash64(px, w, h)
   }
 

@@ -138,8 +138,10 @@ object StreamingResample {
     * `ext.Multimodal.imageNearDuplicates`' exact-collision grain: derive
     * the 8-byte dHash key map-side (native expression, stateless, so the
     * pixels never enter streaming state) and keep the first arrival per
-    * perceptual key within the watermark horizon. Crops/re-encodes that
-    * land on the SAME dHash dedup here at ingest; Hamming-1+ neighbors
+    * perceptual key within the watermark horizon. Re-encodes that land
+    * on the SAME dHash — including LOSSLESS format shifts (BMP↔PNG↔P6:
+    * the key is container-invariant via `imagePixels`) — dedup here at
+    * ingest; Hamming-1+ neighbors
     * remain the batch pass's job (banding needs a shuffle the streaming
     * grain deliberately avoids). State is bounded by (distinct hashes
     * per horizon) × 8 bytes — ingest-safe at any stream rate. */

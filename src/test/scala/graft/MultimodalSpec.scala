@@ -636,6 +636,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("color table"))
   }
 
+  test("cross-format perceptual hashing: lossless containers of the same " +
+      "pixels hash IDENTICALLY; a JPEG re-encode lands within a few bits") {
+    import graft.ext.{Gif, Jpeg, Png}
+    // smooth gradient (JPEG-friendly) at dHash-visible size
+    val w = 20; val h = 12
+    val px = Array.tabulate(w * h * 3) { j =>
+      val p = j / 3; ((p % w) * 5 + (p / w) * 7 + (j % 3) * 9).toByte
+    }
+    def hashOf(payload: Array[Byte]): Long = {
+      val (dw, dh, dpx) = Multimodal.imagePixels(payload)
+      assert(dw == w && dh == h)
+      Multimodal.dHash64(dpx, dw, dh)
+    }
+    val hBmp = hashOf(Multimodal.buildBmp(w, h, px))
+    assert(hashOf(Multimodal.buildPpm(w, h, px)) == hBmp, "P6 != BMP")
+    assert(hashOf(Png.encode(w, h, px)) == hBmp, "PNG != BMP")
+    assert(hashOf(Png.encode(w, h, px, filterSub = true)) == hBmp,
+      "Sub-filtered PNG != BMP")
+    // JPEG is lossy: the perceptual key must land NEAR, not equal —
+    // that is exactly the re-encode-dedup property (Hamming banding
+    // catches it at maxDistance >= the drift)
+    val dJpeg = java.lang.Long.bitCount(
+      hashOf(Jpeg.encode(w, h, px, quality = 95)) ^ hBmp)
+    assert(dJpeg <= 4, s"q95 JPEG re-encode drifted $dJpeg bits")
+    // GIF: first frame's rectangle; exact-palette content is lossless
+    val pal = Array.tabulate(12)(i => (i * 19 + 7).toByte)
+    val gifIdx = Array.tabulate(w * h)(p => (p % 4).toByte)
+    val gifPx = gifIdx.flatMap(i =>
+      Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2)))
+    val hGif = hashOf(Gif.encode(w, h, pal,
+      Seq((0, 0, w, h, false, gifIdx))))
+    assert(hGif == Multimodal.dHash64(gifPx, w, h), "GIF palette path")
+    // the native Column expression routes the same dispatch
+    import spark.implicits._
+    val viaCol = Seq((1L, Png.encode(w, h, px)), (2L, Multimodal.buildBmp(w, h, px)))
+      .toDF("id", "payload")
+      .select(Multimodal.imageDHashCol(col("payload")).as("dh"))
+      .as[Long].collect().toSeq
+    assert(viaCol == Seq(hBmp, hBmp))
+    // non-image payloads fail loudly
+    val e = intercept[Exception](
+      Multimodal.imagePixels(Multimodal.synthWav(1, 50)))
+    assert(e.getMessage.contains("image"))
+  }
+
   test("synth GIF decodes to its closed-form features; encode->decode " +
       "is the identity incl. interlaced frames (mm_features_gif contract)") {
     import graft.ext.Gif
