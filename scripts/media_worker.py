@@ -47,9 +47,30 @@ def decode_bmp(b):
     return ("image/bmp", w, h, 3, 0, w * h, total / n_px_bytes)
 
 
+def _ulaw_to_pcm(u):
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _alaw_to_pcm(a):
+    a = (a ^ 0x55) & 0xFF
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
 def decode_wav(b):
     off = 12
     channels = sample_rate = -1
+    fmt = -1
     data_off = data_len = -1
     while off + 8 <= len(b) and (channels < 0 or data_off < 0):
         cid = b[off:off + 4]
@@ -60,7 +81,8 @@ def decode_wav(b):
             fmt, channels = struct.unpack_from("<HH", b, off + 8)
             sample_rate, = struct.unpack_from("<I", b, off + 12)
             bits, = struct.unpack_from("<H", b, off + 22)
-            if fmt != 1 or bits != 16:
+            if not ((fmt == 1 and bits == 16)
+                    or (fmt in (6, 7) and bits == 8)):
                 raise ValueError("unsupported WAV variant")
         elif cid == b"data":
             data_off, data_len = off + 8, clen
@@ -69,8 +91,16 @@ def decode_wav(b):
         raise ValueError("WAV missing fmt/data chunk")
     if data_off + data_len > len(b):
         raise ValueError("truncated WAV data")
-    samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
-                            offset=data_off).astype(np.int64)
+    if fmt == 1:
+        samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
+                                offset=data_off).astype(np.int64)
+    else:
+        # G.711 expansion to linear PCM16 via a 256-entry table —
+        # identical formulas to the JVM's ulawToPcm/alawToPcm
+        expand = _ulaw_to_pcm if fmt == 7 else _alaw_to_pcm
+        table = np.array([expand(v) for v in range(256)], dtype=np.int64)
+        samples = table[np.frombuffer(b, dtype=np.uint8, count=data_len,
+                                      offset=data_off)]
     n = len(samples)
     # float(sq) BEFORE the divide mirrors the JVM's sq.toDouble / n
     # exactly — a direct int/int true-division is correctly rounded and

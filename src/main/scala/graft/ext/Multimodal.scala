@@ -483,9 +483,36 @@ object Multimodal {
     out
   }
 
+  /** G.711 µ-law expansion to linear PCM16 (public CCITT formula: the
+    * byte is stored complemented; 3-bit exponent, 4-bit mantissa, +33
+    * bias). Two zero codes (0xFF/0x7F) by design. */
+  def ulawToPcm(b: Byte): Short = {
+    val u = ~b & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 A-law expansion to linear PCM16 (even bits inverted by the
+    * 0x55 mask; segment 0/1 special-cased, sign bit 0x80 = positive). */
+  def alawToPcm(b: Byte): Short = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    var t = (a & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
   /** Full WAV decode: (channels, sampleRate, interleaved PCM16 samples).
     * Walks RIFF chunks properly (fmt may be followed by LIST/fact before
-    * data; chunk sizes pad to even) — PCM16 only, loud failure otherwise. */
+    * data; chunk sizes pad to even). PCM16 (format 1), G.711 A-law
+    * (format 6) and µ-law (format 7) decode — the telephony-speech
+    * formats expand to linear PCM16 in-task via the public CCITT
+    * formulas, so every downstream gate (RMS, clipping, silence,
+    * segmentation) runs on one sample domain; anything else fails
+    * loudly. */
   def wavSamples(b: Array[Byte]): (Int, Int, Array[Short]) = {
     require(b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
         && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V'
@@ -495,7 +522,7 @@ object Multimodal {
     // 2^32 would Int-truncate NEGATIVE and stall the walk (off += 0) —
     // an adversarial document must error, never wedge an executor task
     var off = 12L
-    var channels = -1; var sampleRate = -1
+    var channels = -1; var sampleRate = -1; var fmt = -1
     var dataOff = -1L; var dataLen = -1L
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
       val cid = new String(b, off.toInt, 4,
@@ -503,13 +530,14 @@ object Multimodal {
       val clen = u32(b, off.toInt + 4) // unsigned, 0..2^32-1
       if (cid == "fmt ") {
         require(clen >= 16 && off + 8 + 16 <= b.length, "truncated fmt chunk")
-        val audioFormat = u16(b, off.toInt + 8)
+        fmt = u16(b, off.toInt + 8)
         channels = u16(b, off.toInt + 10)
         sampleRate = u32(b, off.toInt + 12).toInt
         val bits = u16(b, off.toInt + 22)
-        require(audioFormat == 1 && bits == 16,
-          s"unsupported WAV variant: format=$audioFormat bits=$bits " +
-            "(only PCM16)")
+        require((fmt == 1 && bits == 16)
+            || ((fmt == 6 || fmt == 7) && bits == 8),
+          s"unsupported WAV variant: format=$fmt bits=$bits " +
+            "(PCM16, A-law or mu-law)")
       } else if (cid == "data") {
         dataOff = off + 8; dataLen = clen
       }
@@ -520,15 +548,24 @@ object Multimodal {
     require(dataOff + dataLen <= b.length,
       s"truncated WAV: data chunk claims $dataLen bytes past payload end")
     val dataOffI = dataOff.toInt
-    val n = (dataLen / 2).toInt
-    val out = new Array[Short](n)
-    var i = 0
-    while (i < n) {
-      out(i) = ((b(dataOffI + 2 * i) & 0xff)
-        | ((b(dataOffI + 2 * i + 1) & 0xff) << 8)).toShort
-      i += 1
+    if (fmt == 1) {
+      val n = (dataLen / 2).toInt
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((b(dataOffI + 2 * i) & 0xff)
+          | ((b(dataOffI + 2 * i + 1) & 0xff) << 8)).toShort
+        i += 1
+      }
+      (channels, sampleRate, out)
+    } else {
+      val n = dataLen.toInt // one byte per sample
+      val out = new Array[Short](n)
+      var i = 0
+      if (fmt == 7) while (i < n) { out(i) = ulawToPcm(b(dataOffI + i)); i += 1 }
+      else while (i < n) { out(i) = alawToPcm(b(dataOffI + i)); i += 1 }
+      (channels, sampleRate, out)
     }
-    (channels, sampleRate, out)
   }
 
   private def fourcc(b: Array[Byte], off: Int): String =

@@ -636,6 +636,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("color table"))
   }
 
+  test("G.711 mu-law / A-law WAV decode: published extremes, expansion " +
+      "through every audio gate, numpy worker parity") {
+    // spec vectors (CCITT G.711): both zero codes, both extremes, two
+    // interior points per law — computed independently and pinned
+    assert(Multimodal.ulawToPcm(0xFF.toByte) == 0)
+    assert(Multimodal.ulawToPcm(0x7F.toByte) == 0)
+    assert(Multimodal.ulawToPcm(0x80.toByte) == 32124)  // max positive
+    assert(Multimodal.ulawToPcm(0x00.toByte) == -32124) // max negative
+    assert(Multimodal.ulawToPcm(0x9A.toByte) == 10876)
+    assert(Multimodal.ulawToPcm(0x3C.toByte) == -2364)
+    assert(Multimodal.alawToPcm(0x55.toByte) == -8)
+    assert(Multimodal.alawToPcm(0xD5.toByte) == 8)
+    assert(Multimodal.alawToPcm(0x2A.toByte) == -32256)
+    assert(Multimodal.alawToPcm(0xAA.toByte) == 32256)
+    assert(Multimodal.alawToPcm(0x13.toByte) == -2880)
+    assert(Multimodal.alawToPcm(0xC8.toByte) == 472)
+    // hand-built G.711 WAVs (fmt 7 = mu-law, 6 = A-law, 8-bit samples)
+    def buildG711(fmt: Int, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](44 + data.length)
+      def put16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def put32(off: Int, v: Long): Unit = {
+        put16(off, (v & 0xffff).toInt); put16(off + 2, ((v >> 16) & 0xffff).toInt)
+      }
+      def tag(off: Int, s: String): Unit = s.getBytes("US-ASCII")
+        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+      tag(0, "RIFF"); put32(4, 36L + data.length); tag(8, "WAVE")
+      tag(12, "fmt "); put32(16, 16L); put16(20, fmt); put16(22, 1)
+      put32(24, 8000L); put32(28, 8000L); put16(32, 1); put16(34, 8)
+      tag(36, "data"); put32(40, data.length.toLong)
+      System.arraycopy(data, 0, out, 44, data.length)
+      out
+    }
+    val uBytes = Array[Byte](0xFF.toByte, 0x80.toByte, 0x00, 0x9A.toByte)
+    val (ch, sr, us) = Multimodal.wavSamples(buildG711(7, uBytes))
+    assert(ch == 1 && sr == 8000)
+    assert(us.toSeq == Seq[Short](0, 32124, -32124, 10876))
+    val aBytes = Array[Byte](0x55, 0xAA.toByte, 0x2A, 0xC8.toByte)
+    val (_, _, as) = Multimodal.wavSamples(buildG711(6, aBytes))
+    assert(as.toSeq == Seq[Short](-8, 32256, -32256, 472))
+    // the gates run on the EXPANDED linear domain: the mu-law extremes
+    // clip, the zero code is silence
+    import spark.implicits._
+    val q = Multimodal.audioQuality(
+      Seq(Multimodal.MediaItem(1L, buildG711(7, uBytes), "", "s")).toDS(),
+      clipLevel = 32000)
+      .collect()(0)
+    assert(q.n_frames == 4 && q.clip_ratio == 0.5 && q.silence_ratio == 0.25)
+    // a 24-bit PCM claim still fails loudly
+    val bad = buildG711(1, uBytes); bad(34) = 24
+    val e = intercept[IllegalArgumentException](Multimodal.wavSamples(bad))
+    assert(e.getMessage.contains("unsupported WAV variant"))
+    // numpy worker parity over the Arrow seam (table-driven expansion)
+    val media = Seq(
+      Multimodal.MediaItem(1L, buildG711(7, uBytes), "", "s"),
+      Multimodal.MediaItem(2L, buildG711(6, aBytes), "", "s"),
+      Multimodal.MediaItem(3L, Multimodal.synthWav(3, 40), "", "s"))
+    val jvm = media.map(Multimodal.decodeReal)
+      .map(f => (f.media_id, f.format, f.channels, f.sample_rate,
+        f.n_samples, f.mean_value))
+    val ext = Multimodal.decodeViaWorker(media.toDF(),
+        Seq("python3", "scripts/media_worker.py"))
+      .select("media_id", "format", "channels", "sample_rate",
+        "n_samples", "mean_value")
+      .as[(Long, String, Int, Int, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(ext == jvm, "G.711 worker decode diverges from JVM")
+  }
+
   test("cross-format perceptual hashing: lossless containers of the same " +
       "pixels hash IDENTICALLY; a JPEG re-encode lands within a few bits") {
     import graft.ext.{Gif, Jpeg, Png}
