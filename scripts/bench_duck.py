@@ -49,7 +49,8 @@ def main():
     # spark/duck aggregate. Keep in lockstep with
     # SparkEntry.naiveOracleReplay.
     naive = {"pipeline_curate_portable", "text_lm_ngram", "mm_image_dhash",
-             "mm_image_neardup", "mm_video_dedup", "pipeline_media_curate"}
+             "mm_image_neardup", "mm_video_dedup", "pipeline_media_curate",
+             "mm_image_dhash_cross"}
     total_honest = sum(t for q, t in queries.items()
                        if q not in naive and t >= 0)
     out = {"metric": "duckdb_oracle_total", "value": round(total, 6),

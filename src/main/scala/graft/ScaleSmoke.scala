@@ -895,6 +895,23 @@ object ScaleSmoke {
         s"ingest gate must discriminate at volume, kept $n of 50000")
       n
     }
+    timed("lossless codecs 50k (png+gif)") {
+      // DEFLATE + LZW decode at x10, both map-only: encode -> inflate/
+      // LZW-decode -> defilter/deinterlace -> features inside each task
+      import spark.implicits._
+      val media = bigDocs
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          val payload =
+            if (id % 2 == 0) graft.ext.Multimodal.synthPng(id, nc)
+            else graft.ext.Multimodal.synthGif(id, nc)
+          graft.ext.Multimodal.MediaItem(id, payload, "", "smoke")
+        }
+      val n = graft.ext.Multimodal.decodeRealMedia(media)
+        .filter(col("format").isin("image/png", "image/gif")).count()
+      assert(n == 50000L, s"png/gif decode lost rows: $n")
+      n
+    }
     timed("jpeg decode 50k") {
       // entropy-coded decode at x10: encode->Huffman/IDCT-decode entirely
       // inside each task (map-only; the features are one thin row per

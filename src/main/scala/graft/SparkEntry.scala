@@ -3226,7 +3226,10 @@ object SparkEntry {
     * is genuinely fast, excluding them would flatter Spark. */
   val naiveOracleReplay: Set[String] = Set(
     "pipeline_curate_portable", "text_lm_ngram", "mm_image_dhash",
-    "mm_image_neardup", "mm_video_dedup", "pipeline_media_curate")
+    "mm_image_neardup", "mm_video_dedup", "pipeline_media_curate",
+    // identical per-pixel dHash CTE as mm_image_dhash (the oracle is
+    // container-blind by design), so the same flattering applies
+    "mm_image_dhash_cross")
 
   private def memo(name: String, f: (SparkSession, String) => DataFrame)
       : (String, (SparkSession, String) => DataFrame) =
