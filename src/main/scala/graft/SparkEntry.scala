@@ -2841,6 +2841,47 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** WARC crawl-container ingest ([[sources.Warc]]): each sampled doc
+    * becomes a two-record archive (warcinfo + an HTTP response whose
+    * entity body is a closed-form byte run), ENCODED then re-parsed
+    * in-task — even ids through the seekable one-gzip-member-per-record
+    * `.warc.gz` form ([[graft.ext.Inflate.gunzip]] member walk), odd
+    * ids plain. The oracle recomputes every surviving field (URI
+    * formula, WARC block length = HTTP preamble 44 bytes + body,
+    * status line) in closed form, so a defect anywhere in record
+    * framing, gzip member walking, header parsing or HTTP splitting
+    * breaks the hash. The distributed binaryFile path is spec-tested
+    * (SourcesSpec) — this row pins the parse arithmetic. */
+  private def warcIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents").filter(col("doc_id") % 8 === 2)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].flatMap { case (id, nc) =>
+        val n = (nc % 97 + 10).toInt
+        val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+          .getBytes("US-ASCII") ++ Array.fill[Byte](n)('x')
+        val info = sources.Warc.WarcRecord("warcinfo", "",
+          "2024-01-01T00:00:00Z", s"<urn:uuid:info-$id>",
+          "application/warc-fields", 0L,
+          "software: graft\r\n".getBytes("US-ASCII"))
+        val rec = sources.Warc.WarcRecord("response",
+          s"https://site${id % 17}.com/p/$id", "2024-01-01T00:00:00Z",
+          s"<urn:uuid:$id>", "application/http; msgtype=response",
+          0L, http)
+        val archive = sources.Warc.build(Seq(info, rec),
+          gzipPerRecord = id % 2 == 0)
+        sources.Warc.parseArchive(archive)
+          .filter(_.warc_type == "response").map { r =>
+            val (status, body) = sources.Warc.httpBody(r.payload)
+            (id, r.warc_type, r.target_uri, r.content_length,
+              body.length.toLong, status)
+          }
+      }
+      .toDF("doc_id", "warc_type", "target_uri", "content_length",
+        "body_len", "status")
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL lossless entropy-coded decode ([[Png.decode]] over the
     * from-scratch [[graft.ext.Inflate]] DEFLATE decoder, behind
     * [[Multimodal.decodeReal]]): each sampled doc becomes an 8-bit
@@ -3338,6 +3379,7 @@ object SparkEntry {
     "mm_features_jpeg" -> (mmFeaturesJpeg _),
     "mm_features_png" -> (mmFeaturesPng _),
     "mm_features_gif" -> (mmFeaturesGif _),
+    "warc_ingest" -> (warcIngest _),
     "mm_video" -> (mmVideo _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
@@ -5751,6 +5793,18 @@ object SparkEntry {
         |  CAST(w*h AS BIGINT) AS n_samples,
         |  round(CAST(s AS DOUBLE) / cnt, 6) AS mean_value
         |FROM sums ORDER BY media_id""".stripMargin,
+    // closed-form replay of the WARC round-trip's surviving fields:
+    // uri formula, block length = 44-byte HTTP preamble + body run,
+    // status line — gzip member walk / record framing defects break it
+    "warc_ingest" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(coalesce(n_chars, 0) % 97 + 10 + 44 AS BIGINT)
+        |    AS content_length,
+        |  CAST(coalesce(n_chars, 0) % 97 + 10 AS BIGINT) AS body_len,
+        |  'HTTP/1.1 200 OK' AS status
+        |FROM documents WHERE doc_id % 8 = 2 ORDER BY doc_id""".stripMargin,
     // palette GIF is lossless like PNG: the oracle replays frame-index
     // formula -> palette lookup -> all-frames mean in closed form
     // (mm_features_gif doc); interlacing permutes rows, and a byte mean

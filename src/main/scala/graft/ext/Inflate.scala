@@ -269,6 +269,90 @@ object Inflate {
     (java.util.Arrays.copyOf(out, n), r.consumed)
   }
 
+  /** RFC 1952 gzip decode — MULTI-MEMBER: a gzip file is a
+    * concatenation of members and real-world corpus containers exploit
+    * that (a CommonCrawl .warc.gz is one gzip member PER RECORD, which
+    * is what makes the format seekable); all members' output is
+    * concatenated. Header flags (FEXTRA/FNAME/FCOMMENT/FHCRC) are
+    * walked properly; the CRC-32 and ISIZE trailers of every member
+    * are verified — a corrupt archive errors, never silently truncates
+    * a corpus. */
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    require(b.length >= 18 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b,
+      s"not a gzip payload (${b.length} bytes)")
+    val out = new java.io.ByteArrayOutputStream(b.length * 4)
+    var pos = 0
+    while (pos < b.length) {
+      require(pos + 18 <= b.length, "truncated gzip member header")
+      require((b(pos) & 0xff) == 0x1f && (b(pos + 1) & 0xff) == 0x8b,
+        f"corrupt gzip: bad member magic at offset $pos")
+      require((b(pos + 2) & 0xff) == 8,
+        s"unsupported gzip compression method ${b(pos + 2) & 0xff}")
+      val flg = b(pos + 3) & 0xff
+      require((flg & 0xe0) == 0, "corrupt gzip: reserved FLG bits set")
+      pos += 10 // MTIME/XFL/OS skipped
+      if ((flg & 0x04) != 0) { // FEXTRA
+        require(pos + 2 <= b.length, "truncated gzip FEXTRA")
+        val xlen = (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+        pos += 2 + xlen
+        require(pos <= b.length, "truncated gzip FEXTRA data")
+      }
+      if ((flg & 0x08) != 0) { // FNAME: zero-terminated
+        while (pos < b.length && b(pos) != 0) pos += 1
+        require(pos < b.length, "truncated gzip FNAME"); pos += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (pos < b.length && b(pos) != 0) pos += 1
+        require(pos < b.length, "truncated gzip FCOMMENT"); pos += 1
+      }
+      if ((flg & 0x02) != 0) pos += 2 // FHCRC (header crc16, skipped)
+      val (member, consumed) = rawInflate(b, pos, b.length - pos)
+      pos += consumed
+      require(pos + 8 <= b.length, "truncated gzip member trailer")
+      val crc = (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+        ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+      val isize = (b(pos + 4) & 0xffL) | ((b(pos + 5) & 0xffL) << 8) |
+        ((b(pos + 6) & 0xffL) << 16) | ((b(pos + 7) & 0xffL) << 24)
+      pos += 8
+      require(crc32(member, 0, member.length) == crc,
+        "gzip CRC-32 mismatch (corrupt member)")
+      require((member.length & 0xffffffffL) == isize,
+        "gzip ISIZE mismatch (corrupt member)")
+      out.write(member, 0, member.length)
+    }
+    out.toByteArray
+  }
+
+  /** Minimal single-member gzip COMPRESSOR over STORED deflate blocks —
+    * the [[zlibDeflateStored]] of RFC 1952, for fixtures and synthetic
+    * `.warc.gz` payloads (valid gzip any decoder accepts). */
+  def gzipStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
+    for (_ <- 0 until 4) out.write(0) // MTIME
+    out.write(0); out.write(255)      // XFL, OS=unknown
+    // raw stored deflate body (zlibDeflateStored minus the zlib framing)
+    var i = 0
+    var first = true
+    while (i < data.length || first) {
+      first = false
+      val blen = math.min(65535, data.length - i)
+      val last = i + blen >= data.length
+      out.write(if (last) 1 else 0)
+      out.write(blen & 0xff); out.write((blen >> 8) & 0xff)
+      out.write((blen ^ 0xffff) & 0xff); out.write(((blen ^ 0xffff) >> 8) & 0xff)
+      out.write(data, i, blen)
+      i += blen
+    }
+    val crc = crc32(data, 0, data.length)
+    out.write((crc & 0xff).toInt); out.write(((crc >> 8) & 0xff).toInt)
+    out.write(((crc >> 16) & 0xff).toInt); out.write(((crc >> 24) & 0xff).toInt)
+    val n = data.length.toLong
+    out.write((n & 0xff).toInt); out.write(((n >> 8) & 0xff).toInt)
+    out.write(((n >> 16) & 0xff).toInt); out.write(((n >> 24) & 0xff).toInt)
+    out.toByteArray
+  }
+
   /** Minimal zlib COMPRESSOR emitting STORED deflate blocks (for the
     * [[Png]] encoder's fixtures/synthetic payloads — valid zlib any
     * inflater accepts; no entropy coding needed for that role). */

@@ -1090,5 +1090,31 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       graft.ext.Inflate.zlibInflate(z, 0, z.length))
     assert(e.getMessage.contains("Adler-32"))
+    // gzip wrapper: java.util.zip.GZIPOutputStream (independent RFC
+    // 1952 writer) -> our gunzip, multi-member concatenation included
+    val buf = new java.io.ByteArrayOutputStream()
+    for (k <- 0 until 3) {
+      val g = new java.util.zip.GZIPOutputStream(buf)
+      val part = new Array[Byte](1000 + 700 * k)
+      rnd.nextBytes(part)
+      g.write(part); g.finish(); g.close()
+    }
+    // cross-direction: our stored-gzip must satisfy the independent
+    // java reader too
+    val own = graft.ext.Inflate.gzipStored(data)
+    val gin = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(own))
+    val back = gin.readAllBytes()
+    assert(java.util.Arrays.equals(back, data),
+      "java GZIPInputStream rejects our stored-block gzip")
+    val viaOurs = graft.ext.Inflate.gunzip(buf.toByteArray)
+    assert(viaOurs.length == 1000 + 1700 + 2400,
+      "multi-member gunzip lost bytes")
+    // and a corrupt member CRC fails loudly
+    val gbad = graft.ext.Inflate.gzipStored(data)
+    gbad(gbad.length - 6) = (gbad(gbad.length - 6) ^ 1).toByte
+    val ge = intercept[IllegalArgumentException](
+      graft.ext.Inflate.gunzip(gbad))
+    assert(ge.getMessage.contains("CRC"))
   }
 }
