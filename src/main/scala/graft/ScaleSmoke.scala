@@ -912,6 +912,28 @@ object ScaleSmoke {
       assert(n == 50000L, s"png/gif decode lost rows: $n")
       n
     }
+    timed("warc parse 50k records") {
+      // crawl-container ingest at x10: each task builds and re-parses a
+      // 10-record archive (every other one in the per-record-gzip form
+      // CommonCrawl uses), all inside the task — the binaryFile read
+      // path has the same per-file task shape, so this measures the
+      // record-framing + gunzip throughput that path pays per archive
+      import spark.implicits._
+      val n = bigDocs.select(col("doc_id")).as[Long].map { id =>
+        val recs = (0 until 10).map { k =>
+          val body = ("HTTP/1.1 200 OK\r\n\r\n" + "x" * (50 + k))
+            .getBytes("US-ASCII")
+          graft.sources.Warc.WarcRecord("response",
+            s"https://s$id.com/$k", "2024-01-01T00:00:00Z",
+            s"<urn:uuid:$id-$k>", "application/http", 0L, body)
+        }
+        val archive = graft.sources.Warc.build(recs,
+          gzipPerRecord = id % 2 == 0)
+        graft.sources.Warc.parseArchive(archive).size.toLong
+      }.groupBy().sum().as[Long].collect()(0)
+      assert(n == 500000L, s"warc parse lost records: $n")
+      n
+    }
     timed("jpeg decode 50k") {
       // entropy-coded decode at x10: encode->Huffman/IDCT-decode entirely
       // inside each task (map-only; the features are one thin row per
