@@ -713,9 +713,10 @@ def _gif_lzw(data, min_code, expected):
                 prefix[nxt] = prev
                 suffix[nxt] = first
                 nxt += 1
-                # EARLY CHANGE: widen one entry before the naive count
-                # (the encoder's table runs one ahead; see Gif.scala)
-                if nxt + 1 == (1 << width) and width < 12:
+                # STANDARD GIF width growth (verified vs Java ImageIO;
+                # see Gif.scala) — widen when the stored count reaches
+                # 2^width so the NEXT code reads wider
+                if nxt == (1 << width) and width < 12:
                     width += 1
             prev = code
     if n != expected:

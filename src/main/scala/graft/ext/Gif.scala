@@ -62,6 +62,13 @@ object Gif {
       pos += 3 * n
     }
     val frames = Vector.newBuilder[GifFrame]
+    // AGGREGATE output budget across frames: LZW reaches ~2700:1, so a
+    // small multi-frame file could legally expand each frame to the
+    // per-frame cap — without a per-FILE bound a ~1 MB adversarial GIF
+    // allocates gigabytes before any entropy-stream check can fail
+    // (round-17 review finding). Same 64 MP total as the single-image
+    // guard: an animation over it is not a training document.
+    var totalPixels = 0L
     var done = false
     while (!done) {
       require(pos < b.length, "truncated GIF: no trailer")
@@ -84,8 +91,9 @@ object Gif {
           val fw = u16(b, pos + 5)
           val fh = u16(b, pos + 7)
           require(fw > 0 && fh > 0, s"unsupported GIF frame ${fw}x$fh")
-          require(fw.toLong * fh <= (64L << 20),
-            "unreasonable GIF frame (> 64 MP)")
+          totalPixels += fw.toLong * fh
+          require(totalPixels <= (64L << 20),
+            "unreasonable GIF: frames total > 64 MP")
           val fp = b(pos + 9) & 0xff
           val interlaced = (fp & 0x40) != 0
           pos += 10
@@ -135,8 +143,10 @@ object Gif {
           f"corrupt GIF: unknown block type 0x$other%02X")
       }
     }
-    require(frames.result().nonEmpty, "corrupt GIF: no image frames")
-    GifImage(w, h, frames.result())
+    // result() once: ReusableBuilder leaves a second call undefined
+    val fs = frames.result()
+    require(fs.nonEmpty, "corrupt GIF: no image frames")
+    GifImage(w, h, fs)
   }
 
   /** Display row for the `i`-th STORED row of an interlaced frame of
@@ -220,13 +230,14 @@ object Gif {
           prefix(next) = prev
           suffix(next) = firstByte
           next += 1
-          // EARLY CHANGE (the famous GIF LZW off-by-one): the encoder's
-          // table runs one entry AHEAD of the decoder's (it defines the
-          // entry for a code before the decoder can), so mainstream
-          // encoders widen their output one entry early — the decoder
-          // must widen when the NEXT slot would be 2^width, not when it
-          // is reached (giflib counts codes-read for the same effect)
-          if (next + 1 == (1 << width) && width < 12) width += 1
+          // STANDARD GIF width growth: widen when the stored-entry
+          // count reaches 2^width, so the next code reads one bit
+          // wider. Verified against an independent mainstream encoder
+          // (Java ImageIO) in MultimodalSpec — a TIFF-style "early
+          // change" (next+1) desyncs on every real GIF that crosses a
+          // width boundary (round-17 review finding, empirically
+          // settled in both directions).
+          if (next == (1 << width) && width < 12) width += 1
         }
         prev = code
       }
@@ -300,22 +311,26 @@ object Gif {
         else (0 until fh by 8) ++ (4 until fh by 8) ++
           (2 until fh by 4) ++ (1 until fh by 2)
       putCode(clear)
-      var entryCounter = clear + 2
-      val nPix = fw * fh
-      var emitted = 0
+      // `stored` mirrors the DECODER's dictionary size exactly: it adds
+      // one entry per code read EXCEPT the first after a clear, and
+      // widens when the count reaches 2^width (the standard rule,
+      // ImageIO-verified) — so the widths this encoder writes are the
+      // widths any mainstream decoder will read
+      var stored = clear + 2
+      var firstInGroup = true
       order.foreach { row =>
         var x = 0
         while (x < fw) {
           putCode(indices(row * fw + x) & 0xff)
-          emitted += 1
-          // every emission except the frame's last defines an entry
-          if (emitted < nPix) {
-            entryCounter += 1
-            if (entryCounter == (1 << codeW) && codeW < 12) codeW += 1
-            if (entryCounter == 4095) {
+          if (firstInGroup) firstInGroup = false
+          else {
+            stored += 1
+            if (stored == (1 << codeW) && codeW < 12) codeW += 1
+            if (stored == 4095) {
               putCode(clear)
               codeW = minCode + 1
-              entryCounter = clear + 2
+              stored = clear + 2
+              firstInGroup = true
             }
           }
           x += 1

@@ -184,13 +184,23 @@ object Inflate {
     * on mismatch). */
   def rawInflate(b: Array[Byte], off: Int, len: Int): (Array[Byte], Int) = {
     val r = new BitReader(b, off, off + len)
-    var out = new Array[Byte](math.max(64, len * 4))
+    // Long-safe growth with a hard output ceiling: DEFLATE reaches
+    // ~1030:1, so a few-MB bomb legally inflates past 2^31 — the
+    // doubling must neither overflow Int (a *2 wrap at 1 GiB would
+    // spin this loop forever; round-17 review finding) nor allocate
+    // unboundedly. Past the ceiling we ERROR (the "always errors,
+    // never wedges" posture), matching the image decoders' 64 MP caps.
+    val maxOut = Int.MaxValue - 16
+    var out = new Array[Byte](math.max(64, math.min(len.toLong * 4, 1L << 20).toInt))
     var n = 0
     def ensure(extra: Int): Unit =
-      if (n + extra > out.length) {
-        var cap = out.length * 2
-        while (cap < n + extra) cap *= 2
-        out = java.util.Arrays.copyOf(out, cap)
+      if (n.toLong + extra > out.length) {
+        val need = n.toLong + extra
+        require(need <= maxOut,
+          s"inflated output exceeds $maxOut bytes (refusing to expand)")
+        var cap = out.length.toLong * 2
+        while (cap < need) cap *= 2
+        out = java.util.Arrays.copyOf(out, math.min(cap, maxOut.toLong).toInt)
       }
     var fin = false
     while (!fin) {
@@ -323,15 +333,11 @@ object Inflate {
     out.toByteArray
   }
 
-  /** Minimal single-member gzip COMPRESSOR over STORED deflate blocks —
-    * the [[zlibDeflateStored]] of RFC 1952, for fixtures and synthetic
-    * `.warc.gz` payloads (valid gzip any decoder accepts). */
-  def gzipStored(data: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(data.length + 32)
-    out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
-    for (_ <- 0 until 4) out.write(0) // MTIME
-    out.write(0); out.write(255)      // XFL, OS=unknown
-    // raw stored deflate body (zlibDeflateStored minus the zlib framing)
+  /** Shared raw-DEFLATE stored-block emitter (BFINAL/LEN/NLEN framing,
+    * ≤ 65535-byte blocks) — the body both [[zlibDeflateStored]] and
+    * [[gzipStored]] wrap in their respective RFC 1950/1952 framing. */
+  private def writeStoredBlocks(
+      out: java.io.ByteArrayOutputStream, data: Array[Byte]): Unit = {
     var i = 0
     var first = true
     while (i < data.length || first) {
@@ -344,6 +350,17 @@ object Inflate {
       out.write(data, i, blen)
       i += blen
     }
+  }
+
+  /** Minimal single-member gzip COMPRESSOR over STORED deflate blocks —
+    * the [[zlibDeflateStored]] of RFC 1952, for fixtures and synthetic
+    * `.warc.gz` payloads (valid gzip any decoder accepts). */
+  def gzipStored(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 32)
+    out.write(0x1f); out.write(0x8b); out.write(8); out.write(0)
+    for (_ <- 0 until 4) out.write(0) // MTIME
+    out.write(0); out.write(255)      // XFL, OS=unknown
+    writeStoredBlocks(out, data)
     val crc = crc32(data, 0, data.length)
     out.write((crc & 0xff).toInt); out.write(((crc >> 8) & 0xff).toInt)
     out.write(((crc >> 16) & 0xff).toInt); out.write(((crc >> 24) & 0xff).toInt)
@@ -360,18 +377,7 @@ object Inflate {
     val nBlocks = math.max(1, (data.length + 65534) / 65535)
     val out = new java.io.ByteArrayOutputStream(data.length + nBlocks * 5 + 6)
     out.write(0x78); out.write(0x01) // CMF/FLG: 32k window, check ok
-    var i = 0
-    var first = true
-    while (i < data.length || first) {
-      first = false
-      val blen = math.min(65535, data.length - i)
-      val last = i + blen >= data.length
-      out.write(if (last) 1 else 0)
-      out.write(blen & 0xff); out.write((blen >> 8) & 0xff)
-      out.write((blen ^ 0xffff) & 0xff); out.write(((blen ^ 0xffff) >> 8) & 0xff)
-      out.write(data, i, blen)
-      i += blen
-    }
+    writeStoredBlocks(out, data)
     val ad = adler32(data)
     out.write(((ad >> 24) & 0xff).toInt); out.write(((ad >> 16) & 0xff).toInt)
     out.write(((ad >> 8) & 0xff).toInt); out.write((ad & 0xff).toInt)

@@ -751,6 +751,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("image"))
   }
 
+  test("GIF codec == Java ImageIO in BOTH directions (the independent " +
+      "mainstream implementation; pins the LZW width-growth convention)") {
+    import graft.ext.Gif
+    import java.awt.image.BufferedImage
+    // Direction 1: an ImageIO-ENCODED GIF (independent encoder) must
+    // decode bit-identical to ImageIO's own read. Noisy 64x64 indexed
+    // content defeats compression, so the code stream crosses several
+    // width boundaries — exactly where a wrong growth rule desyncs
+    // (round-17 review: the 'early change' variant failed here with
+    // 'bad LZW code' while all same-convention fixtures stayed green).
+    val w = 64; val h = 64
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+    val rnd = new scala.util.Random(7)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", buf))
+    val bytes = buf.toByteArray
+    val ours = Gif.decode(bytes)
+    assert(ours.frames.size == 1)
+    val f = ours.frames.head
+    assert(f.width == w && f.height == h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var mismatches = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = ref.getRGB(x, y)
+      val d = (y * w + x) * 3
+      if (((rgb >> 16) & 0xff) != (f.rgb(d) & 0xff) ||
+          ((rgb >> 8) & 0xff) != (f.rgb(d + 1) & 0xff) ||
+          (rgb & 0xff) != (f.rgb(d + 2) & 0xff)) mismatches += 1
+    }
+    assert(mismatches == 0, s"$mismatches pixels diverge from ImageIO's read")
+    // Direction 2: OUR encoder's output must be readable by ImageIO
+    // with the same pixels — including a frame large enough (4096 px)
+    // to drive the encoder's stored counter through width bumps AND
+    // the 4095 clear/reset path at min code size 3
+    val pal = Array.tabulate(24)(i => (i * 31 + 5).toByte)
+    val idx = Array.tabulate(64 * 64)(p =>
+      ((p * 2654435761L >>> 13) % 8).toByte) // noisy indices
+    val enc = Gif.encode(64, 64, pal, Seq((0, 0, 64, 64, false, idx)))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(back != null, "ImageIO rejects our GIF output")
+    var mm2 = 0
+    for (y <- 0 until 64; x <- 0 until 64) {
+      val i = idx(y * 64 + x)
+      val rgb = back.getRGB(x, y)
+      if (((rgb >> 16) & 0xff) != (pal(3 * i) & 0xff) ||
+          ((rgb >> 8) & 0xff) != (pal(3 * i + 1) & 0xff) ||
+          (rgb & 0xff) != (pal(3 * i + 2) & 0xff)) mm2 += 1
+    }
+    assert(mm2 == 0, s"ImageIO reads $mm2 wrong pixels from our encode")
+    // and our own round-trip of the same stream
+    val rt = Gif.decode(enc).frames.head
+    assert(rt.rgb.toSeq == idx.flatMap(i =>
+      Seq(pal(3 * i), pal(3 * i + 1), pal(3 * i + 2))).toSeq)
+  }
+
   test("synth GIF decodes to its closed-form features; encode->decode " +
       "is the identity incl. interlaced frames (mm_features_gif contract)") {
     import graft.ext.Gif
