@@ -742,6 +742,7 @@ def decode_gif(b):
     total = 0
     n_px_bytes = 0
     n_frames = 0
+    agg_px = 0  # cross-frame pixel budget, mirrors Gif.scala totalPixels
     while True:
         if pos >= len(b):
             raise ValueError("truncated GIF: no trailer")
@@ -775,6 +776,12 @@ def decode_gif(b):
                 raise ValueError("corrupt GIF: frame without color table")
             if fw <= 0 or fh <= 0 or fw * fh > (64 << 20):
                 raise ValueError("unsupported GIF frame")
+            # AGGREGATE budget across frames (JVM twin parity: a
+            # multi-frame GIF under the per-frame cap but over 64 MP
+            # total must error here exactly like Gif.decode does)
+            agg_px += fw * fh
+            if agg_px > (64 << 20):
+                raise ValueError("unreasonable GIF: frames total > 64 MP")
             min_code = b[pos]
             pos += 1
             if not (2 <= min_code <= 8):

@@ -11,14 +11,39 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_GOLDEN_ONLY=q1,q2`. */
 object GoldenSweep {
 
-  /** Run a git command in the repo root, None if git is unavailable. */
-  private def git(args: String*): Option[String] =
-    try {
-      val p = new ProcessBuilder(("git" +: args): _*)
-        .redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
-      if (p.waitFor() == 0) Some(out) else None
+  /** Repo root resolved from a KNOWN anchor — the compiled classes'
+    * location (the target classes dir) — walking up to the first `.git`,
+    * falling back to the same walk from the launch CWD. ProcessBuilder
+    * otherwise inherits the JVM's CWD, and a sweep launched from outside
+    * the repo would silently inspect whatever repo contains that CWD
+    * (or none), bypassing the dirty-tree refusal (round-17 advice). */
+  private val repoRoot: Option[java.io.File] = {
+    def walkUp(start: java.io.File): Option[java.io.File] = {
+      var d = Option(start)
+      while (d.isDefined && !new java.io.File(d.get, ".git").exists())
+        d = Option(d.get.getParentFile)
+      d
+    }
+    val fromClasses = try {
+      val uri = getClass.getProtectionDomain.getCodeSource.getLocation.toURI
+      walkUp(new java.io.File(uri))
     } catch { case _: Exception => None }
+    fromClasses.orElse(
+      walkUp(new java.io.File(System.getProperty("user.dir", "."))))
+  }
+
+  /** Run a git command pinned to [[repoRoot]]; None if git or the root
+    * is unavailable (the caller treats that as a refusal, not clean). */
+  private def git(args: String*): Option[String] =
+    repoRoot.flatMap { root =>
+      try {
+        val p = new ProcessBuilder(
+          (Seq("git", "-C", root.getAbsolutePath) ++ args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0) Some(out) else None
+      } catch { case _: Exception => None }
+    }
 
   def main(args: Array[String]): Unit = {
     // The certification header is GENERATED, not hand-written (two
@@ -36,6 +61,14 @@ object GoldenSweep {
       System.err.println("[golden-sweep] REFUSING to certify: src/scripts " +
         "tree has uncommitted changes (commit first, or set " +
         "SPARK_GRAFT_ALLOW_DIRTY=1 for a non-certifying run)")
+      sys.exit(4)
+    }
+    // git-unavailable is ALSO a refusal: an unverifiable tree must not
+    // print a header that reads like a certification (round-17 advice).
+    if (dirty.isEmpty && !allowDirty) {
+      System.err.println("[golden-sweep] REFUSING to certify: git or the " +
+        "repo root is unavailable, so the tree state cannot be verified " +
+        "(set SPARK_GRAFT_ALLOW_DIRTY=1 for a non-certifying run)")
       sys.exit(4)
     }
     val state =

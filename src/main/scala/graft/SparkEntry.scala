@@ -1183,18 +1183,48 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB replay of [[graft.ext.Similarity]]'s deterministic tree-mean
+    * (`treeMeans`): a fixed 6-level unroll of the 4096-ary id-keyed tree
+    * sum (6 × 12 = 72 ≥ 64 id bits; levels past ⌈bits(maxId)/12⌉ fold
+    * singleton lists, which is a bitwise identity, so the fixed unroll
+    * equals Spark's adaptive depth at EVERY scale factor). Each level
+    * groups by `keys, k >> 12` and left-folds the partial vectors in
+    * ascending previous-key order from an explicit zero vector — the
+    * identical reduction shape Spark executes, making the Lloyd/PQ
+    * update bitwise engine-independent (round-17 ask 5).
+    *
+    * `src` must select `keys..., k (the unique row id), a (DOUBLE[dim])`;
+    * emits CTEs `<out>_t0.._t6` and `<out>` exposing `keys..., cemb`
+    * (the float-cast mean, widened back to DOUBLE[]). */
+  private def treeMeanSql(
+      src: String, out: String, keys: Seq[String], dim: Int): String = {
+    val ks = keys.mkString(", ")
+    val zeros = s"list_transform(range($dim), zz -> 0.0::DOUBLE)"
+    val addL =
+      s"(xx, yy) -> list_transform(range(1, ${dim + 1}), ii -> xx[ii] + yy[ii])"
+    def lvl(i: Int, nExpr: String): String =
+      s"""${out}_t$i AS (SELECT $ks, k >> 12 AS k,
+         |  list_reduce(list_prepend($zeros, list(a ORDER BY k)), $addL) AS a,
+         |  $nExpr AS n
+         |  FROM ${out}_t${i - 1} GROUP BY $ks, k >> 12)""".stripMargin
+    (s"${out}_t0 AS ($src)" +:
+      lvl(1, "count(*)") +:
+      (2 to 6).map(i => lvl(i, "CAST(sum(n) AS BIGINT)")) :+
+      s"""$out AS (SELECT $ks,
+         |  list_transform(a, vv -> CAST(CAST(vv / n AS FLOAT) AS DOUBLE))
+         |    AS cemb FROM ${out}_t6)""".stripMargin).mkString(",\n")
+  }
+
   /** The DuckDB twin of [[simIvfPortable]]. `dist(v, c) = c·c − 2·v·c`
     * mirrors [[graft.ext.Similarity.ivfTopK]]'s assignment exactly (the
     * |v|² term is constant per row and cancels in the argmin); the Lloyd
-    * update averages each dimension in double and casts to FLOAT the way
-    * the Spark operator materializes float centroids; empty cells keep
-    * their seed centroid on both sides (LEFT JOIN + coalesce here,
-    * absent-row skip there). */
+    * update replays the SAME deterministic tree sum Spark executes
+    * ([[treeMeanSql]]) and casts to FLOAT the way the Spark operator
+    * materializes float centroids; empty cells keep their seed centroid
+    * on both sides (LEFT JOIN + coalesce here, absent-row skip there). */
   private lazy val ivfPortableOracle: String = {
     val seeds = ivfSeedIds.zipWithIndex
       .map { case (id, cell) => s"($cell, $id)" }.mkString(", ")
-    val avgs = (1 to 64)
-      .map(i => s"CAST(CAST(avg(emb[$i]) AS FLOAT) AS DOUBLE)").mkString(", ")
     // argmin/top-n cell selection under a given centroid CTE: rank cells
     // per vector by (dist, cell) — struct-min / array_sort tie semantics
     def cellRank(cents: String, filter: String): String =
@@ -1210,8 +1240,8 @@ object SparkEntry {
        |seeds(cell, sid) AS (VALUES $seeds),
        |c0 AS (SELECT cell, e.emb AS cemb FROM seeds JOIN e ON e.vec_id = sid),
        |a0 AS (${cellRank("c0", "")} WHERE rn = 1),
-       |u1 AS (SELECT a0.cell, [$avgs] AS cemb
-       |  FROM a0 JOIN e USING (vec_id) GROUP BY a0.cell),
+       |${treeMeanSql("SELECT a0.cell AS cell, e.vec_id AS k, e.emb AS a" +
+           " FROM a0 JOIN e USING (vec_id)", "u1", Seq("cell"), 64)},
        |c1 AS (SELECT c0.cell, coalesce(u1.cemb, c0.cemb) AS cemb
        |  FROM c0 LEFT JOIN u1 USING (cell)),
        |a1 AS (${cellRank("c1", "")} WHERE rn = 1),
@@ -1254,8 +1284,6 @@ object SparkEntry {
   private lazy val semanticOracle: String = {
     val seeds = ivfSeedIds.zipWithIndex
       .map { case (id, cell) => s"($cell, $id)" }.mkString(", ")
-    val avgs = (1 to 64)
-      .map(i => s"CAST(CAST(avg(emb[$i]) AS FLOAT) AS DOUBLE)").mkString(", ")
     def cellRank(cents: String): String =
       s"""SELECT vec_id, cell FROM (
          |  SELECT e.vec_id, $cents.cell,
@@ -1269,8 +1297,8 @@ object SparkEntry {
        |seeds(cell, sid) AS (VALUES $seeds),
        |c0 AS (SELECT cell, e.emb AS cemb FROM seeds JOIN e ON e.vec_id = sid),
        |a0 AS (${cellRank("c0")} WHERE rn = 1),
-       |u1 AS (SELECT a0.cell, [$avgs] AS cemb
-       |  FROM a0 JOIN e USING (vec_id) GROUP BY a0.cell),
+       |${treeMeanSql("SELECT a0.cell AS cell, e.vec_id AS k, e.emb AS a" +
+           " FROM a0 JOIN e USING (vec_id)", "u1", Seq("cell"), 64)},
        |c1 AS (SELECT c0.cell, coalesce(u1.cemb, c0.cemb) AS cemb
        |  FROM c0 LEFT JOIN u1 USING (cell)),
        |a1 AS (${cellRank("c1")} WHERE rn = 1),

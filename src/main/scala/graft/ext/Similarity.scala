@@ -208,25 +208,71 @@ object Similarity {
     *                 — recomputable by an external engine from the same
     *                 parquet (the portable-oracle pattern; the default
     *                 xxhash64-ordered sample is engine-specific). */
+  /** Deterministic per-group mean of float vectors — the fix for the
+    * round-4 determinism caveat (closed round-18): a FIXED-SHAPE 4096-ary
+    * tree sum keyed by the row id's 12-bit groups. Level `l` groups rows
+    * by `id >>> 12·l` and left-folds each group's partials in ascending
+    * previous-key order from an explicit zero vector, so the reduction
+    * shape is a pure function of the id set — independent of partition
+    * count, partial-merge order, task scheduling, OR ENGINE. DuckDB
+    * replays the identical tree (`list_reduce(list_prepend(zeros,
+    * list(a ORDER BY k)), +)` per level), and running EXTRA levels is a
+    * bitwise identity (a singleton fold is `0.0 + x = x`), so the oracle
+    * can pin a fixed 6-level unroll (72 ≥ 64 id bits) while this side
+    * adapts depth to `max(id)`.
+    *
+    * Scale: every group at every level holds ≤ 4096 rows by construction
+    * (a 12-bit id slice), each level shrinks the frame 4096×, and depth
+    * is ⌈bits(maxId)/12⌉ — at the test SFs that is ONE level (one
+    * shuffle, the same count the old nondeterministic `avg` paid).
+    *
+    * Input: `groupCols ++ (__tid bigint — unique per row, __tv
+    * array<float>)`; output: `groupCols :+ (__mean array<float>, __n
+    * bigint)` — the double sum ÷ count, float-cast (the materialized
+    * centroid dtype). */
+  private def treeMeans(
+      rows: DataFrame, groupCols: Seq[String], dim: Int): DataFrame = {
+    val shiftBits = 12
+    val maxId = rows.agg(max(col("__tid"))).head() match {
+      case r if r.isNullAt(0) => 0L // empty input → empty output below
+      case r => r.getLong(0)
+    }
+    var levels = 1
+    while ((maxId >>> (shiftBits * levels)) != 0L) levels += 1
+    val zeros = array_repeat(lit(0.0d), lit(dim))
+    var cur = rows.select(
+      (groupCols.map(col) :+ col("__tid").as("__k") :+
+        col("__tv").cast("array<double>").as("__a") :+
+        lit(1L).as("__n")): _*)
+    (1 to levels).foreach { _ =>
+      cur = cur
+        .withColumn("__k2", shiftrightunsigned(col("__k"), shiftBits))
+        .groupBy((groupCols :+ "__k2").map(col): _*)
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("__k"), col("__a")))),
+              x => x("__a")),
+            zeros,
+            (acc, v) => zip_with(acc, v, (p, q) => p + q)).as("__a"),
+          sum(col("__n")).as("__n"))
+        .withColumnRenamed("__k2", "__k")
+    }
+    cur.select((groupCols.map(col) :+
+      transform(col("__a"), x => (x / col("__n")).cast("float")).as("__mean")
+      :+ col("__n")): _*)
+  }
+
   /** Lloyd centroid training over a `(__id, __v)` frame — the shared core
     * of [[ivfTopK]] and [[assignCells]]. Seeds from explicit ids
     * (portable) or a deterministic hash-ordered sample; each iteration
     * assigns via the [[graft.functions.NearestCentroids]] kernel and
-    * recomputes per-cell per-dimension means (double accumulate → float
-    * cast, the materialized-centroid dtype). The centroid matrix is
-    * KBs and lives driver-side like the unigram model.
-    *
-    * DETERMINISM CAVEAT (advisor round-4): the distributed avg's double
-    * accumulation order depends on partial-aggregate merge order, so the
-    * update is reproducible only up to ulps across runs/engines. The
-    * float cast absorbs that variance in practice — every observed run
-    * and the sim_ivf_portable oracle (which recomputes this update in
-    * DuckDB) are value-exact at 3 SFs — but it is NOT a guarantee: a mean
-    * landing within an ulp of a float-rounding boundary, or a resulting
-    * near-tie in a cell assignment, could flip a cell and surface as a
-    * one-off oracle flake. If that flake is ever observed, the fix is a
-    * deterministic per-cell tree sum (sort by id, fixed-shape reduction)
-    * on BOTH engines — diagnosis first lands here. */
+    * recomputes per-cell per-dimension means through [[treeMeans]] — a
+    * deterministic fixed-shape tree sum, so the update is bitwise
+    * reproducible across runs, partitionings, and engines (the
+    * sim_ivf_portable oracle replays the identical tree in DuckDB). The
+    * centroid matrix is KBs and lives driver-side like the unigram
+    * model. */
   private def trainCentroids(
       vecs: DataFrame,
       numCells: Int,
@@ -248,20 +294,18 @@ object Similarity {
     }
     val dim = centroids.headOption.map(_.length).getOrElse(0)
     (1 to lloydIters).foreach { _ =>
-      val dimAvgs = (0 until dim).map(i =>
-        avg(element_at(col("__v"), i + 1).cast("double")).as(s"__m$i"))
       // nearestCell is NULL for null/dim-mismatched vectors — such rows
       // must not form a null-key group (getInt(0) would NPE) and must not
       // pull centroid means; they are simply never assignable.
-      val updated = vecs
-        .withColumn("__cell", nearestCell(col("__v"), centroids))
-        .filter(col("__cell").isNotNull)
-        .groupBy(col("__cell"))
-        .agg(dimAvgs.head, dimAvgs.tail: _*)
-        .collect()
+      val updated = treeMeans(
+        vecs
+          .withColumn("__cell", nearestCell(col("__v"), centroids))
+          .filter(col("__cell").isNotNull)
+          .select(col("__cell"), col("__id").as("__tid"),
+            col("__v").as("__tv")),
+        Seq("__cell"), dim).collect()
       updated.foreach { row =>
-        centroids(row.getInt(0)) =
-          (0 until dim).map(i => row.getDouble(i + 1).toFloat)
+        centroids(row.getInt(0)) = row.getSeq[Float](1)
       }
     }
     centroids
@@ -452,8 +496,9 @@ object Similarity {
     * per-iteration work is ONE distributed pass: a single [[graft
     * .functions.PqCodes]] eval per row assigns all M subspaces at once,
     * then one `groupBy(subspace, code)` aggregate recomputes every
-    * sub-centroid's per-dimension mean (double accumulate → float cast;
-    * same determinism caveat as [[trainCentroids]]). Seeding is the
+    * sub-centroid's per-dimension mean through [[treeMeans]] (double
+    * accumulate → float cast; deterministic fixed-shape tree, same as
+    * [[trainCentroids]]). Seeding is the
     * xxhash64-order sample unless `seedIds` pins explicit rows (the
     * spec/differential hook, as with IVF). Train on a bounded sample at
     * corpus scale — codebook quality saturates quickly and the encode
@@ -494,20 +539,19 @@ object Similarity {
       }
       (1 to iters).foreach { _ =>
         val model = PqModel(codebooks.map(_.toIndexedSeq).toIndexedSeq)
-        val dimAvgs = (0 until dsub).map(j =>
-          avg(element_at(col("__sv"), j + 1).cast("double")).as(s"__a$j"))
-        val updated = vecs
-          .withColumn("__codes", pqCodesCol(col("__v"), model))
-          .select(col("__v"),
-            posexplode(col("__codes")).as(Seq("__m", "__code")))
-          .withColumn("__sv",
-            slice(col("__v"), col("__m") * dsub + 1, lit(dsub)))
-          .groupBy(col("__m"), col("__code"))
-          .agg(dimAvgs.head, dimAvgs.tail: _*)
-          .collect()
+        // per-(subspace, code) means via the same deterministic tree sum
+        // as trainCentroids — bitwise reproducible across engines
+        val updated = treeMeans(
+          vecs
+            .withColumn("__codes", pqCodesCol(col("__v"), model))
+            .filter(col("__codes").isNotNull)
+            .select(col("__id"), col("__v"),
+              posexplode(col("__codes")).as(Seq("__m", "__code")))
+            .select(col("__m"), col("__code"), col("__id").as("__tid"),
+              slice(col("__v"), col("__m") * dsub + 1, lit(dsub)).as("__tv")),
+          Seq("__m", "__code"), dsub).collect()
         updated.foreach { row =>
-          codebooks(row.getInt(0))(row.getInt(1)) =
-            (0 until dsub).map(j => row.getDouble(j + 2).toFloat)
+          codebooks(row.getInt(0))(row.getInt(1)) = row.getSeq[Float](2)
         }
       }
       PqModel(codebooks.map(_.toIndexedSeq).toIndexedSeq)

@@ -47,6 +47,12 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
+  /** RFC 9112 header-line shape for a chunked Transfer-Encoding: name at
+    * line start, optional whitespace around the colon, `chunked` anywhere
+    * in the (possibly comma-separated) coding list. */
+  private val ChunkedHeader = java.util.regex.Pattern.compile(
+    "(?im)^transfer-encoding\\s*:.*chunked")
+
   /** Parse every record of one (already decompressed) WARC archive. */
   def parseRecords(b: Array[Byte]): Vector[WarcRecord] = {
     val out = Vector.newBuilder[WarcRecord]
@@ -148,7 +154,11 @@ object Warc {
       "corrupt HTTP block: no header/body separator")
     val head = new String(block, 0, pos,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    require(!head.toLowerCase.contains("transfer-encoding: chunked"),
+    // Structural header match, not a substring: legal forms like
+    // "Transfer-Encoding:chunked" (no space) or "chunked, gzip" must
+    // also be refused, or downstream text extraction would consume the
+    // chunk-size framing lines as document content (round-17 advice).
+    require(!ChunkedHeader.matcher(head).find(),
       "unsupported HTTP block: chunked transfer encoding " +
         "(WARC convention stores decoded blocks)")
     val statusLine = head.takeWhile(c => c != '\r' && c != '\n')
