@@ -1259,6 +1259,108 @@ object SparkEntry {
        |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Portable IVF-PQ top-k — the cross-engine twin of [[simIvfPqTopK]],
+    * closing the last no-oracle ANN cluster (round-17 ask 2): BOTH models
+    * seed from the fixed literal vec_ids and train ONE unrolled iteration
+    * (coarse Lloyd via the deterministic tree mean; PQ codebooks from
+    * seed-row subspace slices, one assign → tree-mean update), so the
+    * DuckDB oracle re-derives coarse seeding + update, PQ init + encode +
+    * update + re-encode, the 4-probe fan-out, the ADC lookup-table dot
+    * (`Σ_m q_m·c_{m,code_m}` folded in ascending-m order, exactly the
+    * [[graft.functions.PqAdcTopK]] accumulation), cosine over TRUE stored
+    * norms, and the rank tail. A green hash value-checks quantizer
+    * training, encoding, and ADC serving end to end. Per-shard pruning is
+    * lossless w.r.t. the final (cosine desc, id asc) order, so the
+    * shard-free SQL replay ranks identically. */
+  private def simIvfPqPortable(s: SparkSession, dir: String): DataFrame = {
+    Similarity.enableNative(s)
+    val e = T(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", 5, numCells = 16, numProbes = 4, m = 8, kSub = 16,
+        lloydIters = 1, pqIters = 1,
+        seedIds = Some(ivfSeedIds), pqSeedIds = Some(ivfSeedIds))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DuckDB twin of [[simIvfPqPortable]]. Coarse half = the
+    * [[ivfPortableOracle]] CTEs; PQ half: `cb0` slices the seed rows into
+    * the 8 subspaces, `codes0/codes1` replay [[graft.functions.PqCodes]]'
+    * argmin (`|c|² − 2·v_sub·c`, ties to the smaller code), `pqm` replays
+    * the deterministic tree-mean update, and `adc` rebuilds the ADC dot
+    * as an ascending-m ordered fold over the query×sub-centroid lookup
+    * values — the identical accumulation order the kernel uses. */
+  private lazy val ivfPqPortableOracle: String = {
+    val seeds = ivfSeedIds.zipWithIndex
+      .map { case (id, cell) => s"($cell, $id)" }.mkString(", ")
+    def cellRank(cents: String, filter: String): String =
+      s"""SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, $cents.cell,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product($cents.cemb, $cents.cemb)
+         |        - 2.0 * list_dot_product(e.emb, $cents.cemb),
+         |      $cents.cell) AS rn
+         |  FROM e CROSS JOIN $cents$filter)""".stripMargin
+    // PqCodes argmin replay against a (m, code, cb) codebook CTE
+    def pqAssign(cb: String): String =
+      s"""SELECT vec_id, m, code FROM (
+         |  SELECT e.vec_id, $cb.m, $cb.code,
+         |    row_number() OVER (PARTITION BY e.vec_id, $cb.m ORDER BY
+         |      list_dot_product($cb.cb, $cb.cb)
+         |        - 2.0 * list_dot_product(
+         |            e.emb[$cb.m * 8 + 1 : $cb.m * 8 + 8], $cb.cb),
+         |      $cb.code) AS rn
+         |  FROM e CROSS JOIN $cb) WHERE rn = 1""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings),
+       |seeds(cell, sid) AS (VALUES $seeds),
+       |c0 AS (SELECT cell, e.emb AS cemb FROM seeds JOIN e ON e.vec_id = sid),
+       |a0 AS (${cellRank("c0", "")} WHERE rn = 1),
+       |${treeMeanSql("SELECT a0.cell AS cell, e.vec_id AS k, e.emb AS a" +
+           " FROM a0 JOIN e USING (vec_id)", "u1", Seq("cell"), 64)},
+       |c1 AS (SELECT c0.cell, coalesce(u1.cemb, c0.cemb) AS cemb
+       |  FROM c0 LEFT JOIN u1 USING (cell)),
+       |a1 AS (${cellRank("c1", "")} WHERE rn = 1),
+       |probes AS (${cellRank("c1", " WHERE e.vec_id < 10")} WHERE rn <= 4),
+       |ms AS (SELECT CAST(unnest(range(8)) AS INT) AS m),
+       |cb0 AS (SELECT ms.m, seeds.cell AS code,
+       |    e.emb[ms.m * 8 + 1 : ms.m * 8 + 8] AS cb
+       |  FROM seeds JOIN e ON e.vec_id = seeds.sid CROSS JOIN ms),
+       |codes0 AS (${pqAssign("cb0")}),
+       |${treeMeanSql("SELECT codes0.m AS m, codes0.code AS code, " +
+           "e.vec_id AS k, e.emb[codes0.m * 8 + 1 : codes0.m * 8 + 8] AS a " +
+           "FROM codes0 JOIN e USING (vec_id)", "pqm", Seq("m", "code"), 8)},
+       |cb1 AS (SELECT cb0.m, cb0.code, coalesce(pqm.cemb, cb0.cb) AS cb
+       |  FROM cb0 LEFT JOIN pqm ON pqm.m = cb0.m AND pqm.code = cb0.code),
+       |codes1 AS (${pqAssign("cb1")}),
+       |qn AS (SELECT vec_id, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |lut AS (SELECT q.vec_id AS query_id, cb1.m, cb1.code,
+       |    list_dot_product(q.emb[cb1.m * 8 + 1 : cb1.m * 8 + 8], cb1.cb)
+       |      AS val
+       |  FROM e q CROSS JOIN cb1 WHERE q.vec_id < 10),
+       |cand AS (SELECT p.vec_id AS query_id, a1.vec_id AS neighbor_id
+       |  FROM probes p JOIN a1 USING (cell) WHERE a1.vec_id <> p.vec_id),
+       |adc AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list(l.val ORDER BY l.m)),
+       |      (x, y) -> x + y) AS dot
+       |  FROM cand c
+       |  JOIN codes1 ON codes1.vec_id = c.neighbor_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.m = codes1.m
+       |    AND l.code = codes1.code
+       |  GROUP BY c.query_id, c.neighbor_id),
+       |scored AS (SELECT adc.query_id, adc.neighbor_id,
+       |    adc.dot / (q.nrm * n.nrm) AS cos
+       |  FROM adc JOIN qn q ON q.vec_id = adc.query_id
+       |  JOIN qn n ON n.vec_id = adc.neighbor_id
+       |  WHERE q.nrm > 0 AND n.nrm > 0),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS INT) AS rank FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM r WHERE rank <= 5 ORDER BY 1, 2""".stripMargin
+  }
+
   /** SemDeDup-style semantic near-dup pairs
     * ([[Similarity.semanticDuplicates]]): Lloyd cells (fixed literal
     * seeds, one unrolled iteration — the sim_ivf_portable training twin)
@@ -3233,6 +3335,7 @@ object SparkEntry {
       // model load + the per-cell count collect at construction (first
       // construction also trains and persists the models)
       "sim_ivfpq_serve",
+      "sim_ivfpq_portable", // coarse + PQ training at construction
       // (text_mixture / text_mixture_temp / ret_bm25 were in this set
       // while their narrow/posting frames checkpointed; the bench queries
       // now pass materialize=false — fully declarative plans, nothing a
@@ -3374,6 +3477,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> (simIvfPqTopK _),
     "sim_ivfpq_serve" -> (simIvfPqServe _),
     "sim_ivf_portable" -> (simIvfPortable _),
+    "sim_ivfpq_portable" -> (simIvfPqPortable _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -5138,6 +5242,7 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY 1,2""".stripMargin,
     "sim_lsh_portable" -> lshPortableOracle,
     "sim_ivf_portable" -> ivfPortableOracle,
+    "sim_ivfpq_portable" -> ivfPqPortableOracle,
     "dedup_semantic" -> semanticOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "text_quality" ->

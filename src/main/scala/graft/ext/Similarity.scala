@@ -230,7 +230,7 @@ object Similarity {
     * array<float>)`; output: `groupCols :+ (__mean array<float>, __n
     * bigint)` — the double sum ÷ count, float-cast (the materialized
     * centroid dtype). */
-  private def treeMeans(
+  private[graft] def treeMeans(
       rows: DataFrame, groupCols: Seq[String], dim: Int): DataFrame = {
     val shiftBits = 12
     val maxId = rows.agg(max(col("__tid"))).head() match {

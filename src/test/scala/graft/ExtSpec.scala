@@ -473,6 +473,35 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L)))
   }
 
+  test("treeMeans: bitwise-deterministic across partitionings, equals the " +
+      "explicit fixed-shape fold (round-off-sensitive values, 2 levels)") {
+    // magnitude-mixed floats make the double sum ORDER-sensitive: a
+    // nondeterministic reduction would differ across partitionings here.
+    val r = new scala.util.Random(0xd37e)
+    val rows = (0L until 9000L).map { i => // maxId 8999 → two 12-bit levels
+      val mag = if (i % 3 == 0) 1e8f else 1e-3f
+      (i % 4, i, Seq(mag * (r.nextFloat() - 0.5f), r.nextFloat()))
+    }
+    // driver-side replica of the tree: group by id>>12·level, ascending-
+    // key left folds from zero, float-cast mean
+    def fold(vs: Seq[Array[Double]]): Array[Double] =
+      vs.foldLeft(Array(0.0, 0.0))((a, v) => Array(a(0) + v(0), a(1) + v(1)))
+    val expected: Map[Long, Seq[Float]] = rows.groupBy(_._1).map {
+      case (g, rs) =>
+        val l1 = rs.groupBy(_._2 >> 12).toSeq.sortBy(_._1).map { case (_, c) =>
+          fold(c.sortBy(_._2).map(_._3.map(_.toDouble).toArray))
+        }
+        val s = fold(l1) // level 2: all keys 0, ascending level-1 key order
+        g -> s.map(x => (x / rs.length).toFloat).toSeq
+    }
+    Seq(1, 4, 7).foreach { nParts =>
+      val df = rows.toDF("g", "__tid", "__tv").repartition(nParts)
+      val got = Similarity.treeMeans(df, Seq("g"), 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      assert(got == expected, s"nParts=$nParts")
+    }
+  }
+
   // ——— TextAnalysis ———
 
   test("token counts and stopwords") {
