@@ -1,6 +1,61 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** FROZEN round-15 bench membership (the 158 queries BENCH_r15
+    * measured) — the fixed denominator for round-over-round trend
+    * comparison. Every later round adds sub-0.2 s fixed-floor rows
+    * (codecs, WARC, portable twins) that dilute the aggregate ratio by
+    * arithmetic alone (r15 1.19× → r17 1.55× honest excl-naive with no
+    * per-query regression), so the headline trend is computed over THIS
+    * set forever: apples-to-apples regardless of suite growth. Keep in
+    * lockstep with FROZEN_R15 in scripts/bench_duck.py. Never edit —
+    * that is the point. */
+  val frozenR15: Set[String] = Set(
+    "a12_freq_infer", "a12_freq_modal", "a13_rollup", "a14_approx_distinct",
+    "a14_distinct_exact", "a15_quantiles", "a16_corr", "a17_cube",
+    "a18_string_agg", "a1_distinct", "a20_histogram", "a21_grouping_sets",
+    "a22_forecast_metrics", "a23_metric_box", "a3_resample_sum", "a4_asfreq",
+    "a5_bounds", "a7a8_stats", "a9_mae", "audit_dist_drift",
+    "audit_snapshot_diff", "dedup_bloom_cross", "dedup_cluster_stats",
+    "dedup_clusters", "dedup_containment", "dedup_corpus_overlap",
+    "dedup_cross_minhash", "dedup_edit_pairs", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_end_to_end", "dedup_exact",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_minhash_pairs_portable",
+    "dedup_minhash_portable", "dedup_minhash_sigs", "dedup_ngram_jaccard",
+    "dedup_paragraphs", "dedup_semantic", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_simhash_pairs_portable",
+    "dedup_simhash_portable", "dedup_soft_weights", "dedup_source_overlap",
+    "dedup_spans", "f11_json", "f13_list_hof", "f14_datefuncs",
+    "f15_conditional", "f16_regex", "f17_array_setops", "f1_dates",
+    "f6_minmax", "j1_surrogate_key", "j2_calendar_fill", "j3_positional",
+    "j4_asof", "j5_band_join", "j6_q5_region", "j7_asof_forward",
+    "j8_asof_tolerance", "j9_interval", "mm_features", "o10_keyset",
+    "o11_global_rank", "o2_head", "o3_top1", "o5_reverse", "o6_topk_group",
+    "o7_page", "o8_topk_native", "o9_topk_ranked", "p10_sample",
+    "p11_stratified", "p12_shard_assign", "p13_source_cap",
+    "p14_weighted_sample", "p5_dedup_first", "p9_pivot", "pack_bins",
+    "pipeline_curate", "pipeline_pack", "pipeline_wet", "q1_agg",
+    "q3_star_join", "ret_bm25", "ret_bm25_diverse", "ret_bm25_serve",
+    "ret_tfidf", "ret_tfidf_serve", "sim_hard_negatives", "sim_ivf_portable",
+    "sim_ivf_topk", "sim_ivfpq_serve", "sim_ivfpq_topk", "sim_lsh_portable",
+    "sim_lsh_topk", "sim_source_drift", "sim_topk", "text_boilerplate",
+    "text_bpe", "text_c4", "text_chunks", "text_clf_sample",
+    "text_clf_score", "text_compression", "text_contamination",
+    "text_contamination_report", "text_decontaminate_fuzzy", "text_dsir",
+    "text_epoch_mix", "text_fingerprint", "text_gopher", "text_html_strip",
+    "text_langid", "text_langid_para", "text_lm_bigram", "text_lm_buckets",
+    "text_lm_ngram", "text_lm_quality", "text_mixture", "text_mixture_temp",
+    "text_normalize", "text_pack_bpe", "text_pack_ids", "text_phrase_gate",
+    "text_prune_by_source", "text_quality", "text_quality_prune",
+    "text_quantile_norm", "text_redact", "text_repetition",
+    "text_source_profile", "text_span_dedup", "text_tokens",
+    "text_unigram_tok", "text_vocab", "u1_union", "u2_anti", "u3_setops",
+    "u4_semi", "url_blocklist", "url_domain_gate", "url_domain_stats",
+    "url_host_cap", "w10_range_frame", "w11_value_windows", "w1_windows",
+    "w2_seq_stats", "w3_slice", "w4_xy", "w5_split", "w6_weekend",
+    "w7_horizon", "w8_session", "w9_ranks")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -268,9 +323,34 @@ object Bench {
     val totalHonest = results.collect {
       case (n, (w, _, _, _)) if !SparkEntry.naiveOracleReplay(n) => w
     }.sum
+    // fixed-denominator trend figures (judge ask, round 17): totals over
+    // the FROZEN r15 membership so round-over-round movement is
+    // apples-to-apples — suite growth (new sub-floor rows each round)
+    // cannot move these numbers, only real per-query changes can.
+    // Restricted to oracle-checked rows so the figure divides cleanly by
+    // bench_duck.py's twin (DuckDB can only time rows it has SQL for).
+    val frozenComparable = frozenR15.intersect(SparkEntry.oracleSql.keySet)
+    val frozenMissing = frozenComparable.diff(results.keySet).toSeq.sorted
+    val totalFrozen = results.collect {
+      case (n, (w, _, _, _)) if frozenComparable(n) => w
+    }.sum
+    val totalFrozenHonest = results.collect {
+      case (n, (w, _, _, _))
+        if frozenComparable(n) && !SparkEntry.naiveOracleReplay(n) => w
+    }.sum
+    // suite total when the sub-floor probes share jobs: the batched
+    // posture's one-action time replaces the subfloor rows' summed
+    // medians (each of which pays the per-job floor separately) — what a
+    // real client batching its small probes into one action would pay.
+    val totalBatched = batched.map { s =>
+      s + results.collect {
+        case (n, (w, _, _, _)) if w >= 0 && !subfloor.contains(n) => w
+      }.sum
+    }
     val batchedJson = batched.fold("")(s =>
       s""","batched_subfloor":{"n":${subfloor.size},""" +
-        s""""threshold":$floorThresh,"sec":$s}""")
+        s""""threshold":$floorThresh,"sec":$s},""" +
+        s""""total_batched":${totalBatched.get}""")
     val aqeJson =
       if (aqeQueries.isEmpty) ""
       else s""","total_aqe":${aqeQueries.values.sum},""" +
@@ -301,6 +381,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_excl_naive_oracle":$totalHonest,""" +
+        s""""total_frozen_r15":$totalFrozen,""" +
+        s""""total_excl_naive_frozen_r15":$totalFrozenHonest,""" +
+        s""""frozen_r15_missing":${
+          frozenMissing.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""naive_oracle_excluded":${
           naiveExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""total_cold":$totalCold,"queries_cold":$qsCold,""" +
