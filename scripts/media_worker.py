@@ -208,9 +208,27 @@ def decode_avi(b):
                     walk(off + 12, off + 8 + clen,
                          in_movi or ltype == b"movi")
             elif (in_movi and cid[:2].isdigit()
+                    and comp == 0x47504A4D and cid[2:] == b"dc" and clen):
+                # Motion-JPEG: each dc chunk is one complete baseline
+                # JPEG — same decoder as the still-image path (JVM twin:
+                # aviFrames' Jpeg.decode branch)
+                if w <= 0 or h <= 0:
+                    raise ValueError("AVI frame before vids strf")
+                fw, fh, t = _jpeg_sum(bytes(b[off + 8:off + 8 + clen]))
+                if fw != w or fh != h:
+                    raise ValueError("corrupt MJPEG AVI: frame SOF "
+                                     "%dx%d != strf %dx%d" % (fw, fh, w, h))
+                total += t
+                n_frames += 1
+                n_px_bytes += fw * fh * 3
+            elif (in_movi and cid[:2].isdigit()
                     and (cid[2:] == b"db" or (cid[2:] == b"dc" and clen))):
                 if w <= 0 or h <= 0:
                     raise ValueError("AVI frame before vids strf")
+                if comp == 0x47504A4D:
+                    # a DIB chunk under an MJPG header is a corrupt mix
+                    raise ValueError("corrupt MJPEG AVI: uncompressed "
+                                     "frame chunk")
                 row_bytes = w * 3
                 row_stride = (row_bytes + 3) & ~3
                 if clen < row_stride * (h - 1) + row_bytes:
@@ -226,7 +244,8 @@ def decode_avi(b):
             off += 8 + clen + (clen & 1)
 
     walk(12, len(b), False)
-    if w <= 0 or h <= 0 or bpp != 24 or comp != 0 or scale <= 0 or rate <= 0:
+    if (w <= 0 or h <= 0 or bpp != 24 or comp not in (0, 0x47504A4D)
+            or scale <= 0 or rate <= 0):
         raise ValueError("unsupported AVI variant")
     # floor(x+0.5) mirrors the JVM's Math.round (half-UP; python's round
     # is half-to-even — a rate/scale like 5/2 would diverge)
@@ -349,7 +368,9 @@ def _jpeg_idct(coef):
     return out
 
 
-def decode_jpeg(b):
+def _jpeg_sum(b):
+    """Decode one baseline JPEG, returning (w, h, pixel-byte total) —
+    shared by decode_jpeg and decode_avi's MJPG frames."""
     if len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
         raise ValueError("not a JPEG payload")
     quant = [None] * 4
@@ -535,8 +556,12 @@ def decode_jpeg(b):
                 bb = yv + ((116130 * cbv + 32768) >> 16)
                 for v in (rr, gg, bb):
                     total += 0 if v < 0 else (255 if v > 255 else v)
-    n_bytes = w * h * 3
-    return ("image/jpeg", w, h, 3, 0, w * h, total / n_bytes)
+    return (w, h, total)
+
+
+def decode_jpeg(b):
+    w, h, total = _jpeg_sum(b)
+    return ("image/jpeg", w, h, 3, 0, w * h, total / (w * h * 3))
 
 
 # ——— PNG (twin of graft.ext.Png.decode) ———

@@ -9,6 +9,11 @@ object GoldenHashesData {
   val triples: Seq[(String, String, String)] = Seq(
     // baseline JPEG decode features (DCT codec — no SQL oracle; the
     // byte-exact fixture + numpy worker twin carry the value proof)
+    // Motion-JPEG AVI decode (same DCT class, per-frame; worker twin +
+    // byte-exact frame equality with Jpeg.decode carry the value proof)
+    ("sf0.001", "mm_video_mjpeg", "28bf268e883c7826affac8d3221f2c2b"),
+    ("sf0.01", "mm_video_mjpeg", "e13c924c1ac317e076d47a5fbe108140"),
+    ("sf0.1", "mm_video_mjpeg", "8c8946c63dff6072894ba0c75f61513d"),
     ("sf0.001", "mm_features_jpeg", "692f07167232564d1c2f27d3c7240fef"),
     ("sf0.01", "mm_features_jpeg", "92a996b0158695030148005a28387295"),
     ("sf0.1", "mm_features_jpeg", "6d6b212f6e23b4bd1ef82cfe1bd9613f"),

@@ -3075,6 +3075,28 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** Motion-JPEG AVI decode ([[Multimodal.synthAviMjpeg]] →
+    * [[Multimodal.aviFrames]]' MJPG branch → [[graft.ext.Jpeg.decode]]
+    * per frame): the first COMPRESSED video format — what real video
+    * corpora actually ship as "AVI". No SQL oracle exists for a DCT
+    * codec, so this row is golden-pinned at 3 SFs; the value proof is
+    * the numpy worker twin's bit-for-bit agreement (MultimodalSpec) and
+    * the byte-exact per-frame equality with the still-image JPEG
+    * decoder over the identical bytes. */
+  private def mmVideoMjpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 13 === 3)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthAviMjpeg(id, nc), "", "synth")
+      }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("sample_rate"), col("n_samples"),
+        round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL frame sampling ([[Multimodal.sampleVideoFrames]], stride 2):
     * every other decoded frame of each synthetic AVI, with its
     * integer-exact pixel mean — the per-frame twin of [[mmVideo]], so the
@@ -3513,6 +3535,7 @@ object SparkEntry {
     "mm_features_gif" -> (mmFeaturesGif _),
     "warc_ingest" -> (warcIngest _),
     "mm_video" -> (mmVideo _),
+    "mm_video_mjpeg" -> (mmVideoMjpeg _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
     "mm_image_dhash_cross" -> (mmImageDhashCross _),

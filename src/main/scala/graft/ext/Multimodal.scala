@@ -576,17 +576,23 @@ object Multimodal {
   final case class AviVideo(
       width: Int, height: Int, fps: Int, frames: Vector[Array[Byte]])
 
-  /** Full uncompressed-AVI decode. Walks the real container structure —
-    * nested RIFF LISTs (`hdrl` → `avih` + per-stream `strl`(`strh`+`strf`),
-    * `movi` holding `NNdb` DIB frames, optionally grouped under `rec `
-    * LISTs), even-length chunk padding, trailing `idx1` skipped — and
-    * unpacks each frame's DIB block (bottom-up BGR, padded rows) via the
-    * same loop as the BMP codec. Only the 24bpp uncompressed `vids`
-    * stream form decodes; compressed frames (`NNdc` with data) and other
-    * variants fail loudly — a silent wrong decode poisons every
-    * downstream feature. Frame geometry comes from the vids stream's
-    * BITMAPINFOHEADER (`strf`), the authoritative source (the `avih`
-    * width/height are advisory and real muxers disagree with it). */
+  /** biCompression fourcc for Motion-JPEG ("MJPG" little-endian). */
+  private val MjpgFourcc: Long = 0x47504A4DL
+
+  /** Full AVI video decode: uncompressed 24bpp DIB streams AND
+    * Motion-JPEG (`biCompression == 'MJPG'`, each `NNdc` chunk one
+    * complete baseline JPEG decoded by the from-scratch [[Jpeg]] codec —
+    * the first compressed video format, built entirely from existing
+    * pieces). Walks the real container structure — nested RIFF LISTs
+    * (`hdrl` → `avih` + per-stream `strl`(`strh`+`strf`), `movi` holding
+    * frames, optionally grouped under `rec ` LISTs), even-length chunk
+    * padding, trailing `idx1` skipped — and unpacks each frame to the
+    * shared top-down RGB layout. Other compression variants fail
+    * loudly — a silent wrong decode poisons every downstream feature.
+    * Frame geometry comes from the vids stream's BITMAPINFOHEADER
+    * (`strf`), the authoritative source (the `avih` width/height are
+    * advisory and real muxers disagree with it); an MJPEG frame whose
+    * own SOF geometry disagrees with the strf is corrupt and errors. */
   def aviFrames(b: Array[Byte]): AviVideo = {
     require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ",
       s"not a RIFF/AVI payload (${b.length} bytes)")
@@ -634,13 +640,26 @@ object Multimodal {
         } else if (inMovi && cid.length == 4 && cid(0).isDigit
             && cid(1).isDigit) {
           val kind = cid.substring(2)
-          if (kind == "db" || (kind == "dc" && clen > 0)) {
+          if (comp == MjpgFourcc && kind == "dc" && clen > 0) {
+            require(w > 0 && h > 0,
+              "AVI movi frame before the vids strf header")
+            val (fw, fh, px) = Jpeg.decode(
+              java.util.Arrays.copyOfRange(b, off.toInt + 8,
+                off.toInt + 8 + clen.toInt))
+            require(fw == w && fh == h,
+              s"corrupt MJPEG AVI: frame SOF ${fw}x$fh != strf ${w}x$h")
+            frames += px
+          } else if (kind == "db" || (kind == "dc" && clen > 0)) {
             // 00db is the uncompressed-DIB tag; some muxers write 00dc
             // with biCompression=0 — honor that only when the stream
             // header says uncompressed (a true compressed frame under a
             // bpp!=24/comp!=0 header fails the post-walk require below)
             require(w > 0 && h > 0,
               "AVI movi frame before the vids strf header")
+            // a 00db chunk under an MJPG header is a corrupt mix — the
+            // DIB unpack would silently misread JPEG bytes as pixels
+            require(comp != MjpgFourcc,
+              s"corrupt MJPEG AVI: uncompressed '$cid' frame chunk")
             // the frame must fit ITS OWN chunk — unpackDib's payload-wide
             // bound would let a short chunk silently read the next one
             val rowStride = (w * 3 + 3) & ~3
@@ -655,9 +674,9 @@ object Multimodal {
     }
     walk(12, b.length.toLong, inMovi = false)
     require(w > 0 && h > 0, "AVI has no vids stream geometry")
-    require(bpp == 24 && comp == 0,
+    require(bpp == 24 && (comp == 0 || comp == MjpgFourcc),
       s"unsupported AVI variant: bpp=$bpp compression=$comp " +
-        "(only 24bpp uncompressed)")
+        "(only 24bpp uncompressed or MJPG)")
     require(scale > 0 && rate > 0,
       s"AVI vids stream has no rate/scale (rate=$rate scale=$scale)")
     AviVideo(w, h, math.round(rate.toDouble / scale).toInt, frames.result())
@@ -1212,6 +1231,91 @@ object Multimodal {
       o += 8 + d.length
     }
     out
+  }
+
+  /** Encode top-down RGB frames as a single-stream Motion-JPEG AVI —
+    * the compressed twin of [[buildAvi]]: identical RIFF skeleton, but
+    * `strh` fccHandler and `strf` biCompression say `MJPG` and each
+    * frame is one complete baseline JPEG ([[Jpeg.encode]]) in a `00dc`
+    * chunk (odd-length chunks pad to even per RIFF). What real video
+    * corpora ship as "AVI" is overwhelmingly this form. */
+  def buildAviMjpeg(
+      w: Int, h: Int, fps: Int, framesRgbTopDown: Seq[Array[Byte]],
+      quality: Int = 90, subsample: Boolean = false): Array[Byte] = {
+    require(fps >= 1, s"fps must be >= 1, got $fps")
+    val jpegs = framesRgbTopDown.map(px =>
+      Jpeg.encode(w, h, px, quality = quality, subsample = subsample))
+    val n = jpegs.size
+    val maxFrame = jpegs.foldLeft(0)((m, j) => math.max(m, j.length))
+    val strlLen = 4 + 8 + 56 + 8 + 40
+    val hdrlLen = 4 + 8 + 56 + 8 + strlLen
+    val moviLen = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+    val out = new Array[Byte](12 + 8 + hdrlLen + 8 + moviLen)
+    def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
+    def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+    putTag(0, "RIFF"); put32(4, out.length.toLong - 8); putTag(8, "AVI ")
+    var o = 12
+    putTag(o, "LIST"); put32(o + 4, hdrlLen.toLong); putTag(o + 8, "hdrl")
+    o += 12
+    putTag(o, "avih"); put32(o + 4, 56L)
+    put32(o + 8, 1000000L / fps)                 // dwMicroSecPerFrame
+    put32(o + 12, fps.toLong * maxFrame)         // dwMaxBytesPerSec
+    put32(o + 24, n.toLong)                      // dwTotalFrames
+    put32(o + 32, 1L)                            // dwStreams
+    put32(o + 36, maxFrame.toLong)               // dwSuggestedBufferSize
+    put32(o + 40, w.toLong); put32(o + 44, h.toLong)
+    o += 8 + 56
+    putTag(o, "LIST"); put32(o + 4, strlLen.toLong); putTag(o + 8, "strl")
+    o += 12
+    putTag(o, "strh"); put32(o + 4, 56L)
+    putTag(o + 8, "vids"); putTag(o + 12, "MJPG")
+    put32(o + 28, 1L)                            // dwScale
+    put32(o + 32, fps.toLong)                    // dwRate
+    put32(o + 40, n.toLong)                      // dwLength
+    put32(o + 44, maxFrame.toLong)               // dwSuggestedBufferSize
+    put16(o + 60, w); put16(o + 62, h)           // rcFrame right/bottom
+    o += 8 + 56
+    putTag(o, "strf"); put32(o + 4, 40L)
+    put32(o + 8, 40L)                            // biSize
+    put32(o + 12, w.toLong); put32(o + 16, h.toLong)
+    put16(o + 20, 1); put16(o + 22, 24)          // biPlanes, biBitCount
+    put32(o + 24, MjpgFourcc)                    // biCompression = 'MJPG'
+    put32(o + 28, maxFrame.toLong)               // biSizeImage (advisory)
+    o += 8 + 40
+    putTag(o, "LIST"); put32(o + 4, moviLen.toLong); putTag(o + 8, "movi")
+    o += 12
+    jpegs.foreach { j =>
+      putTag(o, "00dc"); put32(o + 4, j.length.toLong)
+      System.arraycopy(j, 0, out, o + 8, j.length)
+      o += 8 + j.length + (j.length & 1) // pad byte stays zero
+    }
+    out
+  }
+
+  /** Deterministic synthetic MJPEG AVI from (id, nChars): the JPEG-
+    * friendly [[synthJpeg]]-style pixel ramp per frame, id-varying
+    * quality/subsampling, MCU-unaligned dimensions. No closed-form
+    * oracle exists for a DCT codec — queries over this are golden-pinned
+    * and the numpy worker twin must agree bit-for-bit. */
+  def synthAviMjpeg(id: Long, nChars: Long): Array[Byte] = {
+    val w = (17 + nChars % 14).toInt // 17..30: never a multiple of 16
+    val h = (10 + id % 9).toInt      // 10..18: partial MCUs both axes
+    val n = (nChars % 4 + 2).toInt
+    val frames = (0 until n).map { f =>
+      val px = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < px.length) {
+        // slowly-varying ramp (same class as synthJpeg): DCT-compact
+        px(j) = (((id * 5 + f * 17 + j / 24) % 200) + 20).toByte
+        j += 1
+      }
+      px
+    }
+    buildAviMjpeg(w, h, fps = 10, frames,
+      quality = (70 + id % 28).toInt, subsample = id % 2 == 0)
   }
 
   /** Deterministic synthetic AVI from (id, nChars) — same closed-form

@@ -876,6 +876,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MJPEG AVI: frames decode byte-exact to Jpeg.decode of the same " +
+      "JPEG bytes; corrupt mixes fail loudly") {
+    val w = 19; val h = 11
+    val frames = (0 until 3).map { f =>
+      val px = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < px.length) { px(j) = ((f * 31 + j / 9) % 251).toByte; j += 1 }
+      px
+    }
+    val avi = Multimodal.buildAviMjpeg(w, h, fps = 12, frames, quality = 85)
+    val v = Multimodal.aviFrames(avi)
+    assert(v.width == w && v.height == h && v.fps == 12
+      && v.frames.size == 3)
+    // each container frame must equal the standalone still-image decode
+    // of the exact JPEG bytes the muxer wrote
+    frames.zipWithIndex.foreach { case (px, f) =>
+      val jpeg = graft.ext.Jpeg.encode(w, h, px, quality = 85)
+      val (dw, dh, dpx) = graft.ext.Jpeg.decode(jpeg)
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(v.frames(f), dpx),
+        s"MJPEG frame $f diverges from the still-image decode")
+    }
+    // decodeReal routes it as video with the frame-mean feature
+    val fv = Multimodal.decodeReal(Multimodal.MediaItem(7L, avi, "", "s"))
+    assert(fv.format == "video/avi" && fv.n_samples == 3
+      && fv.width == w && fv.sample_rate == 12)
+    // a 00db (uncompressed DIB) chunk under the MJPG header is corrupt
+    val tag = "00dc".getBytes("US-ASCII")
+    var i = avi.indexOfSlice(tag)
+    val broken = avi.clone(); broken(i + 2) = 'd'; broken(i + 3) = 'b'
+    val e1 = intercept[IllegalArgumentException](Multimodal.aviFrames(broken))
+    assert(e1.getMessage.contains("uncompressed"))
+    // sampleVideoFrames rides the same decoder — MJPEG just works
+    val fr = Multimodal.sampleVideoFrames(
+      Seq(Multimodal.MediaItem(7L, avi, "", "s")).toDS(), stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(fr.map(_.frame_idx).toSeq == Seq(0, 2))
+    // videoNearDuplicates discriminates MJPEG payloads: same content →
+    // shared frame hashes, different content → none (compressed video
+    // dedup end to end)
+    val other = Multimodal.buildAviMjpeg(w, h, fps = 12, frames.map { px =>
+      px.map(b => (b ^ 0x5a).toByte) }, quality = 85)
+    val pairs = Multimodal.videoNearDuplicates(
+      Seq(Multimodal.MediaItem(1L, avi, "", "s"),
+        Multimodal.MediaItem(2L, avi, "", "s"),
+        Multimodal.MediaItem(3L, other, "", "s")).toDS())
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && !got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("perceptual dHash: dedup invariances and the banding contract") {
     def img(w: Int, h: Int, f: Int => Int): Array[Byte] =
       Array.tabulate(w * h * 3)(j => f(j).toByte)
@@ -1116,6 +1166,9 @@ class MultimodalSpec extends AnyFunSuite {
         // crosses the seam; 13 -> the adaptive-LZW fixture
         case 12 => Multimodal.synthGif(id - 10, nc)
         case 13 => fixtureGif
+        // ids 29/44 → MJPEG AVIs (both subsample modes: 29 → 4:4:4,
+        // 44 → 4:2:0); id 14 keeps the octet-stream fallback covered
+        case 14 if id != 14 => Multimodal.synthAviMjpeg(id, nc)
         case _ =>
           Option(text).getOrElse("").getBytes("UTF-8") // fallback route
       }
