@@ -1622,6 +1622,84 @@ object SparkEntry {
     * (wrapping sum of per-doc xxhash64 over the exact subword stream)
     * pins token VALUES in the golden gate, not just counts.
     * Non-memoizable: model fit at construction. */
+  /** Portable cross-engine twin of the BPE MERGE LOOP (round-17 ask 7):
+    * fit [[Bpe.learnMerges]] on a deterministic, replayable word-count
+    * table — whitespace tokens restricted to `^[a-z0-9]+$` so code-point
+    * segmentation is trivially identical cross-engine, top-256 by
+    * (count desc, word asc) — and emit the learned merge table itself.
+    * The DuckDB oracle ([[bpePortableOracle]]) re-derives the word
+    * counts and replays all 12 Sennrich iterations UNROLLED as CTE
+    * triples (pair stats → argmax under the same count-desc/pair-asc
+    * tie-break → left-to-right non-overlapping re-segmentation as an
+    * ordered `list_reduce` fold, provably equivalent to the JVM's
+    * index-scan mergePair because a merged symbol `a||b` can never equal
+    * the pair's first element). A green hash value-checks merge
+    * SELECTION and re-segmentation — the trainer state the text_bpe
+    * family could previously only golden-pin. Fit at construction →
+    * non-memoizable. */
+  private def textBpePortable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val top = graft.ops.TopK.perGroupRanked(
+        words.withColumn("__g", lit(1)), Seq("__g"),
+        Seq(col("n").desc, col("w")), 256)
+      .select(col("w"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.learnMerges(top, 12).zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "lhs", "rhs")
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB twin of [[textBpePortable]]: 12 unrolled merge
+    * iterations. Each step `i` is three CTEs — `p<i>` (adjacent-pair
+    * counts via a per-word index expansion), `b<i>` (the argmax under
+    * count desc, pair asc), `v<i>` (the fold-based re-segmentation) —
+    * over the same top-256 word-count table. */
+  private lazy val bpePortableOracle: String = {
+    val numMerges = 12
+    // left-to-right non-overlapping merge of best pair (bb.s1, bb.s2):
+    // fold single-symbol lists into the output, merging when the output's
+    // last symbol is s1 and the incoming is s2 (see textBpePortable doc)
+    def vStep(i: Int): String =
+      s"""v$i AS (SELECT w, n,
+         |  list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]),
+         |      list_transform(syms, s -> [s])),
+         |    (acc, x) -> CASE
+         |      WHEN len(acc) > 0 AND acc[-1] = bb.s1 AND x[1] = bb.s2
+         |      THEN list_append(acc[1:len(acc) - 1], bb.s1 || bb.s2)
+         |      ELSE list_concat(acc, x) END) AS syms
+         |  FROM v${i - 1} CROSS JOIN b$i bb)""".stripMargin
+    def step(i: Int): String =
+      s"""p$i AS (SELECT pr[1] AS s1, pr[2] AS s2, sum(n) AS c
+         |  FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+         |    i -> [syms[i], syms[i + 1]])) AS pr FROM v${i - 1})
+         |  GROUP BY pr[1], pr[2]),
+         |b$i AS (SELECT s1, s2 FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+         |${vStep(i)}""".stripMargin
+    val steps = (1 to numMerges).map(step).mkString(",\n")
+    val ranks = (1 to numMerges)
+      .map(i => s"SELECT $i AS rank, s1, s2 FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH words AS (SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |    FROM documents WHERE doc_id % 7 = 0)
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+       |top AS (SELECT w, n FROM (SELECT w, n,
+       |    row_number() OVER (ORDER BY n DESC, w) AS rn FROM words)
+       |  WHERE rn <= 256),
+       |v0 AS (SELECT w, n,
+       |  list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
+       |    '</w>') AS syms FROM top),
+       |$steps
+       |SELECT CAST(rank AS INT) AS rank, s1 AS lhs, s2 AS rhs FROM (
+       |  $ranks) ORDER BY 1""".stripMargin
+  }
+
   private def textBpe(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val model = Bpe.fit(docs, "text", numMerges = 60)

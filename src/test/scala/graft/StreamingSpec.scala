@@ -975,6 +975,87 @@ class StreamingSpec extends AnyFunSuite {
       s"compact_tmp rows must be merged, got $ids2")
   }
 
+  test("streaming WARC ingest == sequential batch fold of the same " +
+      "parse + decontamination gates + dedupIncrement (two archives)") {
+    import graft.sources.Warc
+    import graft.streaming.WarcIngestGate
+    def resp(id: String, uri: String, body: String): Warc.WarcRecord = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+        .getBytes("US-ASCII")
+      Warc.WarcRecord("response", uri, "2024-01-01T00:00:00Z",
+        s"<urn:uuid:$id>", "application/http; msgtype=response",
+        http.length.toLong, http)
+    }
+    val info = Warc.WarcRecord("warcinfo", "", "2024-01-01T00:00:00Z",
+      "<urn:uuid:info>", "application/warc-fields", 0L,
+      "software: graft\r\n".getBytes("US-ASCII"))
+    // 30-word benchmark; docB changes ONE middle word → exact
+    // containment 25/28 ≈ 0.89 (passes the 0.92 exact gate), shingle
+    // Jaccard 25/31 ≈ 0.81 (caught by the 0.5 fuzzy gate; banding
+    // collision margin ~0.99 at J=0.81)
+    val benchWords = (1 to 30).map(i => s"bench$i")
+    val benchText = benchWords.mkString(" ")
+    val docB = benchWords.updated(14, "swapped").mkString(" ")
+    def uniq(i: Int) = s"independent crawl document $i body " +
+      (1 to 8).map(j => s"u${i}w$j").mkString(" ")
+    val arch0 = Warc.build(Seq(info,
+      resp("a", "https://x.com/a", benchText), // exact-contaminated
+      resp("b", "https://x.com/b", docB),      // fuzzy-contaminated
+      resp("c", "https://x.com/c", uniq(1)),   // survives
+      resp("d", "https://x.com/d", uniq(2))))  // survives
+    val arch1 = Warc.build(Seq(info,
+      resp("e", "https://x.com/e", uniq(1)),   // later dup of c → drop
+      resp("f", "https://x.com/f", uniq(3))),  // survives
+      gzipPerRecord = true) // second increment exercises .warc.gz
+    val bench = Seq(benchText).toDF("bench_text")
+
+    val inDir = Files.createTempDirectory("graft-warc-in").toString
+    val idx = Files.createTempDirectory("graft-warc-idx").toString
+    val out = Files.createTempDirectory("graft-warc-out").toString
+    Files.write(java.nio.file.Paths.get(s"$inDir/seg0.warc"), arch0)
+    Thread.sleep(80) // distinct mtimes pin the file-source batch order
+    Files.write(java.nio.file.Paths.get(s"$inDir/seg1.warc.gz"), arch1)
+
+    val q = WarcIngestGate.stream(spark, inDir).writeStream
+      .foreachBatch(WarcIngestGate.survivorWriter(
+        bench, "bench_text", idx, out, maxContamination = 0.92,
+        fuzzyThreshold = 0.5))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.streaming.IngestDedupGate.survivors(spark, out)
+      .select("record_id").as[String].collect().sorted.toSeq
+    assert(got == Seq("<urn:uuid:c>", "<urn:uuid:d>", "<urn:uuid:f>"),
+      s"unexpected streaming survivors: $got")
+
+    // sequential batch fold over the same archives in arrival order
+    val idx2 = Files.createTempDirectory("graft-warc-idx2").toString
+    var acc = Seq.empty[String]
+    Seq(("seg0.warc", arch0), ("seg1.warc.gz", arch1)).zipWithIndex
+      .foreach { case ((name, bytes), i) =>
+        val batch = Seq((s"file:/$name", bytes)).toDF("path", "content")
+        val gated = WarcIngestGate.gate(
+          WarcIngestGate.parseResponses(batch), bench, "bench_text",
+          maxContamination = 0.92, fuzzyThreshold = 0.5,
+          shingleLen = 3, numHashes = 32, bands = 8)
+        val paths = graft.streaming.IngestDedupGate.signaturePaths(spark, idx2)
+        val index =
+          if (paths.nonEmpty) spark.read.parquet(paths: _*)
+          else Seq.empty[(String, Array[Long])].toDF("record_id", "sig")
+        val surv = graft.ext.Dedup.dedupIncrement(
+          gated, index, "record_id", "record_id", "text")
+        acc = acc ++ surv.select("record_id").as[String].collect().toSeq
+        graft.ext.Dedup.writeSignatures(surv, "record_id", "text",
+          s"$idx2/batch_$i")
+      }
+    assert(got == acc.sorted, s"stream != batch fold: $got vs $acc")
+
+    // the rolled index covers exactly the survivors (restart horizon)
+    val idxIds = spark.read.parquet(
+        graft.streaming.IngestDedupGate.signaturePaths(spark, idx): _*)
+      .select("record_id").as[String].collect().sorted.toSeq
+    assert(idxIds == got)
+  }
+
   test("streaming perceptual image ingest dedup == sequential batch fold " +
       "of imageDedupIncrement (dHash pairs, first arrival wins)") {
     import graft.ext.Multimodal
