@@ -1664,8 +1664,13 @@ object SparkEntry {
     // left-to-right non-overlapping merge of best pair (bb.s1, bb.s2):
     // fold single-symbol lists into the output, merging when the output's
     // last symbol is s1 and the incoming is s2 (see textBpePortable doc)
+    // AS MATERIALIZED everywhere: each b<i> is referenced twice (the
+    // next v<i> AND the final rank union), and DuckDB's default CTE
+    // inlining would re-expand the whole prefix chain per reference —
+    // exponential in numMerges (observed: sub-second at sf0.001, minutes
+    // at sf0.1). Materialization makes the unroll linear.
     def vStep(i: Int): String =
-      s"""v$i AS (SELECT w, n,
+      s"""v$i AS MATERIALIZED (SELECT w, n,
          |  list_reduce(
          |    list_prepend(CAST([] AS VARCHAR[]),
          |      list_transform(syms, s -> [s])),
@@ -1675,24 +1680,25 @@ object SparkEntry {
          |      ELSE list_concat(acc, x) END) AS syms
          |  FROM v${i - 1} CROSS JOIN b$i bb)""".stripMargin
     def step(i: Int): String =
-      s"""p$i AS (SELECT pr[1] AS s1, pr[2] AS s2, sum(n) AS c
+      s"""p$i AS MATERIALIZED (SELECT pr[1] AS s1, pr[2] AS s2, sum(n) AS c
          |  FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
          |    i -> [syms[i], syms[i + 1]])) AS pr FROM v${i - 1})
          |  GROUP BY pr[1], pr[2]),
-         |b$i AS (SELECT s1, s2 FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT s1, s2 FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
          |${vStep(i)}""".stripMargin
     val steps = (1 to numMerges).map(step).mkString(",\n")
     val ranks = (1 to numMerges)
       .map(i => s"SELECT $i AS rank, s1, s2 FROM b$i")
       .mkString("\n  UNION ALL ")
-    s"""WITH words AS (SELECT w, count(*) AS n FROM (
+    s"""WITH words AS MATERIALIZED (SELECT w, count(*) AS n FROM (
        |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
        |    FROM documents WHERE doc_id % 7 = 0)
        |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
        |top AS (SELECT w, n FROM (SELECT w, n,
        |    row_number() OVER (ORDER BY n DESC, w) AS rn FROM words)
        |  WHERE rn <= 256),
-       |v0 AS (SELECT w, n,
+       |v0 AS MATERIALIZED (SELECT w, n,
        |  list_append(list_transform(range(1, length(w) + 1), i -> w[i]),
        |    '</w>') AS syms FROM top),
        |$steps
@@ -3449,6 +3455,7 @@ object SparkEntry {
       "text_lm_bigram", // two model-fit passes at construction
       "text_lm_ngram", // hashed n-gram fit (collect jobs) at construction
       "text_bpe", // word-count fit + driver merge loop at construction
+      "text_bpe_portable", // same fit-at-construction class
       "text_pack_bpe", // same BPE fit at construction
       "text_unigram_tok", // word-count fit + driver EM loop at construction
       "text_boilerplate",
@@ -3600,6 +3607,7 @@ object SparkEntry {
     "text_lm_bigram" -> (textLmBigram _),
     "text_lm_ngram" -> (textLmNgram _),
     "text_bpe" -> (textBpe _),
+    "text_bpe_portable" -> (textBpePortable _),
     "text_unigram_tok" -> (textUnigramTok _),
     "text_dsir" -> (textDsir _),
     "dedup_edit_pairs" -> (dedupEditPairs _),
@@ -5344,6 +5352,7 @@ object SparkEntry {
     "sim_lsh_portable" -> lshPortableOracle,
     "sim_ivf_portable" -> ivfPortableOracle,
     "sim_ivfpq_portable" -> ivfPqPortableOracle,
+    "text_bpe_portable" -> bpePortableOracle,
     "dedup_semantic" -> semanticOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "text_quality" ->
