@@ -789,6 +789,23 @@ object ScaleSmoke {
       assert(n >= 50000L, s"frame sampling lost rows: $n")
       n
     }
+    timed("MJPEG decode+sample 20k videos") {
+      // compressed video at volume: encode→Huffman+IDCT decode→frame
+      // sample entirely inside each task (scan → mapPartitions → count,
+      // no exchange) — the MJPG branch pays a full baseline-JPEG decode
+      // per frame, so throughput here is the codec's, not the container's
+      import spark.implicits._
+      val media = bigDocs.limit(20000)
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+        .as[(Long, Long)].map { case (id, nc) =>
+          graft.ext.Multimodal.MediaItem(
+            id, graft.ext.Multimodal.synthAviMjpeg(id, nc), "", "smoke")
+        }
+      val frames = graft.ext.Multimodal.sampleVideoFrames(media, stride = 2)
+      val n = frames.count()
+      assert(n >= 20000L, s"MJPEG frame sampling lost rows: $n")
+      n
+    }
     timed("audio gates 50k clips") {
       // decode + all four gates inside the scan task, one thin row per
       // clip — same map-only contract as the AVI path
