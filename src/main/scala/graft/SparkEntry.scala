@@ -346,13 +346,19 @@ object SparkEntry {
   }
 
   /** O3+A11 — top-1 by aggregate (evaluation.py:122-123). */
+  /** Argmax ranks by the ROUNDED metric (the cross-engine-stable value
+    * the output already carries), ids break ties: ranking by the raw
+    * double avg is ulp-unstable when two groups hold value-identical
+    * multisets — each engine's summation order ranks them differently.
+    * Exposed by the sf1.0 duplication sweep (ten key-shifted copies ⇒
+    * ten suppliers with identical rows); invisible at tie-free SFs. */
   private def o3Top1(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
       .groupBy(col("l_suppkey"))
-      .agg(avg(col("l_discount")).as("__avg"))
-      .orderBy(col("__avg").desc, col("l_suppkey"))
+      .agg(round(avg(col("l_discount")), 6).as("avg_discount"))
+      .orderBy(col("avg_discount").desc, col("l_suppkey"))
       .limit(1)
-      .select(col("l_suppkey"), round(col("__avg"), 6).as("avg_discount"))
+      .select(col("l_suppkey"), col("avg_discount"))
 
   /** F1–F3 — parse/format/trunc (data_utils.py:45-50,
     * synthcity_adapter.py:210-212; strftime→JDK pattern translation,
@@ -1010,8 +1016,16 @@ object SparkEntry {
   /** Portable banded SimHash pairs at Hamming ≤ 3; the DuckDB oracle is a
     * naive pairwise join, so a hash match proves the pigeonhole banding
     * drops no pairs. */
+  /** Capless (`maxBucketSize = 1 << 22`): this twin's PURPOSE is
+    * value-exactness against the capless naive oracle, so the banding
+    * cap must never fire on it (at the sf1.0 duplication sweep the
+    * default 10k cap skips a 13k bucket and the twins diverge by the
+    * skipped pairs — correct production behavior, wrong proof shape).
+    * The production query (`dedup_simhash_pairs`) keeps the cap + drop
+    * metrics; this one is bounded by the test corpus by contract. */
   private def dedupSimhashPairsPortable(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id", "text", 3)
+    Dedup.simHashNearDuplicatesPortable(T(s, dir, "documents"), "doc_id",
+        "text", 3, maxBucketSize = 1 << 22)
       .orderBy(col("id_a"), col("id_b"))
 
   /** LSH-bucketed approximate top-k (rows-only: bucket recall is
@@ -4612,7 +4626,8 @@ object SparkEntry {
     "o3_top1" ->
       """SELECT l_suppkey, round(avg(l_discount),6) AS avg_discount
         |FROM lineitem GROUP BY 1
-        |ORDER BY avg(l_discount) DESC, l_suppkey LIMIT 1""".stripMargin,
+        |ORDER BY round(avg(l_discount),6) DESC, l_suppkey
+        |LIMIT 1""".stripMargin,
     "f1_dates" ->
       """SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
         | strftime(ts, '%d/%m/%Y') AS ds,
