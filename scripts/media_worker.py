@@ -67,6 +67,59 @@ def _alaw_to_pcm(a):
     return t if (a & 0x80) else -t
 
 
+# --- IMA/DVI ADPCM (twin of graft.ext.Adpcm) ---
+# Integer-exact: the step/index tables are spec constants (identical to
+# CPython audioop's independent implementation) and every arithmetic
+# step mirrors the JVM decoder, so decoded samples are bit-identical.
+
+_ADPCM_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]
+_ADPCM_IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(nib, pred, idx):
+    st = _ADPCM_STEP[idx]
+    diff = st >> 3
+    if nib & 1:
+        diff += st >> 2
+    if nib & 2:
+        diff += st >> 1
+    if nib & 4:
+        diff += st
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = -32768 if pred < -32768 else (32767 if pred > 32767 else pred)
+    idx = idx + _ADPCM_IDX[nib]
+    idx = 0 if idx < 0 else (88 if idx > 88 else idx)
+    return pred, idx
+
+
+def _adpcm_wav_blocks(b, off, length, block_align):
+    if block_align < 8 or block_align % 4:
+        raise ValueError("bad IMA-ADPCM block align")
+    if length % block_align:
+        raise ValueError("truncated IMA-ADPCM data")
+    out = []
+    for base in range(off, off + length, block_align):
+        pred = int.from_bytes(b[base:base + 2], "little", signed=True)
+        idx = b[base + 2]
+        if idx > 88:
+            raise ValueError("corrupt IMA-ADPCM block: step index > 88")
+        out.append(pred)
+        for i in range(base + 4, base + block_align):
+            byte = b[i]
+            pred, idx = _adpcm_step(byte & 0xF, pred, idx)  # low first
+            out.append(pred)
+            pred, idx = _adpcm_step((byte >> 4) & 0xF, pred, idx)
+            out.append(pred)
+    return out
+
+
 def decode_wav(b):
     off = 12
     channels = sample_rate = -1
@@ -80,9 +133,11 @@ def decode_wav(b):
                 raise ValueError("truncated fmt chunk")
             fmt, channels = struct.unpack_from("<HH", b, off + 8)
             sample_rate, = struct.unpack_from("<I", b, off + 12)
+            block_align, = struct.unpack_from("<H", b, off + 20)
             bits, = struct.unpack_from("<H", b, off + 22)
             if not ((fmt == 1 and bits == 16)
-                    or (fmt in (6, 7) and bits == 8)):
+                    or (fmt in (6, 7) and bits == 8)
+                    or (fmt == 0x11 and bits == 4 and channels == 1)):
                 raise ValueError("unsupported WAV variant")
         elif cid == b"data":
             data_off, data_len = off + 8, clen
@@ -94,6 +149,9 @@ def decode_wav(b):
     if fmt == 1:
         samples = np.frombuffer(b, dtype="<i2", count=data_len // 2,
                                 offset=data_off).astype(np.int64)
+    elif fmt == 0x11:
+        samples = np.array(_adpcm_wav_blocks(b, data_off, data_len,
+                                             block_align), dtype=np.int64)
     else:
         # G.711 expansion to linear PCM16 via a 256-entry table —
         # identical formulas to the JVM's ulawToPcm/alawToPcm

@@ -3195,6 +3195,28 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** IMA-ADPCM compressed-speech WAV decode ([[Multimodal
+    * .synthWavAdpcm]] → [[graft.ext.Adpcm.decodeWavBlocks]] inside
+    * [[Multimodal.wavSamples]]): block-structured 4-bit deltas expanded
+    * to PCM16, then the standard audio features. The decode chain is
+    * stateful (predictor/step-index per nibble) — not SQL-expressible,
+    * so this row is golden-pinned at 3 SFs; the value proof is the
+    * audioop differential (CPython's independent IMA implementation)
+    * plus bit-for-bit worker-twin parity. */
+  private def mmAudioAdpcm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = T(s, dir, "documents").filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].map { case (id, nc) =>
+        Multimodal.MediaItem(id, Multimodal.synthWavAdpcm(id, nc), "", "synth")
+      }
+    Multimodal.decodeRealMedia(media).toDF()
+      .select(col("media_id"), col("format"), col("channels"),
+        col("sample_rate"), col("n_samples"),
+        round(col("mean_value"), 6).as("mean_value"))
+      .orderBy(col("media_id"))
+  }
+
   /** REAL frame sampling ([[Multimodal.sampleVideoFrames]], stride 2):
     * every other decoded frame of each synthetic AVI, with its
     * integer-exact pixel mean — the per-frame twin of [[mmVideo]], so the
@@ -3636,6 +3658,7 @@ object SparkEntry {
     "warc_ingest" -> (warcIngest _),
     "mm_video" -> (mmVideo _),
     "mm_video_mjpeg" -> (mmVideoMjpeg _),
+    "mm_audio_adpcm" -> (mmAudioAdpcm _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_image_dhash" -> (mmImageDhash _),
     "mm_image_dhash_cross" -> (mmImageDhashCross _),

@@ -523,6 +523,7 @@ object Multimodal {
     // an adversarial document must error, never wedge an executor task
     var off = 12L
     var channels = -1; var sampleRate = -1; var fmt = -1
+    var blockAlign = -1
     var dataOff = -1L; var dataLen = -1L
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
       val cid = new String(b, off.toInt, 4,
@@ -533,11 +534,13 @@ object Multimodal {
         fmt = u16(b, off.toInt + 8)
         channels = u16(b, off.toInt + 10)
         sampleRate = u32(b, off.toInt + 12).toInt
+        blockAlign = u16(b, off.toInt + 20)
         val bits = u16(b, off.toInt + 22)
         require((fmt == 1 && bits == 16)
-            || ((fmt == 6 || fmt == 7) && bits == 8),
+            || ((fmt == 6 || fmt == 7) && bits == 8)
+            || (fmt == 0x11 && bits == 4 && channels == 1),
           s"unsupported WAV variant: format=$fmt bits=$bits " +
-            "(PCM16, A-law or mu-law)")
+            s"channels=$channels (PCM16, A-law, mu-law, mono IMA ADPCM)")
       } else if (cid == "data") {
         dataOff = off + 8; dataLen = clen
       }
@@ -558,6 +561,13 @@ object Multimodal {
         i += 1
       }
       (channels, sampleRate, out)
+    } else if (fmt == 0x11) {
+      // IMA ADPCM (mono): block-structured 4-bit deltas expanded to
+      // PCM16 — every downstream gate runs on the linear domain, like
+      // the G.711 formats. Whole blocks decode (the encoder zero-pads
+      // the tail); the framing is validated in Adpcm.decodeWavBlocks.
+      (channels, sampleRate,
+        Adpcm.decodeWavBlocks(b, dataOffI, dataLen, blockAlign))
     } else {
       val n = dataLen.toInt // one byte per sample
       val out = new Array[Short](n)
@@ -1128,10 +1138,10 @@ object Multimodal {
 
   // little-endian writers shared by both encoders (the mirror of the
   // decoders' u16/u32 readers)
-  private def put16(out: Array[Byte], off: Int, v: Int): Unit = {
+  private[ext] def put16(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
   }
-  private def put32(out: Array[Byte], off: Int, v: Long): Unit = {
+  private[ext] def put32(out: Array[Byte], off: Int, v: Long): Unit = {
     put16(out, off, (v & 0xffff).toInt)
     put16(out, off + 2, ((v >> 16) & 0xffff).toInt)
   }
@@ -1412,6 +1422,28 @@ object Multimodal {
       i += 1
     }
     buildWav(1, 8000, samples)
+  }
+
+  /** Deterministic synthetic IMA-ADPCM WAV from (id, nChars): a smooth
+    * integer triangle wave (ADPCM-friendly content — the codec tracks
+    * slowly-varying signals) with id-varying period/amplitude/block
+    * size, encoded through [[Adpcm.encodeWavBlocks]]. The decode chain
+    * is stateful (not SQL-expressible) — queries over this are
+    * golden-pinned and the numpy worker twin must agree bit-for-bit. */
+  def synthWavAdpcm(id: Long, nChars: Long): Array[Byte] = {
+    val n = (nChars % 700 + 300).toInt
+    val period = (24 + id % 40).toInt
+    val amp = (4000 + (id % 7) * 3500).toInt
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val ph = i % period
+      val tri = if (ph * 2 < period) ph * 2 else 2 * (period - ph)
+      samples(i) = ((tri * 2 * amp) / period - amp).toShort
+      i += 1
+    }
+    Adpcm.buildWavAdpcm(8000, samples,
+      blockAlign = if (id % 2 == 0) 64 else 128)
   }
 
   /** Deterministic synthetic BMP from (id, nChars) — same closed-form

@@ -926,6 +926,64 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)) && !got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("IMA ADPCM core == CPython audioop (independent implementation), " +
+      "WAV block framing round-trips, loud corrupt failures") {
+    import graft.ext.Adpcm
+    // differential vs audioop.adpcm2lin over random byte streams:
+    // audioop's raw DVI stream is HIGH nibble first from state (0,0) —
+    // feed the same nibble SEQUENCE to both sides
+    val r = new scala.util.Random(0xadc9)
+    (0 until 5).foreach { trial =>
+      val data = Array.fill[Byte](40 + r.nextInt(200))(r.nextInt(256).toByte)
+      val hex = data.map(b => f"${b & 0xff}%02x").mkString
+      val py =
+        """import audioop, binascii, sys
+          |out, _ = audioop.adpcm2lin(binascii.unhexlify(sys.argv[1]), 2, None)
+          |print(','.join(str(int.from_bytes(out[i:i+2], 'little', signed=True))
+          |               for i in range(0, len(out), 2)))""".stripMargin
+      val p = new ProcessBuilder("python3", "-c", py, hex).start()
+      val exp = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        .split(",").map(_.toShort)
+      assert(p.waitFor() == 0, "audioop subprocess failed")
+      val nibbles = data.flatMap(b =>
+        Array((b >> 4) & 0xf, b & 0xf)) // audioop: high nibble first
+      val got = Adpcm.decodeCore(nibbles, 0, 0)
+      assert(got.toSeq == exp.toSeq, s"trial $trial diverges from audioop")
+    }
+    // WAV framing: encode→decode round-trip tracks a smooth signal
+    val n = 1000
+    val sig = Array.tabulate[Short](n) { i =>
+      val ph = i % 50; val tri = if (ph < 25) ph else 50 - ph
+      ((tri * 1200) - 15000).toShort
+    }
+    val wav = Adpcm.buildWavAdpcm(8000, sig, blockAlign = 64)
+    val (ch, sr, dec) = Multimodal.wavSamples(wav)
+    assert(ch == 1 && sr == 8000)
+    val perBlock = 1 + (64 - 4) * 2
+    assert(dec.length == ((n + perBlock - 1) / perBlock) * perBlock)
+    // block-leading samples are stored verbatim in the header
+    assert(dec(0) == sig(0))
+    val err = sig.indices.map(i => math.abs(dec(i) - sig(i)).toLong).sum
+    assert(err.toDouble / n < 150.0,
+      s"ADPCM tracking error too large: mean ${err.toDouble / n}")
+    // decodeReal routes it as audio
+    val fv = Multimodal.decodeReal(Multimodal.MediaItem(3L, wav, "", "s"))
+    assert(fv.format == "audio/wav" && fv.channels == 1
+      && fv.sample_rate == 8000 && fv.n_samples == dec.length)
+    // loud failures: truncated data (non-whole blocks), index > 88,
+    // stereo refused
+    val cut = java.util.Arrays.copyOfRange(wav, 0, wav.length - 5)
+    // fix the data chunk length to the truncated size so the walk reads it
+    intercept[IllegalArgumentException](
+      Adpcm.decodeWavBlocks(cut, 60, cut.length - 60L, 64))
+    val corrupt = wav.clone(); corrupt(62) = 99.toByte // block step index
+    val e = intercept[IllegalArgumentException](Multimodal.wavSamples(corrupt))
+    assert(e.getMessage.contains("step index"))
+    val stereo = wav.clone(); stereo(22) = 2 // fmt channels field
+    val e2 = intercept[IllegalArgumentException](Multimodal.wavSamples(stereo))
+    assert(e2.getMessage.contains("unsupported WAV variant"))
+  }
+
   test("perceptual dHash: dedup invariances and the banding contract") {
     def img(w: Int, h: Int, f: Int => Int): Array[Byte] =
       Array.tabulate(w * h * 3)(j => f(j).toByte)
@@ -1148,6 +1206,8 @@ class MultimodalSpec extends AnyFunSuite {
     val items = docs.as[(Long, Long, String)].map { case (id, nc, text) =>
       val payload = (id % 15) match {
         case 0 => Multimodal.synthBmp(id, nc)
+        // ids 31/46 → IMA-ADPCM WAVs (both block sizes); 1/16 stay PCM16
+        case 1 if id > 16 => Multimodal.synthWavAdpcm(id, nc)
         case 1 => Multimodal.synthWav(id, nc)
         case 2 => fixtureBmp // independently-encoded committed fixtures
         case 3 => fixtureWav
