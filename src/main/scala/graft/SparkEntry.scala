@@ -1653,8 +1653,12 @@ object SparkEntry {
     * non-memoizable. */
   private def textBpePortable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // EXPLICIT whitespace class, not \s: Java's \s includes vertical tab
+    // \x0B while RE2/DuckDB's does not — a \x0B-separated word pair would
+    // tokenize differently per engine and diverge the word counts
+    // (review round 18). Same class literal on both sides.
     val words = T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(explode(split(col("text"), "[ \\t\\n\\f\\r]+")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val top = graft.ops.TopK.perGroupRanked(
@@ -1706,7 +1710,7 @@ object SparkEntry {
       .map(i => s"SELECT $i AS rank, s1, s2 FROM b$i")
       .mkString("\n  UNION ALL ")
     s"""WITH words AS MATERIALIZED (SELECT w, count(*) AS n FROM (
-       |    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+       |    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS w
        |    FROM documents WHERE doc_id % 7 = 0)
        |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
        |top AS (SELECT w, n FROM (SELECT w, n,

@@ -164,8 +164,7 @@ object Adpcm {
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     def putTag(off: Int, s: String): Unit =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+      Multimodal.putTag(out, off, s)
     putTag(0, "RIFF"); put32(4, out.length.toLong - 8); putTag(8, "WAVE")
     putTag(12, "fmt "); put32(16, 20L)
     put16(20, 0x11)                 // wFormatTag = IMA ADPCM

@@ -1138,6 +1138,10 @@ object Multimodal {
 
   // little-endian writers shared by both encoders (the mirror of the
   // decoders' u16/u32 readers)
+  private[ext] def putTag(out: Array[Byte], off: Int, tag: String): Unit =
+    tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+
   private[ext] def put16(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
   }
@@ -1168,8 +1172,7 @@ object Multimodal {
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     def putTag(off: Int, s: String): Unit =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+      Multimodal.putTag(out, off, s)
     putTag(0, "RIFF"); put32(4, 36L + dataLen); putTag(8, "WAVE")
     putTag(12, "fmt "); put32(16, 16L); put16(20, 1); put16(22, channels)
     put32(24, sampleRate.toLong)
@@ -1202,8 +1205,7 @@ object Multimodal {
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     def putTag(off: Int, s: String): Unit =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+      Multimodal.putTag(out, off, s)
     putTag(0, "RIFF"); put32(4, out.length.toLong - 8); putTag(8, "AVI ")
     var o = 12
     putTag(o, "LIST"); put32(o + 4, hdrlLen.toLong); putTag(o + 8, "hdrl")
@@ -1264,8 +1266,7 @@ object Multimodal {
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)
     def putTag(off: Int, s: String): Unit =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-        .zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+      Multimodal.putTag(out, off, s)
     putTag(0, "RIFF"); put32(4, out.length.toLong - 8); putTag(8, "AVI ")
     var o = 12
     putTag(o, "LIST"); put32(o + 4, hdrlLen.toLong); putTag(o + 8, "hdrl")

@@ -231,14 +231,31 @@ object Similarity {
     * bigint)` — the double sum ÷ count, float-cast (the materialized
     * centroid dtype). */
   private[graft] def treeMeans(
-      rows: DataFrame, groupCols: Seq[String], dim: Int): DataFrame = {
+      rows: DataFrame, groupCols: Seq[String], dim: Int,
+      maxIdHint: Option[Long] = None): DataFrame = {
     val shiftBits = 12
-    val maxId = rows.agg(max(col("__tid"))).head() match {
-      case r if r.isNullAt(0) => 0L // empty input → empty output below
-      case r => r.getLong(0)
-    }
-    var levels = 1
-    while ((maxId >>> (shiftBits * levels)) != 0L) levels += 1
+    // depth from the id range. `maxIdHint` lets iterative callers
+    // (trainCentroids/trainPq) compute it ONCE on the raw id frame —
+    // without it this aggregate re-evaluates the whole upstream lineage
+    // (the assignment kernel) once more per call (review round 18).
+    // IMPORTANT: 6 is both the DuckDB unroll depth and the hard cap —
+    // `id >>> 12` applied iteratively zeroes ANY long (negative ids
+    // included) in 6 rounds, whereas a single `>>> 12·levels` shift
+    // masks the distance mod 64 and a naive while-loop on it never
+    // terminates for ids ≥ 2^60 (review round 18). Negative ids get a
+    // correct fixed-depth tree here, but the cross-engine oracle replay
+    // contract is nonnegative ids (DuckDB's `>>` is arithmetic).
+    val maxLevels = 6
+    val maxId = maxIdHint.getOrElse(
+      rows.agg(max(col("__tid"))).head() match {
+        case r if r.isNullAt(0) => 0L // empty input → empty output below
+        case r => r.getLong(0)
+      })
+    val levels =
+      if (maxId < 0) maxLevels
+      else math.max(1, math.min(maxLevels,
+        (64 - java.lang.Long.numberOfLeadingZeros(maxId) + shiftBits - 1)
+          / shiftBits))
     val zeros = array_repeat(lit(0.0d), lit(dim))
     var cur = rows.select(
       (groupCols.map(col) :+ col("__tid").as("__k") :+
@@ -293,6 +310,14 @@ object Similarity {
         .select("__v").as[Seq[Float]].collect()
     }
     val dim = centroids.headOption.map(_.length).getOrElse(0)
+    // tree depth from the RAW id frame, once — keeps the per-iteration
+    // treeMeans from re-running the assignment kernel for max(id)
+    val maxId = if (lloydIters > 0)
+      vecs.agg(max(col("__id"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    else 0L
     (1 to lloydIters).foreach { _ =>
       // nearestCell is NULL for null/dim-mismatched vectors — such rows
       // must not form a null-key group (getInt(0) would NPE) and must not
@@ -303,7 +328,7 @@ object Similarity {
           .filter(col("__cell").isNotNull)
           .select(col("__cell"), col("__id").as("__tid"),
             col("__v").as("__tv")),
-        Seq("__cell"), dim).collect()
+        Seq("__cell"), dim, maxIdHint = Some(maxId)).collect()
       updated.foreach { row =>
         centroids(row.getInt(0)) = row.getSeq[Float](1)
       }
@@ -537,6 +562,13 @@ object Similarity {
       var codebooks: Array[Array[Seq[Float]]] = Array.tabulate(m) { mi =>
         seeds.map(s => s.slice(mi * dsub, (mi + 1) * dsub)).toArray
       }
+      // tree depth from the RAW id frame, once (see trainCentroids)
+      val maxId = if (iters > 0)
+        vecs.agg(max(col("__id"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      else 0L
       (1 to iters).foreach { _ =>
         val model = PqModel(codebooks.map(_.toIndexedSeq).toIndexedSeq)
         // per-(subspace, code) means via the same deterministic tree sum
@@ -549,7 +581,7 @@ object Similarity {
               posexplode(col("__codes")).as(Seq("__m", "__code")))
             .select(col("__m"), col("__code"), col("__id").as("__tid"),
               slice(col("__v"), col("__m") * dsub + 1, lit(dsub)).as("__tv")),
-          Seq("__m", "__code"), dsub).collect()
+          Seq("__m", "__code"), dsub, maxIdHint = Some(maxId)).collect()
         updated.foreach { row =>
           codebooks(row.getInt(0))(row.getInt(1)) = row.getSeq[Float](2)
         }
