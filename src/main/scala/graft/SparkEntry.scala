@@ -3114,6 +3114,55 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Media-in-WARC ingest — the multimodal crawl-pipeline composition:
+    * each sampled doc becomes a 3-record archive (warcinfo + an HTML
+    * response + an image/bmp response whose entity body is a synthetic
+    * BMP), ENCODED then re-parsed in-task (even ids through the
+    * per-record-gzip form), HTTP-split, and every response body routed
+    * through [[Multimodal.decodeReal]]'s magic dispatch — text falls to
+    * the octet-stream branch, images decode for real. The oracle
+    * recomputes BOTH rows per doc in closed form (the 'x'-run text body
+    * means exactly 120; the BMP mean is the synth formula), so one hash
+    * value-checks WARC framing, gzip members, HTTP splitting, content
+    * routing AND pixel decode end to end. */
+  private def warcMediaIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    T(s, dir, "documents").filter(col("doc_id") % 10 === 5)
+      .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("nc"))
+      .as[(Long, Long)].flatMap { case (id, nc) =>
+        val n = (nc % 97 + 10).toInt
+        def http(ctype: String, body: Array[Byte]) =
+          (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+            .getBytes("US-ASCII") ++ body
+        val info = sources.Warc.WarcRecord("warcinfo", "",
+          "2024-01-01T00:00:00Z", s"<urn:uuid:info-$id>",
+          "application/warc-fields", 0L,
+          "software: graft\r\n".getBytes("US-ASCII"))
+        val page = sources.Warc.WarcRecord("response",
+          s"https://site${id % 17}.com/p/$id", "2024-01-01T00:00:00Z",
+          s"<urn:uuid:$id>", "application/http; msgtype=response",
+          0L, http("text/html", Array.fill[Byte](n)('x')))
+        val img = sources.Warc.WarcRecord("response",
+          s"https://img${id % 17}.com/i/$id", "2024-01-01T00:00:00Z",
+          s"<urn:uuid:img-$id>", "application/http; msgtype=response",
+          0L, http("image/bmp", Multimodal.synthBmp(id, nc)))
+        val archive = sources.Warc.build(Seq(info, page, img),
+          gzipPerRecord = id % 2 == 0)
+        sources.Warc.parseArchive(archive)
+          .filter(_.warc_type == "response").map { r =>
+            val (_, body) = sources.Warc.httpBody(r.payload)
+            val f = Multimodal.decodeReal(
+              Multimodal.MediaItem(id, body, "", "warc"))
+            (id, f.format, r.target_uri, f.width, f.height, f.n_samples,
+              f.mean_value)
+          }
+      }
+      .toDF("doc_id", "format", "target_uri", "width", "height",
+        "n_samples", "mean_value")
+      .withColumn("mean_value", round(col("mean_value"), 6))
+      .orderBy(col("doc_id"), col("target_uri"))
+  }
+
   /** REAL lossless entropy-coded decode ([[Png.decode]] over the
     * from-scratch [[graft.ext.Inflate]] DEFLATE decoder, behind
     * [[Multimodal.decodeReal]]): each sampled doc becomes an 8-bit
@@ -3660,6 +3709,7 @@ object SparkEntry {
     "mm_features_png" -> (mmFeaturesPng _),
     "mm_features_gif" -> (mmFeaturesGif _),
     "warc_ingest" -> (warcIngest _),
+    "warc_media_ingest" -> (warcMediaIngest _),
     "mm_video" -> (mmVideo _),
     "mm_video_mjpeg" -> (mmVideoMjpeg _),
     "mm_audio_adpcm" -> (mmAudioAdpcm _),
@@ -6090,6 +6140,28 @@ object SparkEntry {
         |  CAST(coalesce(n_chars, 0) % 97 + 10 AS BIGINT) AS body_len,
         |  'HTTP/1.1 200 OK' AS status
         |FROM documents WHERE doc_id % 8 = 2 ORDER BY doc_id""".stripMargin,
+    "warc_media_ingest" ->
+      """WITH md AS (SELECT doc_id, coalesce(n_chars, 0) AS nc
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |tx AS (SELECT doc_id, 'application/octet-stream' AS format,
+        |  'https://site' || CAST(doc_id % 17 AS VARCHAR) || '.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |  CAST(nc % 97 + 10 AS BIGINT) AS n_samples,
+        |  120.0 AS mean_value FROM md),
+        |bm AS (SELECT doc_id, CAST(nc % 30 + 1 AS BIGINT) AS w FROM md),
+        |bi AS (SELECT doc_id, w, unnest(generate_series(0, w*9 - 1)) AS j
+        |  FROM bm),
+        |bq AS (SELECT doc_id, w, sum((doc_id*7 + j*13) % 256) AS s
+        |  FROM bi GROUP BY 1, 2),
+        |im AS (SELECT doc_id, 'image/bmp' AS format,
+        |  'https://img' || CAST(doc_id % 17 AS VARCHAR) || '.com/i/' ||
+        |    CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(w AS INT) AS width, CAST(3 AS INT) AS height,
+        |  CAST(w*3 AS BIGINT) AS n_samples,
+        |  round(CAST(s AS DOUBLE) / (w*9), 6) AS mean_value FROM bq)
+        |SELECT * FROM tx UNION ALL SELECT * FROM im
+        |ORDER BY doc_id, target_uri""".stripMargin,
     // palette GIF is lossless like PNG: the oracle replays frame-index
     // formula -> palette lookup -> all-frames mean in closed form
     // (mm_features_gif doc); interlacing permutes rows, and a byte mean
