@@ -99,25 +99,37 @@ def _adpcm_step(nib, pred, idx):
     return pred, idx
 
 
-def _adpcm_wav_blocks(b, off, length, block_align):
+def _adpcm_wav_blocks(b, off, length, block_align, fact_samples=-1):
+    # Mirrors Adpcm.decodeWavBlocks (advice round 18): a short final
+    # block (>= 4-byte header) decodes 1 + (bytes-4)*2 samples, and a
+    # fact chunk's sample count trims the encoder's zero-padded tail.
     if block_align < 8 or block_align % 4:
         raise ValueError("bad IMA-ADPCM block align")
-    if length % block_align:
-        raise ValueError("truncated IMA-ADPCM data")
+    tail = length % block_align
+    if tail and tail < 4:
+        raise ValueError("truncated IMA-ADPCM data: final block < 4 bytes")
     out = []
     for base in range(off, off + length, block_align):
+        block_bytes = min(block_align, off + length - base)
         pred = int.from_bytes(b[base:base + 2], "little", signed=True)
         idx = b[base + 2]
         if idx > 88:
             raise ValueError("corrupt IMA-ADPCM block: step index > 88")
         out.append(pred)
-        for i in range(base + 4, base + block_align):
+        for i in range(base + 4, base + block_bytes):
             byte = b[i]
             pred, idx = _adpcm_step(byte & 0xF, pred, idx)  # low first
             out.append(pred)
             pred, idx = _adpcm_step((byte >> 4) & 0xF, pred, idx)
             out.append(pred)
-    return out
+    if fact_samples < 0 or fact_samples == len(out):
+        return out
+    per_block = 1 + (block_align - 4) * 2
+    if fact_samples > len(out):
+        raise ValueError("corrupt IMA-ADPCM WAV: fact exceeds decoded samples")
+    if fact_samples <= len(out) - per_block:
+        raise ValueError("corrupt IMA-ADPCM WAV: fact leaves a whole block unused")
+    return out[:fact_samples]
 
 
 def decode_wav(b):
@@ -125,9 +137,12 @@ def decode_wav(b):
     channels = sample_rate = -1
     fmt = -1
     data_off = data_len = -1
+    fact_samples = -1
     while off + 8 <= len(b) and (channels < 0 or data_off < 0):
         cid = b[off:off + 4]
         clen, = struct.unpack_from("<I", b, off + 4)
+        if cid == b"fact" and clen >= 4 and off + 12 <= len(b):
+            fact_samples, = struct.unpack_from("<I", b, off + 8)
         if cid == b"fmt ":
             if clen < 16 or off + 24 > len(b):
                 raise ValueError("truncated fmt chunk")
@@ -151,7 +166,8 @@ def decode_wav(b):
                                 offset=data_off).astype(np.int64)
     elif fmt == 0x11:
         samples = np.array(_adpcm_wav_blocks(b, data_off, data_len,
-                                             block_align), dtype=np.int64)
+                                             block_align, fact_samples),
+                           dtype=np.int64)
     else:
         # G.711 expansion to linear PCM16 via a 256-entry table —
         # identical formulas to the JVM's ulawToPcm/alawToPcm

@@ -11,9 +11,9 @@ object GoldenHashesData {
     // byte-exact fixture + numpy worker twin carry the value proof)
     // IMA-ADPCM speech WAV decode (stateful nibble chain — audioop
     // differential + worker-twin parity carry the value proof)
-    ("sf0.001", "mm_audio_adpcm", "f2860ae11980ad7261b3b205fec44bd4"),
-    ("sf0.01", "mm_audio_adpcm", "4eba209ac4728016cf34350e8cbd0801"),
-    ("sf0.1", "mm_audio_adpcm", "f4555eccb75dea9c0eeb21ccb0b87619"),
+    ("sf0.001", "mm_audio_adpcm", "df42425c2abd95e7ca2009f27fba4312"),
+    ("sf0.01", "mm_audio_adpcm", "d62be2c5b923c82e9c59d65d0550eb11"),
+    ("sf0.1", "mm_audio_adpcm", "ba5f1be3fb8887eda32739571e2582b0"),
     // Motion-JPEG AVI decode (same DCT class, per-frame; worker twin +
     // byte-exact frame equality with Jpeg.decode carry the value proof)
     ("sf0.001", "mm_video_mjpeg", "28bf268e883c7826affac8d3221f2c2b"),

@@ -1638,7 +1638,7 @@ object SparkEntry {
     * Non-memoizable: model fit at construction. */
   /** Portable cross-engine twin of the BPE MERGE LOOP (round-17 ask 7):
     * fit [[Bpe.learnMerges]] on a deterministic, replayable word-count
-    * table — whitespace tokens restricted to `^[a-z0-9]+$` so code-point
+    * table — whitespace tokens restricted to `\A[a-z0-9]+\z` so code-point
     * segmentation is trivially identical cross-engine, top-256 by
     * (count desc, word asc) — and emit the learned merge table itself.
     * The DuckDB oracle ([[bpePortableOracle]]) re-derives the word
@@ -1657,9 +1657,13 @@ object SparkEntry {
     // \x0B while RE2/DuckDB's does not — a \x0B-separated word pair would
     // tokenize differently per engine and diverge the word counts
     // (review round 18). Same class literal on both sides.
+    // \A..\z anchors, not ^..$: Java's $ matches before a trailing line
+    // terminator (U+0085/U+2028/U+2029; none is in the split class above)
+    // while RE2's $ is end-of-text; \A/\z mean end-of-text in BOTH
+    // engines (advice round 18). Same anchors on both sides.
     val words = T(s, dir, "documents").filter(col("doc_id") % 7 === 0)
       .select(explode(split(col("text"), "[ \\t\\n\\f\\r]+")).as("w"))
-      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .filter(col("w").rlike("\\A[a-z0-9]+\\z"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val top = graft.ops.TopK.perGroupRanked(
         words.withColumn("__g", lit(1)), Seq("__g"),
@@ -1712,7 +1716,7 @@ object SparkEntry {
     s"""WITH words AS MATERIALIZED (SELECT w, count(*) AS n FROM (
        |    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+')) AS w
        |    FROM documents WHERE doc_id % 7 = 0)
-       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w),
+       |  WHERE regexp_matches(w, '\\A[a-z0-9]+\\z') GROUP BY w),
        |top AS (SELECT w, n FROM (SELECT w, n,
        |    row_number() OVER (ORDER BY n DESC, w) AS rn FROM words)
        |  WHERE rn <= 256),

@@ -67,26 +67,40 @@ object Adpcm {
   }
 
   /** Decode a mono WAV IMA-ADPCM data chunk (`blockAlign`-byte blocks,
-    * low nibble first). Malformed framing errors loudly. */
+    * low nibble first). Real-world conventions honored (advice round
+    * 18): a SHORT FINAL BLOCK (>= 4-byte header, decoding to
+    * `1 + (blockBytes-4)*2` samples) is accepted, and when the WAV
+    * carries a `fact` chunk its sample count trims the zero-padded
+    * encoder tail — the same trim ffmpeg applies; `audioop` has no
+    * framing layer so the differential spec drives [[decodeCore]]
+    * directly. `factSamples < 0` means "no fact chunk" (keep every
+    * decoded sample, the old behavior). Malformed framing errors
+    * loudly. */
   def decodeWavBlocks(
-      b: Array[Byte], off: Int, len: Long, blockAlign: Int): Array[Short] = {
+      b: Array[Byte], off: Int, len: Long, blockAlign: Int,
+      factSamples: Long = -1L): Array[Short] = {
     require(blockAlign >= 8 && blockAlign % 4 == 0,
       s"bad IMA-ADPCM block align $blockAlign (mono blocks are >= 8, /4)")
-    require(len % blockAlign == 0,
-      s"truncated IMA-ADPCM data: $len bytes is not whole $blockAlign-byte blocks")
-    val nBlocks = (len / blockAlign).toInt
+    val tailBytes = (len % blockAlign).toInt
+    require(tailBytes == 0 || tailBytes >= 4,
+      s"truncated IMA-ADPCM data: final block is $tailBytes bytes (< 4-byte header)")
+    val nFull = (len / blockAlign).toInt
+    val nBlocks = nFull + (if (tailBytes > 0) 1 else 0)
     val perBlock = 1 + (blockAlign - 4) * 2
-    val out = new Array[Short](nBlocks * perBlock)
+    val total = nFull * perBlock +
+      (if (tailBytes > 0) 1 + (tailBytes - 4) * 2 else 0)
+    val out = new Array[Short](total)
     var o = 0
     var blk = 0
     while (blk < nBlocks) {
       val base = off + blk * blockAlign
+      val blockBytes = if (blk < nFull) blockAlign else tailBytes
       var pred = ((b(base) & 0xff) | ((b(base + 1) & 0xff) << 8)).toShort.toInt
       var idx = b(base + 2) & 0xff
       require(idx <= 88, s"corrupt IMA-ADPCM block: step index $idx > 88")
       out(o) = pred.toShort; o += 1
       var i = base + 4
-      val end = base + blockAlign
+      val end = base + blockBytes
       while (i < end) {
         val byte = b(i) & 0xff
         var s = step(byte & 0xf, pred, idx) // low nibble first (WAV)
@@ -99,7 +113,16 @@ object Adpcm {
       }
       blk += 1
     }
-    out
+    if (factSamples < 0 || factSamples == total) out
+    else {
+      require(factSamples <= total,
+        s"corrupt IMA-ADPCM WAV: fact chunk claims $factSamples samples " +
+          s"but the data chunk decodes to $total")
+      require(factSamples > total - perBlock,
+        s"corrupt IMA-ADPCM WAV: fact count $factSamples leaves a whole " +
+          s"trailing block unused ($total decoded, $perBlock per block)")
+      java.util.Arrays.copyOf(out, factSamples.toInt)
+    }
   }
 
   /** Encode mono PCM16 into WAV IMA-ADPCM blocks (fixture/synthetic
@@ -154,12 +177,15 @@ object Adpcm {
   }
 
   /** Wrap IMA-ADPCM blocks as a complete mono WAV (fmt 0x11, with the
-    * `fact` chunk real encoders write). */
+    * `fact` chunk real encoders write — carrying the TRUE sample count,
+    * so a decoder honoring it trims the final block's zero-padded tail
+    * exactly as ffmpeg does; [[decodeWavBlocks]] round-trips to the
+    * input length). */
   def buildWavAdpcm(
       sampleRate: Int, samples: Array[Short], blockAlign: Int = 256): Array[Byte] = {
     val data = encodeWavBlocks(samples, blockAlign)
     val perBlock = 1 + (blockAlign - 4) * 2
-    val nSamples = (data.length / blockAlign) * perBlock
+    val nSamples = samples.length
     val out = new Array[Byte](12 + 8 + 20 + 8 + 4 + 8 + data.length)
     def put16(off: Int, v: Int): Unit = Multimodal.put16(out, off, v)
     def put32(off: Int, v: Long): Unit = Multimodal.put32(out, off, v)

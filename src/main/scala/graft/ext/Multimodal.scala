@@ -525,6 +525,7 @@ object Multimodal {
     var channels = -1; var sampleRate = -1; var fmt = -1
     var blockAlign = -1
     var dataOff = -1L; var dataLen = -1L
+    var factSamples = -1L
     while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
       val cid = new String(b, off.toInt, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
@@ -541,6 +542,8 @@ object Multimodal {
             || (fmt == 0x11 && bits == 4 && channels == 1),
           s"unsupported WAV variant: format=$fmt bits=$bits " +
             s"channels=$channels (PCM16, A-law, mu-law, mono IMA ADPCM)")
+      } else if (cid == "fact" && clen >= 4 && off + 12 <= b.length) {
+        factSamples = u32(b, off.toInt + 8) // dwSampleLength (per channel)
       } else if (cid == "data") {
         dataOff = off + 8; dataLen = clen
       }
@@ -564,10 +567,13 @@ object Multimodal {
     } else if (fmt == 0x11) {
       // IMA ADPCM (mono): block-structured 4-bit deltas expanded to
       // PCM16 — every downstream gate runs on the linear domain, like
-      // the G.711 formats. Whole blocks decode (the encoder zero-pads
-      // the tail); the framing is validated in Adpcm.decodeWavBlocks.
+      // the G.711 formats. Real-decoder conventions (ffmpeg/audioop
+      // corpus files): the fact chunk's sample count trims the
+      // encoder's zero-padded tail, and a short final block decodes
+      // its 1 + (bytes-4)*2 samples; framing validated in
+      // Adpcm.decodeWavBlocks.
       (channels, sampleRate,
-        Adpcm.decodeWavBlocks(b, dataOffI, dataLen, blockAlign))
+        Adpcm.decodeWavBlocks(b, dataOffI, dataLen, blockAlign, factSamples))
     } else {
       val n = dataLen.toInt // one byte per sample
       val out = new Array[Short](n)

@@ -960,7 +960,9 @@ class MultimodalSpec extends AnyFunSuite {
     val (ch, sr, dec) = Multimodal.wavSamples(wav)
     assert(ch == 1 && sr == 8000)
     val perBlock = 1 + (64 - 4) * 2
-    assert(dec.length == ((n + perBlock - 1) / perBlock) * perBlock)
+    // the fact chunk carries the true count → the zero-padded encoder
+    // tail is trimmed (real-decoder convention, advice round 18)
+    assert(dec.length == n)
     // block-leading samples are stored verbatim in the header
     assert(dec(0) == sig(0))
     val err = sig.indices.map(i => math.abs(dec(i) - sig(i)).toLong).sum
@@ -970,12 +972,23 @@ class MultimodalSpec extends AnyFunSuite {
     val fv = Multimodal.decodeReal(Multimodal.MediaItem(3L, wav, "", "s"))
     assert(fv.format == "audio/wav" && fv.channels == 1
       && fv.sample_rate == 8000 && fv.n_samples == dec.length)
-    // loud failures: truncated data (non-whole blocks), index > 88,
-    // stereo refused
-    val cut = java.util.Arrays.copyOfRange(wav, 0, wav.length - 5)
-    // fix the data chunk length to the truncated size so the walk reads it
+    val dataLen = wav.length - 60L
+    val total = (dataLen / 64L).toInt * perBlock // whole-block sample count
+    // no fact → every decoded sample kept (raw framing behavior)
+    assert(Adpcm.decodeWavBlocks(wav, 60, dataLen, 64).length == total)
+    // a short final block (>= 4-byte header) decodes 1 + (bytes-4)*2
+    val shortLen = 64L + 12L // one full block + a 12-byte partial
+    assert(Adpcm.decodeWavBlocks(wav, 60, shortLen, 64).length
+      == perBlock + 1 + (12 - 4) * 2)
+    // fact trim bounds: too large and whole-trailing-block-unused error
     intercept[IllegalArgumentException](
-      Adpcm.decodeWavBlocks(cut, 60, cut.length - 60L, 64))
+      Adpcm.decodeWavBlocks(wav, 60, dataLen, 64, total + 1L))
+    intercept[IllegalArgumentException](
+      Adpcm.decodeWavBlocks(wav, 60, dataLen, 64, (total - perBlock).toLong))
+    // loud failures: truncated data (final block under the 4-byte
+    // header), index > 88, stereo refused
+    intercept[IllegalArgumentException](
+      Adpcm.decodeWavBlocks(wav, 60, 64L + 2L, 64))
     val corrupt = wav.clone(); corrupt(62) = 99.toByte // block step index
     val e = intercept[IllegalArgumentException](Multimodal.wavSamples(corrupt))
     assert(e.getMessage.contains("step index"))
