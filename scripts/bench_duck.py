@@ -73,6 +73,23 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(oracle_path))
+    # Subset controls for big-SF sandwiches (round-19, the sf1.0 bench):
+    #  GRAFT_DUCK_ONLY=@frozen_r15     -> the frozen membership only
+    #  GRAFT_DUCK_ONLY=a,b / GRAFT_DUCK_SKIP=a,b -> explicit lists
+    # (the declared-naive replay oracles are hours-scale in DuckDB at
+    # sf1.0 — skip them there; they are excluded from every honest total
+    # anyway)
+    import os
+    only_env = os.environ.get("GRAFT_DUCK_ONLY") or ""
+    skip = {s for s in
+            (os.environ.get("GRAFT_DUCK_SKIP") or "").split(",") if s}
+    if only_env == "@frozen_r15":
+        oracle = {k: v for k, v in oracle.items() if k in FROZEN_R15}
+    elif only_env:
+        keep = {s for s in only_env.split(",") if s}
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+    if skip:
+        oracle = {k: v for k, v in oracle.items() if k not in skip}
     queries, total = {}, 0.0
     for name, sql in sorted(oracle.items()):
         try:

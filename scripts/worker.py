@@ -42,6 +42,17 @@ Three model families, chosen by argv:
              (sdv_adapter.py:68 / tests/test_par.py:43-45); an EMPTY
              context list means "cycle the fitted contexts for n
              sequences" (the generation_arguments convenience);
+  "timegan"  ydata-TimeGAN-style scale->window->shared-dynamics
+             composition (ydata_adapter.py:267-322): MinMaxScaler over
+             the numeric columns, sliding windows of `seqlen=N` (argv,
+             default 8; the TrainParameters.sequence_length seat) over
+             the time-ordered frame — len-seq_len windows, the
+             reference's own off-by-one preserved — and a pooled lstsq
+             AR(1) on scaled deviations fitted within windows; generate
+             clamps to the scaled [0,1] range (the sigmoid seat) and
+             inverse-transforms back to original units. No entity
+             grouping: TimeGAN treats the frame as ONE multivariate
+             series;
   "dgan"     DoppleGANger-style attribute/feature split (the synthcity
              shape the reference wraps in synthcity_adapter.py:109-155;
              doppleganger.py:39-41 — ATTRIBUTES are per-sequence
@@ -371,6 +382,115 @@ def _generate_dgan(req):
     return {"ok": True, "rows": rows}
 
 
+def _argv_seqlen(default=8):
+    for a in sys.argv[1:]:
+        if a.startswith("seqlen="):
+            return int(a.split("=", 1)[1])
+    return default
+
+
+def _fit_timegan(schema, rows, seq_len, order=1):
+    """ydata-TimeGAN-style fit — the scale -> window -> shared-dynamics
+    composition of ydata_adapter.py:267-322 behind the same seam:
+      1. MinMaxScaler over the numeric columns (GLOBAL min/max; the
+         adapter's transformer scales the whole frame — no entity
+         grouping, TimeGAN treats the frame as one multivariate series);
+      2. sliding windows of seq_len, stride 1, over the time-ordered
+         frame. preprocess_timegan/real_data_loading emits exactly
+         len(rows) - seq_len windows — ONE FEWER than the full count
+         (the reference notes the skipped element "might be a bug";
+         the observable window set is mirrored);
+      3. shared dynamics: pooled lstsq AR(order) per column on scaled
+         deviations from the column's scaled mean, fitted strictly
+         WITHIN windows (lags never cross a window boundary).
+    Rows with any missing numeric value are dropped before scaling. The
+    blob carries the scaler bounds, so generate emits ORIGINAL units via
+    the adapter's inverse_transform step; sequence starts cycle the
+    fitted window inits (capped model state)."""
+    import numpy as np
+    cols = schema["numericCols"]
+    ts = schema.get("tsCol")
+    ids = schema.get("itemIdCols") or []
+    ordered = sorted(rows, key=lambda r: (
+        (r.get(ts),) if ts else (),
+        tuple(str(r.get(c)) for c in ids)))
+    kept = [r for r in ordered
+            if all(isinstance(r.get(c), (int, float)) for c in cols)]
+    if len(kept) <= seq_len:
+        return {"ok": False,
+                "error": "timegan requires more rows than "
+                         "sequence_length=%d (got %d)" % (seq_len, len(kept))}
+    scaler = {}
+    for c in cols:
+        vs = [float(r[c]) for r in kept]
+        scaler[c] = {"min": min(vs), "max": max(vs)}
+
+    def scale(c, v):
+        s = scaler[c]
+        span = s["max"] - s["min"]
+        return (v - s["min"]) / span if span > 0.0 else 0.0
+
+    scaled = {c: [scale(c, float(r[c])) for r in kept] for c in cols}
+    n_win = len(kept) - seq_len  # real_data_loading: range(len - seq_len)
+    means = {c: sum(scaled[c]) / len(scaled[c]) for c in cols}
+    dyn = {}
+    for c in cols:
+        dev = [v - means[c] for v in scaled[c]]
+        X, y = [], []
+        for i in range(n_win):
+            w = dev[i:i + seq_len]
+            for t in range(order, seq_len):
+                X.append([w[t - 1 - j] for j in range(order)])
+                y.append(w[t])
+        if len(y) > order:
+            Xa, ya = np.asarray(X), np.asarray(y)
+            beta, _, _, _ = np.linalg.lstsq(Xa, ya, rcond=None)
+            resid = ya - Xa @ beta
+            sigma = float(np.sqrt(float(np.mean(resid ** 2))))
+            phis = [float(b) for b in beta]
+        else:
+            phis, sigma = [0.0] * order, 0.0
+        dyn[c] = {"phi": phis, "sigma": sigma}
+    inits = [{c: scaled[c][i:i + order] for c in cols}
+             for i in range(min(n_win, 64))]
+    return {"ok": True,
+            "model": {"type": "timegan", "seed": 20260817, "order": order,
+                      "seq_len": seq_len, "scaler": scaler, "means": means,
+                      "inits": inits, "dyn": dyn}}
+
+
+def _generate_timegan(req):
+    model = req["model"]
+    rng = random.Random(int(model.get("seed", 0)))
+    order = int(model.get("order", 1))
+    scaler = model["scaler"]
+    means = model["means"]
+    inits = model["inits"]
+    if not inits:
+        return {"ok": False, "error": "model has no fitted windows"}
+    cols = sorted(model["dyn"])
+    rows = []
+    for s in range(int(req["n"])):
+        init = inits[s % len(inits)]
+        state = {c: [v - means[c] for v in init[c]] for c in cols}
+        for t in range(int(req["seqLen"])):
+            row = {"seq_id": s, "step": t}
+            for c in cols:
+                d = model["dyn"][c]
+                dev = sum(d["phi"][j] * state[c][-1 - j]
+                          for j in range(order))
+                dev += d["sigma"] * rng.gauss(0.0, 1.0)
+                state[c] = (state[c] + [dev])[-order:]
+                # TimeGAN emits through a sigmoid: clamp to the scaled
+                # [0, 1] range, then the adapter's inverse_transform
+                v = means[c] + dev
+                v = 0.0 if v < 0.0 else (1.0 if v > 1.0 else v)
+                sc = scaler[c]
+                row[c] = sc["min"] + v * (sc["max"] - sc["min"])
+            rows.append(row)
+    return {"ok": True, "rows": rows}
+
+
 def handle(req):
     op = req.get("op")
     if op == "fit":
@@ -379,6 +499,8 @@ def handle(req):
             rows = _arrow_rows(req["data_files"])
         else:
             rows = req["data"]
+        if "timegan" in sys.argv[1:]:
+            return _fit_timegan(req["schema"], rows, _argv_seqlen())
         if "dgan" in sys.argv[1:]:
             return _fit_dgan(req["schema"], rows)
         if "par" in sys.argv[1:]:
@@ -396,6 +518,8 @@ def handle(req):
         return {"ok": True,
                 "model": {"seed": 20260812, "stats": stats}}
     if op == "generate":
+        if req["model"].get("type") == "timegan":
+            return _generate_timegan(req)
         if req["model"].get("type") == "dgan":
             return _generate_dgan(req)
         if req["model"].get("type") == "par":

@@ -95,9 +95,15 @@ object Bench {
     // parquet footers), then the median of 3 timed runs — single runs at
     // this scale are dominated by scheduler jitter (±30% observed)
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    // focused A/B runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 benches a subset
+    // focused A/B runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 benches a subset;
+    // the sentinel "@frozen_r15" expands to the frozen round-15
+    // membership (∩ oracle-checked rows — the denominator both engines
+    // quote), the sf1.0 sandwich posture (round-19 verdict ask 1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map {
+        case "@frozen_r15" => frozenR15.intersect(SparkEntry.oracleSql.keySet)
+        case s => s.split(",").map(_.trim).toSet
+      }
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] WARNING: unknown query '$n' in " +
         "SPARK_GRAFT_BENCH_ONLY (typo would silently bench nothing)")))

@@ -2200,8 +2200,11 @@ object SparkEntry {
     (2, "customer query merge join"),
     (3, "vector stream hash batch"))
 
-  /** Okapi BM25 top-10 per query ([[ext.Retrieval.bm25TopK]]): one text
-    * scan into a checkpointed posting frame, broadcast query arm,
+  /** Okapi BM25 top-10 per query ([[ext.Retrieval.bm25TopK]]): the
+    * fused-arm shape (round-19) — the query batch collects driver-side
+    * (KBs), then ONE aggregate over the posting frame carries N, Σdl AND
+    * the per-term document frequencies as a vocab-length array (no
+    * doc-grain distinct, no term-keyed df shuffle), broadcast query arm,
     * bounded-heap TopK ranking (no Window). Score rounded to 4 dp BEFORE
     * ranking so summation-order ulps can't flip the emitted top-k; the
     * oracle replays the same collection statistics (N and lengths count
@@ -2210,7 +2213,9 @@ object SparkEntry {
     import s.implicits._
     // materialize=false: at this corpus size the declarative posting
     // frame (re-derived map-only per consumer) beats the checkpoint
-    // round-trip, and the query becomes a pure memoizable plan
+    // round-trip; construction's only action tokenizes the 3 literal
+    // queries (no corpus access), so the plan stays memoizable —
+    // corpus-scale work (fused stats + scoring) re-executes per rep
     ext.Retrieval.bm25TopK(
         T(s, dir, "documents"), "doc_id", "text",
         retrievalQueries.toDF("query_id", "qtext"), "query_id", "qtext",

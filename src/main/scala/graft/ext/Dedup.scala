@@ -1339,35 +1339,40 @@ object Dedup {
       .agg(collect_set(col("__src")).as("__srcs"))
       .filter(size(col("__srcs")) <= maxSourcesPerGram)
       .drop("__g") // downstream consumers only read the source sets
-    // both the size frame and the pair expansion read the per-gram sets:
-    // materialize them once (narrow — source sets, no text/gram payload)
-    // instead of paying the corpus gram pass twice. materialize=false is
-    // the declarative posture (bench honesty / pure-plan callers).
-    val perGram =
-      if (materialize) perGram0.localCheckpoint(eager = false) else perGram0
-    val sizes = perGram
-      .select(explode(col("__srcs")).as("__s"))
-      .groupBy(col("__s")).agg(count(lit(1)).as("__n"))
-    // one OrderedPairs kernel eval per gram (sort + C(s,2) double loop)
-    // instead of the interpreted explode+filter HOF ladder — identical
-    // pairs, measured ~2.5x faster on the pair stage
-    val pairs = perGram
-      .filter(size(col("__srcs")) >= 2)
+    // `materialize` kept for API stability: the single-generate shape
+    // below reads the per-gram sets exactly once, so there is nothing
+    // left for a checkpoint to save — both postures are the same pure
+    // plan now (round-19; the old sizes-branch/pairs-branch split paid
+    // the corpus gram pass twice when declarative).
+    val _ = materialize
+    // ONE OrderedPairs(includeSelf) kernel eval per gram emits the
+    // C(s,2) strict pairs AND one (s, s) marker per member, so a single
+    // aggregate carries both the pair co-occurrence counts and the
+    // per-source gram counts ((s, s) rows — n_a/n_b). The counts attach
+    // back onto pair rows via two windows over the aggregated frame
+    // (≤ sources² rows, KBs) — no second corpus pass, no self-join
+    // re-derivation.
+    // NO size >= 2 pre-filter: singleton-source grams carry no pair but
+    // DO count into that source's n_a/n_b via their (s, s) marker
+    val counts = perGram0
       .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.OrderedPairs(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("__srcs")))))
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__srcs")),
+          includeSelf = true)))
         .as("__p"))
-      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
-      .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(broadcast(sizes.select(col("__s").as("source_a"),
-        col("__n").as("n_a"))), Seq("source_a"))
-      .join(broadcast(sizes.select(col("__s").as("source_b"),
-        col("__n").as("n_b"))), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_common"),
-        col("n_a"), col("n_b"),
-        round(col("n_common").cast("double")
-          / (col("n_a") + col("n_b") - col("n_common")), roundTo)
+      .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val selfN = max(when(col("__a") === col("__b"), col("__n")))
+    counts
+      .withColumn("n_a", selfN.over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__a"))))
+      .withColumn("n_b", selfN.over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))))
+      .filter(col("__a") =!= col("__b"))
+      .select(col("__a").as("source_a"), col("__b").as("source_b"),
+        col("__n").as("n_common"), col("n_a"), col("n_b"),
+        round(col("__n").cast("double")
+          / (col("n_a") + col("n_b") - col("__n")), roundTo)
           .as("jaccard"))
   }
 

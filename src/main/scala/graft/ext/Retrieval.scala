@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** The one-scan, zero-shuffle posting frame `(idCol, dlCol, termCol,
-    * tfCol)`: one row per (document, distinct kept token). Docs with no
-    * kept token emit no row (they can never match and are out of the
-    * collection statistics by construction). */
+    * tfCol, "__pos")`: one row per (document, distinct kept token). Docs
+    * with no kept token emit no row (they can never match and are out of
+    * the collection statistics by construction). `__pos` is the token's
+    * index within its document's posting block (posexplode) — `__pos = 0`
+    * marks EXACTLY ONE row per document, which is what lets every
+    * doc-grain collection statistic (N, Σdl) come out of a single
+    * aggregate over this frame with no distinct and no extra corpus
+    * pass. */
   private def postings(
       corpus: DataFrame, idCol: String, textCol: String,
       termCol: String, tfCol: String, dlCol: String): DataFrame = {
@@ -41,8 +46,8 @@ object Retrieval {
       .select(col(idCol), GraftColumnBridge.column(graft.functions.TokenTfs(
         GraftColumnBridge.expression(col(textCol)))).as("__k"))
       .select(col(idCol), col("__k").getField("dl").as(dlCol),
-        explode(col("__k").getField("tfs")).as("__p"))
-      .select(col(idCol), col(dlCol),
+        posexplode(col("__k").getField("tfs")).as(Seq("__pos", "__p")))
+      .select(col(idCol), col(dlCol), col("__pos"),
         col("__p").getField("term").as(termCol),
         col("__p").getField("tf").as(tfCol))
   }
@@ -77,65 +82,171 @@ object Retrieval {
       s"query and document id columns must differ, both are '$idCol'")
     requireNotReserved(idCol, queryIdCol)
 
-    // ONE text scan, zero exchanges: the map-side posting frame is the
-    // checkpoint every downstream statistic derives from.
-    // `materialize = false` keeps it declarative instead — the three
-    // consumers (collection stats, df aggregate, candidate scoring)
-    // re-derive it, i.e. up to three map-only tokenize passes but ONE
-    // pure re-plannable query with no mid-plan state; at small/medium
-    // corpus the repeated fanned kernel pass is cheaper than the
-    // per-call checkpoint round-trip. Identical output either way
-    // (spec'd).
-    val raw = postings(corpus, idCol, textCol, "__t", "__tf", "__dl")
-    val tf = if (materialize) raw.localCheckpoint(eager = false) else raw
+    // The query batch collects at the driver (bounded — a query batch is
+    // KBs; the bm25TopKFromBundle serving path set the precedent), via a
+    // tiny Spark job so the ONE tokenizer implementation
+    // (TextAnalysis.tokens) covers both sides. Repeated terms in a query
+    // count once (distinct).
+    val qtPairs = queries
+      .select(col(queryIdCol),
+        explode(TextAnalysis.tokens(col(queryTextCol))).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .distinct()
+      .collect()
+    val vs: Seq[String] =
+      qtPairs.map(_.getString(1)).distinct.sorted.toIndexedSeq
 
-    // narrow (doc, len) collection stats. avgdl via exact long sum then
-    // one double division (avg() would sum doubles in Spark but exact
-    // integers in DuckDB — an engine-visible ulp); the long sum is
-    // order-independent, so both engines agree bit-for-bit.
-    // Materialized posture: derive from the checkpointed posting blocks
-    // (a (doc, dl) distinct — no re-scan of the text, the point of the
-    // checkpoint). Declarative posture: a doc-grain tokenCount map pass —
-    // one row per doc by construction, so no distinct exchange and no
-    // explode; dl > 0 is the same "docs with ≥1 kept token" predicate the
-    // posting frame encodes by emitting no row.
+    if (vs.isEmpty) {
+      // no query has a kept token → nothing can match; an all-false
+      // filter through the same ranking operator keeps the output schema
+      // identical without planning a zero-width vocab kernel
+      val qType = queries.schema(queryIdCol).dataType
+      val scored = corpus
+        .select(lit(null).cast(qType).as(queryIdCol), col(idCol),
+          lit(0.0).as("score"))
+        .filter(lit(false))
+      return graft.ops.TopK.perGroupRanked(
+          scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
+        .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+    }
+
+    if (vs.size > MaxFusedVocab || qtPairs.length > MaxFusedTerms) {
+      // rare huge-batch posture: term-keyed distributed df over the full
+      // posting stream (the shape the fused vocab kernel would turn into
+      // a |vocab|-wide per-row scan, and the static per-query scoring
+      // into an unboundedly wide projection)
+      val raw = postings(corpus, idCol, textCol, "__t", "__tf", "__dl")
+      val tf = if (materialize) raw.localCheckpoint(eager = false) else raw
+      return bm25TopKDistributedDf(
+        tf, idCol, queries, queryIdCol, queryTextCol, k, k1, b,
+        roundScoreTo)
+    }
+
+    // NARROW vocab-kernel arm (round-19, the tfidfForVocab pattern): the
+    // corpus never becomes a full posting stream at all. ONE
+    // [[graft.functions.VocabTfs]] pass emits per doc its kept-token
+    // count (dl) and the |vocab| term counts — O(vocab) bytes/doc — and
+    // ONE aggregate over that narrow frame carries N, Σdl AND the
+    // per-term document frequencies (no doc-grain distinct, no
+    // term-keyed df shuffle; the old dfFrame exchanged O(matching
+    // postings)). avgdl via exact long sums then one double division
+    // (avg() would sum doubles in Spark but exact integers in DuckDB —
+    // an engine-visible ulp); long sums are order-independent, so both
+    // engines agree bit-for-bit. `materialize = true` (default) lazily
+    // checkpoints the narrow frame — the text is tokenized exactly once
+    // and both consumers (stats, scoring) re-read KB-scale blocks;
+    // `materialize = false` keeps the plan declarative (two kernel
+    // passes, nothing a cloned repetition could illegitimately reuse).
+    import org.apache.spark.sql.GraftColumnBridge
+    // NO dl > 0 filter on the frame: PushPredicateThroughProject would
+    // substitute the kernel into the filter and evaluate it TWICE per
+    // row (pinned by PlanContractSpec). Empty docs stay as all-zero rows
+    // — the conditional stats exclude them from N/Σdl and the scoring
+    // `keep` gate drops them (all tfs are 0).
+    val narrowBase = graft.ops.Par.fanOutSmallScan(corpus)
+      .select(col(idCol), GraftColumnBridge.column(graft.functions.VocabTfs(
+        GraftColumnBridge.expression(col(textCol)), vs)).as("__v"))
+      .select(col(idCol), col("__v").getField("dl").as("__dl"),
+        col("__v").getField("tfs").as("__vtfs"))
+    val narrow =
+      if (materialize) narrowBase.localCheckpoint(eager = false)
+      else narrowBase
+
+    // docs with ≥1 kept token form the collection (the N membership)
+    val nDocs = sum(when(col("__dl") > 0L, 1L).otherwise(0L))
+    val stats = narrow.agg(
+      nDocs.cast("double").as("__N"),
+      (sum(col("__dl")).cast("double") / nDocs.cast("double"))
+        .as("__avgdl"),
+      array(vs.indices.map(i =>
+        sum(when(element_at(col("__vtfs"), i + 1) > 0L, 1L)
+          .otherwise(0L))): _*).as("__dfs"))
+
+    // STATIC per-query scoring (round-19): the batch is driver data, so
+    // each query's BM25 score is ONE codegen'd expression — a fixed sum
+    // over its term indices in ascending order (deterministic
+    // summation), with tf = element_at(__vtfs, vi) from the doc row and
+    // idf from the one-row stats attach. A doc emits one struct per
+    // query via a literal-size explode (no posting explode, no join, no
+    // HOF lambdas), the `keep` gate drops docs sharing no term with the
+    // query (tf > 0 implies df > 0, so OOV terms contribute nothing —
+    // the old inner df-join semantics), and the ONLY exchange in the
+    // plan is the bounded-heap top-k's. The one-row stats attach
+    // planizes as a BroadcastNestedLoopJoin (the __one key
+    // constant-folds away — intended, PlanContractSpec boundedLoop).
+    val qType = queries.schema(queryIdCol).dataType
+    val dlNorm = lit(k1) * (lit(1.0 - b)
+      + lit(b) * col("__dl") / col("__avgdl"))
+    val byQuery = qtPairs.groupBy(_.get(0)).toSeq
+      .map { case (qid, rows) =>
+        (qid, rows.map(r => vs.indexOf(r.getString(1)) + 1).sorted.toSeq)
+      }
+    val qStructs = byQuery.map { case (qid, vis) =>
+      def tf(vi: Int) = element_at(col("__vtfs"), lit(vi))
+      def dfc(vi: Int) = element_at(col("__dfs"), lit(vi))
+      val contribs = vis.map { vi =>
+        val idf = log(lit(1.0)
+          + (col("__N") - dfc(vi) + lit(0.5)) / (dfc(vi) + lit(0.5)))
+        // a zero addend leaves the IEEE sum unchanged (all contributions
+        // are > 0), so non-matching terms cannot move the score
+        when(tf(vi) > 0L,
+          idf * tf(vi) * (lit(k1) + 1.0) / (tf(vi) + dlNorm))
+          .otherwise(lit(0.0))
+      }
+      val matched = vis.map(vi =>
+        when(tf(vi) > 0L, 1).otherwise(0)).reduce(_ + _)
+      struct(
+        lit(qid).cast(qType).as("qid"),
+        round(contribs.reduce(_ + _), roundScoreTo).as("score"),
+        (matched > 0).as("keep"))
+    }
+    val scored = narrow
+      .withColumn("__one", lit(1))
+      .join(stats.withColumn("__one", lit(1)), Seq("__one"))
+      .select(col(idCol), explode(array(qStructs: _*)).as("__q"))
+      .filter(col("__q").getField("keep"))
+      .select(col("__q").getField("qid").as(queryIdCol), col(idCol),
+        col("__q").getField("score").as("score"))
+    graft.ops.TopK.perGroupRanked(
+        scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Fused-aggregate vocabulary cap: above this the per-term conditional
+    * sums (|vocab| expressions per posting row) lose to a term-keyed
+    * distributed df aggregate, and the plan falls back to
+    * [[bm25TopKDistributedDf]]. Query batches in the inline API are
+    * conversational-scale; corpus-scale batches belong on the persisted
+    * index ([[bm25TopKFromIndex]]/[[bm25TopKFromBundle]]). */
+  private val MaxFusedVocab = 256
+
+  /** Static-scoring cap on total (query, term) pairs — beyond it the
+    * per-doc literal score array would grow into an unboundedly wide
+    * projection; the distributed arm takes over. */
+  private val MaxFusedTerms = 512
+
+  /** The pre-round-19 distributed query arm, kept for query batches too
+    * large to fuse: term-keyed df over the vocabulary-semi-joined posting
+    * frame, doc-grain distinct collection stats. Same output (spec'd via
+    * the fused path's equality tests at small vocab). */
+  private def bm25TopKDistributedDf(
+      tf: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double, b: Double, roundScoreTo: Int): DataFrame = {
     val stats =
-      if (materialize)
-        tf.select(col(idCol), col("__dl")).distinct().agg(
-          count(lit(1)).cast("double").as("__N"),
-          (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-      else
-        graft.ops.Par.fanOutSmallScan(corpus)
-          .select(TextAnalysis.tokenCount(col(textCol)).as("__dl"))
-          .filter(col("__dl") > 0).agg(
-            count(lit(1)).cast("double").as("__N"),
-            (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-
-    // query terms: distinct per query, KBs, broadcast everywhere below
+      tf.select(col(idCol), col("__dl")).distinct().agg(
+        count(lit(1)).cast("double").as("__N"),
+        (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
     val qt = queries
       .select(col(queryIdCol),
         explode(TextAnalysis.tokens(col(queryTextCol))).as("__t"))
       .filter(length(col("__t")) > 0)
       .distinct()
-
-    // document frequency ONLY for terms some query mentions: the posting
-    // frame is semi-joined down to the query vocabulary (broadcast) before
-    // the term-grain aggregate — df work is O(matching postings), not
-    // O(corpus vocabulary)
     val qVocab = qt.select(col("__t")).distinct()
     val dfFrame = tf
       .join(broadcast(qVocab), Seq("__t"))
       .groupBy(col("__t"))
       .agg(count(lit(1)).as("__df")) // tf is (doc, term)-unique
-
-    // per-(query, term) idf. The dfFrame and one-row stats attaches live
-    // INSIDE the query arm's own build (internal stages of one broadcast
-    // job) — a nested broadcast per tiny frame would spawn a separate
-    // job each, and locally every job is ~100 ms of pure floor. The
-    // __one key constant-folds away, so the stats attach planizes as a
-    // BroadcastNestedLoopJoin over ONE row — intended (no hint can
-    // change a no-equi-key join), pinned by PlanContractSpec's
-    // boundedLoop set.
     val qArm = qt
       .join(dfFrame.hint("shuffle_hash"), Seq("__t"))
       .withColumn("__one", lit(1))
@@ -143,9 +254,15 @@ object Retrieval {
       .select(col(queryIdCol), col("__t"), col("__avgdl"),
         log(lit(1.0) + (col("__N") - col("__df") + lit(0.5))
           / (col("__df") + lit(0.5))).as("__idf"))
+    scoreAndRank(tf, idCol, queryIdCol, qArm, k, k1, b, roundScoreTo)
+  }
 
-    // candidates: postings × broadcast query arm — doc length is already
-    // on every posting row, so no doc-grain join exists at all
+  /** Candidates = postings × broadcast query arm (doc length is already
+    * on every posting row, so no doc-grain join exists at all), then the
+    * bounded-heap top-k. Shared by the fused and distributed arms. */
+  private def scoreAndRank(
+      tf: DataFrame, idCol: String, queryIdCol: String, qArm: DataFrame,
+      k: Int, k1: Double, b: Double, roundScoreTo: Int): DataFrame = {
     val scored = tf
       .join(broadcast(qArm), Seq("__t"))
       .withColumn("__s",
@@ -154,7 +271,6 @@ object Retrieval {
             + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(round(sum(col("__s")), roundScoreTo).as("score"))
-
     graft.ops.TopK.perGroupRanked(
         scored, Seq(queryIdCol), Seq(col("score").desc, col(idCol)), k)
       .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
@@ -175,6 +291,7 @@ object Retrieval {
     * sharing one would silently collide with them (the same class of bug
     * the id-collision require catches — advisor round-8). */
   private val ReservedCols = Set("__t", "__tf", "__dl", "__k", "__p",
+    "__pos", "__vi", "__vi0", "__dfs", "__v", "__vtfs",
     "__one", "__s", "__df", "__idf", "__N", "__avgdl",
     "term", "tf", "dl", "df", "score", "rank", "tfidf")
 

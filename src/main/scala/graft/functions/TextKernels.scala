@@ -422,9 +422,12 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 
 /** Per-document term frequencies RESTRICTED to a small constant
   * vocabulary — the kernel behind [[graft.ext.Retrieval.tfidfForVocab]].
-  * Returns `struct<has_tok: boolean, tfs: array<bigint>>` where `has_tok`
-  * is true iff the document has ≥1 kept token (the collection-statistics
-  * membership test) and `tfs(i)` counts exact occurrences of `vocab(i)`
+  * Returns `struct<has_tok: boolean, dl: bigint, tfs: array<bigint>>`
+  * where `has_tok` is true iff the document has ≥1 kept token (the
+  * collection-statistics membership test), `dl` is the kept-token count
+  * (the BM25 document length — ≡ [[TokenTfs]]'s `dl`, so
+  * [[graft.ext.Retrieval.bm25TopK]]'s narrow arm needs no full posting
+  * stream) and `tfs(i)` counts exact occurrences of `vocab(i)`
   * among kept tokens (java `\s+` split, empties skipped — the
   * [[TokenTfs]] tokenization). For a handful of query terms, building the
   * FULL term→tf map ([[TokenTfs]]) and exploding it materializes a
@@ -445,6 +448,7 @@ case class VocabTfs(child: Expression, vocab: Seq[String])
 
   override def dataType: DataType = StructType(Seq(
     StructField("has_tok", BooleanType, nullable = false),
+    StructField("dl", LongType, nullable = false),
     StructField("tfs", ArrayType(LongType, containsNull = false),
       nullable = false)))
   override def nullable: Boolean = child.nullable
@@ -460,10 +464,12 @@ case class VocabTfs(child: Expression, vocab: Seq[String])
     val n = s.numBytes()
     val counts = new Array[Long](vocabBytes.length)
     var hasTok = false
+    var dl = 0L
     var i = 0
     var tokStart = -1
     def endToken(end: Int): Unit = {
       hasTok = true
+      dl += 1L
       val len = end - tokStart
       var v = 0
       while (v < vocabBytes.length) {
@@ -486,7 +492,7 @@ case class VocabTfs(child: Expression, vocab: Seq[String])
     }
     if (tokStart >= 0) endToken(n)
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](hasTok, new GenericArrayData(counts)))
+      Array[Any](hasTok, dl, new GenericArrayData(counts)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -1164,8 +1170,13 @@ case class RemoveTokenRanges(left: Expression, right: Expression, n: Int)
   * with identical output pairs. The input is treated as a SET: null
   * elements are skipped, duplicates collapse (the strict `<` order never
   * pairs equals), and fewer than two distinct elements yield an empty
-  * array. */
-case class OrderedPairs(child: Expression) extends UnaryExpression {
+  * array. `includeSelf = true` additionally emits one `(s, s)` struct per
+  * DISTINCT member (before its strict pairs, in sorted order) — the
+  * single-generate form that lets [[graft.ext.Dedup.sourceOverlap]]
+  * derive per-source gram counts and pair counts from ONE aggregate
+  * instead of a second corpus gram pass. */
+case class OrderedPairs(child: Expression, includeSelf: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -1203,11 +1214,18 @@ case class OrderedPairs(child: Expression) extends UnaryExpression {
     }
     while (buf.size() > w) buf.remove(buf.size() - 1)
     val m = buf.size()
-    if (m < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m * (m - 1) / 2)
+    if (m == 0 || (m < 2 && !includeSelf))
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m * (m - 1) / 2 + (if (includeSelf) m else 0))
     var k = 0
     i = 0
     while (i < m) {
+      if (includeSelf) {
+        out(k) =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](buf.get(i), buf.get(i)))
+        k += 1
+      }
       var j = i + 1
       while (j < m) {
         out(k) =

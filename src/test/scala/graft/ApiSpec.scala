@@ -411,6 +411,45 @@ class ApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("catCols"))
   }
 
+  // ——— numpy TimeGAN worker: the ydata scale→window→shared-dynamics
+  // composition (ydata_adapter.py:267-322) behind the same seam ———
+
+  test("numpy TimeGAN worker: min-max scale, windowed shared dynamics, " +
+      "inverse-transformed output, too-short-frame error, seed determinism") {
+    import graft.providers.ProcessProvider
+    assume(pythonWorker().isDefined, "python3 or scripts/worker.py missing")
+    assume(haveNumpy, "numpy not importable")
+    // one multivariate series (TimeGAN has no entity grouping): m1 is a
+    // triangle around 50 with span [20, 80], m2 a drifting line — the
+    // scaler must carry BOTH columns' original units back out
+    val rows = for (t <- 0 until 40) yield {
+      val ph = t % 12; val tri = if (ph < 6) ph else 12 - ph
+      ("s0", t.toLong, 20.0 + tri * 10.0, 1000.0 + t * 5.0)
+    }
+    val df = rows.toDF("item_id", "ts", "m1", "m2")
+    val p = new ProcessProvider(
+      pythonWorker("timegan", "seqlen=6").get, name = "py_timegan")
+    val fitted = p.fit(df, schema)
+    val out = fitted.generate(spark, 3, 5).orderBy("seq_id", "step").collect()
+    assert(out.length == 15)
+    assert(out.head.schema.fieldNames.toSeq == Seq("seq_id", "step", "m1", "m2"))
+    // inverse transform: every generated value stays inside the fitted
+    // min-max envelope (the generator clamps to the scaled [0,1] range)
+    out.foreach { r =>
+      val v1 = r.getDouble(r.fieldIndex("m1"))
+      val v2 = r.getDouble(r.fieldIndex("m2"))
+      assert(v1 >= 20.0 - 1e-9 && v1 <= 80.0 + 1e-9, s"m1 $v1 outside scaler")
+      assert(v2 >= 1000.0 - 1e-9 && v2 <= 1195.0 + 1e-9, s"m2 $v2 outside scaler")
+    }
+    // fresh worker process, same blob -> bit-identical (seed in blob)
+    val again = fitted.generate(spark, 3, 5).orderBy("seq_id", "step").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // a frame shorter than sequence_length fails loudly at fit
+    val tiny = rows.take(4).toDF("item_id", "ts", "m1", "m2")
+    val e = intercept[IllegalStateException](p.fit(tiny, schema))
+    assert(e.getMessage.contains("sequence_length"))
+  }
+
   // ——— numpy PAR worker: context columns + per-entity sequence model,
   // the sdv_adapter.py:94-130 shape behind the same process seam ———
 

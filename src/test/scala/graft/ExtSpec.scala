@@ -552,11 +552,12 @@ class ExtSpec extends AnyFunSuite {
     val got = df.select(col("id"), GraftColumnBridge.column(
         graft.functions.VocabTfs(
           GraftColumnBridge.expression(col("text")), vocab)).as("v"))
-      .select(col("id"), col("v.has_tok"), col("v.tfs"))
-      .as[(Int, Boolean, Seq[Long])].collect()
-    got.foreach { case (i, has, tfs) =>
+      .select(col("id"), col("v.has_tok"), col("v.dl"), col("v.tfs"))
+      .as[(Int, Boolean, Long, Seq[Long])].collect()
+    got.foreach { case (i, has, dl, tfs) =>
       val toks = TextAnalysis.tokensLocal(samples(i))
       assert(has == toks.nonEmpty, s"has_tok wrong for '${samples(i)}'")
+      assert(dl == toks.length.toLong, s"dl wrong for '${samples(i)}'")
       assert(tfs == vocab.map(v => toks.count(_ == v).toLong),
         s"tfs wrong for '${samples(i)}'")
     }

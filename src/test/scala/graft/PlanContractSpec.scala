@@ -114,27 +114,43 @@ class PlanContractSpec extends AnyFunSuite {
       // a22's two windows (last-h split + naive-error lag) both
       // partition by the entity — bounded by one series' length, the
       // w1/w3 class
-      "a22_forecast_metrics")
+      "a22_forecast_metrics",
+      // sourceOverlap's two size-attach windows read the aggregated
+      // pair-count frame — ≤ sources² rows (KBs), never the corpus; they
+      // replaced the sizes-branch self-join that re-paid the corpus gram
+      // pass (round-19); AuditOpsSpec pins values, the bounded class is
+      // text_quantile_norm's
+      "dedup_source_overlap")
     plans.foreach { case (name, p) =>
       if (!windowFamily(name))
         assert(!p.contains("Window"), s"$name unexpectedly plans a Window")
     }
   }
 
-  test("retrieval ranks via the bounded heap over one materialized posting frame") {
-    // bench posture (materialize=false): declarative posting frame, TopK
-    // ranking, broadcast query arm, never a per-query Window sort
+  test("retrieval ranks via the bounded heap over the narrow vocab kernel") {
+    // bench posture (materialize=false): the corpus never becomes a full
+    // posting stream — ONE VocabTfs kernel projection per pass, static
+    // per-query scoring exploded map-side, the one-row stats attach as a
+    // BroadcastNestedLoopJoin (boundedLoop), TopK ranking, never a
+    // per-query Window sort. The kernel must appear in PROJECTIONS only:
+    // a Filter carrying it means PushPredicateThroughProject duplicated
+    // the kernel eval per row (round-19 regression guard).
     Seq("ret_bm25").foreach { name =>
       val p = plans(name)
       assert(p.contains("TopKPerGroup"),
         s"$name lost its TopKPerGroup ranking:\n$p")
       assert(!p.contains("Window"), s"$name plans a Window node:\n$p")
-      assert(p.contains("BroadcastHashJoin"),
-        s"$name lost its broadcast query arm:\n$p")
+      assert(p.contains("vocabtfs"),
+        s"$name lost the narrow vocab kernel:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin"),
+        s"$name lost the one-row stats attach:\n$p")
+      assert(!"Filter [^\\n]*vocabtfs".r.findFirstIn(p).isDefined,
+        s"$name evaluates the vocab kernel inside a Filter (duplicated " +
+          s"per-row eval):\n$p")
     }
     // corpus-scale posture (materialize=true, the default): the text is
-    // tokenized once into the checkpointed posting frame and every
-    // statistic re-reads its blocks (Scan ExistingRDD)
+    // tokenized once into the checkpointed narrow frame and every
+    // consumer re-reads its blocks (Scan ExistingRDD)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     import spark.implicits._
     val q = Seq((1L, "customer data")).toDF("query_id", "qtext")
@@ -142,7 +158,7 @@ class PlanContractSpec extends AnyFunSuite {
       docs, "doc_id", "text", q, "query_id", "qtext", k = 5)
     val sp = scaled.queryExecution.executedPlan.toString
     assert(sp.contains("Scan ExistingRDD"),
-      s"default bm25TopK no longer reads a materialized posting frame:\n$sp")
+      s"default bm25TopK no longer reads a materialized narrow frame:\n$sp")
     assert(sp.contains("TopKPerGroup") && !sp.contains("Window"),
       s"default bm25TopK ranking shape regressed:\n$sp")
   }

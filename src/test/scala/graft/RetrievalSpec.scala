@@ -69,6 +69,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(false) == run(true))
   }
 
+  test("bm25TopK >256-term batch (distributed-df fallback) == the fused path") {
+    // the query below pads the real terms with 300 distinct OOV tokens,
+    // pushing the vocabulary over MaxFusedVocab — results must be
+    // IDENTICAL to the same query without padding (OOV terms contribute
+    // nothing in both arms, so the two dispatches compute the same
+    // ranking on the same collection statistics)
+    val pad = (1 to 300).map(i => s"oovpad$i").mkString(" ")
+    val qBig = Seq((10, s"banana date $pad"), (20, s"apple $pad"))
+      .toDF("qid", "qtext")
+    val qSmall = Seq((10, "banana date"), (20, "apple"))
+      .toDF("qid", "qtext")
+    def run(q: org.apache.spark.sql.DataFrame) = Retrieval.bm25TopK(
+        corpus, "doc_id", "text", q, "qid", "qtext", k = 10,
+        roundScoreTo = 6)
+      .orderBy(col("qid"), col("rank"))
+      .as[(Int, Long, Double, Int)].collect().toSeq
+    assert(run(qBig) == run(qSmall))
+  }
+
   test("TokenTfs posting frame == explode/groupBy posting frame") {
     // the kernel replaced a corpus-shuffling explode → groupBy(doc, term)
     // → groupBy(doc)-join chain; values must be identical on adversarial

@@ -256,8 +256,15 @@ class UrlOpsSpec extends AnyFunSuite {
       (4L, "garbage"),                   // unparseable: kept
       (5L, "more garbage")               // unparseable: kept
     ).toDF("doc_id", "url")
-    val got = UrlOps.dedupByCanonicalUrl(df, "url", "doc_id")
-      .select("doc_id").as[Long].collect().sorted.toSeq
+    val out = UrlOps.dedupByCanonicalUrl(df, "url", "doc_id")
+    val got = out.select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 3L, 4L, 5L))
+    // single-pass plan contract (round-18 verdict: the filter/union
+    // shape scanned and canonicalized the corpus TWICE): exactly one
+    // Exchange — the dedup aggregate's — and no Union anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"two-branch plan resurfaced:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one Exchange:\n$plan")
   }
 }
