@@ -87,8 +87,15 @@ def main():
         oracle = {k: v for k, v in oracle.items() if k in FROZEN_R15}
     elif only_env:
         keep = {s for s in only_env.split(",") if s}
+        for unknown in sorted(keep - set(oracle)):
+            print(f"[bench_duck] WARNING: unknown query '{unknown}' in "
+                  "GRAFT_DUCK_ONLY (typo would silently bench nothing)",
+                  file=sys.stderr)
         oracle = {k: v for k, v in oracle.items() if k in keep}
     if skip:
+        for unknown in sorted(skip - set(oracle)):
+            print(f"[bench_duck] WARNING: unknown query '{unknown}' in "
+                  "GRAFT_DUCK_SKIP", file=sys.stderr)
         oracle = {k: v for k, v in oracle.items() if k not in skip}
     queries, total = {}, 0.0
     for name, sql in sorted(oracle.items()):

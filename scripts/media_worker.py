@@ -124,10 +124,12 @@ def _adpcm_wav_blocks(b, off, length, block_align, fact_samples=-1):
             out.append(pred)
     if fact_samples < 0 or fact_samples == len(out):
         return out
-    per_block = 1 + (block_align - 4) * 2
     if fact_samples > len(out):
         raise ValueError("corrupt IMA-ADPCM WAV: fact exceeds decoded samples")
-    if fact_samples <= len(out) - per_block:
+    # the trim may only eat into the LAST block — bound by ITS capacity
+    # (short final blocks hold fewer than a full block's samples)
+    last_block = 1 + (tail - 4) * 2 if tail else 1 + (block_align - 4) * 2
+    if fact_samples <= len(out) - last_block:
         raise ValueError("corrupt IMA-ADPCM WAV: fact leaves a whole block unused")
     return out[:fact_samples]
 
@@ -138,7 +140,9 @@ def decode_wav(b):
     fmt = -1
     data_off = data_len = -1
     fact_samples = -1
-    while off + 8 <= len(b) and (channels < 0 or data_off < 0):
+    # walk EVERY chunk header (payload skipped by length): a fact chunk
+    # AFTER data is spec-legal and must still trim the ADPCM tail
+    while off + 8 <= len(b):
         cid = b[off:off + 4]
         clen, = struct.unpack_from("<I", b, off + 4)
         if cid == b"fact" and clen >= 4 and off + 12 <= len(b):

@@ -411,7 +411,11 @@ def _fit_timegan(schema, rows, seq_len, order=1):
     cols = schema["numericCols"]
     ts = schema.get("tsCol")
     ids = schema.get("itemIdCols") or []
-    ordered = sorted(rows, key=lambda r: (
+    # rows with a null ts cannot be temporally ordered -> dropped, like
+    # rows with missing numeric values (a raw None in a sort key would
+    # TypeError against real timestamps)
+    usable = [r for r in rows if (not ts or r.get(ts) is not None)]
+    ordered = sorted(usable, key=lambda r: (
         (r.get(ts),) if ts else (),
         tuple(str(r.get(c)) for c in ids)))
     kept = [r for r in ordered

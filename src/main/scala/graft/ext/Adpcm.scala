@@ -118,9 +118,16 @@ object Adpcm {
       require(factSamples <= total,
         s"corrupt IMA-ADPCM WAV: fact chunk claims $factSamples samples " +
           s"but the data chunk decodes to $total")
-      require(factSamples > total - perBlock,
-        s"corrupt IMA-ADPCM WAV: fact count $factSamples leaves a whole " +
-          s"trailing block unused ($total decoded, $perBlock per block)")
+      // the trim may only eat into the LAST block — bound by that
+      // block's own capacity (a short final block holds fewer than
+      // perBlock samples; using perBlock here would let a fact count
+      // silently discard the whole tail block — self-review round 19)
+      val lastBlockSamples =
+        if (tailBytes > 0) 1 + (tailBytes - 4) * 2 else perBlock
+      require(factSamples > total - lastBlockSamples,
+        s"corrupt IMA-ADPCM WAV: fact count $factSamples leaves the whole " +
+          s"trailing block unused ($total decoded, last block holds " +
+          s"$lastBlockSamples)")
       java.util.Arrays.copyOf(out, factSamples.toInt)
     }
   }

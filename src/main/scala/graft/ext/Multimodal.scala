@@ -526,7 +526,12 @@ object Multimodal {
     var blockAlign = -1
     var dataOff = -1L; var dataLen = -1L
     var factSamples = -1L
-    while (off + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+    // walk EVERY chunk header (payloads are skipped by length, so this
+    // is O(chunks)): fact placement before data is conventional but not
+    // mandated, and an early exit on (fmt, data) would silently ignore a
+    // trailing fact chunk — the ADPCM tail would keep its encoder pad
+    // (self-review round 19)
+    while (off + 8 <= b.length) {
       val cid = new String(b, off.toInt, 4,
         java.nio.charset.StandardCharsets.US_ASCII)
       val clen = u32(b, off.toInt + 4) // unsigned, 0..2^32-1

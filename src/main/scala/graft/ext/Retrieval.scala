@@ -28,14 +28,9 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** The one-scan, zero-shuffle posting frame `(idCol, dlCol, termCol,
-    * tfCol, "__pos")`: one row per (document, distinct kept token). Docs
-    * with no kept token emit no row (they can never match and are out of
-    * the collection statistics by construction). `__pos` is the token's
-    * index within its document's posting block (posexplode) — `__pos = 0`
-    * marks EXACTLY ONE row per document, which is what lets every
-    * doc-grain collection statistic (N, Σdl) come out of a single
-    * aggregate over this frame with no distinct and no extra corpus
-    * pass. */
+    * tfCol)`: one row per (document, distinct kept token). Docs with no
+    * kept token emit no row (they can never match and are out of the
+    * collection statistics by construction). */
   private def postings(
       corpus: DataFrame, idCol: String, textCol: String,
       termCol: String, tfCol: String, dlCol: String): DataFrame = {
@@ -46,8 +41,8 @@ object Retrieval {
       .select(col(idCol), GraftColumnBridge.column(graft.functions.TokenTfs(
         GraftColumnBridge.expression(col(textCol)))).as("__k"))
       .select(col(idCol), col("__k").getField("dl").as(dlCol),
-        posexplode(col("__k").getField("tfs")).as(Seq("__pos", "__p")))
-      .select(col(idCol), col(dlCol), col("__pos"),
+        explode(col("__k").getField("tfs")).as("__p"))
+      .select(col(idCol), col(dlCol),
         col("__p").getField("term").as(termCol),
         col("__p").getField("tf").as(tfCol))
   }
@@ -86,13 +81,18 @@ object Retrieval {
     // KBs; the bm25TopKFromBundle serving path set the precedent), via a
     // tiny Spark job so the ONE tokenizer implementation
     // (TextAnalysis.tokens) covers both sides. Repeated terms in a query
-    // count once (distinct).
-    val qtPairs = queries
+    // count once (distinct). The collect is CAPPED at MaxFusedTerms + 1
+    // rows — a corpus-scale query log saturates the probe and takes the
+    // fully-distributed arm without ever materializing at the driver
+    // (self-review round 19). NOTE: the inline path is eager — the
+    // queries frame executes at construction (the serving paths always
+    // were).
+    val qtAll = queries
       .select(col(queryIdCol),
         explode(TextAnalysis.tokens(col(queryTextCol))).as("__t"))
       .filter(length(col("__t")) > 0)
       .distinct()
-      .collect()
+    val qtPairs = qtAll.limit(MaxFusedTerms + 1).collect()
     val vs: Seq[String] =
       qtPairs.map(_.getString(1)).distinct.sorted.toIndexedSeq
 
@@ -291,7 +291,7 @@ object Retrieval {
     * sharing one would silently collide with them (the same class of bug
     * the id-collision require catches — advisor round-8). */
   private val ReservedCols = Set("__t", "__tf", "__dl", "__k", "__p",
-    "__pos", "__vi", "__vi0", "__dfs", "__v", "__vtfs",
+    "__dfs", "__v", "__vtfs",
     "__one", "__s", "__df", "__idf", "__N", "__avgdl",
     "term", "tf", "dl", "df", "score", "rank", "tfidf")
 

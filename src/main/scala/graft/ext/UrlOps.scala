@@ -116,28 +116,35 @@ object UrlOps {
   }
 
   /** Crawl-grain dedup: keep the first row (by `orderCol`) per
-    * [[canonicalUrl]]; rows whose URL does not parse are KEPT untouched
-    * (the blocklist/cap attribution principle). Appends `canonical_url`.
-    * SINGLE PASS over the input (round-18 verdict: the old
-    * filter/filter/union shape scanned — and canonicalized — the corpus
-    * twice): unparseable rows stay in the same aggregate as singleton
-    * groups via a null-disambiguating second key
-    * (`monotonically_increasing_id` — only its per-row uniqueness
-    * matters, never its value: a one-row group returns its row
-    * unchanged, so the task-layout-dependence of the id cannot reach
-    * the output). One hash exchange on the canonical key — the text
-    * never shuffles when callers project it out first, and at crawl
-    * scale this runs BEFORE content dedup so every downstream stage
-    * sees fewer rows. */
+    * [[canonicalUrl]]; rows whose URL does not parse pass through (the
+    * blocklist/cap attribution principle) — deduped only by FULL-ROW
+    * equality (a row identical in every column to another is itself a
+    * duplicate; distinct unparseable rows all survive). Appends
+    * `canonical_url`. SINGLE PASS over the input (round-18 verdict: the
+    * old filter/filter/union shape scanned — and canonicalized — the
+    * corpus twice): unparseable rows stay in the same aggregate as
+    * (near-)singleton groups via a DETERMINISTIC second key — the
+    * xxhash64 of the whole row. Deterministic matters: a
+    * `monotonically_increasing_id` grouping key re-assigns ids when a
+    * lost shuffle map output recomputes, so retried reducers could see
+    * null-URL rows double or vanish (self-review round 19); a content
+    * hash is stable across retries. One hash exchange on the canonical
+    * key — the text never shuffles when callers project it out first,
+    * and at crawl scale this runs BEFORE content dedup so every
+    * downstream stage sees fewer rows. */
   def dedupByCanonicalUrl(
       df: DataFrame, urlCol: String, orderCol: String,
       trackingParams: Seq[String] = DefaultTrackingParams): DataFrame = {
     require(!df.columns.contains("canonical_url"),
       "dedupByCanonicalUrl appends 'canonical_url' — input already has one")
+    require(!df.columns.contains("__nul_id"),
+      "dedupByCanonicalUrl uses an internal '__nul_id' column — rename " +
+        "the input's")
     val withC = df.withColumn(
       "canonical_url", canonicalUrl(col(urlCol), trackingParams))
     val keyed = withC.withColumn("__nul_id",
-      when(col("canonical_url").isNull, monotonically_increasing_id())
+      when(col("canonical_url").isNull,
+        xxhash64(df.columns.map(col).toIndexedSeq: _*))
         .otherwise(lit(0L)))
     graft.ops.TimeSeriesOps.dedupKeepFirst(
         keyed, Seq("canonical_url", "__nul_id"), orderCol)

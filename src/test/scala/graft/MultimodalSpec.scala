@@ -985,6 +985,15 @@ class MultimodalSpec extends AnyFunSuite {
       Adpcm.decodeWavBlocks(wav, 60, dataLen, 64, total + 1L))
     intercept[IllegalArgumentException](
       Adpcm.decodeWavBlocks(wav, 60, dataLen, 64, (total - perBlock).toLong))
+    // with a SHORT final block the lower bound is that block's own
+    // capacity (17 here), not perBlock: trimming within the tail is
+    // legal, a fact that discards the whole tail block errors
+    val shortTotal = perBlock + 1 + (12 - 4) * 2 // 121 + 17
+    assert(Adpcm.decodeWavBlocks(wav, 60, shortLen, 64,
+      (perBlock + 5).toLong).length == perBlock + 5)
+    intercept[IllegalArgumentException](
+      Adpcm.decodeWavBlocks(wav, 60, shortLen, 64, perBlock.toLong))
+    assert(shortTotal - 17 == perBlock) // the bound the intercept pins
     // loud failures: truncated data (final block under the 4-byte
     // header), index > 88, stereo refused
     intercept[IllegalArgumentException](

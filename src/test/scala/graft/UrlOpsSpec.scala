@@ -254,11 +254,13 @@ class UrlOpsSpec extends AnyFunSuite {
       (2L, "HTTPS://S.COM:443/p"),      // same canonical as 1 -> dropped
       (3L, "https://s.com/q"),
       (4L, "garbage"),                   // unparseable: kept
-      (5L, "more garbage")               // unparseable: kept
+      (5L, "more garbage"),              // unparseable: kept
+      (5L, "more garbage"),              // FULL-ROW duplicate: collapses
+      (6L, "more garbage")               // same url, distinct row: kept
     ).toDF("doc_id", "url")
     val out = UrlOps.dedupByCanonicalUrl(df, "url", "doc_id")
     val got = out.select("doc_id").as[Long].collect().sorted.toSeq
-    assert(got == Seq(1L, 3L, 4L, 5L))
+    assert(got == Seq(1L, 3L, 4L, 5L, 6L))
     // single-pass plan contract (round-18 verdict: the filter/union
     // shape scanned and canonicalized the corpus TWICE): exactly one
     // Exchange — the dedup aggregate's — and no Union anywhere
