@@ -217,6 +217,18 @@ case class TopKPerGroupExec(
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     child.asInstanceOf[CodegenSupport].inputRDDs()
 
+  // doConsume uses ONLY the built row (heaps.insert), never individual
+  // input columns — declare so, exactly as SortExec does. Without this,
+  // consume() sees groupExprs/order attributes in `references` and ALSO
+  // pre-evaluates those child output vars; when the child Project's
+  // result vars share subexpression-elimination state, the shared block
+  // is then spliced twice into one scope — janino "Redefinition of local
+  // variable project_isNull_N", and the whole stage (the hottest insert
+  // loop) silently falls back to interpreted (observed on
+  // pipeline_curate's host-cap stage; latent since round 12).
+  override def usedInputs: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet.empty
+
   // generated-code name of the per-partition TopKHeaps instance; assigned
   // in doProduce (which codegen always calls before doConsume)
   private var heapsTerm: String = _
