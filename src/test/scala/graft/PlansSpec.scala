@@ -88,6 +88,33 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_curate's host-cap stage compiles under whole-stage codegen " +
+      "(fallback off — the TopKPerGroup usedInputs regression)") {
+    // Regression for the round-19 find: without `usedInputs = empty` on
+    // TopKPerGroupExec (the SortExec row-consumer contract), consume()
+    // ALSO pre-evaluated the child's output vars, and the curate DAG's
+    // host-cap stage — whose child Project chain shares subexpression-
+    // elimination state through the `nullif` `_common_expr` With-rewrite
+    // of UrlOps.host, stacked kernel/struct projections and a pushed-down
+    // host-notnull Filter — had the shared block spliced TWICE into one
+    // generated scope: janino "Redefinition of local variable
+    // project_isNull_N", silently dropping the hottest custom-operator
+    // stage (every ANN tail / host cap / retrieval top-k — 18 fallback
+    // sites per bench run) to interpreted execution. A reduced synthetic
+    // (nullif + md5 + struct-field child) does NOT reproduce — only the
+    // full curate shape does — so the regression pin runs the real query
+    // with codegen.fallback=false, where the defect FAILS instead of
+    // hiding behind the fallback.
+    val conf = spark.conf
+    val oldFallback = conf.get("spark.sql.codegen.fallback")
+    try {
+      conf.set("spark.sql.codegen.fallback", "false")
+      val n = SparkEntry.queries("pipeline_curate")(
+        spark, "/root/testdata/sf0.001").count()
+      assert(n > 0)
+    } finally conf.set("spark.sql.codegen.fallback", oldFallback)
+  }
+
   test("TopKPerGroup matches the window form with null groups and null sort values") {
     val df = Seq(
       (Some("a"), 1L, Some(5.0)), (Some("a"), 2L, None),
