@@ -53,6 +53,13 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // flush PER QUERY, not only at drain time: execution-end events
+        // are async, so a capped operator's drop metric could otherwise
+        // land in the NEXT query's context (observed at sf1.0:
+        // dedup_simhash_pairs' second execution attributed 40470 drops
+        // to whichever query followed it in map order)
+        try org.apache.spark.sql.GraftColumnBridge.flushListenerBus(spark)
+        catch { case _: Throwable => () }
       }
     }
     // self-oracle for the queries DuckDB cannot replay (engine-specific
