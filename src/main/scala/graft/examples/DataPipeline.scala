@@ -104,12 +104,18 @@ object DataPipeline {
     //    first), then NFC canonicalization so visually-identical byte
     //    sequences dedup together downstream. NFC only — lower-casing /
     //    whitespace collapse (normalizeText) destroys training signal,
-    //    so the destructive form stays out of the corpus path
+    //    so the destructive form stays out of the corpus path.
+    //    fanOutSmallScan: the stage-0..1.5 map chain (NFC + langId +
+    //    quality features + URL parse) is the pipeline's most expensive
+    //    per-row work; a sub-split input would pin it all to one scan
+    //    task (round-19 profile: a 313 ms single-task front stage while
+    //    31 cores idled). Strict no-op at corpus scale.
+    val docs0 = graft.ops.Par.fanOutSmallScan(docs)
     val deboiled =
       if (boilerplateMinDf > 0)
-        TextAnalysis.removeBoilerplateLines(docs, "text", boilerplateMinDf)
+        TextAnalysis.removeBoilerplateLines(docs0, "text", boilerplateMinDf)
           .drop("text").withColumnRenamed("clean", "text")
-      else docs
+      else docs0
     val canonical = deboiled.withColumn(
       "text", TextAnalysis.unicodeNormalize(col("text")))
 

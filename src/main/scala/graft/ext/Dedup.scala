@@ -81,7 +81,11 @@ object Dedup {
       numHashes: Int = 32,
       seed: Long = 42L,
       outCol: String = "__sig"): DataFrame =
-    df.select(col(idCol),
+    // the shingle+hash map is the expensive pass of every MinHash
+    // consumer; a sub-split parquet input would pin it to one task while
+    // every other core idles (strict no-op at corpus scale — see
+    // [[graft.ops.Par.fanOutSmallScan]])
+    graft.ops.Par.fanOutSmallScan(df).select(col(idCol),
       minHashSignatureColumn(col(textCol), shingleLen, numHashes, seed).as(outCol))
 
   /** The production signature as a bare COLUMN expression (the map-only
@@ -118,10 +122,10 @@ object Dedup {
         (0 until numHashes).map(i =>
           element_at(col("__sig"), i + 1).as(s"minhash_$i")): _*)
 
-  /** Cap LSH bucket membership before a pair self-join: count rows per
-    * bucket (one aggregation over the SAME exchange the pair join uses, so
-    * the banded map stage still runs once), drop every bucket whose
-    * membership exceeds `cap`, and log the drop count via [[DropMetrics]].
+  /** Cap LSH bucket membership before a pair stage: count rows per bucket
+    * with a bucket-partitioned window over ONE exchange of the banded
+    * stream, drop every bucket whose membership exceeds `cap`, and log the
+    * drop count via [[DropMetrics]].
     *
     * Why this must exist at 100 TB: a boilerplate-heavy corpus puts 10⁶
     * near-identical docs into one (band, hash) bucket → 10¹² intra-bucket
@@ -130,20 +134,26 @@ object Dedup {
     * construction a mass-duplicate group; the right handling is to route its
     * members to exact/cluster dedup, not to enumerate its pairs — so the cap
     * SKIPS the bucket (deterministically, whole-bucket) rather than sampling.
-    *
-    * Both join inputs are hinted `shuffle_hash`: the count side's size
-    * estimate under the explode is a few KB, so Catalyst would otherwise
-    * broadcast it — collecting one row per distinct bucket (≈ docs × bands
-    * at scale) onto the driver.
     */
   private[ext] def capBuckets(
       banded: DataFrame, keys: Seq[String], cap: Int, tag: String): DataFrame = {
     require(cap > 0, s"maxBucketSize must be positive, got $cap")
-    val counts = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bucket_n"))
-    val stats = banded.hint("shuffle_hash")
-      .join(counts.hint("shuffle_hash"), keys)
-    DropMetrics.observe(stats, tag, Seq(
+    // ONE pass over the (expensive) banded map stage: a bucket-partitioned
+    // window count replaces the former counts-aggregate + shuffle-hash
+    // stats join — that shape computed the ENTIRE upstream map (tokenize/
+    // hash/signature/band-explode) TWICE, once into the partial-agg counts
+    // exchange and once into the join's own exchange (round-19 profile:
+    // two ~equal map stages per run). The window plans as
+    // Exchange(hash keys) → Sort(keys) → Window, so the banded stream is
+    // computed and exchanged exactly once; downstream same-key consumers
+    // (bandedSigPairs' groupBy, the hamming self-join) reuse the
+    // partitioning with no further exchange. WindowExec buffers one bucket
+    // at a time in a spillable row array, so a degenerate bucket spills to
+    // disk instead of blowing an aggregation buffer — the same bounded-
+    // state posture the cap exists to protect.
+    val withN = banded.withColumn("__bucket_n",
+      count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    DropMetrics.observe(withN, tag, Seq(
         sum(when(col("__bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
           .as("dropped_rows"),
         max(col("__bucket_n")).as("max_bucket_size"),
@@ -258,7 +268,10 @@ object Dedup {
       GraftColumnBridge.expression(split(col(textCol), "\\s+"))))
     val sig = GraftColumnBridge.column(
       graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 64))
-    df.filter(col(textCol).isNotNull).select(col(idCol), sig.as(outCol))
+    // fan out a sub-split scan so the tokenize+hash+fold map parallelizes
+    // (strict no-op at corpus scale)
+    graft.ops.Par.fanOutSmallScan(df.filter(col(textCol).isNotNull))
+      .select(col(idCol), sig.as(outCol))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxDistance`, via the
@@ -469,8 +482,12 @@ object Dedup {
     val sig = GraftColumnBridge.column(
       graft.functions.SimHashBits(GraftColumnBridge.expression(hashes), 32))
     // docs with no non-empty tokens are dropped, matching the GROUP-BY-drop
-    // semantics of the DuckDB oracle (unnest + WHERE len>0 + GROUP BY)
-    df.filter(col(textCol).isNotNull && size(hashes) > 0)
+    // semantics of the DuckDB oracle (unnest + WHERE len>0 + GROUP BY).
+    // fanOutSmallScan sits ABOVE the cheap null filter but BELOW the
+    // size(hashes) filter, so the md5 token hashing runs wide on a
+    // sub-split input (strict no-op at corpus scale — see [[simHash]])
+    graft.ops.Par.fanOutSmallScan(df.filter(col(textCol).isNotNull))
+      .filter(size(hashes) > 0)
       .select(col(idCol), sig.as(outCol))
   }
 

@@ -290,6 +290,18 @@ object Similarity {
     * sim_ivf_portable oracle replays the identical tree in DuckDB). The
     * centroid matrix is KBs and lives driver-side like the unigram
     * model. */
+  /** The `(__id, __v)` candidate frame every trainer/server iterates over.
+    * Deliberately NOT [[graft.ops.Par.fanOutSmallScan]]-fanned (round-19
+    * measurement): unlike the text-hashing kernels (0.3-1.5 s single-task
+    * at bench scale), a Lloyd/PQ assignment pass over a sub-split input
+    * is ~70 ms of vector math — splitting it into defaultParallelism
+    * micro-tasks made the whole sim family 1.2-1.7× SLOWER (scheduling
+    * floor × passes × the persist's extra exchange). At corpus scale the
+    * scan is wide on its own and the question is moot. */
+  private def vecsFrame(
+      candidates: DataFrame, idCol: String, vecCol: String): DataFrame =
+    candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+
   private def trainCentroids(
       vecs: DataFrame,
       numCells: Int,
@@ -361,7 +373,7 @@ object Similarity {
     require(!df.columns.contains("cell"),
       "assignCells writes a 'cell' column but the input already has one — " +
         "rename or drop it first")
-    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(df, idCol, vecCol)
       .persist()
     val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
     vecs.unpersist()
@@ -399,7 +411,7 @@ object Similarity {
       numProbes: Int = 4,
       lloydIters: Int = 2,
       seedIds: Option[Seq[Long]] = None): DataFrame = {
-    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(candidates, idCol, vecCol)
       .persist()
     val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
     vecs.unpersist()
@@ -422,7 +434,7 @@ object Similarity {
       seedIds: Option[Seq[Long]] = None): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(candidates, idCol, vecCol)
       .persist()
     val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
     vecs.unpersist()
@@ -537,7 +549,7 @@ object Similarity {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = candidates.sparkSession
     import spark.implicits._
-    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(candidates, idCol, vecCol)
       .persist()
     try {
       val seeds: Array[Seq[Float]] = seedIds match {
@@ -640,7 +652,7 @@ object Similarity {
       maxPerShard: Int = 4096,
       pqModel: Option[PqModel] = None): DataFrame = {
     require(maxPerShard >= 1, s"maxPerShard must be positive, got $maxPerShard")
-    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(candidates, idCol, vecCol)
       .persist()
     try {
       val centroids = trainCentroids(vecs, numCells, lloydIters, seedIds)
@@ -673,7 +685,7 @@ object Similarity {
       maxPerShard: Int = 4096): DataFrame = {
     require(maxPerShard >= 1, s"maxPerShard must be positive, got $maxPerShard")
     val spark = candidates.sparkSession
-    val vecs = candidates.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val vecs = vecsFrame(candidates, idCol, vecCol)
     ivfPqServe(queries, vecs, idCol, vecCol, k,
       loadCentroids(spark, centroidsPath).toArray,
       readPqModel(spark, pqModelPath), numProbes, maxPerShard)

@@ -115,6 +115,18 @@ class PlanContractSpec extends AnyFunSuite {
       // partition by the entity — bounded by one series' length, the
       // w1/w3 class
       "a22_forecast_metrics",
+      // capBuckets' bucket-size count is a window partitioned by the LSH
+      // bucket key (round-19 optimization): the former counts-aggregate +
+      // shuffle-hash stats join computed the whole upstream signature map
+      // TWICE; the window computes it once over one exchange. Each window
+      // group is one LSH bucket — the skew the cap itself bounds — and
+      // WindowExec's spillable buffer keeps a degenerate bucket on disk,
+      // the same posture the old join had. Every capBuckets consumer
+      // whose plan is not checkpoint-truncated lands here:
+      "dedup_minhash_lsh", "dedup_minhash_pairs_portable",
+      "dedup_simhash_pairs", "dedup_simhash_pairs_portable",
+      "dedup_cross_minhash", "mm_image_neardup", "mm_video_dedup",
+      "text_decontaminate_fuzzy", "text_decontaminate_fuzzy_portable",
       // sourceOverlap's two size-attach windows read the aggregated
       // pair-count frame — ≤ sources² rows (KBs), never the corpus; they
       // replaced the sizes-branch self-join that re-paid the corpus gram
@@ -171,7 +183,22 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("document-text dedup shuffles fingerprints, not text: banded joins stay shuffle-hash") {
-    Seq("dedup_minhash_pairs_portable", "dedup_simhash_pairs_portable")
+    // minhash pair generation is join-free (bandedSigPairs posting-list
+    // aggregate); since the round-19 capBuckets rewrite the bucket cap is
+    // a window over ONE exchange, so the whole pair path must plan with
+    // no join of any kind and no broadcast of a corpus-derived side
+    Seq("dedup_minhash_pairs_portable").foreach { name =>
+      val p = plans(name)
+      assert(p.contains("Window"),
+        s"$name lost the single-exchange bucket-cap window:\n$p")
+      assert(!p.contains("Join"),
+        s"$name grew a join (capBuckets stats join resurrected? " +
+          s"broadcast of a corpus-sized side?):\n$p")
+    }
+    // simhash pair generation keeps its banded self-join: both sides must
+    // stay shuffle-hash (the size estimate under the explode is tiny, so
+    // an unhinted plan would broadcast the banded corpus)
+    Seq("dedup_simhash_pairs_portable")
       .foreach { name =>
         assert(plans(name).contains("ShuffledHashJoin"),
           s"$name banded pair join is no longer shuffle-hash (broadcast " +
