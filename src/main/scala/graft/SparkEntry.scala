@@ -1754,7 +1754,7 @@ object SparkEntry {
   private def textPackBpe(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val model = Bpe.fit(docs, "text", numMerges = 60)
-    val ids = docs.select(col("doc_id"),
+    val ids = ops.Par.fanOutSmallScan(docs).select(col("doc_id"),
       transform(Bpe.encode(col("text"), model), t => xxhash64(t))
         .as("tok_ids"))
     graft.ext.Packing.packSequences(ids, "tok_ids",

@@ -67,7 +67,9 @@ object Dsir {
       df: DataFrame, textCol: String, buckets: Int = 8192,
       maxN: Int = 2, alpha: Double = 1.0): HashedModel = {
     require(alpha > 0, s"alpha must be positive, got $alpha")
-    val counts = df
+    // fanOutSmallScan: the md5 gram hashing is the fit's whole cost; a
+    // sub-split input pins it to one task (no-op at corpus scale)
+    val counts = graft.ops.Par.fanOutSmallScan(df)
       .select(explode(bucketsCol(col(textCol), maxN, buckets)).as("__b"))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__c"))

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.network.util.JavaUtils
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Scan-parallelism remediation for CPU-heavy map passes.
@@ -43,10 +43,21 @@ object Par {
 
   /** The actual (not estimated) byte size of `plan` when it is a plain
     * Project/Filter chain over a single file-scan or LocalRelation leaf;
-    * None for any other shape (derived/joined/RDD-backed inputs). */
+    * None for any other shape (derived/joined/RDD-backed inputs).
+    *
+    * Walked over the ANALYZED plan, not the optimized one: the probe only
+    * needs the leaf relation's real bytes, and asking for `optimizedPlan`
+    * would (a) pay a throwaway optimizer run per call — the caller's
+    * downstream query re-optimizes from scratch anyway — and (b) via
+    * `ConvertToLocalRelation`, eagerly evaluate the Project/Filter chain
+    * ON THE DRIVER for LocalRelation inputs (a UDF filter runs once per
+    * row at probe time — observed as a phantom "second corpus scan" by
+    * the single-pass counting specs). Analysis resolves names and types
+    * but executes nothing. */
   private def plainScanBytes(plan: LogicalPlan): Option[BigInt] = plan match {
-    case Project(_, child) => plainScanBytes(child)
-    case Filter(_, child)  => plainScanBytes(child)
+    case Project(_, child)       => plainScanBytes(child)
+    case Filter(_, child)        => plainScanBytes(child)
+    case SubqueryAlias(_, child) => plainScanBytes(child)
     case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
       Some(BigInt(fs.location.sizeInBytes))
     case lr: LocalRelation => Some(lr.stats.sizeInBytes) // exact: in-memory rows
@@ -58,12 +69,16 @@ object Par {
     * actual file bytes fit in ONE scan partition
     * (`spark.sql.files.maxPartitionBytes`); identity otherwise. */
   def fanOutSmallScan(df: DataFrame): DataFrame = {
+    // streaming frames have no batch optimizedPlan (probing one throws) and
+    // micro-batches are already parallel — identity, so operators shared
+    // with the streaming twins stay usable on either kind of frame
+    if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     if (target <= 1) return df
     val onePartitionBudget = JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    plainScanBytes(df.queryExecution.optimizedPlan) match {
+    plainScanBytes(df.queryExecution.analyzed) match {
       case Some(actual) if actual <= BigInt(onePartitionBudget) =>
         df.repartition(target)
       case _ => df
