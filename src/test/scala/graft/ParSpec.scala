@@ -61,6 +61,30 @@ class ParSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
 
+  test("streaming frames are identity (probing a stream's batch plan throws)") {
+    val dir = tmpParquet("stream", 10)
+    val schema = spark.read.parquet(dir).schema
+    val df = spark.readStream.schema(schema).parquet(dir)
+    assert(Par.fanOutSmallScan(df) eq df)
+  }
+
+  test("the probe executes nothing driver-side (analysis only, round-19)") {
+    // probing the OPTIMIZED plan used to run ConvertToLocalRelation, which
+    // eagerly evaluates Project/Filter over a LocalRelation on the driver —
+    // a UDF filter ticked once per row at probe time (the phantom "second
+    // corpus scan" UnigramLmSpec's counting filter caught). The analyzed-
+    // plan probe must evaluate nothing.
+    val acc = spark.sparkContext.longAccumulator("probe-ticks")
+    val tick = udf { (_: String) => { acc.add(1); true } }
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+      .filter(tick(col("text")))
+    val out = Par.fanOutSmallScan(df) // probe + (possibly) a fan-out; no action
+    assert(acc.value == 0,
+      s"the probe evaluated the filter ${acc.value} times driver-side")
+    assert(out.count() == 3) // the plan itself still executes correctly once
+    assert(acc.value == 3)
+  }
+
   test("serving-cache base is keyed by source content, not path hash") {
     val dir = new java.io.File("target/par-spec/servedir")
     dir.mkdirs()
