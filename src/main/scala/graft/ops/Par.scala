@@ -69,9 +69,11 @@ object Par {
     * actual file bytes fit in ONE scan partition
     * (`spark.sql.files.maxPartitionBytes`); identity otherwise. */
   def fanOutSmallScan(df: DataFrame): DataFrame = {
-    // streaming frames have no batch optimizedPlan (probing one throws) and
-    // micro-batches are already parallel — identity, so operators shared
-    // with the streaming twins stay usable on either kind of frame
+    // streaming frames: identity, explicitly. Micro-batches are already
+    // parallel, a stream's source leaf would never match the scan walk
+    // below, and probing a stream's batch plan beyond analysis throws —
+    // the guard keeps operators shared with the streaming twins usable
+    // on either kind of frame without relying on those incidentals
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
