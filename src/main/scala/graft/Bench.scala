@@ -146,9 +146,20 @@ object Bench {
         }.toSeq
         (r, () => fresh.foreach(_.unpersist(blocking = false)))
       }
+    // end-of-run stall guard (round-19 verdict ask 6): sweep any persistent
+    // blocks a query leaked (lazy localCheckpoints materialized by a cold
+    // run of a non-eager query, a training persist whose paired unpersist
+    // a failure path skipped) at the END of its measurement block — 181
+    // queries × 6 executions otherwise accumulate dead blocks the whole
+    // run, the §5 heap-pressure theory for the r19 trailing-segment stall.
+    // Always OUTSIDE every timed window; within-query reuse is unaffected
+    // because the sweep runs after the query's last execution.
+    // per-query post-GC heap telemetry (same ask: memory-over-run evidence)
+    val heapMb = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       // attribute this query's capped-operator drops in the round table
       graft.ext.DropMetrics.setContext(name)
+      val rddsAtQueryStart = spark.sparkContext.getPersistentRDDs.keySet
       val tCold0 = System.nanoTime()
       var coldReclaim: () => Unit = () => ()
       val coldOk = try {
@@ -190,6 +201,8 @@ object Bench {
       // else's timing (observed ~2× inflation on heavy queries in-bench
       // vs isolated)
       System.gc()
+      val rt = Runtime.getRuntime
+      heapMb(name) = (rt.totalMemory - rt.freeMemory) >> 20
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         var reclaim: () => Unit = () => ()
@@ -236,6 +249,12 @@ object Bench {
       val jobIds = tracker.getJobIdsForGroup(null).toSet -- jobsBefore
       val nStages = jobIds.toSeq
         .flatMap(id => tracker.getJobInfo(id).map(_.stageIds.length)).sum
+      // leak sweep (see the stall-guard note above): anything persisted since this
+      // query began and still alive now was leaked by one of its untimed
+      // executions — release it before the next query measures
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!rddsAtQueryStart(id)) rdd.unpersist(blocking = false)
+      }
       name -> (median, cold, jobIds.size, nStages)
     }
     val aqeMain = spark.conf.get("spark.sql.adaptive.enabled").toBoolean
@@ -287,22 +306,45 @@ object Bench {
       else try {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         System.gc()
+        // median-of-N (round-19 verdict ask 7): a single-shot AQE timing
+        // overstates by the per-fragment janino compile cost — every
+        // adaptive stage is a fresh codegen fragment on first execution.
+        // Each rep still rebuilds the query from scratch (construction
+        // included; cloning an AdaptiveSparkPlan would reuse materialized
+        // stages — fake), so rep 1 pays the compile, the median of 3
+        // reads the warm steady state.
+        val aqeReps = math.max(1,
+          sys.env.getOrElse("SPARK_GRAFT_AQE_REPS", "3").toInt)
         selected.map { case (name, fn) =>
           graft.ext.DropMetrics.setContext(name)
-          val t0 = System.nanoTime()
-          var reclaim: () => Unit = () => ()
-          val ok = try {
-            val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
-            reclaim = rec
-            true
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed under AQE: ${e.getMessage}")
-              false
+          val rddsAt = spark.sparkContext.getPersistentRDDs.keySet
+          val ts = (1 to aqeReps).map { _ =>
+            val t0 = System.nanoTime()
+            var reclaim: () => Unit = () => ()
+            val ok = try {
+              val (_, rec) = trackingRdds(name) { fn(spark, sfDir).count() }
+              reclaim = rec
+              true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name failed under AQE: ${e.getMessage}")
+                false
+            }
+            val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+            reclaim()
+            t
           }
-          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-          reclaim()
-          name -> t
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!rddsAt(id)) rdd.unpersist(blocking = false)
+          }
+          val med =
+            if (ts.contains(-1.0)) -1.0
+            else {
+              val s = ts.sorted
+              if (aqeReps % 2 == 1) s(aqeReps / 2)
+              else (s(aqeReps / 2 - 1) + s(aqeReps / 2)) / 2.0
+            }
+          name -> med
         }.toMap
       } finally {
         // unconditional restore: a throw outside the per-query catch
@@ -384,6 +426,10 @@ object Bench {
       if (dropTable.isEmpty) ""
       else dropTable.map { case (q, n) => s"\"$q\":$n" }
         .mkString(""","drops":{""", ",", "}")
+    // post-GC heap after each query's warmup (memory-over-run evidence for
+    // the stall-guard ask; flat ⇒ no block/heap accumulation across the run)
+    val heapJson = heapMb.map { case (k, v) => s"\"$k\":$v" }
+      .mkString(""","heap_mb":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""total_excl_naive_oracle":$totalHonest,""" +
@@ -395,7 +441,7 @@ object Bench {
           naiveExcluded.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""total_cold":$totalCold,"queries_cold":$qsCold,""" +
         s""""queries_jobs":$qsJobs$batchedJson""" +
-        s"""$aqeJson$dropsJson,"sf":"$sfDir"}"""
+        s"""$aqeJson$dropsJson$heapJson,"sf":"$sfDir"}"""
     println(line)
     // also land the result as a file: the driver's log tail truncates long
     // lines, which made BENCH_r02.json unparseable mid-JSON
@@ -406,6 +452,25 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // driver-parse contract (round-19 verdict ask 2): the full line above
+    // is ~20 KB (181 per-query entries ×4 maps) and the harness that runs
+    // this bench keeps only a bounded log TAIL, so the full line's start
+    // is always truncated away (BENCH_r15..r19 all landed parsed:null).
+    // Emit a compact totals-only object as the LAST stdout line so any
+    // bounded tail ends with one complete parseable JSON line. Additions
+    // only: the full line (same timed region, query set, reps, format)
+    // still prints above and lands in BENCH_LOCAL.json.
+    def c3(d: Double): Double = math.round(d * 1000) / 1000.0
+    println(
+      s"""{"metric":"total","value":${c3(total)},"unit":"sec",""" +
+        s""""n":${results.size},""" +
+        s""""total_excl_naive_oracle":${c3(totalHonest)},""" +
+        s""""total_frozen_r15":${c3(totalFrozen)},""" +
+        s""""total_excl_naive_frozen_r15":${c3(totalFrozenHonest)},""" +
+        s""""total_cold":${c3(totalCold)}""" +
+        aqeQueries.headOption.fold("")(_ =>
+          s""","total_aqe":${c3(aqeQueries.values.sum)}""") +
+        s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

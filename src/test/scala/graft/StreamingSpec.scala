@@ -9,7 +9,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingResample
 
 /** Streaming twins of the batch resample (SURVEY §2.9): drive a parquet
-  * file source through a memory sink and compare with the batch plan. */
+  * file source through a memory sink and compare with the batch plan.
+  *
+  * Fixture writes are `compression=uncompressed` deliberately (round-19
+  * harness abort hardening): the rows are tiny, so compression buys
+  * nothing, and the plain write path keeps native codec loading and its
+  * buffer allocations out of the suite's only repeated file-write
+  * surface — one less way for a constrained environment to kill the
+  * shared SparkContext mid-fixture. */
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -23,7 +30,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "2024-01-02 03:00:00", 30.0))
       .toDF("user_id", "s", "value")
       .withColumn("ts", to_timestamp(col("s"))).drop("s")
-    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    df.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
 
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("value", DoubleType),
@@ -50,11 +57,11 @@ class StreamingSpec extends AnyFunSuite {
     Seq((1L, "2024-01-01 10:00:00", "view1"), (1L, "2024-01-01 12:00:00", "view2"))
       .toDF("user_id", "s", "tag")
       .withColumn("lts", to_timestamp(col("s"))).drop("s")
-      .write.mode("overwrite").parquet(dirL.getAbsolutePath)
+      .write.mode("overwrite").option("compression", "uncompressed").parquet(dirL.getAbsolutePath)
     Seq((1L, "2024-01-01 09:30:00", 5.0), (1L, "2024-01-01 11:00:00", 7.0))
       .toDF("user_id", "s", "amount")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
-      .write.mode("overwrite").parquet(dirR.getAbsolutePath)
+      .write.mode("overwrite").option("compression", "uncompressed").parquet(dirR.getAbsolutePath)
     val schemaL = StructType(Seq(StructField("user_id", LongType),
       StructField("tag", StringType), StructField("lts", TimestampType)))
     val schemaR = StructType(Seq(StructField("user_id", LongType),
@@ -97,8 +104,8 @@ class StreamingSpec extends AnyFunSuite {
       (9L, "2024-01-03 00:00:00", 0.0))
       .toDF("user_id", "s", "amount")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
-    leftRows.write.mode("overwrite").parquet(dirL.getAbsolutePath)
-    rightRows.write.mode("overwrite").parquet(dirR.getAbsolutePath)
+    leftRows.write.mode("overwrite").option("compression", "uncompressed").parquet(dirL.getAbsolutePath)
+    rightRows.write.mode("overwrite").option("compression", "uncompressed").parquet(dirR.getAbsolutePath)
     val tol = 4L * 3600 // 4 hours
 
     val schemaL = StructType(Seq(StructField("event_id", LongType),
@@ -139,7 +146,7 @@ class StreamingSpec extends AnyFunSuite {
       ("doc-a", "2024-01-01 01:20:00", "dup2"))
       .toDF("doc_key", "s", "tag")
       .withColumn("ts", to_timestamp(col("s"))).drop("s")
-    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    df.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_key", StringType), StructField("tag", StringType),
       StructField("ts", TimestampType)))
@@ -169,7 +176,7 @@ class StreamingSpec extends AnyFunSuite {
       (3L, bmp(9), "2024-01-01 01:10:00"))
       .toDF("media_id", "payload", "s")
       .withColumn("ts", to_timestamp(col("s"))).drop("s")
-    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    df.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("payload", BinaryType),
       StructField("ts", TimestampType)))
@@ -206,7 +213,7 @@ class StreamingSpec extends AnyFunSuite {
     val items = Seq(1L, 2L, 3L).map(id =>
       (id, wav(id), "spec", "stream"))
     items.toDF("media_id", "payload", "format", "source")
-      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      .write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("payload", BinaryType),
       StructField("format", StringType), StructField("source", StringType)))
@@ -241,7 +248,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "2024-01-01 05:00:00", 1.0))
       .toDF("user_id", "s", "value")
       .withColumn("ts", to_timestamp(col("s"))).drop("s")
-    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    df.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("value", DoubleType),
       StructField("ts", TimestampType)))
@@ -276,7 +283,7 @@ class StreamingSpec extends AnyFunSuite {
       (100L, "the quick brown fox jumps"),
       (101L, "five dozen liquor jugs"))
       .toDF("bench_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
 
     val batch = graft.ext.Dedup
       .contaminationScore(docs, benchmark, "doc_id", "text", n = 3)
@@ -329,7 +336,7 @@ class StreamingSpec extends AnyFunSuite {
       (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
       (101L, "completely different benchmark prompt about astronomy facts"))
       .toDF("bench_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
 
     val batchKept = graft.ext.Dedup.fuzzyDecontaminate(
         docs, benchmark, "doc_id", "bench_id", "text", "text",
@@ -404,7 +411,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "ssn 123-45-6789 from host 10.0.0.7"),
       (3L, "nothing sensitive here"))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val batch = graft.ext.Redaction.redact(docs, "text")
       .select("doc_id", "redacted", "n_email", "n_phone", "n_id", "n_ipv4")
       .orderBy("doc_id")
@@ -438,7 +445,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "the quick brown fox jumps over the lazy dog"),
       (2L, "a a b b a a b b"))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
@@ -514,7 +521,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "data data spark analysis"),
       (2L, "slow slow slow spam"),
       (3L, "")).toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val weights = Seq(("data", 0.75), ("slow", -1.25), ("spark", 0.5))
     val batch = graft.ext.QualityClassifier
       .markerLogit(docs, "text", weights, bias = -0.25)
@@ -568,7 +575,7 @@ class StreamingSpec extends AnyFunSuite {
       (1L, "five six seven\nCOOKIE BANNER"),
       (2L, "eight nine\nCOOKIE BANNER\nten eleven twelve"))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
@@ -620,7 +627,7 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "http://blocked.com/x"),
       (4L, "https://keep.blocked.com.evil.com/y"))
       .toDF("doc_id", "url")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("url", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
@@ -659,7 +666,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "unrelated words entirely here"),
       (3L, ""))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val tm = graft.ext.Dsir.fitHashedModel(
       docs.filter(col("doc_id") < 2), "text", buckets = 64, maxN = 2)
     val rm = graft.ext.Dsir.fitHashedModel(docs, "text",
@@ -703,7 +710,7 @@ class StreamingSpec extends AnyFunSuite {
       (2L, "unrelated words entirely here"),
       (3L, ""))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val lm = graft.ext.TextAnalysis.fitBigramModel(
       docs.filter(col("doc_id") < 2), "text", vocabSize = 6)
     val ng = graft.ext.TextAnalysis.fitNgramModel(
@@ -742,7 +749,7 @@ class StreamingSpec extends AnyFunSuite {
     dir.deleteOnExit()
     val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val weights = Seq("src0" -> 0.0, "src1" -> 0.5, "src2" -> 2.5)
     val batch = graft.ops.Sampling
       .epochExpand(docs, "doc_id", "source", weights)
@@ -782,7 +789,7 @@ class StreamingSpec extends AnyFunSuite {
     val inDir = Files.createTempDirectory("graft-drift-in").toString
     streamed.grouped(60).zipWithIndex.foreach { case (chunk, i) =>
       chunk.toDF("doc_id", "source", "v")
-        .write.mode("overwrite").parquet(s"$inDir/part$i") }
+        .write.mode("overwrite").option("compression", "uncompressed").parquet(s"$inDir/part$i") }
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("v", LongType)))
@@ -850,7 +857,7 @@ class StreamingSpec extends AnyFunSuite {
     val docs = ((0L until 40L).map(i => (i, "data data spark pipeline"))
       ++ Seq((100L, "slow slow slow the the"), (101L, "")))
       .toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    docs.write.mode("overwrite").option("compression", "uncompressed").parquet(dir.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
     val stream = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
